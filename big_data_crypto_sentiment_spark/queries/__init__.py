@@ -1,0 +1,50 @@
+"""Oracle-checked query registry.
+
+Each submodule exports ``QUERIES: dict[name -> fn(spark, sf_dir) -> DataFrame]``
+and ``ORACLE: dict[name -> ANSI SQL]`` (DuckDB-runnable on the same parquet
+views). ``__spark_entry__.py`` aggregates them. Queries without an ORACLE
+entry get the driver's weaker rows-only check (genuinely non-SQL ops:
+stateful streaming, iterative training).
+
+Float determinism convention (so the driver's value-hash matches bit-for-bit):
+  * large sums/averages go through exact decimal arithmetic, then cast to
+    double (identical IEEE rounding in both engines);
+  * O(1)-magnitude derived stats (corr, ratios) are round()ed to 6 places
+    on both sides;
+  * passthrough column values are never touched.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import (
+    dedup,
+    flagship,
+    ml,
+    relational,
+    similarity,
+    text,
+    timeseries,
+)
+
+_MODULES = (flagship, relational, timeseries, text, dedup, similarity, ml)
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for m in _MODULES:
+        dupes = set(out) & set(m.QUERIES)
+        if dupes:
+            raise ValueError(f"duplicate query names: {dupes}")
+        out.update(m.QUERIES)
+    return out
+
+
+def all_oracle_sql() -> dict[str, str]:
+    out: dict[str, str] = {}
+    for m in _MODULES:
+        out.update(m.ORACLE)
+    return out

@@ -1,0 +1,73 @@
+"""Flagship windowed dual-stream join, mapped onto the driver's `events`
+table per FIXTURES.md §6: tweets-role = events with props as text,
+prices-role = events with value as price, symbol = event_type. The two
+roles take different (overlapping) subsets so the full-outer join
+exercises tweet-only / price-only / both windows — the golden cases from
+the reference's outer semantics (dataflow/stream_join.py:410-419).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.windowed_join import prices_with_tweets
+from ._util import table
+
+WINDOW = "30 minutes"
+
+
+def tweets_role(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (ev.filter(F.col("event_id") % 3 != 0)
+              .select(F.col("ts").alias("event_time"),
+                      F.col("event_type").alias("symbol"),
+                      F.col("props").alias("text")))
+
+
+def prices_role(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (ev.filter(F.col("event_id") % 2 != 0)
+              .select(F.col("ts").alias("event_time"),
+                      F.col("event_type").alias("symbol"),
+                      F.col("value").alias("price")))
+
+
+def q_flagship_windowed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return prices_with_tweets(
+        tweets_role(spark, sf_dir), prices_role(spark, sf_dir),
+        window_duration=WINDOW, label="start",
+    )
+
+
+QUERIES = {
+    "flagship_windowed_join": q_flagship_windowed_join,
+}
+
+ORACLE = {
+    "flagship_windowed_join": """
+WITH tweets AS (
+  SELECT time_bucket(INTERVAL '30 minutes', ts) AS w,
+         event_type AS symbol,
+         COUNT(*) AS tweet_volume,
+         list_sort(list(props)) AS tweet_texts
+  FROM events WHERE event_id % 3 <> 0
+  GROUP BY 1, 2
+), prices AS (
+  SELECT time_bucket(INTERVAL '30 minutes', ts) AS w,
+         event_type AS symbol,
+         ROUND(AVG(value), 6) AS avg_price,
+         arg_max(value, ts) AS last_price
+  FROM events WHERE event_id % 2 <> 0
+  GROUP BY 1, 2
+)
+SELECT COALESCE(t.w, p.w) AS event_timestamp,
+       COALESCE(t.symbol, p.symbol) AS symbol,
+       COALESCE(t.tweet_volume, 0) AS tweet_volume,
+       p.avg_price AS avg_price,
+       p.last_price AS last_price,
+       COALESCE(t.tweet_texts, []) AS tweet_texts
+FROM tweets t
+FULL OUTER JOIN prices p ON t.w = p.w AND t.symbol = p.symbol
+""",
+}

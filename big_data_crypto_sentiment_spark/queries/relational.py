@@ -1,0 +1,265 @@
+"""Relational operator queries (SURVEY.md §2.2-2.8) over the TPC-H-ish
+driver tables, each with an exact DuckDB oracle twin.
+
+These are the reference's projection/filter/join/agg/top-k/set-op
+semantics re-expressed declaratively: Catalyst supplies pushdown, column
+pruning, partial aggregation, and join-strategy selection (SURVEY.md §4)
+— nothing here hand-schedules a physical plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ._util import sql_davg, sql_dsum, table
+
+CUTOFF = "2024-01-15 00:00:00"  # events mid-range time filter (P10)
+
+
+# --- A1/A3-style grouped aggregate with filter pushdown (TPC-H Q1 shape) ---
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(27,6)")  # noqa: E731
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(dec("l_extendedprice") * (1 - dec("l_discount")))
+             .cast("double").alias("sum_disc_price"),
+            F.sum(dec("l_extendedprice") * (1 - dec("l_discount")) * (1 + dec("l_tax")))
+             .cast("double").alias("sum_charge"),
+            (F.sum(dec("l_quantity")).cast("double") / F.count("l_quantity")).alias("avg_qty"),
+            (F.sum(dec("l_extendedprice")).cast("double") / F.count("l_extendedprice")).alias("avg_price"),
+            (F.sum(dec("l_discount")).cast("double") / F.count("l_discount")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --- P8/P9/P10: membership + time-range filter, typed projection ---
+def q_filter_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_type").isin("purchase", "error")
+                  & (F.col("ts") >= F.lit(CUTOFF))
+                  & F.col("value").isNotNull())
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .orderBy("event_id")
+    )
+
+
+# --- J-family: equi-join orders⨝customer⨝nation + grouped agg.
+#     customer/nation are small dims → Catalyst broadcast-hash (SURVEY §2.3). ---
+def q_orders_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+         .groupBy("n_name")
+         .agg(F.count("*").alias("order_count"),
+              F.sum(F.col("o_totalprice").cast("decimal(27,6)"))
+               .cast("double").alias("total_revenue"))
+         .orderBy("n_name")
+    )
+
+
+# --- J3: left join binned features onto binned base + fillna(0)
+#     (eda Milestone4 cell 10 semantics on driver tables) ---
+def q_left_join_fillna(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    base = (ev.groupBy("user_id")
+              .agg(F.count("*").alias("n_events")))
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                   .groupBy("user_id")
+                   .agg(F.count("*").alias("n_purchases"),
+                        F.sum(F.col("value").cast("decimal(27,6)"))
+                         .cast("double").alias("purchase_value")))
+    return (base.join(purchases, "user_id", "left")
+                .select("user_id", "n_events",
+                        F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+                        F.coalesce("purchase_value", F.lit(0.0)).alias("purchase_value"))
+                .orderBy("user_id"))
+
+
+# --- O3/A6: value_counts + deterministic top-k (ties broken by key) ---
+def q_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (ev.groupBy("user_id").agg(F.count("*").alias("n"))
+              .orderBy(F.desc("n"), F.asc("user_id"))
+              .limit(10))
+
+
+# --- U1: union of filtered subsets (unionByName) ---
+def q_union_event_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "event_type")
+    b = ev.filter(F.col("event_type") == "signup").select("event_id", "user_id", "event_type")
+    return a.unionByName(b).orderBy("event_id")
+
+
+# --- P3/P4: JSON payload parse + typed projection from map ---
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_id",
+        F.from_json("props", "map<string,string>").alias("m"),
+    )
+    return (parsed.select(
+                "event_id",
+                F.col("m").getItem("k").cast("long").alias("k_value"))
+            .filter(F.col("k_value").isNotNull())
+            .orderBy("event_id"))
+
+
+# --- P2: wide→long unpivot (stack), the price-explode twin ---
+def q_unpivot_order_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return (o.select(
+                "o_orderkey",
+                F.expr("stack(2, 'totalprice', o_totalprice, "
+                       "'custkey', CAST(o_custkey AS DOUBLE)) AS (measure, val)"))
+             .filter(F.col("val").isNotNull())
+             .orderBy("o_orderkey", "measure"))
+
+
+# --- A10: summary stats incl. exact interpolated median ---
+def q_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+              .agg(F.min("l_extendedprice").alias("min_price"),
+                   F.max("l_extendedprice").alias("max_price"),
+                   (F.sum(F.col("l_extendedprice").cast("decimal(27,6)")).cast("double")
+                    / F.count("l_extendedprice")).alias("mean_price"),
+                   F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("median_price"),
+                   F.count("*").alias("n"))
+              .orderBy("l_returnflag"))
+
+
+# --- A12: missing-ratio per column ---
+def q_missing_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return ev.agg(
+        F.round(F.avg(F.col("value").isNull().cast("int")), 6).alias("value_null_ratio"),
+        F.round(F.avg(F.col("props").isNull().cast("int")), 6).alias("props_null_ratio"),
+        F.round(F.avg(F.col("user_id").isNull().cast("int")), 6).alias("user_null_ratio"),
+    )
+
+
+# --- A14: min/max probe ---
+def q_minmax_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return ev.agg(F.min("ts").alias("min_ts"), F.max("ts").alias("max_ts"),
+                  F.count("*").alias("n_rows"))
+
+
+QUERIES = {
+    "pricing_summary": q_pricing_summary,
+    "filter_time_range": q_filter_time_range,
+    "orders_by_nation": q_orders_by_nation,
+    "left_join_fillna": q_left_join_fillna,
+    "top_users": q_top_users,
+    "union_event_slices": q_union_event_slices,
+    "json_props": q_json_props,
+    "unpivot_order_measures": q_unpivot_order_measures,
+    "summary_stats": q_summary_stats,
+    "missing_ratio": q_missing_ratio,
+    "minmax_ts": q_minmax_ts,
+}
+
+ORACLE = {
+    "pricing_summary": f"""
+SELECT l_returnflag, l_linestatus,
+  {sql_dsum('l_quantity')} AS sum_qty,
+  {sql_dsum('l_extendedprice')} AS sum_base_price,
+  {sql_dsum('CAST(l_extendedprice AS DECIMAL(27,6)) * (1 - CAST(l_discount AS DECIMAL(27,6)))', 12)} AS sum_disc_price,
+  {sql_dsum('CAST(l_extendedprice AS DECIMAL(27,6)) * (1 - CAST(l_discount AS DECIMAL(27,6))) * (1 + CAST(l_tax AS DECIMAL(27,6)))', 18)} AS sum_charge,
+  {sql_davg('l_quantity')} AS avg_qty,
+  {sql_davg('l_extendedprice')} AS avg_price,
+  {sql_davg('l_discount')} AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+    "filter_time_range": f"""
+SELECT event_id, ts, user_id, event_type, value
+FROM events
+WHERE event_type IN ('purchase', 'error')
+  AND ts >= TIMESTAMP '{CUTOFF}'
+  AND value IS NOT NULL
+ORDER BY event_id
+""",
+    "orders_by_nation": f"""
+SELECT n_name, COUNT(*) AS order_count,
+       {sql_dsum('o_totalprice')} AS total_revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY n_name
+""",
+    "left_join_fillna": f"""
+WITH base AS (
+  SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id
+), p AS (
+  SELECT user_id, COUNT(*) AS n_purchases,
+         {sql_dsum('value')} AS purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+)
+SELECT base.user_id, n_events,
+       COALESCE(n_purchases, 0) AS n_purchases,
+       COALESCE(purchase_value, 0.0) AS purchase_value
+FROM base LEFT JOIN p ON base.user_id = p.user_id
+ORDER BY base.user_id
+""",
+    "top_users": """
+SELECT user_id, COUNT(*) AS n FROM events
+GROUP BY user_id ORDER BY n DESC, user_id ASC LIMIT 10
+""",
+    "union_event_slices": """
+SELECT event_id, user_id, event_type FROM events WHERE event_type = 'click'
+UNION ALL
+SELECT event_id, user_id, event_type FROM events WHERE event_type = 'signup'
+ORDER BY event_id
+""",
+    "json_props": """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
+ORDER BY event_id
+""",
+    "unpivot_order_measures": """
+SELECT o_orderkey, measure, val FROM (
+  SELECT o_orderkey, 'totalprice' AS measure, o_totalprice AS val FROM orders
+  UNION ALL
+  SELECT o_orderkey, 'custkey' AS measure, CAST(o_custkey AS DOUBLE) AS val FROM orders
+) WHERE val IS NOT NULL
+ORDER BY o_orderkey, measure
+""",
+    "summary_stats": f"""
+SELECT l_returnflag,
+       MIN(l_extendedprice) AS min_price,
+       MAX(l_extendedprice) AS max_price,
+       {sql_davg('l_extendedprice')} AS mean_price,
+       ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS median_price,
+       COUNT(*) AS n
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+    "missing_ratio": """
+SELECT ROUND(AVG(CAST(value IS NULL AS INT)), 6) AS value_null_ratio,
+       ROUND(AVG(CAST(props IS NULL AS INT)), 6) AS props_null_ratio,
+       ROUND(AVG(CAST(user_id IS NULL AS INT)), 6) AS user_null_ratio
+FROM events
+""",
+    "minmax_ts": """
+SELECT MIN(ts) AS min_ts, MAX(ts) AS max_ts, COUNT(*) AS n_rows FROM events
+""",
+}

@@ -1,0 +1,52 @@
+"""SparkSession factory.
+
+The reference pins UTC everywhere (terraform/scripts/batch_to_mongo.py:118,
+analytical_module/arima.py:424) and runs Spark 3.5 local mode on a VM
+(terraform/vm.tf:88). We pin UTC, enable Arrow for every pandas exchange,
+and enable AQE so shuffle partition counts / skew joins are re-planned at
+runtime — the knobs that matter when the same plan runs on a 1000-executor
+cluster instead of local[32].
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
+
+
+def get_spark(app_name: str = "big-data-crypto-sentiment-spark",
+              master: str | None = None,
+              extra_conf: dict[str, str] | None = None) -> SparkSession:
+    """Build (or fetch) the session with scale-aware defaults.
+
+    All settings are safe on a real cluster: AQE coalesces the static
+    shuffle-partition number down at small scale and splits skewed
+    partitions at large scale, so the same code is correct at sf0.001
+    and at 100 TB.
+    """
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", DEFAULT_SHUFFLE_PARTITIONS)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # match DuckDB/ANSI-naive oracle semantics for timestamps at rest
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        .config("spark.sql.files.maxPartitionBytes", "128MB")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    if master:
+        builder = builder.master(master)
+    elif not os.environ.get("SPARK_GRAFT_NO_MASTER"):
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        builder = builder.master(f"local[{cpus}]")
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
