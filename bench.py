@@ -1,0 +1,76 @@
+"""Benchmark harness (driver contract).
+
+Runs every registered query at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is materialized with a `noop`-format write — full execution
+of the physical plan (scan → shuffle → agg) without collecting results
+to the driver, which is how you time a query honestly at scale.
+A warmup query first absorbs one-time JVM/session startup cost so
+per-query numbers measure the plan, not the JVM.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _sf_label(sf_dir: str) -> float | str:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    if base.startswith("sf"):
+        try:
+            return float(base[2:])
+        except ValueError:
+            pass
+    return base
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> int:
+    import __spark_entry__ as E
+    from big_data_crypto_sentiment_spark.session import get_spark
+
+    spark = get_spark("bench", extra_conf={"spark.ui.enabled": "false"})
+    qs = E.queries()
+
+    # warmup: run the cheapest full scan once (JVM/codegen warm)
+    try:
+        materialize(spark.read.parquet(os.path.join(SF_DIR, "nation.parquet")))
+    except Exception:
+        pass
+
+    timings: dict[str, float] = {}
+    for name, fn in qs.items():
+        t0 = time.perf_counter()
+        try:
+            materialize(fn(spark, SF_DIR))
+            timings[name] = round(time.perf_counter() - t0, 4)
+        except Exception:
+            traceback.print_exc(file=sys.stderr)
+            timings[name] = -1.0
+    total = round(sum(t for t in timings.values() if t >= 0), 4)
+    print(json.dumps({
+        "metric": "total_query_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_label(SF_DIR),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -51,11 +51,20 @@ def aggregate_tweets(tweets: DataFrame, window_duration: str,
 
 def aggregate_prices(prices: DataFrame, window_duration: str,
                      ts_col: str = "event_time", symbol_col: str = "symbol",
-                     price_col: str = "price", round_avg: int | None = 6) -> DataFrame:
-    """Per (window, symbol): avg_price + last_price (A3, A4)."""
-    avg_price = F.avg(price_col)
-    if round_avg is not None:
-        avg_price = F.round(avg_price, round_avg)
+                     price_col: str = "price", exact_avg: bool = True) -> DataFrame:
+    """Per (window, symbol): avg_price + last_price (A3, A4).
+
+    ``exact_avg=True`` computes the mean as an exact decimal sum divided by
+    the count — the result is order-independent and bit-identical across
+    engines/partitionings (a plain double avg differs in final ulps with
+    aggregation order, which breaks value-hash comparison). Costs ~2× a
+    double sum; flip to False for throughput-critical production paths.
+    """
+    if exact_avg:
+        avg_price = (F.sum(F.col(price_col).cast("decimal(27,6)")).cast("double")
+                     / F.count(price_col))
+    else:
+        avg_price = F.avg(price_col)
     return (
         prices.groupBy(F.window(ts_col, window_duration).alias("w"),
                        F.col(symbol_col).alias("symbol"))
@@ -78,12 +87,15 @@ def prices_with_tweets(tweets: DataFrame, prices: DataFrame,
     Missing-side semantics copied from stream_join.py:410-419: no tweets →
     volume 0 + empty list; no prices → NULL avg/last.
     """
+    tweet_keys = ("ts_col", "symbol_col", "text_col", "max_texts")
+    price_keys = ("ts_col", "symbol_col", "price_col", "exact_avg")
+    unknown = set(kwargs) - set(tweet_keys) - set(price_keys)
+    if unknown:
+        raise TypeError(f"prices_with_tweets: unknown kwargs {sorted(unknown)}")
     t = aggregate_tweets(tweets, window_duration,
-                         **{k: v for k, v in kwargs.items()
-                            if k in ("ts_col", "symbol_col", "text_col", "max_texts")})
+                         **{k: v for k, v in kwargs.items() if k in tweet_keys})
     p = aggregate_prices(prices, window_duration,
-                         **{k: v for k, v in kwargs.items()
-                            if k in ("ts_col", "symbol_col", "price_col", "round_avg")})
+                         **{k: v for k, v in kwargs.items() if k in price_keys})
     joined = t.join(p, ["w", "symbol"], "full_outer")
     edge = F.col("w.end") if label == "end" else F.col("w.start")
     return joined.select(

@@ -2,28 +2,15 @@
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.column import Column
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Plain parquet scan — keeps pushdown/pruning with Catalyst.
-
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects; we read it as long nanos (legacy conf, runtime-safe)
-    and truncate to microseconds — exactly what DuckDB does when it reads
-    the same file, so oracle comparisons line up.
-    """
-    spark.conf.set("spark.sql.session.timeZone", "UTC")  # oracle parity, driver-session safe
-    path = os.path.join(sf_dir, f"{name}.parquet")
-    if name != "events":
-        return spark.read.parquet(path)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    """Catalog read with (sf_dir-last) argument order queries find handy."""
+    from ..catalog import load
+    return load(spark, name, sf_dir)
 
 
 def dsum(col: str | Column, scale: int = 6) -> Column:

