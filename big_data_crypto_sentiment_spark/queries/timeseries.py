@@ -1,4 +1,256 @@
-"""Placeholder — filled in as operators land."""
+"""Time-series / analytic-window queries (SURVEY.md §2.5 W1-W5, §2.4
+A7/A8/A11) over the driver `events` table, symbol-role = event_type.
 
-QUERIES = {}
-ORACLE = {}
+These are the reference's EDA + ARIMA-prep primitives re-expressed as
+Spark window functions and windowed aggregates:
+  * per-symbol diff / pct_change / lead-target — eda
+    Data_Minions_EDA_Milestone3.ipynb cells 40,46,52;
+    Milestone4 cells 8,10 (lag features, next-bin target)
+  * time-bucket resample counts — Milestone3 cells 20-21
+  * resample-last + forward-fill onto a fixed grid —
+    analytical_module/arima.py:229-235 (.resample("30S").last().ffill())
+  * volume↔price Pearson correlation + lag-sweep cross-correlation —
+    Milestone3 cells 44,54-58; Milestone4 cell 13
+
+Scale notes: every window function partitions by symbol — at 100 TB the
+shuffle key is (symbol), and each partition sorts locally by (ts,
+event_id); no global sort anywhere. The forward-fill spine is generated
+per symbol with `sequence()` (rows ∝ symbols × buckets, not input rows).
+Derived ratios are left as single IEEE ops on identical inputs (bit-exact
+across engines); correlations are round()ed to 6 on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ._util import table
+
+BUCKET = "1 hour"
+LAG_SWEEP = tuple(range(-3, 4))  # k ∈ [-3, 3] like the reference's ±24 sweep
+
+
+def _w():
+    # per-symbol event order: (ts, event_id) is a deterministic total order
+    return Window.partitionBy("event_type").orderBy("ts", "event_id")
+
+
+# --- W1: per-symbol 1-step diff ---
+def q_ts_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", "event_type", "ts", "value",
+        F.lag("value").over(_w()).alias("prev_value"),
+        (F.col("value") - F.lag("value").over(_w())).alias("diff"),
+    )
+
+
+# --- W2: pct_change (return); zero-denominator → NULL on both engines ---
+def q_ts_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    prev = F.lag("value").over(_w())
+    return ev.select(
+        "event_id", "event_type", "value",
+        ((F.col("value") - prev) / F.nullif(prev, F.lit(0.0))).alias("pct_change"),
+    )
+
+
+# --- W3: lead (next-value target, Milestone4 target_ret_next shape) ---
+def q_ts_lead_target(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    nxt = F.lead("value").over(_w())
+    return ev.select(
+        "event_id", "event_type", "value",
+        nxt.alias("next_value"),
+        ((nxt - F.col("value")) / F.nullif(F.col("value"), F.lit(0.0)))
+        .alias("next_ret"),
+    )
+
+
+# --- A7 + W4: time-bucket counts with lagged volume feature ---
+def q_ts_bucket_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    binned = (ev.groupBy(F.window("ts", BUCKET).alias("w"), "event_type")
+                .agg(F.count("*").alias("n_events")))
+    wb = Window.partitionBy("event_type").orderBy("bucket")
+    return (binned.select(F.col("w.start").alias("bucket"), "event_type", "n_events")
+                  .withColumn("prev_n_events", F.lag("n_events").over(wb)))
+
+
+# --- A8: resample-last + forward-fill onto a per-symbol sequence() spine ---
+def q_ts_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    last_per_bucket = (
+        ev.filter(F.col("value").isNotNull())
+          .groupBy(F.window("ts", BUCKET).alias("w"), "event_type")
+          .agg(F.max_by("value", F.struct("ts", "event_id")).alias("last_value"))
+          .select(F.col("w.start").alias("bucket"), "event_type", "last_value")
+    )
+    spine = (
+        last_per_bucket.groupBy("event_type")
+        .agg(F.min("bucket").alias("mn"), F.max("bucket").alias("mx"))
+        .select("event_type",
+                F.explode(F.sequence("mn", "mx", F.expr(f"INTERVAL {BUCKET}")))
+                 .alias("bucket"))
+    )
+    wb = (Window.partitionBy("event_type").orderBy("bucket")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (spine.join(last_per_bucket, ["event_type", "bucket"], "left")
+                 .select("event_type", "bucket",
+                         F.last("last_value", ignorenulls=True).over(wb)
+                          .alias("value_ffill")))
+
+
+def _bucket_metrics(ev: DataFrame) -> DataFrame:
+    """Contiguous per-symbol grid of (n_events, avg_value) per bucket —
+    the joined volume/price frame the EDA correlates (Milestone3 cell 44).
+    Missing buckets get n_events=0 / avg NULL, matching a resampled
+    pandas frame."""
+    binned = (ev.groupBy(F.window("ts", BUCKET).alias("w"), "event_type")
+                .agg(F.count("*").alias("n_events"),
+                     (F.sum(F.col("value").cast("decimal(27,6)")).cast("double")
+                      / F.count("value")).alias("avg_value"))
+                .select(F.col("w.start").alias("bucket"), "event_type",
+                        "n_events", "avg_value"))
+    spine = (binned.groupBy("event_type")
+                   .agg(F.min("bucket").alias("mn"), F.max("bucket").alias("mx"))
+                   .select("event_type",
+                           F.explode(F.sequence("mn", "mx",
+                                                F.expr(f"INTERVAL {BUCKET}")))
+                            .alias("bucket")))
+    return (spine.join(binned, ["event_type", "bucket"], "left")
+                 .select("event_type", "bucket",
+                         F.coalesce("n_events", F.lit(0)).alias("n_events"),
+                         "avg_value"))
+
+
+# --- A11: Pearson correlation volume vs price per symbol ---
+def q_ts_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (_bucket_metrics(ev)
+            .groupBy("event_type")
+            .agg(F.round(F.corr("n_events", "avg_value"), 6).alias("corr_vol_price")))
+
+
+# --- W5: lag-sweep cross-correlation corr(x.shift(k), y) for k ∈ sweep ---
+def q_ts_lag_sweep_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    m = _bucket_metrics(ev)
+    wb = Window.partitionBy("event_type").orderBy("bucket")
+    # one window pass producing every shifted column, then unpivot — a
+    # single shuffle instead of |sweep| self-joins
+    def _name(k: int) -> str:
+        return f"x_{'m' if k < 0 else 'p'}{abs(k)}"
+
+    shifted = m.select(
+        "event_type", "bucket", "avg_value",
+        *[(F.lag("n_events", k).over(wb) if k >= 0
+           else F.lead("n_events", -k).over(wb)).alias(_name(k))
+          for k in LAG_SWEEP],
+    )
+    stack_expr = "stack({n}, {args}) AS (k, x)".format(
+        n=len(LAG_SWEEP),
+        args=", ".join(f"{k}, {_name(k)}" for k in LAG_SWEEP))
+    long = shifted.select("event_type", "avg_value", F.expr(stack_expr))
+    return (long.groupBy("event_type", "k")
+                .agg(F.round(F.corr("x", "avg_value"), 6).alias("xcorr")))
+
+
+QUERIES = {
+    "ts_diff": q_ts_diff,
+    "ts_pct_change": q_ts_pct_change,
+    "ts_lead_target": q_ts_lead_target,
+    "ts_bucket_counts": q_ts_bucket_counts,
+    "ts_resample_ffill": q_ts_resample_ffill,
+    "ts_corr": q_ts_corr,
+    "ts_lag_sweep_corr": q_ts_lag_sweep_corr,
+}
+
+_SQL_BUCKET_METRICS = """
+binned AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket, event_type,
+         COUNT(*) AS n_events,
+         (CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / COUNT(value)) AS avg_value
+  FROM events GROUP BY 1, 2
+), spine AS (
+  SELECT event_type, unnest(generate_series(mn, mx, INTERVAL '1 hour')) AS bucket
+  FROM (SELECT event_type, MIN(bucket) AS mn, MAX(bucket) AS mx
+        FROM binned GROUP BY event_type)
+), grid AS (
+  SELECT s.event_type, s.bucket,
+         COALESCE(b.n_events, 0) AS n_events, b.avg_value
+  FROM spine s LEFT JOIN binned b
+    ON s.event_type = b.event_type AND s.bucket = b.bucket
+)
+"""
+
+ORACLE = {
+    "ts_diff": """
+SELECT event_id, event_type, ts, value,
+       LAG(value) OVER w AS prev_value,
+       value - LAG(value) OVER w AS diff
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+""",
+    "ts_pct_change": """
+SELECT event_id, event_type, value,
+       (value - LAG(value) OVER w) / NULLIF(LAG(value) OVER w, 0.0) AS pct_change
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+""",
+    "ts_lead_target": """
+SELECT event_id, event_type, value,
+       LEAD(value) OVER w AS next_value,
+       (LEAD(value) OVER w - value) / NULLIF(value, 0.0) AS next_ret
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+""",
+    "ts_bucket_counts": """
+WITH binned AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket, event_type,
+         COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT bucket, event_type, n_events,
+       LAG(n_events) OVER (PARTITION BY event_type ORDER BY bucket) AS prev_n_events
+FROM binned
+""",
+    "ts_resample_ffill": """
+WITH b AS (
+  SELECT bucket, event_type, value AS last_value FROM (
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket, event_type, value,
+           ROW_NUMBER() OVER (PARTITION BY event_type, time_bucket(INTERVAL '1 hour', ts)
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events WHERE value IS NOT NULL)
+  WHERE rn = 1
+), spine AS (
+  SELECT event_type, unnest(generate_series(mn, mx, INTERVAL '1 hour')) AS bucket
+  FROM (SELECT event_type, MIN(bucket) AS mn, MAX(bucket) AS mx FROM b GROUP BY event_type)
+)
+SELECT s.event_type, s.bucket,
+       last_value(b.last_value IGNORE NULLS) OVER (
+         PARTITION BY s.event_type ORDER BY s.bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill
+FROM spine s LEFT JOIN b ON s.event_type = b.event_type AND s.bucket = b.bucket
+""",
+    "ts_corr": f"""
+WITH {_SQL_BUCKET_METRICS}
+SELECT event_type, ROUND(corr(n_events, avg_value), 6) AS corr_vol_price
+FROM grid GROUP BY event_type
+""",
+    "ts_lag_sweep_corr": f"""
+WITH {_SQL_BUCKET_METRICS},
+shifted AS (
+""" + "\n  UNION ALL\n".join(
+        f"""  SELECT event_type, {k} AS k,
+         {'LAG' if k >= 0 else 'LEAD'}(n_events, {abs(k)})
+           OVER (PARTITION BY event_type ORDER BY bucket) AS x,
+         avg_value
+  FROM grid"""
+        for k in LAG_SWEEP) + """
+)
+SELECT event_type, k, ROUND(corr(x, avg_value), 6) AS xcorr
+FROM shifted GROUP BY event_type, k
+""",
+}
