@@ -1,4 +1,263 @@
-"""Placeholder — filled in as operators land."""
+"""Text-analysis queries (SURVEY.md §2.2 P11/P12/P15, §2.4 A13) plus the
+large-scale training-data text ops (language-ID heuristic, quality
+scoring, token counting, document fingerprinting) over the driver
+`documents` table and the duplicated `events.props` payload column.
 
-QUERIES = {}
-ORACLE = {}
+Reference semantics re-expressed Spark-first:
+  * regex string-feature extraction (urls/mentions/hashtags/cashtags/
+    call-to-action) — eda/Data_Minions_EDA_Milestone4.ipynb cell 9
+    (`basic_text_features`)
+  * regex content filter (drop Japanese-char tweets) —
+    twitter/stream_simulator_continuous.py:31-36
+  * text truncation before model input — dataflow/stream_join.py:292-294
+  * duplicate-rate + top duplicated texts — Milestone4 cell 9
+  * lang-ID / quality / token-count / fingerprint are the LLM-pipeline
+    extensions (no reference twin; shapes follow public corpus-cleaning
+    practice: stopword-ratio heuristics, md5 content fingerprints).
+
+Scale notes: every query here is embarrassingly parallel column math on
+a single scan — no join, no window function; the only shuffles are the
+hash aggregations in dup-rate/top-duplicated (partial→final combine, key
+cardinality = distinct texts). Top-duplicated is a TakeOrderedAndProject
+(no global sort materialization). All regexes are shared Java/RE2 syntax
+so Spark and the DuckDB oracle agree byte-for-byte.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ._util import table
+
+# shared Java-regex/RE2-compatible patterns (keep simple: char classes,
+# alternation, \b) so Spark and DuckDB evaluate identically
+PAT_URL = r"https?://[^\s]+"
+PAT_MENTION = r"@[A-Za-z0-9_]+"
+PAT_HASHTAG = r"#[A-Za-z0-9_]+"
+PAT_CASHTAG = r"\$[A-Za-z]+"
+PAT_CTA = r"(?i)\b(join|vip|telegram)\b"
+PAT_CJK = r"[\x{3040}-\x{30FF}\x{4E00}-\x{9FFF}]"  # hiragana/katakana/CJK
+PAT_CJK_SQL = r"[぀-ヿ一-鿿]"
+PAT_STOPWORD = r"(?i)\b(the|a|an|and|of|to|in|is|it|that)\b"
+PAT_TOKEN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"  # BPE-ish coarse tokens
+TRUNCATE_AT = 100  # reference truncates at 10_000; fixture texts are short
+
+
+def _n_words(c):
+    return F.size(F.split(c, " "))
+
+
+# --- P15: string feature extraction (Milestone4 cell 9) ---
+def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id", "lang", "source",
+        F.length(t).alias("text_len"),
+        _n_words(t).alias("n_words"),
+        F.regexp_count(t, F.lit(PAT_URL)).alias("n_urls"),
+        F.regexp_count(t, F.lit(PAT_MENTION)).alias("n_mentions"),
+        F.regexp_count(t, F.lit(PAT_HASHTAG)).alias("n_hashtags"),
+        F.regexp_count(t, F.lit(PAT_CASHTAG)).alias("n_cashtags"),
+        t.rlike(PAT_CTA).cast("int").alias("has_cta"),
+    )
+
+
+# --- P11: regex content filter (keep non-CJK docs mentioning spark) ---
+def q_text_rlike_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return (d.filter(~F.col("text").rlike(PAT_CJK))
+             .filter(F.col("text").rlike(r"\bspark\b"))
+             .select("doc_id", "lang", "n_chars"))
+
+
+# --- P12: text truncation (stream_join.py:292-294) ---
+def q_text_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.substring("text", 1, TRUNCATE_AT).alias("text_trunc"),
+        F.length(F.substring("text", 1, TRUNCATE_AT)).alias("trunc_len"),
+        (F.length("text") > TRUNCATE_AT).cast("int").alias("was_truncated"),
+    )
+
+
+# --- A13a: duplicate rate over the duplicated events.props payload ---
+def q_text_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return ev.agg(
+        F.count("props").alias("n_texts"),
+        F.countDistinct("props").alias("n_distinct"),
+        F.round(F.lit(1.0) - F.countDistinct("props") / F.count("props"), 6)
+         .alias("dup_rate"),
+    )
+
+
+# --- A13b: top duplicated texts (value_counts().head(10)) ---
+def q_text_top_duplicated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (ev.filter(F.col("props").isNotNull())
+              .groupBy("props").agg(F.count("*").alias("n_dups"))
+              .orderBy(F.desc("n_dups"), "props")  # deterministic tie-break
+              .limit(10))
+
+
+# --- extension: language-ID heuristic (stopword-ratio scoring) ---
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    t = F.col("text")
+    stop_ratio = F.round(
+        F.regexp_count(t, F.lit(PAT_STOPWORD)) / _n_words(t), 6)
+    return d.select(
+        "doc_id", "lang",
+        stop_ratio.alias("stopword_ratio"),
+        F.when(t.rlike(PAT_CJK), F.lit("cjk"))
+         .when(stop_ratio >= 0.05, F.lit("en"))
+         .otherwise(F.lit("other")).alias("lang_guess"),
+    )
+
+
+# --- extension: quality scoring (length/punct/stopword composite) ---
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    t = F.col("text")
+    n_words = _n_words(t)
+    punct_ratio = (F.length(t)
+                   - F.length(F.regexp_replace(t, r"[^A-Za-z0-9\s]", ""))) \
+        / F.length(t)
+    stop_ratio = F.regexp_count(t, F.lit(PAT_STOPWORD)) / n_words
+    len_score = F.least(F.lit(1.0), n_words / F.lit(50.0))
+    score = F.greatest(
+        F.lit(0.0),
+        F.least(F.lit(1.0),
+                0.5 * len_score + 0.3 * stop_ratio * 10 - 0.2 * punct_ratio))
+    return d.select(
+        "doc_id",
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(len_score, 6).alias("len_score"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+# --- extension: token counting (whitespace + BPE-ish regex) ---
+def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        _n_words(t).alias("ws_tokens"),
+        F.regexp_count(t, F.lit(PAT_TOKEN)).alias("regex_tokens"),
+        F.round(F.length(t) / F.lit(4.0), 6).alias("approx_llm_tokens"),
+    )
+
+
+# --- extension: document fingerprinting (normalized-content md5) ---
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    norm = F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
+    return d.select(
+        "doc_id",
+        F.md5(norm).alias("fingerprint"),
+        F.substring(F.md5(norm), 1, 8).alias("shard_key"),
+    )
+
+
+QUERIES = {
+    "text_features": q_text_features,
+    "text_rlike_filter": q_text_rlike_filter,
+    "text_truncate": q_text_truncate,
+    "text_dup_rate": q_text_dup_rate,
+    "text_top_duplicated": q_text_top_duplicated,
+    "text_lang_id": q_text_lang_id,
+    "text_quality": q_text_quality,
+    "text_token_count": q_text_token_count,
+    "text_fingerprint": q_text_fingerprint,
+}
+
+# DuckDB regexp_replace only replaces the first match without the 'g'
+# flag, and has no regexp_count — len(regexp_extract_all(...)) is the
+# equivalent. Patterns are identical strings on both sides.
+_SQL_NWORDS = "len(string_split(text, ' '))"
+
+
+def _sql_count(pat: str) -> str:
+    return f"len(regexp_extract_all(text, '{pat}'))"
+
+
+ORACLE = {
+    "text_features": f"""
+SELECT doc_id, lang, source,
+       length(text) AS text_len,
+       {_SQL_NWORDS} AS n_words,
+       {_sql_count(PAT_URL)} AS n_urls,
+       {_sql_count(PAT_MENTION)} AS n_mentions,
+       {_sql_count(PAT_HASHTAG)} AS n_hashtags,
+       {_sql_count(PAT_CASHTAG)} AS n_cashtags,
+       CAST(regexp_matches(text, '{PAT_CTA}') AS INT) AS has_cta
+FROM documents
+""",
+    "text_rlike_filter": f"""
+SELECT doc_id, lang, n_chars FROM documents
+WHERE NOT regexp_matches(text, '{PAT_CJK_SQL}')
+  AND regexp_matches(text, '\\bspark\\b')
+""",
+    "text_truncate": f"""
+SELECT doc_id,
+       substring(text, 1, {TRUNCATE_AT}) AS text_trunc,
+       length(substring(text, 1, {TRUNCATE_AT})) AS trunc_len,
+       CAST(length(text) > {TRUNCATE_AT} AS INT) AS was_truncated
+FROM documents
+""",
+    "text_dup_rate": """
+SELECT COUNT(props) AS n_texts,
+       COUNT(DISTINCT props) AS n_distinct,
+       ROUND(1.0 - COUNT(DISTINCT props) / COUNT(props), 6) AS dup_rate
+FROM events
+""",
+    "text_top_duplicated": """
+SELECT props, COUNT(*) AS n_dups FROM events
+WHERE props IS NOT NULL
+GROUP BY props ORDER BY n_dups DESC, props LIMIT 10
+""",
+    "text_lang_id": f"""
+SELECT doc_id, lang,
+       ROUND({_sql_count(PAT_STOPWORD)} / {_SQL_NWORDS}, 6) AS stopword_ratio,
+       CASE WHEN regexp_matches(text, '{PAT_CJK_SQL}') THEN 'cjk'
+            WHEN ROUND({_sql_count(PAT_STOPWORD)} / {_SQL_NWORDS}, 6) >= 0.05 THEN 'en'
+            ELSE 'other' END AS lang_guess
+FROM documents
+""",
+    "text_quality": f"""
+WITH f AS (
+  SELECT doc_id,
+         (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))
+           / length(text) AS punct_ratio,
+         {_sql_count(PAT_STOPWORD)} / {_SQL_NWORDS} AS stop_ratio,
+         LEAST(1.0, {_SQL_NWORDS} / 50.0) AS len_score
+  FROM documents
+)
+SELECT doc_id,
+       ROUND(punct_ratio, 6) AS punct_ratio,
+       ROUND(stop_ratio, 6) AS stopword_ratio,
+       ROUND(len_score, 6) AS len_score,
+       ROUND(GREATEST(0.0, LEAST(1.0,
+             0.5 * len_score + 0.3 * stop_ratio * 10 - 0.2 * punct_ratio)), 6)
+         AS quality_score
+FROM f
+""",
+    "text_token_count": f"""
+SELECT doc_id,
+       {_SQL_NWORDS} AS ws_tokens,
+       {_sql_count(PAT_TOKEN)} AS regex_tokens,
+       ROUND(length(text) / 4.0, 6) AS approx_llm_tokens
+FROM documents
+""",
+    "text_fingerprint": """
+SELECT doc_id,
+       md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint,
+       substring(md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))), 1, 8) AS shard_key
+FROM documents
+""",
+}
