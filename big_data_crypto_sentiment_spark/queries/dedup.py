@@ -1,4 +1,232 @@
-"""Placeholder — filled in as operators land."""
+"""Deduplication operators — the large-scale training-data-pipeline
+extension family (BASELINE-mandated; no direct reference twin, the
+closest being the EDA duplicate-rate check,
+eda/Data_Minions_EDA_Milestone4.ipynb cell 9).
 
-QUERIES = {}
-ORACLE = {}
+Four tiers, each a standard corpus-dedup technique:
+  * exact dedup        — hash-groupBy on normalized content, keep min id
+  * n-gram Jaccard     — exact pairwise word-shingle similarity (oracle-
+                         checked on a bounded slice; the generic operator
+                         partitions by shingle, never all-pairs)
+  * MinHash + LSH      — 32-perm signatures, 8 bands × 4 rows, candidate
+                         pairs from band-bucket self-join, then exact
+                         Jaccard verification (rows-only + pytest)
+  * SimHash            — 16-bit sign-sum fingerprint per doc (rows-only +
+                         pytest)
+
+Scale notes (the whole point of this family):
+  * NO all-pairs crossJoin anywhere. Pair generation always goes through
+    an equality key (shingle, or (band, band_hash)) so Spark plans a
+    shuffled hash join whose fan-out is bounded by bucket sizes, not N².
+  * MinHash signatures are computed entirely with array expressions
+    (transform/array_min over the shingle array) — zero shuffles, zero
+    Python, whole-stage codegen end to end; the only shuffles are the
+    candidate-pair self-join and the distinct.
+  * Exact-verification joins carry the shingle arrays with the pair rows
+    (two hash joins on doc_id) instead of collecting anything.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ._util import table
+
+SHINGLE_WORDS = 3
+NUM_HASHES = 32
+BANDS = 8
+ROWS_PER_BAND = NUM_HASHES // BANDS
+JACCARD_THRESHOLD = 0.1
+PAIR_SLICE_SOURCE = "src0"  # bounded slice for the oracle-checked pair query
+# fixture word-soup docs have low pairwise overlap; the slice query uses a
+# low cut so the oracle comparison exercises non-empty output
+SLICE_JACCARD_THRESHOLD = 0.01
+
+
+def _words(col: str = "text"):
+    return F.split(F.col(col), " ")
+
+
+def _shingles(col: str = "text"):
+    """Distinct SHINGLE_WORDS-word shingles; requires >= SHINGLE_WORDS words
+    (callers filter) because sequence() would run backwards otherwise."""
+    w = _words(col)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (SHINGLE_WORDS - 1)),
+            lambda i: F.concat_ws(" ", F.slice(w, i, SHINGLE_WORDS)),
+        )
+    )
+
+
+# --- exact dedup: hash-groupBy on normalized content (events.props) ---
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    norm = F.lower(F.regexp_replace(F.col("props"), r"\s+", " "))
+    return (ev.filter(F.col("props").isNotNull())
+              .groupBy(norm.alias("content"))
+              .agg(F.min("event_id").alias("keep_event_id"),
+                   F.count("*").alias("n_copies"))
+              .select(F.md5("content").alias("fingerprint"),
+                      "keep_event_id", "n_copies"))
+
+
+# --- exact n-gram Jaccard pairs on a bounded slice (oracle-checked) ---
+def _jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
+    """All (doc_a < doc_b) pairs with shingle-Jaccard >= threshold.
+
+    Pair generation is a self-join on the shingle key — the classic
+    inverted-index formulation; never a crossJoin. At 100 TB you'd add a
+    document-frequency cut on hot shingles; the fixture vocabulary is
+    small enough that the join stays bounded here.
+    """
+    sh = (docs.filter(F.size(_words()) >= SHINGLE_WORDS)
+              .select("doc_id", F.explode(_shingles()).alias("shingle")))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+              .groupBy(F.col("a.doc_id").alias("doc_a"),
+                       F.col("b.doc_id").alias("doc_b"))
+              .agg(F.count("*").alias("common")))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"),
+                      F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"),
+                      F.col("n_shingles").alias("nb"))
+    jac = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
+    return (pairs.join(sa, "doc_a").join(sb, "doc_b")
+                 .filter(jac >= threshold)
+                 .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard")))
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").filter(F.col("source") == PAIR_SLICE_SOURCE)
+    return _jaccard_pairs(d, SLICE_JACCARD_THRESHOLD)
+
+
+# --- MinHash + LSH banded near-dup over the full documents table ---
+def minhash_signature_cols():
+    """32 minhash columns, each array_min(transform(shingles, xxhash64(s, j)))
+    — pure expressions over the shingle array, no shuffle, no Python."""
+    return [
+        F.array_min(F.transform(F.col("shingles"),
+                                lambda s, j=j: F.xxhash64(s, F.lit(j))))
+        .alias(f"mh{j}")
+        for j in range(NUM_HASHES)
+    ]
+
+
+def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
+    """Distinct (doc_a < doc_b) candidate pairs that collide in >=1 band."""
+    sig = (docs.filter(F.size(_words()) >= SHINGLE_WORDS)
+               .select("doc_id", _shingles().alias("shingles"))
+               .select("doc_id", "shingles", *minhash_signature_cols()))
+    bands = sig.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(*[F.col(f"mh{b * ROWS_PER_BAND + r}")
+                             for r in range(ROWS_PER_BAND)]).alias("bh"),
+            )
+            for b in range(BANDS)
+        ])).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bh")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.bh") == F.col("b.bh"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .select(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"))
+             .distinct())
+
+
+def minhash_near_dups(docs: DataFrame, threshold: float) -> DataFrame:
+    """LSH candidates verified with exact Jaccard via array_intersect on
+    the shingle arrays (arrays ride along two doc_id hash joins)."""
+    sh = (docs.filter(F.size(_words()) >= SHINGLE_WORDS)
+              .select("doc_id", _shingles().alias("shingles")))
+    cand = lsh_candidate_pairs(docs)
+    wa = sh.select(F.col("doc_id").alias("doc_a"),
+                   F.col("shingles").alias("sh_a"))
+    wb = sh.select(F.col("doc_id").alias("doc_b"),
+                   F.col("shingles").alias("sh_b"))
+    common = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - common
+    jac = common / union
+    return (cand.join(wa, "doc_a").join(wb, "doc_b")
+                .filter(jac >= threshold)
+                .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard")))
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return minhash_near_dups(d, JACCARD_THRESHOLD)
+
+
+# --- SimHash: 16-bit sign-sum fingerprint per document ---
+def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
+    """Classic simhash over distinct words: bit k of the fingerprint is the
+    sign of sum(±1 per word) where the word's xxhash64 bit k picks the
+    sign. One explode + one groupBy = one shuffle keyed by doc_id."""
+    w = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(_words())).alias("word"),
+    ).withColumn("h", F.xxhash64("word"))
+    bit_sums = [
+        F.sum(F.shiftright(F.col("h"), k).bitwiseAND(F.lit(1)) * 2 - 1)
+        .alias(f"s{k}")
+        for k in range(bits)
+    ]
+    agg = w.groupBy("doc_id").agg(*bit_sums)
+    fp = None
+    for k in range(bits):
+        bit = (F.col(f"s{k}") > 0).cast("long") * F.lit(1 << k)
+        fp = bit if fp is None else fp + bit
+    return agg.select("doc_id", fp.alias("simhash"))
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash(table(spark, sf_dir, "documents"))
+
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,  # rows-only: xxhash64 is Spark-side
+    "dedup_simhash": q_dedup_simhash,          # rows-only: xxhash64 is Spark-side
+}
+
+ORACLE = {
+    "dedup_exact": """
+SELECT md5(content) AS fingerprint, keep_event_id, n_copies FROM (
+  SELECT lower(regexp_replace(props, '\\s+', ' ', 'g')) AS content,
+         MIN(event_id) AS keep_event_id, COUNT(*) AS n_copies
+  FROM events WHERE props IS NOT NULL GROUP BY 1
+)
+""",
+    "dedup_ngram_jaccard": f"""
+WITH docs AS (
+  SELECT doc_id, string_split(text, ' ') AS words
+  FROM documents
+  WHERE source = '{PAIR_SLICE_SOURCE}' AND len(string_split(text, ' ')) >= {SHINGLE_WORDS}
+), sh AS (
+  SELECT DISTINCT doc_id,
+         words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+  FROM docs, unnest(generate_series(1, len(words) - {SHINGLE_WORDS - 1}))  AS t(i)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(common / (sa.n + sb.n - common), 6) AS jaccard
+FROM pairs
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE common / (sa.n + sb.n - common) >= {SLICE_JACCARD_THRESHOLD}
+""",
+}

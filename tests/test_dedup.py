@@ -1,0 +1,84 @@
+"""MinHash-LSH / SimHash / exact-Jaccard behavior on planted near-dups.
+
+The oracle harness can't check the xxhash64-based paths (DuckDB has no
+xxhash64), so these tests pin their semantics: planted near-duplicates
+must surface as candidate pairs and verified near-dups; unrelated docs
+must not.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_crypto_sentiment_spark.queries.dedup import (
+    _jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_near_dups,
+    simhash,
+)
+
+BASE = ("the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill and the birds sing in the tall "
+        "green trees near the old stone bridge by the river").split()
+
+
+def _doc(doc_id, words):
+    return (doc_id, " ".join(words))
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    near = list(BASE)
+    near[5] = "leaps"      # two-word perturbation → jaccard ~0.8
+    near[20] = "quiet"
+    unrelated = ("completely different content about spark shuffle "
+                 "partitions and columnar parquet readers with zero "
+                 "overlap in any shingle of the original text at all "
+                 "plus more filler words to reach comparable length").split()
+    rows = [_doc(1, BASE), _doc(2, near), _doc(3, unrelated)]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_minhash_lsh_finds_planted_near_dup(docs):
+    got = {(r.doc_a, r.doc_b): r.jaccard
+           for r in minhash_near_dups(docs, 0.5).collect()}
+    assert (1, 2) in got
+    assert got[(1, 2)] >= 0.5
+    assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_lsh_candidates_subset_and_contain_near_dup(docs):
+    cand = {(r.doc_a, r.doc_b) for r in lsh_candidate_pairs(docs).collect()}
+    assert (1, 2) in cand
+    # candidates are ordered pairs from the same corpus
+    assert all(a < b for a, b in cand)
+
+
+def test_exact_jaccard_matches_python(docs):
+    def shingles(words):
+        return {" ".join(words[i:i + 3]) for i in range(len(words) - 2)}
+
+    rows = {(r.doc_id): r.text.split() for r in docs.collect()}
+    s1, s2 = shingles(rows[1]), shingles(rows[2])
+    expected = len(s1 & s2) / len(s1 | s2)
+    got = {(r.doc_a, r.doc_b): r.jaccard
+           for r in _jaccard_pairs(docs, 0.01).collect()}
+    assert got[(1, 2)] == pytest.approx(expected, abs=1e-6)
+
+
+def test_simhash_near_dups_are_close(docs):
+    fp = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    assert hamming(fp[1], fp[2]) < hamming(fp[1], fp[3])
+    assert hamming(fp[1], fp[2]) <= 4  # 2-word change flips few bits
+
+
+def test_empty_and_short_docs_do_not_crash(spark):
+    df = spark.createDataFrame(
+        [(1, "one two"), (2, "a b c d e f g h"), (3, "a b c d e f g h")],
+        ["doc_id", "text"])
+    out = minhash_near_dups(df, 0.5).collect()
+    # doc 1 is too short to shingle; docs 2/3 are exact dups → jaccard 1.0
+    assert [(r.doc_a, r.doc_b, r.jaccard) for r in out] == [(2, 3, 1.0)]
