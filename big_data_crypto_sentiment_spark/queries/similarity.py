@@ -1,4 +1,194 @@
-"""Placeholder — filled in as operators land."""
+"""Similarity search over the `embeddings` table (`vec_id, embedding
+array<float>, label`) — the ANN extension family (BASELINE-mandated; no
+reference twin).
 
-QUERIES = {}
-ORACLE = {}
+Two tiers:
+  * brute-force cosine top-k — the exactness baseline. The query set is
+    tiny and broadcast; the corpus side streams. Dot products are
+    sequential double accumulation via zip_with + aggregate, which is
+    bit-identical to DuckDB's list_sum(list_transform(list_zip(...)))
+    (verified empirically), so the oracle check is exact without any
+    rounding.
+  * random-hyperplane LSH ANN — the scale path. Deterministic ±1
+    hyperplanes derived from xxhash64(table, plane, dim) make the whole
+    signature a pure array expression (no shuffle, no Python, no stored
+    plane matrix); candidates come from an equality join on
+    (table, bucket), never a full crossJoin against the corpus.
+
+Scale notes: brute force is O(|Q| × N) with Q broadcast — correct but
+linear in the corpus; it exists as the oracle baseline and for small Q.
+The LSH path's cost is O(|Q| × avg_bucket_size × n_tables); tune
+(N_TABLES, BITS_PER_TABLE) to trade recall for candidate count. At
+100 TB you'd additionally partition the corpus by bucket on write so
+candidate lookup prunes partitions.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ._util import table
+
+N_QUERY = 5     # queries() entries use vec_id < N_QUERY as the query set
+TOP_K = 10
+N_TABLES = 8
+BITS_PER_TABLE = 4
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a, b):
+    """Sequential left-to-right double accumulation (oracle-parity exact)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a):
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a, b):
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector.
+
+    queries: (query_id, qe array<float>) — small, broadcast.
+    corpus:  (vec_id, embedding array<float>).
+    """
+    from pyspark.sql import Window
+    joined = corpus.crossJoin(F.broadcast(queries)) \
+        .filter(F.col("vec_id") != F.col("query_id")) \
+        .select("query_id", "vec_id",
+                cosine(F.col("qe"), F.col("embedding")).alias("cos"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "vec_id")
+    return (joined.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k)
+                  .select("query_id", "vec_id", "cos", "rank"))
+
+
+def q_sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    queries = (e.filter(F.col("vec_id") < N_QUERY)
+                .select(F.col("vec_id").alias("query_id"),
+                        F.col("embedding").alias("qe")))
+    return brute_force_topk(queries, e.select("vec_id", "embedding"), TOP_K)
+
+
+# --- random-hyperplane LSH ---
+def _plane_sign_bit(emb, t: int, p: int):
+    """sign(Σ_i w_i · x_i) with w_i = ±1 from xxhash64(table, plane, dim) —
+    the hyperplane is synthesized per element, never materialized."""
+    weighted = F.transform(
+        emb,
+        lambda x, i: x.cast("double")
+        * (F.xxhash64(F.lit(t), F.lit(p), i).bitwiseAND(F.lit(1)) * 2 - 1)
+        .cast("double"),
+    )
+    proj = F.aggregate(weighted, F.lit(0.0), lambda acc, x: acc + x)
+    return (proj > 0).cast("int")
+
+
+def lsh_buckets(df: DataFrame, emb_col: str = "embedding",
+                n_tables: int = N_TABLES,
+                bits: int = BITS_PER_TABLE) -> DataFrame:
+    """Explode each row into (table_id, bucket) signature rows."""
+    entries = []
+    for t in range(n_tables):
+        bucket = reduce(
+            lambda acc, p: acc + _plane_sign_bit(F.col(emb_col), t, p)
+            * F.lit(1 << p),
+            range(bits), F.lit(0))
+        entries.append(F.struct(F.lit(t).alias("tbl"), bucket.alias("bucket")))
+    return df.select("*", F.explode(F.array(*entries)).alias("_e")) \
+             .select("*", "_e.tbl", "_e.bucket").drop("_e")
+
+
+def ann_topk(queries: DataFrame, corpus: DataFrame, k: int,
+             n_tables: int = N_TABLES, bits: int = BITS_PER_TABLE) -> DataFrame:
+    """Approximate top-k: candidates share an LSH bucket in >=1 table."""
+    from pyspark.sql import Window
+    qb = lsh_buckets(queries, "qe", n_tables, bits) \
+        .select("query_id", "qe", "tbl", "bucket")
+    cb = lsh_buckets(corpus, "embedding", n_tables, bits) \
+        .select("vec_id", "embedding", "tbl", "bucket")
+    cand = (cb.join(F.broadcast(qb), ["tbl", "bucket"])
+              .filter(F.col("vec_id") != F.col("query_id"))
+              .select("query_id", "vec_id", "qe", "embedding")
+              .distinct())
+    scored = cand.select("query_id", "vec_id",
+                         cosine(F.col("qe"), F.col("embedding")).alias("cos"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "vec_id")
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k)
+                  .select("query_id", "vec_id", "cos", "rank"))
+
+
+def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    queries = (e.filter(F.col("vec_id") < N_QUERY)
+                .select(F.col("vec_id").alias("query_id"),
+                        F.col("embedding").alias("qe")))
+    return ann_topk(queries, e.select("vec_id", "embedding"), TOP_K)
+
+
+# --- embedding-cosine near-dup pairs (dedup-by-embedding, LSH-bucketed) ---
+def embedding_near_dup_pairs(corpus: DataFrame, threshold: float,
+                             n_tables: int = N_TABLES,
+                             bits: int = BITS_PER_TABLE) -> DataFrame:
+    """All (a < b) pairs with cosine >= threshold among bucket-mates."""
+    cb = lsh_buckets(corpus, "embedding", n_tables, bits)
+    a = cb.select(F.col("vec_id").alias("vec_a"),
+                  F.col("embedding").alias("ea"), "tbl", "bucket")
+    b = cb.select(F.col("vec_id").alias("vec_b"),
+                  F.col("embedding").alias("eb"), "tbl", "bucket")
+    pairs = (a.join(b, ["tbl", "bucket"])
+              .filter(F.col("vec_a") < F.col("vec_b"))
+              .select("vec_a", "vec_b", "ea", "eb").distinct())
+    cos = cosine(F.col("ea"), F.col("eb"))
+    return (pairs.select("vec_a", "vec_b", cos.alias("cos"))
+                 .filter(F.col("cos") >= threshold))
+
+
+def q_sim_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return embedding_near_dup_pairs(e, 0.5)
+
+
+QUERIES = {
+    "sim_topk_cosine": q_sim_topk_cosine,
+    "sim_ann_lsh": q_sim_ann_lsh,            # rows-only: xxhash64 planes
+    "sim_near_dup_pairs": q_sim_near_dup_pairs,  # rows-only: xxhash64 planes
+}
+
+ORACLE = {
+    "sim_topk_cosine": f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+  WHERE vec_id < {N_QUERY}
+), scored AS (
+  SELECT q.query_id, c.vec_id,
+         list_sum(list_transform(list_zip(q.qe, c.embedding),
+                  x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(q.qe,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(c.embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+  FROM embeddings c CROSS JOIN q
+  WHERE c.vec_id != q.query_id
+), ranked AS (
+  SELECT query_id, vec_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cos, rank FROM ranked WHERE rank <= {TOP_K}
+""",
+}

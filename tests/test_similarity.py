@@ -1,0 +1,74 @@
+"""ANN (hyperplane-LSH) semantics vs the exact brute-force baseline.
+
+The LSH paths use xxhash64-derived planes (not oracle-checkable); these
+tests pin: (a) every ANN hit is a true cosine neighbor drawn from the
+corpus with a correctly computed score, (b) recall@k against brute force
+on the real sf0.001 embeddings clears a fixed bound (deterministic —
+planes are hash-derived, data is seeded), (c) near-dup pair output is
+symmetric-free and respects the threshold.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_crypto_sentiment_spark.queries.similarity import (
+    TOP_K,
+    ann_topk,
+    brute_force_topk,
+    cosine,
+    embedding_near_dup_pairs,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    from big_data_crypto_sentiment_spark.queries._util import table
+    return table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+
+
+@pytest.fixture(scope="module")
+def queries(corpus):
+    return (corpus.filter(F.col("vec_id") < 5)
+                  .select(F.col("vec_id").alias("query_id"),
+                          F.col("embedding").alias("qe")))
+
+
+def _topk_sets(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r.query_id, set()).add(r.vec_id)
+    return out
+
+
+def test_ann_recall_vs_brute_force(corpus, queries):
+    exact = _topk_sets(brute_force_topk(queries, corpus, TOP_K))
+    approx = _topk_sets(ann_topk(queries, corpus, TOP_K))
+    recalls = [len(exact[q] & approx.get(q, set())) / len(exact[q])
+               for q in exact]
+    assert sum(recalls) / len(recalls) >= 0.4  # deterministic given seed+planes
+
+
+def test_ann_scores_match_exact_cosine(spark, corpus, queries):
+    ann = ann_topk(queries, corpus, TOP_K)
+    rejoined = (ann.join(corpus, "vec_id")
+                   .join(queries, "query_id")
+                   .select("query_id", "vec_id", "cos",
+                           cosine(F.col("qe"), F.col("embedding"))
+                           .alias("cos2")))
+    assert rejoined.filter(F.col("cos") != F.col("cos2")).count() == 0
+
+
+def test_near_dup_pairs_ordered_and_thresholded(corpus):
+    rows = embedding_near_dup_pairs(corpus, 0.3).collect()
+    assert all(r.vec_a < r.vec_b for r in rows)
+    assert all(r.cos >= 0.3 for r in rows)
+
+
+def test_brute_force_excludes_self_and_ranks_densely(corpus, queries):
+    df = brute_force_topk(queries, corpus, TOP_K)
+    assert df.filter(F.col("query_id") == F.col("vec_id")).count() == 0
+    ranks = [r.rank for r in df.filter(F.col("query_id") == 0)
+             .orderBy("rank").collect()]
+    assert ranks == list(range(1, len(ranks) + 1))
