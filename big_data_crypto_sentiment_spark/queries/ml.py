@@ -1,4 +1,288 @@
-"""Placeholder — filled in as operators land."""
+"""ML-flavored operators (SURVEY.md §2.11) re-expressed Spark-first.
 
-QUERIES = {}
-ORACLE = {}
+  * M1 sentiment scoring column math — renormalize 3 class
+    probabilities, score = P(pos) − P(neg), magnitude = P(pos)+P(neg),
+    label = argmax, action = buy/sell, null row for empty input
+    (dataflow/stream_join.py:327-344). The model itself is a per-row
+    probability producer; here the probabilities are derived
+    deterministically from the row key so the downstream math — the
+    part the reference implements by hand — is fully oracle-checked.
+  * M5 lexicon sentiment — VADER-style word-polarity scoring
+    (eda/Data_Minions_EDA_Milestone4.ipynb cell 1) via regexp counts.
+  * M4 forecast eval metrics — MAE/MSE/MAPE with clipped denominator
+    (analytical_module/arima.py:123-137) over a naive lag-1 forecast.
+  * M3 batch per-symbol model training — the reference's
+    `grouped.rdd.map(train_row)` (arima.py:472-544) becomes
+    groupBy().applyInPandas with a closed-form AR(1) fit, which keeps
+    the operator shape (per-group pandas training over a resampled,
+    forward-filled grid) while staying light on dependencies AND
+    oracle-checkable: the AR(1) MLE has a closed form DuckDB can
+    replicate (phi from demeaned lag products, h-step forecast
+    μ + φ^h (x_T − μ)).
+
+Scale notes: M1/M5/M4 are single-scan column math / one hash agg. M3
+shuffles once on symbol; each group's grid (buckets, not raw rows)
+flows through Arrow into one pandas call — the applyInPandas shape the
+reference's collect_list-into-one-task trainer should have used.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ._util import table
+from .timeseries import q_ts_resample_ffill
+
+HOLDOUT = 12          # grid points held out for evaluation
+MIN_TRAIN = 50        # reference requires >50 train points (arima.py:319)
+MAPE_CLIP = 1e-8      # arima.py:133 clips the denominator
+
+POS_WORDS = ("fast", "big")
+NEG_WORDS = ("slow", "small")
+
+
+def _pseudo_prob(seed_mult: int):
+    """Deterministic pseudo-probability from the row key (stands in for
+    the sentiment model's per-class output; math downstream is exact)."""
+    return ((F.col("event_id") * seed_mult) % 89 + 1) / 100
+
+
+# --- M1: sentiment scoring column math ---
+def q_ml_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    raw = ev.select(
+        "event_id", "event_type", "value",
+        _pseudo_prob(7).alias("rneg"),
+        _pseudo_prob(13).alias("rneu"),
+        _pseudo_prob(29).alias("rpos"),
+    )
+    s = F.col("rneg") + F.col("rneu") + F.col("rpos")
+    pneg, pneu, ppos = (F.col(c) / s for c in ("rneg", "rneu", "rpos"))
+    score = ppos - pneg
+    empty = F.col("value").isNull()  # stands in for the empty-text path
+    label = (F.when(ppos >= F.greatest(pneu, pneg), "POSITIVE")
+              .when(pneu >= pneg, "NEUTRAL")
+              .otherwise("NEGATIVE"))
+    return raw.select(
+        "event_id", "event_type",
+        F.when(empty, None).otherwise(score).alias("sentiment_score"),
+        F.when(empty, None).otherwise(ppos + pneg).alias("sentiment_magnitude"),
+        F.when(empty, None).otherwise(label).alias("sentiment_label"),
+        F.when(empty, None)
+         .otherwise(F.when(score > 0, "buy").otherwise("sell"))
+         .alias("action_signal"),
+    )
+
+
+# --- M5: lexicon (VADER-style) sentiment over documents ---
+def q_ml_lexicon_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    t = F.col("text")
+    n_pos = sum(F.regexp_count(t, F.lit(rf"\b{w}\b")) for w in POS_WORDS)
+    n_neg = sum(F.regexp_count(t, F.lit(rf"\b{w}\b")) for w in NEG_WORDS)
+    polarity = (n_pos - n_neg) / F.greatest(n_pos + n_neg, F.lit(1))
+    return d.select(
+        "doc_id",
+        n_pos.alias("n_pos"), n_neg.alias("n_neg"),
+        F.round(polarity, 6).alias("polarity"),
+        F.when(polarity > 0.05, "POSITIVE")
+         .when(polarity < -0.05, "NEGATIVE")
+         .otherwise("NEUTRAL").alias("lexicon_label"),
+    )
+
+
+# --- M4: forecast eval metrics (MAE / MSE / MAPE with clip) ---
+def q_ml_forecast_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    pred = (ev.select("event_type", "value",
+                      F.lag("value").over(w).alias("fcst"))
+              .filter(F.col("fcst").isNotNull()
+                      & F.col("value").isNotNull()))
+    err = F.col("value") - F.col("fcst")
+    dec = lambda c: F.sum(c.cast("decimal(30,10)")).cast("double")  # noqa: E731
+    n = F.count("*")
+    return (pred.groupBy("event_type").agg(
+        n.alias("n_points"),
+        F.round(dec(F.abs(err)) / n, 6).alias("mae"),
+        F.round(dec(err * err) / n, 6).alias("mse"),
+        F.round(dec(F.abs(err) / F.greatest(F.abs(F.col("value")),
+                                            F.lit(MAPE_CLIP))) / n, 6)
+         .alias("mape"),
+    ))
+
+
+# --- M3: per-symbol AR(1) training via applyInPandas ---
+_AR1_SCHEMA = T.StructType([
+    T.StructField("event_type", T.StringType()),
+    T.StructField("n_train", T.LongType()),
+    T.StructField("phi", T.DoubleType()),
+    T.StructField("mu", T.DoubleType()),
+    T.StructField("mae", T.DoubleType()),
+    T.StructField("mse", T.DoubleType()),
+    T.StructField("mape", T.DoubleType()),
+])
+
+
+def _ar1_train(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Closed-form AR(1) fit + holdout eval on one symbol's ffilled grid.
+
+    Mirrors the reference's per-symbol train fn shape (arima.py:298-408):
+    resampled grid in, holdout split, fit, MAE/MSE/MAPE out.
+    """
+    sym = pdf["event_type"].iloc[0]
+    x = (pdf.sort_values("bucket")["value_ffill"]
+            .astype(float).to_numpy())
+    x = x[~pd.isna(x)]
+    if len(x) <= MIN_TRAIN + HOLDOUT:
+        return pd.DataFrame([{ "event_type": sym, "n_train": len(x),
+                               "phi": None, "mu": None,
+                               "mae": None, "mse": None, "mape": None }])
+    train, hold = x[:-HOLDOUT], x[-HOLDOUT:]
+    mu = train.mean()
+    d = train - mu
+    denom = (d[:-1] ** 2).sum()
+    phi = float((d[:-1] * d[1:]).sum() / denom) if denom else 0.0
+    last = train[-1]
+    fc = mu + (phi ** pd.RangeIndex(1, HOLDOUT + 1).to_numpy()) * (last - mu)
+    err = hold - fc
+    mape = (abs(err) / pd.Series(abs(hold)).clip(lower=MAPE_CLIP)).mean()
+    return pd.DataFrame([{
+        "event_type": sym, "n_train": int(len(train)),
+        "phi": round(phi, 6), "mu": round(float(mu), 6),
+        "mae": round(float(abs(err).mean()), 6),
+        "mse": round(float((err ** 2).mean()), 6),
+        "mape": round(float(mape), 6),
+    }])
+
+
+def q_ml_ar1_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grid = q_ts_resample_ffill(spark, sf_dir)
+    return grid.groupBy("event_type").applyInPandas(_ar1_train, _AR1_SCHEMA)
+
+
+QUERIES = {
+    "ml_sentiment": q_ml_sentiment,
+    "ml_lexicon_sentiment": q_ml_lexicon_sentiment,
+    "ml_forecast_metrics": q_ml_forecast_metrics,
+    "ml_ar1_train": q_ml_ar1_train,
+}
+
+_SQL_GRID = """
+b AS (
+  SELECT bucket, event_type, value AS last_value FROM (
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket, event_type, value,
+           ROW_NUMBER() OVER (PARTITION BY event_type, time_bucket(INTERVAL '1 hour', ts)
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events WHERE value IS NOT NULL)
+  WHERE rn = 1
+), spine AS (
+  SELECT event_type, unnest(generate_series(mn, mx, INTERVAL '1 hour')) AS bucket
+  FROM (SELECT event_type, MIN(bucket) AS mn, MAX(bucket) AS mx FROM b GROUP BY event_type)
+), grid AS (
+  SELECT s.event_type, s.bucket,
+         last_value(b.last_value IGNORE NULLS) OVER (
+           PARTITION BY s.event_type ORDER BY s.bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill
+  FROM spine s LEFT JOIN b ON s.event_type = b.event_type AND s.bucket = b.bucket
+)
+"""
+
+ORACLE = {
+    "ml_sentiment": """
+WITH raw AS (
+  SELECT event_id, event_type, value,
+         ((event_id * 7) % 89 + 1) / 100 AS rneg,
+         ((event_id * 13) % 89 + 1) / 100 AS rneu,
+         ((event_id * 29) % 89 + 1) / 100 AS rpos
+  FROM events
+), p AS (
+  SELECT event_id, event_type, value,
+         rneg / (rneg + rneu + rpos) AS pneg,
+         rneu / (rneg + rneu + rpos) AS pneu,
+         rpos / (rneg + rneu + rpos) AS ppos
+  FROM raw
+)
+SELECT event_id, event_type,
+       CASE WHEN value IS NULL THEN NULL ELSE ppos - pneg END AS sentiment_score,
+       CASE WHEN value IS NULL THEN NULL ELSE ppos + pneg END AS sentiment_magnitude,
+       CASE WHEN value IS NULL THEN NULL
+            WHEN ppos >= GREATEST(pneu, pneg) THEN 'POSITIVE'
+            WHEN pneu >= pneg THEN 'NEUTRAL'
+            ELSE 'NEGATIVE' END AS sentiment_label,
+       CASE WHEN value IS NULL THEN NULL
+            WHEN ppos - pneg > 0 THEN 'buy' ELSE 'sell' END AS action_signal
+FROM p
+""",
+    "ml_lexicon_sentiment": """
+WITH c AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '\\bfast\\b'))
+           + len(regexp_extract_all(text, '\\bbig\\b')) AS n_pos,
+         len(regexp_extract_all(text, '\\bslow\\b'))
+           + len(regexp_extract_all(text, '\\bsmall\\b')) AS n_neg
+  FROM documents
+)
+SELECT doc_id, n_pos, n_neg,
+       ROUND((n_pos - n_neg) / GREATEST(n_pos + n_neg, 1), 6) AS polarity,
+       CASE WHEN (n_pos - n_neg) / GREATEST(n_pos + n_neg, 1) > 0.05 THEN 'POSITIVE'
+            WHEN (n_pos - n_neg) / GREATEST(n_pos + n_neg, 1) < -0.05 THEN 'NEGATIVE'
+            ELSE 'NEUTRAL' END AS lexicon_label
+FROM c
+""",
+    "ml_forecast_metrics": """
+WITH pred AS (
+  SELECT event_type, value,
+         LAG(value) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS fcst
+  FROM events
+)
+SELECT event_type, COUNT(*) AS n_points,
+       ROUND(CAST(SUM(CAST(ABS(value - fcst) AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*), 6) AS mae,
+       ROUND(CAST(SUM(CAST((value - fcst) * (value - fcst) AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*), 6) AS mse,
+       ROUND(CAST(SUM(CAST(ABS(value - fcst) / GREATEST(ABS(value), 1e-8) AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*), 6) AS mape
+FROM pred WHERE fcst IS NOT NULL AND value IS NOT NULL
+GROUP BY event_type
+""",
+    "ml_ar1_train": f"""
+WITH {_SQL_GRID},
+numbered AS (
+  SELECT event_type, bucket, value_ffill,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY bucket) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM grid WHERE value_ffill IS NOT NULL
+), train AS (
+  SELECT * FROM numbered WHERE rn <= n - {HOLDOUT}
+), hold AS (
+  SELECT event_type, value_ffill, rn - (n - {HOLDOUT}) AS h
+  FROM numbered WHERE rn > n - {HOLDOUT}
+), stats AS (
+  SELECT event_type, COUNT(*) AS n_train, AVG(value_ffill) AS mu,
+         MAX(CASE WHEN rn = n - {HOLDOUT} THEN value_ffill END) AS last_x
+  FROM train GROUP BY event_type
+), lagged AS (
+  SELECT t.event_type,
+         t.value_ffill - s.mu AS d0,
+         LEAD(t.value_ffill) OVER (PARTITION BY t.event_type ORDER BY t.rn) - s.mu AS d1
+  FROM train t JOIN stats s USING (event_type)
+), phi AS (
+  SELECT event_type,
+         SUM(d0 * d1) / SUM(d0 * d0) AS phi
+  FROM lagged WHERE d1 IS NOT NULL GROUP BY event_type
+), fc AS (
+  SELECT h.event_type, h.h, h.value_ffill AS actual,
+         s.mu + POWER(p.phi, h.h) * (s.last_x - s.mu) AS predicted
+  FROM hold h JOIN stats s USING (event_type) JOIN phi p USING (event_type)
+)
+SELECT s.event_type, s.n_train,
+       ROUND(p.phi, 6) AS phi, ROUND(s.mu, 6) AS mu,
+       ROUND(AVG(ABS(f.actual - f.predicted)), 6) AS mae,
+       ROUND(AVG((f.actual - f.predicted) * (f.actual - f.predicted)), 6) AS mse,
+       ROUND(AVG(ABS(f.actual - f.predicted) / GREATEST(ABS(f.actual), {MAPE_CLIP})), 6) AS mape
+FROM fc f JOIN stats s USING (event_type) JOIN phi p USING (event_type)
+GROUP BY s.event_type, s.n_train, p.phi, s.mu
+""",
+}
