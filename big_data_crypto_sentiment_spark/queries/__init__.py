@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from . import (
     dedup,
     flagship,
+    ingestion,
     ml,
     relational,
     similarity,
@@ -30,7 +31,8 @@ from . import (
     timeseries,
 )
 
-_MODULES = (flagship, relational, timeseries, text, dedup, similarity, ml)
+_MODULES = (flagship, relational, timeseries, text, dedup, similarity, ml,
+            ingestion)
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,98 @@
+"""Ingestion-source queries (SURVEY.md §2.1 S13/S14/S9, §2.2 P1/P5-P7/
+P16) over committed deterministic fixtures in tests/fixtures/.
+
+Each query drives a real source reader from `..sources` end-to-end —
+file listing, schema-fixed parse, filename→symbol tagging, tolerant
+timestamp chain, try_cast coercion — and every one has a DuckDB oracle
+twin that reads the SAME fixture files with read_json/read_csv, so the
+whole ingestion path (not just the transforms) is value-checked.
+
+Fixture dirt (per FIXTURES.md §1): null ids, null crypto_key, invalid
+ISO timestamps with epoch-ms fallback, Twitter-format-only rows, fully
+unparseable rows (→ NULL event_ts), junk numerics for try_cast, empty
+text, CJK text, URL/mention/cashtag/CTA texts, and the SHI→SHIB
+filename fixup.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import normalize_tweets, read_prices_csv, read_tweets_jsonl, read_warehouse
+from .tweets_json_sql import TWEETS_ORACLE_SELECT  # split for readability
+
+REPO_ROOT = Path(__file__).resolve().parents[2]
+TWEETS_DIR = str(REPO_ROOT / "tests" / "fixtures" / "tweets")
+PRICES_CSV = str(REPO_ROOT / "tests" / "fixtures" / "prices.csv")
+
+
+# --- S13 + P1 + P5/P6/P7 + P16: JSON-dir tweet normalizer ---
+def q_src_tweets_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return normalize_tweets(read_tweets_jsonl(spark, TWEETS_DIR))
+
+
+# --- derived: per-symbol tweet volume through the same source ---
+def q_src_tweets_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = normalize_tweets(read_tweets_jsonl(spark, TWEETS_DIR))
+    return (df.filter(F.col("crypto_key").isNotNull())
+              .groupBy("symbol")
+              .agg(F.count("*").alias("n_tweets"),
+                   F.count("event_ts").alias("n_with_ts"),
+                   F.count("id").alias("n_with_id")))
+
+
+# --- S14: CSV price source with coercion + null filter ---
+def q_src_csv_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_prices_csv(spark, PRICES_CSV)
+
+
+# --- S9: warehouse source with format fallback (avro → parquet) ---
+def q_src_warehouse_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = read_warehouse(spark, f"{sf_dir}/part.parquet", fmt="avro")
+    return df.select("p_partkey", "p_name", "p_retailprice")
+
+
+QUERIES = {
+    "src_tweets_normalize": q_src_tweets_normalize,
+    "src_tweets_volume": q_src_tweets_volume,
+    "src_csv_prices": q_src_csv_prices,
+    "src_warehouse_fallback": q_src_warehouse_fallback,
+}
+
+_READ_TWEETS = f"""
+read_json('{TWEETS_DIR}/*.jsonl', format='newline_delimited',
+  columns={{'id': 'VARCHAR', 'text': 'VARCHAR', 'author_id': 'VARCHAR',
+           'crypto_key': 'VARCHAR', 'created_at_raw': 'VARCHAR',
+           'created_at_iso': 'VARCHAR', 'timestamp_ms': 'VARCHAR',
+           'timestamp_sec': 'VARCHAR'}}, filename=true)
+"""
+
+ORACLE = {
+    "src_tweets_normalize": f"""
+SELECT {TWEETS_ORACLE_SELECT}
+FROM {_READ_TWEETS}
+""",
+    "src_tweets_volume": f"""
+WITH n AS (
+  SELECT {TWEETS_ORACLE_SELECT}
+  FROM {_READ_TWEETS}
+)
+SELECT symbol, COUNT(*) AS n_tweets, COUNT(event_ts) AS n_with_ts,
+       COUNT(id) AS n_with_id
+FROM n WHERE crypto_key IS NOT NULL GROUP BY symbol
+""",
+    "src_csv_prices": f"""
+SELECT symbol,
+       TRY_CAST(price AS DOUBLE) AS price,
+       TRY_CAST("timestamp" AS BIGINT) AS ts_ms,
+       epoch_ms(TRY_CAST("timestamp" AS BIGINT)) AS event_ts
+FROM read_csv('{PRICES_CSV}', header=true, all_varchar=true)
+WHERE TRY_CAST(price AS DOUBLE) IS NOT NULL
+""",
+    "src_warehouse_fallback": """
+SELECT p_partkey, p_name, p_retailprice FROM part
+""",
+}
