@@ -59,8 +59,24 @@ def q_flagship_windowed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_flagship_speed_layer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The J1 union-then-aggregate form with the speed layer's window-END
+    stamp (stream_join.py:407) — the same plan the streaming query runs,
+    executed on batch inputs so the oracle can check it. One shuffle,
+    one state store when streaming (SURVEY.md §7 "hard" #2)."""
+    from ..streaming.windowed import union_form_prices_with_tweets
+    df = union_form_prices_with_tweets(
+        tweets_role(spark, sf_dir), prices_role(spark, sf_dir),
+        window_duration=WINDOW, label="end")
+    return df.select(
+        "event_timestamp", "symbol", "tweet_volume", "avg_price", "last_price",
+        F.array_join("tweet_texts", SEP).alias("tweet_texts"),
+    )
+
+
 QUERIES = {
     "flagship_windowed_join": q_flagship_windowed_join,
+    "flagship_speed_layer": q_flagship_speed_layer,
 }
 
 ORACLE = {
@@ -81,6 +97,31 @@ WITH tweets AS (
   GROUP BY 1, 2
 )
 SELECT COALESCE(t.w, p.w) AS event_timestamp,
+       COALESCE(t.symbol, p.symbol) AS symbol,
+       COALESCE(t.tweet_volume, 0) AS tweet_volume,
+       p.avg_price AS avg_price,
+       p.last_price AS last_price,
+       COALESCE(array_to_string(t.tweet_texts, chr(31)), '') AS tweet_texts
+FROM tweets t
+FULL OUTER JOIN prices p ON t.w = p.w AND t.symbol = p.symbol
+""",
+    "flagship_speed_layer": f"""
+WITH tweets AS (
+  SELECT time_bucket(INTERVAL '30 minutes', ts) AS w,
+         event_type AS symbol,
+         COUNT(*) AS tweet_volume,
+         list_sort(list(props)) AS tweet_texts
+  FROM events WHERE event_id % 3 <> 0 AND props IS NOT NULL
+  GROUP BY 1, 2
+), prices AS (
+  SELECT time_bucket(INTERVAL '30 minutes', ts) AS w,
+         event_type AS symbol,
+         (CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / COUNT(value)) AS avg_price,
+         arg_max(value, ts) AS last_price
+  FROM events WHERE event_id % 2 <> 0
+  GROUP BY 1, 2
+)
+SELECT COALESCE(t.w, p.w) + INTERVAL '30 minutes' AS event_timestamp,
        COALESCE(t.symbol, p.symbol) AS symbol,
        COALESCE(t.tweet_volume, 0) AS tweet_volume,
        p.avg_price AS avg_price,

@@ -1,0 +1,167 @@
+"""Streaming-layer tests: file replay → watermarked windowed join →
+parity with the batch flagship (the lambda-architecture invariant,
+SURVEY.md §5 step 3/5), stateful online forecast sequence parity,
+append-mode emission semantics, and the multi-sink fan-out."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_crypto_sentiment_spark.operators.windowed_join import (
+    prices_with_tweets,
+)
+from big_data_crypto_sentiment_spark.queries.flagship import (
+    prices_role,
+    tweets_role,
+)
+from big_data_crypto_sentiment_spark.streaming import (
+    online_forecast,
+    replay_dir,
+    start_capture_sink,
+    start_jsonl_sink,
+    union_form_prices_with_tweets,
+    write_replay_chunks,
+)
+from big_data_crypto_sentiment_spark.streaming.stateful import (
+    reference_forecast_series,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+WINDOW = "30 minutes"
+
+
+def _canon(df):
+    pdf = (df.withColumn("tweet_texts", F.array_join("tweet_texts", "\x1f"))
+             .toPandas())
+    pdf = pdf.sort_values(["event_timestamp", "symbol"]).reset_index(drop=True)
+    return pdf.round({"avg_price": 9, "last_price": 9})
+
+
+@pytest.fixture(scope="module")
+def replayed(spark, tmp_path_factory):
+    """events sf0.001 split into tweet/price roles, written as 4
+    time-ordered chunks each, replayed as streams."""
+    root = tmp_path_factory.mktemp("replay")
+    t_dir, p_dir = str(root / "tweets"), str(root / "prices")
+    t_schema = write_replay_chunks(tweets_role(spark, SF_DIR), t_dir, 4)
+    p_schema = write_replay_chunks(prices_role(spark, SF_DIR), p_dir, 4)
+    return (replay_dir(spark, t_dir, t_schema),
+            replay_dir(spark, p_dir, p_schema))
+
+
+def test_union_form_equals_two_agg_form_batch(spark):
+    """The union-then-aggregate J1 formulation must be row-identical to
+    the two-aggregate full-outer-join batch operator."""
+    t, p = tweets_role(spark, SF_DIR), prices_role(spark, SF_DIR)
+    batch = prices_with_tweets(t, p, window_duration=WINDOW, label="start")
+    union = union_form_prices_with_tweets(t, p, window_duration=WINDOW,
+                                          label="start")
+    pd.testing.assert_frame_equal(_canon(batch), _canon(union))
+
+
+def test_streaming_parity_with_batch_flagship(spark, replayed, tmp_path):
+    """File replay → watermarked streaming aggregation (complete mode) ≡
+    the batch flagship on the same input."""
+    t_stream, p_stream = replayed
+    out = union_form_prices_with_tweets(
+        t_stream, p_stream, window_duration=WINDOW, label="start",
+        watermark="0 seconds")
+    q = (out.writeStream.format("memory").queryName("stream_flagship")
+            .outputMode("complete")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start())
+    try:
+        q.processAllAvailable()
+        got = _canon(spark.table("stream_flagship"))
+    finally:
+        q.stop()
+    batch = _canon(prices_with_tweets(
+        tweets_role(spark, SF_DIR), prices_role(spark, SF_DIR),
+        window_duration=WINDOW, label="start"))
+    pd.testing.assert_frame_equal(batch, got)
+
+
+def test_append_mode_watermark_holds_back_open_windows(spark, replayed,
+                                                       tmp_path):
+    """T3/T4: append mode emits only windows the watermark has passed —
+    emitted rows are a subset of the batch result, and the held-back
+    rows are exactly the newest window(s)."""
+    t_stream, p_stream = replayed
+    out = union_form_prices_with_tweets(
+        t_stream, p_stream, window_duration=WINDOW, label="start",
+        watermark="0 seconds")
+    q = (out.writeStream.format("memory").queryName("stream_append")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt2"))
+            .start())
+    try:
+        q.processAllAvailable()
+        got = _canon(spark.table("stream_append"))
+    finally:
+        q.stop()
+    batch = _canon(prices_with_tweets(
+        tweets_role(spark, SF_DIR), prices_role(spark, SF_DIR),
+        window_duration=WINDOW, label="start"))
+    merged = got.merge(batch, how="left", indicator=True)
+    assert (merged["_merge"] == "both").all()  # emitted ⊆ batch
+    missing = batch.merge(got, how="left", indicator=True)
+    missing = missing[missing["_merge"] == "left_only"]
+    assert len(missing) >= 1  # something was held back…
+    assert (missing["event_timestamp"]
+            >= missing["event_timestamp"].min()).all()
+    # …and only from the tail of event time
+    held_back_start = missing["event_timestamp"].min()
+    assert held_back_start >= got["event_timestamp"].max()
+
+
+def test_stateful_online_forecast_matches_sequential_reference(
+        spark, replayed, tmp_path):
+    _, p_stream = replayed
+    prices = p_stream.select("symbol", "event_time",
+                             F.col("price").cast("double").alias("price"))
+    out = online_forecast(prices, phi=0.8)
+    q = (out.writeStream.format("memory").queryName("forecasts")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt3"))
+            .start())
+    try:
+        q.processAllAvailable()
+        got = (spark.table("forecasts").toPandas()
+               .sort_values(["symbol", "event_time"])
+               .reset_index(drop=True))
+    finally:
+        q.stop()
+    raw = (prices_role(spark, SF_DIR)
+           .select("symbol", "event_time", "price").toPandas())
+    want = (reference_forecast_series(raw, phi=0.8)
+            .sort_values(["symbol", "event_time"]).reset_index(drop=True))
+    assert len(got) == len(want)
+    pd.testing.assert_series_equal(got["next_price_forecast"],
+                                   want["next_price_forecast"],
+                                   rtol=1e-12)
+
+
+def test_multi_sink_fanout_capture_and_jsonl(spark, replayed, tmp_path):
+    """T8/T9: two independent queries off one upstream stream — parquet
+    capture + foreachBatch JSONL bulk sink — both deliver every row."""
+    import glob
+    import json
+    t_stream, _ = replayed
+    n_expected = tweets_role(spark, SF_DIR).count()
+    cap_dir, jl_dir = str(tmp_path / "capture"), str(tmp_path / "jsonl")
+    q1 = start_capture_sink(t_stream, cap_dir, str(tmp_path / "c1"))
+    q2 = start_jsonl_sink(t_stream, jl_dir, str(tmp_path / "c2"))
+    try:
+        q1.processAllAvailable()
+        q2.processAllAvailable()
+    finally:
+        q1.stop()
+        q2.stop()
+    assert spark.read.parquet(cap_dir).count() == n_expected
+    n_jsonl = 0
+    for path in glob.glob(f"{jl_dir}/*.jsonl"):
+        with open(path) as f:
+            for line in f:
+                json.loads(line)
+                n_jsonl += 1
+    assert n_jsonl == n_expected
