@@ -27,12 +27,13 @@ from . import (
     ml,
     relational,
     similarity,
+    ta,
     text,
     timeseries,
 )
 
 _MODULES = (flagship, relational, timeseries, text, dedup, similarity, ml,
-            ingestion)
+            ingestion, ta)
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
