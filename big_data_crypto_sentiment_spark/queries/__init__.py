@@ -24,6 +24,7 @@ from . import (
     dedup,
     flagship,
     ingestion,
+    media,
     ml,
     relational,
     similarity,
@@ -33,7 +34,7 @@ from . import (
 )
 
 _MODULES = (flagship, relational, timeseries, text, dedup, similarity, ml,
-            ingestion, ta)
+            ingestion, ta, media)
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,68 @@
+"""Multimodal feature-extraction query: documents.text re-cast as opaque
+binary payloads (MEDIA_SCHEMA shape) pushed through the mapInPandas
+extractor — so the Arrow-batched binary plumbing itself is value-checked:
+DuckDB recomputes byte length, magic bytes, sha256, and the
+deterministic fake-decode dimensions from the same bytes."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.multimodal import extract_media_features
+from ._util import table
+
+_KINDS = ("image", "audio", "video")
+
+
+def media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    kind = F.element_at(F.array(*[F.lit(k) for k in _KINDS]),
+                        (F.col("doc_id") % 3 + 1).cast("int"))
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit(None).cast("string").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return extract_media_features(media_from_documents(spark, sf_dir))
+
+
+QUERIES = {"media_features": q_media_features}
+
+# hex-pair → int without casts DuckDB lacks: positional lookup in the
+# hex alphabet (strpos is 1-based)
+_HEXVAL = ("((strpos('0123456789abcdef', substr(sha, {a}, 1)) - 1) * 16"
+           " + strpos('0123456789abcdef', substr(sha, {b}, 1)) - 1)")
+
+ORACLE = {
+    "media_features": f"""
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                         ELSE 'video' END AS kind,
+         encode(text) AS payload,
+         text
+  FROM documents
+), f AS (
+  -- sha256 of the VARCHAR hashes its UTF-8 bytes = python sha256(payload)
+  SELECT media_id, kind, payload, text,
+         lower(sha256(text)) AS sha
+  FROM m
+)
+SELECT media_id, kind,
+       octet_length(payload) AS n_bytes,
+       lower(hex(encode(substr(text, 1, 4)))) AS magic,  -- fixture text is ASCII: first 4 chars = first 4 bytes
+       sha AS content_sha,
+       CAST(16 + {_HEXVAL.format(a=1, b=2)} % 240 AS INT) AS decoded_width,
+       CAST(16 + {_HEXVAL.format(a=3, b=4)} % 240 AS INT) AS decoded_height,
+       'fake' AS decode_status
+FROM f
+""",
+}
