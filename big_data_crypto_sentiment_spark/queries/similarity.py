@@ -10,10 +10,12 @@ Two tiers:
     (verified empirically), so the oracle check is exact without any
     rounding.
   * random-hyperplane LSH ANN — the scale path. Deterministic ±1
-    hyperplanes derived from xxhash64(table, plane, dim) make the whole
-    signature a pure array expression (no shuffle, no Python, no stored
-    plane matrix); candidates come from an equality join on
-    (table, bucket), never a full crossJoin against the corpus.
+    hyperplanes derived from sha256("plane:t:p") are embedded as array
+    LITERALS in the plan (computed once at plan build, zero per-row
+    hashing, no stored state to ship), so each signature bit is one
+    zip_with-multiply-aggregate over the embedding; candidates come from
+    an equality join on (table, bucket), never a full crossJoin against
+    the corpus.
 
 Scale notes: brute force is O(|Q| × N) with Q broadcast — correct but
 linear in the corpus; it exists as the oracle baseline and for small Q.
@@ -36,6 +38,13 @@ N_QUERY = 5     # queries() entries use vec_id < N_QUERY as the query set
 TOP_K = 10
 N_TABLES = 8
 BITS_PER_TABLE = 4
+EMBED_DIM = 64  # driver embeddings fixture dimension
+# near-dup detection wants high-cosine pairs → finer buckets keep both
+# recall (p_agree^bits stays high when cos is high) and candidate counts
+# manageable: at cos ≥ 0.9, p_agree ≈ 0.86, 8 bits → 0.30/table,
+# 1-(1-0.30)^8 ≈ 94% recall with ~N²/512 candidate pairs instead of N²/32
+NEAR_DUP_BITS = 8
+NEAR_DUP_THRESHOLD = 0.9
 
 
 def _as_double(col):
@@ -83,27 +92,41 @@ def q_sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- random-hyperplane LSH ---
-def _plane_sign_bit(emb, t: int, p: int):
-    """sign(Σ_i w_i · x_i) with w_i = ±1 from xxhash64(table, plane, dim) —
-    the hyperplane is synthesized per element, never materialized."""
-    weighted = F.transform(
-        emb,
-        lambda x, i: x.cast("double")
-        * (F.xxhash64(F.lit(t), F.lit(p), i).bitwiseAND(F.lit(1)) * 2 - 1)
-        .cast("double"),
-    )
-    proj = F.aggregate(weighted, F.lit(0.0), lambda acc, x: acc + x)
+def _plane_weights(t: int, p: int, dim: int) -> list[float]:
+    """Deterministic ±1 hyperplane for (table, plane): bits of
+    sha256("plane:t:p:block"). Computed once at plan-build time and
+    embedded as literals — zero per-row hashing, nothing to store."""
+    import hashlib
+    out: list[float] = []
+    ctr = 0
+    while len(out) < dim:
+        block = hashlib.sha256(f"plane:{t}:{p}:{ctr}".encode()).digest()
+        for b in block:
+            out.append(1.0 if b & 1 else -1.0)
+            if len(out) == dim:
+                break
+        ctr += 1
+    return out
+
+
+def _plane_sign_bit(emb, t: int, p: int, dim: int):
+    """sign(w · x) with the literal weight vector for plane (t, p)."""
+    w = F.array(*[F.lit(x) for x in _plane_weights(t, p, dim)])
+    proj = F.aggregate(
+        F.zip_with(emb, w, lambda x, wi: x.cast("double") * wi),
+        F.lit(0.0), lambda acc, x: acc + x)
     return (proj > 0).cast("int")
 
 
 def lsh_buckets(df: DataFrame, emb_col: str = "embedding",
                 n_tables: int = N_TABLES,
-                bits: int = BITS_PER_TABLE) -> DataFrame:
+                bits: int = BITS_PER_TABLE,
+                dim: int = EMBED_DIM) -> DataFrame:
     """Explode each row into (table_id, bucket) signature rows."""
     entries = []
     for t in range(n_tables):
         bucket = reduce(
-            lambda acc, p: acc + _plane_sign_bit(F.col(emb_col), t, p)
+            lambda acc, p: acc + _plane_sign_bit(F.col(emb_col), t, p, dim)
             * F.lit(1 << p),
             range(bits), F.lit(0))
         entries.append(F.struct(F.lit(t).alias("tbl"), bucket.alias("bucket")))
@@ -140,26 +163,34 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- embedding-cosine near-dup pairs (dedup-by-embedding, LSH-bucketed) ---
-def embedding_near_dup_pairs(corpus: DataFrame, threshold: float,
+def embedding_near_dup_pairs(corpus: DataFrame, threshold: float = NEAR_DUP_THRESHOLD,
                              n_tables: int = N_TABLES,
-                             bits: int = BITS_PER_TABLE) -> DataFrame:
-    """All (a < b) pairs with cosine >= threshold among bucket-mates."""
+                             bits: int = NEAR_DUP_BITS) -> DataFrame:
+    """All (a < b) pairs with cosine >= threshold among bucket-mates.
+
+    Pair dedup runs on bare ids (multi-table collisions collapse before
+    anything wide moves); embeddings join back onto the surviving pairs
+    — at scale the distinct would otherwise shuffle every candidate's
+    two float arrays."""
     cb = lsh_buckets(corpus, "embedding", n_tables, bits)
-    a = cb.select(F.col("vec_id").alias("vec_a"),
-                  F.col("embedding").alias("ea"), "tbl", "bucket")
-    b = cb.select(F.col("vec_id").alias("vec_b"),
-                  F.col("embedding").alias("eb"), "tbl", "bucket")
+    a = cb.select(F.col("vec_id").alias("vec_a"), "tbl", "bucket")
+    b = cb.select(F.col("vec_id").alias("vec_b"), "tbl", "bucket")
     pairs = (a.join(b, ["tbl", "bucket"])
               .filter(F.col("vec_a") < F.col("vec_b"))
-              .select("vec_a", "vec_b", "ea", "eb").distinct())
+              .select("vec_a", "vec_b").distinct())
+    ea = corpus.select(F.col("vec_id").alias("vec_a"),
+                       F.col("embedding").alias("ea"))
+    eb = corpus.select(F.col("vec_id").alias("vec_b"),
+                       F.col("embedding").alias("eb"))
     cos = cosine(F.col("ea"), F.col("eb"))
-    return (pairs.select("vec_a", "vec_b", cos.alias("cos"))
+    return (pairs.join(ea, "vec_a").join(eb, "vec_b")
+                 .select("vec_a", "vec_b", cos.alias("cos"))
                  .filter(F.col("cos") >= threshold))
 
 
 def q_sim_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    return embedding_near_dup_pairs(e, 0.5)
+    return embedding_near_dup_pairs(e)
 
 
 QUERIES = {

@@ -60,10 +60,25 @@ def test_ann_scores_match_exact_cosine(spark, corpus, queries):
     assert rejoined.filter(F.col("cos") != F.col("cos2")).count() == 0
 
 
-def test_near_dup_pairs_ordered_and_thresholded(corpus):
-    rows = embedding_near_dup_pairs(corpus, 0.3).collect()
+def test_near_dup_pairs_finds_planted_duplicates(spark, corpus):
+    """Planted near-identical vectors must collide in ≥1 LSH table and
+    survive the cosine threshold; unrelated vectors must be excluded."""
+    import pyspark.sql.functions as SF
+    base = corpus.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    perturbed = [float(x) * (1.0 + (0.001 if i % 2 else -0.001))
+                 for i, x in enumerate(base)]
+    extra = spark.createDataFrame(
+        [(100001, [float(x) for x in base]), (100002, perturbed)],
+        "vec_id long, embedding array<float>")
+    both = corpus.select("vec_id", SF.col("embedding").cast("array<float>")
+                         .alias("embedding")).unionByName(extra)
+    rows = embedding_near_dup_pairs(both, 0.95).collect()
+    got = {(r.vec_a, r.vec_b) for r in rows}
+    assert (100001, 100002) in got
+    # the planted pair's copies also match the original vec 0
+    assert (0, 100001) in got
     assert all(r.vec_a < r.vec_b for r in rows)
-    assert all(r.cos >= 0.3 for r in rows)
+    assert all(r.cos >= 0.95 for r in rows)
 
 
 def test_brute_force_excludes_self_and_ranks_densely(corpus, queries):
