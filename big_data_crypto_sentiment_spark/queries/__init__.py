@@ -27,6 +27,7 @@ from . import (
     media,
     ml,
     relational,
+    reshape,
     similarity,
     ta,
     text,
@@ -34,7 +35,7 @@ from . import (
 )
 
 _MODULES = (flagship, relational, timeseries, text, dedup, similarity, ml,
-            ingestion, ta, media)
+            ingestion, ta, media, reshape)
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
