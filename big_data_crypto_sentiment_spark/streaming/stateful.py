@@ -54,20 +54,27 @@ def _step(n: int, mean: float, last: float, price: float,
     return n, mean, last, mean + phi * (last - mean)
 
 
-def make_forecast_fn(phi: float = DEFAULT_PHI):
+def make_forecast_fn(phi: float = DEFAULT_PHI, phi_map=None):
     """Row-at-a-time online update inside each micro-batch (the reference
-    updates per element); rows are processed in event-time order."""
+    updates per element); rows are processed in event-time order.
+
+    ``phi_map``: optional per-symbol phi — pass a broadcast of
+    model_registry.phi_by_symbol(bundle) (or a plain dict) so the
+    streaming job consumes the batch trainer's artifact, mirroring the
+    reference's GCS-bundle load (stream_join.py:355-368)."""
 
     def fn(key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
            state: GroupState) -> Iterator[pd.DataFrame]:
         (symbol,) = key
+        lookup = getattr(phi_map, "value", phi_map)  # broadcast or dict
+        sym_phi = (lookup or {}).get(symbol, phi)
         n, mean, last = state.get if state.exists else (0, 0.0, 0.0)
         out = []
         for pdf in pdfs:
             pdf = pdf.sort_values("event_time")
             for row in pdf.itertuples(index=False):
                 price = float(row.price)
-                n, mean, last, fc = _step(n, mean, last, price, phi)
+                n, mean, last, fc = _step(n, mean, last, price, sym_phi)
                 out.append((symbol, row.event_time, price, fc))
         state.update((n, mean, last))
         yield pd.DataFrame(out, columns=[f.name for f in FORECAST_SCHEMA])
@@ -76,11 +83,12 @@ def make_forecast_fn(phi: float = DEFAULT_PHI):
 
 
 def online_forecast(prices: DataFrame, phi: float = DEFAULT_PHI,
+                    phi_map=None,
                     output_mode: str = "append") -> DataFrame:
     """prices: (symbol, event_time, price) stream → per-tick forecasts."""
     return (prices.groupBy("symbol")
             .applyInPandasWithState(
-                make_forecast_fn(phi),
+                make_forecast_fn(phi, phi_map),
                 outputStructType=FORECAST_SCHEMA,
                 stateStructType=STATE_SCHEMA,
                 outputMode=output_mode,
