@@ -1,0 +1,96 @@
+"""MLlib pipelines (SURVEY.md M6/M7).
+
+  * M6 — TF-IDF + Ridge regression on document text
+    (eda/Data_Minions_EDA_Milestone4.ipynb cell 15:
+    TfidfVectorizer(min_df=3, ngram=(1,2)) + Ridge, top ±25 terms).
+    MLlib form: RegexTokenizer → CountVectorizer(minDF) → IDF →
+    LinearRegression(elasticNetParam=0 ⇒ L2/ridge). CountVectorizer
+    (not HashingTF) so coefficients map back to vocabulary terms.
+  * M7 — Ridge on numeric features + permutation importance
+    (Milestone4 cells 14, 21): fit, baseline MSE, then re-evaluate with
+    one feature column permuted; importance = MSE degradation.
+    The permutation is DETERMINISTIC: values are reassigned by joining
+    rank-by-id to rank-by-xxhash64(id) — a fixed pseudo-random
+    derangement, reproducible across runs and partitionings.
+
+Scale notes: CountVectorizer/IDF/LinearRegression are distributed MLlib
+estimators (treeAggregate under the hood). The permutation join shuffles
+the feature table twice per permuted column — at scale you'd cache the
+assembled frame once (done here) and permute k columns off that.
+"""
+
+from __future__ import annotations
+
+from pyspark.ml import Pipeline
+from pyspark.ml.evaluation import RegressionEvaluator
+from pyspark.ml.feature import CountVectorizer, IDF, RegexTokenizer, VectorAssembler
+from pyspark.ml.regression import LinearRegression
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+RIDGE_REG = 0.5
+VOCAB_SIZE = 4096
+MIN_DF = 3
+
+
+def fit_tfidf_ridge(docs: DataFrame, text_col: str = "text",
+                    label_col: str = "label",
+                    reg: float = RIDGE_REG):
+    """Fit the M6 pipeline; returns (pipeline_model, vocabulary)."""
+    pipe = Pipeline(stages=[
+        RegexTokenizer(inputCol=text_col, outputCol="tokens",
+                       pattern=r"\s+"),
+        CountVectorizer(inputCol="tokens", outputCol="tf",
+                        vocabSize=VOCAB_SIZE, minDF=MIN_DF),
+        IDF(inputCol="tf", outputCol="tfidf"),
+        LinearRegression(featuresCol="tfidf", labelCol=label_col,
+                         regParam=reg, elasticNetParam=0.0),
+    ])
+    model = pipe.fit(docs)
+    vocab = model.stages[1].vocabulary
+    return model, vocab
+
+
+def top_terms(model, vocab, k: int = 10):
+    """Top ±k (term, coefficient) pairs — the reference's ±25-term view."""
+    coefs = model.stages[-1].coefficients.toArray()
+    ranked = sorted(zip(vocab, coefs), key=lambda t: t[1])
+    lo = [(t, float(c), "negative") for t, c in ranked[:k]]
+    hi = [(t, float(c), "positive") for t, c in ranked[-k:]]
+    return lo + hi
+
+
+def _permuted(df: DataFrame, id_col: str, col: str) -> DataFrame:
+    """Deterministically permute `col`: value of row ranked r by
+    xxhash64(id) moves to the row ranked r by id."""
+    by_id = df.withColumn("_r", F.row_number().over(
+        Window.orderBy(id_col)))
+    by_hash = (df.select(id_col, col)
+                 .withColumn("_r", F.row_number().over(
+                     Window.orderBy(F.xxhash64(id_col), id_col)))
+                 .select("_r", F.col(col).alias("_perm")))
+    return (by_id.drop(col).join(by_hash, "_r")
+                 .withColumnRenamed("_perm", col).drop("_r"))
+
+
+def ridge_permutation_importance(df: DataFrame, feature_cols: list[str],
+                                 label_col: str, id_col: str,
+                                 reg: float = RIDGE_REG) -> list[tuple]:
+    """Fit ridge on feature_cols; return [(feature, base_mse,
+    permuted_mse, importance)] with importance = mse lift when the
+    feature's values are (deterministically) permuted."""
+    df = df.select(id_col, label_col, *feature_cols).na.drop().cache()
+    asm = VectorAssembler(inputCols=feature_cols, outputCol="features")
+    lr = LinearRegression(featuresCol="features", labelCol=label_col,
+                          regParam=reg, elasticNetParam=0.0)
+    model = lr.fit(asm.transform(df))
+    ev = RegressionEvaluator(labelCol=label_col,
+                             predictionCol="prediction", metricName="mse")
+    base = ev.evaluate(model.transform(asm.transform(df)))
+    out = []
+    for c in feature_cols:
+        perm = _permuted(df, id_col, c)
+        mse = ev.evaluate(model.transform(asm.transform(perm)))
+        out.append((c, float(base), float(mse), float(mse - base)))
+    df.unpersist()
+    return out

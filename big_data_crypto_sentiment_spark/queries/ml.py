@@ -165,11 +165,43 @@ def q_ml_ar1_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grid.groupBy("event_type").applyInPandas(_ar1_train, _AR1_SCHEMA)
 
 
+# --- M6: TF-IDF + Ridge top terms (MLlib pipeline; rows-only) ---
+def q_ml_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml_pipelines import fit_tfidf_ridge, top_terms
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    labels = (q_ml_lexicon_sentiment(spark, sf_dir)
+              .select("doc_id", F.col("polarity").alias("label")))
+    model, vocab = fit_tfidf_ridge(docs.join(labels, "doc_id"))
+    rows = top_terms(model, vocab, k=10)
+    return spark.createDataFrame(rows, "term string, coef double, sign string")
+
+
+# --- M7: Ridge + permutation importance on numeric features (rows-only) ---
+def q_ml_ridge_perm_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from ..ml_pipelines import ridge_permutation_importance
+    from .timeseries import _bucket_metrics
+    ev = table(spark, sf_dir, "events")
+    m = _bucket_metrics(ev)
+    w = Window.partitionBy("event_type").orderBy("bucket")
+    feats = (m.withColumn("prev_n_events",
+                          F.lag("n_events").over(w).cast("double"))
+              .withColumn("n_events", F.col("n_events").cast("double"))
+              .withColumn("rid", F.concat("event_type",
+                                          F.col("bucket").cast("string"))))
+    res = ridge_permutation_importance(
+        feats, ["n_events", "prev_n_events"], "avg_value", "rid")
+    return spark.createDataFrame(
+        res, "feature string, base_mse double, permuted_mse double, importance double")
+
+
 QUERIES = {
     "ml_sentiment": q_ml_sentiment,
     "ml_lexicon_sentiment": q_ml_lexicon_sentiment,
     "ml_forecast_metrics": q_ml_forecast_metrics,
     "ml_ar1_train": q_ml_ar1_train,
+    "ml_tfidf_top_terms": q_ml_tfidf_top_terms,        # rows-only: MLlib fit
+    "ml_ridge_perm_importance": q_ml_ridge_perm_importance,  # rows-only: MLlib fit
 }
 
 _SQL_GRID = """

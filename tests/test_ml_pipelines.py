@@ -1,0 +1,64 @@
+"""M6/M7 MLlib pipelines: TF-IDF ridge recovers word→label structure;
+permutation importance ranks informative features above noise."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_crypto_sentiment_spark.ml_pipelines import (
+    fit_tfidf_ridge,
+    ridge_permutation_importance,
+    top_terms,
+)
+
+
+def test_tfidf_ridge_learns_lexicon_target(spark):
+    """Label = lexicon polarity of the doc text; the fitted model must
+    assign its largest positive coefficients to the positive words."""
+    from big_data_crypto_sentiment_spark.queries.ml import (
+        q_ml_lexicon_sentiment,
+    )
+    from big_data_crypto_sentiment_spark.queries._util import table
+    sf = "/root/testdata/sf0.01"
+    docs = table(spark, sf, "documents").select("doc_id", "text")
+    labels = q_ml_lexicon_sentiment(spark, sf).select("doc_id", "polarity")
+    train = docs.join(labels, "doc_id").withColumnRenamed("polarity", "label")
+    model, vocab = fit_tfidf_ridge(train)
+    terms = top_terms(model, vocab, k=3)
+    pos_terms = {t for t, c, sign in terms if sign == "positive"}
+    neg_terms = {t for t, c, sign in terms if sign == "negative"}
+    # POS_WORDS/NEG_WORDS from the lexicon drive the label
+    assert pos_terms & {"fast", "big"}
+    assert neg_terms & {"slow", "small"}
+    # in-sample fit is meaningfully better than predicting the mean
+    pred = model.transform(train)
+    stats = pred.select(
+        F.corr("label", "prediction").alias("r")).first()
+    assert stats.r is not None and stats.r > 0.7
+
+
+def test_permutation_importance_ranks_signal_over_noise(spark):
+    """y = 3·x1 + 0.1·noise-free structure: permuting x1 must hurt much
+    more than permuting the irrelevant column."""
+    n = 500
+    df = (spark.range(n).select(
+        F.col("id"),
+        (F.col("id") % 97).cast("double").alias("x1"),
+        ((F.col("id") * 31) % 101).cast("double").alias("x_noise"),
+    ).withColumn("y", 3.0 * F.col("x1") + 0.01 * F.col("x_noise")))
+    res = {c: imp for c, base, mse, imp in
+           ridge_permutation_importance(df, ["x1", "x_noise"], "y", "id")}
+    assert res["x1"] > 100 * max(res["x_noise"], 1e-9)
+
+
+def test_permutation_is_deterministic(spark):
+    from big_data_crypto_sentiment_spark.ml_pipelines import _permuted
+    df = spark.range(50).select(
+        F.col("id"), (F.col("id") * 2).cast("double").alias("v"))
+    a = _permuted(df, "id", "v").orderBy("id").collect()
+    b = _permuted(df, "id", "v").orderBy("id").collect()
+    assert a == b
+    # it is a real permutation: same multiset, mostly different positions
+    orig = [r.v for r in df.orderBy("id").collect()]
+    perm = [r.v for r in a]
+    assert sorted(perm) == sorted(orig)
+    assert sum(x == y for x, y in zip(orig, perm)) < len(orig) // 2
