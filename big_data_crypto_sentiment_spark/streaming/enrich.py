@@ -1,0 +1,74 @@
+"""Per-record stream enrichment + publisher-style message wrapping
+(SURVEY.md T7, S16).
+
+  * T7 — the reference enriches each tweet with a sentiment model in a
+    stateless DoFn whose heavyweight model loads once per worker in
+    setup() (dataflow/stream_join.py:231-346). Spark form: an
+    ITERATOR-form pandas_udf — the closure body before the batch loop
+    runs once per executor task (the setup() analog, where a real model
+    would load); each Arrow batch is then scored vectorized. Works
+    identically on batch and streaming DataFrames.
+  * S16 — producers publish JSON payloads with event_timestamp /
+    crypto_key message attributes (coincap-simulation/main.py:82-105,
+    twitter_simulation/simulate_twitter_flow.py:39-60). Spark form: a
+    projection to the Kafka-shaped (key, value, headers-as-map) columns
+    — `to_json(struct(...))` for the payload, a map column for the
+    attributes; any kafka/file sink can consume it.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+POS_WORDS = frozenset({"fast", "big", "up", "moon", "buy"})
+NEG_WORDS = frozenset({"slow", "small", "down", "sell", "outage"})
+
+
+def make_lexicon_score_udf():
+    """Built lazily (pandas_udf registration needs an active session)."""
+
+    @pandas_udf("double")
+    def lexicon_score_udf(texts: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        # one-time per-task init (the DoFn.setup() analog): build the scorer
+        pos, neg = POS_WORDS, NEG_WORDS
+
+        def score(t):
+            if t is None or not t:
+                return None
+            words = t.lower().split()
+            p = sum(w in pos for w in words)
+            n = sum(w in neg for w in words)
+            return (p - n) / max(p + n, 1)
+
+        for batch in texts:
+            yield batch.map(score)
+
+    return lexicon_score_udf
+
+
+def enrich_with_sentiment(df: DataFrame,
+                          text_col: str = "text") -> DataFrame:
+    """Attach a per-record sentiment score (batch or streaming DF)."""
+    return df.withColumn("sentiment_score",
+                         make_lexicon_score_udf()(F.col(text_col)))
+
+
+def wrap_for_publish(df: DataFrame, key_col: str,
+                     ts_col: str, attr_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Shape rows as publishable messages: key, JSON value, attributes
+    map (event_timestamp RFC3339 + caller-chosen attribute columns)."""
+    attrs = [F.lit("event_timestamp"),
+             F.date_format(F.col(ts_col), "yyyy-MM-dd'T'HH:mm:ss'Z'")]
+    for c in attr_cols:
+        attrs += [F.lit(c), F.col(c).cast("string")]
+    return df.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.to_json(F.struct(*df.columns)).alias("value"),
+        F.map_from_arrays(
+            F.array(*attrs[::2]), F.array(*attrs[1::2])).alias("attributes"),
+    )

@@ -1,0 +1,62 @@
+"""T7 per-record pandas_udf enrichment (batch ≡ streaming) and S16
+publisher message wrapping."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from big_data_crypto_sentiment_spark.streaming.enrich import (
+    enrich_with_sentiment,
+    wrap_for_publish,
+)
+
+
+def _tweets(spark):
+    return spark.createDataFrame(
+        [("ETH", "moon fast big", "2024-01-01T10:00:00"),
+         ("SOL", "outage slow sell", "2024-01-01T10:00:30"),
+         ("FTM", "neutral words only", "2024-01-01T10:01:00"),
+         ("SHIB", None, "2024-01-01T10:01:30")],
+        ["symbol", "text", "ts_str"],
+    ).withColumn("event_time", F.to_timestamp("ts_str")).drop("ts_str")
+
+
+def test_enrichment_scores_batch(spark):
+    out = {r.symbol: r.sentiment_score
+           for r in enrich_with_sentiment(_tweets(spark)).collect()}
+    assert out["ETH"] == 1.0
+    assert out["SOL"] == -1.0
+    assert out["FTM"] == 0.0
+    assert out["SHIB"] is None
+
+
+def test_enrichment_streaming_matches_batch(spark, tmp_path):
+    src = str(tmp_path / "src")
+    _tweets(spark).write.parquet(src)
+    stream = (spark.readStream.schema(_tweets(spark).schema).parquet(src))
+    q = (enrich_with_sentiment(stream)
+         .writeStream.format("memory").queryName("enriched")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .start())
+    try:
+        q.processAllAvailable()
+        got = {r.symbol: r.sentiment_score
+               for r in spark.table("enriched").collect()}
+    finally:
+        q.stop()
+    want = {r.symbol: r.sentiment_score
+            for r in enrich_with_sentiment(_tweets(spark)).collect()}
+    assert got == want
+
+
+def test_wrap_for_publish_shape_and_attributes(spark):
+    msgs = wrap_for_publish(_tweets(spark), key_col="symbol",
+                            ts_col="event_time",
+                            attr_cols=("symbol",)).collect()
+    by_key = {m.key: m for m in msgs}
+    eth = by_key["ETH"]
+    payload = json.loads(eth.value)
+    assert payload["symbol"] == "ETH" and payload["text"] == "moon fast big"
+    assert eth.attributes["event_timestamp"] == "2024-01-01T10:00:00Z"
+    assert eth.attributes["symbol"] == "ETH"
