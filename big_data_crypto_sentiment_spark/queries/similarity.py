@@ -27,8 +27,6 @@ candidate lookup prunes partitions.
 
 from __future__ import annotations
 
-from functools import reduce
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -109,13 +107,38 @@ def _plane_weights(t: int, p: int, dim: int) -> list[float]:
     return out
 
 
-def _plane_sign_bit(emb, t: int, p: int, dim: int):
-    """sign(w · x) with the literal weight vector for plane (t, p)."""
-    w = F.array(*[F.lit(x) for x in _plane_weights(t, p, dim)])
-    proj = F.aggregate(
-        F.zip_with(emb, w, lambda x, wi: x.cast("double") * wi),
-        F.lit(0.0), lambda acc, x: acc + x)
-    return (proj > 0).cast("int")
+def _weight_matrix(n_tables: int, bits: int, dim: int):
+    """(dim × n_tables·bits) ±1 matrix, column (t·bits + p) = plane (t, p)."""
+    import numpy as np
+    cols = [_plane_weights(t, p, dim)
+            for t in range(n_tables) for p in range(bits)]
+    return np.asarray(cols, dtype=np.float64).T
+
+
+def _bucket_sig_udf(n_tables: int, bits: int, dim: int):
+    """pandas_udf: embedding → array of n_tables bucket ids. One numpy
+    matmul per Arrow batch replaces n_tables·bits per-row aggregate
+    expressions — the vectorized form of the same sha256-derived planes
+    (identical buckets, ~10× cheaper signatures)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def sig(emb: pd.Series) -> pd.Series:
+        W = _weight_matrix(n_tables, bits, dim)          # per-task init
+        powers = (1 << np.arange(bits)).astype(np.int64)
+        X = np.asarray([np.asarray(e, dtype=np.float64) for e in emb])
+        if len(X) == 0:
+            return pd.Series([], dtype=object)
+        B = (X @ W) > 0                                   # (n, tables·bits)
+        B = B.reshape(len(X), n_tables, bits)
+        buckets = (B * powers).sum(axis=2).astype("int32")
+        return pd.Series(list(buckets))
+
+    # explicit functionType: the local annotations aren't resolvable by
+    # the decorator's typehint inspection
+    from pyspark.sql.functions import PandasUDFType
+    return pandas_udf("array<int>", PandasUDFType.SCALAR)(sig)
 
 
 def lsh_buckets(df: DataFrame, emb_col: str = "embedding",
@@ -123,15 +146,10 @@ def lsh_buckets(df: DataFrame, emb_col: str = "embedding",
                 bits: int = BITS_PER_TABLE,
                 dim: int = EMBED_DIM) -> DataFrame:
     """Explode each row into (table_id, bucket) signature rows."""
-    entries = []
-    for t in range(n_tables):
-        bucket = reduce(
-            lambda acc, p: acc + _plane_sign_bit(F.col(emb_col), t, p, dim)
-            * F.lit(1 << p),
-            range(bits), F.lit(0))
-        entries.append(F.struct(F.lit(t).alias("tbl"), bucket.alias("bucket")))
-    return df.select("*", F.explode(F.array(*entries)).alias("_e")) \
-             .select("*", "_e.tbl", "_e.bucket").drop("_e")
+    sig = _bucket_sig_udf(n_tables, bits, dim)
+    return (df.withColumn("_sig", sig(F.col(emb_col)))
+              .select("*", F.posexplode("_sig").alias("tbl", "bucket"))
+              .drop("_sig"))
 
 
 def ann_topk(queries: DataFrame, corpus: DataFrame, k: int,
