@@ -173,8 +173,13 @@ ORACLE = {
 SELECT l_returnflag, l_linestatus,
   {sql_dsum('l_quantity')} AS sum_qty,
   {sql_dsum('l_extendedprice')} AS sum_base_price,
-  {sql_dsum('CAST(l_extendedprice AS DECIMAL(27,6)) * (1 - CAST(l_discount AS DECIMAL(27,6)))', 12)} AS sum_disc_price,
-  {sql_dsum('CAST(l_extendedprice AS DECIMAL(27,6)) * (1 - CAST(l_discount AS DECIMAL(27,6))) * (1 + CAST(l_tax AS DECIMAL(27,6)))', 18)} AS sum_charge,
+  -- two traps here: (a) decimal multiplies must step widths so DuckDB
+  -- never overflows 38 and silently falls back to DOUBLE products;
+  -- (b) DuckDB's DECIMAL→DOUBLE cast double-rounds at high scale, so
+  -- reduce the (exact, <=4-decimal) sum to scale 6 before the cast —
+  -- the scaled integer then fits 2^53 and both engines cast exactly
+  CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(12,6))) AS DECIMAL(27,12))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_disc_price,
+  CAST(CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(12,6))) AS DECIMAL(24,12)) * (1 + CAST(l_tax AS DECIMAL(12,6))) AS DECIMAL(30,18))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_charge,
   {sql_davg('l_quantity')} AS avg_qty,
   {sql_davg('l_extendedprice')} AS avg_price,
   {sql_davg('l_discount')} AS avg_disc,
