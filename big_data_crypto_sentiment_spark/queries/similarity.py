@@ -211,10 +211,86 @@ def q_sim_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(e)
 
 
+# --- IVF (inverted-file) ANN: KMeans centroids + nearest-cluster probe ---
+IVF_CLUSTERS = 16
+IVF_PROBES = 4
+
+
+def _assign_clusters(df: DataFrame, centroids, emb_col: str,
+                     n_probe: int) -> DataFrame:
+    """Attach the ids of the n_probe nearest centroids (exploded).
+
+    centroids: list[(cluster_id, list[float])] — small, embedded as an
+    array-of-structs literal so assignment is pure expressions over a
+    broadcast-sized constant (no join, no Python)."""
+    cent = F.array(*[
+        F.struct(F.lit(cid).alias("cid"),
+                 F.array(*[F.lit(float(x)) for x in vec]).alias("cv"))
+        for cid, vec in centroids
+    ])
+    # squared L2 distance to each centroid, keep n_probe smallest
+    with_d = F.transform(
+        cent,
+        lambda c: F.struct(
+            F.aggregate(
+                F.zip_with(F.col(emb_col), c["cv"],
+                           lambda x, y: (x.cast("double") - y)
+                           * (x.cast("double") - y)),
+                F.lit(0.0), lambda a, x: a + x).alias("d"),
+            c["cid"].alias("cid")))
+    probes = F.slice(F.array_sort(with_d), 1, n_probe)
+    return df.withColumn("cid", F.explode(
+        F.transform(probes, lambda s: s["cid"])))
+
+
+def fit_ivf_centroids(corpus: DataFrame, emb_col: str = "embedding",
+                      k: int = IVF_CLUSTERS, seed: int = 42):
+    """MLlib KMeans over the corpus → [(cluster_id, centroid_vector)].
+    At 100 TB you fit on a sample; centroids are O(k·dim) — broadcastable."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    feat = corpus.select(array_to_vector(F.col(emb_col)).alias("features"))
+    model = KMeans(k=k, seed=seed, maxIter=10).fit(feat)
+    return [(i, c.tolist()) for i, c in enumerate(model.clusterCenters())]
+
+
+def ivf_topk(queries: DataFrame, corpus: DataFrame, centroids, k: int,
+             n_probe: int = IVF_PROBES) -> DataFrame:
+    """Approximate top-k: corpus rows are probed only in the query's
+    n_probe nearest clusters — candidates come from an equality join on
+    cluster id (the inverted file), never a full scan per query."""
+    from pyspark.sql import Window
+    qa = _assign_clusters(queries, centroids, "qe", n_probe) \
+        .select("query_id", "qe", "cid")
+    ca = _assign_clusters(corpus, centroids, "embedding", 1) \
+        .select("vec_id", "embedding", "cid")
+    cand = (ca.join(F.broadcast(qa), "cid")
+              .filter(F.col("vec_id") != F.col("query_id"))
+              .select("query_id", "vec_id", "qe", "embedding")
+              .distinct())
+    scored = cand.select("query_id", "vec_id",
+                         cosine(F.col("qe"), F.col("embedding")).alias("cos"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "vec_id")
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k)
+                  .select("query_id", "vec_id", "cos", "rank"))
+
+
+def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    corpus = e.select("vec_id", "embedding")
+    queries = (e.filter(F.col("vec_id") < N_QUERY)
+                .select(F.col("vec_id").alias("query_id"),
+                        F.col("embedding").alias("qe")))
+    centroids = fit_ivf_centroids(corpus)
+    return ivf_topk(queries, corpus, centroids, TOP_K)
+
+
 QUERIES = {
     "sim_topk_cosine": q_sim_topk_cosine,
-    "sim_ann_lsh": q_sim_ann_lsh,            # rows-only: xxhash64 planes
-    "sim_near_dup_pairs": q_sim_near_dup_pairs,  # rows-only: xxhash64 planes
+    "sim_ann_lsh": q_sim_ann_lsh,                # rows-only: hash planes
+    "sim_near_dup_pairs": q_sim_near_dup_pairs,  # rows-only: hash planes
+    "sim_ivf_topk": q_sim_ivf_topk,              # rows-only: KMeans fit
 }
 
 ORACLE = {

@@ -81,6 +81,22 @@ def test_near_dup_pairs_finds_planted_duplicates(spark, corpus):
     assert all(r.cos >= 0.95 for r in rows)
 
 
+def test_ivf_recall_vs_brute_force(spark, corpus, queries):
+    from big_data_crypto_sentiment_spark.queries.similarity import (
+        fit_ivf_centroids,
+        ivf_topk,
+    )
+    centroids = fit_ivf_centroids(corpus, k=8)
+    exact = _topk_sets(brute_force_topk(queries, corpus, TOP_K))
+    approx = _topk_sets(ivf_topk(queries, corpus, centroids, TOP_K,
+                                 n_probe=4))
+    recalls = [len(exact[q] & approx.get(q, set())) / len(exact[q])
+               for q in exact]
+    assert sum(recalls) / len(recalls) >= 0.4  # deterministic: seeded KMeans
+    # probing half the clusters touches roughly half the corpus, not all
+    assert all(len(v) <= TOP_K for v in approx.values())
+
+
 def test_brute_force_excludes_self_and_ranks_densely(corpus, queries):
     df = brute_force_topk(queries, corpus, TOP_K)
     assert df.filter(F.col("query_id") == F.col("vec_id")).count() == 0
