@@ -154,18 +154,24 @@ def lsh_buckets(df: DataFrame, emb_col: str = "embedding",
 
 def ann_topk(queries: DataFrame, corpus: DataFrame, k: int,
              n_tables: int = N_TABLES, bits: int = BITS_PER_TABLE) -> DataFrame:
-    """Approximate top-k: candidates share an LSH bucket in >=1 table."""
+    """Approximate top-k: candidates share an LSH bucket in >=1 table.
+
+    Candidate dedup runs on bare ids; both embedding arrays join back
+    onto the surviving pairs (the distinct must not shuffle arrays)."""
     from pyspark.sql import Window
     qb = lsh_buckets(queries, "qe", n_tables, bits) \
-        .select("query_id", "qe", "tbl", "bucket")
+        .select("query_id", "tbl", "bucket")
     cb = lsh_buckets(corpus, "embedding", n_tables, bits) \
-        .select("vec_id", "embedding", "tbl", "bucket")
+        .select("vec_id", "tbl", "bucket")
     cand = (cb.join(F.broadcast(qb), ["tbl", "bucket"])
               .filter(F.col("vec_id") != F.col("query_id"))
-              .select("query_id", "vec_id", "qe", "embedding")
+              .select("query_id", "vec_id")
               .distinct())
-    scored = cand.select("query_id", "vec_id",
-                         cosine(F.col("qe"), F.col("embedding")).alias("cos"))
+    qe = queries.select("query_id", "qe")
+    scored = (cand.join(F.broadcast(qe), "query_id")
+                  .join(corpus.select("vec_id", "embedding"), "vec_id")
+                  .select("query_id", "vec_id",
+                          cosine(F.col("qe"), F.col("embedding")).alias("cos")))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "vec_id")
     return (scored.withColumn("rank", F.row_number().over(w))
                   .filter(F.col("rank") <= k)
