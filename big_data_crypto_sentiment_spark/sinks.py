@@ -40,6 +40,22 @@ def write_warehouse(df: DataFrame, path: str,
     w.parquet(path)
 
 
+def write_bucketed(df: DataFrame, table_name: str,
+                   bucket_cols: tuple[str, ...], n_buckets: int = 32,
+                   sort_cols: tuple[str, ...] = (),
+                   mode: str = "overwrite") -> None:
+    """Bucketed (hash-clustered) table write — the co-located-join
+    primitive: two tables bucketed on the same key with the same bucket
+    count join with ZERO exchanges (Catalyst reuses the bucketing as
+    the join distribution). This is the at-rest layout a 100 TB
+    deployment uses for its hot join keys; requires saveAsTable
+    (bucket metadata lives in the catalog)."""
+    w = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table_name)
+
+
 def bulk_jsonl(df: DataFrame, out_dir: str, chunk: int = CHUNK) -> None:
     """foreachPartition bulk writer: each partition writes its documents
     in `chunk`-sized groups to one JSONL file (atomic rename)."""

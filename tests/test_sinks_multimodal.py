@@ -44,6 +44,31 @@ def test_warehouse_partitioned_write_prunes(spark, tmp_path):
     assert "PartitionFilters" in plan  # date partition actually prunes
 
 
+def test_bucketed_join_has_no_exchange(spark):
+    """Two tables bucketed on the same key join with zero shuffles —
+    the co-located-join layout for hot keys at scale."""
+    from big_data_crypto_sentiment_spark.sinks import write_bucketed
+    ev = (spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+          .select("o_orderkey", "o_custkey", "o_totalprice"))
+    cust = (spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+            .select("c_custkey", "c_name"))
+    write_bucketed(ev, "b_orders", ("o_custkey",), n_buckets=8)
+    write_bucketed(cust.withColumnRenamed("c_custkey", "o_custkey"),
+                   "b_cust", ("o_custkey",), n_buckets=8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("b_orders").join(spark.table("b_cust"),
+                                              "o_custkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # sort-merge join rides the bucket layout: no shuffle of any kind
+        assert "Exchange" not in plan
+        assert "Bucketed: true" in plan
+        assert joined.count() == ev.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_bulk_jsonl_chunks_and_counts(spark, tmp_path):
     df = spark.range(2500).select(F.col("id"),
                                   (F.col("id") * 2).alias("v"))
