@@ -59,14 +59,23 @@ def read_tweets_jsonl(spark: SparkSession, path: str) -> DataFrame:
     return parsed.select("t.*", fixup.alias("symbol"))
 
 
+MIN_YEAR, MAX_YEAR = 1900, 2100  # defensive: "0000" parses to year 0,
+# which is a valid Spark timestamp but crashes Python datetime on collect
+
+
+def clamp_ts(ts):
+    """NULL out timestamps outside the plausible domain range."""
+    return F.when(F.year(ts).between(MIN_YEAR, MAX_YEAR), ts)
+
+
 def _event_ts():
     """P5/P6 tolerant chain: RFC3339 → epoch-ms → Twitter format."""
-    return F.coalesce(
+    return clamp_ts(F.coalesce(
         F.try_to_timestamp(F.col("created_at_iso")),
         F.timestamp_millis(F.col("timestamp_ms").try_cast("long")),
         F.try_to_timestamp(F.substring("created_at_raw", 5, 100),
                            F.lit(TWITTER_FMT_SPARK)),
-    )
+    ))
 
 
 def normalize_tweets(df: DataFrame) -> DataFrame:
