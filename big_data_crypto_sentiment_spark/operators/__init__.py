@@ -1,0 +1,10 @@
+"""Reusable operator library: the windowed dual-stream join, TA
+indicators, and multimodal binary plumbing."""
+
+from .multimodal import extract_media_features, sample_frames  # noqa: F401
+from .ta import sma_vwap, ta_indicators  # noqa: F401
+from .windowed_join import (  # noqa: F401
+    aggregate_prices,
+    aggregate_tweets,
+    prices_with_tweets,
+)
