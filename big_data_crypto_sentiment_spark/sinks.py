@@ -56,15 +56,19 @@ def write_bucketed(df: DataFrame, table_name: str,
     w.saveAsTable(table_name)
 
 
-def bulk_jsonl(df: DataFrame, out_dir: str, chunk: int = CHUNK) -> None:
+def bulk_jsonl(df: DataFrame, out_dir: str, chunk: int = CHUNK,
+               prefix: str = "") -> None:
     """foreachPartition bulk writer: each partition writes its documents
-    in `chunk`-sized groups to one JSONL file (atomic rename)."""
+    in `chunk`-sized groups to one JSONL file (atomic rename). Callers
+    writing repeatedly into one dir pass a distinct `prefix` per run —
+    rewriting the SAME prefix is idempotent (replay-safe), a new prefix
+    appends."""
     os.makedirs(out_dir, exist_ok=True)
     cols = df.columns
 
     def write_partition(idx: int, rows) -> None:
         buf, n_chunks, opened = [], 0, None
-        final = os.path.join(out_dir, f"part-{idx:05d}.jsonl")
+        final = os.path.join(out_dir, f"{prefix}part-{idx:05d}.jsonl")
         tmp = final + ".tmp"
 
         def flush():

@@ -1,0 +1,94 @@
+"""End-to-end job tests: the three reference entry points composed and
+run on real fixture data — batch job incrementality across two runs,
+the five-query speed layer, and the trainer artifact."""
+
+import glob
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_crypto_sentiment_spark.jobs.batch_job import run_batch
+from big_data_crypto_sentiment_spark.jobs.speed_layer import start_speed_layer
+from big_data_crypto_sentiment_spark.jobs.train import main as train_main
+from big_data_crypto_sentiment_spark.queries._util import table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _count_jsonl(d):
+    return sum(1 for p in glob.glob(f"{d}/*.jsonl") for _ in open(p))
+
+
+def test_batch_job_incremental_two_runs(spark, tmp_path):
+    """Run 1 processes the first drop; run 2 sees ONLY the new file —
+    the reference's processed-state semantics via checkpoint."""
+    ev = table(spark, SF_DIR, "events")
+    in_dir = str(tmp_path / "incoming")
+    first = ev.filter(F.col("event_id") % 2 == 0)
+    second = ev.filter(F.col("event_id") % 2 == 1)
+    first.coalesce(1).write.mode("append").parquet(in_dir)
+
+    out1 = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    run_batch(spark, in_dir, out1, ck, window="30 minutes")
+    n_tweets_1 = _count_jsonl(os.path.join(out1, "raw_batch_tweets"))
+    assert n_tweets_1 == first.filter(F.col("props").isNotNull()).count()
+
+    # second drop arrives; rerun with the same checkpoint
+    second.coalesce(1).write.mode("append").parquet(in_dir)
+    run_batch(spark, in_dir, out1, ck, window="30 minutes")
+    n_tweets_2 = _count_jsonl(os.path.join(out1, "raw_batch_tweets"))
+    assert (n_tweets_2 - n_tweets_1
+            == second.filter(F.col("props").isNotNull()).count())
+    # joined metrics landed as date-partitioned parquet
+    joined = spark.read.parquet(os.path.join(out1, "batch_prices_with_tweets"))
+    assert joined.count() > 0
+    assert "date" in joined.columns
+
+
+def test_speed_layer_five_sinks(spark, tmp_path):
+    ev = table(spark, SF_DIR, "events")
+    t_dir, p_dir = str(tmp_path / "t"), str(tmp_path / "p")
+    (ev.filter(F.col("props").isNotNull())
+       .select(F.col("ts").alias("event_time"),
+               F.col("event_type").alias("symbol"),
+               F.col("props").alias("text"))
+       .coalesce(1).write.parquet(t_dir))
+    (ev.filter(F.col("value").isNotNull())
+       .select(F.col("ts").alias("event_time"),
+               F.col("event_type").alias("symbol"),
+               F.col("value").alias("price"))
+       .coalesce(1).write.parquet(p_dir))
+    out = str(tmp_path / "out")
+    queries = start_speed_layer(spark, t_dir, p_dir, out,
+                                window="30 minutes")
+    try:
+        for q in queries:
+            q.processAllAvailable()
+    finally:
+        for q in queries:
+            q.stop()
+    n_tweets = spark.read.parquet(t_dir).count()
+    n_prices = spark.read.parquet(p_dir).count()
+    assert spark.read.parquet(os.path.join(out, "raw_tweets")).count() == n_tweets
+    assert spark.read.parquet(os.path.join(out, "raw_prices")).count() == n_prices
+    assert _count_jsonl(os.path.join(out, "tweet_sentiment")) == n_tweets
+    assert _count_jsonl(os.path.join(out, "price_forecasts")) == n_prices
+    # windowed join emitted at least the watermark-closed windows
+    joined = spark.read.parquet(os.path.join(out, "prices_with_tweets"))
+    assert joined.count() > 0
+    # sentiment sink rows carry the enrichment column
+    with open(glob.glob(f"{out}/tweet_sentiment/*.jsonl")[0]) as f:
+        assert "sentiment_score" in json.loads(next(f))
+
+
+def test_train_job_writes_bundle(spark, tmp_path, capsys):
+    out = str(tmp_path / "models" / "ar1.json")
+    rc = train_main(["--sf-dir", "/root/testdata/sf0.01", "--out", out])
+    assert rc == 0
+    bundle = json.load(open(out))
+    assert bundle["models"]
+    printed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert printed["symbols"] == sorted(bundle["models"])
