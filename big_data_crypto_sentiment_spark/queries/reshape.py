@@ -95,7 +95,24 @@ def q_log_return(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.log(F.col("value") / prev), 8).alias("log_ret"))
 
 
+# --- as-of join: last price at-or-before each tweet-role event ---
+def q_asof_price_at_tweet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof_join import asof_join
+    ev = table(spark, sf_dir, "events")
+    tweets = (ev.filter((F.col("event_id") % 3 != 0)
+                        & F.col("props").isNotNull())
+                .select("event_id", F.col("event_type").alias("symbol"),
+                        "ts"))
+    prices = (ev.filter((F.col("event_id") % 2 != 0)
+                        & F.col("value").isNotNull())
+                .select(F.col("event_type").alias("symbol"), "ts",
+                        F.col("value").alias("price")))
+    return asof_join(tweets, prices, key="symbol", ts="ts",
+                     value_cols=("price",))
+
+
 QUERIES = {
+    "asof_price_at_tweet": q_asof_price_at_tweet,
     "kv_flatten": q_kv_flatten,
     "zip_explode_measures": q_zip_explode_measures,
     "group_collect_training": q_group_collect_training,
@@ -104,6 +121,18 @@ QUERIES = {
 }
 
 ORACLE = {
+    "asof_price_at_tweet": """
+WITH tweets AS (
+  SELECT event_id, event_type AS symbol, ts FROM events
+  WHERE event_id % 3 <> 0 AND props IS NOT NULL
+), prices AS (
+  SELECT event_type AS symbol, ts, value AS price FROM events
+  WHERE event_id % 2 <> 0 AND value IS NOT NULL
+)
+SELECT t.event_id, t.symbol, t.ts, p.price
+FROM tweets t ASOF LEFT JOIN prices p
+  ON t.symbol = p.symbol AND t.ts >= p.ts
+""",
     "kv_flatten": """
 SELECT event_id, event_type,
        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
