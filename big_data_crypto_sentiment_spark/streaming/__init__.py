@@ -4,4 +4,8 @@ M2/T6 stateful online forecast)."""
 from .replay import replay_dir, write_replay_chunks  # noqa: F401
 from .sinks import jsonl_partition_sink, start_capture_sink, start_jsonl_sink  # noqa: F401
 from .stateful import online_forecast  # noqa: F401
-from .windowed import streaming_prices_with_tweets, union_form_prices_with_tweets  # noqa: F401
+from .windowed import (  # noqa: F401
+    dedupe_stream,
+    streaming_prices_with_tweets,
+    union_form_prices_with_tweets,
+)

@@ -81,6 +81,19 @@ def union_form_prices_with_tweets(
         "tweet_volume", "avg_price", "last_price", "tweet_texts")
 
 
+def dedupe_stream(df: DataFrame, key_cols: tuple[str, ...],
+                  ts_col: str = "event_time",
+                  watermark: str = "30 seconds") -> DataFrame:
+    """Streaming exact-dedup: drop repeated (key) rows within the
+    watermark horizon — the at-least-once-source complement to the T9
+    idempotent sinks (a replayed/duplicated upstream message survives
+    exactly once downstream). State is bounded by the watermark: keys
+    older than the horizon are evicted, so memory is O(arrival rate ×
+    horizon), not O(stream length)."""
+    return (df.withWatermark(ts_col, watermark)
+              .dropDuplicatesWithinWatermark(list(key_cols)))
+
+
 def streaming_prices_with_tweets(
         tweets: DataFrame, prices: DataFrame,
         window_duration: str = "30 seconds",
