@@ -157,7 +157,39 @@ def q_ts_lag_sweep_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .agg(F.round(F.corr("x", "avg_value"), 6).alias("xcorr")))
 
 
+# --- trailing time-RANGE window aggregate: activity in the last hour at
+# each event (range frame over epoch seconds — the "tweets in the last
+# N minutes at every tick" enrichment; row frames can't express it when
+# event spacing is irregular) ---
+def q_ts_trailing_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    epoch = F.unix_timestamp("ts")
+    w = (Window.partitionBy("event_type").orderBy(epoch.cast("long"))
+               .rangeBetween(-3600, 0))
+    return (ev.filter(F.col("value").isNotNull())
+              .select("event_id", "event_type", "ts",
+                      F.count("*").over(w).alias("n_last_hour"),
+                      (F.sum(F.col("value").cast("decimal(27,6)")).over(w)
+                        .cast("double") / F.count("value").over(w))
+                      .alias("avg_last_hour")))
+
+
+# --- multi-granularity rollup: per (symbol, day) with day and grand
+# totals — the hypertable-rollup shape (GROUPING SETS via rollup) ---
+def q_ts_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").alias("day")
+    return (ev.filter(F.col("value").isNotNull())
+              .rollup(F.col("event_type"), day)
+              .agg(F.count("*").alias("n"),
+                   (F.sum(F.col("value").cast("decimal(27,6)"))
+                     .cast("double") / F.count("value")).alias("avg_value"))
+              .select("event_type", "day", "n", "avg_value"))
+
+
 QUERIES = {
+    "ts_trailing_hour": q_ts_trailing_hour,
+    "ts_rollup": q_ts_rollup,
     "ts_diff": q_ts_diff,
     "ts_pct_change": q_ts_pct_change,
     "ts_lead_target": q_ts_lead_target,
@@ -186,6 +218,21 @@ binned AS (
 """
 
 ORACLE = {
+    "ts_trailing_hour": """
+SELECT event_id, event_type, ts,
+       COUNT(*) OVER w AS n_last_hour,
+       CAST(SUM(CAST(value AS DECIMAL(27,6))) OVER w AS DOUBLE)
+         / COUNT(value) OVER w AS avg_last_hour
+FROM events WHERE value IS NOT NULL
+WINDOW w AS (PARTITION BY event_type ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+""",
+    "ts_rollup": """
+SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / COUNT(value) AS avg_value
+FROM events WHERE value IS NOT NULL
+GROUP BY ROLLUP (event_type, date_trunc('day', ts))
+""",
     "ts_diff": """
 SELECT event_id, event_type, ts, value,
        LAG(value) OVER w AS prev_value,
