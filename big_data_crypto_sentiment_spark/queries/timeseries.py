@@ -187,7 +187,42 @@ def q_ts_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select("event_type", "day", "n", "avg_value"))
 
 
+# --- gap-based sessionization: cumulative-sum-of-boundaries per user —
+# the training-data session/conversation assembly primitive (one
+# shuffle on user_id; two window passes, no self-join) ---
+SESSION_GAP_MIN = 30
+
+
+def _sessionized(ev: DataFrame) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_sec = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    is_new = F.when(gap_sec.isNull()
+                    | (gap_sec > SESSION_GAP_MIN * 60), 1).otherwise(0)
+    return (ev.select("event_id", "user_id", "ts", "event_type",
+                      is_new.alias("is_new"))
+              .withColumn("session_id",
+                          F.sum("is_new").over(
+                              w.rowsBetween(Window.unboundedPreceding,
+                                            Window.currentRow)))
+              .drop("is_new"))
+
+
+def q_ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sessionized(table(spark, sf_dir, "events"))
+
+
+def q_ts_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _sessionized(table(spark, sf_dir, "events"))
+    return (s.groupBy("user_id", "session_id")
+             .agg(F.count("*").alias("n_events"),
+                  F.min("ts").alias("session_start"),
+                  (F.unix_timestamp(F.max("ts"))
+                   - F.unix_timestamp(F.min("ts"))).alias("duration_sec")))
+
+
 QUERIES = {
+    "ts_sessionize": q_ts_sessionize,
+    "ts_session_stats": q_ts_session_stats,
     "ts_trailing_hour": q_ts_trailing_hour,
     "ts_rollup": q_ts_rollup,
     "ts_diff": q_ts_diff,
@@ -217,7 +252,34 @@ binned AS (
 )
 """
 
+_SQL_SESSIONIZED = f"""
+s AS (
+  SELECT event_id, user_id, ts, event_type,
+         CASE WHEN FLOOR(epoch(ts)) - FLOOR(epoch(LAG(ts) OVER w)) > {SESSION_GAP_MIN * 60}
+                   OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT event_id, user_id, ts, event_type,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS session_id
+  FROM s
+)
+"""
+
 ORACLE = {
+    "ts_sessionize": f"""
+WITH {_SQL_SESSIONIZED}
+SELECT event_id, user_id, ts, event_type, session_id FROM sess
+""",
+    "ts_session_stats": f"""
+WITH {_SQL_SESSIONIZED}
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       MIN(ts) AS session_start,
+       CAST(FLOOR(epoch(MAX(ts))) - FLOOR(epoch(MIN(ts))) AS BIGINT) AS duration_sec
+FROM sess GROUP BY user_id, session_id
+""",
     "ts_trailing_hour": """
 SELECT event_id, event_type, ts,
        COUNT(*) OVER w AS n_last_hour,
