@@ -21,6 +21,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from . import (
+    approx,
     dedup,
     flagship,
     ingestion,
@@ -35,7 +36,7 @@ from . import (
 )
 
 _MODULES = (flagship, relational, timeseries, text, dedup, similarity, ml,
-            ingestion, ta, media, reshape)
+            ingestion, ta, media, reshape, approx)
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
