@@ -40,12 +40,20 @@ _MODULES = (flagship, relational, timeseries, text, dedup, similarity, ml,
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    """Registry in driver-checked order: every oracle-paired query first
+    (the driver's correctness window is a fixed-size prefix of this dict),
+    rows-only entries after — so no hash-checkable query ever falls
+    outside the checked window."""
+    merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    oracle_keys: set[str] = set()
     for m in _MODULES:
-        dupes = set(out) & set(m.QUERIES)
+        dupes = set(merged) & set(m.QUERIES)
         if dupes:
             raise ValueError(f"duplicate query names: {dupes}")
-        out.update(m.QUERIES)
+        merged.update(m.QUERIES)
+        oracle_keys.update(m.ORACLE)
+    out = {k: v for k, v in merged.items() if k in oracle_keys}
+    out.update({k: v for k, v in merged.items() if k not in oracle_keys})
     return out
 
 

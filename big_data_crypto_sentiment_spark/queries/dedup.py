@@ -106,30 +106,66 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- MinHash + LSH banded near-dup over the full documents table ---
+#
+# The hash primitive is engine-portable by construction (so a DuckDB
+# oracle reproduces the signatures bit-for-bit — no xxhash64/engine-
+# private functions): each shingle's md5 hex yields two 60-bit ints
+# (chars 1-15 and 17-31 are exact in BIGINT on both engines), and the 32
+# "permutations" are Kirsch-Mitzenmacher combinations
+# mh_j = (h1 + j*h2) mod (2^31-1) — pure integer math, still zero-shuffle
+# zero-Python whole-stage-codegen array expressions on the Spark side.
+HASH_P = 2147483647  # 2^31 - 1 (Mersenne); j*h2 < 2^36 so sums stay exact
+
+
+def _h1(hexcol):
+    return F.conv(F.substring(hexcol, 1, 15), 16, 10).cast("long")
+
+
+def _h2(hexcol):
+    return F.conv(F.substring(hexcol, 17, 15), 16, 10).cast("long") % HASH_P
+
+
+def _hash_pairs():
+    """shingles -> array<struct<h1,h2>> (md5 materialized once/shingle)."""
+    hexes = F.transform(F.col("shingles"), F.md5)
+    return F.transform(hexes, lambda x: F.struct(
+        _h1(x).alias("h1"), _h2(x).alias("h2")))
+
+
 def minhash_signature_cols():
-    """32 minhash columns, each array_min(transform(shingles, xxhash64(s, j)))
-    — pure expressions over the shingle array, no shuffle, no Python."""
-    return [
-        F.array_min(F.transform(F.col("shingles"),
-                                lambda s, j=j: F.xxhash64(s, F.lit(j))))
-        .alias(f"mh{j}")
-        for j in range(NUM_HASHES)
-    ]
+    """32 minhash columns, each array_min over the KM-combined hashes —
+    pure expressions over the shingle array, no shuffle, no Python.
+
+    NB: the per-j lambda must take exactly ONE parameter — F.transform
+    passes the array index as a second argument when the callable's arity
+    is 2, which would silently replace j."""
+    def _mh(j: int):
+        return F.array_min(
+            F.transform(F.col("hs"),
+                        lambda x: (x["h1"] + j * x["h2"]) % HASH_P)
+        ).alias(f"mh{j}")
+
+    return [_mh(j) for j in range(NUM_HASHES)]
+
+
+def _band_hash(b: int):
+    """Band key = md5 of the comma-joined row values (int→string renders
+    identically on both engines)."""
+    return F.md5(F.concat_ws(",", *[
+        F.col(f"mh{b * ROWS_PER_BAND + r}").cast("string")
+        for r in range(ROWS_PER_BAND)]))
 
 
 def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
     """Distinct (doc_a < doc_b) candidate pairs that collide in >=1 band."""
     sig = (docs.filter(F.size(_words()) >= SHINGLE_WORDS)
                .select("doc_id", _shingles().alias("shingles"))
+               .withColumn("hs", _hash_pairs())
                .select("doc_id", "shingles", *minhash_signature_cols()))
     bands = sig.select(
         "doc_id",
         F.explode(F.array(*[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(*[F.col(f"mh{b * ROWS_PER_BAND + r}")
-                             for r in range(ROWS_PER_BAND)]).alias("bh"),
-            )
+            F.struct(F.lit(b).alias("band"), _band_hash(b).alias("bh"))
             for b in range(BANDS)
         ])).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bh")
@@ -168,12 +204,13 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- SimHash: 16-bit sign-sum fingerprint per document ---
 def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
     """Classic simhash over distinct words: bit k of the fingerprint is the
-    sign of sum(±1 per word) where the word's xxhash64 bit k picks the
-    sign. One explode + one groupBy = one shuffle keyed by doc_id."""
+    sign of sum(±1 per word) where bit k of the word's portable 60-bit
+    md5-derived hash picks the sign. One explode + one groupBy = one
+    shuffle keyed by doc_id."""
     w = docs.select(
         "doc_id",
         F.explode(F.array_distinct(_words())).alias("word"),
-    ).withColumn("h", F.xxhash64("word"))
+    ).withColumn("h", _h1(F.md5("word")))
     bit_sums = [
         F.sum(F.shiftright(F.col("h"), k).bitwiseAND(F.lit(1)) * 2 - 1)
         .alias(f"s{k}")
@@ -194,9 +231,32 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-    "dedup_minhash_lsh": q_dedup_minhash_lsh,  # rows-only: xxhash64 is Spark-side
-    "dedup_simhash": q_dedup_simhash,          # rows-only: xxhash64 is Spark-side
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
 }
+
+
+def _sql_hex2int(col: str) -> str:
+    """15 lowercase hex chars -> BIGINT, positional arithmetic (exact in
+    BIGINT: max term 15*16^14 < 2^60). DuckDB has no hex→int builtin
+    whose byte order provably matches Spark's conv(); this does."""
+    return "(" + " + ".join(
+        f"(strpos('0123456789abcdef', substring({col},{i},1))-1)*{16 ** (15 - i)}"
+        for i in range(1, 16)) + ")"
+
+
+_SQL_MH = ",\n         ".join(
+    f"MIN((h1 + {j}*h2) % {HASH_P}) AS mh{j}" for j in range(NUM_HASHES))
+_SQL_BANDS = "\n  UNION ALL\n".join(
+    "  SELECT doc_id, {b} AS band, md5(concat_ws(',', {cols})) AS bh FROM sig"
+    .format(b=b, cols=", ".join(
+        f"CAST(mh{b * ROWS_PER_BAND + r} AS VARCHAR)"
+        for r in range(ROWS_PER_BAND)))
+    for b in range(BANDS))
+_SQL_SIMHASH_SUMS = ",\n         ".join(
+    f"SUM(((hv >> {k}) & 1)*2 - 1) AS s{k}" for k in range(16))
+_SQL_SIMHASH_FP = " + ".join(
+    f"(CASE WHEN s{k} > 0 THEN {1 << k} ELSE 0 END)" for k in range(16))
 
 ORACLE = {
     "dedup_exact": """
@@ -228,5 +288,62 @@ FROM pairs
 JOIN sizes sa ON doc_a = sa.doc_id
 JOIN sizes sb ON doc_b = sb.doc_id
 WHERE common / (sa.n + sb.n - common) >= {SLICE_JACCARD_THRESHOLD}
+""",
+    "dedup_minhash_lsh": f"""
+WITH docs AS (
+  SELECT doc_id, string_split(text, ' ') AS words
+  FROM documents WHERE len(string_split(text, ' ')) >= {SHINGLE_WORDS}
+), sh AS (
+  SELECT DISTINCT doc_id,
+         words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+  FROM docs, unnest(generate_series(1, len(words) - {SHINGLE_WORDS - 1})) AS t(i)
+), hh AS (
+  SELECT doc_id, shingle,
+         substring(md5(shingle), 1, 15) AS hx1,
+         substring(md5(shingle), 17, 15) AS hx2
+  FROM sh
+), hv AS (
+  SELECT doc_id, shingle,
+         {_sql_hex2int('hx1')} AS h1,
+         {_sql_hex2int('hx2')} % {HASH_P} AS h2
+  FROM hh
+), sig AS (
+  SELECT doc_id,
+         {_SQL_MH}
+  FROM hv GROUP BY doc_id
+), bands AS (
+{_SQL_BANDS}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), pairs AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS common
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(common / (sa.n + sb.n - common), 6) AS jaccard
+FROM pairs
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE common / (sa.n + sb.n - common) >= {JACCARD_THRESHOLD}
+""",
+    "dedup_simhash": f"""
+WITH w AS (
+  SELECT DISTINCT doc_id, word
+  FROM documents, unnest(string_split(text, ' ')) AS t(word)
+), h AS (
+  SELECT doc_id, {_sql_hex2int("substring(md5(word), 1, 15)")} AS hv FROM w
+), s AS (
+  SELECT doc_id,
+         {_SQL_SIMHASH_SUMS}
+  FROM h GROUP BY doc_id
+)
+SELECT doc_id, CAST({_SQL_SIMHASH_FP} AS BIGINT) AS simhash FROM s
 """,
 }

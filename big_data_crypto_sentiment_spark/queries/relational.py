@@ -137,21 +137,18 @@ def q_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
               .orderBy("l_returnflag"))
 
 
-# --- A12: missing-ratio per column ---
-def q_missing_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+# --- A12 + A14: single-scan data profile — missing-ratio per column plus
+#     the min/max timestamp probe (one aggregate, one row; merged so both
+#     stay inside the driver's correctness window) ---
+def q_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     return ev.agg(
         F.round(F.avg(F.col("value").isNull().cast("int")), 6).alias("value_null_ratio"),
         F.round(F.avg(F.col("props").isNull().cast("int")), 6).alias("props_null_ratio"),
         F.round(F.avg(F.col("user_id").isNull().cast("int")), 6).alias("user_null_ratio"),
+        F.min("ts").alias("min_ts"), F.max("ts").alias("max_ts"),
+        F.count("*").alias("n_rows"),
     )
-
-
-# --- A14: min/max probe ---
-def q_minmax_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events")
-    return ev.agg(F.min("ts").alias("min_ts"), F.max("ts").alias("max_ts"),
-                  F.count("*").alias("n_rows"))
 
 
 QUERIES = {
@@ -164,8 +161,7 @@ QUERIES = {
     "json_props": q_json_props,
     "unpivot_order_measures": q_unpivot_order_measures,
     "summary_stats": q_summary_stats,
-    "missing_ratio": q_missing_ratio,
-    "minmax_ts": q_minmax_ts,
+    "data_profile": q_data_profile,
 }
 
 ORACLE = {
@@ -254,13 +250,11 @@ SELECT l_returnflag,
        COUNT(*) AS n
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """,
-    "missing_ratio": """
+    "data_profile": """
 SELECT ROUND(AVG(CAST(value IS NULL AS INT)), 6) AS value_null_ratio,
        ROUND(AVG(CAST(props IS NULL AS INT)), 6) AS props_null_ratio,
-       ROUND(AVG(CAST(user_id IS NULL AS INT)), 6) AS user_null_ratio
+       ROUND(AVG(CAST(user_id IS NULL AS INT)), 6) AS user_null_ratio,
+       MIN(ts) AS min_ts, MAX(ts) AS max_ts, COUNT(*) AS n_rows
 FROM events
-""",
-    "minmax_ts": """
-SELECT MIN(ts) AS min_ts, MAX(ts) AS max_ts, COUNT(*) AS n_rows FROM events
 """,
 }

@@ -48,7 +48,9 @@ def _n_words(c):
     return F.size(F.split(c, " "))
 
 
-# --- P15: string feature extraction (Milestone4 cell 9) ---
+# --- P15 + P12: string feature extraction (Milestone4 cell 9) plus
+#     model-input truncation (stream_join.py:292-294) — one projection,
+#     one scan (merged so both stay inside the driver's window) ---
 def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     t = F.col("text")
@@ -61,6 +63,8 @@ def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(t, F.lit(PAT_HASHTAG)).alias("n_hashtags"),
         F.regexp_count(t, F.lit(PAT_CASHTAG)).alias("n_cashtags"),
         t.rlike(PAT_CTA).cast("int").alias("has_cta"),
+        F.substring("text", 1, TRUNCATE_AT).alias("text_trunc"),
+        (F.length(t) > TRUNCATE_AT).cast("int").alias("was_truncated"),
     )
 
 
@@ -70,17 +74,6 @@ def q_text_rlike_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (d.filter(~F.col("text").rlike(PAT_CJK))
              .filter(F.col("text").rlike(r"\bspark\b"))
              .select("doc_id", "lang", "n_chars"))
-
-
-# --- P12: text truncation (stream_join.py:292-294) ---
-def q_text_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        F.substring("text", 1, TRUNCATE_AT).alias("text_trunc"),
-        F.length(F.substring("text", 1, TRUNCATE_AT)).alias("trunc_len"),
-        (F.length("text") > TRUNCATE_AT).cast("int").alias("was_truncated"),
-    )
 
 
 # --- A13a: duplicate rate over the duplicated events.props payload ---
@@ -167,7 +160,6 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "text_features": q_text_features,
     "text_rlike_filter": q_text_rlike_filter,
-    "text_truncate": q_text_truncate,
     "text_dup_rate": q_text_dup_rate,
     "text_top_duplicated": q_text_top_duplicated,
     "text_lang_id": q_text_lang_id,
@@ -195,20 +187,15 @@ SELECT doc_id, lang, source,
        {_sql_count(PAT_MENTION)} AS n_mentions,
        {_sql_count(PAT_HASHTAG)} AS n_hashtags,
        {_sql_count(PAT_CASHTAG)} AS n_cashtags,
-       CAST(regexp_matches(text, '{PAT_CTA}') AS INT) AS has_cta
+       CAST(regexp_matches(text, '{PAT_CTA}') AS INT) AS has_cta,
+       substring(text, 1, {TRUNCATE_AT}) AS text_trunc,
+       CAST(length(text) > {TRUNCATE_AT} AS INT) AS was_truncated
 FROM documents
 """,
     "text_rlike_filter": f"""
 SELECT doc_id, lang, n_chars FROM documents
 WHERE NOT regexp_matches(text, '{PAT_CJK_SQL}')
   AND regexp_matches(text, '\\bspark\\b')
-""",
-    "text_truncate": f"""
-SELECT doc_id,
-       substring(text, 1, {TRUNCATE_AT}) AS text_trunc,
-       length(substring(text, 1, {TRUNCATE_AT})) AS trunc_len,
-       CAST(length(text) > {TRUNCATE_AT} AS INT) AS was_truncated
-FROM documents
 """,
     "text_dup_rate": """
 SELECT COUNT(props) AS n_texts,

@@ -36,32 +36,19 @@ def _w():
     return Window.partitionBy("event_type").orderBy("ts", "event_id")
 
 
-# --- W1: per-symbol 1-step diff ---
-def q_ts_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events")
-    return ev.select(
-        "event_id", "event_type", "ts", "value",
-        F.lag("value").over(_w()).alias("prev_value"),
-        (F.col("value") - F.lag("value").over(_w())).alias("diff"),
-    )
-
-
-# --- W2: pct_change (return); zero-denominator → NULL on both engines ---
-def q_ts_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+# --- W1 + W2 + W3: per-symbol diff / pct_change / lead-target in ONE
+#     window pass (a single (symbol) shuffle + local sort computes every
+#     lag/lead column — the plan you want at 100 TB instead of three
+#     separate scans; zero-denominator → NULL on both engines) ---
+def q_ts_window_calcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     prev = F.lag("value").over(_w())
-    return ev.select(
-        "event_id", "event_type", "value",
-        ((F.col("value") - prev) / F.nullif(prev, F.lit(0.0))).alias("pct_change"),
-    )
-
-
-# --- W3: lead (next-value target, Milestone4 target_ret_next shape) ---
-def q_ts_lead_target(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events")
     nxt = F.lead("value").over(_w())
     return ev.select(
-        "event_id", "event_type", "value",
+        "event_id", "event_type", "ts", "value",
+        prev.alias("prev_value"),
+        (F.col("value") - prev).alias("diff"),
+        ((F.col("value") - prev) / F.nullif(prev, F.lit(0.0))).alias("pct_change"),
         nxt.alias("next_value"),
         ((nxt - F.col("value")) / F.nullif(F.col("value"), F.lit(0.0)))
         .alias("next_ret"),
@@ -225,9 +212,7 @@ QUERIES = {
     "ts_session_stats": q_ts_session_stats,
     "ts_trailing_hour": q_ts_trailing_hour,
     "ts_rollup": q_ts_rollup,
-    "ts_diff": q_ts_diff,
-    "ts_pct_change": q_ts_pct_change,
-    "ts_lead_target": q_ts_lead_target,
+    "ts_window_calcs": q_ts_window_calcs,
     "ts_bucket_counts": q_ts_bucket_counts,
     "ts_resample_ffill": q_ts_resample_ffill,
     "ts_corr": q_ts_corr,
@@ -295,21 +280,11 @@ SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS n,
 FROM events WHERE value IS NOT NULL
 GROUP BY ROLLUP (event_type, date_trunc('day', ts))
 """,
-    "ts_diff": """
+    "ts_window_calcs": """
 SELECT event_id, event_type, ts, value,
        LAG(value) OVER w AS prev_value,
-       value - LAG(value) OVER w AS diff
-FROM events
-WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
-""",
-    "ts_pct_change": """
-SELECT event_id, event_type, value,
-       (value - LAG(value) OVER w) / NULLIF(LAG(value) OVER w, 0.0) AS pct_change
-FROM events
-WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
-""",
-    "ts_lead_target": """
-SELECT event_id, event_type, value,
+       value - LAG(value) OVER w AS diff,
+       (value - LAG(value) OVER w) / NULLIF(LAG(value) OVER w, 0.0) AS pct_change,
        LEAD(value) OVER w AS next_value,
        (LEAD(value) OVER w - value) / NULLIF(value, 0.0) AS next_ret
 FROM events
