@@ -9,9 +9,10 @@
   * M7 — Ridge on numeric features + permutation importance
     (Milestone4 cells 14, 21): fit, baseline MSE, then re-evaluate with
     one feature column permuted; importance = MSE degradation.
-    The permutation is DETERMINISTIC: values are reassigned by joining
-    rank-by-id to rank-by-xxhash64(id) — a fixed pseudo-random
-    derangement, reproducible across runs and partitionings.
+    The permutation is DETERMINISTIC: within hash-random buckets, values
+    are reassigned by joining rank-by-id to rank-by-seeded-rehash — a
+    fixed pseudo-random derangement, reproducible across runs and
+    partitionings, with no global (single-task) sort anywhere.
 
 Scale notes: CountVectorizer/IDF/LinearRegression are distributed MLlib
 estimators (treeAggregate under the hood). The permutation join shuffles
@@ -62,17 +63,30 @@ def top_terms(model, vocab, k: int = 10):
     return lo + hi
 
 
-def _permuted(df: DataFrame, id_col: str, col: str) -> DataFrame:
-    """Deterministically permute `col`: value of row ranked r by
-    xxhash64(id) moves to the row ranked r by id."""
-    by_id = df.withColumn("_r", F.row_number().over(
-        Window.orderBy(id_col)))
+PERM_BUCKETS = 64
+
+
+def _permuted(df: DataFrame, id_col: str, col: str,
+              n_buckets: int = PERM_BUCKETS) -> DataFrame:
+    """Deterministically permute `col` without any global sort: rows are
+    hash-bucketed by xxhash64(id) % n_buckets, and within each bucket the
+    value ranked r by a seeded re-hash moves to the row ranked r by id.
+    Buckets are hash-random subsets (independent of features/labels), so
+    the within-bucket shuffle is a valid whole-column permutation for
+    importance purposes, while every window is partitionBy'd — each
+    bucket sorts locally, nothing funnels through one task."""
+    bucket = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets))
+    w_id = Window.partitionBy("_b").orderBy(id_col)
+    w_hash = Window.partitionBy("_b").orderBy(
+        F.xxhash64(F.col(id_col), F.lit(7)), id_col)
+    by_id = (df.withColumn("_b", bucket)
+               .withColumn("_r", F.row_number().over(w_id)))
     by_hash = (df.select(id_col, col)
-                 .withColumn("_r", F.row_number().over(
-                     Window.orderBy(F.xxhash64(id_col), id_col)))
-                 .select("_r", F.col(col).alias("_perm")))
-    return (by_id.drop(col).join(by_hash, "_r")
-                 .withColumnRenamed("_perm", col).drop("_r"))
+                 .withColumn("_b", bucket)
+                 .withColumn("_r", F.row_number().over(w_hash))
+                 .select("_b", "_r", F.col(col).alias("_perm")))
+    return (by_id.drop(col).join(by_hash, ["_b", "_r"])
+                 .withColumnRenamed("_perm", col).drop("_b", "_r"))
 
 
 def ridge_permutation_importance(df: DataFrame, feature_cols: list[str],

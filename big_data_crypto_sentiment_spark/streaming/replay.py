@@ -22,13 +22,20 @@ from pyspark.sql.types import StructType
 
 def write_replay_chunks(df: DataFrame, out_dir: str, n_chunks: int,
                         order_col: str = "event_time") -> StructType:
-    """Split a batch DataFrame into n_chunks files by event-time rank so a
-    file-source replay sees time-ordered arrivals. Returns the schema for
-    the reader. (ntile keeps chunks equal-sized without knowing the time
-    distribution.)"""
-    from pyspark.sql import Window
-    w = Window.orderBy(order_col)
-    chunked = df.withColumn("_chunk", F.ntile(n_chunks).over(w))
+    """Split a batch DataFrame into n_chunks files by event-time range so
+    a file-source replay sees time-ordered arrivals. Returns the schema
+    for the reader. Chunk boundaries come from one percentile_approx
+    aggregate (range partitioning by quantile cut points) — no global
+    window/sort anywhere, so this holds at any input size; ties at a
+    boundary merely make chunks slightly uneven."""
+    fracs = [i / n_chunks for i in range(1, n_chunks)]
+    bounds = (df.select(F.percentile_approx(order_col, fracs, 10_000)
+                        .alias("b")).first().b
+              if n_chunks > 1 else [])
+    chunk = F.lit(1)
+    for b in bounds:
+        chunk = chunk + (F.col(order_col) > F.lit(b)).cast("int")
+    chunked = df.withColumn("_chunk", chunk)
     for i in range(1, n_chunks + 1):
         (chunked.filter(F.col("_chunk") == i).drop("_chunk")
                 .coalesce(1)

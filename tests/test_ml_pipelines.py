@@ -52,7 +52,7 @@ def test_permutation_importance_ranks_signal_over_noise(spark):
 
 def test_permutation_is_deterministic(spark):
     from big_data_crypto_sentiment_spark.ml_pipelines import _permuted
-    df = spark.range(50).select(
+    df = spark.range(500).select(
         F.col("id"), (F.col("id") * 2).cast("double").alias("v"))
     a = _permuted(df, "id", "v").orderBy("id").collect()
     b = _permuted(df, "id", "v").orderBy("id").collect()
@@ -62,3 +62,14 @@ def test_permutation_is_deterministic(spark):
     perm = [r.v for r in a]
     assert sorted(perm) == sorted(orig)
     assert sum(x == y for x, y in zip(orig, perm)) < len(orig) // 2
+
+
+def test_no_global_window_sorts_in_source():
+    """Scale guard: a Window.orderBy without partitionBy funnels the whole
+    table through one task. Nothing in the package may do it."""
+    import pathlib
+    pkg = pathlib.Path(__file__).resolve().parents[1] / \
+        "big_data_crypto_sentiment_spark"
+    offenders = [p for p in pkg.rglob("*.py")
+                 if "Window.orderBy(" in p.read_text()]
+    assert offenders == [], f"global-sort windows in: {offenders}"
