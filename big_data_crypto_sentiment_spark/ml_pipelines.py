@@ -1,5 +1,15 @@
-"""MLlib pipelines (SURVEY.md M6/M7).
+"""MLlib pipelines (SURVEY.md M1/M6/M7).
 
+  * M1 upstream — text → 3-class sentiment probabilities. The reference
+    loads a pretrained HF sequence classifier inside DoFn.setup() and
+    runs it per element (dataflow/stream_join.py:231-346); the Spark
+    twin is an MLlib Tokenizer → HashingTF → IDF →
+    LogisticRegression(multinomial) pipeline whose fitted model is a
+    broadcast set of JVM transformers — the per-executor-model shape —
+    trained against the lexicon scorer's labels (fixture stand-in for
+    the pretrained weights). Its probability vector feeds the
+    already-oracle-checked downstream score/magnitude/label/action math
+    in queries/ml.py.
   * M6 — TF-IDF + Ridge regression on document text
     (eda/Data_Minions_EDA_Milestone4.ipynb cell 15:
     TfidfVectorizer(min_df=3, ngram=(1,2)) + Ridge, top ±25 terms).
@@ -23,8 +33,11 @@ assembled frame once (done here) and permute k columns off that.
 from __future__ import annotations
 
 from pyspark.ml import Pipeline
+from pyspark.ml.classification import LogisticRegression as LogisticClassifier
 from pyspark.ml.evaluation import RegressionEvaluator
-from pyspark.ml.feature import CountVectorizer, IDF, RegexTokenizer, VectorAssembler
+from pyspark.ml.feature import (
+    CountVectorizer, HashingTF, IDF, RegexTokenizer, VectorAssembler,
+)
 from pyspark.ml.regression import LinearRegression
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -33,6 +46,30 @@ RIDGE_REG = 0.5
 VOCAB_SIZE = 1024   # fixture vocabulary is ~30 words; cap keeps fits cheap
 MIN_DF = 3
 MAX_ITER = 30
+
+# M1 sentiment classifier: class index order is the reference's
+# (NEGATIVE, NEUTRAL, POSITIVE) label triple (stream_join.py:327-344)
+SENTIMENT_CLASSES = ("NEGATIVE", "NEUTRAL", "POSITIVE")
+SENT_NUM_FEATURES = 4096  # hashed feature space; power of 2 per HashingTF docs
+SENT_REG = 0.01
+
+
+def fit_sentiment_pipeline(labeled_docs: DataFrame, text_col: str = "text",
+                           label_col: str = "label"):
+    """Fit the M1 text→probability pipeline. `label_col` must hold class
+    indices 0/1/2 per SENTIMENT_CLASSES. Tokenize → HashingTF (no vocab
+    broadcast needed at 100 TB) → IDF → multinomial logistic regression;
+    the returned PipelineModel.transform emits a `probability` vector."""
+    pipe = Pipeline(stages=[
+        RegexTokenizer(inputCol=text_col, outputCol="tokens", pattern=r"\s+"),
+        HashingTF(inputCol="tokens", outputCol="tf",
+                  numFeatures=SENT_NUM_FEATURES),
+        IDF(inputCol="tf", outputCol="tfidf"),
+        LogisticClassifier(featuresCol="tfidf", labelCol=label_col,
+                           family="multinomial", regParam=SENT_REG,
+                           maxIter=MAX_ITER),
+    ])
+    return pipe.fit(labeled_docs)
 
 
 def fit_tfidf_ridge(docs: DataFrame, text_col: str = "text",

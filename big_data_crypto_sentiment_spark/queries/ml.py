@@ -165,6 +165,138 @@ def q_ml_ar1_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grid.groupBy("event_type").applyInPandas(_ar1_train, _AR1_SCHEMA)
 
 
+# --- M3 full fidelity: holdout-selected AR(p<=5) order search — the
+#     auto_arima(seasonal=False, stepwise, max_p=5) analog
+#     (analytical_module/arima.py:250-260) as a Yule-Walker grid inside
+#     the same applyInPandas shape; deterministic, dependency-light.
+#     Rows-only: the per-order linear solve isn't SQL-expressible. ---
+MAX_AR_ORDER = 5
+
+_AR_SCHEMA = T.StructType([
+    T.StructField("event_type", T.StringType()),
+    T.StructField("n_train", T.LongType()),
+    T.StructField("chosen_p", T.IntegerType()),
+    T.StructField("phi", T.StringType()),   # comma-joined, round(6)
+    T.StructField("mu", T.DoubleType()),
+    T.StructField("mae", T.DoubleType()),
+    T.StructField("mse", T.DoubleType()),
+    T.StructField("mape", T.DoubleType()),
+])
+
+
+def _yule_walker(x, p: int):
+    """AR(p) coefficients from the biased sample autocovariances (the
+    classical Yule-Walker normal equations; deterministic closed form)."""
+    import numpy as np
+    n = len(x)
+    d = x - x.mean()
+    r = np.array([(d[: n - k] * d[k:]).sum() / n for k in range(p + 1)])
+    R = np.array([[r[abs(i - j)] for j in range(p)] for i in range(p)])
+    return np.linalg.solve(R, r[1: p + 1])
+
+
+def _ar_forecast(train, phi, mu, horizon: int):
+    """Iterated h-step-ahead forecast from the train tail (predictions
+    feed back in, as statsmodels' dynamic forecast does)."""
+    import numpy as np
+    p = len(phi)
+    hist = list(train[-p:] - mu)
+    out = []
+    for _ in range(horizon):
+        nxt = float(np.dot(phi[::-1], hist[-p:]))
+        out.append(nxt)
+        hist.append(nxt)
+    return np.array(out) + mu
+
+
+def _ar_train(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-symbol order search: fit AR(p) for p=1..5 on the train split,
+    pick the order with the lowest holdout MAE (the stepwise-search
+    outcome of arima.py:250-260 on a non-seasonal series), report its
+    coefficients and holdout metrics."""
+    import numpy as np
+    sym = pdf["event_type"].iloc[0]
+    x = pdf.sort_values("bucket")["value_ffill"].astype(float).to_numpy()
+    x = x[~pd.isna(x)]
+    if len(x) <= MIN_TRAIN + HOLDOUT:
+        return pd.DataFrame([{
+            "event_type": sym, "n_train": len(x), "chosen_p": None,
+            "phi": None, "mu": None, "mae": None, "mse": None, "mape": None}])
+    train, hold = x[:-HOLDOUT], x[-HOLDOUT:]
+    mu = float(train.mean())
+    best = None
+    for p in range(1, MAX_AR_ORDER + 1):
+        try:
+            phi = _yule_walker(train, p)
+        except Exception:
+            continue
+        fc = _ar_forecast(train, phi, mu, HOLDOUT)
+        err = hold - fc
+        mae = float(np.abs(err).mean())
+        if best is None or mae < best[0]:
+            best = (mae, p, phi, err)
+    mae, p, phi, err = best
+    mape = float((np.abs(err) / np.clip(np.abs(hold), MAPE_CLIP, None)).mean())
+    return pd.DataFrame([{
+        "event_type": sym, "n_train": int(len(train)), "chosen_p": int(p),
+        "phi": ",".join(str(round(float(c), 6)) for c in phi),
+        "mu": round(mu, 6),
+        "mae": round(mae, 6),
+        "mse": round(float((err ** 2).mean()), 6),
+        "mape": round(mape, 6),
+    }])
+
+
+def ar_train(grid: DataFrame) -> DataFrame:
+    """Order-searched AR training over any (event_type, bucket,
+    value_ffill) grid — one shuffle on symbol, one Arrow batch per
+    group, exactly the reference's per-symbol-training operator shape."""
+    return grid.groupBy("event_type").applyInPandas(_ar_train, _AR_SCHEMA)
+
+
+def q_ml_ar_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ar_train(q_ts_resample_ffill(spark, sf_dir))
+
+
+# --- M1 upstream: text → 3-class sentiment probabilities + scoring math
+#     (dataflow/stream_join.py:231-346 — the HF model in DoFn.setup()
+#     becomes a fitted MLlib PipelineModel, a broadcast set of JVM
+#     transformers applied per partition; rows-only: iterative LR fit) ---
+def q_ml_sentiment_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.functions import vector_to_array
+    from ..ml_pipelines import fit_sentiment_pipeline
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    labels = (q_ml_lexicon_sentiment(spark, sf_dir)
+              .select("doc_id",
+                      F.when(F.col("lexicon_label") == "NEGATIVE", 0)
+                       .when(F.col("lexicon_label") == "NEUTRAL", 1)
+                       .otherwise(2).cast("double").alias("label")))
+    model = fit_sentiment_pipeline(docs.join(labels, "doc_id"))
+    probs = (model.transform(docs)
+             .select("doc_id",
+                     vector_to_array("probability").alias("p")))
+    pneg, pneu, ppos = (F.col("p")[i] for i in range(3))
+    # downstream column math identical to the oracle-checked M1 query
+    # (stream_join.py:327-344): softmax output renormalizes to itself,
+    # but the renormalize step is kept for semantic parity
+    s = pneg + pneu + ppos
+    pneg, pneu, ppos = pneg / s, pneu / s, ppos / s
+    score = ppos - pneg
+    label = (F.when(ppos >= F.greatest(pneu, pneg), "POSITIVE")
+              .when(pneu >= pneg, "NEUTRAL")
+              .otherwise("NEGATIVE"))
+    return probs.select(
+        "doc_id",
+        F.round(pneg, 6).alias("p_neg"),
+        F.round(pneu, 6).alias("p_neu"),
+        F.round(ppos, 6).alias("p_pos"),
+        F.round(score, 6).alias("sentiment_score"),
+        F.round(ppos + pneg, 6).alias("sentiment_magnitude"),
+        label.alias("sentiment_label"),
+        F.when(score > 0, "buy").otherwise("sell").alias("action_signal"),
+    )
+
+
 # --- M6: TF-IDF + Ridge top terms (MLlib pipeline; rows-only) ---
 def q_ml_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ml_pipelines import fit_tfidf_ridge, top_terms
@@ -200,6 +332,8 @@ QUERIES = {
     "ml_lexicon_sentiment": q_ml_lexicon_sentiment,
     "ml_forecast_metrics": q_ml_forecast_metrics,
     "ml_ar1_train": q_ml_ar1_train,
+    "ml_ar_train": q_ml_ar_train,                      # rows-only: YW solve
+    "ml_sentiment_model": q_ml_sentiment_model,        # rows-only: MLlib fit
     "ml_tfidf_top_terms": q_ml_tfidf_top_terms,        # rows-only: MLlib fit
     "ml_ridge_perm_importance": q_ml_ridge_perm_importance,  # rows-only: MLlib fit
 }

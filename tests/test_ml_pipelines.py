@@ -50,6 +50,48 @@ def test_permutation_importance_ranks_signal_over_noise(spark):
     assert res["x1"] > 100 * max(res["x_noise"], 1e-9)
 
 
+def test_sentiment_model_agrees_with_lexicon(spark):
+    """M1 upstream: the fitted text→probability pipeline must label
+    planted strongly-polar docs correctly and broadly agree with its
+    lexicon teacher on the fixture corpus."""
+    from pyspark.ml.functions import vector_to_array
+    from big_data_crypto_sentiment_spark.ml_pipelines import (
+        SENTIMENT_CLASSES, fit_sentiment_pipeline,
+    )
+    from big_data_crypto_sentiment_spark.queries.ml import (
+        q_ml_lexicon_sentiment, q_ml_sentiment_model,
+    )
+    from big_data_crypto_sentiment_spark.queries._util import table
+    sf = "/root/testdata/sf0.01"
+    docs = table(spark, sf, "documents").select("doc_id", "text")
+    labels = (q_ml_lexicon_sentiment(spark, sf)
+              .select("doc_id",
+                      F.when(F.col("lexicon_label") == "NEGATIVE", 0)
+                       .when(F.col("lexicon_label") == "NEUTRAL", 1)
+                       .otherwise(2).cast("double").alias("label")))
+    model = fit_sentiment_pipeline(docs.join(labels, "doc_id"))
+
+    planted = spark.createDataFrame(
+        [(1, "fast big fast big fast"), (2, "slow small slow small slow")],
+        "doc_id long, text string")
+    p = vector_to_array("probability")
+    pred = (F.when(p[2] >= F.greatest(p[0], p[1]), 2)
+             .when(p[1] >= p[0], 1).otherwise(0))
+    out = {r.doc_id: SENTIMENT_CLASSES[int(r.pred)] for r in
+           model.transform(planted)
+                .select("doc_id", pred.alias("pred")).collect()}
+    assert out[1] == "POSITIVE" and out[2] == "NEGATIVE"
+
+    scored = q_ml_sentiment_model(spark, sf).select("doc_id", "sentiment_label")
+    agree = (scored.join(q_ml_lexicon_sentiment(spark, sf), "doc_id")
+             .select(F.avg((F.col("sentiment_label") == F.col("lexicon_label"))
+                           .cast("int")).alias("acc")).first().acc)
+    assert agree > 0.8
+    # probabilities are a proper distribution
+    row = q_ml_sentiment_model(spark, sf).first()
+    assert abs(row.p_neg + row.p_neu + row.p_pos - 1.0) < 1e-4
+
+
 def test_permutation_is_deterministic(spark):
     from big_data_crypto_sentiment_spark.ml_pipelines import _permuted
     df = spark.range(500).select(
