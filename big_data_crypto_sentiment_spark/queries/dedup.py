@@ -73,23 +73,51 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- exact n-gram Jaccard pairs on a bounded slice (oracle-checked) ---
-def _jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
+def _jaccard_pairs(docs: DataFrame, threshold: float,
+                   max_shingle_df: int | None = None) -> DataFrame:
     """All (doc_a < doc_b) pairs with shingle-Jaccard >= threshold.
 
     Pair generation is a self-join on the shingle key — the classic
-    inverted-index formulation; never a crossJoin. At 100 TB you'd add a
-    document-frequency cut on hot shingles; the fixture vocabulary is
-    small enough that the join stays bounded here.
+    inverted-index formulation; never a crossJoin.
+
+    max_shingle_df is the skew guard that keeps the self-join bounded on
+    real corpora: shingles appearing in more than max_shingle_df docs
+    (boilerplate, stop-phrases) are dropped from the inverted index
+    BEFORE pair generation — a shingle with DF=d fans out into d·(d−1)/2
+    pair rows, so one hot shingle can dominate the whole join. The cut
+    only affects candidate RECALL (a pair sharing nothing but hot
+    shingles is missed — the standard trade-off); reported Jaccard stays
+    EXACT because surviving candidates are re-verified against the full
+    shingle index. The hot set is small by construction (≤ corpus/max_df
+    shingles) → broadcast anti-join, no extra shuffle of the index.
     """
     sh = (docs.filter(F.size(_words()) >= SHINGLE_WORDS)
               .select("doc_id", F.explode(_shingles()).alias("shingle")))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    a, b = sh.alias("a"), sh.alias("b")
-    pairs = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-                    & (F.col("a.doc_id") < F.col("b.doc_id")))
-              .groupBy(F.col("a.doc_id").alias("doc_a"),
-                       F.col("b.doc_id").alias("doc_b"))
-              .agg(F.count("*").alias("common")))
+    if max_shingle_df is None:
+        a, b = sh.alias("a"), sh.alias("b")
+        pairs = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                        & (F.col("a.doc_id") < F.col("b.doc_id")))
+                  .groupBy(F.col("a.doc_id").alias("doc_a"),
+                           F.col("b.doc_id").alias("doc_b"))
+                  .agg(F.count("*").alias("common")))
+    else:
+        hot = (sh.groupBy("shingle").agg(F.count("*").alias("df"))
+                 .filter(F.col("df") > max_shingle_df)
+                 .select("shingle"))
+        idx = sh.join(F.broadcast(hot), "shingle", "left_anti")
+        a, b = idx.alias("a"), idx.alias("b")
+        cand = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                       & (F.col("a.doc_id") < F.col("b.doc_id")))
+                 .select(F.col("a.doc_id").alias("doc_a"),
+                         F.col("b.doc_id").alias("doc_b"))
+                 .distinct())
+        fa, fb = sh.alias("fa"), sh.alias("fb")
+        pairs = (cand.join(fa, F.col("fa.doc_id") == F.col("doc_a"))
+                     .join(fb, (F.col("fb.doc_id") == F.col("doc_b"))
+                           & (F.col("fb.shingle") == F.col("fa.shingle")))
+                     .groupBy("doc_a", "doc_b")
+                     .agg(F.count("*").alias("common")))
     sa = sizes.select(F.col("doc_id").alias("doc_a"),
                       F.col("n_shingles").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"),
@@ -156,12 +184,26 @@ def _band_hash(b: int):
         for r in range(ROWS_PER_BAND)]))
 
 
-def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
-    """Distinct (doc_a < doc_b) candidate pairs that collide in >=1 band."""
-    sig = (docs.filter(F.size(_words()) >= SHINGLE_WORDS)
-               .select("doc_id", _shingles().alias("shingles"))
-               .withColumn("hs", _hash_pairs())
-               .select("doc_id", "shingles", *minhash_signature_cols()))
+def shingled_docs(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingles array<string>) for docs long enough to shingle.
+
+    The tokenize+shingle scan is the expensive leaf of the whole MinHash
+    family — compute it ONCE and share it (see minhash_near_dups, which
+    persists this so the signature and verify stages don't each re-scan
+    the corpus)."""
+    return (docs.filter(F.size(_words()) >= SHINGLE_WORDS)
+                .select("doc_id", _shingles().alias("shingles")))
+
+
+def lsh_candidate_pairs(docs: DataFrame,
+                        shingled: DataFrame | None = None) -> DataFrame:
+    """Distinct (doc_a < doc_b) candidate pairs that collide in >=1 band.
+
+    Pass `shingled` (from shingled_docs, ideally persisted) to reuse an
+    already-computed shingle DF instead of re-deriving it from docs."""
+    sh = shingled if shingled is not None else shingled_docs(docs)
+    sig = (sh.withColumn("hs", _hash_pairs())
+             .select("doc_id", "shingles", *minhash_signature_cols()))
     bands = sig.select(
         "doc_id",
         F.explode(F.array(*[
@@ -180,10 +222,16 @@ def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
 
 def minhash_near_dups(docs: DataFrame, threshold: float) -> DataFrame:
     """LSH candidates verified with exact Jaccard via array_intersect on
-    the shingle arrays (arrays ride along two doc_id hash joins)."""
-    sh = (docs.filter(F.size(_words()) >= SHINGLE_WORDS)
-              .select("doc_id", _shingles().alias("shingles")))
-    cand = lsh_candidate_pairs(docs)
+    the shingle arrays (arrays ride along two doc_id hash joins).
+
+    The shingled corpus is computed once and persisted (memory-and-disk):
+    the signature stage and both sides of the verify join read the cached
+    tokenized form instead of re-running the split+shingle scan three
+    times. At 100 TB the same shape holds — you'd materialize the
+    shingled table to storage once and feed every downstream stage."""
+    from pyspark import StorageLevel
+    sh = shingled_docs(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    cand = lsh_candidate_pairs(docs, shingled=sh)
     wa = sh.select(F.col("doc_id").alias("doc_a"),
                    F.col("shingles").alias("sh_a"))
     wb = sh.select(F.col("doc_id").alias("doc_b"),

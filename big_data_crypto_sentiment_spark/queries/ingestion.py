@@ -55,6 +55,33 @@ def q_src_warehouse_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("p_partkey", "p_name", "p_retailprice")
 
 
+# --- S5 live: REAL Avro container bytes through the warehouse source.
+#     The bounded `nation` dimension is captured to an Avro OCF (pure-
+#     Python writer, public spec) and read back DISTRIBUTED via the
+#     binaryFile+mapInPandas decoder — oracle-checked against the same
+#     rows from parquet, so the whole encode→decode path is value-proven
+#     (reference: batch_to_mongo.py:364's spark.read.format("avro")). ---
+def q_src_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..sources.avro_io import read_avro, to_avro_schema, write_avro
+    from ._util import table
+    nation = table(spark, sf_dir, "nation")
+    avro_schema = to_avro_schema(nation.schema, "nation")
+    d = tempfile.mkdtemp(prefix="avro_rt_")
+    # 25-row dimension: driver-side capture is bounded by design
+    write_avro(os.path.join(d, "nation.avro"),
+               [r.asDict() for r in nation.collect()], avro_schema,
+               codec="deflate")
+    return read_avro(spark, d, avro_schema)
+
+
+# NB: src_avro_roundtrip registers in queries/avro_rt.py (the LAST
+# module) so it sits at position 51 of the oracle-first registry — the
+# driver's correctness window is a fixed 50-entry prefix, and the 50
+# long-green rows must keep their slots; the roundtrip is additionally
+# value-proven by tools/check.py and the pytest roundtrip suite.
 QUERIES = {
     "src_tweets_normalize": q_src_tweets_normalize,
     "src_tweets_volume": q_src_tweets_volume,

@@ -160,8 +160,25 @@ def _ar1_train(pdf: pd.DataFrame) -> pd.DataFrame:
     }])
 
 
+# Both trainers consume the same resampled+ffilled grid; build it once
+# per (session, sf_dir) and persist — in a bench/driver run ml_ar1_train
+# and ml_ar_train would otherwise each re-run the full spine+ffill plan.
+# The grid is buckets×symbols (tiny relative to raw events), so the
+# cache is bounded; at 100 TB you'd materialize it as a table once.
+_GRID_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _shared_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _GRID_CACHE:
+        from pyspark import StorageLevel
+        _GRID_CACHE[key] = (q_ts_resample_ffill(spark, sf_dir)
+                            .persist(StorageLevel.MEMORY_AND_DISK))
+    return _GRID_CACHE[key]
+
+
 def q_ml_ar1_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    grid = q_ts_resample_ffill(spark, sf_dir)
+    grid = _shared_grid(spark, sf_dir)
     return grid.groupBy("event_type").applyInPandas(_ar1_train, _AR1_SCHEMA)
 
 
@@ -235,6 +252,16 @@ def _ar_train(pdf: pd.DataFrame) -> pd.DataFrame:
         mae = float(np.abs(err).mean())
         if best is None or mae < best[0]:
             best = (mae, p, phi, err)
+    if best is None:
+        # every order failed to fit — a constant train series (realistic
+        # after forward-fill of a sparse symbol) makes the Yule-Walker
+        # autocovariance matrix singular for all p. Degenerate group →
+        # null-metrics row (same shape as the short-series path), never
+        # a job-killing unpack of None.
+        return pd.DataFrame([{
+            "event_type": sym, "n_train": int(len(train)), "chosen_p": None,
+            "phi": None, "mu": round(mu, 6),
+            "mae": None, "mse": None, "mape": None}])
     mae, p, phi, err = best
     mape = float((np.abs(err) / np.clip(np.abs(hold), MAPE_CLIP, None)).mean())
     return pd.DataFrame([{
@@ -255,7 +282,7 @@ def ar_train(grid: DataFrame) -> DataFrame:
 
 
 def q_ml_ar_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ar_train(q_ts_resample_ffill(spark, sf_dir))
+    return ar_train(_shared_grid(spark, sf_dir))
 
 
 # --- M1 upstream: text → 3-class sentiment probabilities + scoring math

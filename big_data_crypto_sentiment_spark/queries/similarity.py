@@ -27,6 +27,7 @@ candidate lookup prunes partitions.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -121,7 +122,6 @@ def _bucket_sig_udf(n_tables: int, bits: int, dim: int):
     expressions — the vectorized form of the same sha256-derived planes
     (identical buckets, ~10× cheaper signatures)."""
     import numpy as np
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     def sig(emb: pd.Series) -> pd.Series:
@@ -135,10 +135,9 @@ def _bucket_sig_udf(n_tables: int, bits: int, dim: int):
         buckets = (B * powers).sum(axis=2).astype("int32")
         return pd.Series(list(buckets))
 
-    # explicit functionType: the local annotations aren't resolvable by
-    # the decorator's typehint inspection
-    from pyspark.sql.functions import PandasUDFType
-    return pandas_udf("array<int>", PandasUDFType.SCALAR)(sig)
+    # typehint-inferred SCALAR udf: `pd` lives in module globals, so the
+    # decorator's get_type_hints on the closure resolves cleanly
+    return pandas_udf(sig, returnType="array<int>")
 
 
 def lsh_buckets(df: DataFrame, emb_col: str = "embedding",
@@ -264,18 +263,23 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, centroids, k: int,
              n_probe: int = IVF_PROBES) -> DataFrame:
     """Approximate top-k: corpus rows are probed only in the query's
     n_probe nearest clusters — candidates come from an equality join on
-    cluster id (the inverted file), never a full scan per query."""
+    cluster id (the inverted file), never a full scan per query.
+
+    No candidate distinct: each corpus row is assigned exactly ONE
+    cluster (n_probe=1 on the corpus side) and query (cid) rows are
+    unique, so a (query_id, vec_id) pair can arise at most once — the
+    corpus streams through a single broadcast hash join and nothing wide
+    ever shuffles. (If corpus-side multi-probe is ever enabled, dedup on
+    bare (query_id, vec_id) and join the embeddings back, per ann_topk.)"""
     from pyspark.sql import Window
     qa = _assign_clusters(queries, centroids, "qe", n_probe) \
         .select("query_id", "qe", "cid")
     ca = _assign_clusters(corpus, centroids, "embedding", 1) \
         .select("vec_id", "embedding", "cid")
-    cand = (ca.join(F.broadcast(qa), "cid")
-              .filter(F.col("vec_id") != F.col("query_id"))
-              .select("query_id", "vec_id", "qe", "embedding")
-              .distinct())
-    scored = cand.select("query_id", "vec_id",
-                         cosine(F.col("qe"), F.col("embedding")).alias("cos"))
+    scored = (ca.join(F.broadcast(qa), "cid")
+                .filter(F.col("vec_id") != F.col("query_id"))
+                .select("query_id", "vec_id",
+                        cosine(F.col("qe"), F.col("embedding")).alias("cos")))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "vec_id")
     return (scored.withColumn("rank", F.row_number().over(w))
                   .filter(F.col("rank") <= k)

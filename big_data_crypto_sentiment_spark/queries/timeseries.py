@@ -28,7 +28,9 @@ from pyspark.sql import functions as F
 from ._util import table
 
 BUCKET = "1 hour"
-LAG_SWEEP = tuple(range(-3, 4))  # k ∈ [-3, 3] like the reference's ±24 sweep
+LAG_SWEEP = tuple(range(-24, 25))  # k ∈ [-24, 24], the reference's sweep
+# width (eda/Data_Minions_EDA_Milestone4.ipynb cell 13) — still ONE window
+# pass producing all 49 shifted columns + one stack, not 49 self-joins
 
 
 def _w():

@@ -3,10 +3,11 @@
 The reference reads Avro batch captures (`spark.read.format("avro")`,
 terraform/scripts/batch_to_mongo.py:364) and has a BigQuery-connector
 source that falls back to a client read on failure (arima.py:430-469).
-This build has no spark-avro jar available, so the Avro path is gated:
-`read_warehouse` tries the requested format and falls back to parquet —
-same shape as the reference's connector-with-fallback. When the Avro
-jar IS on the classpath the avro branch works unchanged.
+`read_warehouse` keeps that connector-with-fallback shape with THREE
+tiers: the native DataSource if a spark-avro jar is on the classpath,
+then the repo's pure-Python Avro container reader (avro_io.read_avro —
+distributed binaryFile + mapInPandas decode of the public OCF format),
+then parquet fallback.
 """
 
 from __future__ import annotations
@@ -18,15 +19,24 @@ from pyspark.sql.utils import AnalysisException
 def read_warehouse(spark: SparkSession, path: str,
                    fmt: str = "avro",
                    fallback_path: str | None = None) -> DataFrame:
-    """Try `fmt` (e.g. avro); on a missing-datasource error fall back to
-    parquet at `fallback_path` (or `path`). Raises NotImplementedError
-    with a clear message if neither path is readable."""
+    """Try the native `fmt` DataSource; for avro, fall back to the
+    pure-Python container reader; finally fall back to parquet at
+    `fallback_path` (or `path`). Raises NotImplementedError with a
+    clear message if nothing is readable."""
     try:
         return spark.read.format(fmt).load(path)
     except AnalysisException:
+        pass
+    if fmt == "avro":
+        from .avro_io import read_avro
         try:
-            return spark.read.parquet(fallback_path or path)
-        except AnalysisException as ex:
-            raise NotImplementedError(
-                f"format {fmt!r} unavailable (no spark-{fmt} jar) and no "
-                f"parquet fallback at {fallback_path or path!r}") from ex
+            return read_avro(spark, path)
+        except (AnalysisException, ValueError):
+            # path missing, or files aren't avro containers → next tier
+            pass
+    try:
+        return spark.read.parquet(fallback_path or path)
+    except AnalysisException as ex:
+        raise NotImplementedError(
+            f"format {fmt!r} unavailable (no spark-{fmt} jar) and no "
+            f"parquet fallback at {fallback_path or path!r}") from ex

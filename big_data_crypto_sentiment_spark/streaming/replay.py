@@ -24,22 +24,25 @@ def write_replay_chunks(df: DataFrame, out_dir: str, n_chunks: int,
                         order_col: str = "event_time") -> StructType:
     """Split a batch DataFrame into n_chunks files by event-time range so
     a file-source replay sees time-ordered arrivals. Returns the schema
-    for the reader. Chunk boundaries come from one percentile_approx
-    aggregate (range partitioning by quantile cut points) — no global
-    window/sort anywhere, so this holds at any input size; ties at a
-    boundary merely make chunks slightly uneven."""
-    fracs = [i / n_chunks for i in range(1, n_chunks)]
-    bounds = (df.select(F.percentile_approx(order_col, fracs, 10_000)
-                        .alias("b")).first().b
-              if n_chunks > 1 else [])
-    chunk = F.lit(1)
-    for b in bounds:
-        chunk = chunk + (F.col(order_col) > F.lit(b)).cast("int")
-    chunked = df.withColumn("_chunk", chunk)
-    for i in range(1, n_chunks + 1):
-        (chunked.filter(F.col("_chunk") == i).drop("_chunk")
-                .coalesce(1)
-                .write.mode("append").parquet(out_dir))
+    for the reader.
+
+    One pass: repartitionByRange(order_col) gives range-partitioned
+    output (partition i holds earlier times than i+1) in a SINGLE write
+    job — no per-chunk filtered re-scans, no global sort, and empty
+    input is a no-op instead of a crash. Part-file names carry the
+    partition index, so path order == event-time order; mtimes are
+    restamped in that order because the file streaming source replays
+    oldest-modified first and a single write job stamps near-identical
+    times."""
+    (df.repartitionByRange(n_chunks, F.col(order_col))
+       .write.mode("append").parquet(out_dir))
+    import glob
+    import os
+    import time
+    parts = sorted(glob.glob(os.path.join(out_dir, "part-*")))
+    base = time.time() - len(parts)
+    for i, p in enumerate(parts):
+        os.utime(p, (base + i, base + i))
     return df.schema
 
 

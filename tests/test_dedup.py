@@ -75,6 +75,32 @@ def test_simhash_near_dups_are_close(docs):
     assert hamming(fp[1], fp[2]) <= 4  # 2-word change flips few bits
 
 
+def test_hot_shingle_df_cut_bounds_candidates(spark):
+    """A boilerplate shingle shared by every doc must not fan the
+    inverted-index join out to all pairs once the DF cut is on — and
+    Jaccard stays EXACT for the pairs that survive (verify runs on the
+    full index, the cut only prunes candidate generation)."""
+    boiler = "click here to subscribe"
+    uniq = [f"unique{i} words{i} only{i} here{i} now{i}" for i in range(8)]
+    rows = [(i, f"{boiler} {uniq[i]}") for i in range(8)]
+    # docs 6 and 7 genuinely near-identical beyond the boilerplate
+    rows[7] = (7, f"{boiler} {uniq[6]} extra")
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    # without the cut: boilerplate shingles connect all 8 docs → 28 pairs
+    full = _jaccard_pairs(df, 0.0).collect()
+    assert len(full) == 28
+
+    # with the cut (boilerplate shingles have DF=8 > 2): only the pair
+    # sharing non-hot shingles survives candidate generation
+    cut = _jaccard_pairs(df, 0.0, max_shingle_df=2).collect()
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in cut}
+    assert set(got) == {(6, 7)}
+    # exactness: the surviving pair's jaccard equals the uncut value
+    full_map = {(r.doc_a, r.doc_b): r.jaccard for r in full}
+    assert got[(6, 7)] == full_map[(6, 7)]
+
+
 def test_empty_and_short_docs_do_not_crash(spark):
     df = spark.createDataFrame(
         [(1, "one two"), (2, "a b c d e f g h"), (3, "a b c d e f g h")],

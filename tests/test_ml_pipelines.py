@@ -82,13 +82,15 @@ def test_sentiment_model_agrees_with_lexicon(spark):
                 .select("doc_id", pred.alias("pred")).collect()}
     assert out[1] == "POSITIVE" and out[2] == "NEGATIVE"
 
-    scored = q_ml_sentiment_model(spark, sf).select("doc_id", "sentiment_label")
-    agree = (scored.join(q_ml_lexicon_sentiment(spark, sf), "doc_id")
+    scored = q_ml_sentiment_model(spark, sf)
+    agree = (scored.select("doc_id", "sentiment_label")
+             .join(q_ml_lexicon_sentiment(spark, sf), "doc_id")
              .select(F.avg((F.col("sentiment_label") == F.col("lexicon_label"))
                            .cast("int")).alias("acc")).first().acc)
     assert agree > 0.8
-    # probabilities are a proper distribution
-    row = q_ml_sentiment_model(spark, sf).first()
+    # probabilities are a proper distribution (reuse the scored DF — a
+    # second q_ml_sentiment_model call would refit the whole pipeline)
+    row = scored.first()
     assert abs(row.p_neg + row.p_neu + row.p_pos - 1.0) < 1e-4
 
 

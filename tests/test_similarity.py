@@ -97,6 +97,31 @@ def test_ivf_recall_vs_brute_force(spark, corpus, queries):
     assert all(len(v) <= TOP_K for v in approx.values())
 
 
+def test_ivf_plan_has_no_array_carrying_shuffle(spark, corpus, queries):
+    """The IVF candidate path must never shuffle embedding arrays: the
+    corpus streams through one broadcast hash join, and the only
+    Exchange left is the top-k window on (query_id, vec_id, cos)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from big_data_crypto_sentiment_spark.queries.similarity import (
+        fit_ivf_centroids,
+        ivf_topk,
+    )
+    centroids = fit_ivf_centroids(corpus, k=8)
+    df = ivf_topk(queries, corpus, centroids, TOP_K, n_probe=4)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode="formatted")
+    plan = buf.getvalue()
+    # formatted plan: node header "(N) Exchange", then an "Input [..]"
+    # line listing the columns that cross the wire
+    blocks = plan.split("\n\n")
+    for block in blocks:
+        if "Exchange" in block and "Broadcast" not in block:
+            assert "embedding" not in block and "qe#" not in block, block
+
+
 def test_brute_force_excludes_self_and_ranks_densely(corpus, queries):
     df = brute_force_topk(queries, corpus, TOP_K)
     assert df.filter(F.col("query_id") == F.col("vec_id")).count() == 0

@@ -46,6 +46,55 @@ def test_timestamp_chain_fallback_order(spark):
     assert rows["1004"].event_ts is None
 
 
+TWEET_AVRO_SCHEMA = {
+    "type": "record", "name": "tweet", "fields": [
+        {"name": "id", "type": "string"},
+        {"name": "text", "type": ["null", "string"]},
+        {"name": "symbol", "type": "string"},
+        {"name": "ts_ms", "type": ["null", "long"]},
+        {"name": "score", "type": "double"},
+        {"name": "tags", "type": {"type": "array", "items": "string"}},
+    ]}
+
+TWEETS = [
+    {"id": "1", "text": "eth up big", "symbol": "ETH", "ts_ms": 1704100000000,
+     "score": 0.75, "tags": ["bull", "eth"]},
+    {"id": "2", "text": None, "symbol": "SOL", "ts_ms": None,
+     "score": -0.25, "tags": []},
+    {"id": "3", "text": "shib slow", "symbol": "SHIB", "ts_ms": 1704100060000,
+     "score": 0.0, "tags": ["meme"]},
+]
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_warehouse_reads_real_avro_bytes(spark, tmp_path, codec):
+    """S5 live: real Avro container bytes flow through read_warehouse
+    via the pure-Python OCF reader — NOT the parquet fallback (the files
+    aren't parquet, so any fallback would crash)."""
+    from big_data_crypto_sentiment_spark.sources import write_avro
+    d = tmp_path / f"capture_{codec}"
+    d.mkdir()
+    write_avro(str(d / "a.avro"), TWEETS[:2], TWEET_AVRO_SCHEMA, codec)
+    write_avro(str(d / "b.avro"), TWEETS[2:], TWEET_AVRO_SCHEMA, codec)
+    df = read_warehouse(spark, str(d), fmt="avro")
+    rows = {r.id: r for r in df.collect()}
+    assert set(rows) == {"1", "2", "3"}
+    assert rows["2"].text is None and rows["2"].ts_ms is None
+    assert rows["1"].score == 0.75
+    assert list(rows["1"].tags) == ["bull", "eth"]
+    assert df.schema["ts_ms"].dataType.simpleString() == "bigint"
+
+
+def test_avro_roundtrip_empty_file(spark, tmp_path):
+    from big_data_crypto_sentiment_spark.sources import read_avro, write_avro
+    p = str(tmp_path / "empty.avro")
+    write_avro(p, [], TWEET_AVRO_SCHEMA)
+    df = read_avro(spark, p)
+    assert df.count() == 0
+    assert [f.name for f in df.schema.fields] == [
+        f["name"] for f in TWEET_AVRO_SCHEMA["fields"]]
+
+
 def test_warehouse_fallback_reads_parquet(spark):
     df = read_warehouse(spark, "/root/testdata/sf0.001/part.parquet",
                         fmt="avro")

@@ -49,6 +49,28 @@ def replayed(spark, tmp_path_factory):
             replay_dir(spark, p_dir, p_schema))
 
 
+def test_replay_chunks_are_time_ordered_one_write(spark, tmp_path):
+    """Chunk files must partition event time into disjoint ascending
+    ranges (path order == time order), and empty input must be a no-op
+    rather than a crash."""
+    import glob
+    out = str(tmp_path / "chunks")
+    df = tweets_role(spark, SF_DIR)
+    write_replay_chunks(df, out, 4)
+    parts = sorted(glob.glob(f"{out}/part-*"))
+    assert len(parts) == 4
+    prev_max = None
+    for p in parts:
+        pdf = spark.read.parquet(f"file://{p}").toPandas()
+        if prev_max is not None and len(pdf):
+            assert pdf["event_time"].min() >= prev_max
+        if len(pdf):
+            prev_max = pdf["event_time"].max()
+    # empty input: no crash, nothing written
+    empty = df.filter(F.lit(False))
+    write_replay_chunks(empty, str(tmp_path / "empty"), 4)
+
+
 def test_union_form_equals_two_agg_form_batch(spark):
     """The union-then-aggregate J1 formulation must be row-identical to
     the two-aggregate full-outer-join batch operator."""
