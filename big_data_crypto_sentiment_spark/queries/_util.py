@@ -13,6 +13,28 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load(spark, name, sf_dir)
 
 
+def rebalance_scan(df: DataFrame) -> DataFrame:
+    """Widen an under-split scan before per-row CPU-heavy work.
+
+    Single-row-group parquet files can't be byte-range split, so a scan of
+    them yields one task and any expensive map-side math downstream (shingle
+    md5s, signature transforms) serializes onto one core. A round-robin
+    repartition to the session's core count fixes that for the price of one
+    shuffle of the (narrow) input rows.
+
+    Guarded: when the scan is already at least as wide as the cluster —
+    the real-warehouse / 100 TB case, where files are many and row groups
+    split — this is a no-op, so it can never ADD a full-corpus shuffle to a
+    plan that is already parallel. Use it only where downstream per-row CPU
+    dominates; benchmarking showed a blanket version in catalog.load is a
+    large net loss (iterative MLlib fits re-pay the exchange every pass,
+    and round-robin's determinism sort is priced per full row)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def dsum(col: str | Column, scale: int = 6) -> Column:
     """Order-independent double sum: exact decimal sum, cast back to double.
 

@@ -190,8 +190,14 @@ def shingled_docs(docs: DataFrame) -> DataFrame:
     The tokenize+shingle scan is the expensive leaf of the whole MinHash
     family — compute it ONCE and share it (see minhash_near_dups, which
     persists this so the signature and verify stages don't each re-scan
-    the corpus)."""
-    return (docs.filter(F.size(_words()) >= SHINGLE_WORDS)
+    the corpus).
+
+    The input is rebalanced first (guarded no-op on an already-wide scan)
+    so the tokenize+md5 math runs on every core even when the fixture
+    file is a single unsplittable row group."""
+    from ._util import rebalance_scan
+    return (rebalance_scan(docs)
+                .filter(F.size(_words()) >= SHINGLE_WORDS)
                 .select("doc_id", _shingles().alias("shingles")))
 
 
