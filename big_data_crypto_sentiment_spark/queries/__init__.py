@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from . import (
     approx,
     avro_rt,
+    components,
     dedup,
     flagship,
     ingestion,
@@ -39,7 +40,7 @@ from . import (
 # avro_rt stays LAST: its oracle-paired query must sit at position 51,
 # after the 50 long-green rows the driver's fixed window checks
 _MODULES = (flagship, relational, timeseries, text, dedup, similarity, ml,
-            ingestion, ta, media, reshape, approx, avro_rt)
+            ingestion, ta, media, reshape, approx, avro_rt, components)
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
