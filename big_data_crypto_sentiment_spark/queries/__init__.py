@@ -31,6 +31,7 @@ from . import (
     ml,
     relational,
     reshape,
+    sampling,
     similarity,
     ta,
     text,
@@ -40,7 +41,8 @@ from . import (
 # avro_rt stays LAST: its oracle-paired query must sit at position 51,
 # after the 50 long-green rows the driver's fixed window checks
 _MODULES = (flagship, relational, timeseries, text, dedup, similarity, ml,
-            ingestion, ta, media, reshape, approx, avro_rt, components)
+            ingestion, ta, media, reshape, approx, avro_rt, components,
+            sampling)
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

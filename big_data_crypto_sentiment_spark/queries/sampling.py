@@ -1,0 +1,145 @@
+"""Deterministic sampling & splitting — training-data pipeline operators.
+
+A 100 TB corpus pipeline samples constantly (dev subsets, ablations,
+eval holdouts, mixture weighting), and `rand()`-based sampling is
+useless there: not reproducible across retries, not stable as the
+corpus grows, not joinable across tables. The standard fix is
+HASH-based sampling — a row is in the sample iff a hash of its stable
+key falls under a threshold. Every operator here is a pure per-row
+filter or a bounded per-stratum selection:
+
+  * sample_hash          — fixed-rate Bernoulli sample, zero shuffle,
+                           embarrassingly parallel, stable under
+                           corpus growth (a sampled row stays sampled).
+  * sample_stratified    — exact top-K per stratum by hash order (the
+                           deterministic analog of per-class quota
+                           sampling). One window sort PER STRATUM —
+                           fine for bounded strata (sources, langs);
+                           for unbounded strata at scale, switch to
+                           the two-pass rate form: per-stratum rate =
+                           quota / count (broadcast), then the same
+                           hash filter as sample_hash.
+  * split_train_val_test — hash-bucket split (80/10/10) with per-split
+                           per-lang counts: leakage-free (a doc's
+                           split never depends on other rows) and
+                           identical on every engine that computes md5.
+
+The hash primitive is the repo's portable 60-bit md5 prefix (same
+construction as queries/dedup.py minhash): exact in BIGINT on both
+Spark and DuckDB, so every query is value-hash oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ._util import table
+
+SAMPLE_MOD = 1_000_000
+SAMPLE_RATE_PPM = 200_000      # 20% dev-subset sample
+STRATUM_QUOTA = 5              # docs kept per source
+SPLIT_BUCKETS = (80, 90)       # <80 train, <90 val, else test
+
+
+def _hash_bucket(col, mod: int):
+    """Portable uniform bucket in [0, mod): 60-bit md5 prefix of the
+    stringified key, mod'd. Exact integer math on both engines."""
+    hx = F.md5(col.cast("string"))
+    return F.conv(F.substring(hx, 1, 15), 16, 10).cast("long") % mod
+
+
+def _sql_hash_bucket(expr: str, mod: int) -> str:
+    from .dedup import _sql_hex2int
+    hx = f"substring(md5(CAST(({expr}) AS VARCHAR)), 1, 15)"
+    return f"({_sql_hex2int(hx)} % {mod})"
+
+
+def sample_hash(df: DataFrame, key: str, rate_ppm: int,
+                mod: int = SAMPLE_MOD) -> DataFrame:
+    """Deterministic Bernoulli sample: keep rows whose key hashes under
+    rate_ppm/mod. Pure map-side filter — no shuffle, no state."""
+    return df.filter(_hash_bucket(F.col(key), mod) < rate_ppm)
+
+
+def sample_stratified(df: DataFrame, stratum: str, key: str,
+                      quota: int) -> DataFrame:
+    """Exact quota per stratum, deterministically: rank rows inside each
+    stratum by (hash, key) — the key tiebreak makes rank total — and
+    keep the first `quota`. Adds `sample_rank` (1-based)."""
+    hb = _hash_bucket(F.col(key), SAMPLE_MOD).alias("hb")
+    w = Window.partitionBy(stratum).orderBy("hb", key)
+    return (df.select("*", hb)
+              .withColumn("sample_rank", F.row_number().over(w))
+              .filter(F.col("sample_rank") <= quota)
+              .drop("hb"))
+
+
+def split_train_val_test(df: DataFrame, key: str,
+                         buckets: tuple[int, int] = SPLIT_BUCKETS) -> DataFrame:
+    """Adds a `split` column from a 100-way hash bucket of the key."""
+    b = _hash_bucket(F.col(key), 100)
+    return df.withColumn(
+        "split",
+        F.when(b < buckets[0], F.lit("train"))
+         .when(b < buckets[1], F.lit("val"))
+         .otherwise(F.lit("test")))
+
+
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return (sample_hash(d, "doc_id", SAMPLE_RATE_PPM)
+            .select("doc_id", "lang", "source", "n_chars"))  # O(sample): unsorted
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return (sample_stratified(d, "source", "doc_id", STRATUM_QUOTA)
+            .select("source", "sample_rank", "doc_id", "lang")
+            .orderBy("source", "sample_rank"))  # bounded: quota × strata
+
+
+def q_split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return (split_train_val_test(d, "doc_id")
+            .groupBy("split", "lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").alias("total_chars"))
+            .orderBy("split", "lang"))
+
+
+QUERIES = {
+    "sample_hash": q_sample_hash,
+    "sample_stratified": q_sample_stratified,
+    "split_train_val_test": q_split_train_val_test,
+}
+
+_HB_DOC = _sql_hash_bucket("doc_id", SAMPLE_MOD)
+_HB_100 = _sql_hash_bucket("doc_id", 100)
+
+ORACLE = {
+    "sample_hash": f"""
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE {_HB_DOC} < {SAMPLE_RATE_PPM}
+""",
+    "sample_stratified": f"""
+SELECT source, sample_rank, doc_id, lang FROM (
+  SELECT source, doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY {_HB_DOC}, doc_id) AS sample_rank
+  FROM documents
+) WHERE sample_rank <= {STRATUM_QUOTA}
+ORDER BY source, sample_rank
+""",
+    "split_train_val_test": f"""
+SELECT CASE WHEN {_HB_100} < {SPLIT_BUCKETS[0]} THEN 'train'
+            WHEN {_HB_100} < {SPLIT_BUCKETS[1]} THEN 'val'
+            ELSE 'test' END AS split,
+       lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY 1, 2 ORDER BY split, lang
+""",
+}
