@@ -29,6 +29,7 @@ from . import (
     ingestion,
     media,
     ml,
+    packing,
     relational,
     reshape,
     sampling,
@@ -42,7 +43,7 @@ from . import (
 # after the 50 long-green rows the driver's fixed window checks
 _MODULES = (flagship, relational, timeseries, text, dedup, similarity, ml,
             ingestion, ta, media, reshape, approx, avro_rt, components,
-            sampling)
+            sampling, packing)
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,146 @@
+"""Sequence packing — assembling fixed-budget training sequences.
+
+LLM pretraining consumes fixed-length token sequences, so the last step
+of a data pipeline is packing variable-length documents into a token
+budget. Two standard disciplines, both here:
+
+  * pack_sequences (concat-and-chunk): documents are concatenated in a
+    deterministic order and the token stream is cut every BUDGET tokens
+    — the GPT-style packing used by most pretraining pipelines. A doc
+    belongs to the chunk its FIRST token lands in. Pure window math
+    (one cumulative sum per pack group), no Python, SQL-expressible —
+    oracle-paired.
+  * pack_bins_ffd (first-fit-decreasing): bins never exceed the budget
+    (overlong docs get singleton bins) — the discipline for SFT /
+    eval sets where sequences must not straddle documents. Inherently
+    sequential per group, so it runs as applyInPandas over pack
+    groups; verified by packing invariants in pytest (rows-only).
+
+Scale notes: both operators first split the corpus into PACK_GROUPS
+hash groups — packing is then embarrassingly parallel across groups
+(one window / one Arrow batch per group, no global sort, no driver
+loop). Chunk ids are (group, local_id) pairs, so ids are globally
+unique without any cross-group coordination. At 100 TB you'd size
+PACK_GROUPS ≈ corpus_tokens / (executor_memory_worth_of_rows) and the
+shape holds; determinism survives because group membership and
+in-group order depend only on doc_id.
+
+Token counts use the repo's BPE-ish regex tokenizer (queries/text.py
+PAT_TOKEN) — consistent with the text_token_count operator.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ._util import table
+from .sampling import _hash_bucket, _sql_hash_bucket
+from .text import PAT_TOKEN
+
+TOKEN_BUDGET = 512
+PACK_GROUPS = 8
+
+
+def _with_tokens(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(PAT_TOKEN)).alias("n_tokens"),
+        _hash_bucket(F.col("doc_id"), PACK_GROUPS).alias("pack_group"))
+
+
+def pack_sequences(docs: DataFrame, budget: int = TOKEN_BUDGET,
+                   n_groups: int = PACK_GROUPS) -> DataFrame:
+    """Concat-and-chunk packing: per pack group, docs in doc_id order;
+    chunk = floor(tokens-before-this-doc / budget). Returns per-chunk
+    stats (n_docs, total span tokens, doc id range)."""
+    t = _with_tokens(docs)
+    w = (Window.partitionBy("pack_group").orderBy("doc_id")
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    assigned = t.select(
+        "pack_group", "doc_id", "n_tokens",
+        ((F.sum("n_tokens").over(w) - F.col("n_tokens")) / budget)
+        .cast("long").alias("chunk_id"))
+    return (assigned.groupBy("pack_group", "chunk_id")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tokens").alias("span_tokens"),
+                 F.min("doc_id").alias("first_doc"),
+                 F.max("doc_id").alias("last_doc"))
+            .orderBy("pack_group", "chunk_id"))  # bounded: tokens/budget rows
+
+
+def pack_bins_ffd(docs: DataFrame, budget: int = TOKEN_BUDGET,
+                  n_groups: int = PACK_GROUPS) -> DataFrame:
+    """First-fit-decreasing bin packing per pack group via applyInPandas.
+
+    Within a group: sort by (n_tokens desc, doc_id), place each doc in
+    the first bin with room; overlong docs (> budget) get singleton
+    bins. Emits one row per doc: (pack_group, bin_id, doc_id, n_tokens).
+    Deterministic — order and grouping derive only from doc_id/tokens."""
+    t = _with_tokens(docs)
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["n_tokens", "doc_id"],
+                              ascending=[False, True], ignore_index=True)
+        loads: list[int] = []
+        bins = []
+        for tok in pdf["n_tokens"]:
+            tok = int(tok)
+            for i, load in enumerate(loads):
+                if load + tok <= budget:
+                    loads[i] = load + tok
+                    bins.append(i)
+                    break
+            else:
+                loads.append(tok)
+                bins.append(len(loads) - 1)
+        pdf["bin_id"] = pd.Series(bins, dtype="int64")
+        return pdf[["pack_group", "bin_id", "doc_id", "n_tokens"]]
+
+    return (t.groupBy("pack_group")
+             .applyInPandas(pack, "pack_group long, bin_id long, "
+                                  "doc_id long, n_tokens int"))
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pack_sequences(table(spark, sf_dir, "documents"))
+
+
+def q_pack_bins_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only entry (greedy FFD isn't SQL-expressible); O(docs) output,
+    # deliberately unsorted
+    return pack_bins_ffd(table(spark, sf_dir, "documents"))
+
+
+QUERIES = {
+    "pack_sequences": q_pack_sequences,
+    "pack_bins_ffd": q_pack_bins_ffd,
+}
+
+_PAT_SQL = PAT_TOKEN.replace("'", "''")
+
+ORACLE = {
+    "pack_sequences": f"""
+WITH t AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{_PAT_SQL}')) AS n_tokens,
+         {_sql_hash_bucket("doc_id", PACK_GROUPS)} AS pack_group
+  FROM documents
+), a AS (
+  SELECT pack_group, doc_id, n_tokens,
+         CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY pack_group
+                                         ORDER BY doc_id
+                                         ROWS UNBOUNDED PRECEDING)
+                     - n_tokens) / {TOKEN_BUDGET}) AS BIGINT) AS chunk_id
+  FROM t
+)
+SELECT pack_group, chunk_id, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS span_tokens,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM a GROUP BY 1, 2 ORDER BY pack_group, chunk_id
+""",
+}
