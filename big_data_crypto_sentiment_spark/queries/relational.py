@@ -137,6 +137,30 @@ def q_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
               .orderBy("l_returnflag"))
 
 
+# --- extension: key-skew profiler — the pre-flight check before any
+#     big keyed join/agg (which keys would need salting?). One count
+#     per key + a broadcast 1-row total, top-N heavy hitters with
+#     integer ppm shares; skew_factor = count·n_keys/total (how many
+#     times the mean this key carries) as ONE correctly-rounded
+#     division so both engines agree bitwise. ---
+SKEW_TOP_N = 10
+
+
+def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    counts = ev.groupBy("user_id").agg(F.count("*").alias("n_events"))
+    stats = counts.agg(F.sum("n_events").alias("total"),
+                       F.count("*").alias("n_keys"))
+    return (counts.crossJoin(F.broadcast(stats))
+            .select("user_id", "n_events",
+                    F.expr("n_events * 1000000 DIV total").alias("share_ppm"),
+                    F.round(F.expr("CAST(n_events * n_keys AS DOUBLE) / total"),
+                            6).alias("skew_factor"),
+                    "n_keys")
+            .orderBy(F.desc("n_events"), "user_id")
+            .limit(SKEW_TOP_N))  # TakeOrderedAndProject: no global sort
+
+
 # --- A12 + A14: single-scan data profile — missing-ratio per column plus
 #     the min/max timestamp probe (one aggregate, one row; merged so both
 #     stay inside the driver's correctness window) ---
@@ -162,6 +186,7 @@ QUERIES = {
     "unpivot_order_measures": q_unpivot_order_measures,
     "summary_stats": q_summary_stats,
     "data_profile": q_data_profile,
+    "key_skew_profile": q_key_skew_profile,
 }
 
 ORACLE = {
@@ -249,6 +274,21 @@ SELECT l_returnflag,
        ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS median_price,
        COUNT(*) AS n
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+    "key_skew_profile": f"""
+WITH counts AS (
+  SELECT user_id, COUNT(*) AS n_events
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+), stats AS (
+  SELECT CAST(SUM(n_events) AS BIGINT) AS total, COUNT(*) AS n_keys
+  FROM counts
+)
+SELECT user_id, n_events,
+       n_events * 1000000 // total AS share_ppm,
+       ROUND(CAST(n_events * n_keys AS DOUBLE) / total, 6) AS skew_factor,
+       n_keys
+FROM counts, stats
+ORDER BY n_events DESC, user_id LIMIT {SKEW_TOP_N}
 """,
     "data_profile": """
 SELECT ROUND(AVG(CAST(value IS NULL AS INT)), 6) AS value_null_ratio,

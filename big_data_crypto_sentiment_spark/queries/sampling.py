@@ -87,6 +87,32 @@ def split_train_val_test(df: DataFrame, key: str,
          .otherwise(F.lit("test")))
 
 
+def mixture_downsample(df: DataFrame, stratum: str, key: str,
+                       mod: int = SAMPLE_MOD) -> DataFrame:
+    """Rebalance a skewed source mixture by capping every stratum at an
+    expected total//(2·n_strata) rows — the corpus-mixing step of a
+    training pipeline (downweight over-represented sources), made
+    engine-exact by keeping ALL threshold math in integers:
+    thr_s = min(mod, cap·mod // n_s), keep iff hash(key) < thr_s.
+
+    Plan shape at scale: one partial-agg count per stratum, a two-row
+    reduce, a BROADCAST join of (stratum → thr) back onto the corpus,
+    then a pure map-side hash filter — the corpus itself never
+    shuffles."""
+    counts = df.groupBy(stratum).agg(F.count("*").alias("n_s"))
+    stats = counts.agg(F.sum("n_s").alias("total"),
+                       F.count("*").alias("n_strata"))
+    caps = (counts.crossJoin(F.broadcast(stats))
+                  .select(stratum,
+                          F.least(
+                              F.lit(mod).cast("long"),
+                              F.expr(f"(total DIV (2 * n_strata)) * {mod} "
+                                     "DIV n_s")).alias("thr")))
+    return (df.join(F.broadcast(caps), stratum)
+              .filter(_hash_bucket(F.col(key), mod) < F.col("thr"))
+              .drop("thr"))
+
+
 def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     return (sample_hash(d, "doc_id", SAMPLE_RATE_PPM)
@@ -109,10 +135,17 @@ def q_split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("split", "lang"))
 
 
+def q_mixture_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return (mixture_downsample(d, "source", "doc_id")
+            .select("doc_id", "source", "lang"))  # O(sample): unsorted
+
+
 QUERIES = {
     "sample_hash": q_sample_hash,
     "sample_stratified": q_sample_stratified,
     "split_train_val_test": q_split_train_val_test,
+    "mixture_downsample": q_mixture_downsample,
 }
 
 _HB_DOC = _sql_hash_bucket("doc_id", SAMPLE_MOD)
@@ -132,6 +165,21 @@ SELECT source, sample_rank, doc_id, lang FROM (
   FROM documents
 ) WHERE sample_rank <= {STRATUM_QUOTA}
 ORDER BY source, sample_rank
+""",
+    "mixture_downsample": f"""
+WITH counts AS (
+  SELECT source, COUNT(*) AS n_s FROM documents GROUP BY 1
+), stats AS (
+  SELECT CAST(SUM(n_s) AS BIGINT) AS total, COUNT(*) AS n_strata FROM counts
+), caps AS (
+  SELECT source,
+         LEAST({SAMPLE_MOD}, (total // (2 * n_strata)) * {SAMPLE_MOD} // n_s)
+           AS thr
+  FROM counts, stats
+)
+SELECT d.doc_id, d.source, d.lang
+FROM documents d JOIN caps USING (source)
+WHERE {_HB_DOC} < thr
 """,
     "split_train_val_test": f"""
 SELECT CASE WHEN {_HB_100} < {SPLIT_BUCKETS[0]} THEN 'train'

@@ -146,6 +146,40 @@ def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- extension: C4-style rule-based quality filter ---
+# Keep/drop with per-rule flags (the standard corpus-cleaning shape:
+# auditable reasons, not just a score). Thresholds are pure INTEGER
+# comparisons (count*100 < n_words instead of ratio < 0.01) so the
+# decision is bit-identical on every engine — no float boundary can
+# flip a row between Spark and the oracle. One scan, zero shuffles,
+# embarrassingly parallel at any corpus size.
+C4_MIN_WORDS = 5
+C4_STOPWORD_PCT = 1     # drop if stopwords < 1% of words
+C4_PUNCT_PCT = 30       # drop if punct chars > 30% of chars
+
+
+def q_text_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    t = F.col("text")
+    n_words = _n_words(t)
+    stop_n = F.regexp_count(t, F.lit(PAT_STOPWORD))
+    punct_n = F.length(t) - F.length(
+        F.regexp_replace(t, r"[^A-Za-z0-9\s]", ""))
+    too_short = (n_words < C4_MIN_WORDS).cast("int")
+    low_stop = (stop_n * 100 < n_words * C4_STOPWORD_PCT).cast("int")
+    high_punct = (punct_n * 100 > F.length(t) * C4_PUNCT_PCT).cast("int")
+    cta_spam = (F.regexp_count(t, F.lit(PAT_CTA)) > 0).cast("int")
+    return d.select(
+        "doc_id",
+        too_short.alias("f_too_short"),
+        low_stop.alias("f_low_stopword"),
+        high_punct.alias("f_high_punct"),
+        cta_spam.alias("f_cta_spam"),
+        ((too_short + low_stop + high_punct + cta_spam) == 0)
+        .cast("int").alias("keep"),
+    )
+
+
 # --- extension: document fingerprinting (normalized-content md5) ---
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
@@ -165,6 +199,7 @@ QUERIES = {
     "text_lang_id": q_text_lang_id,
     "text_quality": q_text_quality,
     "text_token_count": q_text_token_count,
+    "text_c4_filter": q_text_c4_filter,
     "text_fingerprint": q_text_fingerprint,
 }
 
@@ -240,6 +275,28 @@ SELECT doc_id,
        {_sql_count(PAT_TOKEN)} AS regex_tokens,
        ROUND(length(text) / 4.0, 6) AS approx_llm_tokens
 FROM documents
+""",
+    "text_c4_filter": f"""
+WITH f AS (
+  SELECT doc_id,
+         {_SQL_NWORDS} AS n_words,
+         {_sql_count(PAT_STOPWORD)} AS stop_n,
+         length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g'))
+           AS punct_n,
+         length(text) AS n_chars,
+         {_sql_count(PAT_CTA)} AS cta_n
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_words < {C4_MIN_WORDS} AS INT) AS f_too_short,
+       CAST(stop_n * 100 < n_words * {C4_STOPWORD_PCT} AS INT) AS f_low_stopword,
+       CAST(punct_n * 100 > n_chars * {C4_PUNCT_PCT} AS INT) AS f_high_punct,
+       CAST(cta_n > 0 AS INT) AS f_cta_spam,
+       CAST(CAST(n_words < {C4_MIN_WORDS} AS INT)
+          + CAST(stop_n * 100 < n_words * {C4_STOPWORD_PCT} AS INT)
+          + CAST(punct_n * 100 > n_chars * {C4_PUNCT_PCT} AS INT)
+          + CAST(cta_n > 0 AS INT) = 0 AS INT) AS keep
+FROM f
 """,
     "text_fingerprint": """
 SELECT doc_id,

@@ -67,3 +67,45 @@ def test_split_partitions_every_row_exactly_once(spark):
     assert (s.select("doc_id", "split")
              .exceptAll(again.select("doc_id", "split")).count()) == 0
     assert counts["train"] > counts["val"] + counts["test"]
+
+
+def test_mixture_downsample_caps_every_source(spark):
+    from big_data_crypto_sentiment_spark.queries.sampling import (
+        mixture_downsample,
+    )
+    d = table(spark, SF_DIR, "documents")
+    out = mixture_downsample(d, "source", "doc_id")
+    n_sources = d.select("source").distinct().count()
+    cap = d.count() // (2 * n_sources)
+    got = {r.source: r.n for r in
+           out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    # expected cap docs per source; 5-sigma binomial slack on each
+    for src, n in got.items():
+        assert n <= cap + 5 * cap ** 0.5 + 1, (src, n, cap)
+    # deterministic
+    again = mixture_downsample(d, "source", "doc_id")
+    assert out.select("doc_id").exceptAll(again.select("doc_id")).count() == 0
+
+
+def test_c4_filter_keep_iff_no_flags(spark):
+    from big_data_crypto_sentiment_spark.queries.text import q_text_c4_filter
+    rows = q_text_c4_filter(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        flags = r.f_too_short + r.f_low_stopword + r.f_high_punct + r.f_cta_spam
+        assert r.keep == (1 if flags == 0 else 0)
+
+
+def test_key_skew_profile_shares_and_factor(spark):
+    from big_data_crypto_sentiment_spark.queries.relational import (
+        q_key_skew_profile,
+    )
+    rows = q_key_skew_profile(spark, SF_DIR).collect()
+    assert 0 < len(rows) <= 10
+    assert rows == sorted(rows, key=lambda r: (-r.n_events, r.user_id))
+    # the heaviest key is at or above the mean; shares are valid ppm and
+    # consistent with skew_factor (share · n_keys == factor · 1e6)
+    assert rows[0].skew_factor >= 1.0
+    for r in rows:
+        assert 0 <= r.share_ppm <= 1_000_000
+        assert abs(r.share_ppm * r.n_keys - r.skew_factor * 1_000_000) < 2 * r.n_keys
