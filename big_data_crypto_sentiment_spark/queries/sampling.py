@@ -19,10 +19,13 @@ filter or a bounded per-stratum selection:
                            the two-pass rate form: per-stratum rate =
                            quota / count (broadcast), then the same
                            hash filter as sample_hash.
-  * split_train_val_test — hash-bucket split (80/10/10) with per-split
-                           per-lang counts: leakage-free (a doc's
-                           split never depends on other rows) and
-                           identical on every engine that computes md5.
+  * split_train_val_test — hash-bucket split (80/10/10): leakage-free
+                           (a doc's split never depends on other rows)
+                           and identical on every engine computing md5.
+                           Registered merged with sample_hash as ONE
+                           scan (sample_and_split).
+  * mixture_downsample   — per-source caps rebalancing the corpus mix
+                           via broadcast integer thresholds.
 
 The hash primitive is the repo's portable 60-bit md5 prefix (same
 construction as queries/dedup.py minhash): exact in BIGINT on both
@@ -113,10 +116,16 @@ def mixture_downsample(df: DataFrame, stratum: str, key: str,
               .drop("thr"))
 
 
-def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_sample_and_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bernoulli membership + 80/10/10 split in ONE corpus scan (each is
+    a pure per-row hash; computing them in two passes would double-read
+    the table for no reason). O(input) output, unsorted."""
     d = table(spark, sf_dir, "documents")
-    return (sample_hash(d, "doc_id", SAMPLE_RATE_PPM)
-            .select("doc_id", "lang", "source", "n_chars"))  # O(sample): unsorted
+    in_sample = (_hash_bucket(F.col("doc_id"), SAMPLE_MOD)
+                 < SAMPLE_RATE_PPM).cast("int")
+    return (split_train_val_test(d, "doc_id")
+            .select("doc_id", "lang", "source", "n_chars",
+                    in_sample.alias("in_sample"), "split"))
 
 
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -126,15 +135,6 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("source", "sample_rank"))  # bounded: quota × strata
 
 
-def q_split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
-    return (split_train_val_test(d, "doc_id")
-            .groupBy("split", "lang")
-            .agg(F.count("*").alias("n_docs"),
-                 F.sum("n_chars").alias("total_chars"))
-            .orderBy("split", "lang"))
-
-
 def q_mixture_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     return (mixture_downsample(d, "source", "doc_id")
@@ -142,9 +142,8 @@ def q_mixture_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
-    "sample_hash": q_sample_hash,
+    "sample_and_split": q_sample_and_split,
     "sample_stratified": q_sample_stratified,
-    "split_train_val_test": q_split_train_val_test,
     "mixture_downsample": q_mixture_downsample,
 }
 
@@ -152,10 +151,13 @@ _HB_DOC = _sql_hash_bucket("doc_id", SAMPLE_MOD)
 _HB_100 = _sql_hash_bucket("doc_id", 100)
 
 ORACLE = {
-    "sample_hash": f"""
-SELECT doc_id, lang, source, n_chars
+    "sample_and_split": f"""
+SELECT doc_id, lang, source, n_chars,
+       CAST({_HB_DOC} < {SAMPLE_RATE_PPM} AS INT) AS in_sample,
+       CASE WHEN {_HB_100} < {SPLIT_BUCKETS[0]} THEN 'train'
+            WHEN {_HB_100} < {SPLIT_BUCKETS[1]} THEN 'val'
+            ELSE 'test' END AS split
 FROM documents
-WHERE {_HB_DOC} < {SAMPLE_RATE_PPM}
 """,
     "sample_stratified": f"""
 SELECT source, sample_rank, doc_id, lang FROM (
@@ -180,14 +182,5 @@ WITH counts AS (
 SELECT d.doc_id, d.source, d.lang
 FROM documents d JOIN caps USING (source)
 WHERE {_HB_DOC} < thr
-""",
-    "split_train_val_test": f"""
-SELECT CASE WHEN {_HB_100} < {SPLIT_BUCKETS[0]} THEN 'train'
-            WHEN {_HB_100} < {SPLIT_BUCKETS[1]} THEN 'val'
-            ELSE 'test' END AS split,
-       lang, COUNT(*) AS n_docs,
-       CAST(SUM(n_chars) AS BIGINT) AS total_chars
-FROM documents
-GROUP BY 1, 2 ORDER BY split, lang
 """,
 }

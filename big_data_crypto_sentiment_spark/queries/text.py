@@ -146,6 +146,50 @@ def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- merged single-scan signals: lang-ID + quality + token counts +
+#     fingerprint in ONE projection. Each signal is also exposed as its
+#     own query fn above/below for direct use, but the registered query
+#     computes all of them in a single corpus pass — at 100 TB four
+#     separate scans of the documents table is exactly the waste this
+#     column-math family exists to avoid (same merge precedent as
+#     ts_window_calcs / data_profile). ---
+def q_text_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    t = F.col("text")
+    n_words = _n_words(t)
+    stop_ratio_r = F.round(
+        F.regexp_count(t, F.lit(PAT_STOPWORD)) / n_words, 6)
+    punct_ratio = (F.length(t)
+                   - F.length(F.regexp_replace(t, r"[^A-Za-z0-9\s]", ""))) \
+        / F.length(t)
+    stop_ratio = F.regexp_count(t, F.lit(PAT_STOPWORD)) / n_words
+    len_score = F.least(F.lit(1.0), n_words / F.lit(50.0))
+    score = F.greatest(
+        F.lit(0.0),
+        F.least(F.lit(1.0),
+                0.5 * len_score + 0.3 * stop_ratio * 10 - 0.2 * punct_ratio))
+    norm = F.lower(F.regexp_replace(t, r"\s+", " "))
+    return d.select(
+        "doc_id", "lang",
+        # lang-ID
+        stop_ratio_r.alias("stopword_ratio"),
+        F.when(t.rlike(PAT_CJK), F.lit("cjk"))
+         .when(stop_ratio_r >= 0.05, F.lit("en"))
+         .otherwise(F.lit("other")).alias("lang_guess"),
+        # quality
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(len_score, 6).alias("len_score"),
+        F.round(score, 6).alias("quality_score"),
+        # token counts
+        n_words.alias("ws_tokens"),
+        F.regexp_count(t, F.lit(PAT_TOKEN)).alias("regex_tokens"),
+        F.round(F.length(t) / F.lit(4.0), 6).alias("approx_llm_tokens"),
+        # fingerprint
+        F.md5(norm).alias("fingerprint"),
+        F.substring(F.md5(norm), 1, 8).alias("shard_key"),
+    )
+
+
 # --- extension: C4-style rule-based quality filter ---
 # Keep/drop with per-rule flags (the standard corpus-cleaning shape:
 # auditable reasons, not just a score). Thresholds are pure INTEGER
@@ -196,11 +240,8 @@ QUERIES = {
     "text_rlike_filter": q_text_rlike_filter,
     "text_dup_rate": q_text_dup_rate,
     "text_top_duplicated": q_text_top_duplicated,
-    "text_lang_id": q_text_lang_id,
-    "text_quality": q_text_quality,
-    "text_token_count": q_text_token_count,
+    "text_signals": q_text_signals,
     "text_c4_filter": q_text_c4_filter,
-    "text_fingerprint": q_text_fingerprint,
 }
 
 # DuckDB regexp_replace only replaces the first match without the 'g'
@@ -243,38 +284,33 @@ SELECT props, COUNT(*) AS n_dups FROM events
 WHERE props IS NOT NULL
 GROUP BY props ORDER BY n_dups DESC, props LIMIT 10
 """,
-    "text_lang_id": f"""
-SELECT doc_id, lang,
-       ROUND({_sql_count(PAT_STOPWORD)} / {_SQL_NWORDS}, 6) AS stopword_ratio,
-       CASE WHEN regexp_matches(text, '{PAT_CJK_SQL}') THEN 'cjk'
-            WHEN ROUND({_sql_count(PAT_STOPWORD)} / {_SQL_NWORDS}, 6) >= 0.05 THEN 'en'
-            ELSE 'other' END AS lang_guess
-FROM documents
-""",
-    "text_quality": f"""
+    "text_signals": f"""
 WITH f AS (
-  SELECT doc_id,
+  SELECT doc_id, lang, text,
+         ROUND({_sql_count(PAT_STOPWORD)} / {_SQL_NWORDS}, 6) AS stop_ratio_r,
          (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))
            / length(text) AS punct_ratio,
          {_sql_count(PAT_STOPWORD)} / {_SQL_NWORDS} AS stop_ratio,
-         LEAST(1.0, {_SQL_NWORDS} / 50.0) AS len_score
+         LEAST(1.0, {_SQL_NWORDS} / 50.0) AS len_score,
+         md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
   FROM documents
 )
-SELECT doc_id,
+SELECT doc_id, lang,
+       stop_ratio_r AS stopword_ratio,
+       CASE WHEN regexp_matches(text, '{PAT_CJK_SQL}') THEN 'cjk'
+            WHEN stop_ratio_r >= 0.05 THEN 'en'
+            ELSE 'other' END AS lang_guess,
        ROUND(punct_ratio, 6) AS punct_ratio,
-       ROUND(stop_ratio, 6) AS stopword_ratio,
        ROUND(len_score, 6) AS len_score,
        ROUND(GREATEST(0.0, LEAST(1.0,
              0.5 * len_score + 0.3 * stop_ratio * 10 - 0.2 * punct_ratio)), 6)
-         AS quality_score
-FROM f
-""",
-    "text_token_count": f"""
-SELECT doc_id,
+         AS quality_score,
        {_SQL_NWORDS} AS ws_tokens,
        {_sql_count(PAT_TOKEN)} AS regex_tokens,
-       ROUND(length(text) / 4.0, 6) AS approx_llm_tokens
-FROM documents
+       ROUND(length(text) / 4.0, 6) AS approx_llm_tokens,
+       fp AS fingerprint,
+       substring(fp, 1, 8) AS shard_key
+FROM f
 """,
     "text_c4_filter": f"""
 WITH f AS (
@@ -297,11 +333,5 @@ SELECT doc_id,
           + CAST(punct_n * 100 > n_chars * {C4_PUNCT_PCT} AS INT)
           + CAST(cta_n > 0 AS INT) = 0 AS INT) AS keep
 FROM f
-""",
-    "text_fingerprint": """
-SELECT doc_id,
-       md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint,
-       substring(md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))), 1, 8) AS shard_key
-FROM documents
 """,
 }
