@@ -32,6 +32,9 @@ assembled frame once (done here) and permute k columns off that.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
+from pyspark import StorageLevel
 from pyspark.ml import Pipeline
 from pyspark.ml.classification import LogisticRegression as LogisticClassifier
 from pyspark.ml.evaluation import RegressionEvaluator
@@ -54,6 +57,25 @@ SENT_NUM_FEATURES = 4096  # hashed feature space; power of 2 per HashingTF docs
 SENT_REG = 0.01
 
 
+@contextmanager
+def _persisted_for_fit(df: DataFrame):
+    """MLlib estimators persist their *instances RDD* internally, but a
+    multi-stage Pipeline.fit still recomputes the input lineage once per
+    stage fit (CountVectorizer/IDF aggregation + regression instance
+    materialization = 3 full passes). When the input is an expensive plan
+    (here: a regex-heavy lexicon scan joined to the corpus), persist it
+    for the duration of the fit — the same handlePersistence rule MLlib
+    applies one level down. No-op if the caller already persisted."""
+    own = df.storageLevel == StorageLevel.NONE
+    if own:
+        df.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        yield df
+    finally:
+        if own:
+            df.unpersist()
+
+
 def fit_sentiment_pipeline(labeled_docs: DataFrame, text_col: str = "text",
                            label_col: str = "label"):
     """Fit the M1 text→probability pipeline. `label_col` must hold class
@@ -69,7 +91,8 @@ def fit_sentiment_pipeline(labeled_docs: DataFrame, text_col: str = "text",
                            family="multinomial", regParam=SENT_REG,
                            maxIter=MAX_ITER),
     ])
-    return pipe.fit(labeled_docs)
+    with _persisted_for_fit(labeled_docs) as d:
+        return pipe.fit(d)
 
 
 def fit_tfidf_ridge(docs: DataFrame, text_col: str = "text",
@@ -86,7 +109,8 @@ def fit_tfidf_ridge(docs: DataFrame, text_col: str = "text",
                          regParam=reg, elasticNetParam=0.0,
                          maxIter=MAX_ITER),
     ])
-    model = pipe.fit(docs)
+    with _persisted_for_fit(docs) as d:
+        model = pipe.fit(d)
     vocab = model.stages[1].vocabulary
     return model, vocab
 
