@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from . import (
     approx,
     avro_rt,
+    cleaning,
     components,
     dedup,
     flagship,
@@ -41,7 +42,7 @@ from . import (
 
 _MODULES = (flagship, relational, timeseries, text, dedup, similarity, ml,
             ingestion, ta, media, reshape, approx, avro_rt, components,
-            sampling, packing)
+            sampling, packing, cleaning)
 
 # More oracle-paired queries exist than the driver's fixed 50-entry
 # correctness window can check. These five are deliberately deferred to
@@ -57,8 +58,19 @@ _MODULES = (flagship, relational, timeseries, text, dedup, similarity, ml,
 #                        green r2-r3
 #   sample_stratified  — family in-window via sample_and_split/
 #                        mixture_downsample; quota property tests
+#   text_dup_rate      — dup family in-window via text_top_duplicated
+#                        (same hash-agg over text); green r2-r4
+#   kv_flatten         — reshape family in-window via
+#                        zip_explode_measures/group_collect_training;
+#                        green r3-r4
+#   union_event_slices — plain UNION ALL of two pushed-down slices;
+#                        green r2-r4
+# (the three newest deferrals make window room for the cleaning module:
+# decontam_overlap / repetition_filter / pii_redact, fresh operator
+# families the driver should be hash-checking)
 _DEFER_FROM_WINDOW = ("src_avro_roundtrip", "log_return", "binned_features",
-                      "ts_corr", "sample_stratified")
+                      "ts_corr", "sample_stratified", "text_dup_rate",
+                      "kv_flatten", "union_event_slices")
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,245 @@
+"""Corpus-cleaning operators for the LLM-training-data pipeline:
+benchmark decontamination, repetition filtering, and PII redaction.
+No reference twin (the reference pipeline stops at sentiment features);
+shapes follow public corpus-curation practice — n-gram overlap
+decontamination (GPT-3 appendix C / Dolma), Gopher's repetition rules,
+and rule-based PII scrubbing.
+
+  * decontaminate      — flag corpus docs sharing any word N-gram with a
+                         held-out benchmark set. The benchmark side is
+                         tiny (grams of a ~5% hash-selected slice), so
+                         candidates come from a BROADCAST join on the
+                         gram string — the corpus is never shuffled on
+                         the gram key and no pair explosion exists. At
+                         100 TB the benchmark gram set (real eval suites
+                         are a few MB of text) still broadcasts.
+  * repetition_signals — Gopher-style per-doc repetition metrics
+                         (distinct-word ratio, top-word fraction,
+                         duplicate-2-gram fraction) as pure per-row
+                         higher-order-function math: ZERO shuffles,
+                         embarrassingly parallel, whole-stage codegen.
+                         Per-row cost is O(distinct·n) on ~100-word docs
+                         — cheaper than the explode+groupBy alternative,
+                         which would shuffle one row per (doc, gram).
+  * redact_pii         — regex scrub of emails / phones / IPv4s into
+                         typed placeholders, with per-rule hit counts
+                         (auditable, like text_c4_filter's per-rule
+                         flags). Per-row regexp_replace chain, no
+                         shuffle. The fixture corpus contains no PII, so
+                         the registered query PLANTS deterministic
+                         doc_id-derived PII on both engines first —
+                         the redaction logic itself is what's
+                         hash-checked; adversarial cases live in pytest.
+
+All regexes are shared Java-regex/RE2 syntax so Spark and the DuckDB
+oracle agree byte-for-byte.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ._util import table
+from .sampling import _hash_bucket, _sql_hash_bucket
+
+NGRAM = 5            # contamination gram width (words)
+BENCH_PCT = 5        # % of docs (by doc_id hash) forming the benchmark
+TOP_WORD_MAX = 0.20  # Gopher-ish thresholds for the `repetitive` flag
+DUP_2GRAM_MAX = 0.10
+
+PAT_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PAT_PHONE = r"\b555-[0-9]{4}\b"
+PAT_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def _word_grams(text_col, n: int):
+    """array<string> of word n-grams (space-joined); empty when the doc
+    is shorter than n words. sequence(1, k) would turn DESCENDING for
+    k < 1, so the short-doc branch is explicit."""
+    words = F.split(text_col, " ")
+    k = F.size(words) - (n - 1)
+    return F.when(
+        k >= 1,
+        F.transform(F.sequence(F.lit(1), k),
+                    lambda i: F.array_join(F.slice(words, i, n), " ")),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _is_bench(key_col):
+    return _hash_bucket(key_col, 100) < BENCH_PCT
+
+
+def decontaminate(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", n: int = NGRAM) -> DataFrame:
+    """(doc_id, n_grams, n_hit, hit_frac) for every NON-benchmark doc
+    that shares ≥1 word n-gram with the benchmark slice. Training-set
+    docs that hit are what a curation pipeline drops before training."""
+    grams = docs.select(
+        F.col(id_col), _is_bench(F.col(id_col)).alias("is_bench"),
+        F.explode(_word_grams(F.col(text_col), n)).alias("gram"),
+        F.size(_word_grams(F.col(text_col), n)).alias("n_grams"))
+    bench = (grams.filter("is_bench").select("gram").distinct())
+    corpus = grams.filter(~F.col("is_bench"))
+    return (corpus.join(F.broadcast(bench), "gram")
+            .groupBy(id_col, "n_grams")
+            .agg(F.count_distinct("gram").alias("n_hit"))
+            .select(id_col, "n_grams", "n_hit",
+                    F.round(F.col("n_hit") / F.col("n_grams"), 6)
+                     .alias("hit_frac")))
+
+
+def repetition_signals(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Per-doc repetition metrics, all computed inside the row (no
+    explode, no shuffle): distinct-word ratio, fraction of words that
+    are the single most frequent word, and the fraction of word 2-grams
+    that are repeats of an earlier 2-gram in the same doc."""
+    words = F.split(F.col(text_col), " ")
+    n = F.size(words)
+    top_cnt = F.array_max(F.transform(
+        F.array_distinct(words),
+        lambda w: F.size(F.filter(words, lambda x: x == w))))
+    g2 = _word_grams(F.col(text_col), 2)
+    n2 = F.size(g2)
+    dup2 = F.when(n2 > 0,
+                  1.0 - F.size(F.array_distinct(g2)) / n2).otherwise(0.0)
+    top_frac = F.when(n > 0, top_cnt / n).otherwise(0.0)
+    return docs.select(
+        F.col(id_col),
+        n.alias("n_words"),
+        F.round(F.size(F.array_distinct(words)) / n, 6)
+         .alias("distinct_ratio"),
+        F.round(top_frac, 6).alias("top_word_frac"),
+        F.round(dup2, 6).alias("dup_2gram_frac"),
+        ((top_frac > TOP_WORD_MAX) | (dup2 > DUP_2GRAM_MAX))
+        .cast("int").alias("repetitive"))
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds n_emails/n_phones/n_ips counts and a `clean_text` column
+    with each PII class replaced by a typed placeholder. Email first:
+    its char class overlaps the dotted patterns."""
+    t = F.col(text_col)
+    clean = F.regexp_replace(t, PAT_EMAIL, "<EMAIL>")
+    clean = F.regexp_replace(clean, PAT_IPV4, "<IP>")
+    clean = F.regexp_replace(clean, PAT_PHONE, "<PHONE>")
+    return df.withColumns({
+        "n_emails": F.regexp_count(t, F.lit(PAT_EMAIL)),
+        "n_phones": F.regexp_count(t, F.lit(PAT_PHONE)),
+        "n_ips": F.regexp_count(t, F.lit(PAT_IPV4)),
+        "clean_text": clean,
+    })
+
+
+def q_decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return decontaminate(d)  # O(contaminated docs): unsorted
+
+
+def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return repetition_signals(d)  # O(input): unsorted
+
+
+# fixtures are PII-free, so plant deterministic doc_id-derived PII on
+# both engines; the operator under test is the redaction itself
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    sid = F.col("doc_id").cast("string")
+    planted = F.concat(
+        F.col("text"), F.lit(" reach user"), sid,
+        F.lit("@mail.example.com or 555-0"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit(" at 10.0."), (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7"))
+    return (redact_pii(d.select("doc_id", planted.alias("text")))
+            .select("doc_id", "n_emails", "n_phones", "n_ips",
+                    "clean_text"))  # O(input): unsorted
+
+
+QUERIES = {
+    "decontam_overlap": q_decontam_overlap,
+    "repetition_filter": q_repetition_filter,
+    "pii_redact": q_pii_redact,
+}
+
+_SQL_BENCH = _sql_hash_bucket("doc_id", 100) + f" < {BENCH_PCT}"
+# DuckDB list slice l[a:b] is 1-based inclusive; range(a,b) excludes b
+_SQL_GRAMS = (f"list_transform(range(1, len(words) - {NGRAM - 2}), "
+              f"i -> array_to_string(words[i:i+{NGRAM - 1}], ' '))")
+_SQL_G2 = ("list_transform(range(1, len(words)), "
+           "i -> array_to_string(words[i:i+1], ' '))")
+
+ORACLE = {
+    "decontam_overlap": f"""
+WITH w AS (
+  SELECT doc_id, {_SQL_BENCH} AS is_bench,
+         string_split(text, ' ') AS words
+  FROM documents
+), g AS (
+  SELECT doc_id, is_bench, len(words) - {NGRAM - 1} AS n_grams,
+         unnest({_SQL_GRAMS}) AS gram
+  FROM w WHERE len(words) >= {NGRAM}
+), bench AS (
+  SELECT DISTINCT gram FROM g WHERE is_bench
+)
+SELECT c.doc_id, c.n_grams,
+       COUNT(DISTINCT c.gram) AS n_hit,
+       ROUND(CAST(COUNT(DISTINCT c.gram) AS DOUBLE) / c.n_grams, 6)
+         AS hit_frac
+FROM g c JOIN bench b USING (gram)
+WHERE NOT c.is_bench
+GROUP BY c.doc_id, c.n_grams
+""",
+    "repetition_filter": f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+), m AS (
+  SELECT doc_id, len(words) AS n_words,
+         len(list_distinct(words)) AS n_distinct,
+         list_max(list_transform(list_distinct(words),
+                  w -> len(list_filter(words, x -> x = w)))) AS top_cnt,
+         {_SQL_G2} AS g2
+  FROM w
+)
+SELECT doc_id, n_words,
+       ROUND(CAST(n_distinct AS DOUBLE) / n_words, 6) AS distinct_ratio,
+       ROUND(CASE WHEN n_words > 0
+                  THEN CAST(top_cnt AS DOUBLE) / n_words
+                  ELSE 0.0 END, 6) AS top_word_frac,
+       ROUND(CASE WHEN len(g2) > 0
+                  THEN 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE)
+                             / len(g2)
+                  ELSE 0.0 END, 6) AS dup_2gram_frac,
+       CAST((CASE WHEN n_words > 0
+                  THEN CAST(top_cnt AS DOUBLE) / n_words
+                  ELSE 0.0 END) > {TOP_WORD_MAX}
+            OR (CASE WHEN len(g2) > 0
+                     THEN 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE)
+                                / len(g2)
+                     ELSE 0.0 END) > {DUP_2GRAM_MAX} AS INT)
+         AS repetitive
+FROM m
+""",
+    "pii_redact": f"""
+WITH p AS (
+  SELECT doc_id,
+         text || ' reach user' || CAST(doc_id AS VARCHAR)
+              || '@mail.example.com or 555-0'
+              || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+              || ' at 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+           AS text
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(text, '{PAT_EMAIL}')) AS n_emails,
+       len(regexp_extract_all(text, '{PAT_PHONE}')) AS n_phones,
+       len(regexp_extract_all(text, '{PAT_IPV4}')) AS n_ips,
+       regexp_replace(regexp_replace(regexp_replace(text,
+           '{PAT_EMAIL}', '<EMAIL>', 'g'),
+           '{PAT_IPV4}', '<IP>', 'g'),
+           '{PAT_PHONE}', '<PHONE>', 'g') AS clean_text
+FROM p
+""",
+}
