@@ -221,39 +221,56 @@ IVF_CLUSTERS = 16
 IVF_PROBES = 4
 
 
+def _make_assign_udf(centroids, n_probe: int):
+    """Vectorized centroid assignment: one (batch × k) distance matmul
+    per Arrow batch instead of k interpreted zip_with/aggregate chains
+    per row (the literal-expression form cost ~k·2·dim lambda evals per
+    row and a k·dim-literal plan tree). The centroid matrix is a closure
+    constant — O(k·dim) floats, shipped once per executor, the same
+    broadcast-sized footprint as the literal form. Module-scope factory
+    so the pandas_udf return type resolves (no deprecated PandasUDFType)."""
+    import numpy as np
+    cids = np.array([cid for cid, _ in centroids], dtype=np.int64)
+    C = np.array([vec for _, vec in centroids], dtype=np.float64)
+    cn = (C * C).sum(axis=1)
+
+    @F.pandas_udf("array<int>")
+    def assign(emb: pd.Series) -> pd.Series:
+        X = np.array(emb.tolist(), dtype=np.float64)
+        d = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + cn[None, :]
+        # stable argsort ties break by centroid position = ascending cid,
+        # matching the previous array_sort(struct(d, cid)) semantics
+        order = np.argsort(d, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series([cids[row].tolist() for row in order])
+
+    return assign
+
+
 def _assign_clusters(df: DataFrame, centroids, emb_col: str,
                      n_probe: int) -> DataFrame:
     """Attach the ids of the n_probe nearest centroids (exploded).
 
-    centroids: list[(cluster_id, list[float])] — small, embedded as an
-    array-of-structs literal so assignment is pure expressions over a
-    broadcast-sized constant (no join, no Python)."""
-    cent = F.array(*[
-        F.struct(F.lit(cid).alias("cid"),
-                 F.array(*[F.lit(float(x)) for x in vec]).alias("cv"))
-        for cid, vec in centroids
-    ])
-    # squared L2 distance to each centroid, keep n_probe smallest
-    with_d = F.transform(
-        cent,
-        lambda c: F.struct(
-            F.aggregate(
-                F.zip_with(F.col(emb_col), c["cv"],
-                           lambda x, y: (x.cast("double") - y)
-                           * (x.cast("double") - y)),
-                F.lit(0.0), lambda a, x: a + x).alias("d"),
-            c["cid"].alias("cid")))
-    probes = F.slice(F.array_sort(with_d), 1, n_probe)
-    return df.withColumn("cid", F.explode(
-        F.transform(probes, lambda s: s["cid"])))
+    centroids: list[(cluster_id, list[float])] — small enough to ride
+    along as a UDF closure; assignment is map-side only (no join, no
+    shuffle), so the inverted file builds in a single scan."""
+    assign = _make_assign_udf(centroids, n_probe)
+    return df.withColumn("cid", F.explode(assign(F.col(emb_col))))
 
 
 def fit_ivf_centroids(corpus: DataFrame, emb_col: str = "embedding",
-                      k: int = IVF_CLUSTERS, seed: int = 42):
-    """MLlib KMeans over the corpus → [(cluster_id, centroid_vector)].
-    At 100 TB you fit on a sample; centroids are O(k·dim) — broadcastable."""
+                      k: int = IVF_CLUSTERS, seed: int = 42,
+                      sample_ppm: int | None = None,
+                      id_col: str = "vec_id"):
+    """MLlib KMeans over the corpus → [(cluster_id, centroid_vector)];
+    centroids are O(k·dim) — broadcastable. At 100 TB pass `sample_ppm`:
+    centroid quality needs only a representative sample, and the
+    deterministic hash filter keeps the fit reproducible regardless of
+    partitioning (unlike rdd-sample seeds)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
+    if sample_ppm is not None:
+        from .sampling import sample_hash
+        corpus = sample_hash(corpus, id_col, sample_ppm)
     feat = corpus.select(array_to_vector(F.col(emb_col)).alias("features"))
     model = KMeans(k=k, seed=seed, maxIter=10).fit(feat)
     return [(i, c.tolist()) for i, c in enumerate(model.clusterCenters())]
