@@ -65,12 +65,14 @@ _MODULES = (flagship, relational, timeseries, text, dedup, similarity, ml,
 #                        green r3-r4
 #   union_event_slices — plain UNION ALL of two pushed-down slices;
 #                        green r2-r4
-# (the three newest deferrals make window room for the cleaning module:
-# decontam_overlap / repetition_filter / pii_redact, fresh operator
-# families the driver should be hash-checking)
+#   ts_session_stats   — session family in-window via ts_sessionize
+#                        (same gap-flag window pass); green r2-r4
+# (the newest deferrals make window room for fresh operator families
+# the driver should be hash-checking: the cleaning module and the
+# bucketized interval join)
 _DEFER_FROM_WINDOW = ("src_avro_roundtrip", "log_return", "binned_features",
                       "ts_corr", "sample_stratified", "text_dup_rate",
-                      "kv_flatten", "union_event_slices")
+                      "kv_flatten", "union_event_slices", "ts_session_stats")
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -111,8 +111,26 @@ def q_asof_price_at_tweet(spark: SparkSession, sf_dir: str) -> DataFrame:
                      value_cols=("price",))
 
 
+# --- interval join: clicks within ±5 min of an error, per user ---
+INTERVAL_TOL_S = 300
+
+
+def q_interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.interval_join import time_tolerance_join
+    ev = table(spark, sf_dir, "events")
+    errors = (ev.filter(F.col("event_type") == "error")
+                .select("user_id", F.col("event_id").alias("error_id"),
+                        F.col("ts").alias("error_ts")))
+    clicks = (ev.filter(F.col("event_type") == "click")
+                .select("user_id", F.col("event_id").alias("click_id"),
+                        F.col("ts").alias("click_ts")))
+    return time_tolerance_join(errors, clicks, ["user_id"],
+                               INTERVAL_TOL_S, "error_ts", "click_ts")
+
+
 QUERIES = {
     "asof_price_at_tweet": q_asof_price_at_tweet,
+    "interval_join_events": q_interval_join_events,
     "kv_flatten": q_kv_flatten,
     "zip_explode_measures": q_zip_explode_measures,
     "group_collect_training": q_group_collect_training,
@@ -132,6 +150,15 @@ WITH tweets AS (
 SELECT t.event_id, t.symbol, t.ts, p.price
 FROM tweets t ASOF LEFT JOIN prices p
   ON t.symbol = p.symbol AND t.ts >= p.ts
+""",
+    "interval_join_events": """
+SELECT e.user_id, e.event_id AS error_id, e.ts AS error_ts,
+       c.event_id AS click_id, c.ts AS click_ts,
+       epoch_us(c.ts) - epoch_us(e.ts) AS dt_us
+FROM events e JOIN events c
+  ON e.user_id = c.user_id
+WHERE e.event_type = 'error' AND c.event_type = 'click'
+  AND abs(epoch_us(c.ts) - epoch_us(e.ts)) <= 300000000
 """,
     "kv_flatten": """
 SELECT event_id, event_type,
