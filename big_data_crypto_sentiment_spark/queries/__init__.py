@@ -67,12 +67,18 @@ _MODULES = (flagship, relational, timeseries, text, dedup, similarity, ml,
 #                        green r2-r4
 #   ts_session_stats   — session family in-window via ts_sessionize
 #                        (same gap-flag window pass); green r2-r4
+#   src_tweets_volume  — source family in-window via src_tweets_normalize
+#                        (same JSON parse path; volume is an agg on top);
+#                        green r2-r4
+#   zip_explode_measures — reshape family in-window via
+#                        group_collect_training; green r3-r4
 # (the newest deferrals make window room for fresh operator families
-# the driver should be hash-checking: the cleaning module and the
-# bucketized interval join)
+# the driver should be hash-checking: the cleaning module, the
+# bucketized interval join, overlap chunking, and vocab building)
 _DEFER_FROM_WINDOW = ("src_avro_roundtrip", "log_return", "binned_features",
                       "ts_corr", "sample_stratified", "text_dup_rate",
-                      "kv_flatten", "union_event_slices", "ts_session_stats")
+                      "kv_flatten", "union_event_slices", "ts_session_stats",
+                      "src_tweets_volume", "zip_explode_measures")
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

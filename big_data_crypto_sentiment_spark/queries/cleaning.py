@@ -75,10 +75,17 @@ def decontaminate(docs: DataFrame, id_col: str = "doc_id",
     """(doc_id, n_grams, n_hit, hit_frac) for every NON-benchmark doc
     that shares ≥1 word n-gram with the benchmark slice. Training-set
     docs that hit are what a curation pipeline drops before training."""
-    grams = docs.select(
+    # materialize the gram array ONCE, then size/explode the attribute:
+    # writing size(_word_grams()) and explode(_word_grams()) as two
+    # expression trees puts the size() in a Project ABOVE the Generate,
+    # rebuilding the whole O(n²) array per exploded row (O(n³)/doc —
+    # measured 10× the cost of this whole query at sf0.01)
+    grams = (docs.select(
         F.col(id_col), _is_bench(F.col(id_col)).alias("is_bench"),
-        F.explode(_word_grams(F.col(text_col), n)).alias("gram"),
-        F.size(_word_grams(F.col(text_col), n)).alias("n_grams"))
+        _word_grams(F.col(text_col), n).alias("grams"))
+        .select(id_col, "is_bench",
+                F.size("grams").alias("n_grams"),
+                F.explode("grams").alias("gram")))
     bench = (grams.filter("is_bench").select("gram").distinct())
     corpus = grams.filter(~F.col("is_bench"))
     return (corpus.join(F.broadcast(bench), "gram")

@@ -106,6 +106,39 @@ def pack_bins_ffd(docs: DataFrame, budget: int = TOKEN_BUDGET,
                                   "doc_id long, n_tokens int"))
 
 
+# --- RAG/context-window prep: overlapping character chunks ---
+CHUNK_CHARS = 200
+CHUNK_OVERLAP = 50
+
+
+def chunk_documents(docs: DataFrame, chunk_chars: int = CHUNK_CHARS,
+                    overlap: int = CHUNK_OVERLAP, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Split each doc into fixed-width chunks whose starts advance by
+    (chunk - overlap), so consecutive chunks share `overlap` chars —
+    the retrieval-index prep shape. Pure per-row sequence+posexplode
+    (zero shuffles, embarrassingly parallel); chunk_idx is 0-based and
+    derivable as (chunk_start-1)/step, which is how the SQL twin
+    computes it."""
+    step = chunk_chars - overlap
+    t = F.col(text_col)
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.length(t) - overlap, F.lit(1)), F.lit(step))
+    e = docs.select(id_col, text_col,
+                    F.posexplode(starts).alias("chunk_idx", "chunk_start"))
+    chunk = F.expr(f"substring({text_col}, chunk_start, {chunk_chars})")
+    return e.select(
+        id_col, "chunk_idx", "chunk_start",
+        chunk.alias("chunk_text"),
+        F.length(chunk).alias("chunk_len"))
+
+
+def q_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # O(input × expansion): unsorted
+    return chunk_documents(
+        table(spark, sf_dir, "documents").select("doc_id", "text"))
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(table(spark, sf_dir, "documents"))
 
@@ -117,6 +150,7 @@ def q_pack_bins_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "chunk_overlap": q_chunk_overlap,
     "pack_sequences": q_pack_sequences,
     "pack_bins_ffd": q_pack_bins_ffd,
 }
@@ -124,6 +158,22 @@ QUERIES = {
 _PAT_SQL = PAT_TOKEN.replace("'", "''")
 
 ORACLE = {
+    "chunk_overlap": f"""
+WITH s AS (
+  SELECT doc_id, text,
+         unnest(range(1, greatest(length(text) - {CHUNK_OVERLAP}, 1) + 1,
+                      {CHUNK_CHARS - CHUNK_OVERLAP})) AS chunk_start
+  FROM documents
+)
+SELECT doc_id,
+       CAST((chunk_start - 1) // {CHUNK_CHARS - CHUNK_OVERLAP} AS INT)
+         AS chunk_idx,
+       CAST(chunk_start AS INT) AS chunk_start,
+       substring(text, chunk_start, {CHUNK_CHARS}) AS chunk_text,
+       CAST(length(substring(text, chunk_start, {CHUNK_CHARS})) AS INT)
+         AS chunk_len
+FROM s
+""",
     "pack_sequences": f"""
 WITH t AS (
   SELECT doc_id,

@@ -190,6 +190,24 @@ def q_text_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- corpus vocabulary: global top-k terms by frequency. One explode +
+#     partial/final hash agg + TakeOrderedAndProject — the standard
+#     vocab-building scan; key cardinality = |vocab|, never a global
+#     sort of the term counts. ---
+VOCAB_TOP_K = 50
+
+
+def q_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return (d.select("doc_id",
+                     F.explode(F.split(F.col("text"), " ")).alias("term"))
+             .groupBy("term")
+             .agg(F.count("*").alias("n_occurrences"),
+                  F.count_distinct("doc_id").alias("doc_freq"))
+             .orderBy(F.desc("n_occurrences"), "term")
+             .limit(VOCAB_TOP_K))
+
+
 # --- extension: C4-style rule-based quality filter ---
 # Keep/drop with per-rule flags (the standard corpus-cleaning shape:
 # auditable reasons, not just a score). Thresholds are pure INTEGER
@@ -242,6 +260,7 @@ QUERIES = {
     "text_top_duplicated": q_text_top_duplicated,
     "text_signals": q_text_signals,
     "text_c4_filter": q_text_c4_filter,
+    "vocab_top_terms": q_vocab_top_terms,
 }
 
 # DuckDB regexp_replace only replaces the first match without the 'g'
@@ -311,6 +330,15 @@ SELECT doc_id, lang,
        fp AS fingerprint,
        substring(fp, 1, 8) AS shard_key
 FROM f
+""",
+    "vocab_top_terms": f"""
+SELECT term, COUNT(*) AS n_occurrences,
+       COUNT(DISTINCT doc_id) AS doc_freq
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents)
+GROUP BY term
+ORDER BY n_occurrences DESC, term
+LIMIT {VOCAB_TOP_K}
 """,
     "text_c4_filter": f"""
 WITH f AS (

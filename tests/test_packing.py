@@ -62,3 +62,26 @@ def test_chunks_are_contiguous_doc_ranges(spark):
         for prev, cur in zip(rows, rows[1:]):
             # consecutive chunks cover disjoint, ordered doc_id ranges
             assert prev.last_doc < cur.first_doc
+
+
+def test_chunk_documents_reconstructs_text(spark):
+    from big_data_crypto_sentiment_spark.queries.packing import (
+        chunk_documents,
+    )
+    text = "abcdefghijklmnopqrstuvwxyz0123456789"
+    df = spark.createDataFrame([(1, text), (2, "tiny")],
+                               "doc_id long, text string")
+    rows = sorted(chunk_documents(df, chunk_chars=10, overlap=3).collect(),
+                  key=lambda r: (r.doc_id, r.chunk_idx))
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    full = by_doc[1]
+    assert [r.chunk_start for r in full] == [1, 8, 15, 22, 29]
+    for prev, cur in zip(full, full[1:]):
+        assert prev.chunk_text[-3:] == cur.chunk_text[:3]  # shared overlap
+    rebuilt = full[0].chunk_text + "".join(r.chunk_text[3:] for r in full[1:])
+    assert rebuilt == text
+    assert all(r.chunk_len == len(r.chunk_text) <= 10 for r in rows)
+    # a doc shorter than one chunk yields exactly one chunk
+    assert [r.chunk_text for r in by_doc[2]] == ["tiny"]
