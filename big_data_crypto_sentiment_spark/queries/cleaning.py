@@ -101,22 +101,48 @@ def repetition_signals(docs: DataFrame, id_col: str = "doc_id",
     """Per-doc repetition metrics, all computed inside the row (no
     explode, no shuffle): distinct-word ratio, fraction of words that
     are the single most frequent word, and the fraction of word 2-grams
-    that are repeats of an earlier 2-gram in the same doc."""
-    words = F.split(F.col(text_col), " ")
-    n = F.size(words)
-    top_cnt = F.array_max(F.transform(
-        F.array_distinct(words),
-        lambda w: F.size(F.filter(words, lambda x: x == w))))
-    g2 = _word_grams(F.col(text_col), 2)
-    n2 = F.size(g2)
-    dup2 = F.when(n2 > 0,
-                  1.0 - F.size(F.array_distinct(g2)) / n2).otherwise(0.0)
-    top_frac = F.when(n > 0, top_cnt / n).otherwise(0.0)
-    return docs.select(
-        F.col(id_col),
-        n.alias("n_words"),
-        F.round(F.size(F.array_distinct(words)) / n, 6)
-         .alias("distinct_ratio"),
+    that are repeats of an earlier 2-gram in the same doc.
+
+    Plan hygiene (both measured multiples of this query's whole cost at
+    sf0.1): every array lives in its OWN projection stage so no
+    higher-order expression is ever duplicated by a downstream
+    reference (Catalyst does not CSE expensive expression trees), and
+    the top-word count is an O(n) run-length scan over the sorted array
+    rather than the O(distinct·n) nested transform/filter form."""
+    top_cnt = F.aggregate(
+        F.array_sort(F.col("_w")),
+        F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                 F.lit(0).alias("best")),
+        lambda acc, w: F.struct(
+            w.alias("prev"),
+            F.when(w == acc["prev"], acc["run"] + 1)
+             .otherwise(F.lit(1)).alias("run"),
+            F.greatest(acc["best"],
+                       F.when(w == acc["prev"], acc["run"] + 1)
+                        .otherwise(F.lit(1))).alias("best")),
+        lambda acc: acc["best"])
+    # indexed transform + concat: O(n) cheap ops, vs array_join(slice)
+    # which allocates a sliced array per gram
+    g2 = F.expr("transform(slice(_w, 1, size(_w) - 1), "
+                "(w, i) -> concat(w, ' ', _w[i + 1]))")
+    n, n2 = F.size(F.col("_w")), F.size(F.col("_g2"))
+    raw = (docs
+           .select(F.col(id_col),
+                   F.split(F.col(text_col), " ").alias("_w"))
+           .select(id_col, "_w", g2.alias("_g2"))
+           .select(F.col(id_col),
+                   n.alias("n_words"),
+                   F.size(F.array_distinct("_w")).alias("_nd"),
+                   top_cnt.alias("_top"),
+                   n2.alias("_n2"),
+                   F.size(F.array_distinct("_g2")).alias("_nd2")))
+    top_frac = F.when(F.col("n_words") > 0,
+                      F.col("_top") / F.col("n_words")).otherwise(0.0)
+    dup2 = F.when(F.col("_n2") > 0,
+                  1.0 - F.col("_nd2") / F.col("_n2")).otherwise(0.0)
+    return raw.select(
+        F.col(id_col), "n_words",
+        F.round(F.col("_nd") / F.col("n_words"), 6).alias("distinct_ratio"),
         F.round(top_frac, 6).alias("top_word_frac"),
         F.round(dup2, 6).alias("dup_2gram_frac"),
         ((top_frac > TOP_WORD_MAX) | (dup2 > DUP_2GRAM_MAX))
