@@ -53,36 +53,40 @@ PAT_PHONE = r"\b555-[0-9]{4}\b"
 PAT_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
 
 
-def _word_grams(text_col, n: int):
-    """array<string> of word n-grams (space-joined); empty when the doc
-    is shorter than n words. sequence(1, k) would turn DESCENDING for
-    k < 1, so the short-doc branch is explicit."""
-    words = F.split(text_col, " ")
-    k = F.size(words) - (n - 1)
+def _is_bench(key_col):
+    return _hash_bucket(key_col, 100) < BENCH_PCT
+
+
+def _word_grams(words_col, n: int):
+    """array<string> of word n-grams off a MATERIALIZED words column
+    (callers split() in their own projection stage — see decontaminate's
+    docstring for why). sequence(1, k) would turn DESCENDING for k < 1,
+    so the short-doc branch is explicit. A/B note: array_join(slice())
+    per gram measured 2× FASTER than indexed-transform + concat with
+    _w[i+j] element gets — non-literal GetArrayItem is the slower path."""
+    k = F.size(words_col) - (n - 1)
     return F.when(
         k >= 1,
         F.transform(F.sequence(F.lit(1), k),
-                    lambda i: F.array_join(F.slice(words, i, n), " ")),
+                    lambda i: F.array_join(F.slice(words_col, i, n), " ")),
     ).otherwise(F.array().cast("array<string>"))
-
-
-def _is_bench(key_col):
-    return _hash_bucket(key_col, 100) < BENCH_PCT
 
 
 def decontaminate(docs: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", n: int = NGRAM) -> DataFrame:
     """(doc_id, n_grams, n_hit, hit_frac) for every NON-benchmark doc
     that shares ≥1 word n-gram with the benchmark slice. Training-set
-    docs that hit are what a curation pipeline drops before training."""
-    # materialize the gram array ONCE, then size/explode the attribute:
-    # writing size(_word_grams()) and explode(_word_grams()) as two
-    # expression trees puts the size() in a Project ABOVE the Generate,
-    # rebuilding the whole O(n²) array per exploded row (O(n³)/doc —
-    # measured 10× the cost of this whole query at sf0.01)
+    docs that hit are what a curation pipeline drops before training.
+
+    Each array gets its OWN projection stage (split → grams →
+    size+explode): a single-stage form duplicates the gram expression
+    into the Project above the Generate, rebuilding the O(n²) array per
+    exploded row — measured 10× this query's cost at sf0.01."""
     grams = (docs.select(
         F.col(id_col), _is_bench(F.col(id_col)).alias("is_bench"),
-        _word_grams(F.col(text_col), n).alias("grams"))
+        F.split(F.col(text_col), " ").alias("_w"))
+        .select(id_col, "is_bench",
+                _word_grams(F.col("_w"), n).alias("grams"))
         .select(id_col, "is_bench",
                 F.size("grams").alias("n_grams"),
                 F.explode("grams").alias("gram")))
