@@ -94,6 +94,31 @@ def dedupe_stream(df: DataFrame, key_cols: tuple[str, ...],
               .dropDuplicatesWithinWatermark(list(key_cols)))
 
 
+def sessionize_stream(df: DataFrame, keys: tuple[str, ...],
+                      ts_col: str = "event_time",
+                      gap: str = "5 minutes",
+                      watermark: str = "0 seconds") -> DataFrame:
+    """Streaming session windows: events per key merge while consecutive
+    gaps stay under `gap`; a session closes (and emits, append mode)
+    once the watermark passes its end. The streaming twin of the batch
+    gap-flag sessionization (queries/timeseries.py:_sessionized) — same
+    merge semantics, so the two are parity-testable on replayed input.
+
+    State is one open session per active key — bounded by key
+    cardinality × gap horizon, NOT by stream length; Spark's native
+    session_window state store handles merge-on-arrival (no
+    applyInPandasWithState needed for plain gap sessions)."""
+    return (df.withWatermark(ts_col, watermark)
+              .groupBy(F.session_window(F.col(ts_col), gap).alias("sw"),
+                       *keys)
+              .agg(F.count("*").alias("n_events"),
+                   F.max(ts_col).alias("last_event"))
+              .select(*keys,
+                      F.col("sw.start").alias("session_start"),
+                      F.col("sw.end").alias("session_end"),
+                      "n_events", "last_event"))
+
+
 def streaming_prices_with_tweets(
         tweets: DataFrame, prices: DataFrame,
         window_duration: str = "30 seconds",
