@@ -72,6 +72,29 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "keep_event_id", "n_copies"))
 
 
+# --- cross-source duplicate-leak matrix: which sources copy from
+#     which. One hash-groupBy on the content fingerprint, then pair
+#     expansion WITHIN each duplicate group's distinct-source array
+#     (bounded by the number of sources, not group size) — never a
+#     corpus self-join. The audit a curation pipeline runs before
+#     deciding per-source dedup precedence. ---
+def q_dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    norm = F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
+    groups = (d.groupBy(F.md5(norm).alias("h"))
+               .agg(F.sort_array(F.collect_set("source")).alias("srcs"))
+               .filter(F.size("srcs") >= 2))
+    pairs = F.expr(
+        "flatten(transform(srcs, (a, i) -> "
+        "transform(slice(srcs, i + 2, size(srcs) - i - 1), "
+        "b -> struct(a AS src_a, b AS src_b))))")
+    return (groups.select(F.explode(pairs).alias("p"))
+                  .select("p.src_a", "p.src_b")
+                  .groupBy("src_a", "src_b")
+                  .agg(F.count("*").alias("n_dup_groups"))
+                  .orderBy("src_a", "src_b"))  # bounded: |sources|²
+
+
 # --- exact n-gram Jaccard pairs on a bounded slice (oracle-checked) ---
 def _jaccard_pairs(docs: DataFrame, threshold: float,
                    max_shingle_df: int | None = None) -> DataFrame:
@@ -284,6 +307,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "dedup_exact": q_dedup_exact,
+    "dedup_source_matrix": q_dedup_source_matrix,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
@@ -313,6 +337,17 @@ _SQL_SIMHASH_FP = " + ".join(
     f"(CASE WHEN s{k} > 0 THEN {1 << k} ELSE 0 END)" for k in range(16))
 
 ORACLE = {
+    "dedup_source_matrix": """
+WITH g AS (
+  SELECT md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS h, source
+  FROM documents
+), p AS (
+  SELECT DISTINCT a.h, a.source AS src_a, b.source AS src_b
+  FROM g a JOIN g b USING (h) WHERE a.source < b.source
+)
+SELECT src_a, src_b, COUNT(*) AS n_dup_groups
+FROM p GROUP BY src_a, src_b ORDER BY src_a, src_b
+""",
     "dedup_exact": """
 SELECT md5(content) AS fingerprint, keep_event_id, n_copies FROM (
   SELECT lower(regexp_replace(props, '\\s+', ' ', 'g')) AS content,

@@ -108,3 +108,20 @@ def test_empty_and_short_docs_do_not_crash(spark):
     out = minhash_near_dups(df, 0.5).collect()
     # doc 1 is too short to shingle; docs 2/3 are exact dups → jaccard 1.0
     assert [(r.doc_a, r.doc_b, r.jaccard) for r in out] == [(2, 3, 1.0)]
+
+
+def test_source_matrix_pair_expansion(spark, monkeypatch):
+    from big_data_crypto_sentiment_spark.queries import dedup as D
+
+    df = spark.createDataFrame(
+        [(1, "Same  Text", "srcA"), (2, "same text", "srcB"),
+         (3, "SAME TEXT", "srcC"),      # one group across 3 sources
+         (4, "same text", "srcA"),      # extra copy, same source: no new pair
+         (5, "unique", "srcA")],
+        "doc_id long, text string, source string")
+    monkeypatch.setattr(D, "table", lambda s, d, n: df)
+    rows = {(r.src_a, r.src_b): r.n_dup_groups
+            for r in D.q_dedup_source_matrix(spark, "ignored").collect()}
+    # C(3,2) unordered pairs, each counted once per duplicate group
+    assert rows == {("srcA", "srcB"): 1, ("srcA", "srcC"): 1,
+                    ("srcB", "srcC"): 1}
