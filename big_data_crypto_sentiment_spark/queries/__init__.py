@@ -79,11 +79,14 @@ _MODULES = (flagship, relational, timeseries, text, dedup, similarity, ml,
 #                        fixtures (empty at the driver's sf0.01 = weak
 #                        window evidence); hash-checked non-empty at
 #                        sf0.1 by tools/check.py
+#   tokens_to_ids      — terminal tokenization; packing family in-window
+#                        via chunk_overlap/pack_sequences; hash-checked
+#                        at 3 SFs by tools/check.py
 _DEFER_FROM_WINDOW = ("src_avro_roundtrip", "log_return", "binned_features",
                       "ts_corr", "sample_stratified", "text_dup_rate",
                       "kv_flatten", "union_event_slices", "ts_session_stats",
                       "src_tweets_volume", "zip_explode_measures",
-                      "dedup_source_matrix")
+                      "dedup_source_matrix", "tokens_to_ids")
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

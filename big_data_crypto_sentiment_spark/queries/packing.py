@@ -139,6 +139,45 @@ def q_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "documents").select("doc_id", "text"))
 
 
+# --- terminal tokenization: words → vocab ids ---
+TOKEN_VOCAB_K = 50
+OOV_ID = 0
+
+
+def q_tokens_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map every word to its frequency-rank vocab id (1-based over the
+    top-K vocabulary; OOV → 0) and emit the id sequence per doc — the
+    last hop before tensors.
+
+    Scale shape: the vocab is built with a TakeOrderedAndProject over
+    the aggregated term counts (bounded K, no global sort
+    materialization), collected to the driver — a tokenizer vocabulary
+    IS a driver artifact — and shipped back as a literal map, so the
+    corpus pass is a pure per-row transform: zero shuffles, no explode,
+    no join. Each array lives in its own projection stage (no HOF
+    duplication — see cleaning.py)."""
+    d = table(spark, sf_dir, "documents")
+    vocab = (d.select(F.explode(F.split(F.col("text"), " ")).alias("term"))
+              .groupBy("term").agg(F.count("*").alias("n"))
+              .orderBy(F.desc("n"), "term").limit(TOKEN_VOCAB_K).collect())
+    kv = []
+    for rank, r in enumerate(vocab, start=1):
+        kv += [F.lit(r.term), F.lit(rank)]
+    vmap = F.create_map(*kv)
+    ids = F.transform(
+        F.col("_w"), lambda w: F.coalesce(F.element_at(vmap, w),
+                                          F.lit(OOV_ID)))
+    return (d.select("doc_id", F.split(F.col("text"), " ").alias("_w"))
+             .select("doc_id", F.size("_w").alias("n_tokens"),
+                     ids.alias("_ids"))
+             .select("doc_id", "n_tokens",
+                     F.size(F.filter("_ids", lambda x: x == OOV_ID))
+                      .alias("n_oov"),
+                     F.array_join(F.transform("_ids",
+                                              lambda x: x.cast("string")),
+                                  ",").alias("token_ids")))
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(table(spark, sf_dir, "documents"))
 
@@ -151,6 +190,7 @@ def q_pack_bins_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "chunk_overlap": q_chunk_overlap,
+    "tokens_to_ids": q_tokens_to_ids,
     "pack_sequences": q_pack_sequences,
     "pack_bins_ffd": q_pack_bins_ffd,
 }
@@ -158,6 +198,28 @@ QUERIES = {
 _PAT_SQL = PAT_TOKEN.replace("'", "''")
 
 ORACLE = {
+    "tokens_to_ids": f"""
+WITH vocab AS (
+  SELECT term, CAST(ROW_NUMBER() OVER (ORDER BY n DESC, term) AS INT)
+           AS id
+  FROM (SELECT term, COUNT(*) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS term
+              FROM documents)
+        GROUP BY term ORDER BY n DESC, term LIMIT {TOKEN_VOCAB_K})
+), w AS (
+  SELECT doc_id, len(words) AS n_tokens,
+         unnest(words) AS term,
+         unnest(range(1, len(words) + 1)) AS pos
+  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+)
+SELECT w.doc_id, CAST(ANY_VALUE(w.n_tokens) AS INT) AS n_tokens,
+       CAST(SUM(CASE WHEN v.id IS NULL THEN 1 ELSE 0 END) AS INT)
+         AS n_oov,
+       string_agg(CAST(COALESCE(v.id, {OOV_ID}) AS VARCHAR), ','
+                  ORDER BY w.pos) AS token_ids
+FROM w LEFT JOIN vocab v USING (term)
+GROUP BY w.doc_id
+""",
     "chunk_overlap": f"""
 WITH s AS (
   SELECT doc_id, text,
