@@ -45,6 +45,27 @@ def load(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFr
     return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
 
 
+def load_events_range(spark: SparkSession, sf_dir: str,
+                      start_ns: int, end_ns: int | None = None) -> DataFrame:
+    """Events scan with the time bounds PUSHED to parquet row groups.
+
+    A filter on the converted column — `timestamp_micros(ts DIV 1000)
+    >= X` — is a DataFilter but never a PushedFilter: parquet stats
+    can't evaluate the expression, so every row group is read. Applying
+    the bounds to the RAW int64 nanos column before the conversion
+    turns them into plain long comparisons the reader prunes with
+    row-group min/max stats — at 100 TB the difference between scanning
+    a day and scanning the archive. Bounds are epoch NANOseconds
+    (the file's physical unit, so no precision games at the edge)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    df = df.filter(F.col("ts") >= F.lit(int(start_ns)))
+    if end_ns is not None:
+        df = df.filter(F.col("ts") < F.lit(int(end_ns)))
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
 def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
     """Register every table as a temp view so spark.sql() queries mirror
     the DuckDB oracle's pre-registered views one-to-one."""

@@ -15,6 +15,8 @@ from pyspark.sql import functions as F
 from ._util import sql_davg, sql_dsum, table
 
 CUTOFF = "2024-01-15 00:00:00"  # events mid-range time filter (P10)
+# same instant as epoch nanos (UTC), for the pushdown-friendly raw scan
+CUTOFF_NS = 1_705_276_800 * 1_000_000_000
 
 
 # --- A1/A3-style grouped aggregate with filter pushdown (TPC-H Q1 shape) ---
@@ -42,10 +44,14 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- P8/P9/P10: membership + time-range filter, typed projection ---
 def q_filter_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events")
+    # the time bound goes through load_events_range so it reaches the
+    # parquet reader as a raw-nanos comparison (PushedFilters row-group
+    # pruning); a filter on the converted timestamp never pushes —
+    # asserted by tests/test_plan_guards.py
+    from ..catalog import load_events_range
+    ev = load_events_range(spark, sf_dir, CUTOFF_NS)
     return (
         ev.filter(F.col("event_type").isin("purchase", "error")
-                  & (F.col("ts") >= F.lit(CUTOFF))
                   & F.col("value").isNotNull())
         .select("event_id", "ts", "user_id", "event_type", "value")
     )  # no global sort: output is O(input); the checker sorts rows itself

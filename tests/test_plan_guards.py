@@ -56,3 +56,13 @@ def test_brute_force_baseline_is_still_broadcast(plans):
 def test_no_row_at_a_time_python_udfs(plans):
     bad = [n for n, p in plans.items() if "BatchEvalPython" in p]
     assert bad == []
+
+
+def test_time_range_scan_pushes_ts_bound(plans):
+    """The S8/S10 pushdown scan must reach parquet as a raw-nanos
+    comparison (row-group pruning), not a DataFilter on the converted
+    timestamp — see catalog.load_events_range."""
+    import re
+    pushed = re.search(r"PushedFilters: \[[^\]]*\]",
+                       plans["filter_time_range"]).group(0)
+    assert "GreaterThanOrEqual(ts," in pushed
