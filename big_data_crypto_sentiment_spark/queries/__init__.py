@@ -82,11 +82,15 @@ _MODULES = (flagship, relational, timeseries, text, dedup, similarity, ml,
 #   tokens_to_ids      — terminal tokenization; packing family in-window
 #                        via chunk_overlap/pack_sequences; hash-checked
 #                        at 3 SFs by tools/check.py
+#   retention_after_deletes — broadcast anti-join tombstone op; join
+#                        family in-window via left_join_fillna/
+#                        orders_by_nation; hash-checked at 3 SFs
 _DEFER_FROM_WINDOW = ("src_avro_roundtrip", "log_return", "binned_features",
                       "ts_corr", "sample_stratified", "text_dup_rate",
                       "kv_flatten", "union_event_slices", "ts_session_stats",
                       "src_tweets_volume", "zip_explode_measures",
-                      "dedup_source_matrix", "tokens_to_ids")
+                      "dedup_source_matrix", "tokens_to_ids",
+                      "retention_after_deletes")
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -107,6 +107,27 @@ def q_union_event_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.unionByName(b)  # O(input) output — no global sort
 
 
+# --- tombstone propagation: broadcast LEFT ANTI join. The
+#     right-to-be-forgotten shape: a (small) deletion list knocks every
+#     matching fact row out of the corpus without shuffling the corpus —
+#     the delete list broadcasts, facts stream through map-side. The
+#     fixture list is a deterministic 2% hash slice of user_ids (real
+#     use: a tombstone table). ---
+DELETE_PCT = 2
+
+
+def q_retention_after_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sampling import _hash_bucket
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    tombstones = (ev.select("user_id").distinct()
+                    .filter(_hash_bucket(F.col("user_id"), 100) < DELETE_PCT))
+    return (ev.join(F.broadcast(tombstones), "user_id", "left_anti")
+              .groupBy("event_type")
+              .agg(F.count("*").alias("n_kept"),
+                   F.count_distinct("user_id").alias("n_users_kept"))
+              .orderBy("event_type"))
+
+
 # --- P3/P4: JSON payload parse + typed projection from map ---
 def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
@@ -188,6 +209,7 @@ QUERIES = {
     "left_join_fillna": q_left_join_fillna,
     "top_users": q_top_users,
     "union_event_slices": q_union_event_slices,
+    "retention_after_deletes": q_retention_after_deletes,
     "json_props": q_json_props,
     "unpivot_order_measures": q_unpivot_order_measures,
     "summary_stats": q_summary_stats,
@@ -257,6 +279,7 @@ UNION ALL
 SELECT event_id, user_id, event_type FROM events WHERE event_type = 'signup'
 ORDER BY event_id
 """,
+    "retention_after_deletes": None,  # filled below ORACLE (hash helper)
     "json_props": """
 SELECT event_id,
        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
@@ -304,3 +327,18 @@ SELECT ROUND(AVG(CAST(value IS NULL AS INT)), 6) AS value_null_ratio,
 FROM events
 """,
 }
+
+
+def _retention_sql() -> str:
+    from .sampling import _sql_hash_bucket  # deferred: avoids import cycle
+    hb = _sql_hash_bucket("user_id", 100)
+    return f"""
+SELECT event_type, COUNT(*) AS n_kept,
+       COUNT(DISTINCT user_id) AS n_users_kept
+FROM events
+WHERE user_id IS NOT NULL AND NOT {hb} < {DELETE_PCT}
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+ORACLE["retention_after_deletes"] = _retention_sql()
