@@ -72,26 +72,44 @@ def _word_grams(words_col, n: int):
     ).otherwise(F.array().cast("array<string>"))
 
 
-def decontaminate(docs: DataFrame, id_col: str = "doc_id",
-                  text_col: str = "text", n: int = NGRAM) -> DataFrame:
-    """(doc_id, n_grams, n_hit, hit_frac) for every NON-benchmark doc
-    that shares ≥1 word n-gram with the benchmark slice. Training-set
-    docs that hit are what a curation pipeline drops before training.
-
-    Each array gets its OWN projection stage (split → grams →
-    size+explode): a single-stage form duplicates the gram expression
-    into the Project above the Generate, rebuilding the O(n²) array per
-    exploded row — measured 10× this query's cost at sf0.01."""
-    grams = (docs.select(
-        F.col(id_col), _is_bench(F.col(id_col)).alias("is_bench"),
+def _gram_rows(docs: DataFrame, id_col: str, text_col: str,
+               n: int, flag) -> DataFrame:
+    """Exploded (id, is_bench, n_grams, gram) rows. Each array gets its
+    OWN projection stage (split → grams → size+explode): a single-stage
+    form duplicates the gram expression into the Project above the
+    Generate, rebuilding the O(n²) array per exploded row — measured
+    10× the whole decontam cost at sf0.01."""
+    return (docs.select(
+        F.col(id_col), flag.alias("is_bench"),
         F.split(F.col(text_col), " ").alias("_w"))
         .select(id_col, "is_bench",
                 _word_grams(F.col("_w"), n).alias("grams"))
         .select(id_col, "is_bench",
                 F.size("grams").alias("n_grams"),
                 F.explode("grams").alias("gram")))
-    bench = (grams.filter("is_bench").select("gram").distinct())
-    corpus = grams.filter(~F.col("is_bench"))
+
+
+def decontaminate(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", n: int = NGRAM,
+                  benchmark: DataFrame | None = None) -> DataFrame:
+    """(doc_id, n_grams, n_hit, hit_frac) for every corpus doc that
+    shares ≥1 word n-gram with the benchmark. Training-set docs that
+    hit are what a curation pipeline drops before training.
+
+    Pass `benchmark` as its own DataFrame (same id/text columns) — the
+    production shape: eval suites live in their own small table whose
+    gram set broadcasts. Without it, a deterministic hash slice of
+    `docs` (BENCH_PCT%) stands in as the benchmark and is excluded from
+    the corpus side — the fixture shape."""
+    if benchmark is not None:
+        corpus = _gram_rows(docs, id_col, text_col, n, F.lit(False))
+        bench = (_gram_rows(benchmark, id_col, text_col, n, F.lit(True))
+                 .select("gram").distinct())
+    else:
+        grams = _gram_rows(docs, id_col, text_col, n,
+                           _is_bench(F.col(id_col)))
+        bench = grams.filter("is_bench").select("gram").distinct()
+        corpus = grams.filter(~F.col("is_bench"))
     return (corpus.join(F.broadcast(bench), "gram")
             .groupBy(id_col, "n_grams")
             .agg(F.count_distinct("gram").alias("n_hit"))

@@ -83,3 +83,14 @@ def test_redact_pii_adversarial_cases(spark):
     # 4-octet window still matches; user@nodot has no TLD dot
     assert rows[3].n_phones == 0 and rows[3].n_emails == 0
     assert rows[4].n_ips == 1 and rows[4].clean_text == "edge <IP>"
+
+
+def test_decontaminate_with_explicit_benchmark_table(spark):
+    leaked = " ".join(f"w{i}" for i in range(NGRAM))
+    corpus = spark.createDataFrame(
+        [(1, leaked), (2, "totally different words here now")],
+        "doc_id long, text string")
+    bench = spark.createDataFrame([(900, leaked)], "doc_id long, text string")
+    rows = decontaminate(corpus, benchmark=bench).collect()
+    # no hash-slice semantics: ALL corpus docs screened, bench ids ignored
+    assert [(r.doc_id, r.n_hit) for r in rows] == [(1, 1)]

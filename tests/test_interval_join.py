@@ -58,3 +58,31 @@ def test_pairs_are_unique_despite_right_triplication(spark):
     out = time_tolerance_join(left, right, ["k"], 7, "lts", "rts")
     pairs = [(r.lid, r.rid) for r in out.collect()]
     assert len(pairs) == len(set(pairs))  # bucket partitioning: no dups
+
+
+def test_property_matches_naive_on_random_inputs(spark):
+    from hypothesis import given, settings, strategies as st
+
+    ev = st.lists(
+        st.tuples(st.integers(0, 2),            # key
+                  st.integers(0, 200_000_000)), # offset micros (~200s span)
+        min_size=1, max_size=12)
+
+    @settings(max_examples=15, deadline=None)
+    @given(left=ev, right=ev, tol=st.integers(1, 60))
+    def prop(left, right, tol):
+        ldf = spark.createDataFrame(
+            [(k, i, _ts(us / 1e6)) for i, (k, us) in enumerate(left)],
+            "k long, lid long, lts timestamp")
+        rdf = spark.createDataFrame(
+            [(k, i, _ts(us / 1e6)) for i, (k, us) in enumerate(right)],
+            "k long, rid long, rts timestamp")
+        got = {(r.lid, r.rid)
+               for r in time_tolerance_join(ldf, rdf, ["k"], tol,
+                                            "lts", "rts").collect()}
+        want = {(r.lid, r.rid) for r in ldf.join(rdf, "k").filter(
+            F.abs(F.unix_micros("rts") - F.unix_micros("lts"))
+            <= tol * 1_000_000).collect()}
+        assert got == want
+
+    prop()
