@@ -65,29 +65,51 @@ TA_SCHEMA = T.StructType([
 
 
 def ta_pandas(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Recursive indicators for ONE symbol's series (already sorted in
-    ascending ts by the caller). Standard definitions: EMA with
-    adjust=False (classic recursion), Wilder-smoothed RSI, MACD 12/26/9."""
+    """Recursive indicators for ONE symbol's series. Standard
+    definitions: EMA with adjust=False (classic recursion),
+    Wilder-smoothed RSI, MACD 12/26/9.
+
+    The recurrences are spelled out explicitly — e = (1-α)·e + α·x,
+    same op order as the DuckDB recursive-CTE oracle twin — instead of
+    pandas ewm(adjust=False), whose per-step normalization divides by
+    ((1-α)+α) and drifts from the textbook recursion by ~1 ulp/step.
+    Values agree with ewm to ~1e-13; the oracle comparison (round 6 on
+    both sides) needs the bit-identical form. The Python loop is per
+    GROUP (one symbol already shuffled to one task), so it adds no
+    distribution cost; a group is ~series length, looped at C-call-free
+    float speed."""
     pdf = pdf.sort_values("ts").reset_index(drop=True)
-    price = pdf["price"].astype(float)
-    ema_fast = price.ewm(span=EMA_FAST, adjust=False).mean()
-    ema_slow = price.ewm(span=EMA_SLOW, adjust=False).mean()
-    macd = ema_fast - ema_slow
-    signal = macd.ewm(span=EMA_SIGNAL, adjust=False).mean()
-    delta = price.diff()
-    gain = delta.clip(lower=0.0)
-    loss = (-delta).clip(lower=0.0)
-    avg_gain = gain.ewm(alpha=1.0 / RSI_N, adjust=False).mean()
-    avg_loss = loss.ewm(alpha=1.0 / RSI_N, adjust=False).mean()
-    rs = avg_gain / avg_loss
-    rsi = (100.0 - 100.0 / (1.0 + rs)).where(avg_loss > 0, 100.0)
-    rsi[delta.isna()] = None  # first row has no change yet
-    return pd.DataFrame({
-        "symbol": pdf["symbol"], "ts": pdf["ts"], "price": price,
-        "ema_fast": ema_fast, "ema_slow": ema_slow,
-        "macd": macd, "macd_signal": signal, "macd_hist": macd - signal,
-        "rsi": rsi,
+    x = pdf["price"].astype(float).to_numpy()
+    n = len(x)
+    af, asl, asg = (2.0 / (EMA_FAST + 1), 2.0 / (EMA_SLOW + 1),
+                    2.0 / (EMA_SIGNAL + 1))
+    ar = 1.0 / RSI_N
+    ef = [0.0] * n
+    es = [0.0] * n
+    macd = [0.0] * n
+    sig = [0.0] * n
+    rsi = [None] * n
+    if n:
+        ef[0], es[0] = x[0], x[0]
+        ag = al = None
+        for i in range(1, n):
+            ef[i] = (1.0 - af) * ef[i - 1] + af * x[i]
+            es[i] = (1.0 - asl) * es[i - 1] + asl * x[i]
+            macd[i] = ef[i] - es[i]
+            sig[i] = (1.0 - asg) * sig[i - 1] + asg * macd[i]
+            g = max(x[i] - x[i - 1], 0.0)
+            lo = max(x[i - 1] - x[i], 0.0)
+            ag = g if ag is None else (1.0 - ar) * ag + ar * g
+            al = lo if al is None else (1.0 - ar) * al + ar * lo
+            rsi[i] = (100.0 - 100.0 / (1.0 + ag / al)) if al > 0 else 100.0
+    out = pd.DataFrame({
+        "symbol": pdf["symbol"], "ts": pdf["ts"], "price": x,
+        "ema_fast": ef, "ema_slow": es, "macd": macd,
+        "macd_signal": sig,
+        "macd_hist": [m - s for m, s in zip(macd, sig)],
+        "rsi": pd.array(rsi, dtype="float64"),
     })
+    return out
 
 
 def ta_indicators(df: DataFrame) -> DataFrame:

@@ -85,12 +85,15 @@ _MODULES = (flagship, relational, timeseries, text, dedup, similarity, ml,
 #   retention_after_deletes — broadcast anti-join tombstone op; join
 #                        family in-window via left_join_fillna/
 #                        orders_by_nation; hash-checked at 3 SFs
+#   ta_ema_rsi_macd    — upgraded rows-only → oracle-paired in r4 (the
+#                        recursive-CTE twin); TA family in-window via
+#                        ta_sma_vwap; recurrence pinned in pytest
 _DEFER_FROM_WINDOW = ("src_avro_roundtrip", "log_return", "binned_features",
                       "ts_corr", "sample_stratified", "text_dup_rate",
                       "kv_flatten", "union_event_slices", "ts_session_stats",
                       "src_tweets_volume", "zip_explode_measures",
                       "dedup_source_matrix", "tokens_to_ids",
-                      "retention_after_deletes")
+                      "retention_after_deletes", "ta_ema_rsi_macd")
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

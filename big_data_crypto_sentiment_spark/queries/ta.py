@@ -37,8 +37,26 @@ def q_ta_ema_rsi_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "ta_sma_vwap": q_ta_sma_vwap,
-    "ta_ema_rsi_macd": q_ta_ema_rsi_macd,  # rows-only: recursive, pytest-pinned
+    "ta_ema_rsi_macd": q_ta_ema_rsi_macd,
 }
+
+# exact double literals for the EMA alphas — the recursive-CTE oracle
+# must run the IDENTICAL recurrence (1-α)·e + α·x in the same op order
+# as operators/ta.py:ta_pandas (see its docstring)
+_AF = repr(2.0 / (12 + 1))   # EMA_FAST
+_AS = repr(2.0 / (26 + 1))   # EMA_SLOW
+_AG = repr(2.0 / (9 + 1))    # EMA_SIGNAL
+_AR = repr(1.0 / 14)         # RSI Wilder alpha
+
+_EF = f"((1.0 - {_AF}) * r.ef + {_AF} * t.price)"
+_ES = f"((1.0 - {_AS}) * r.es + {_AS} * t.price)"
+_MACD = f"({_EF} - {_ES})"
+_G = "GREATEST(t.price - r.price, 0.0)"
+_L = "GREATEST(r.price - t.price, 0.0)"
+_AGN = f"(CASE WHEN r.ag IS NULL THEN {_G} " \
+       f"ELSE (1.0 - {_AR}) * r.ag + {_AR} * {_G} END)"
+_ALN = f"(CASE WHEN r.al IS NULL THEN {_L} " \
+       f"ELSE (1.0 - {_AR}) * r.al + {_AR} * {_L} END)"
 
 ORACLE = {
     "ta_sma_vwap": f"""
@@ -56,5 +74,39 @@ SELECT symbol, ts, event_id, price, volume,
 FROM ticks
 WINDOW w AS (PARTITION BY symbol ORDER BY ts, event_id
              ROWS BETWEEN {SMA_N - 1} PRECEDING AND CURRENT ROW)
+""",
+    # the recursion (one row per (symbol, step)) iterates all symbols in
+    # lockstep — same shape as the dedup_components recursive oracle.
+    # Hash-exact vs the Spark side at sf0.001/sf0.01 (1k/10k rows); at
+    # sf0.1 the ORACLE side itself (20k CTE iterations) takes minutes —
+    # a DuckDB recursion cost, not a Spark-side limit; the Spark plan is
+    # one shuffle + one Arrow batch per symbol at any scale.
+    "ta_ema_rsi_macd": f"""
+WITH RECURSIVE ticks AS (
+  SELECT event_type AS symbol, ts, value AS price,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ts) AS rn
+  FROM events WHERE value IS NOT NULL
+), rec AS (
+  SELECT symbol, rn, ts, price,
+         price AS ef, price AS es,
+         CAST(0.0 AS DOUBLE) AS macd, CAST(0.0 AS DOUBLE) AS sig,
+         CAST(NULL AS DOUBLE) AS ag, CAST(NULL AS DOUBLE) AS al,
+         CAST(NULL AS DOUBLE) AS rsi
+  FROM ticks WHERE rn = 1
+  UNION ALL
+  SELECT t.symbol, t.rn, t.ts, t.price,
+         {_EF} AS ef, {_ES} AS es, {_MACD} AS macd,
+         (1.0 - {_AG}) * r.sig + {_AG} * {_MACD} AS sig,
+         {_AGN} AS ag, {_ALN} AS al,
+         CASE WHEN {_ALN} > 0
+              THEN 100.0 - 100.0 / (1.0 + {_AGN} / {_ALN})
+              ELSE 100.0 END AS rsi
+  FROM ticks t JOIN rec r ON t.symbol = r.symbol AND t.rn = r.rn + 1
+)
+SELECT symbol, ts, price,
+       ROUND(ef, 6) AS ema_fast, ROUND(es, 6) AS ema_slow,
+       ROUND(macd, 6) AS macd, ROUND(sig, 6) AS macd_signal,
+       ROUND(macd - sig, 6) AS macd_hist, ROUND(rsi, 6) AS rsi
+FROM rec
 """,
 }
