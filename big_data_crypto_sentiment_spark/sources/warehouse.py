@@ -40,3 +40,29 @@ def read_warehouse(spark: SparkSession, path: str,
         raise NotImplementedError(
             f"format {fmt!r} unavailable (no spark-{fmt} jar) and no "
             f"parquet fallback at {fallback_path or path!r}") from ex
+
+
+def read_evolved(spark: SparkSession, path: str,
+                 required: dict[str, str] | None = None) -> DataFrame:
+    """Read a parquet directory whose files were written under DIFFERENT
+    schema versions (columns added over time) into one unified frame —
+    the schema-evolution reality of any long-lived warehouse directory.
+
+    ``mergeSchema`` unions the per-file schemas (absent columns become
+    NULL for old files); ``required`` then pins {column: type} so
+    downstream code sees a stable contract even if TODAY's directory
+    happens to contain only old files — missing columns are
+    materialized as typed NULLs, present ones are cast.
+
+    Scale note: schema merging reads FOOTERS of every file (a driver/
+    job-side metadata pass, not a data scan); at 100 TB you'd pin the
+    unified schema explicitly (the `required` path) and skip the merge
+    — both forms are exercised in tests."""
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    from pyspark.sql import functions as F
+    for col, typ in (required or {}).items():
+        if col in df.columns:
+            df = df.withColumn(col, F.col(col).cast(typ))
+        else:
+            df = df.withColumn(col, F.lit(None).cast(typ))
+    return df

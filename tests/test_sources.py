@@ -104,3 +104,29 @@ def test_warehouse_fallback_reads_parquet(spark):
 def test_warehouse_no_fallback_raises_not_implemented(spark, tmp_path):
     with pytest.raises(NotImplementedError, match="avro"):
         read_warehouse(spark, str(tmp_path / "nope.avro"), fmt="avro")
+
+
+def test_read_evolved_merges_schema_versions(spark, tmp_path):
+    from big_data_crypto_sentiment_spark.sources.warehouse import (
+        read_evolved,
+    )
+
+    path = str(tmp_path / "evolved")
+    # v1 files: no `quality` column; v2 adds it
+    spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, text string") \
+         .coalesce(1).write.mode("append").parquet(path)
+    spark.createDataFrame([(3, "c", 0.5)],
+                          "doc_id long, text string, quality double") \
+         .coalesce(1).write.mode("append").parquet(path)
+
+    df = read_evolved(spark, path)
+    assert set(df.columns) == {"doc_id", "text", "quality"}
+    rows = {r.doc_id: r.quality for r in df.collect()}
+    assert rows[1] is None and rows[2] is None and rows[3] == 0.5
+
+    # the pinned-contract path: a column absent from EVERY file still
+    # materializes with the declared type
+    df2 = read_evolved(spark, path,
+                       required={"quality": "double", "lang": "string"})
+    assert dict(df2.dtypes)["lang"] == "string"
+    assert all(r.lang is None for r in df2.collect())
