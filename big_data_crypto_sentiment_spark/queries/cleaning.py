@@ -16,10 +16,11 @@ and rule-based PII scrubbing.
   * repetition_signals — Gopher-style per-doc repetition metrics
                          (distinct-word ratio, top-word fraction,
                          duplicate-2-gram fraction) as pure per-row
-                         higher-order-function math: ZERO shuffles,
-                         embarrassingly parallel, whole-stage codegen.
-                         Per-row cost is O(distinct·n) on ~100-word docs
-                         — cheaper than the explode+groupBy alternative,
+                         array math: ZERO shuffles, embarrassingly
+                         parallel. Per-row cost is O(n log n) (sorted
+                         run-length scan) — cheaper than both the
+                         nested-HOF form (O(distinct·n) interpreted
+                         lambdas) and the explode+groupBy alternative,
                          which would shuffle one row per (doc, gram).
   * redact_pii         — regex scrub of emails / phones / IPv4s into
                          typed placeholders, with per-rule hit counts
