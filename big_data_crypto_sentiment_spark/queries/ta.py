@@ -26,8 +26,22 @@ def q_ta_sma_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
                     order_cols=("event_id",))
 
 
+# registered-query tick cap: the recursive-CTE oracle is O(steps)
+# ITERATIONS in DuckDB (20k steps at sf0.1 ran >5 min), so the paired
+# query computes indicators over the first TA_MAX_TICKS ticks per
+# symbol — covers every tick at sf0.001/0.01 and keeps the oracle
+# tractable at sf0.1. The operator itself (ta_indicators) is unbounded;
+# its Spark cost is one shuffle + one Arrow batch per symbol at any
+# length.
+TA_MAX_TICKS = 2500
+
+
 def q_ta_ema_rsi_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
     t = _ticks(spark, sf_dir).select("symbol", "ts", "price")
+    w = Window.partitionBy("symbol").orderBy("ts")
+    t = (t.withColumn("_rn", F.row_number().over(w))
+          .filter(F.col("_rn") <= TA_MAX_TICKS).drop("_rn"))
     out = ta_indicators(t)
     rounded = [F.round(c, 6).alias(c) for c in
                ("ema_fast", "ema_slow", "macd", "macd_signal",
@@ -83,9 +97,11 @@ WINDOW w AS (PARTITION BY symbol ORDER BY ts, event_id
     # one shuffle + one Arrow batch per symbol at any scale.
     "ta_ema_rsi_macd": f"""
 WITH RECURSIVE ticks AS (
-  SELECT event_type AS symbol, ts, value AS price,
-         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ts) AS rn
-  FROM events WHERE value IS NOT NULL
+  SELECT * FROM (
+    SELECT event_type AS symbol, ts, value AS price,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ts) AS rn
+    FROM events WHERE value IS NOT NULL)
+  WHERE rn <= {TA_MAX_TICKS}
 ), rec AS (
   SELECT symbol, rn, ts, price,
          price AS ef, price AS es,
