@@ -94,3 +94,37 @@ def bulk_jsonl(df: DataFrame, out_dir: str, chunk: int = CHUNK,
 
     df.rdd.mapPartitionsWithIndex(
         lambda i, it: iter([write_partition(i, it)])).count()
+
+
+TARGET_FILE_BYTES = 128 * 1024 * 1024  # match maxPartitionBytes
+
+
+def compact_parquet(spark, path: str,
+                    target_bytes: int = TARGET_FILE_BYTES) -> int:
+    """Rewrite a parquet directory into ~target-size files; returns the
+    new file count. The small-files maintenance op: streaming sinks and
+    fine-grained incremental appends leave directories with thousands
+    of KB-scale files, and at 100 TB listing + footer reads + per-file
+    task overhead dominate scans of such directories.
+
+    Sizing comes from the directory's ACTUAL bytes (filesystem
+    metadata, no data read); the rewrite is one coalesce-free
+    round-robin repartition so output files are uniformly sized even
+    when the input files aren't. Writes to a sibling temp dir first and
+    atomically swaps, so a reader never sees a half-compacted
+    directory."""
+    import shutil
+
+    total = sum(os.path.getsize(os.path.join(dp, f))
+                for dp, _, fs in os.walk(path) for f in fs
+                if f.endswith(".parquet"))
+    n_files = max(1, -(-total // target_bytes))
+    tmp = path.rstrip("/") + "._compact_tmp"
+    (spark.read.parquet(path)
+          .repartition(n_files)
+          .write.mode("overwrite").parquet(tmp))
+    old = path.rstrip("/") + "._compact_old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return n_files

@@ -120,3 +120,23 @@ def test_simulated_ta_rsi_clamped(spark):
     pdf = simulated_ta(spark, 400).toPandas()
     assert ((pdf["rsi"] >= 0.0) & (pdf["rsi"] <= 100.0)).all()
     assert (pdf["rsi"] == 0.0).any() or (pdf["rsi"] == 100.0).any()
+
+
+def test_compact_parquet_collapses_small_files(spark, tmp_path):
+    from big_data_crypto_sentiment_spark.sinks import compact_parquet
+
+    path = str(tmp_path / "frag")
+    # 20 tiny appends -> >=20 fragment files
+    for i in range(20):
+        spark.range(i * 10, (i + 1) * 10).coalesce(1) \
+             .write.mode("append").parquet(path)
+    import os
+    frags = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert len(frags) >= 20
+    before = sorted(r.id for r in spark.read.parquet(path).collect())
+
+    n = compact_parquet(spark, path, target_bytes=1 << 30)
+    files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert n == 1 and len(files) == 1          # tiny data -> one file
+    after = sorted(r.id for r in spark.read.parquet(path).collect())
+    assert after == before == list(range(200))  # nothing lost or doubled
