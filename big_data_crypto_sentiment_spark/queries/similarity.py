@@ -313,14 +313,53 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(queries, corpus, centroids, TOP_K)
 
 
+# --- embedding int8 quantization: the storage/bandwidth compression
+#     every at-scale ANN corpus applies (4× smaller vectors, dot
+#     products in int arithmetic downstream). Symmetric per-vector
+#     scaling: q_i = round(x_i * 127/max|x|); `scale` rides along for
+#     dequantization. Pure per-row array math, zero shuffles; each array
+#     in its own projection stage (no HOF duplication). The quantized
+#     vector is emitted comma-joined (driver hash canonicalizer can't
+#     take arrays); max reconstruction error ≤ max|x|/254 by
+#     construction, pinned in pytest. ---
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    s = 127.0 / F.array_max(F.transform(F.col("embedding"), F.abs))
+    qarr = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * F.col("_s"), 0).cast("int"))
+    return (e.select("vec_id", "embedding", s.alias("_s"))
+             .select("vec_id", "_s", qarr.alias("_q"))
+             .select("vec_id",
+                     F.round(F.col("_s"), 8).alias("scale"),
+                     F.array_join(F.transform("_q",
+                                              lambda x: x.cast("string")),
+                                  ",").alias("q_int8")))
+
+
 QUERIES = {
     "sim_topk_cosine": q_sim_topk_cosine,
     "sim_ann_lsh": q_sim_ann_lsh,                # rows-only: hash planes
     "sim_near_dup_pairs": q_sim_near_dup_pairs,  # rows-only: hash planes
     "sim_ivf_topk": q_sim_ivf_topk,              # rows-only: KMeans fit
+    "embed_quantize": q_embed_quantize,
 }
 
 ORACLE = {
+    "embed_quantize": """
+WITH s AS (
+  SELECT vec_id, embedding,
+         127.0 / list_max(list_transform(embedding,
+                                         x -> abs(CAST(x AS DOUBLE))))
+           AS sc
+  FROM embeddings
+)
+SELECT vec_id, ROUND(sc, 8) AS scale,
+       array_to_string(list_transform(embedding,
+           x -> CAST(ROUND(CAST(x AS DOUBLE) * sc, 0) AS INT)), ',')
+         AS q_int8
+FROM s
+""",
     "sim_topk_cosine": f"""
 WITH q AS (
   SELECT vec_id AS query_id, embedding AS qe FROM embeddings

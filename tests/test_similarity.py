@@ -128,3 +128,22 @@ def test_brute_force_excludes_self_and_ranks_densely(corpus, queries):
     ranks = [r.rank for r in df.filter(F.col("query_id") == 0)
              .orderBy("rank").collect()]
     assert ranks == list(range(1, len(ranks) + 1))
+
+
+def test_quantization_reconstruction_error_bound(spark):
+    from big_data_crypto_sentiment_spark.queries.similarity import (
+        q_embed_quantize,
+    )
+    from big_data_crypto_sentiment_spark.queries._util import table
+
+    sf = "/root/testdata/sf0.001"
+    orig = {r.vec_id: r.embedding
+            for r in table(spark, sf, "embeddings").collect()}
+    for r in q_embed_quantize(spark, sf).collect():
+        q = [int(v) for v in r.q_int8.split(",")]
+        x = [float(v) for v in orig[r.vec_id]]
+        assert all(-127 <= v <= 127 for v in q)
+        assert max(abs(v) for v in q) == 127  # scale saturates the grid
+        step = max(abs(v) for v in x) / 127.0
+        for qi, xi in zip(q, x):
+            assert abs(qi * step - xi) <= step / 2 + 1e-9
