@@ -109,3 +109,21 @@ def test_key_skew_profile_shares_and_factor(spark):
     for r in rows:
         assert 0 <= r.share_ppm <= 1_000_000
         assert abs(r.share_ppm * r.n_keys - r.skew_factor * 1_000_000) < 2 * r.n_keys
+
+
+def test_split_is_invariant_to_partitioning(spark):
+    """The leakage-free claim: a doc's split depends only on its id, so
+    ANY physical layout yields byte-identical assignments."""
+    from big_data_crypto_sentiment_spark.queries.sampling import (
+        split_train_val_test,
+    )
+
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id: r.split
+         for r in split_train_val_test(df, "doc_id").collect()}
+    b = {r.doc_id: r.split
+         for r in split_train_val_test(df.repartition(7), "doc_id")
+         .collect()}
+    c = {r.doc_id: r.split
+         for r in split_train_val_test(df.coalesce(1), "doc_id").collect()}
+    assert a == b == c

@@ -147,3 +147,32 @@ def test_quantization_reconstruction_error_bound(spark):
         step = max(abs(v) for v in x) / 127.0
         for qi, xi in zip(q, x):
             assert abs(qi * step - xi) <= step / 2 + 1e-9
+
+
+def test_quantized_corpus_preserves_topk_recall(spark):
+    """Search over DEQUANTIZED int8 vectors must agree with the float
+    corpus — the usability claim behind embed_quantize."""
+    from pyspark.sql import functions as F
+
+    from big_data_crypto_sentiment_spark.queries._util import table
+    from big_data_crypto_sentiment_spark.queries.similarity import (
+        TOP_K,
+        brute_force_topk,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    e = table(spark, sf, "embeddings").select("vec_id", "embedding")
+    queries = (e.filter(F.col("vec_id") < 5)
+                .select(F.col("vec_id").alias("query_id"),
+                        F.col("embedding").alias("qe")))
+    # quantize + dequantize in-plan (scale = 127/max|x|)
+    s = 127.0 / F.array_max(F.transform("embedding", F.abs))
+    deq = (e.withColumn("_s", s)
+             .select("vec_id", F.transform(
+                 "embedding",
+                 lambda x: F.round(x.cast("double") * F.col("_s"), 0)
+                 / F.col("_s")).alias("embedding")))
+    exact = _topk_sets(brute_force_topk(queries, e, TOP_K))
+    quant = _topk_sets(brute_force_topk(queries, deq, TOP_K))
+    recalls = [len(exact[q] & quant[q]) / len(exact[q]) for q in exact]
+    assert sum(recalls) / len(recalls) >= 0.9
