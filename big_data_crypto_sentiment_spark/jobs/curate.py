@@ -1,0 +1,104 @@
+"""The corpus-curation job: the LLM-training-data pipeline end-to-end.
+
+Composes the repo's cleaning operators into the standard curation
+funnel (the shape of public pipelines like C4/Dolma/RefinedWeb) over
+the `documents` table:
+
+    1. rule-based quality filter   (queries/text.py c4_keep flags)
+    2. exact dedup, keep-min-id    (normalized-content hash groupBy)
+    3. benchmark decontamination   (queries/cleaning.py, broadcast grams)
+    4. repetition filter           (queries/cleaning.py per-row metrics)
+    5. deterministic split         (queries/sampling.py hash buckets)
+    6. write, partitioned by split (+ a one-row funnel-stats frame)
+
+Every stage is a column flag until the single final filter, so the
+whole funnel is ONE corpus scan plus the two narrow side plans the
+stages need (the duplicate keep-set and the contaminated-id set, both
+id-only joins). Stage flags survive into the output for auditability —
+a curation pipeline must explain every drop.
+
+Run: python -m big_data_crypto_sentiment_spark.jobs.curate \
+       --sf-dir /root/testdata/sf0.001 --out-dir /tmp/curated
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Annotated corpus: every doc with its per-stage keep flags, final
+    `keep`, and `split`. Filter on `keep` to materialize the corpus;
+    keep the full frame for drop auditing."""
+    from ..queries._util import table
+    from ..queries.cleaning import decontaminate, repetition_signals
+    from ..queries.sampling import split_train_val_test
+    from ..queries.text import q_text_c4_filter
+
+    d = table(spark, sf_dir, "documents")
+
+    quality = q_text_c4_filter(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("quality_ok"))
+
+    norm = F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
+    keep_ids = (d.groupBy(norm.alias("content"))
+                 .agg(F.min("doc_id").alias("doc_id"))
+                 .select("doc_id", F.lit(1).alias("dedup_keep")))
+
+    contaminated = (decontaminate(d)
+                    .select("doc_id", F.lit(1).alias("contaminated")))
+
+    rep = repetition_signals(d).select(
+        "doc_id", (1 - F.col("repetitive")).alias("repetition_ok"))
+
+    out = (split_train_val_test(d, "doc_id")
+           .join(quality, "doc_id")
+           .join(rep, "doc_id")
+           .join(keep_ids, "doc_id", "left")
+           .join(F.broadcast(contaminated), "doc_id", "left")
+           .withColumn("dedup_keep", F.coalesce("dedup_keep", F.lit(0)))
+           .withColumn("contaminated",
+                       F.coalesce("contaminated", F.lit(0))))
+    keep = ((F.col("quality_ok") == 1) & (F.col("repetition_ok") == 1)
+            & (F.col("dedup_keep") == 1) & (F.col("contaminated") == 0))
+    return out.withColumn("keep", keep.cast("int"))
+
+
+def funnel_stats(annotated: DataFrame) -> DataFrame:
+    """One row: how many docs each stage would drop, and the final keep
+    count — the number every curation run reports."""
+    return annotated.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(1 - F.col("quality_ok")).alias("drop_quality"),
+        F.sum(1 - F.col("dedup_keep")).alias("drop_dup"),
+        F.sum("contaminated").alias("drop_contaminated"),
+        F.sum(1 - F.col("repetition_ok")).alias("drop_repetitive"),
+        F.sum("keep").alias("n_kept"))
+
+
+def run_curation(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
+    annotated = curate(spark, sf_dir).persist()
+    (annotated.filter(F.col("keep") == 1)
+              .select("doc_id", "lang", "source", "split")
+              .write.mode("overwrite").partitionBy("split")
+              .parquet(out_dir))
+    stats = funnel_stats(annotated).first().asDict()
+    annotated.unpersist()
+    return stats
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", required=True)
+    ap.add_argument("--out-dir", required=True)
+    args = ap.parse_args()
+    from ..session import get_spark
+    spark = get_spark("curate")
+    print(run_curation(spark, args.sf_dir, args.out_dir))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,49 @@
+"""End-to-end curation job (jobs/curate.py): the funnel must account
+for every doc, drop what its stages say to drop, and write a
+split-partitioned corpus."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from big_data_crypto_sentiment_spark.jobs.curate import (
+    curate,
+    funnel_stats,
+    run_curation,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_funnel_accounts_for_every_doc(spark):
+    ann = curate(spark, SF_DIR)
+    stats = funnel_stats(ann).first()
+    assert stats.n_docs == ann.count()
+    assert 0 < stats.n_kept <= stats.n_docs
+    # flags and the final keep agree row-by-row
+    bad = ann.filter(
+        (F.col("keep") == 1)
+        & ((F.col("quality_ok") == 0) | (F.col("dedup_keep") == 0)
+           | (F.col("contaminated") == 1)
+           | (F.col("repetition_ok") == 0))).count()
+    assert bad == 0
+    # exact dedup really keeps one doc per normalized content
+    kept = ann.filter(F.col("keep") == 1)
+    norm = F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
+    from big_data_crypto_sentiment_spark.queries._util import table
+    d = table(spark, SF_DIR, "documents").select("doc_id", norm.alias("c"))
+    dup_groups = (kept.join(d, "doc_id").groupBy("c")
+                  .agg(F.count("*").alias("n")).filter("n > 1").count())
+    assert dup_groups == 0
+
+
+def test_run_curation_writes_split_partitions(spark, tmp_path):
+    out = str(tmp_path / "curated")
+    stats = run_curation(spark, SF_DIR, out)
+    assert stats["n_kept"] > 0
+    parts = {p for p in os.listdir(out) if p.startswith("split=")}
+    assert parts <= {"split=train", "split=val", "split=test"} and parts
+    back = spark.read.parquet(out)
+    assert back.count() == stats["n_kept"]
+    # partition pruning works on the split column
+    assert back.filter(F.col("split") == "train").count() < stats["n_kept"]
