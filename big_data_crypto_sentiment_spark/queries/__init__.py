@@ -91,13 +91,15 @@ _MODULES = (flagship, relational, timeseries, text, dedup, similarity, ml,
 #   embed_quantize     — int8 embedding compression; similarity family
 #                        in-window via sim_topk_cosine; error bound
 #                        pinned in pytest
+#   sample_length_weighted — integer-tier weighted sampler; family
+#                        in-window via sample_and_split
 _DEFER_FROM_WINDOW = ("src_avro_roundtrip", "log_return", "binned_features",
                       "ts_corr", "sample_stratified", "text_dup_rate",
                       "kv_flatten", "union_event_slices", "ts_session_stats",
                       "src_tweets_volume", "zip_explode_measures",
                       "dedup_source_matrix", "tokens_to_ids",
                       "retention_after_deletes", "ta_ema_rsi_macd",
-                      "embed_quantize")
+                      "embed_quantize", "sample_length_weighted")
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -128,6 +128,27 @@ def q_sample_and_split(spark: SparkSession, sf_dir: str) -> DataFrame:
                     in_sample.alias("in_sample"), "split"))
 
 
+# --- weighted sampling: keep probability scales with doc length.
+#     The "upweight long documents" curation knob, kept engine-exact by
+#     pure INTEGER math: tier = min(n_chars DIV 150, 3); keep iff
+#     hash(doc_id) < BASE_PPM·(tier+1). Same zero-shuffle map-side
+#     filter as sample_hash — the weight only changes the threshold. ---
+WEIGHT_BASE_PPM = 100_000  # tier 0 keeps 10%, tier 3 keeps 40%
+WEIGHT_TIER_CHARS = 150
+WEIGHT_MAX_TIER = 3
+
+
+def q_sample_length_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    tier = F.least(F.floor(F.col("n_chars") / WEIGHT_TIER_CHARS),
+                   F.lit(WEIGHT_MAX_TIER))
+    thr = (WEIGHT_BASE_PPM * (tier + 1)).cast("long")
+    return (d.select("doc_id", "lang", "source", "n_chars",
+                     tier.cast("int").alias("tier"))
+             .filter(_hash_bucket(F.col("doc_id"), SAMPLE_MOD) < thr)
+    )  # O(sample): unsorted
+
+
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     return (sample_stratified(d, "source", "doc_id", STRATUM_QUOTA)
@@ -144,6 +165,7 @@ def q_mixture_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "sample_and_split": q_sample_and_split,
     "sample_stratified": q_sample_stratified,
+    "sample_length_weighted": q_sample_length_weighted,
     "mixture_downsample": q_mixture_downsample,
 }
 
@@ -158,6 +180,14 @@ SELECT doc_id, lang, source, n_chars,
             WHEN {_HB_100} < {SPLIT_BUCKETS[1]} THEN 'val'
             ELSE 'test' END AS split
 FROM documents
+""",
+    "sample_length_weighted": f"""
+SELECT doc_id, lang, source, n_chars,
+       CAST(LEAST(n_chars // {WEIGHT_TIER_CHARS}, {WEIGHT_MAX_TIER})
+            AS INT) AS tier
+FROM documents
+WHERE {_HB_DOC} < {WEIGHT_BASE_PPM}
+      * (LEAST(n_chars // {WEIGHT_TIER_CHARS}, {WEIGHT_MAX_TIER}) + 1)
 """,
     "sample_stratified": f"""
 SELECT source, sample_rank, doc_id, lang FROM (
