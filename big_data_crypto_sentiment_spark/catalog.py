@@ -25,45 +25,68 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def _ts_confs(spark: SparkSession) -> None:
+    """Session confs every catalog read needs for oracle parity.
+
+    - UTC session timezone: DuckDB renders/compares timestamps in UTC.
+    - inferTimestampNTZ off: parquet TIMESTAMP(MICROS, isAdjustedToUTC
+      =false) columns (events.ts, o_orderdate, l_shipdate) read as plain
+      TIMESTAMP instead of TIMESTAMP_NTZ, so literals compare (and push
+      down) without NTZ/LTZ coercion games and the result schema matches
+      what DuckDB reports for the same file.
+    - nanosAsLong: harmless for micros files; keeps older TIMESTAMP
+      (NANOS) testdata readable (Spark's vectorized reader rejects nanos
+      otherwise) — ``load`` detects that case by the resulting bigint
+      dtype and truncates to micros exactly as DuckDB does.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
 def load(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     """Plain parquet scan — keeps pushdown/pruning with Catalyst.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects; we read it as long nanos (legacy conf, runtime-safe
-    even on sessions not built by our factory) and truncate to
-    microseconds — exactly what DuckDB does when it reads the same file,
-    so oracle comparisons line up.
-    """
+    ``events.ts`` is a parquet timestamp; schema drift across testdata
+    generations (TIMESTAMP(NANOS) read as long vs TIMESTAMP(MICROS) read
+    natively) is absorbed here, in one place, by dtype."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")  # oracle parity
+    _ts_confs(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
-    if name != "events":
-        return spark.read.parquet(path)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if name == "events" and dict(df.dtypes)["ts"] == "bigint":
+        # legacy nanos file read as long → truncate to micros like DuckDB
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
 
 
 def load_events_range(spark: SparkSession, sf_dir: str,
                       start_ns: int, end_ns: int | None = None) -> DataFrame:
     """Events scan with the time bounds PUSHED to parquet row groups.
 
-    A filter on the converted column — `timestamp_micros(ts DIV 1000)
-    >= X` — is a DataFilter but never a PushedFilter: parquet stats
-    can't evaluate the expression, so every row group is read. Applying
-    the bounds to the RAW int64 nanos column before the conversion
-    turns them into plain long comparisons the reader prunes with
-    row-group min/max stats — at 100 TB the difference between scanning
-    a day and scanning the archive. Bounds are epoch NANOseconds
-    (the file's physical unit, so no precision games at the edge)."""
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    The bounds must hit the reader as comparisons on the RAW stored
+    column so parquet row-group min/max stats prune them — at 100 TB
+    the difference between scanning a day and scanning the archive.
+    For native TIMESTAMP files that's a plain timestamp predicate
+    (PushedFilters: [GreaterThanOrEqual(ts, ...)]); for legacy
+    nanos-as-long files it's a long comparison applied before the
+    micros conversion. A filter on a CONVERTED column (e.g.
+    `timestamp_micros(ts DIV 1000) >= X`) is a DataFilter but never a
+    PushedFilter — parquet stats can't evaluate the expression. Bounds
+    are epoch NANOseconds (precision-safe at the edge either way)."""
+    _ts_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    df = df.filter(F.col("ts") >= F.lit(int(start_ns)))
+    if dict(df.dtypes)["ts"] == "bigint":  # legacy nanos file
+        df = df.filter(F.col("ts") >= F.lit(int(start_ns)))
+        if end_ns is not None:
+            df = df.filter(F.col("ts") < F.lit(int(end_ns)))
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    start = F.timestamp_micros(F.lit(int(start_ns) // 1000))
+    df = df.filter(F.col("ts") >= start)
     if end_ns is not None:
-        df = df.filter(F.col("ts") < F.lit(int(end_ns)))
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        df = df.filter(F.col("ts") < F.timestamp_micros(F.lit(int(end_ns) // 1000)))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:

@@ -36,9 +36,11 @@ def get_spark(app_name: str = "big-data-crypto-sentiment-spark",
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
-        # match DuckDB/ANSI-naive oracle semantics for timestamps at rest
-        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
-        # driver testdata stores TIMESTAMP(NANOS); read as long + truncate
+        # parquet timestamps read as plain TIMESTAMP (UTC session), not
+        # NTZ — literals compare/push down without coercion and schemas
+        # match DuckDB's view of the same files (catalog._ts_confs)
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        # older testdata stored TIMESTAMP(NANOS); read as long + truncate
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
         .config("spark.sql.files.maxPartitionBytes", "128MB")
