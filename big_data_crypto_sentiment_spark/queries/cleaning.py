@@ -188,20 +188,140 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     })
 
 
+# --- boilerplate line removal (C4-style) ---
+# A "boilerplate" line is one that appears in >= BOILER_MIN_DF distinct
+# documents (nav bars, subscribe prompts, footers). Two-phase plan:
+#   pass 1: per-doc DISTINCT lines -> explode -> hash-agg line DF ->
+#           filter DF >= min_df. Partial (map-side) aggregation combines
+#           repeats before the only shuffle, whose key cardinality is
+#           |distinct lines| — never a pair join, never O(docs²).
+#   pass 2: the hot set is a DRIVER ARTIFACT (boilerplate is by
+#           definition high-frequency, so the set is small — same
+#           argument as the tokenizer vocab in packing.py); shipped back
+#           as an array literal, the strip is a pure per-row
+#           filter+array_join: ZERO shuffles over the corpus. The
+#           join-based alternative (explode → anti-join → re-agg) would
+#           shuffle every surviving line of the corpus — at 100 TB
+#           that's the whole dataset through the exchange, twice.
+# The hot set is capped at BOILER_MAX_HOT by descending DF (deterministic
+# tie-break on the line text); a hit on the cap is surfaced in the
+# `hot_truncated` helper return, never silent.
+BOILER_MIN_DF = 20
+BOILER_MAX_HOT = 1000
+
+
+def hot_lines(docs: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text", min_df: int = BOILER_MIN_DF,
+              max_hot: int = BOILER_MAX_HOT) -> tuple[list[str], bool]:
+    """(lines appearing in >= min_df distinct docs, truncated?) —
+    bounded driver artifact, see module plan note above."""
+    rows = (docs.select(F.explode(F.array_distinct(
+                F.split(F.col(text_col), "\n"))).alias("line"))
+                .groupBy("line").agg(F.count("*").alias("df"))
+                .filter(F.col("df") >= min_df)
+                .orderBy(F.desc("df"), "line")
+                .limit(max_hot + 1)
+                .collect())
+    truncated = len(rows) > max_hot
+    return [r.line for r in rows[:max_hot]], truncated
+
+
+def strip_boilerplate(docs: DataFrame, hot: list[str],
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """(id, n_lines, n_removed, clean_text) with hot lines dropped —
+    per-row array filter against the broadcast-literal hot set, zero
+    shuffles (pass 2 of the plan above)."""
+    lines = F.split(F.col(text_col), "\n")
+    if hot:
+        keep = F.filter(lines, lambda l: ~F.array_contains(F.lit(hot), l))
+    else:
+        keep = lines
+    return docs.select(
+        F.col(id_col),
+        F.size(lines).alias("n_lines"),
+        (F.size(lines) - F.size(keep)).alias("n_removed"),
+        F.array_join(keep, "\n").alias("clean_text"))
+
+
+# --- unigram-LM quality scoring (CCNet-style perplexity filter) ---
+# Train add-one-smoothed unigram log-probs over the corpus, score each
+# doc by its mean negative log-likelihood (perplexity = exp(avg_nll),
+# monotone — the NLL is what a filter thresholds on).
+#
+# Scale shape: the model is the TOP-K vocabulary with log-probs — a
+# driver artifact like the tokenizer vocab (the count agg it's built
+# from is one partial-combined hash agg, key cardinality = |vocab|).
+# Scoring is then a pure per-row transform over a literal map: the
+# corpus is never shuffled and never joined. (The oracle SQL does the
+# explode+join form — fine for a correctness twin, wrong at 100 TB.)
+#
+# Float portability: per-token log-probs are frozen driver-side as
+# INTEGER 1e-8 nats (round(ln(p)·1e8)); both engines then do exact
+# integer sums — no float accumulation order to disagree on. ~21 bits
+# of headroom: |lp8| < 2^35, so 2^18 tokens/doc before overflow risk
+# even existed in a long.
+UNIGRAM_VOCAB_K = 1000
+_LP_SCALE = 100_000_000  # 1e8: lp8 = round(ln(p) * _LP_SCALE)
+
+
+def unigram_model(docs: DataFrame, text_col: str = "text",
+                  vocab_k: int = UNIGRAM_VOCAB_K):
+    """(term -> lp8 dict, oov lp8, truncated?) — add-one smoothing over
+    the full-corpus term counts; OOV mass = 1/(total+V+1)."""
+    import math
+    cnt = (docs.select(F.explode(F.split(F.col(text_col), " "))
+                        .alias("term"))
+               .groupBy("term").agg(F.count("*").alias("c")))
+    tot = cnt.agg(F.sum("c").alias("t"), F.count("*").alias("v")).collect()[0]
+    top = cnt.orderBy(F.desc("c"), "term").limit(vocab_k + 1).collect()
+    denom = tot.t + tot.v + 1
+    lp = {r.term: round(math.log((r.c + 1) / denom) * _LP_SCALE)
+          for r in top[:vocab_k]}
+    oov = round(math.log(1.0 / denom) * _LP_SCALE)
+    return lp, oov, len(top) > vocab_k
+
+
+def unigram_score(docs: DataFrame, lp: dict[str, int], oov: int,
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """(id, n_tokens, n_oov, avg_nll) — zero-shuffle scoring pass."""
+    lpmap = F.create_map(*[F.lit(x) for kv in lp.items() for x in kv])
+    tok_lp = F.transform(
+        F.col("_w"),
+        lambda w: F.coalesce(F.element_at(lpmap, w), F.lit(oov)))
+    sum_lp = F.aggregate(F.col("_lp"), F.lit(0).cast("bigint"),
+                         lambda a, x: a + x.cast("bigint"))
+    n_oov = F.size(F.filter(
+        F.col("_w"), lambda w: F.element_at(lpmap, w).isNull()))
+    return (docs
+            .select(F.col(id_col), F.split(F.col(text_col), " ").alias("_w"))
+            .select(id_col, "_w", tok_lp.alias("_lp"))
+            .select(F.col(id_col),
+                    F.size("_w").alias("n_tokens"),
+                    n_oov.alias("n_oov"),
+                    F.round(-sum_lp.cast("double")
+                            / (F.size("_w") * float(_LP_SCALE)), 6)
+                     .alias("avg_nll")))
+
+
 def q_decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    from ._util import rebalance_scan
+    d = rebalance_scan(table(spark, sf_dir, "documents")).select("doc_id", "text")
     return decontaminate(d)  # O(contaminated docs): unsorted
 
 
 def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    from ._util import rebalance_scan
+    d = rebalance_scan(table(spark, sf_dir, "documents")).select("doc_id", "text")
     return repetition_signals(d)  # O(input): unsorted
 
 
 # fixtures are PII-free, so plant deterministic doc_id-derived PII on
 # both engines; the operator under test is the redaction itself
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    from ._util import rebalance_scan
+    d = rebalance_scan(table(spark, sf_dir, "documents")).select("doc_id", "text")
     sid = F.col("doc_id").cast("string")
     planted = F.concat(
         F.col("text"), F.lit(" reach user"), sid,
@@ -214,10 +334,45 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "clean_text"))  # O(input): unsorted
 
 
+# fixture docs are single-line, so (pii_redact precedent) plant
+# deterministic boilerplate on both engines: a per-source header
+# (DF = docs-per-source >= 25 at every sf) and a global footer; the
+# strip logic itself is what's hash-checked. Adversarial cases
+# (dup lines in one doc, all-boilerplate docs) live in pytest.
+_BP_HEADER = ("subscribe to ", " newsletter")  # wraps `source`
+_BP_FOOTER = "unsubscribe at any time"
+
+
+def _planted_boilerplate(docs: DataFrame) -> DataFrame:
+    planted = F.concat(
+        F.lit(_BP_HEADER[0]), F.col("source"), F.lit(_BP_HEADER[1]),
+        F.lit("\n"), F.col("text"), F.lit("\n"), F.lit(_BP_FOOTER))
+    return docs.select("doc_id", planted.alias("text"))
+
+
+def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ._util import rebalance_scan
+    d = _planted_boilerplate(
+        rebalance_scan(table(spark, sf_dir, "documents"))
+        .select("doc_id", "source", "text"))
+    hot, _ = hot_lines(d)
+    return strip_boilerplate(d, hot)  # O(input): unsorted
+
+
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ._util import rebalance_scan
+    d = rebalance_scan(table(spark, sf_dir, "documents")) \
+        .select("doc_id", "text")
+    lp, oov, _ = unigram_model(d)
+    return unigram_score(d, lp, oov)  # O(input): unsorted
+
+
 QUERIES = {
     "decontam_overlap": q_decontam_overlap,
     "repetition_filter": q_repetition_filter,
     "pii_redact": q_pii_redact,
+    "boilerplate_strip": q_boilerplate_strip,
+    "unigram_logprob": q_unigram_logprob,
 }
 
 _SQL_BENCH = _sql_hash_bucket("doc_id", 100) + f" < {BENCH_PCT}"
@@ -297,5 +452,63 @@ SELECT doc_id,
            '{PAT_IPV4}', '<IP>', 'g'),
            '{PAT_PHONE}', '<PHONE>', 'g') AS clean_text
 FROM p
+""",
+    # oracle does the explode/join form of both passes — the SQL-natural
+    # correctness twin of the broadcast-literal zero-shuffle Spark plan
+    "boilerplate_strip": f"""
+WITH p AS (
+  SELECT doc_id,
+         '{_BP_HEADER[0]}' || source || '{_BP_HEADER[1]}' || chr(10)
+           || text || chr(10) || '{_BP_FOOTER}' AS text
+  FROM documents
+), s AS (
+  SELECT doc_id, string_split(text, chr(10)) AS ls FROM p
+), l AS (
+  SELECT doc_id, unnest(ls) AS line,
+         unnest(range(1, len(ls) + 1)) AS idx
+  FROM s
+), hot AS (
+  SELECT line FROM (SELECT DISTINCT doc_id, line FROM l)
+  GROUP BY line HAVING COUNT(*) >= {BOILER_MIN_DF}
+  ORDER BY COUNT(*) DESC, line LIMIT {BOILER_MAX_HOT}
+)
+SELECT l.doc_id,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CASE WHEN h.line IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_removed,
+       COALESCE(string_agg(CASE WHEN h.line IS NULL THEN l.line END,
+                           chr(10) ORDER BY l.idx), '') AS clean_text
+FROM l LEFT JOIN hot h ON l.line = h.line
+GROUP BY l.doc_id
+""",
+    "unigram_logprob": f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+), tok AS (
+  SELECT doc_id, unnest(words) AS term FROM w
+), cnt AS (
+  SELECT term, COUNT(*) AS c FROM tok GROUP BY term
+), tot AS (
+  SELECT SUM(c) AS t, COUNT(*) AS v FROM cnt
+), topv AS (
+  SELECT term, c FROM cnt ORDER BY c DESC, term LIMIT {UNIGRAM_VOCAB_K}
+), lp AS (
+  SELECT term,
+         CAST(ROUND(LN(CAST(c + 1 AS DOUBLE) / (t + v + 1))
+                    * {_LP_SCALE}) AS BIGINT) AS lp8
+  FROM topv CROSS JOIN tot
+), oov AS (
+  SELECT CAST(ROUND(LN(1.0 / (t + v + 1)) * {_LP_SCALE}) AS BIGINT)
+           AS lp8
+  FROM tot
+)
+SELECT k.doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(CASE WHEN l.term IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_oov,
+       ROUND(-CAST(SUM(COALESCE(l.lp8, o.lp8)) AS DOUBLE)
+             / (COUNT(*) * {_LP_SCALE}.0), 6) AS avg_nll
+FROM tok k LEFT JOIN lp l ON k.term = l.term CROSS JOIN oov o
+GROUP BY k.doc_id
 """,
 }

@@ -134,9 +134,11 @@ def chunk_documents(docs: DataFrame, chunk_chars: int = CHUNK_CHARS,
 
 
 def q_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ._util import rebalance_scan
     # O(input × expansion): unsorted
     return chunk_documents(
-        table(spark, sf_dir, "documents").select("doc_id", "text"))
+        rebalance_scan(table(spark, sf_dir, "documents"))
+        .select("doc_id", "text"))
 
 
 # --- terminal tokenization: words → vocab ids ---
@@ -156,7 +158,8 @@ def q_tokens_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus pass is a pure per-row transform: zero shuffles, no explode,
     no join. Each array lives in its own projection stage (no HOF
     duplication — see cleaning.py)."""
-    d = table(spark, sf_dir, "documents")
+    from ._util import rebalance_scan
+    d = rebalance_scan(table(spark, sf_dir, "documents"))
     vocab = (d.select(F.explode(F.split(F.col("text"), " ")).alias("term"))
               .groupBy("term").agg(F.count("*").alias("n"))
               .orderBy(F.desc("n"), "term").limit(TOKEN_VOCAB_K).collect())

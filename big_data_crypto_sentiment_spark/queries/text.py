@@ -154,7 +154,9 @@ def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     column-math family exists to avoid (same merge precedent as
 #     ts_window_calcs / data_profile). ---
 def q_text_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
+    from ._util import rebalance_scan
+    # regex-per-row CPU dominates; widen a one-row-group scan first
+    d = rebalance_scan(table(spark, sf_dir, "documents"))
     t = F.col("text")
     n_words = _n_words(t)
     stop_ratio_r = F.round(
@@ -198,7 +200,10 @@ VOCAB_TOP_K = 50
 
 
 def q_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
+    from ._util import rebalance_scan
+    # the split+explode map side is the expensive leaf; widen it so the
+    # partial hash-agg runs on every core, not one
+    d = rebalance_scan(table(spark, sf_dir, "documents"))
     return (d.select("doc_id",
                      F.explode(F.split(F.col("text"), " ")).alias("term"))
              .groupBy("term")
@@ -221,7 +226,8 @@ C4_PUNCT_PCT = 30       # drop if punct chars > 30% of chars
 
 
 def q_text_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
+    from ._util import rebalance_scan
+    d = rebalance_scan(table(spark, sf_dir, "documents"))
     t = F.col("text")
     n_words = _n_words(t)
     stop_n = F.regexp_count(t, F.lit(PAT_STOPWORD))

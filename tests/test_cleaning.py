@@ -94,3 +94,77 @@ def test_decontaminate_with_explicit_benchmark_table(spark):
     rows = decontaminate(corpus, benchmark=bench).collect()
     # no hash-slice semantics: ALL corpus docs screened, bench ids ignored
     assert [(r.doc_id, r.n_hit) for r in rows] == [(1, 1)]
+
+
+def test_strip_boilerplate_removes_hot_lines_keeps_order(spark):
+    from big_data_crypto_sentiment_spark.queries.cleaning import (
+        hot_lines,
+        strip_boilerplate,
+    )
+    hot_line = "subscribe now"
+    docs = spark.createDataFrame(
+        [(i, f"unique {i}\n{hot_line}\ntail {i}") for i in range(10)]
+        + [(99, hot_line)],  # all-boilerplate doc
+        "doc_id long, text string")
+    hot, truncated = hot_lines(docs, min_df=5)
+    assert hot == [hot_line] and not truncated
+    rows = {r.doc_id: r for r in strip_boilerplate(docs, hot).collect()}
+    assert rows[3].clean_text == "unique 3\ntail 3"  # order preserved
+    assert rows[3].n_lines == 3 and rows[3].n_removed == 1
+    assert rows[99].clean_text == "" and rows[99].n_removed == 1
+
+
+def test_strip_boilerplate_duplicate_line_in_one_doc_counts_df_once(spark):
+    from big_data_crypto_sentiment_spark.queries.cleaning import hot_lines
+    # "x" appears 3 times in ONE doc: document frequency is 1, not 3
+    docs = spark.createDataFrame(
+        [(1, "x\nx\nx"), (2, "y")], "doc_id long, text string")
+    hot, _ = hot_lines(docs, min_df=2)
+    assert hot == []
+
+
+def test_hot_lines_cap_is_surfaced_not_silent(spark):
+    from big_data_crypto_sentiment_spark.queries.cleaning import hot_lines
+    docs = spark.createDataFrame(
+        [(i, "a\nb\nc") for i in range(4)], "doc_id long, text string")
+    hot, truncated = hot_lines(docs, min_df=2, max_hot=2)
+    assert len(hot) == 2 and truncated  # deterministic: df desc, line asc
+
+
+def test_unigram_score_known_distribution(spark):
+    import math
+
+    from big_data_crypto_sentiment_spark.queries.cleaning import (
+        _LP_SCALE,
+        unigram_model,
+        unigram_score,
+    )
+    # corpus: "a" x3, "b" x1 -> total=4, V=2, denom=7
+    docs = spark.createDataFrame(
+        [(1, "a a a"), (2, "b")], "doc_id long, text string")
+    lp, oov, truncated = unigram_model(docs)
+    assert not truncated
+    assert lp["a"] == round(math.log(4 / 7) * _LP_SCALE)
+    assert lp["b"] == round(math.log(2 / 7) * _LP_SCALE)
+    assert oov == round(math.log(1 / 7) * _LP_SCALE)
+    # score an unseen doc: "a z" -> (nll(a) + nll(oov)) / 2
+    probe = spark.createDataFrame([(9, "a z")], "doc_id long, text string")
+    r = unigram_score(probe, lp, oov).collect()[0]
+    assert r.n_tokens == 2 and r.n_oov == 1
+    want = round(-(lp["a"] + oov) / (2 * _LP_SCALE), 6)
+    assert abs(r.avg_nll - want) < 1e-9
+
+
+def test_unigram_score_rare_doc_scores_worse_than_common(spark):
+    from big_data_crypto_sentiment_spark.queries.cleaning import (
+        unigram_model,
+        unigram_score,
+    )
+    docs = spark.createDataFrame(
+        [(i, "the common phrase repeats") for i in range(20)]
+        + [(100, "zq xv jkl pqw")],
+        "doc_id long, text string")
+    lp, oov, _ = unigram_model(docs)
+    scores = {r.doc_id: r.avg_nll
+              for r in unigram_score(docs, lp, oov).collect()}
+    assert scores[100] > scores[0]  # gibberish = higher NLL
