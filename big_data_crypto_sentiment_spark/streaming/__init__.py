@@ -7,6 +7,7 @@ from .stateful import online_forecast  # noqa: F401
 from .windowed import (  # noqa: F401
     dedupe_stream,
     sessionize_stream,
+    stream_stream_interval_join,
     streaming_prices_with_tweets,
     union_form_prices_with_tweets,
 )

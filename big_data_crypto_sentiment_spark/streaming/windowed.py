@@ -119,6 +119,43 @@ def sessionize_stream(df: DataFrame, keys: tuple[str, ...],
                       "n_events", "last_event"))
 
 
+def stream_stream_interval_join(
+        tweets: DataFrame, prices: DataFrame,
+        tolerance: str = "30 seconds",
+        watermark: str = "0 seconds") -> DataFrame:
+    """TRUE stream-stream inner join (two state stores): each tweet
+    paired with every price tick of the same symbol within ±tolerance
+    of its event time — the streaming twin of the batch bucketized
+    time_tolerance_join (operators/interval_join.py), and the join-form
+    alternative to the union-then-aggregate speed layer above (use this
+    when per-PAIR rows are the product, not per-window aggregates).
+
+    Scale/state semantics: both sides are watermarked and the join
+    condition bounds price_time to a closed interval around tweet_time,
+    so Spark derives state-eviction watermarks for BOTH stores — each
+    holds only ~(watermark + tolerance) of data per side, independent
+    of stream length. Without the time-range predicate the state would
+    grow forever; that predicate is what makes a stream-stream join
+    production-safe (T1/T4 discipline applied to J-family).
+
+    The same function runs on batch DataFrames (withWatermark is a
+    no-op there), which is how the parity test pins it to the
+    bucketized batch implementation."""
+    t = tweets.select(F.col("symbol").alias("t_symbol"),
+                      F.col("event_time").alias("tweet_time"), "text") \
+              .withWatermark("tweet_time", watermark)
+    p = prices.select(F.col("symbol").alias("p_symbol"),
+                      F.col("event_time").alias("price_time"), "price") \
+              .withWatermark("price_time", watermark)
+    tol = F.expr(f"INTERVAL {tolerance}")
+    cond = ((F.col("t_symbol") == F.col("p_symbol"))
+            & (F.col("price_time") >= F.col("tweet_time") - tol)
+            & (F.col("price_time") <= F.col("tweet_time") + tol))
+    return (t.join(p, cond)
+             .select(F.col("t_symbol").alias("symbol"),
+                     "tweet_time", "text", "price_time", "price"))
+
+
 def streaming_prices_with_tweets(
         tweets: DataFrame, prices: DataFrame,
         window_duration: str = "30 seconds",

@@ -228,3 +228,44 @@ def test_restart_from_checkpoint_is_exactly_once(spark, tmp_path):
 
     ks = sorted(r.k for r in spark.read.parquet(out).collect())
     assert ks == [0, 1, 2, 3, 4]  # nothing lost, nothing doubled
+
+
+def test_stream_stream_join_parity_with_batch_bucketized(
+        spark, replayed, tmp_path):
+    """TRUE stream-stream join (two watermarked state stores, time-range
+    condition) ≡ the batch bucketized time_tolerance_join on the same
+    input — cross-implementation equivalence, so a bug in either the
+    bucket algebra or the streaming state handling breaks parity."""
+    from big_data_crypto_sentiment_spark.operators.interval_join import (
+        time_tolerance_join,
+    )
+    from big_data_crypto_sentiment_spark.streaming import (
+        stream_stream_interval_join,
+    )
+    tol = "15 minutes"
+    t_stream, p_stream = replayed
+    out = stream_stream_interval_join(t_stream, p_stream, tolerance=tol)
+    q = (out.writeStream.format("memory").queryName("ss_join")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt_ssj"))
+            .start())
+    try:
+        q.processAllAvailable()
+        got = spark.table("ss_join").toPandas()
+    finally:
+        q.stop()
+    t = tweets_role(spark, SF_DIR).withColumnRenamed("event_time",
+                                                     "tweet_time")
+    p = (prices_role(spark, SF_DIR)
+         .withColumnRenamed("event_time", "price_time")
+         .withColumnRenamed("symbol", "p_symbol"))
+    batch = (time_tolerance_join(
+                 t.withColumn("p_symbol", F.col("symbol")), p,
+                 ["p_symbol"], 15 * 60, "tweet_time", "price_time")
+             .select("symbol", "tweet_time", "text", "price_time",
+                     "price").toPandas())
+    key = ["symbol", "tweet_time", "text", "price_time", "price"]
+    got = got.sort_values(key).reset_index(drop=True)[key]
+    batch = batch.sort_values(key).reset_index(drop=True)[key]
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(batch, got)
