@@ -33,6 +33,7 @@ from . import (
     packing,
     relational,
     reshape,
+    retrieval,
     sampling,
     similarity,
     ta,
@@ -42,7 +43,7 @@ from . import (
 
 _MODULES = (flagship, relational, timeseries, text, dedup, similarity, ml,
             ingestion, ta, media, reshape, approx, avro_rt, components,
-            sampling, packing, cleaning)
+            sampling, packing, cleaning, retrieval)
 
 # More oracle-paired queries exist than the driver's fixed 50-entry
 # correctness window can check. These five are deliberately deferred to
@@ -93,13 +94,28 @@ _MODULES = (flagship, relational, timeseries, text, dedup, similarity, ml,
 #                        pinned in pytest
 #   sample_length_weighted — integer-tier weighted sampler; family
 #                        in-window via sample_and_split
+#   src_warehouse_fallback — source family in-window via
+#                        src_tweets_normalize/src_csv_prices; the
+#                        fallback/avro tiers are pytest-covered in
+#                        test_sources.py; green r2-r5
+#   ts_bucket_counts   — A7 resample counts; timeseries family
+#                        in-window via the richer ts_rollup /
+#                        ts_resample_ffill; green r2-r5
+#   text_top_duplicated — A13b top-dup texts; dup evidence in-window
+#                        via dedup_exact (same hash-agg over the same
+#                        column); green r2-r5
+# (r5 deferrals make window room for the new cleaning-family operators
+# — boilerplate_strip, unigram_logprob — and the sparse-retrieval
+# sim_tfidf_topk)
 _DEFER_FROM_WINDOW = ("src_avro_roundtrip", "log_return", "binned_features",
                       "ts_corr", "sample_stratified", "text_dup_rate",
                       "kv_flatten", "union_event_slices", "ts_session_stats",
                       "src_tweets_volume", "zip_explode_measures",
                       "dedup_source_matrix", "tokens_to_ids",
                       "retention_after_deletes", "ta_ema_rsi_macd",
-                      "embed_quantize", "sample_length_weighted")
+                      "embed_quantize", "sample_length_weighted",
+                      "src_warehouse_fallback", "ts_bucket_counts",
+                      "text_top_duplicated")
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
