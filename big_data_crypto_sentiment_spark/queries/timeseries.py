@@ -122,6 +122,38 @@ def q_ts_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.round(F.corr("n_events", "avg_value"), 6).alias("corr_vol_price")))
 
 
+# --- A11b: Spearman rank correlation volume vs price per symbol —
+# the outlier-robust complement of Pearson ts_corr (price spikes that
+# dominate a Pearson estimate only move one rank step here). Ranks are
+# average-of-ties (the classical treatment: rank + (ties-1)/2, exact
+# .5 multiples, so the rank columns are engine-portable by
+# construction) computed in per-symbol window passes — the groupBy key
+# co-partitions with the windows, so ranking and the final corr share
+# ONE shuffle per rank column, never a global sort. ---
+def spearman(m: DataFrame, key: str, x: str, y: str,
+             out_col: str = "spearman") -> DataFrame:
+    """Per-key Spearman rho of columns x, y (rows with NULLs excluded)."""
+    m = m.filter(F.col(x).isNotNull() & F.col(y).isNotNull())
+
+    def avg_rank(col):
+        r = F.rank().over(Window.partitionBy(key).orderBy(col))
+        c = F.count("*").over(Window.partitionBy(key, col))
+        return r + (c - F.lit(1)) / 2.0
+
+    ranked = m.select(key, avg_rank(F.col(x)).alias("rx"),
+                      avg_rank(F.col(y)).alias("ry"))
+    return (ranked.groupBy(key)
+                  .agg(F.round(F.corr("rx", "ry"), 6).alias(out_col),
+                       F.count("*").alias("n_buckets")))
+
+
+def q_ts_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return spearman(_bucket_metrics(ev), "event_type",
+                    "n_events", "avg_value",
+                    out_col="spearman_vol_price")
+
+
 # --- W5: lag-sweep cross-correlation corr(x.shift(k), y) for k ∈ sweep ---
 def q_ts_lag_sweep_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
@@ -218,6 +250,7 @@ QUERIES = {
     "ts_bucket_counts": q_ts_bucket_counts,
     "ts_resample_ffill": q_ts_resample_ffill,
     "ts_corr": q_ts_corr,
+    "ts_spearman": q_ts_spearman,
     "ts_lag_sweep_corr": q_ts_lag_sweep_corr,
 }
 
@@ -324,6 +357,23 @@ FROM spine s LEFT JOIN b ON s.event_type = b.event_type AND s.bucket = b.bucket
 WITH {_SQL_BUCKET_METRICS}
 SELECT event_type, ROUND(corr(n_events, avg_value), 6) AS corr_vol_price
 FROM grid GROUP BY event_type
+""",
+    "ts_spearman": f"""
+WITH {_SQL_BUCKET_METRICS},
+nn AS (SELECT * FROM grid WHERE avg_value IS NOT NULL),
+ranked AS (
+  SELECT event_type,
+         RANK() OVER (PARTITION BY event_type ORDER BY n_events)
+           + (COUNT(*) OVER (PARTITION BY event_type, n_events) - 1) / 2.0
+           AS rx,
+         RANK() OVER (PARTITION BY event_type ORDER BY avg_value)
+           + (COUNT(*) OVER (PARTITION BY event_type, avg_value) - 1) / 2.0
+           AS ry
+  FROM nn
+)
+SELECT event_type, ROUND(corr(rx, ry), 6) AS spearman_vol_price,
+       COUNT(*) AS n_buckets
+FROM ranked GROUP BY event_type
 """,
     "ts_lag_sweep_corr": f"""
 WITH {_SQL_BUCKET_METRICS},
