@@ -31,3 +31,27 @@ def test_merged_sketch_close_to_true_distinct(spark):
 def test_approx_median_close_to_exact(spark):
     for r in q_approx_quantiles(spark, SF).collect():
         assert r.approx_median == pytest.approx(r.exact_median, rel=0.01)
+
+
+def test_cms_never_underestimates_and_respects_eps_bound(spark):
+    from big_data_crypto_sentiment_spark.queries.approx import cms_estimates
+    # skewed stream: key k appears 100*(k+1) times, k in 0..9 -> N=5500
+    rows = [(k,) for k in range(10) for _ in range(100 * (k + 1))]
+    df = spark.createDataFrame(rows, "k long")
+    exact = {k: 100 * (k + 1) for k in range(10)}
+    est = cms_estimates(df, "k", list(range(10)), eps=0.01)
+    n = sum(exact.values())
+    for k, e in est.items():
+        assert e >= exact[k]                 # CMS never underestimates
+        assert e <= exact[k] + 0.01 * n + 1  # eps*N overshoot bound
+
+
+def test_cms_sketch_merges_across_partitions(spark):
+    from big_data_crypto_sentiment_spark.queries.approx import cms_estimates
+    # same data, 1 vs 8 partitions: the merged estimate must not depend
+    # on how partial sketches were combined
+    rows = [(k % 5,) for k in range(1000)]
+    a = spark.createDataFrame(rows, "k long").coalesce(1)
+    b = spark.createDataFrame(rows, "k long").repartition(8)
+    assert cms_estimates(a, "k", [0, 1, 2, 3, 4]) == \
+        cms_estimates(b, "k", [0, 1, 2, 3, 4])
