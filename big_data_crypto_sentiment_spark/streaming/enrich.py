@@ -58,6 +58,18 @@ def enrich_with_sentiment(df: DataFrame,
                          make_lexicon_score_udf()(F.col(text_col)))
 
 
+def join_static_dim(stream: DataFrame, dim: DataFrame,
+                    on: str, how: str = "left") -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins against the
+    (small) static dimension, explicitly broadcast — no state store, no
+    watermark, and the stream side never shuffles. The static side is
+    re-resolvable per micro-batch, so a dim table refreshed in place
+    (e.g. the S17 model-bundle/symbol-metadata pattern) is picked up
+    without restarting the query. Left join keeps stream rows whose key
+    has no dim entry (late dim arrival must not drop facts)."""
+    return stream.join(F.broadcast(dim), on, how)
+
+
 def wrap_for_publish(df: DataFrame, key_col: str,
                      ts_col: str, attr_cols: tuple[str, ...] = ()) -> DataFrame:
     """Shape rows as publishable messages: key, JSON value, attributes

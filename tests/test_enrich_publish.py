@@ -60,3 +60,30 @@ def test_wrap_for_publish_shape_and_attributes(spark):
     assert payload["symbol"] == "ETH" and payload["text"] == "moon fast big"
     assert eth.attributes["event_timestamp"] == "2024-01-01T10:00:00Z"
     assert eth.attributes["symbol"] == "ETH"
+
+
+def test_stream_static_join_enriches_and_keeps_unmatched(spark, tmp_path):
+    from big_data_crypto_sentiment_spark.streaming.enrich import (
+        join_static_dim,
+    )
+    src = str(tmp_path / "ssd_src")
+    _tweets(spark).write.parquet(src)
+    stream = spark.readStream.schema(_tweets(spark).schema).parquet(src)
+    dim = spark.createDataFrame(
+        [("ETH", "ethereum", 18), ("SOL", "solana", 9),
+         ("FTM", "fantom", 18)],  # SHIB intentionally absent
+        ["symbol", "asset_name", "decimals"])
+    q = (join_static_dim(stream, dim, "symbol")
+         .writeStream.format("memory").queryName("ss_dim")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck_ssd"))
+         .start())
+    try:
+        q.processAllAvailable()
+        got = {r.symbol: r for r in spark.table("ss_dim").collect()}
+    finally:
+        q.stop()
+    assert got["ETH"].asset_name == "ethereum"
+    assert got["SOL"].decimals == 9
+    # left join: the fact row without a dim entry survives with NULLs
+    assert "SHIB" in got and got["SHIB"].asset_name is None
