@@ -107,6 +107,10 @@ _MODULES = (flagship, relational, timeseries, text, dedup, similarity, ml,
 #   text_rlike_filter  — P11 regex filter; the regex surface (incl the
 #                        CJK class) is in-window via text_signals /
 #                        text_c4_filter; green r2-r5
+#   ts_trailing_hour   — trailing range-frame window; timeseries family
+#                        has six other members in-window (sessionize,
+#                        rollup, window_calcs, resample_ffill,
+#                        lag_sweep_corr, spearman); green r2-r5
 # (r5 deferrals make window room for the new cleaning-family operators
 # — boilerplate_strip, unigram_logprob — and the sparse-retrieval
 # sim_tfidf_topk)
@@ -118,7 +122,8 @@ _DEFER_FROM_WINDOW = ("src_avro_roundtrip", "log_return", "binned_features",
                       "retention_after_deletes", "ta_ema_rsi_macd",
                       "embed_quantize", "sample_length_weighted",
                       "src_warehouse_fallback", "ts_bucket_counts",
-                      "text_top_duplicated", "text_rlike_filter")
+                      "text_top_duplicated", "text_rlike_filter",
+                      "ts_trailing_hour")
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -305,12 +305,75 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(table(spark, sf_dir, "documents"))
 
 
+# --- fuzzy term matching: SymSpell delete-neighborhood blocking ---
+# All term pairs within Levenshtein distance 1 (variant spellings /
+# typos — the token-normalization sibling of the document-level dedups
+# above). The scale problem is pair generation: naive fuzzy join is
+# all-pairs × an edit-distance UDF. SymSpell's observation (public
+# algorithm, Garbe 2012) turns it into an EQUALITY join: two terms with
+# lev ≤ 1 must share a member of {term} ∪ single-char-deletions(term),
+# so exploding each term into that O(len) signature set and equi-joining
+# on the signature yields a complete candidate set; an exact
+# levenshtein ≤ 1 filter verifies. Same candidates-from-equality-key
+# discipline as every other pair generator in this module — no
+# crossJoin, no per-pair UDF over the full product.
+def _delete_sigs(term):
+    """array<string>: the term plus every single-character deletion."""
+    return F.array_distinct(F.array_union(
+        F.array(term),
+        F.transform(
+            F.sequence(F.lit(1), F.length(term)),
+            lambda i: F.concat(
+                F.substring(term, F.lit(1), i - 1),
+                F.substring(term, i + 1, F.length(term))))))
+
+
+def fuzzy_term_pairs(terms: DataFrame, col: str = "term") -> DataFrame:
+    """(term_a < term_b, lev) for all pairs with levenshtein <= 1."""
+    # each array in its own projection stage (house rule; also avoids
+    # the lateral-alias resolver tripping on term -> term self-reference)
+    sigs = (terms.select(F.col(col).alias("term"))
+                 .select("term", _delete_sigs(F.col("term")).alias("_sigs"))
+                 .select("term", F.explode("_sigs").alias("sig")))
+    a = sigs.select(F.col("term").alias("term_a"), "sig")
+    b = sigs.select(F.col("term").alias("term_b"), "sig")
+    lev = F.levenshtein("term_a", "term_b")
+    return (a.join(b, "sig")
+             .filter(F.col("term_a") < F.col("term_b"))
+             .select("term_a", "term_b").distinct()
+             .filter(lev <= 1)
+             .select("term_a", "term_b", lev.alias("lev")))
+
+
+# fixture vocabulary has no natural lev-1 pairs, so (pii_redact
+# precedent) the registered query PLANTS deterministic typos — a
+# 2nd-char deletion of a hash-selected half of the len>=4 terms — on
+# both engines; the SymSpell blocking + verify is what's hash-checked.
+FUZZY_PLANT_PCT = 50
+
+
+def q_dedup_fuzzy_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ._util import rebalance_scan
+    from .sampling import _hash_bucket
+    d = rebalance_scan(table(spark, sf_dir, "documents"))
+    words = (d.select(F.explode(F.split(F.col("text"), " ")).alias("term"))
+              .distinct())
+    t = F.col("term")
+    typos = (words.filter((F.length(t) >= 4)
+                          & (_hash_bucket(t, 100) < FUZZY_PLANT_PCT))
+                  .select(F.concat(F.substring(t, 1, 1),
+                                   F.substring(t, F.lit(3), F.length(t)))
+                           .alias("term")))
+    return fuzzy_term_pairs(words.union(typos).distinct())
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_source_matrix": q_dedup_source_matrix,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_fuzzy_terms": q_dedup_fuzzy_terms,
 }
 
 
@@ -336,7 +399,35 @@ _SQL_SIMHASH_SUMS = ",\n         ".join(
 _SQL_SIMHASH_FP = " + ".join(
     f"(CASE WHEN s{k} > 0 THEN {1 << k} ELSE 0 END)" for k in range(16))
 
+def _oracle_fuzzy_terms() -> str:
+    from .sampling import _sql_hash_bucket
+    return f"""
+WITH words AS (
+  SELECT DISTINCT unnest(string_split(text, ' ')) AS term FROM documents
+), planted AS (
+  SELECT term FROM words
+  UNION
+  SELECT substr(term, 1, 1) || substr(term, 3) AS term
+  FROM words
+  WHERE len(term) >= 4 AND {_sql_hash_bucket("term", 100)} < {FUZZY_PLANT_PCT}
+), sigs AS (
+  SELECT term,
+         unnest(list_distinct(list_append(
+           list_transform(range(1, len(term) + 1),
+                          i -> substr(term, 1, i - 1) || substr(term, i + 1)),
+           term))) AS sig
+  FROM planted
+), cand AS (
+  SELECT DISTINCT a.term AS term_a, b.term AS term_b
+  FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.term < b.term
+)
+SELECT term_a, term_b, levenshtein(term_a, term_b) AS lev
+FROM cand WHERE levenshtein(term_a, term_b) <= 1
+"""
+
+
 ORACLE = {
+    "dedup_fuzzy_terms": _oracle_fuzzy_terms(),
     "dedup_source_matrix": """
 WITH g AS (
   SELECT md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS h, source

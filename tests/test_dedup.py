@@ -125,3 +125,27 @@ def test_source_matrix_pair_expansion(spark, monkeypatch):
     # C(3,2) unordered pairs, each counted once per duplicate group
     assert rows == {("srcA", "srcB"): 1, ("srcA", "srcC"): 1,
                     ("srcB", "srcC"): 1}
+
+
+def test_fuzzy_term_pairs_symspell_completeness(spark):
+    """Every lev<=1 relation (substitution, insertion/deletion) must be
+    found via the delete-neighborhood equality join, and nothing with
+    lev >= 2 may survive the verify filter."""
+    from big_data_crypto_sentiment_spark.queries.dedup import (
+        fuzzy_term_pairs,
+    )
+    terms = spark.createDataFrame(
+        [("spark",), ("spork",),   # substitution at pos 3
+         ("spar",),                # deletion of trailing k
+         ("sspark",),              # insertion at front
+         ("shark",),               # substitution: spark->shark lev 1
+         ("quartz",)],             # isolated: nearest is lev >= 2
+        "term string")
+    got = {(r.term_a, r.term_b): r.lev
+           for r in fuzzy_term_pairs(terms).collect()}
+    assert got[("spark", "spork")] == 1
+    assert got[("spar", "spark")] == 1
+    assert got[("spark", "sspark")] == 1
+    assert got[("shark", "spark")] == 1
+    assert ("spar", "spork") not in got          # lev 2
+    assert not any("quartz" in p for p in got)   # isolated term
