@@ -38,10 +38,17 @@ from ._util import table
 
 TFIDF_VOCAB_K = 1000     # driver-artifact vocabulary cap (surfaced, not silent)
 TFIDF_TOP_K = 5
-TFIDF_QUERY_PCT = 5      # hash slice of docs acting as the query set
-TFIDF_MAX_DF_FRAC = 1.0  # stopword cut: fixture vocab is ~40 terms that all
-                         # appear everywhere, so the demo keeps them; real
-                         # corpora run with ~0.5
+TFIDF_QUERY_PCT = 2      # hash slice of docs acting as the query set
+TFIDF_MAX_DF_FRAC = 1.0  # stopword cut: the FIXTURE vocabulary is degenerate
+                         # (~31 terms, each in ~every doc), so the demo keeps
+                         # df=N terms — which makes every posting list the
+                         # whole corpus and the join fan-out |Q|·|vocab|·N,
+                         # the worst case this operator admits. On a real
+                         # Zipf corpus run with ~0.5: posting lists are then
+                         # short for every surviving term and the fan-out is
+                         # sum over query terms of their (bounded) df — the
+                         # whole point of the inverted index. The bench entry
+                         # should be read with that caveat (see BASELINE.md).
 _IDF_SCALE = 10_000      # idf4 = round((ln((N+1)/(df+1)) + 1) * 1e4)
 
 
@@ -91,14 +98,24 @@ def tfidf_topk(docs: DataFrame, idf: dict[str, int],
     `query_pred` is a Column predicate over the doc id selecting the
     query slice; self-pairs are excluded. Output: (query_id, doc_id,
     cos, rank), rank 1-based, ties broken on doc_id."""
-    wts = _weights(docs, idf, id_col, text_col)
+    # both join sides derive from the same weights DF; persist it so the
+    # tokenize+tf+norm pipeline runs once, not twice (this DF IS the
+    # inverted index — narrow (id, term, w, norm2) rows; at warehouse
+    # scale it would be written out bucketed by term instead)
+    wts = _weights(docs, idf, id_col, text_col).persist()
     q = (wts.filter(query_pred(F.col(id_col)))
             .select(F.col(id_col).alias("query_id"),
                     "term", F.col("w").alias("wq"),
                     F.col("norm2").alias("nq2")))
     d = wts.select(F.col(id_col).alias("doc_id"), "term",
                    F.col("w").alias("wd"), F.col("norm2").alias("nd2"))
-    scored = (q.join(d, "term")
+    # broadcast the query postings: |Q|·|vocab| rows at most. The join
+    # then streams the corpus postings with NO shuffle on the term key —
+    # crucial here because term cardinality (= vocab) is far below the
+    # partition count, so a shuffled join would funnel everything into
+    # |vocab| tasks (worst with stopword-y terms). The corpus side's
+    # only shuffles remain the tf agg + norm window, both keyed by doc.
+    scored = (F.broadcast(q).join(d, "term")
                .filter(F.col("doc_id") != F.col("query_id"))
                .groupBy("query_id", "doc_id")
                .agg(F.sum(F.col("wq") * F.col("wd")).alias("dot"),
