@@ -111,6 +111,9 @@ _MODULES = (flagship, relational, timeseries, text, dedup, similarity, ml,
 #                        has six other members in-window (sessionize,
 #                        rollup, window_calcs, resample_ffill,
 #                        lag_sweep_corr, spearman); green r2-r5
+#   top_users          — O3/A6 value_counts top-k; the bounded-top-k
+#                        plan shape (TakeOrderedAndProject) is in-window
+#                        via vocab_top_terms; green r2-r5
 # (r5 deferrals make window room for the new cleaning-family operators
 # — boilerplate_strip, unigram_logprob — and the sparse-retrieval
 # sim_tfidf_topk)
@@ -123,7 +126,7 @@ _DEFER_FROM_WINDOW = ("src_avro_roundtrip", "log_return", "binned_features",
                       "embed_quantize", "sample_length_weighted",
                       "src_warehouse_fallback", "ts_bucket_counts",
                       "text_top_duplicated", "text_rlike_filter",
-                      "ts_trailing_hour")
+                      "ts_trailing_hour", "top_users")
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

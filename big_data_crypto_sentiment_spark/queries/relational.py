@@ -202,7 +202,54 @@ def q_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- table reconciliation: keyed diff of two snapshots ---
+# The warehouse anti-entropy utility: given old/new snapshots of a keyed
+# table, emit one row per difference (added / removed / changed) with
+# O(differences) output. One co-partitioned full-outer join on the key;
+# row content compares by md5 fingerprint so arbitrarily wide rows
+# reconcile without shipping both payloads through the comparison —
+# at 100 TB the join carries (key, 32-byte hash), not the rows.
+def table_diff(old: DataFrame, new: DataFrame, key: str,
+               fingerprint_cols: list[str]) -> DataFrame:
+    """(key, status in added|removed|changed) for every difference."""
+    def fp(df, alias):
+        return df.select(
+            F.col(key),
+            F.md5(F.concat_ws("\x1f", *[
+                F.coalesce(F.col(c).cast("string"), F.lit("\x02"))
+                for c in fingerprint_cols])).alias(alias))
+    o, n = fp(old, "h_old"), fp(new, "h_new")
+    return (o.join(n, key, "full_outer")
+             .withColumn("status",
+                         F.when(F.col("h_old").isNull(), F.lit("added"))
+                          .when(F.col("h_new").isNull(), F.lit("removed"))
+                          .when(F.col("h_old") != F.col("h_new"),
+                                F.lit("changed")))
+             .filter(F.col("status").isNotNull())
+             .select(key, "status"))
+
+
+# registered demo (planted-transform precedent): the "new" snapshot
+# drops a hash slice of docs and rewrites the text of another slice
+DIFF_DROP_PCT = 5     # bucket [0, 5)  -> removed
+DIFF_EDIT_PCT = 10    # bucket [5, 10) -> changed
+
+
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sampling import _hash_bucket
+    d = table(spark, sf_dir, "documents")
+    b = _hash_bucket(F.col("doc_id"), 100)
+    new = (d.filter(b >= DIFF_DROP_PCT)
+            .withColumn("text",
+                        F.when(b < DIFF_EDIT_PCT,
+                               F.concat(F.col("text"), F.lit(" [edited]")))
+                         .otherwise(F.col("text"))))
+    return table_diff(d, new, "doc_id",
+                      ["text", "lang", "source", "n_chars"])
+
+
 QUERIES = {
+    "table_diff": q_table_diff,
     "pricing_summary": q_pricing_summary,
     "filter_time_range": q_filter_time_range,
     "orders_by_nation": q_orders_by_nation,
@@ -342,3 +389,32 @@ GROUP BY event_type ORDER BY event_type
 
 
 ORACLE["retention_after_deletes"] = _retention_sql()
+
+
+def _table_diff_sql() -> str:
+    from .sampling import _sql_hash_bucket
+    hb = _sql_hash_bucket("doc_id", 100)
+    fp = ("md5(concat_ws(chr(31), "
+          "COALESCE(CAST({text} AS VARCHAR), chr(2)), "
+          "COALESCE(CAST(lang AS VARCHAR), chr(2)), "
+          "COALESCE(CAST(source AS VARCHAR), chr(2)), "
+          "COALESCE(CAST(n_chars AS VARCHAR), chr(2))))")
+    return f"""
+WITH o AS (
+  SELECT doc_id, {fp.format(text="text")} AS h_old FROM documents
+), n AS (
+  SELECT doc_id,
+         {fp.format(text=f"CASE WHEN {hb} < {DIFF_EDIT_PCT} "
+                         "THEN text || ' [edited]' ELSE text END")} AS h_new
+  FROM documents WHERE {hb} >= {DIFF_DROP_PCT}
+)
+SELECT doc_id,
+       CASE WHEN h_old IS NULL THEN 'added'
+            WHEN h_new IS NULL THEN 'removed'
+            WHEN h_old <> h_new THEN 'changed' END AS status
+FROM o FULL OUTER JOIN n USING (doc_id)
+WHERE (h_old IS NULL) OR (h_new IS NULL) OR (h_old <> h_new)
+"""
+
+
+ORACLE["table_diff"] = _table_diff_sql()

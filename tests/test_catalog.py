@@ -68,3 +68,19 @@ def test_events_range_micros_branch_pushes_timestamp_predicate(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "GreaterThanOrEqual(ts," in plan and "LessThan(ts," in plan
     assert df.count() > 0
+
+
+def test_table_diff_statuses_and_null_handling(spark):
+    from big_data_crypto_sentiment_spark.queries.relational import table_diff
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", None), (3, "c", 30), (4, None, 40)],
+        "id long, txt string, v int")
+    new = spark.createDataFrame(
+        [(1, "a", 10),          # unchanged -> absent from output
+         (2, "b", 20),          # NULL -> 20: changed
+         (4, None, 40),         # unchanged (NULL fingerprints equal)
+         (5, "e", 50)],         # added
+        "id long, txt string, v int")
+    got = {r.id: r.status
+           for r in table_diff(old, new, "id", ["txt", "v"]).collect()}
+    assert got == {2: "changed", 3: "removed", 5: "added"}
