@@ -122,7 +122,8 @@ def sessionize_stream(df: DataFrame, keys: tuple[str, ...],
 def stream_stream_interval_join(
         tweets: DataFrame, prices: DataFrame,
         tolerance: str = "30 seconds",
-        watermark: str = "0 seconds") -> DataFrame:
+        watermark: str = "0 seconds",
+        how: str = "inner") -> DataFrame:
     """TRUE stream-stream inner join (two state stores): each tweet
     paired with every price tick of the same symbol within ±tolerance
     of its event time — the streaming twin of the batch bucketized
@@ -138,6 +139,13 @@ def stream_stream_interval_join(
     grow forever; that predicate is what makes a stream-stream join
     production-safe (T1/T4 discipline applied to J-family).
 
+    `how="leftOuter"` keeps tweets with no price inside the tolerance:
+    the outer (NULL-price) row for a tweet emits only once the
+    watermark passes tweet_time + tolerance — before that, a matching
+    price could still arrive, so the row sits in state. That
+    delayed-emission rule is the stream-correct analog of a batch left
+    join, and what the left-outer pytest exercises.
+
     The same function runs on batch DataFrames (withWatermark is a
     no-op there), which is how the parity test pins it to the
     bucketized batch implementation."""
@@ -151,7 +159,7 @@ def stream_stream_interval_join(
     cond = ((F.col("t_symbol") == F.col("p_symbol"))
             & (F.col("price_time") >= F.col("tweet_time") - tol)
             & (F.col("price_time") <= F.col("tweet_time") + tol))
-    return (t.join(p, cond)
+    return (t.join(p, cond, how)
              .select(F.col("t_symbol").alias("symbol"),
                      "tweet_time", "text", "price_time", "price"))
 

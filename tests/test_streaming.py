@@ -269,3 +269,54 @@ def test_stream_stream_join_parity_with_batch_bucketized(
     batch = batch.sort_values(key).reset_index(drop=True)[key]
     assert len(got) > 0
     pd.testing.assert_frame_equal(batch, got)
+
+
+def test_stream_stream_left_outer_emits_unmatched_after_watermark(
+        spark, replayed, tmp_path):
+    """leftOuter keeps tweets with no price in ±tolerance; the NULL-price
+    row may only emit once the watermark passes tweet_time + tolerance.
+    With a tight tolerance the fixture has genuinely unmatched tweets;
+    every emitted NULL-price row must be truly unmatched in batch, all
+    batch inner pairs must appear, and nothing may emit twice."""
+    from big_data_crypto_sentiment_spark.operators.interval_join import (
+        time_tolerance_join,
+    )
+    from big_data_crypto_sentiment_spark.streaming import (
+        stream_stream_interval_join,
+    )
+    t_stream, p_stream = replayed
+    out = stream_stream_interval_join(t_stream, p_stream,
+                                      tolerance="5 seconds",
+                                      how="leftOuter")
+    q = (out.writeStream.format("memory").queryName("ssj_outer")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt_ssj_lo"))
+            .start())
+    try:
+        q.processAllAvailable()
+        got = spark.table("ssj_outer").toPandas()
+    finally:
+        q.stop()
+    t = tweets_role(spark, SF_DIR).withColumnRenamed("event_time",
+                                                     "tweet_time")
+    p = (prices_role(spark, SF_DIR)
+         .withColumnRenamed("event_time", "price_time")
+         .withColumnRenamed("symbol", "p_symbol"))
+    inner = (time_tolerance_join(
+                 t.withColumn("p_symbol", F.col("symbol")), p,
+                 ["p_symbol"], 5, "tweet_time", "price_time")
+             .select("symbol", "tweet_time", "text", "price_time",
+                     "price").toPandas())
+    key = ["symbol", "tweet_time", "text", "price_time", "price"]
+    matched = got[got.price.notna()].sort_values(key).reset_index(drop=True)
+    import pandas as pd
+    pd.testing.assert_frame_equal(
+        inner.sort_values(key).reset_index(drop=True)[key], matched[key])
+    # outer rows exist, are unique, and are truly unmatched in batch
+    outer = got[got.price.isna()]
+    assert len(outer) > 0
+    assert not outer.duplicated(["symbol", "tweet_time", "text"]).any()
+    matched_keys = set(map(tuple, inner[["symbol", "tweet_time",
+                                         "text"]].itertuples(index=False)))
+    for row in outer[["symbol", "tweet_time", "text"]].itertuples(index=False):
+        assert tuple(row) not in matched_keys
