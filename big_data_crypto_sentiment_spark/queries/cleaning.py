@@ -61,16 +61,22 @@ def _is_bench(key_col):
 def _word_grams(words_col, n: int):
     """array<string> of word n-grams off a MATERIALIZED words column
     (callers split() in their own projection stage — see decontaminate's
-    docstring for why). sequence(1, k) would turn DESCENDING for k < 1,
-    so the short-doc branch is explicit. A/B note: array_join(slice())
-    per gram measured 2× FASTER than indexed-transform + concat with
-    _w[i+j] element gets — non-literal GetArrayItem is the slower path."""
+    docstring for why). CALLERS MUST PRE-FILTER on
+    `size(split(text,' ')) >= n` — sequence(1, k) turns DESCENDING for
+    k < 1, and the explicit cheap filter (mirroring dedup._shingles) is
+    deliberate plan hygiene: a `F.when(k >= 1, ...)` guard here made
+    Catalyst's InferFiltersFromGenerate synthesize `size(<full gram
+    tree>) > 0` predicates that were pushed into the parquet scan BELOW
+    the rebalance exchange, evaluating the O(n·gram) construction twice
+    per row single-task (observed: decontam_overlap 3.8→8.8 s on the
+    r5 driver bench). With the cheap pre-filter and no guard, the only
+    scan filter left to push is `size(split(text)) >= n`. A/B note:
+    array_join(slice()) per gram measured 2× FASTER than
+    indexed-transform + concat with _w[i+j] element gets — non-literal
+    GetArrayItem is the slower path."""
     k = F.size(words_col) - (n - 1)
-    return F.when(
-        k >= 1,
-        F.transform(F.sequence(F.lit(1), k),
-                    lambda i: F.array_join(F.slice(words_col, i, n), " ")),
-    ).otherwise(F.array().cast("array<string>"))
+    return F.transform(F.sequence(F.lit(1), k),
+                       lambda i: F.array_join(F.slice(words_col, i, n), " "))
 
 
 def _gram_rows(docs: DataFrame, id_col: str, text_col: str,
@@ -79,15 +85,27 @@ def _gram_rows(docs: DataFrame, id_col: str, text_col: str,
     OWN projection stage (split → grams → size+explode): a single-stage
     form duplicates the gram expression into the Project above the
     Generate, rebuilding the O(n²) array per exploded row — measured
-    10× the whole decontam cost at sf0.01."""
-    return (docs.select(
+    10× the whole decontam cost at sf0.01. Short docs (< n words)
+    produce no grams either way; dropping them FIRST with the cheap
+    word-count predicate is what keeps the scan filter cheap (see
+    _word_grams)."""
+    return (docs
+        .filter(F.size(F.split(F.col(text_col), " ")) >= n)
+        .select(
         F.col(id_col), flag.alias("is_bench"),
         F.split(F.col(text_col), " ").alias("_w"))
         .select(id_col, "is_bench",
                 _word_grams(F.col("_w"), n).alias("grams"))
         .select(id_col, "is_bench",
                 F.size("grams").alias("n_grams"),
-                F.explode("grams").alias("gram")))
+                # explode_OUTER, deliberately: the pre-filter guarantees
+                # >= 1 gram so outer vs inner emit identical rows, and
+                # InferFiltersFromGenerate skips outer generates — the
+                # inner form re-synthesizes `size(<full gram tree>) > 0`
+                # into the scan-stage Filter even without a when-guard
+                # (verified on the formatted plan), which is the exact
+                # double-evaluation this function exists to avoid.
+                F.explode_outer("grams").alias("gram")))
 
 
 def decontaminate(docs: DataFrame, id_col: str = "doc_id",

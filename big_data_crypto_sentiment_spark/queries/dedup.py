@@ -332,9 +332,15 @@ def fuzzy_term_pairs(terms: DataFrame, col: str = "term") -> DataFrame:
     """(term_a < term_b, lev) for all pairs with levenshtein <= 1."""
     # each array in its own projection stage (house rule; also avoids
     # the lateral-alias resolver tripping on term -> term self-reference)
-    sigs = (terms.select(F.col(col).alias("term"))
+    # explode_OUTER: _sigs always holds >= 1 element (the term itself via
+    # array_union), so outer vs inner emit identical rows — and the outer
+    # form stops InferFiltersFromGenerate from cloning the whole
+    # delete-signature transform tree into a Filter condition (the
+    # registry-wide plan guard forbids higher-order exprs in Filters).
+    sigs = (terms.filter(F.col(col).isNotNull())
+                 .select(F.col(col).alias("term"))
                  .select("term", _delete_sigs(F.col("term")).alias("_sigs"))
-                 .select("term", F.explode("_sigs").alias("sig")))
+                 .select("term", F.explode_outer("_sigs").alias("sig")))
     a = sigs.select(F.col("term").alias("term_a"), "sig")
     b = sigs.select(F.col("term").alias("term_b"), "sig")
     lev = F.levenshtein("term_a", "term_b")

@@ -58,6 +58,23 @@ def test_no_row_at_a_time_python_udfs(plans):
     assert bad == []
 
 
+def test_no_higher_order_exprs_in_filter_conditions(plans):
+    """InferFiltersFromGenerate can clone an O(n·gram) array-construction
+    tree out of a Generate into a scan-stage Filter, where it re-runs
+    per INPUT row below the rebalance exchange (observed: the r5
+    decontam_overlap 3.8→8.8 s driver regression). Guard registry-wide:
+    no physical Filter node's condition may contain a lambda-based
+    higher-order function — expensive array math belongs in Project /
+    Generate stages, filters must stay cheap enough to push."""
+    import re
+    bad = []
+    for n, p in plans.items():
+        for line in p.splitlines():
+            if re.search(r"\bFilter\b", line) and "lambdafunction" in line:
+                bad.append((n, line.strip()[:140]))
+    assert bad == []
+
+
 def test_time_range_scan_pushes_ts_bound(plans):
     """The S8/S10 pushdown scan must reach parquet as a raw-nanos
     comparison (row-group pruning), not a DataFilter on the converted
