@@ -8,29 +8,38 @@ document. (Closest reference analog: the EDA duplicate-rate check at
 eda/Data_Minions_EDA_Milestone4.ipynb cell 9 stops at counting; this
 completes the keep/drop decision.)
 
-Algorithm: iterative min-label propagation. Every node starts labeled
-with its own id; each round a node takes the min of its own label and
-its neighbors' labels; at fixpoint every node carries the min doc_id of
-its component. Rounds needed = max component diameter — tiny for
-near-dup graphs, whose components are quasi-cliques (docs similar to a
-common ancestor are similar to each other). For adversarial long-chain
-graphs the public large-star/small-star alternation (Kiveris et al.,
-"Connected Components in MapReduce and Beyond", SoCC'14) contracts the
-same propagation to O(log n) rounds; the per-round join/agg shape below
-is identical, so it slots in without changing callers.
+Algorithm: the large-star/small-star alternation (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14) — O(log n)
+rounds on ANY graph shape, including the adversarial long chains
+(mirrored sites) a 100-TB web-dedup pair graph contains, where plain
+min-label propagation needs O(diameter) rounds.
+
+  large-star(u): with m = min(Γ(u) ∪ {u}), emit (v, m) for every
+      neighbor v > u — strictly-larger neighbors re-hang under the
+      neighborhood min.
+  small-star(u): over the downward-directed edges (all dst < src after
+      a large-star), group the smaller neighbors N of u, m = min(N);
+      emit (u, m) and (v, m) for v ∈ N, v ≠ m.
+
+Both preserve connectivity (paper, Lemmas 1-2); the fixpoint is a star
+forest whose roots are the component minima, read off as
+(src=node → dst=component), singletons filled from `nodes`.
 
 Scale notes:
-  * Per round: one shuffled hash join (labels into edges, keyed by node
-    id) + one partial-agg groupBy min — both keyed shuffles bounded by
-    |E|, never materializing components or collecting to the driver.
-  * Lineage is truncated every round with localCheckpoint, or the plan
-    would grow linearly with rounds and re-execute from the scan on
-    every action. (On a real cluster prefer reliable checkpoint() to a
-    checkpoint dir — localCheckpoint state dies with a lost executor.)
-  * Convergence is detected from sum(label), a monotonically decreasing
-    scalar — one lightweight agg per round, no label-diff join.
-  * The edge list is persisted once; it is the iteration's only reused
-    input.
+  * Per half-round: one hash-agg of neighborhood minima + one keyed
+    join back — shuffles keyed by node id, bounded by |E|, identical
+    subtrees so AQE reuses the exchange. Never a driver collect, never
+    a component materialized as a row.
+  * Lineage is truncated every round with localCheckpoint(eager=False):
+    the round's ONE action — the convergence probe — materializes the
+    checkpoint as a side effect (the r5 shape paid two jobs per round:
+    an eager checkpoint and then the probe). On a real cluster prefer
+    reliable checkpoint() — localCheckpoint state dies with a lost
+    executor.
+  * Convergence is EXACT, one cheap action over the checkpointed edges:
+    the set is a fixpoint iff every src carries exactly one distinct
+    parent AND no dst appears as a src (star forest + downward edges ⇒
+    roots are component minima; both star ops are then identity).
 """
 
 from __future__ import annotations
@@ -48,37 +57,79 @@ from .dedup import (
 )
 
 
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Emit (v, m) for every neighbor v > u, m = min(Γ(u) ∪ {u})."""
+    nbrs = (edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+                 .union(edges.select(F.col("dst").alias("u"),
+                                     F.col("src").alias("v"))))
+    mins = (nbrs.groupBy("u").agg(F.min("v").alias("_mn"))
+                .select("u", F.least("_mn", "u").alias("m")))
+    return (nbrs.join(mins, "u")
+                .filter(F.col("v") > F.col("u"))
+                .select(F.col("v").alias("src"), F.col("m").alias("dst"))
+                .distinct())
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Over downward edges (dst < src): per u with smaller-neighbor set
+    N and m = min(N), emit (u, m) and (v, m) for v ∈ N \\ {m}."""
+    d = (edges.select(F.greatest("src", "dst").alias("u"),
+                      F.least("src", "dst").alias("v"))
+              .filter(F.col("u") != F.col("v")))
+    mins = d.groupBy("u").agg(F.min("v").alias("m"))
+    moved = (d.join(mins, "u")
+              .filter(F.col("v") != F.col("m"))
+              .select(F.col("v").alias("src"), F.col("m").alias("dst")))
+    return (moved.union(mins.select(F.col("u").alias("src"),
+                                    F.col("m").alias("dst")))
+                 .distinct())
+
+
+def _is_star_forest(edges: DataFrame) -> bool:
+    """Exact fixpoint test, one action over checkpointed edges: every
+    src has exactly one distinct parent, and no dst is also a src."""
+    multi = (edges.groupBy("src")
+                  .agg(F.count_distinct("dst").alias("np"))
+                  .agg(F.coalesce(F.max("np"), F.lit(1)).alias("mp")))
+    chained = (edges.alias("e")
+               .join(edges.select("src").distinct().alias("s"),
+                     F.col("e.dst") == F.col("s.src"), "left_semi")
+               .agg(F.count("*").alias("nc")))
+    row = multi.crossJoin(chained).first()
+    return row.mp <= 1 and row.nc == 0
+
+
 def connected_components(edges: DataFrame, nodes: DataFrame,
-                         max_iter: int = 30) -> DataFrame:
+                         max_iter: int = 30,
+                         _stats: dict | None = None) -> DataFrame:
     """(node, component) for every node, component = min node id reachable.
 
     edges: two-column DataFrame of undirected pairs (any column names);
     nodes: one-column DataFrame of node ids (defines singletons too).
+    max_iter bounds the large+small alternation rounds (O(log n) needed);
+    _stats, if passed, receives {"rounds": n} for convergence tests.
     """
     a, b = edges.columns[0], edges.columns[1]
-    sym = (edges.select(F.col(a).alias("node"), F.col(b).alias("nbr"))
-                .union(edges.select(F.col(b).alias("node"),
-                                    F.col(a).alias("nbr")))
-                .persist())
-    labels = (nodes.select(F.col(nodes.columns[0]).alias("node"))
-                   .withColumn("label", F.col("node"))
-                   .localCheckpoint())
-    prev_sum = labels.agg(F.sum("label")).first()[0]
-    for _ in range(max_iter):
-        cand = (sym.join(labels.withColumnRenamed("node", "nbr"), "nbr")
-                   .groupBy("node")
-                   .agg(F.min("label").alias("cand")))
-        labels = (labels.join(cand, "node", "left")
-                        .select("node",
-                                F.least("label", F.coalesce("cand", "label"))
-                                 .alias("label"))
-                        .localCheckpoint())
-        cur_sum = labels.agg(F.sum("label")).first()[0]
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
-    sym.unpersist()
-    return labels.select("node", F.col("label").alias("component"))
+    e = (edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+              .filter(F.col("src") != F.col("dst"))
+              .localCheckpoint(eager=False))
+    rounds = 0
+    if not e.isEmpty():
+        for _ in range(max_iter):
+            rounds += 1
+            e = _small_star(_large_star(e)).localCheckpoint(eager=False)
+            if _is_star_forest(e):
+                break
+    if _stats is not None:
+        _stats["rounds"] = rounds
+    # fixpoint edges are (leaf -> component-min root); roots and
+    # singletons label themselves
+    parents = e.select(F.col("src").alias("node"),
+                       F.col("dst").alias("_comp")).distinct()
+    return (nodes.select(F.col(nodes.columns[0]).alias("node"))
+                 .join(parents, "node", "left")
+                 .select("node",
+                         F.coalesce("_comp", "node").alias("component")))
 
 
 def dedup_components(docs: DataFrame, threshold: float) -> DataFrame:

@@ -44,6 +44,34 @@ def test_label_is_component_min_regardless_of_edge_order(spark):
     assert set(got.values()) == {2}
 
 
+def test_adversarial_chain_logarithmic_rounds(spark):
+    """4096-node path graph — the large-star/small-star contraction must
+    converge in O(log n) alternation rounds (plain min-label propagation
+    would need ~4095), and still label every node with the chain min."""
+    import math
+    n = 4096
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)],
+                                  "a long, b long")
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    stats = {}
+    got = {r.node: r.component
+           for r in connected_components(edges, nodes, max_iter=40,
+                                         _stats=stats).collect()}
+    assert got == {i: 0 for i in range(n)}
+    assert stats["rounds"] <= 2 * int(math.log2(n))  # 24 for n=4096
+
+
+def test_rounds_tiny_on_quasi_clique(spark):
+    # the near-dup-graph common case: dense component, ~2 rounds
+    edges = spark.createDataFrame(
+        [(i, j) for i in range(8) for j in range(i + 1, 8)],
+        "a long, b long")
+    nodes = spark.createDataFrame([(i,) for i in range(8)], "id long")
+    stats = {}
+    connected_components(edges, nodes, _stats=stats).collect()
+    assert stats["rounds"] <= 2
+
+
 @pytest.fixture(scope="module")
 def slice_components(spark):
     from big_data_crypto_sentiment_spark.queries._util import table
