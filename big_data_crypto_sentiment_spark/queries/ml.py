@@ -285,6 +285,144 @@ def q_ml_ar_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ar_train(_shared_grid(spark, sf_dir))
 
 
+# --- M3 full fidelity, MA side: ARMA(p,q) order search via the
+#     Hannan–Rissanen two-stage closed form (Hannan & Rissanen 1982) —
+#     the dependency-light public analog of the reference's
+#     auto_arima(seasonal=False, stepwise, max_p=5, max_q=5) search
+#     (analytical_module/arima.py:250-260), which explores MA orders the
+#     AR-only trainer above cannot. Stage 1: long-AR Yule-Walker
+#     residuals stand in for the unobserved innovations; stage 2: OLS of
+#     x_t on p lags of x and q lags of those residuals gives (phi,
+#     theta) in closed form. Same one-shuffle applyInPandas shape;
+#     rows-only (per-order least squares isn't SQL-expressible). ---
+MAX_ARMA_ORDER = 5
+
+_ARMA_SCHEMA = T.StructType([
+    T.StructField("event_type", T.StringType()),
+    T.StructField("n_train", T.LongType()),
+    T.StructField("chosen_p", T.IntegerType()),
+    T.StructField("chosen_q", T.IntegerType()),
+    T.StructField("phi", T.StringType()),    # comma-joined, round(6)
+    T.StructField("theta", T.StringType()),  # comma-joined, round(6)
+    T.StructField("mu", T.DoubleType()),
+    T.StructField("mae", T.DoubleType()),
+    T.StructField("mse", T.DoubleType()),
+    T.StructField("mape", T.DoubleType()),
+])
+
+
+def _hannan_rissanen(x, p: int, q: int, m: int | None = None):
+    """(phi, theta, resid) for a DEMEANED series x: stage-1 AR(m)
+    Yule-Walker residuals, stage-2 least squares on [x lags, e lags].
+    resid is the stage-2 innovation sequence aligned to x (NaN where
+    undefined), used to seed forecasts."""
+    import numpy as np
+    n = len(x)
+    if m is None:
+        m = min(max(2 * (p + q), 10), max(n // 4, 1))
+    r = np.array([(x[: n - k] * x[k:]).sum() / n for k in range(m + 1)])
+    R = np.array([[r[abs(i - j)] for j in range(m)] for i in range(m)])
+    phi_long = np.linalg.solve(R, r[1: m + 1])
+    e = np.full(n, np.nan)
+    idx = np.arange(m, n)
+    lag_mat = np.column_stack([x[idx - k] for k in range(1, m + 1)])
+    e[idx] = x[idx] - lag_mat @ phi_long
+    start = m + q
+    t = np.arange(start, n)
+    cols = [x[t - k] for k in range(1, p + 1)]
+    cols += [e[t - k] for k in range(1, q + 1)]
+    if not cols:
+        raise ValueError("p == q == 0")
+    X = np.column_stack(cols)
+    beta, *_ = np.linalg.lstsq(X, x[t], rcond=None)
+    phi, theta = beta[:p], beta[p:]
+    resid = np.full(n, np.nan)
+    resid[t] = x[t] - X @ beta
+    return phi, theta, resid
+
+
+def _arma_forecast(train, phi, theta, resid, mu, horizon: int):
+    """Iterated h-step forecast: future innovations are 0, known
+    stage-2 residuals feed the first q steps (standard ARMA forecast
+    recursion)."""
+    import numpy as np
+    p, q = len(phi), len(theta)
+    hist = list(train - mu)
+    errs = list(np.nan_to_num(resid, nan=0.0))
+    out = []
+    for _ in range(horizon):
+        nxt = 0.0
+        if p:
+            nxt += float(np.dot(phi, [hist[-k] for k in range(1, p + 1)]))
+        if q:
+            nxt += float(np.dot(theta, [errs[-k] for k in range(1, q + 1)]))
+        out.append(nxt)
+        hist.append(nxt)
+        errs.append(0.0)
+    return np.array(out) + mu
+
+
+def _arma_train(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-symbol (p,q) grid search p,q <= 5 (p+q >= 1), holdout-MAE
+    selection — the stepwise auto_arima outcome in closed form."""
+    import numpy as np
+    sym = pdf["event_type"].iloc[0]
+    x = pdf.sort_values("bucket")["value_ffill"].astype(float).to_numpy()
+    x = x[~pd.isna(x)]
+    null_row = {
+        "event_type": sym, "n_train": len(x), "chosen_p": None,
+        "chosen_q": None, "phi": None, "theta": None, "mu": None,
+        "mae": None, "mse": None, "mape": None}
+    if len(x) <= MIN_TRAIN + HOLDOUT:
+        return pd.DataFrame([null_row])
+    train, hold = x[:-HOLDOUT], x[-HOLDOUT:]
+    mu = float(train.mean())
+    d = train - mu
+    best = None
+    for p in range(MAX_ARMA_ORDER + 1):
+        for q in range(MAX_ARMA_ORDER + 1):
+            if p + q == 0:
+                continue
+            try:
+                phi, theta, resid = _hannan_rissanen(d, p, q)
+                if not (np.all(np.isfinite(phi))
+                        and np.all(np.isfinite(theta))):
+                    continue
+                fc = _arma_forecast(train, phi, theta, resid, mu, HOLDOUT)
+            except Exception:
+                continue
+            err = hold - fc
+            mae = float(np.abs(err).mean())
+            if np.isfinite(mae) and (best is None or mae < best[0]):
+                best = (mae, p, q, phi, theta, err)
+    if best is None:
+        null_row.update({"n_train": int(len(train)), "mu": round(mu, 6)})
+        return pd.DataFrame([null_row])
+    mae, p, q, phi, theta, err = best
+    mape = float((np.abs(err) / np.clip(np.abs(hold), MAPE_CLIP, None)).mean())
+    join6 = lambda v: ",".join(str(round(float(c), 6)) for c in v)
+    return pd.DataFrame([{
+        "event_type": sym, "n_train": int(len(train)),
+        "chosen_p": int(p), "chosen_q": int(q),
+        "phi": join6(phi) or None, "theta": join6(theta) or None,
+        "mu": round(mu, 6),
+        "mae": round(mae, 6),
+        "mse": round(float((err ** 2).mean()), 6),
+        "mape": round(mape, 6),
+    }])
+
+
+def arma_train(grid: DataFrame) -> DataFrame:
+    """Hannan–Rissanen ARMA training over any (event_type, bucket,
+    value_ffill) grid — one shuffle on symbol, one Arrow batch per
+    group, same operator shape as ar_train."""
+    return grid.groupBy("event_type").applyInPandas(_arma_train, _ARMA_SCHEMA)
+
+
+def q_ml_arma_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return arma_train(_shared_grid(spark, sf_dir))
+
+
 # --- M1 upstream: text → 3-class sentiment probabilities + scoring math
 #     (dataflow/stream_join.py:231-346 — the HF model in DoFn.setup()
 #     becomes a fitted MLlib PipelineModel, a broadcast set of JVM
@@ -360,6 +498,7 @@ QUERIES = {
     "ml_forecast_metrics": q_ml_forecast_metrics,
     "ml_ar1_train": q_ml_ar1_train,
     "ml_ar_train": q_ml_ar_train,                      # rows-only: YW solve
+    "ml_arma_train": q_ml_arma_train,                  # rows-only: HR lstsq
     "ml_sentiment_model": q_ml_sentiment_model,        # rows-only: MLlib fit
     "ml_tfidf_top_terms": q_ml_tfidf_top_terms,        # rows-only: MLlib fit
     "ml_ridge_perm_importance": q_ml_ridge_perm_importance,  # rows-only: MLlib fit

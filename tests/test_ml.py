@@ -113,3 +113,68 @@ def test_sentiment_math_invariants(spark):
     if len(nulls):
         assert nulls["sentiment_label"].isna().all()
         assert nulls["action_signal"].isna().all()
+
+
+def _gen_arma(phis, thetas, n, seed, sigma=0.5):
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    p, q = len(phis), len(thetas)
+    burn = 200
+    e = rng.normal(0, sigma, n + burn)
+    x = np.zeros(n + burn)
+    for t in range(max(p, q), len(x)):
+        x[t] = (sum(phis[i] * x[t - 1 - i] for i in range(p))
+                + e[t]
+                + sum(thetas[j] * e[t - 1 - j] for j in range(q)))
+    return x[burn:]
+
+
+def test_hannan_rissanen_recovers_arma11_and_arma22():
+    """The two-stage HR closed form must recover the generating (phi,
+    theta) of seeded synthetic ARMA series at the true order — the
+    numeric-core pin for the MA-side order search (the reference's
+    auto_arima max_q=5 analog)."""
+    import pytest as pt
+
+    from big_data_crypto_sentiment_spark.queries.ml import _hannan_rissanen
+
+    cases = [
+        (([0.6], [0.4]), 3),
+        (([0.5, -0.25], [0.4, 0.2]), 5),
+    ]
+    for (phis, thetas), seed in cases:
+        x = _gen_arma(phis, thetas, 20000, seed)
+        phi, theta, _ = _hannan_rissanen(x - x.mean(),
+                                         len(phis), len(thetas))
+        assert phi == pt.approx(phis, abs=0.1), (phis, phi)
+        assert theta == pt.approx(thetas, abs=0.1), (thetas, theta)
+
+
+def test_arma_train_selects_and_forecasts_on_ma_series():
+    """On a pure MA(1) series the search must return a finite fit with
+    some order (holdout-MAE selection may legitimately pick a long-AR
+    approximation of the MA process — beyond lag q an iterated MA
+    forecast is just mu, so q >= 1 is not guaranteed to win the
+    holdout; the theta-recovery accuracy is pinned separately on
+    _hannan_rissanen at the true order)."""
+    from big_data_crypto_sentiment_spark.queries.ml import _arma_train
+
+    x = _gen_arma([], [0.8], 600, seed=9) + 100.0
+    out = _arma_train(_grid(list(x)))
+    r = out.iloc[0]
+    assert (r["chosen_p"] or 0) + (r["chosen_q"] or 0) >= 1
+    assert r["mu"] == pytest.approx(100.0, abs=0.5)
+    assert r["mae"] is not None and r["mae"] < 2.0
+
+
+def test_arma_train_constant_and_short_series_null_rows():
+    from big_data_crypto_sentiment_spark.queries.ml import _arma_train
+
+    const = _arma_train(_grid([5.0] * 200)).iloc[0]
+    # constant series: lstsq yields all-zero coefficients and an exact
+    # forecast, OR degenerates to the null row — either way no crash and
+    # no spurious error metrics
+    assert const["mae"] is None or const["mae"] == pytest.approx(0.0, abs=1e-6)
+    short = _arma_train(_grid([1.0, 2.0] * ((MIN_TRAIN + HOLDOUT) // 2)))
+    assert short["chosen_p"].iloc[0] is None
+    assert short["n_train"].iloc[0] == MIN_TRAIN + HOLDOUT
