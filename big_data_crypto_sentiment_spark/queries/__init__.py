@@ -126,7 +126,13 @@ _DEFER_FROM_WINDOW = ("src_avro_roundtrip", "log_return", "binned_features",
                       "embed_quantize", "sample_length_weighted",
                       "src_warehouse_fallback", "ts_bucket_counts",
                       "text_top_duplicated", "text_rlike_filter",
-                      "ts_trailing_hour", "top_users")
+                      "ts_trailing_hour", "top_users",
+                      # r6: the degenerate-fixture stress config hands
+                      # its driver slot to sim_tfidf_zipf_topk — the
+                      # max_df-cut scale shape is what should be
+                      # hash-checked and benched per round; this one
+                      # stays tools/check.py-verified at 3 SFs
+                      "sim_tfidf_topk")
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

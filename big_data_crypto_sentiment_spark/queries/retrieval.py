@@ -43,13 +43,29 @@ TFIDF_MAX_DF_FRAC = 1.0  # stopword cut: the FIXTURE vocabulary is degenerate
                          # (~31 terms, each in ~every doc), so the demo keeps
                          # df=N terms — which makes every posting list the
                          # whole corpus and the join fan-out |Q|·|vocab|·N,
-                         # the worst case this operator admits. On a real
-                         # Zipf corpus run with ~0.5: posting lists are then
-                         # short for every surviving term and the fan-out is
-                         # sum over query terms of their (bounded) df — the
-                         # whole point of the inverted index. The bench entry
-                         # should be read with that caveat (see BASELINE.md).
+                         # the worst case this operator admits. That shape is
+                         # kept registered as the documented stress case; the
+                         # SCALE path — short posting lists behind a real
+                         # stopword cut — is exercised by sim_tfidf_zipf_topk
+                         # below, which plants a power-law vocabulary and runs
+                         # max_df_frac = 0.5.
 _IDF_SCALE = 10_000      # idf4 = round((ln((N+1)/(df+1)) + 1) * 1e4)
+
+# --- Zipf-realistic variant: planted power-law vocabulary ---
+# Deterministic from doc_id on BOTH engines (pii_redact precedent): token
+# slot s of doc i draws m uniform from 1..ZIPF_N via the shared md5
+# bucket of "i:s", then takes term rank r = floor(ZIPF_N / m) — the
+# divisor construction, P(r) ∝ 1/r², a Zipf(2) vocabulary of ~2·√N
+# distinct terms with exact engine parity (md5 is bit-identical, the one
+# division is IEEE double — correctly rounded — and floor's boundary
+# cases only arise when m divides ZIPF_N, where the quotient is exactly
+# representable). Rank 1 lands in ~half the token slots, so every doc
+# contains it → its df is ~N and the max_df_frac = 0.5 stopword cut
+# genuinely fires, leaving every surviving posting list short — the
+# inverted index's scale shape, now oracle-checked and benched.
+ZIPF_N = 10_000
+ZIPF_BASE_TOKENS = 30    # doc length = 30 + doc_id % 20
+ZIPF_MAX_DF_FRAC = 0.5
 
 
 def tfidf_idf_table(docs: DataFrame, text_col: str = "text",
@@ -89,10 +105,19 @@ def _weights(docs: DataFrame, idf: dict[str, int], id_col: str,
         F.sum(F.col("w") * F.col("w")).over(Window.partitionBy(id_col)))
 
 
+# Persisted inverted-index DFs, keyed by (applicationId, entry, sf_dir)
+# — the ml._GRID_CACHE pattern. Repeat invocations in one session (bench
+# runs all queries; tests refit) REUSE the cached index instead of
+# stacking a fresh persisted RDD per call, which previously leaked for
+# the session lifetime. Bounded: one entry per registered query config.
+_WTS_CACHE: dict[tuple, DataFrame] = {}
+
+
 def tfidf_topk(docs: DataFrame, idf: dict[str, int],
                query_pred, k: int = TFIDF_TOP_K,
                id_col: str = "doc_id",
-               text_col: str = "text") -> DataFrame:
+               text_col: str = "text",
+               cache_key: tuple | None = None) -> DataFrame:
     """Top-k corpus docs per query doc by TF-IDF cosine.
 
     `query_pred` is a Column predicate over the doc id selecting the
@@ -102,7 +127,16 @@ def tfidf_topk(docs: DataFrame, idf: dict[str, int],
     # tokenize+tf+norm pipeline runs once, not twice (this DF IS the
     # inverted index — narrow (id, term, w, norm2) rows; at warehouse
     # scale it would be written out bucketed by term instead)
-    wts = _weights(docs, idf, id_col, text_col).persist()
+    full_key = None
+    if cache_key is not None:
+        full_key = ((docs.sparkSession.sparkContext.applicationId,)
+                    + tuple(cache_key))
+    if full_key is not None and full_key in _WTS_CACHE:
+        wts = _WTS_CACHE[full_key]
+    else:
+        wts = _weights(docs, idf, id_col, text_col).persist()
+        if full_key is not None:
+            _WTS_CACHE[full_key] = wts
     q = (wts.filter(query_pred(F.col(id_col)))
             .select(F.col(id_col).alias("query_id"),
                     "term", F.col("w").alias("wq"),
@@ -139,32 +173,67 @@ def q_sim_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
     idf, _ = tfidf_idf_table(d)
     return tfidf_topk(
-        d, idf, lambda c: _hash_bucket(c, 100) < TFIDF_QUERY_PCT)
+        d, idf, lambda c: _hash_bucket(c, 100) < TFIDF_QUERY_PCT,
+        cache_key=("sim_tfidf_topk", sf_dir))
+
+
+def zipf_planted_docs(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) with the deterministic divisor-Zipf token stream
+    (see module notes) — the realistic-vocabulary stand-in for the
+    fixture's degenerate ~31-term vocabulary."""
+    from .sampling import _hash_bucket
+    did = F.col("doc_id")
+    n_tok = F.lit(ZIPF_BASE_TOKENS) + (did % 20).cast("int")
+
+    def term(s):
+        key = F.concat(did.cast("string"), F.lit(":"), s.cast("string"))
+        m = _hash_bucket(key, ZIPF_N) + 1
+        return F.concat(
+            F.lit("z"),
+            F.floor(F.lit(float(ZIPF_N)) / m).cast("long").cast("string"))
+
+    return docs.select(
+        "doc_id",
+        F.concat_ws(" ", F.transform(F.sequence(F.lit(1), n_tok), term))
+         .alias("text"))
+
+
+def q_sim_tfidf_zipf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ._util import rebalance_scan
+    from .sampling import _hash_bucket
+    d = zipf_planted_docs(
+        rebalance_scan(table(spark, sf_dir, "documents")).select("doc_id"))
+    idf, _ = tfidf_idf_table(d, max_df_frac=ZIPF_MAX_DF_FRAC)
+    return tfidf_topk(
+        d, idf, lambda c: _hash_bucket(c, 100) < TFIDF_QUERY_PCT,
+        cache_key=("sim_tfidf_zipf_topk", sf_dir))
 
 
 QUERIES = {
     "sim_tfidf_topk": q_sim_tfidf_topk,
+    "sim_tfidf_zipf_topk": q_sim_tfidf_zipf_topk,
 }
 
 
-def _oracle_sim_tfidf_topk() -> str:
+def _oracle_tfidf(src_cte: str, src: str, max_df_frac: float) -> str:
+    """Shared oracle body over a (doc_id, text) source CTE."""
     from .sampling import _sql_hash_bucket
     return f"""
-WITH params AS (
-  SELECT COUNT(*) AS n FROM documents
+WITH {src_cte}params AS (
+  SELECT COUNT(*) AS n FROM {src}
 ), dterms AS (
   SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term
-  FROM documents
+  FROM {src}
 ), idf AS (
   SELECT term,
          CAST(ROUND((LN(CAST(n + 1 AS DOUBLE) / (COUNT(*) + 1)) + 1)
                     * {_IDF_SCALE}) AS BIGINT) AS idf4
   FROM dterms CROSS JOIN params
   GROUP BY term, n
-  HAVING COUNT(*) <= {TFIDF_MAX_DF_FRAC} * n
+  HAVING COUNT(*) <= {max_df_frac} * n
   ORDER BY COUNT(*) DESC, term LIMIT {TFIDF_VOCAB_K}
 ), tok AS (
-  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM {src}
 ), tf AS (
   SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
 ), w AS (
@@ -194,6 +263,26 @@ FROM ranked WHERE rank <= {TFIDF_TOP_K}
 """
 
 
+def _zipf_src_cte() -> str:
+    """The divisor-Zipf plant as a DuckDB CTE — token parity with
+    zipf_planted_docs: same md5 bucket of 'doc_id:slot', same IEEE
+    double division + floor."""
+    from .dedup import _sql_hex2int
+    hx = ("substring(md5(CAST(doc_id AS VARCHAR) || ':' "
+          "|| CAST(s AS VARCHAR)), 1, 15)")
+    rank = (f"CAST(FLOOR({float(ZIPF_N)} / "
+            f"(({_sql_hex2int(hx)} % {ZIPF_N}) + 1)) AS BIGINT)")
+    return f"""zsrc AS (
+  SELECT doc_id,
+         array_to_string(list_transform(
+           range(1, {ZIPF_BASE_TOKENS} + CAST(doc_id % 20 AS INT) + 1),
+           s -> 'z' || CAST({rank} AS VARCHAR)), ' ') AS text
+  FROM documents
+), """
+
+
 ORACLE = {
-    "sim_tfidf_topk": _oracle_sim_tfidf_topk(),
+    "sim_tfidf_topk": _oracle_tfidf("", "documents", TFIDF_MAX_DF_FRAC),
+    "sim_tfidf_zipf_topk": _oracle_tfidf(_zipf_src_cte(), "zsrc",
+                                         ZIPF_MAX_DF_FRAC),
 }

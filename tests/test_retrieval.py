@@ -59,3 +59,36 @@ def test_vocab_cap_is_surfaced(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     idf, truncated = tfidf_idf_table(docs, vocab_k=3)
     assert len(idf) == 3 and truncated
+
+
+def test_zipf_plant_posting_lists_are_bounded(spark):
+    """The Zipf-realistic entry must exercise the SCALE shape: the
+    ubiquitous head ranks get cut by max_df_frac=0.5 and every surviving
+    term's posting list (its df) stays under that bound — so the
+    inverted-index join fan-out is sum-of-short-postings, never
+    |Q|·|vocab|·N."""
+    from pyspark.sql import functions as F
+
+    from big_data_crypto_sentiment_spark.queries._util import table
+    from big_data_crypto_sentiment_spark.queries.retrieval import (
+        ZIPF_MAX_DF_FRAC,
+        zipf_planted_docs,
+    )
+
+    d = zipf_planted_docs(
+        table(spark, "/root/testdata/sf0.001", "documents")
+        .select("doc_id"))
+    n = d.count()
+    idf, _ = tfidf_idf_table(d, max_df_frac=ZIPF_MAX_DF_FRAC)
+    # rank 1 ('z1') lands in ~half of all token slots -> present in
+    # essentially every doc -> must be cut by the stopword bound
+    assert "z1" not in idf
+    assert len(idf) > 20  # a real multi-term power-law vocabulary
+    df_by_term = {
+        r.term: r.df
+        for r in (d.select(F.explode(F.array_distinct(
+                      F.split(F.col("text"), " "))).alias("term"))
+                   .groupBy("term").agg(F.count("*").alias("df"))
+                   .collect())}
+    kept_dfs = [df_by_term[t] for t in idf]
+    assert max(kept_dfs) <= ZIPF_MAX_DF_FRAC * n
