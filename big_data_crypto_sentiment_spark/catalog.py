@@ -24,6 +24,19 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Timestamp-typed columns per table: the nanosAsLong conf (set
+# session-wide in _ts_confs — parquet readers consult it at execution
+# too, so per-load toggling would race lazy DataFrames) makes a
+# TIMESTAMP(NANOS) column in ANY table read as bigint; this map lets
+# ``load`` reconvert every known timestamp column by dtype instead of
+# silently handing callers a long (previously only events.ts was
+# covered).
+_TS_COLS = {
+    "events": ("ts",),
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+}
+
 
 def _ts_confs(spark: SparkSession) -> None:
     """Session confs every catalog read needs for oracle parity.
@@ -55,9 +68,13 @@ def load(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFr
     _ts_confs(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
-    if name == "events" and dict(df.dtypes)["ts"] == "bigint":
-        # legacy nanos file read as long → truncate to micros like DuckDB
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    dtypes = dict(df.dtypes)
+    for col in _TS_COLS.get(name, ()):
+        if dtypes.get(col) == "bigint":
+            # legacy nanos column read as long → truncate to micros like
+            # DuckDB
+            df = df.withColumn(
+                col, F.timestamp_micros(F.expr(f"{col} DIV 1000")))
     return df
 
 
@@ -82,10 +99,17 @@ def load_events_range(spark: SparkSession, sf_dir: str,
         if end_ns is not None:
             df = df.filter(F.col("ts") < F.lit(int(end_ns)))
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    start = F.timestamp_micros(F.lit(int(start_ns) // 1000))
+    # CEILING division on both bounds: for micro-resolution data
+    # (ts_ns = 1000·ts_us), `ts_us >= ceil(start_ns/1000)` and
+    # `ts_us < ceil(end_ns/1000)` are exactly the raw-nanos comparisons
+    # `ts_ns >= start_ns` / `ts_ns < end_ns`. Floor division would admit
+    # rows in [floor(start/1000)µs, start) and wrongly exclude a row at
+    # exactly floor(end/1000)µs for non-micro-aligned bounds.
+    start = F.timestamp_micros(F.lit((int(start_ns) + 999) // 1000))
     df = df.filter(F.col("ts") >= start)
     if end_ns is not None:
-        df = df.filter(F.col("ts") < F.timestamp_micros(F.lit(int(end_ns) // 1000)))
+        end = F.timestamp_micros(F.lit((int(end_ns) + 999) // 1000))
+        df = df.filter(F.col("ts") < end)
     return df
 
 

@@ -249,7 +249,10 @@ def strip_boilerplate(docs: DataFrame, hot: list[str],
                       text_col: str = "text") -> DataFrame:
     """(id, n_lines, n_removed, clean_text) with hot lines dropped —
     per-row array filter against the broadcast-literal hot set, zero
-    shuffles (pass 2 of the plan above)."""
+    shuffles (pass 2 of the plan above). NULL-text docs are dropped
+    (split(NULL) would otherwise emit a nonsense n_lines=-1 row; the
+    oracle's unnest drops them, so match that convention)."""
+    docs = docs.filter(F.col(text_col).isNotNull())
     lines = F.split(F.col(text_col), "\n")
     if hot:
         keep = F.filter(lines, lambda l: ~F.array_contains(F.lit(hot), l))
@@ -303,7 +306,11 @@ def unigram_model(docs: DataFrame, text_col: str = "text",
 def unigram_score(docs: DataFrame, lp: dict[str, int], oov: int,
                   id_col: str = "doc_id",
                   text_col: str = "text") -> DataFrame:
-    """(id, n_tokens, n_oov, avg_nll) — zero-shuffle scoring pass."""
+    """(id, n_tokens, n_oov, avg_nll) — zero-shuffle scoring pass.
+    NULL-text docs are dropped (split(NULL) would otherwise emit an
+    n_tokens=-1 row with NULL avg_nll; the oracle's unnest drops the
+    doc, so match that convention)."""
+    docs = docs.filter(F.col(text_col).isNotNull())
     lpmap = F.create_map(*[F.lit(x) for kv in lp.items() for x in kv])
     tok_lp = F.transform(
         F.col("_w"),

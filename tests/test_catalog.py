@@ -84,3 +84,36 @@ def test_table_diff_statuses_and_null_handling(spark):
     got = {r.id: r.status
            for r in table_diff(old, new, "id", ["txt", "v"]).collect()}
     assert got == {2: "changed", 3: "removed", 5: "added"}
+
+
+def test_events_range_micros_branch_unaligned_bounds_exact(spark, tmp_path):
+    """Non-microsecond-aligned nanosecond bounds must act exactly like
+    the raw-nanos comparisons `ts_ns >= start_ns` / `ts_ns < end_ns` on
+    micro-resolution data — ceiling division, not floor (a floored start
+    admits rows in [floor(start/1000)µs, start); a floored end wrongly
+    drops the row at exactly floor(end/1000)µs)."""
+    us = [1_000_000, 1_000_001, 1_000_002, 1_000_003]
+    t = pa.table({
+        "event_id": pa.array(range(4), pa.int64()),
+        "ts": pa.array(us, pa.timestamp("us")),
+    })
+    pq.write_table(t, os.path.join(str(tmp_path), "events.parquet"))
+
+    def got(start_ns, end_ns):
+        df = catalog.load_events_range(spark, str(tmp_path),
+                                       start_ns, end_ns)
+        return sorted(round(r.ts.timestamp() * 1_000_000)
+                      for r in df.select("ts").collect())
+
+    def want(start_ns, end_ns):
+        return [u for u in us
+                if u * 1000 >= start_ns and u * 1000 < end_ns]
+
+    cases = [
+        (1_000_000_500, 1_000_002_500),   # both unaligned, mid-gap
+        (1_000_001_000, 1_000_003_000),   # exactly aligned
+        (1_000_000_001, 1_000_003_001),   # 1ns past alignment
+        (999_999_999, 1_000_002_999),
+    ]
+    for s, e in cases:
+        assert got(s, e) == want(s, e), (s, e)
