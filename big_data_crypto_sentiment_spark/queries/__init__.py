@@ -132,7 +132,13 @@ _DEFER_FROM_WINDOW = ("src_avro_roundtrip", "log_return", "binned_features",
                       # max_df-cut scale shape is what should be
                       # hash-checked and benched per round; this one
                       # stays tools/check.py-verified at 3 SFs
-                      "sim_tfidf_topk")
+                      "sim_tfidf_topk",
+                      # r6: double-mode CSV source hands its slot to
+                      # src_csv_prices_decimal, which drives the same
+                      # reader/parse path plus the faithful
+                      # DecimalType(38,18) aggregates; double mode
+                      # stays tools/check.py-verified + pytest parity
+                      "src_csv_prices")
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -49,6 +49,36 @@ def q_src_csv_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_prices_csv(spark, PRICES_CSV)
 
 
+# --- SURVEY §1.3 faithful-decimal mode: DecimalType(38,18) prices kept
+#     exact end-to-end through the flagship per-symbol aggregates. The
+#     fixture plants quotes that differ BELOW double precision (two BTC
+#     prices apart by 1e-18), so this query's hash only matches when no
+#     stage lossily rounds. Exact payloads travel as full-scale decimal
+#     STRINGS (both engines format DECIMAL(38,18) with all 18 places,
+#     and string hashing is canonicalization-proof); the avg is the
+#     deterministic double derived from the exact sum via a
+#     CORRECTLY-ROUNDED conversion on both engines — Spark's
+#     BigDecimal→double is correctly rounded, while DuckDB's
+#     DECIMAL→DOUBLE double-rounds and its decimal rescale TRUNCATES
+#     (both observed on this fixture), so the oracle goes
+#     DECIMAL→VARCHAR→DOUBLE (strtod, correctly rounded) instead. ---
+PRICES_HP_CSV = str(REPO_ROOT / "tests" / "fixtures" / "prices_hp.csv")
+
+
+def q_src_csv_prices_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = read_prices_csv(spark, PRICES_HP_CSV, decimal_mode=True)
+    return (p.groupBy("symbol")
+             .agg(F.count("*").alias("n"),
+                  F.sum("price").alias("_sum"),
+                  F.max_by("price", F.col("ts_ms")).alias("_last"))
+             .select("symbol", "n",
+                     F.col("_sum").cast("decimal(38,18)").cast("string")
+                      .alias("sum_price"),
+                     F.col("_last").cast("string").alias("last_price"),
+                     (F.col("_sum").cast("double") / F.col("n"))
+                     .alias("avg_price")))
+
+
 # --- S9: warehouse source with format fallback (avro → parquet) ---
 def q_src_warehouse_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = read_warehouse(spark, f"{sf_dir}/part.parquet", fmt="avro")
@@ -86,6 +116,7 @@ QUERIES = {
     "src_tweets_normalize": q_src_tweets_normalize,
     "src_tweets_volume": q_src_tweets_volume,
     "src_csv_prices": q_src_csv_prices,
+    "src_csv_prices_decimal": q_src_csv_prices_decimal,
     "src_warehouse_fallback": q_src_warehouse_fallback,
 }
 
@@ -118,6 +149,21 @@ SELECT symbol,
        epoch_ms(TRY_CAST("timestamp" AS BIGINT)) AS event_ts
 FROM read_csv('{PRICES_CSV}', header=true, all_varchar=true)
 WHERE TRY_CAST(price AS DOUBLE) IS NOT NULL
+""",
+    "src_csv_prices_decimal": f"""
+WITH p AS (
+  SELECT symbol,
+         TRY_CAST(price AS DECIMAL(38,18)) AS price,
+         TRY_CAST("timestamp" AS BIGINT) AS ts_ms
+  FROM read_csv('{PRICES_HP_CSV}', header=true, all_varchar=true)
+  WHERE TRY_CAST(price AS DECIMAL(38,18)) IS NOT NULL
+)
+SELECT symbol, COUNT(*) AS n,
+       CAST(CAST(SUM(price) AS DECIMAL(38,18)) AS VARCHAR) AS sum_price,
+       CAST(arg_max(price, ts_ms) AS VARCHAR) AS last_price,
+       CAST(CAST(CAST(SUM(price) AS DECIMAL(38,18)) AS VARCHAR) AS DOUBLE)
+         / COUNT(*) AS avg_price
+FROM p GROUP BY symbol
 """,
     "src_warehouse_fallback": """
 SELECT p_partkey, p_name, p_retailprice FROM part

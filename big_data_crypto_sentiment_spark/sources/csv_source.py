@@ -20,11 +20,19 @@ PRICES_CSV_SCHEMA = T.StructType([
 ])
 
 
-def read_prices_csv(spark: SparkSession, path: str) -> DataFrame:
+def read_prices_csv(spark: SparkSession, path: str,
+                    decimal_mode: bool = False) -> DataFrame:
+    """``decimal_mode=False`` (default) mirrors the reference exactly:
+    CoinCap-style 18-decimal price strings are parsed LOSSILY to double
+    (coincap/main.py:49-51). ``decimal_mode=True`` is the SURVEY §1.3
+    faithful option: prices keep DecimalType(38,18) end-to-end, so two
+    quotes differing below double precision stay distinct and sums are
+    exact — the mode a financial-grade pipeline runs."""
+    price_type = "decimal(38,18)" if decimal_mode else "double"
     raw = spark.read.csv(path, header=True, schema=PRICES_CSV_SCHEMA)
     return (raw.select(
                 "symbol",
-                F.col("price").try_cast("double").alias("price"),
+                F.col("price").try_cast(price_type).alias("price"),
                 F.col("timestamp").try_cast("long").alias("ts_ms"),
                 F.timestamp_millis(F.col("timestamp").try_cast("long"))
                  .alias("event_ts"))

@@ -130,3 +130,61 @@ def test_read_evolved_merges_schema_versions(spark, tmp_path):
                        required={"quality": "double", "lang": "string"})
     assert dict(df2.dtypes)["lang"] == "string"
     assert all(r.lang is None for r in df2.collect())
+
+
+# --- SURVEY §1.3 faithful-decimal price mode ---
+def test_decimal_mode_preserves_sub_double_precision(spark):
+    """Two planted BTC quotes differ by 1e-18 — below double precision.
+    Decimal mode must keep them distinct; double mode (the reference's
+    lossy semantics, deliberately unchanged) must conflate them."""
+    from decimal import Decimal
+
+    from big_data_crypto_sentiment_spark.queries.ingestion import (
+        PRICES_HP_CSV,
+    )
+    from big_data_crypto_sentiment_spark.sources import read_prices_csv
+
+    dec = read_prices_csv(spark, PRICES_HP_CSV, decimal_mode=True)
+    assert dict(dec.dtypes)["price"] == "decimal(38,18)"
+    btc_dec = {r.price for r in dec.filter("symbol = 'BTC'").collect()}
+    assert len(btc_dec) == 2
+    assert (max(btc_dec) - min(btc_dec)) == Decimal("1E-18")
+
+    dbl = read_prices_csv(spark, PRICES_HP_CSV)
+    assert dict(dbl.dtypes)["price"] == "double"
+    btc_dbl = {r.price for r in dbl.filter("symbol = 'BTC'").collect()}
+    assert len(btc_dbl) == 1  # lossy parse conflates them
+
+
+def test_decimal_mode_flows_exactly_through_flagship_aggregates(spark):
+    """The windowed-join price aggregate path must not round decimals:
+    a sum of 1e-18-grade quotes keeps every digit (exact_avg=False so
+    the sum stays in decimal, not the double-determinism cast)."""
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    from big_data_crypto_sentiment_spark.queries.ingestion import (
+        PRICES_HP_CSV,
+    )
+    from big_data_crypto_sentiment_spark.sources import read_prices_csv
+
+    p = read_prices_csv(spark, PRICES_HP_CSV, decimal_mode=True)
+    got = {r.symbol: r.s for r in
+           p.groupBy("symbol").agg(F.sum("price").alias("s")).collect()}
+    assert got["SHIB"] == Decimal("0.000007800000000001")
+    assert got["BTC"] == Decimal("86500.246913578024691357")
+
+
+def test_double_mode_unchanged_by_decimal_flag(spark):
+    """Parity guard: the default read of the original fixture is
+    byte-identical to the pre-flag behavior (schema + values)."""
+    from big_data_crypto_sentiment_spark.queries.ingestion import PRICES_CSV
+    from big_data_crypto_sentiment_spark.sources import read_prices_csv
+
+    df = read_prices_csv(spark, PRICES_CSV)
+    assert [f.dataType.simpleString() for f in df.schema.fields] == \
+        ["string", "double", "bigint", "timestamp"]
+    rows = sorted((r.symbol, r.price) for r in df.collect())
+    assert rows == [("ETH", 2700.5), ("ETH", 2701.75), ("FTM", 0.108),
+                    ("SHIB", 7.8e-06), ("SOL", 127.25), ("SOL", 128.0)]
