@@ -320,3 +320,85 @@ def test_stream_stream_left_outer_emits_unmatched_after_watermark(
                                          "text"]].itertuples(index=False)))
     for row in outer[["symbol", "tweet_time", "text"]].itertuples(index=False):
         assert tuple(row) not in matched_keys
+
+
+def test_stream_stream_left_outer_full_set_matches_duckdb_twin(
+        spark, tmp_path):
+    """FULL left-outer output parity (not just uniqueness/unmatchedness):
+    the streaming join's complete emitted set — matched pairs AND
+    NULL-price outer rows — must equal an independent DuckDB LEFT JOIN
+    twin over the same parquet. A flush record past max_ts + tolerance
+    is appended to BOTH replay streams so the global watermark passes
+    every tweet_time + tolerance and the tail outer rows actually emit
+    (flush rows use a symbol that matches nothing and are excluded from
+    the comparison)."""
+    import glob
+    import os
+    import time as time_mod
+
+    import duckdb
+
+    from big_data_crypto_sentiment_spark.streaming import (
+        stream_stream_interval_join,
+    )
+
+    tol_s = 5
+    root = tmp_path
+    t_dir, p_dir = str(root / "t"), str(root / "p")
+    t_batch = tweets_role(spark, SF_DIR)
+    p_batch = prices_role(spark, SF_DIR)
+    t_schema = write_replay_chunks(t_batch, t_dir, 4)
+    p_schema = write_replay_chunks(p_batch, p_dir, 4)
+    flush_ts = (t_batch.agg(F.max("event_time")).first()[0]
+                + pd.Timedelta(hours=1))
+    for d, schema, row in (
+            (t_dir, t_schema, [(flush_ts, "___flush___", "x")]),
+            (p_dir, p_schema, [(flush_ts, "___flush___", 0.0)])):
+        spark.createDataFrame(row, schema).coalesce(1) \
+             .write.mode("append").parquet(d)
+        newest = max(glob.glob(os.path.join(d, "part-*")),
+                     key=os.path.getmtime)
+        os.utime(newest, (time_mod.time() + 10, time_mod.time() + 10))
+
+    out = stream_stream_interval_join(
+        replay_dir(spark, t_dir, t_schema),
+        replay_dir(spark, p_dir, p_schema),
+        tolerance=f"{tol_s} seconds", how="leftOuter")
+    q = (out.writeStream.format("memory").queryName("ssj_full")
+            .outputMode("append")
+            .option("checkpointLocation", str(root / "ckpt"))
+            .start())
+    try:
+        q.processAllAvailable()
+        got = spark.table("ssj_full").toPandas()
+    finally:
+        q.stop()
+    got = got[got.symbol != "___flush___"]
+
+    want = duckdb.sql(f"""
+        WITH t AS (
+          SELECT ts AS tweet_time, event_type AS symbol, props AS text
+          FROM '{SF_DIR}/events.parquet'
+          WHERE event_id % 3 != 0 AND props IS NOT NULL
+        ), p AS (
+          SELECT ts AS price_time, event_type AS symbol, value AS price
+          FROM '{SF_DIR}/events.parquet'
+          WHERE event_id % 2 != 0
+        )
+        SELECT t.symbol, t.tweet_time, t.text, p.price_time, p.price
+        FROM t LEFT JOIN p
+          ON t.symbol = p.symbol
+         AND p.price_time >= t.tweet_time - INTERVAL {tol_s} SECOND
+         AND p.price_time <= t.tweet_time + INTERVAL {tol_s} SECOND
+    """).df()
+
+    key = ["symbol", "tweet_time", "text", "price_time", "price"]
+    for df in (got, want):
+        df["tweet_time"] = pd.to_datetime(df["tweet_time"]).astype(
+            "datetime64[us]")
+        df["price_time"] = pd.to_datetime(df["price_time"]).astype(
+            "datetime64[us]")
+    got = got.sort_values(key).reset_index(drop=True)[key]
+    want = want.sort_values(key).reset_index(drop=True)[key]
+    assert want.price.isna().any()        # twin genuinely has outer rows
+    pd.testing.assert_frame_equal(want, got)
