@@ -46,99 +46,76 @@ _MODULES = (flagship, relational, timeseries, text, dedup, similarity, ml,
             sampling, packing, cleaning, retrieval)
 
 # More oracle-paired queries exist than the driver's fixed 50-entry
-# correctness window can check. These five are deliberately deferred to
-# positions 51+ — every one is still hash-checked by tools/check.py at
-# sf0.001/0.01/0.1 (see COVERAGE.md) and each has independent evidence:
-#   src_avro_roundtrip — real-Avro-bytes pytest roundtrip (deferred
-#                        since round 3)
-#   log_return         — same window math as in-window ts_window_calcs;
-#                        driver-green rounds 2-3
-#   binned_features    — reshape family in-window via
-#                        group_collect_training/kv_flatten; green r2-r3
-#   ts_corr            — the k=0 slice of in-window ts_lag_sweep_corr;
-#                        green r2-r3
-#   sample_stratified  — family in-window via sample_and_split/
-#                        mixture_downsample; quota property tests
-#   text_dup_rate      — dup family in-window via text_top_duplicated
-#                        (same hash-agg over text); green r2-r4
-#   kv_flatten         — reshape family in-window via
-#                        zip_explode_measures/group_collect_training;
-#                        green r3-r4
-#   union_event_slices — plain UNION ALL of two pushed-down slices;
-#                        green r2-r4
-#   ts_session_stats   — session family in-window via ts_sessionize
-#                        (same gap-flag window pass); green r2-r4
-#   src_tweets_volume  — source family in-window via src_tweets_normalize
-#                        (same JSON parse path; volume is an agg on top);
-#                        green r2-r4
-#   zip_explode_measures — reshape family in-window via
-#                        group_collect_training; green r3-r4
-# (the newest deferrals make window room for fresh operator families
-# the driver should be hash-checking: the cleaning module, the
-# bucketized interval join, overlap chunking, and vocab building)
-#   dedup_source_matrix — cross-source leaks exist only at sf0.1 in the
-#                        fixtures (empty at the driver's sf0.01 = weak
-#                        window evidence); hash-checked non-empty at
-#                        sf0.1 by tools/check.py
-#   tokens_to_ids      — terminal tokenization; packing family in-window
-#                        via chunk_overlap/pack_sequences; hash-checked
-#                        at 3 SFs by tools/check.py
-#   retention_after_deletes — broadcast anti-join tombstone op; join
-#                        family in-window via left_join_fillna/
-#                        orders_by_nation; hash-checked at 3 SFs
-#   ta_ema_rsi_macd    — upgraded rows-only → oracle-paired in r4 (the
-#                        recursive-CTE twin); TA family in-window via
-#                        ta_sma_vwap; recurrence pinned in pytest
-#   embed_quantize     — int8 embedding compression; similarity family
-#                        in-window via sim_topk_cosine; error bound
-#                        pinned in pytest
-#   sample_length_weighted — integer-tier weighted sampler; family
-#                        in-window via sample_and_split
-#   src_warehouse_fallback — source family in-window via
-#                        src_tweets_normalize/src_csv_prices; the
-#                        fallback/avro tiers are pytest-covered in
-#                        test_sources.py; green r2-r5
-#   ts_bucket_counts   — A7 resample counts; timeseries family
-#                        in-window via the richer ts_rollup /
-#                        ts_resample_ffill; green r2-r5
-#   text_top_duplicated — A13b top-dup texts; dup evidence in-window
-#                        via dedup_exact (same hash-agg over the same
-#                        column); green r2-r5
-#   text_rlike_filter  — P11 regex filter; the regex surface (incl the
-#                        CJK class) is in-window via text_signals /
-#                        text_c4_filter; green r2-r5
-#   ts_trailing_hour   — trailing range-frame window; timeseries family
-#                        has six other members in-window (sessionize,
-#                        rollup, window_calcs, resample_ffill,
-#                        lag_sweep_corr, spearman); green r2-r5
-#   top_users          — O3/A6 value_counts top-k; the bounded-top-k
-#                        plan shape (TakeOrderedAndProject) is in-window
-#                        via vocab_top_terms; green r2-r5
-# (r5 deferrals make window room for the new cleaning-family operators
-# — boilerplate_strip, unigram_logprob — and the sparse-retrieval
-# sim_tfidf_topk)
-_DEFER_FROM_WINDOW = ("src_avro_roundtrip", "log_return", "binned_features",
-                      "ts_corr", "sample_stratified", "text_dup_rate",
-                      "kv_flatten", "union_event_slices", "ts_session_stats",
-                      "src_tweets_volume", "zip_explode_measures",
-                      "dedup_source_matrix", "tokens_to_ids",
-                      "retention_after_deletes", "ta_ema_rsi_macd",
-                      "embed_quantize", "sample_length_weighted",
-                      "src_warehouse_fallback", "ts_bucket_counts",
-                      "text_top_duplicated", "text_rlike_filter",
-                      "ts_trailing_hour", "top_users",
-                      # r6: the degenerate-fixture stress config hands
-                      # its driver slot to sim_tfidf_zipf_topk — the
-                      # max_df-cut scale shape is what should be
-                      # hash-checked and benched per round; this one
-                      # stays tools/check.py-verified at 3 SFs
-                      "sim_tfidf_topk",
-                      # r6: double-mode CSV source hands its slot to
-                      # src_csv_prices_decimal, which drives the same
-                      # reader/parse path plus the faithful
-                      # DecimalType(38,18) aggregates; double mode
-                      # stays tools/check.py-verified + pytest parity
-                      "src_csv_prices")
+# correctness window can check; the overflow is deliberately deferred to
+# positions 51+. Deferral is STRUCTURED DATA, not prose, so nothing can
+# drift: every entry is automatically re-verified against its DuckDB
+# twin at sf0.001 on every pytest run (tests/test_deferred_parity.py),
+# `tools/check.py <sf_dir>` covers all three SFs on demand, and
+# `python tools/deferrals.py` renders the audit table for COVERAGE.md.
+# Fields: since = round deferred; family = what keeps the operator
+# family represented inside the driver window; extra = independent
+# evidence beyond the automated sf0.001 re-check.
+DEFERRALS: dict[str, dict] = {
+    "src_avro_roundtrip": dict(since=3, family="source family via src_tweets_normalize",
+                               extra="real-Avro-bytes pytest roundtrip (test_sources.py)"),
+    "log_return":         dict(since=3, family="same window math in-window via ts_window_calcs",
+                               extra="driver-green r2-r3"),
+    "binned_features":    dict(since=3, family="reshape family via group_collect_training",
+                               extra="driver-green r2-r3"),
+    "ts_corr":            dict(since=3, family="k=0 slice of in-window ts_lag_sweep_corr",
+                               extra="driver-green r2-r3"),
+    "sample_stratified":  dict(since=3, family="sampling family via sample_and_split/mixture_downsample",
+                               extra="quota property tests (test_sampling.py)"),
+    "text_dup_rate":      dict(since=4, family="dup family via dedup_exact's hash-agg",
+                               extra="driver-green r2-r4"),
+    "kv_flatten":         dict(since=4, family="reshape family via zip_explode_measures",
+                               extra="driver-green r3-r4"),
+    "union_event_slices": dict(since=4, family="plain UNION ALL of two pushed-down slices",
+                               extra="driver-green r2-r4"),
+    "ts_session_stats":   dict(since=4, family="session family via ts_sessionize",
+                               extra="driver-green r2-r4"),
+    "src_tweets_volume":  dict(since=4, family="source family via src_tweets_normalize",
+                               extra="driver-green r2-r4"),
+    "zip_explode_measures": dict(since=4, family="reshape family via group_collect_training",
+                                 extra="driver-green r3-r4"),
+    "dedup_source_matrix": dict(since=4, family="dedup family broadly in-window",
+                                extra="leaks only exist at sf0.1 in fixtures; "
+                                      "hash-checked non-empty there by tools/check.py"),
+    "tokens_to_ids":      dict(since=4, family="packing family via chunk_overlap/pack_sequences",
+                               extra="hash-checked at 3 SFs"),
+    "retention_after_deletes": dict(since=4, family="join family via left_join_fillna",
+                                    extra="hash-checked at 3 SFs"),
+    "ta_ema_rsi_macd":    dict(since=4, family="TA family via ta_sma_vwap",
+                               extra="recurrence pinned in pytest"),
+    "embed_quantize":     dict(since=4, family="similarity family via sim_topk_cosine",
+                               extra="error bound pinned in pytest (test_similarity.py)"),
+    "sample_length_weighted": dict(since=4, family="sampling family via sample_and_split",
+                                   extra="tier-weight pytest (test_sampling.py)"),
+    "src_warehouse_fallback": dict(since=5, family="source family via src_tweets_normalize",
+                                   extra="fallback/avro tiers pytest-covered (test_sources.py); green r2-r5"),
+    "ts_bucket_counts":   dict(since=5, family="timeseries family via ts_rollup/ts_resample_ffill",
+                               extra="driver-green r2-r5"),
+    "text_top_duplicated": dict(since=5, family="dup family via dedup_exact",
+                                extra="driver-green r2-r5"),
+    "text_rlike_filter":  dict(since=5, family="regex surface via text_signals/text_c4_filter",
+                               extra="driver-green r2-r5"),
+    "ts_trailing_hour":   dict(since=5, family="six other timeseries members in-window",
+                               extra="driver-green r2-r5"),
+    "top_users":          dict(since=5, family="bounded-top-k plan shape via vocab_top_terms",
+                               extra="driver-green r2-r5"),
+    # r6: the degenerate-fixture stress config hands its driver slot to
+    # sim_tfidf_zipf_topk -- the max_df-cut scale shape is what should
+    # be hash-checked and benched per round
+    "sim_tfidf_topk":     dict(since=6, family="retrieval family via sim_tfidf_zipf_topk",
+                               extra="documented worst-case config; hash-checked at 3 SFs"),
+    # r6: double-mode CSV source hands its slot to src_csv_prices_decimal,
+    # which drives the same reader/parse path plus the faithful
+    # DecimalType(38,18) aggregates
+    "src_csv_prices":     dict(since=6, family="CSV path via src_csv_prices_decimal",
+                               extra="double/decimal parity pytest (test_sources.py)"),
+}
+
+_DEFER_FROM_WINDOW = tuple(DEFERRALS)
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
