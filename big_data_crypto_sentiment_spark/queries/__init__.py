@@ -113,6 +113,15 @@ DEFERRALS: dict[str, dict] = {
     # DecimalType(38,18) aggregates
     "src_csv_prices":     dict(since=6, family="CSV path via src_csv_prices_decimal",
                                extra="double/decimal parity pytest (test_sources.py)"),
+    # r6: three long-green redundant family reps hand their slots to the
+    # NEW operator families (winsorize_events, ctfidf_source_terms,
+    # js_divergence_sources) so the driver hash-checks fresh surface
+    "text_features":      dict(since=6, family="text family via text_signals/text_c4_filter/vocab_top_terms",
+                               extra="driver-green r2-r5"),
+    "json_props":         dict(since=6, family="JSON parse path via src_tweets_normalize",
+                               extra="driver-green r2-r5"),
+    "left_join_fillna":   dict(since=6, family="join family via orders_by_nation/flagship full-outer/asof/interval",
+                               extra="driver-green r2-r5"),
 }
 
 _DEFER_FROM_WINDOW = tuple(DEFERRALS)

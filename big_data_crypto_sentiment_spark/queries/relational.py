@@ -248,7 +248,59 @@ def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                       ["text", "lang", "source", "n_chars"])
 
 
+# --- winsorization: clip numeric outliers at per-key discrete
+#     percentiles — the standard numeric-cleaning op a feature pipeline
+#     runs before training. DISCRETE (rank-indexed) percentiles, not
+#     interpolated: the bound is an actual data value picked by exact
+#     integer rank math (rn == ceil(p·n)), so both engines agree
+#     bit-for-bit with no interpolation-ulp risk. One window pass per
+#     key (shuffle on event_type + in-partition sort) computes rank and
+#     count together; bounds join back via broadcast (|keys| rows).
+#     Scale note: the per-key sort is the exact form — a 100-TB run
+#     with huge single keys would swap in approx_percentile (no oracle
+#     twin then) or pre-aggregate on (key, value) first; the operator
+#     keeps the exact shape because the oracle pins it. ---
+WINSOR_LO = 0.05
+WINSOR_HI = 0.95
+
+
+def q_winsorize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ._util import dsum
+    ev = (table(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull())
+          .select("event_type", "event_id", "value"))
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = ev.select(
+        "event_type", "value",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("event_type")).alias("n"))
+    lo_i = F.ceil(WINSOR_LO * F.col("n"))
+    hi_i = F.ceil(WINSOR_HI * F.col("n"))
+    bounds = (ranked.groupBy("event_type")
+              .agg(F.min(F.when(F.col("rn") == lo_i, F.col("value")))
+                    .alias("lo"),
+                   F.min(F.when(F.col("rn") == hi_i, F.col("value")))
+                    .alias("hi")))
+    clipped = (ev.join(F.broadcast(bounds), "event_type")
+                 .select("event_type", "lo", "hi", "value",
+                         F.least(F.greatest("value", F.col("lo")),
+                                 F.col("hi")).alias("v")))
+    return (clipped.groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.min("lo").alias("p_lo"),
+                 F.min("hi").alias("p_hi"),
+                 F.sum((F.col("value") < F.col("lo")).cast("int"))
+                  .alias("n_clipped_lo"),
+                 F.sum((F.col("value") > F.col("hi")).cast("int"))
+                  .alias("n_clipped_hi"),
+                 F.round(dsum("v") / F.count("*"), 6)
+                  .alias("winsorized_mean")))
+
+
 QUERIES = {
+    "winsorize_events": q_winsorize_events,
     "table_diff": q_table_diff,
     "pricing_summary": q_pricing_summary,
     "filter_time_range": q_filter_time_range,
@@ -264,7 +316,40 @@ QUERIES = {
     "key_skew_profile": q_key_skew_profile,
 }
 
+def _sql_winsorize() -> str:
+    from ._util import sql_dsum
+    return f"""
+WITH ev AS (
+  SELECT event_type, event_id, value FROM events WHERE value IS NOT NULL
+), ranked AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM ev
+), bounds AS (
+  SELECT event_type,
+         MIN(CASE WHEN rn = CEIL({WINSOR_LO} * n) THEN value END) AS lo,
+         MIN(CASE WHEN rn = CEIL({WINSOR_HI} * n) THEN value END) AS hi
+  FROM ranked GROUP BY event_type
+), clipped AS (
+  SELECT e.event_type, b.lo, b.hi, e.value,
+         LEAST(GREATEST(e.value, b.lo), b.hi) AS v
+  FROM ev e JOIN bounds b USING (event_type)
+)
+SELECT event_type, COUNT(*) AS n,
+       MIN(lo) AS p_lo, MIN(hi) AS p_hi,
+       CAST(SUM(CASE WHEN value < lo THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clipped_lo,
+       CAST(SUM(CASE WHEN value > hi THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clipped_hi,
+       ROUND({sql_dsum('v')} / COUNT(*), 6) AS winsorized_mean
+FROM clipped GROUP BY event_type
+"""
+
+
 ORACLE = {
+    "winsorize_events": _sql_winsorize(),
     "pricing_summary": f"""
 SELECT l_returnflag, l_linestatus,
   {sql_dsum('l_quantity')} AS sum_qty,

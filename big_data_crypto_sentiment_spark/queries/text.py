@@ -259,7 +259,89 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- c-TF-IDF source profiling (BERTopic-style class TF-IDF): the top
+#     distinctive terms per source — what a curation pipeline reads to
+#     understand what each ingest source actually contains. Per-(source,
+#     term) tf is one partial-combined hash agg; source-df per term is a
+#     second agg over the first's output (key = term); n_sources is a
+#     scalar. The idf factor ln(n_src/df) is frozen as INTEGER 1e-8 nats
+#     (unigram_logprob precedent) so score8 = tf · idf8 is exact integer
+#     math on both engines; top-k per source is a bounded window. ---
+CTFIDF_TOP_K = 10
+_CTFIDF_SCALE = 100_000_000
+
+
+def q_ctfidf_source_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ._util import rebalance_scan
+    d = rebalance_scan(table(spark, sf_dir, "documents")) \
+        .select("source", "text")
+    tf = (d.select("source", F.explode(F.split("text", " ")).alias("term"))
+            .groupBy("source", "term").agg(F.count("*").alias("tf")))
+    sdf = tf.groupBy("term").agg(F.count("*").alias("df_src"))
+    n_src = d.select("source").distinct().count()  # bounded scalar
+    idf8 = F.round(F.log(F.lit(float(n_src)) / F.col("df_src"))
+                   * _CTFIDF_SCALE).cast("bigint")
+    scored = (tf.join(sdf, "term")
+                .select("source", "term", "tf",
+                        (F.col("tf") * idf8).alias("score8"))
+                .filter(F.col("score8") > 0))
+    w = Window.partitionBy("source").orderBy(F.desc("score8"), "term")
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= CTFIDF_TOP_K)
+                  .select("source", "rank", "term", "tf", "score8"))
+
+
+# --- Jensen-Shannon divergence between source term distributions:
+#     pairwise corpus-drift measure (mixture monitoring — which ingest
+#     sources have diverged). One hash agg keyed by (source, term), one
+#     by term (collecting the bounded per-source probability map), then
+#     per-term contributions to each source pair explode |pairs| rows
+#     per term (|sources|² bounded). Source totals are a bounded driver
+#     artifact (|sources| rows). Per-term JS contributions are doubles
+#     whose cross-engine difference is ~1e-21 (one ln ulp); summing
+#     through decimal(27,15) makes the reduction order-free and the
+#     driver hash exact (dsum convention at higher scale). ---
+def q_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ._util import dsum, rebalance_scan
+    d = rebalance_scan(table(spark, sf_dir, "documents")) \
+        .select("source", "text")
+    cnt = (d.select("source", F.explode(F.split("text", " ")).alias("term"))
+             .groupBy("source", "term").agg(F.count("*").alias("c")))
+    totals = {r.source: r.t for r in
+              cnt.groupBy("source").agg(F.sum("c").alias("t")).collect()}
+    sources = sorted(totals)
+    tmap = F.create_map(*[F.lit(x) for s in sources
+                          for x in (s, float(totals[s]))])
+    pm = (cnt.select("term", "source",
+                     (F.col("c") / F.element_at(tmap, F.col("source")))
+                     .alias("p"))
+             .groupBy("term")
+             .agg(F.map_from_entries(
+                 F.collect_list(F.struct("source", "p"))).alias("pm")))
+
+    def contrib(a: str, b: str):
+        pa = F.coalesce(F.element_at(F.col("pm"), F.lit(a)), F.lit(0.0))
+        pb = F.coalesce(F.element_at(F.col("pm"), F.lit(b)), F.lit(0.0))
+        m = (pa + pb) / 2
+        kl = (F.when(pa > 0, pa * F.log(pa / m)).otherwise(0.0)
+              + F.when(pb > 0, pb * F.log(pb / m)).otherwise(0.0))
+        return F.struct(F.lit(a).alias("src_a"), F.lit(b).alias("src_b"),
+                        (kl / 2).alias("contrib"))
+    pairs = F.array(*[contrib(a, b)
+                      for i, a in enumerate(sources)
+                      for b in sources[i + 1:]])
+    return (pm.select(F.explode(pairs).alias("x"))
+              .select("x.src_a", "x.src_b", "x.contrib")
+              .groupBy("src_a", "src_b")
+              .agg(F.round(dsum("contrib", 15), 6).alias("js"))
+              .orderBy("src_a", "src_b"))  # bounded: |sources|² rows
+
+
 QUERIES = {
+    "ctfidf_source_terms": q_ctfidf_source_terms,
+    "js_divergence_sources": q_js_divergence_sources,
     "text_features": q_text_features,
     "text_rlike_filter": q_text_rlike_filter,
     "text_dup_rate": q_text_dup_rate,
@@ -279,7 +361,68 @@ def _sql_count(pat: str) -> str:
     return f"len(regexp_extract_all(text, '{pat}'))"
 
 
+def _sql_ctfidf() -> str:
+    return f"""
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT source, term, COUNT(*) AS tf FROM tok GROUP BY source, term
+), sdf AS (
+  SELECT term, COUNT(*) AS df_src FROM tf GROUP BY term
+), ns AS (
+  SELECT COUNT(DISTINCT source) AS n FROM documents
+), scored AS (
+  SELECT tf.source, tf.term, tf.tf,
+         tf.tf * CAST(ROUND(LN(CAST(n AS DOUBLE) / df_src)
+                            * {_CTFIDF_SCALE}) AS BIGINT) AS score8
+  FROM tf JOIN sdf USING (term) CROSS JOIN ns
+), ranked AS (
+  SELECT source, term, tf, score8,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY score8 DESC, term) AS rank
+  FROM scored WHERE score8 > 0
+)
+SELECT source, rank, term, tf, score8
+FROM ranked WHERE rank <= {CTFIDF_TOP_K}
+"""
+
+
+def _sql_js_divergence() -> str:
+    from ._util import sql_dsum
+    half_kl = ("(CASE WHEN pa > 0 THEN pa * LN(pa / ((pa + pb) / 2)) "
+               "ELSE 0 END"
+               " + CASE WHEN pb > 0 THEN pb * LN(pb / ((pa + pb) / 2)) "
+               "ELSE 0 END) / 2")
+    return f"""
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+), cnt AS (
+  SELECT source, term, COUNT(*) AS c FROM tok GROUP BY source, term
+), tot AS (
+  SELECT source, SUM(c) AS t FROM cnt GROUP BY source
+), p AS (
+  SELECT c.term, c.source, CAST(c.c AS DOUBLE) / CAST(t.t AS DOUBLE) AS p
+  FROM cnt c JOIN tot t USING (source)
+), pairs AS (
+  SELECT a.source AS src_a, b.source AS src_b
+  FROM tot a JOIN tot b ON a.source < b.source
+), ext AS (
+  SELECT pr.src_a, pr.src_b,
+         COALESCE(a.p, 0) AS pa, COALESCE(b.p, 0) AS pb
+  FROM pairs pr
+  CROSS JOIN (SELECT DISTINCT term FROM cnt) tm
+  LEFT JOIN p a ON a.source = pr.src_a AND a.term = tm.term
+  LEFT JOIN p b ON b.source = pr.src_b AND b.term = tm.term
+  WHERE COALESCE(a.p, 0) + COALESCE(b.p, 0) > 0
+)
+SELECT src_a, src_b, ROUND({sql_dsum(half_kl, 15)}, 6) AS js
+FROM ext GROUP BY src_a, src_b ORDER BY src_a, src_b
+"""
+
+
 ORACLE = {
+    "ctfidf_source_terms": _sql_ctfidf(),
+    "js_divergence_sources": _sql_js_divergence(),
     "text_features": f"""
 SELECT doc_id, lang, source,
        length(text) AS text_len,
