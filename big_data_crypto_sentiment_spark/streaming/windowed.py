@@ -144,7 +144,10 @@ def stream_stream_interval_join(
     watermark passes tweet_time + tolerance — before that, a matching
     price could still arrive, so the row sits in state. That
     delayed-emission rule is the stream-correct analog of a batch left
-    join, and what the left-outer pytest exercises.
+    join, and what the left-outer pytest exercises. `how="fullOuter"`
+    additionally keeps price ticks no tweet referenced (audit form:
+    nothing from either feed is dropped); the output `symbol` is
+    coalesced across sides since either may be the missing one.
 
     The same function runs on batch DataFrames (withWatermark is a
     no-op there), which is how the parity test pins it to the
@@ -160,7 +163,7 @@ def stream_stream_interval_join(
             & (F.col("price_time") >= F.col("tweet_time") - tol)
             & (F.col("price_time") <= F.col("tweet_time") + tol))
     return (t.join(p, cond, how)
-             .select(F.col("t_symbol").alias("symbol"),
+             .select(F.coalesce("t_symbol", "p_symbol").alias("symbol"),
                      "tweet_time", "text", "price_time", "price"))
 
 

@@ -349,7 +349,8 @@ def test_stream_stream_left_outer_full_set_matches_duckdb_twin(
     p_batch = prices_role(spark, SF_DIR)
     t_schema = write_replay_chunks(t_batch, t_dir, 4)
     p_schema = write_replay_chunks(p_batch, p_dir, 4)
-    flush_ts = (t_batch.agg(F.max("event_time")).first()[0]
+    flush_ts = (max(t_batch.agg(F.max("event_time")).first()[0],
+                    p_batch.agg(F.max("event_time")).first()[0])
                 + pd.Timedelta(hours=1))
     for d, schema, row in (
             (t_dir, t_schema, [(flush_ts, "___flush___", "x")]),
@@ -401,4 +402,83 @@ def test_stream_stream_left_outer_full_set_matches_duckdb_twin(
     got = got.sort_values(key).reset_index(drop=True)[key]
     want = want.sort_values(key).reset_index(drop=True)[key]
     assert want.price.isna().any()        # twin genuinely has outer rows
+    pd.testing.assert_frame_equal(want, got)
+
+
+def test_stream_stream_full_outer_full_set_matches_duckdb_twin(
+        spark, tmp_path):
+    """fullOuter keeps BOTH unmatched tweets (NULL price) and unmatched
+    price ticks (NULL tweet_time/text) — the audit form where nothing
+    from either feed is dropped. Same watermark-flush + DuckDB-twin
+    method as the left-outer test, FULL JOIN twin."""
+    import glob
+    import os
+    import time as time_mod
+
+    import duckdb
+
+    from big_data_crypto_sentiment_spark.streaming import (
+        stream_stream_interval_join,
+    )
+
+    tol_s = 5
+    t_dir, p_dir = str(tmp_path / "t"), str(tmp_path / "p")
+    t_batch = tweets_role(spark, SF_DIR)
+    p_batch = prices_role(spark, SF_DIR)
+    t_schema = write_replay_chunks(t_batch, t_dir, 4)
+    p_schema = write_replay_chunks(p_batch, p_dir, 4)
+    flush_ts = (max(t_batch.agg(F.max("event_time")).first()[0],
+                    p_batch.agg(F.max("event_time")).first()[0])
+                + pd.Timedelta(hours=1))
+    for d, schema, row in (
+            (t_dir, t_schema, [(flush_ts, "___flush___", "x")]),
+            (p_dir, p_schema, [(flush_ts, "___flush___", 0.0)])):
+        spark.createDataFrame(row, schema).coalesce(1) \
+             .write.mode("append").parquet(d)
+        newest = max(glob.glob(os.path.join(d, "part-*")),
+                     key=os.path.getmtime)
+        os.utime(newest, (time_mod.time() + 10, time_mod.time() + 10))
+
+    out = stream_stream_interval_join(
+        replay_dir(spark, t_dir, t_schema),
+        replay_dir(spark, p_dir, p_schema),
+        tolerance=f"{tol_s} seconds", how="fullOuter")
+    q = (out.writeStream.format("memory").queryName("ssj_fo")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start())
+    try:
+        q.processAllAvailable()
+        got = spark.table("ssj_fo").toPandas()
+    finally:
+        q.stop()
+    got = got[got.symbol != "___flush___"]
+
+    want = duckdb.sql(f"""
+        WITH t AS (
+          SELECT ts AS tweet_time, event_type AS symbol, props AS text
+          FROM '{SF_DIR}/events.parquet'
+          WHERE event_id % 3 != 0 AND props IS NOT NULL
+        ), p AS (
+          SELECT ts AS price_time, event_type AS symbol, value AS price
+          FROM '{SF_DIR}/events.parquet'
+          WHERE event_id % 2 != 0
+        )
+        SELECT COALESCE(t.symbol, p.symbol) AS symbol,
+               t.tweet_time, t.text, p.price_time, p.price
+        FROM t FULL JOIN p
+          ON t.symbol = p.symbol
+         AND p.price_time >= t.tweet_time - INTERVAL {tol_s} SECOND
+         AND p.price_time <= t.tweet_time + INTERVAL {tol_s} SECOND
+    """).df()
+
+    key = ["symbol", "tweet_time", "text", "price_time", "price"]
+    for df in (got, want):
+        df["tweet_time"] = pd.to_datetime(df["tweet_time"]).astype(
+            "datetime64[us]")
+        df["price_time"] = pd.to_datetime(df["price_time"]).astype(
+            "datetime64[us]")
+    got = got.sort_values(key).reset_index(drop=True)[key]
+    want = want.sort_values(key).reset_index(drop=True)[key]
+    assert want.price.isna().any() and want.tweet_time.isna().any()
     pd.testing.assert_frame_equal(want, got)
