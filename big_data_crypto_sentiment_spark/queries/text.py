@@ -295,15 +295,24 @@ def q_ctfidf_source_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- Jensen-Shannon divergence between source term distributions:
 #     pairwise corpus-drift measure (mixture monitoring — which ingest
-#     sources have diverged). One hash agg keyed by (source, term), one
-#     by term (collecting the bounded per-source probability map), then
-#     per-term contributions to each source pair explode |pairs| rows
-#     per term (|sources|² bounded). Source totals are a bounded driver
-#     artifact (|sources| rows). Per-term JS contributions are doubles
-#     whose cross-engine difference is ~1e-21 (one ln ulp); summing
-#     through decimal(27,15) makes the reduction order-free and the
-#     driver hash exact (dsum convention at higher scale). ---
+#     sources have diverged). Shape: one hash agg keyed by (source,
+#     term), then a SELF-JOIN ON THE TERM (the inverted-index
+#     discipline: a term meets only the sources containing it, pair
+#     fan-out per term bounded by |sources|²). Terms present in only
+#     one source of a pair contribute ½·p·ln2 each; their total is the
+#     CLOSED FORM ½·ln2·(2 − Σ_shared pa − Σ_shared pb), so only shared
+#     terms ever join — no outer join, no per-pair vocab spine. (A
+#     first cut exploded a 190-branch literal pair array per term; the
+#     giant expression tree fell out of whole-stage codegen and ran 10×
+#     slower — measured, hence this shape.) Source totals are a bounded
+#     driver artifact. Per-term contributions are doubles whose
+#     cross-engine difference is ~1e-21 (one ln ulp); summing through
+#     decimal(27,15) makes the reduction order-free and the driver hash
+#     exact. Pairs sharing zero terms emit no row (JS = ln 2 — on
+#     natural-language corpora stopword overlap makes this vacuous). ---
 def q_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
     from ._util import dsum, rebalance_scan
     d = rebalance_scan(table(spark, sf_dir, "documents")) \
         .select("source", "text")
@@ -311,32 +320,27 @@ def q_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
              .groupBy("source", "term").agg(F.count("*").alias("c")))
     totals = {r.source: r.t for r in
               cnt.groupBy("source").agg(F.sum("c").alias("t")).collect()}
-    sources = sorted(totals)
-    tmap = F.create_map(*[F.lit(x) for s in sources
+    tmap = F.create_map(*[F.lit(x) for s in sorted(totals)
                           for x in (s, float(totals[s]))])
-    pm = (cnt.select("term", "source",
-                     (F.col("c") / F.element_at(tmap, F.col("source")))
-                     .alias("p"))
-             .groupBy("term")
-             .agg(F.map_from_entries(
-                 F.collect_list(F.struct("source", "p"))).alias("pm")))
-
-    def contrib(a: str, b: str):
-        pa = F.coalesce(F.element_at(F.col("pm"), F.lit(a)), F.lit(0.0))
-        pb = F.coalesce(F.element_at(F.col("pm"), F.lit(b)), F.lit(0.0))
-        m = (pa + pb) / 2
-        kl = (F.when(pa > 0, pa * F.log(pa / m)).otherwise(0.0)
-              + F.when(pb > 0, pb * F.log(pb / m)).otherwise(0.0))
-        return F.struct(F.lit(a).alias("src_a"), F.lit(b).alias("src_b"),
-                        (kl / 2).alias("contrib"))
-    pairs = F.array(*[contrib(a, b)
-                      for i, a in enumerate(sources)
-                      for b in sources[i + 1:]])
-    return (pm.select(F.explode(pairs).alias("x"))
-              .select("x.src_a", "x.src_b", "x.contrib")
-              .groupBy("src_a", "src_b")
-              .agg(F.round(dsum("contrib", 15), 6).alias("js"))
-              .orderBy("src_a", "src_b"))  # bounded: |sources|² rows
+    pt = cnt.select(
+        "term", "source",
+        (F.col("c") / F.element_at(tmap, F.col("source"))).alias("p"))
+    a = pt.select(F.col("source").alias("src_a"), "term",
+                  F.col("p").alias("pa"))
+    b = pt.select(F.col("source").alias("src_b"), "term",
+                  F.col("p").alias("pb"))
+    pa, pb = F.col("pa"), F.col("pb")
+    both = (pa * F.log(2 * pa / (pa + pb))
+            + pb * F.log(2 * pb / (pa + pb))) / 2
+    return (a.join(b, "term")
+             .filter(F.col("src_a") < F.col("src_b"))
+             .select("src_a", "src_b", both.alias("contrib"), "pa", "pb")
+             .groupBy("src_a", "src_b")
+             .agg(F.round(
+                 dsum("contrib", 15)
+                 + 0.5 * math.log(2.0)
+                 * (2 - dsum("pa", 15) - dsum("pb", 15)), 6).alias("js"))
+             .orderBy("src_a", "src_b"))  # bounded: |sources|² rows
 
 
 QUERIES = {
@@ -388,11 +392,11 @@ FROM ranked WHERE rank <= {CTFIDF_TOP_K}
 
 
 def _sql_js_divergence() -> str:
+    # SAME formulation as the Spark plan (shared-term join + closed-form
+    # one-sided correction) so both engines walk identical float paths.
     from ._util import sql_dsum
-    half_kl = ("(CASE WHEN pa > 0 THEN pa * LN(pa / ((pa + pb) / 2)) "
-               "ELSE 0 END"
-               " + CASE WHEN pb > 0 THEN pb * LN(pb / ((pa + pb) / 2)) "
-               "ELSE 0 END) / 2")
+    both = ("(pa * LN(2 * pa / (pa + pb)) "
+            "+ pb * LN(2 * pb / (pa + pb))) / 2")
     return f"""
 WITH tok AS (
   SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
@@ -403,20 +407,16 @@ WITH tok AS (
 ), p AS (
   SELECT c.term, c.source, CAST(c.c AS DOUBLE) / CAST(t.t AS DOUBLE) AS p
   FROM cnt c JOIN tot t USING (source)
-), pairs AS (
-  SELECT a.source AS src_a, b.source AS src_b
-  FROM tot a JOIN tot b ON a.source < b.source
-), ext AS (
-  SELECT pr.src_a, pr.src_b,
-         COALESCE(a.p, 0) AS pa, COALESCE(b.p, 0) AS pb
-  FROM pairs pr
-  CROSS JOIN (SELECT DISTINCT term FROM cnt) tm
-  LEFT JOIN p a ON a.source = pr.src_a AND a.term = tm.term
-  LEFT JOIN p b ON b.source = pr.src_b AND b.term = tm.term
-  WHERE COALESCE(a.p, 0) + COALESCE(b.p, 0) > 0
+), j AS (
+  SELECT a.source AS src_a, b.source AS src_b, a.p AS pa, b.p AS pb
+  FROM p a JOIN p b ON a.term = b.term AND a.source < b.source
 )
-SELECT src_a, src_b, ROUND({sql_dsum(half_kl, 15)}, 6) AS js
-FROM ext GROUP BY src_a, src_b ORDER BY src_a, src_b
+SELECT src_a, src_b,
+       ROUND({sql_dsum(both, 15)}
+             + 0.5 * LN(2)
+               * (2 - {sql_dsum('pa', 15)} - {sql_dsum('pb', 15)}), 6)
+         AS js
+FROM j GROUP BY src_a, src_b ORDER BY src_a, src_b
 """
 
 
