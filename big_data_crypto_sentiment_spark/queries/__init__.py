@@ -122,6 +122,8 @@ DEFERRALS: dict[str, dict] = {
                                extra="driver-green r2-r5"),
     "left_join_fillna":   dict(since=6, family="join family via orders_by_nation/flagship full-outer/asof/interval",
                                extra="driver-green r2-r5"),
+    "data_profile":       dict(since=6, family="profiling family via summary_stats/key_skew_profile",
+                               extra="driver-green r2-r5; slot to ks_drift_events (new drift family)"),
 }
 
 _DEFER_FROM_WINDOW = tuple(DEFERRALS)

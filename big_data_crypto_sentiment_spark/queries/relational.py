@@ -299,8 +299,55 @@ def q_winsorize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .alias("winsorized_mean")))
 
 
+# --- Kolmogorov–Smirnov drift test: per event_type, did the VALUE
+#     distribution drift between the first and second half of the time
+#     range? (The numeric sibling of js_divergence_sources — feature
+#     drift monitoring before a training run.) The time split uses
+#     integer epoch-micros midpoint math (identical on both engines);
+#     the KS statistic is max |F_a(v) − F_b(v)| over pooled values with
+#     a RANGE window frame (peers included, the CDF convention both
+#     engines share). Counts are integers and each CDF value is one
+#     correctly-rounded division, so the max is bit-deterministic. One
+#     shuffle on event_type + in-partition sort; key count is bounded
+#     (per-key window is the exact form — same scale note as
+#     winsorize). ---
+KS_DRIFT_THRESHOLD = 0.1
+
+
+def q_ks_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    ev = (table(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull())
+          .select("event_type", "value",
+                  F.unix_micros("ts").alias("us")))
+    kw = Window.partitionBy("event_type")
+    split = ev.select(
+        "event_type", "value",
+        # (min+max)/2 is double division but EXACT: epoch-micros sums sit
+        # well under 2^53, so both engines halve the same integer exactly
+        (F.col("us") >= (F.min("us").over(kw) + F.max("us").over(kw))
+         / F.lit(2)).cast("int").alias("is_b"))
+    cw = (Window.partitionBy("event_type").orderBy("value")
+          .rangeBetween(Window.unboundedPreceding, Window.currentRow))
+    cdf = split.select(
+        "event_type", "is_b",
+        F.sum(1 - F.col("is_b")).over(cw).alias("ca"),
+        F.sum("is_b").over(cw).alias("cb"),
+        F.sum(F.lit(1) - F.col("is_b")).over(kw).alias("na"),
+        F.sum("is_b").over(kw).alias("nb"))
+    d = F.abs(F.col("ca") / F.col("na") - F.col("cb") / F.col("nb"))
+    return (cdf.groupBy("event_type")
+            .agg(F.min("na").alias("n_first"),
+                 F.min("nb").alias("n_second"),
+                 F.round(F.max(d), 6).alias("ks"))
+            .select("event_type", "n_first", "n_second", "ks",
+                    (F.col("ks") > KS_DRIFT_THRESHOLD).cast("int")
+                    .alias("drifted")))
+
+
 QUERIES = {
     "winsorize_events": q_winsorize_events,
+    "ks_drift_events": q_ks_drift_events,
     "table_diff": q_table_diff,
     "pricing_summary": q_pricing_summary,
     "filter_time_range": q_filter_time_range,
@@ -348,8 +395,43 @@ FROM clipped GROUP BY event_type
 """
 
 
+_SQL_KS_CW = ("OVER (PARTITION BY event_type ORDER BY value "
+              "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
+
+_SQL_KS = f"""
+WITH ev AS (
+  SELECT event_type, value, epoch_us(ts) AS us
+  FROM events WHERE value IS NOT NULL
+), sp AS (
+  SELECT event_type, value,
+         CAST(us >= (MIN(us) OVER (PARTITION BY event_type)
+                     + MAX(us) OVER (PARTITION BY event_type)) / 2
+              AS INT) AS is_b
+  FROM ev
+), cdf AS (
+  SELECT event_type, is_b,
+         SUM(1 - is_b) {_SQL_KS_CW} AS ca,
+         SUM(is_b) {_SQL_KS_CW} AS cb,
+         SUM(1 - is_b) OVER (PARTITION BY event_type) AS na,
+         SUM(is_b) OVER (PARTITION BY event_type) AS nb
+  FROM sp
+), agg AS (
+  SELECT event_type,
+         CAST(MIN(na) AS BIGINT) AS n_first,
+         CAST(MIN(nb) AS BIGINT) AS n_second,
+         ROUND(MAX(ABS(CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
+                       - CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))), 6)
+           AS ks
+  FROM cdf GROUP BY event_type
+)
+SELECT event_type, n_first, n_second, ks,
+       CAST(ks > {KS_DRIFT_THRESHOLD} AS INT) AS drifted
+FROM agg
+"""
+
 ORACLE = {
     "winsorize_events": _sql_winsorize(),
+    "ks_drift_events": _SQL_KS,
     "pricing_summary": f"""
 SELECT l_returnflag, l_linestatus,
   {sql_dsum('l_quantity')} AS sum_qty,
