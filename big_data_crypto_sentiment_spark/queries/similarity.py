@@ -337,8 +337,49 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   ",").alias("q_int8")))
 
 
+# --- PCA dimensionality reduction over the embedding column: the
+#     standard pre-ANN compression (project to k components, then index
+#     the smaller vectors). MLlib's distributed PCA: one pass builds the
+#     Gramian (treeAggregate — a mergeable partial per partition, never
+#     rows to the driver), the k×d eigenbasis is a driver/broadcast
+#     artifact, and the projection is a per-row matrix multiply — the
+#     same model-as-broadcast shape as the IVF centroids. Rows-only:
+#     eigendecomposition isn't SQL-expressible; the component-recovery
+#     and variance-ordering contracts are pinned in pytest. Output
+#     projections are rounded to 6dp (eigenvector sign/ulps are
+#     platform-dependent; the pytest pins subspace recovery, not raw
+#     floats). ---
+PCA_K = 8
+
+
+def embed_pca(embeddings: DataFrame, k: int = PCA_K,
+              emb_col: str = "embedding"):
+    """(fitted PCAModel, projected DataFrame (vec_id, pca array<double>),
+    explained-variance list)."""
+    from pyspark.ml.feature import PCA
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+    feat = embeddings.select(
+        "vec_id", array_to_vector(F.col(emb_col)).alias("features"))
+    model = PCA(k=k, inputCol="features", outputCol="pca").fit(feat)
+    proj = model.transform(feat).select(
+        "vec_id",
+        F.transform(vector_to_array("pca"),
+                    lambda x: F.round(x, 6)).alias("pca"))
+    return model, proj, [float(v) for v in model.explainedVariance]
+
+
+def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    _, proj, _ = embed_pca(e)
+    return proj.select(
+        "vec_id",
+        F.array_join(F.transform("pca", lambda x: x.cast("string")), ",")
+         .alias("pca_csv"))  # O(input): unsorted; list->string (hash rule)
+
+
 QUERIES = {
     "sim_topk_cosine": q_sim_topk_cosine,
+    "embed_pca": q_embed_pca,                    # rows-only: eigensolve
     "sim_ann_lsh": q_sim_ann_lsh,                # rows-only: hash planes
     "sim_near_dup_pairs": q_sim_near_dup_pairs,  # rows-only: hash planes
     "sim_ivf_topk": q_sim_ivf_topk,              # rows-only: KMeans fit

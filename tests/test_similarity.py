@@ -176,3 +176,39 @@ def test_quantized_corpus_preserves_topk_recall(spark):
     quant = _topk_sets(brute_force_topk(queries, deq, TOP_K))
     recalls = [len(exact[q] & quant[q]) / len(exact[q]) for q in exact]
     assert sum(recalls) / len(recalls) >= 0.9
+
+
+def test_embed_pca_recovers_planted_direction_and_orders_variance(spark):
+    """PCA contract on synthetic data: a strongly dominant planted
+    direction must be the first component's span (|cos| > 0.99 — sign is
+    platform-dependent), explained variance must be non-increasing, and
+    the registered projection must have k-dim rows for every vector."""
+    import numpy as np
+
+    from big_data_crypto_sentiment_spark.queries.similarity import (
+        PCA_K,
+        embed_pca,
+        q_embed_pca,
+    )
+
+    rng = np.random.default_rng(42)
+    d = 16
+    direction = rng.normal(size=d)
+    direction /= np.linalg.norm(direction)
+    rows = []
+    for i in range(300):
+        v = (rng.normal() * 5.0) * direction + rng.normal(size=d) * 0.1
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    model, proj, ev = embed_pca(df, k=4)
+    pc1 = np.array(model.pc.toArray())[:, 0]
+    assert abs(float(np.dot(pc1, direction))) > 0.99
+    assert all(ev[i] >= ev[i + 1] - 1e-12 for i in range(len(ev) - 1))
+    assert ev[0] > 0.9  # the planted direction dominates
+
+    out = q_embed_pca(spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    n_emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet").count()
+    assert len(rows) == n_emb
+    assert all(len(r.pca_csv.split(",")) == PCA_K for r in rows)
