@@ -124,6 +124,9 @@ DEFERRALS: dict[str, dict] = {
                                extra="driver-green r2-r5"),
     "data_profile":       dict(since=6, family="profiling family via summary_stats/key_skew_profile",
                                extra="driver-green r2-r5; slot to ks_drift_events (new drift family)"),
+    # born-deferred r6 additions: window already full of newer families
+    "bigram_logprob":     dict(since=6, family="LM-quality family via unigram_logprob (same integer-nat architecture)",
+                               extra="3-SF check.py + per-round sf0.001 auto-verify"),
 }
 
 _DEFER_FROM_WINDOW = tuple(DEFERRALS)

@@ -330,6 +330,95 @@ def unigram_score(docs: DataFrame, lp: dict[str, int], oov: int,
                      .alias("avg_nll")))
 
 
+# --- bigram-LM quality scoring: the step up from the unigram filter
+#     (interpolated bigram/unigram, CCNet-style). Same architecture:
+#     the model is a driver artifact (top-K bigram + top-K unigram
+#     log-probs, both from one explode+hash-agg pass each), scoring is
+#     a zero-shuffle per-row transform over literal maps, and log-probs
+#     are frozen as INTEGER 1e-8 nats so both engines do exact integer
+#     sums. P(w2|w1) is backed off to the unigram: a bigram outside the
+#     vocab scores lambda-weighted unigram mass only; the interpolation
+#     weights are integer tenths so the mixture weight math is exact.
+#     Scoring key: avg negative log-likelihood over the doc's bigrams
+#     (docs with < 2 tokens are dropped — matching the oracle's unnest
+#     convention for empty bigram lists). ---
+BIGRAM_VOCAB_K = 2000
+
+
+def bigram_model(docs: DataFrame, text_col: str = "text",
+                 vocab_k: int = BIGRAM_VOCAB_K):
+    """(bigram -> lp8, unigram -> lp8, oov lp8, truncated?) — add-one-
+    smoothed conditional bigram log-probs over corpus counts; unigram
+    backoff from unigram_model's add-one distribution."""
+    import math
+    uni_lp, uni_oov, _ = unigram_model(docs, text_col, UNIGRAM_VOCAB_K)
+    w = F.split(F.col(text_col), " ")
+    grams = F.expr("transform(slice(_w, 1, size(_w) - 1), "
+                   "(x, i) -> concat(x, ' ', _w[i + 1]))")
+    bcnt = (docs.filter(F.col(text_col).isNotNull())
+                .filter(F.size(F.split(F.col(text_col), " ")) >= 2)
+                .select(w.alias("_w"))
+                .select(F.explode_outer(grams).alias("bg"))
+                .groupBy("bg").agg(F.count("*").alias("c")))
+    tot = bcnt.agg(F.sum("c").alias("t"), F.count("*").alias("v")).first()
+    top = bcnt.orderBy(F.desc("c"), "bg").limit(vocab_k + 1).collect()
+    denom = tot.t + tot.v + 1
+    blp = {r.bg: round(math.log((r.c + 1) / denom) * _LP_SCALE)
+           for r in top[:vocab_k]}
+    return blp, uni_lp, uni_oov, len(top) > vocab_k
+
+
+# interpolation weights in integer tenths: 0.7·bigram + 0.3·unigram.
+# lp8 values are integers, so the mixture (7·blp8 + 3·ulp8)/10 rounds
+# identically on both engines when computed as integer DIV after the
+# multiply — we keep it simpler still: score = 7·blp8 + 3·ulp8 in 1e-9
+# nat units (no division at all; the avg_nll divides once at the end).
+BIGRAM_W10 = 7
+
+
+def bigram_score(docs: DataFrame, blp: dict[str, int],
+                 ulp: dict[str, int], uoov: int,
+                 id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """(id, n_bigrams, n_oov_bigrams, avg_nll) — zero-shuffle scoring;
+    avg_nll in nats of the 0.7/0.3 interpolated model."""
+    bmap = F.create_map(*[F.lit(x) for kv in blp.items() for x in kv])
+    umap = F.create_map(*[F.lit(x) for kv in ulp.items() for x in kv])
+    grams = F.expr("transform(slice(_w, 1, size(_w) - 1), "
+                   "(x, i) -> concat(x, ' ', _w[i + 1]))")
+    # per-bigram mixed score in 1e-9 nats: 7·blp8(bigram) + 3·ulp8(w2),
+    # missing bigram -> its unigram-oov'd backoff only (blp8 := ulp8(w2))
+    def mixed(bg):
+        w2 = F.element_at(F.split(bg, " "), 2)
+        u = F.coalesce(F.element_at(umap, w2), F.lit(uoov)).cast("bigint")
+        b = F.coalesce(F.element_at(bmap, bg), u).cast("bigint")
+        return BIGRAM_W10 * b + (10 - BIGRAM_W10) * u
+    tok = F.transform(F.col("_bg"), mixed)
+    n_oov = F.size(F.filter(F.col("_bg"),
+                            lambda g: F.element_at(bmap, g).isNull()))
+    sum_lp = F.aggregate(F.col("_lp"), F.lit(0).cast("bigint"),
+                         lambda a, x: a + x)
+    return (docs.filter(F.col(text_col).isNotNull())
+            .filter(F.size(F.split(F.col(text_col), " ")) >= 2)
+            .select(F.col(id_col), F.split(F.col(text_col), " ").alias("_w"))
+            .select(id_col, "_w", grams.alias("_bg"))
+            .select(id_col, "_bg", tok.alias("_lp"))
+            .select(F.col(id_col),
+                    F.size("_bg").alias("n_bigrams"),
+                    n_oov.alias("n_oov_bigrams"),
+                    F.round(-sum_lp.cast("double")
+                            / (F.size("_bg") * 10.0 * float(_LP_SCALE)), 6)
+                     .alias("avg_nll")))
+
+
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ._util import rebalance_scan
+    d = rebalance_scan(table(spark, sf_dir, "documents")) \
+        .select("doc_id", "text")
+    blp, ulp, uoov, _ = bigram_model(d)
+    return bigram_score(d, blp, ulp, uoov)  # O(input): unsorted
+
+
 def q_decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ._util import rebalance_scan
     d = rebalance_scan(table(spark, sf_dir, "documents")).select("doc_id", "text")
@@ -393,6 +482,7 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "bigram_logprob": q_bigram_logprob,
     "decontam_overlap": q_decontam_overlap,
     "repetition_filter": q_repetition_filter,
     "pii_redact": q_pii_redact,
@@ -408,6 +498,54 @@ _SQL_G2 = ("list_transform(range(1, len(words)), "
            "i -> array_to_string(words[i:i+1], ' '))")
 
 ORACLE = {
+    "bigram_logprob": f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+  WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 2
+), bg AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(words)),
+           i -> words[i] || ' ' || words[i + 1])) AS bg
+  FROM w
+), bcnt AS (
+  SELECT bg, COUNT(*) AS c FROM bg GROUP BY bg
+), btot AS (
+  SELECT SUM(c) AS t, COUNT(*) AS v FROM bcnt
+), btop AS (
+  SELECT bg, c FROM bcnt ORDER BY c DESC, bg LIMIT {BIGRAM_VOCAB_K}
+), blp AS (
+  SELECT bg, CAST(ROUND(LN(CAST(c + 1 AS DOUBLE) / (t + v + 1))
+                        * {_LP_SCALE}) AS BIGINT) AS lp8
+  FROM btop CROSS JOIN btot
+), utok AS (
+  SELECT unnest(string_split(text, ' ')) AS term FROM documents
+), ucnt AS (
+  SELECT term, COUNT(*) AS c FROM utok GROUP BY term
+), utot AS (
+  SELECT SUM(c) AS t, COUNT(*) AS v FROM ucnt
+), utop AS (
+  SELECT term, c FROM ucnt ORDER BY c DESC, term LIMIT {UNIGRAM_VOCAB_K}
+), ulp AS (
+  SELECT term, CAST(ROUND(LN(CAST(c + 1 AS DOUBLE) / (t + v + 1))
+                          * {_LP_SCALE}) AS BIGINT) AS lp8
+  FROM utop CROSS JOIN utot
+), uoov AS (
+  SELECT CAST(ROUND(LN(1.0 / (t + v + 1)) * {_LP_SCALE}) AS BIGINT) AS lp8
+  FROM utot
+)
+SELECT b.doc_id, COUNT(*) AS n_bigrams,
+       CAST(SUM(CASE WHEN bl.lp8 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov_bigrams,
+       ROUND(-CAST(SUM({BIGRAM_W10}
+                       * COALESCE(bl.lp8, COALESCE(ul.lp8, uo.lp8))
+                       + {10 - BIGRAM_W10} * COALESCE(ul.lp8, uo.lp8))
+                   AS DOUBLE)
+             / (COUNT(*) * 10.0 * {_LP_SCALE}), 6) AS avg_nll
+FROM bg b
+LEFT JOIN blp bl ON b.bg = bl.bg
+LEFT JOIN ulp ul ON string_split(b.bg, ' ')[2] = ul.term
+CROSS JOIN uoov uo
+GROUP BY b.doc_id
+""",
     "decontam_overlap": f"""
 WITH w AS (
   SELECT doc_id, {_SQL_BENCH} AS is_bench,

@@ -168,3 +168,30 @@ def test_unigram_score_rare_doc_scores_worse_than_common(spark):
     scores = {r.doc_id: r.avg_nll
               for r in unigram_score(docs, lp, oov).collect()}
     assert scores[100] > scores[0]  # gibberish = higher NLL
+
+
+def test_bigram_score_backoff_and_interpolation(spark):
+    """Known-corpus pin for the interpolated bigram scorer: a doc made
+    of in-vocab bigrams must score a lower avg_nll than a doc of unseen
+    bigrams over the same unigrams (backoff pays the bigram mass at
+    unigram rates), and short docs (<2 tokens) are dropped."""
+    from big_data_crypto_sentiment_spark.queries.cleaning import (
+        bigram_model,
+        bigram_score,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, "the cat sat on the mat") for i in range(10)]
+        + [(100, "solo")],
+        "doc_id long, text string")
+    blp, ulp, uoov, truncated = bigram_model(corpus)
+    assert "the cat" in blp and not truncated
+    probe = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "cat the sat"), (3, "x")],
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in
+            bigram_score(probe, blp, ulp, uoov).collect()}
+    assert 3 not in rows                        # <2 tokens dropped
+    assert rows[1].n_oov_bigrams == 0
+    assert rows[2].n_oov_bigrams == 2           # reversed order unseen
+    assert rows[1].avg_nll < rows[2].avg_nll    # fluent beats shuffled
