@@ -373,7 +373,13 @@ def bigram_model(docs: DataFrame, text_col: str = "text",
 # identically on both engines when computed as integer DIV after the
 # multiply — we keep it simpler still: score = 7·blp8 + 3·ulp8 in 1e-9
 # nat units (no division at all; the avg_nll divides once at the end).
+# An UNSEEN bigram backs off to its second word's unigram TIMES the
+# stupid-backoff alpha = 0.4 (Brants et al. 2007): without the penalty,
+# backing off to a common unigram can outscore a genuinely attested
+# bigram (observed on the pytest corpus), inverting the
+# fluent-vs-shuffled ordering the filter exists to produce.
 BIGRAM_W10 = 7
+BACKOFF_LP8 = -91629073  # round(ln(0.4) * 1e8)
 
 
 def bigram_score(docs: DataFrame, blp: dict[str, int],
@@ -386,12 +392,14 @@ def bigram_score(docs: DataFrame, blp: dict[str, int],
     umap = F.create_map(*[F.lit(x) for kv in ulp.items() for x in kv])
     grams = F.expr("transform(slice(_w, 1, size(_w) - 1), "
                    "(x, i) -> concat(x, ' ', _w[i + 1]))")
-    # per-bigram mixed score in 1e-9 nats: 7·blp8(bigram) + 3·ulp8(w2),
-    # missing bigram -> its unigram-oov'd backoff only (blp8 := ulp8(w2))
+    # per-bigram mixed score in 1e-9 nats: 7·blp8(bigram) + 3·ulp8(w2);
+    # missing bigram -> stupid backoff: alpha·P_uni(w2), i.e.
+    # blp8 := ulp8(w2) + ln(0.4)·1e8
     def mixed(bg):
         w2 = F.element_at(F.split(bg, " "), 2)
         u = F.coalesce(F.element_at(umap, w2), F.lit(uoov)).cast("bigint")
-        b = F.coalesce(F.element_at(bmap, bg), u).cast("bigint")
+        b = F.coalesce(F.element_at(bmap, bg),
+                       u + F.lit(BACKOFF_LP8)).cast("bigint")
         return BIGRAM_W10 * b + (10 - BIGRAM_W10) * u
     tok = F.transform(F.col("_bg"), mixed)
     n_oov = F.size(F.filter(F.col("_bg"),
@@ -536,7 +544,8 @@ SELECT b.doc_id, COUNT(*) AS n_bigrams,
        CAST(SUM(CASE WHEN bl.lp8 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
          AS n_oov_bigrams,
        ROUND(-CAST(SUM({BIGRAM_W10}
-                       * COALESCE(bl.lp8, COALESCE(ul.lp8, uo.lp8))
+                       * COALESCE(bl.lp8,
+                                  COALESCE(ul.lp8, uo.lp8) + {BACKOFF_LP8})
                        + {10 - BIGRAM_W10} * COALESCE(ul.lp8, uo.lp8))
                    AS DOUBLE)
              / (COUNT(*) * 10.0 * {_LP_SCALE}), 6) AS avg_nll
