@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from . import (
     approx,
     avro_rt,
+    bpe,
     cleaning,
     components,
     dedup,
@@ -43,7 +44,7 @@ from . import (
 
 _MODULES = (flagship, relational, timeseries, text, dedup, similarity, ml,
             ingestion, ta, media, reshape, approx, avro_rt, components,
-            sampling, packing, cleaning, retrieval)
+            sampling, packing, cleaning, retrieval, bpe)
 
 # More oracle-paired queries exist than the driver's fixed 50-entry
 # correctness window can check; the overflow is deliberately deferred to
