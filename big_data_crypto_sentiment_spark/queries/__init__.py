@@ -128,6 +128,10 @@ DEFERRALS: dict[str, dict] = {
     # born-deferred r6 additions: window already full of newer families
     "bigram_logprob":     dict(since=6, family="LM-quality family via unigram_logprob (same integer-nat architecture)",
                                extra="3-SF check.py + per-round sf0.001 auto-verify"),
+    "mad_outlier_events": dict(since=6, family="robust-numeric family via winsorize_events (same exact rank-median machinery)",
+                               extra="3-SF check.py + per-round sf0.001 auto-verify"),
+    "source_scorecard":   dict(since=6, family="composes in-window text_signals + dedup_exact disciplines",
+                               extra="3-SF check.py + per-round sf0.001 auto-verify"),
 }
 
 _DEFER_FROM_WINDOW = tuple(DEFERRALS)

@@ -345,8 +345,55 @@ def q_ks_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("drifted")))
 
 
+# --- robust outlier detection: modified z-score via the median
+#     absolute deviation (Iglewicz–Hoaglin 0.6745·|x−med|/MAD > 3.5).
+#     Mean/std outlier rules break under the very outliers they hunt;
+#     MAD is the robust standard. Discrete medians by exact rank math
+#     (the winsorize trick — both engines agree bit-for-bit, no
+#     interpolation): median = value at rank ceil(n/2). Two window
+#     passes per key (one for the value median, one for the deviation
+#     median), bounds broadcast back, flags summed per key. ---
+MAD_Z_MAX = 3.5
+
+
+def q_mad_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    ev = (table(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull())
+          .select("event_type", "event_id", "value"))
+
+    def _median(df, col, out):
+        w = Window.partitionBy("event_type").orderBy(col, "event_id")
+        n = Window.partitionBy("event_type")
+        ranked = df.select(
+            "event_type", F.col(col),
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(n).alias("n"))
+        return (ranked.filter(F.col("rn") == F.ceil(F.col("n") / 2))
+                      .groupBy("event_type")
+                      .agg(F.min(col).alias(out)))
+
+    med = _median(ev, "value", "med")
+    dev = (ev.join(F.broadcast(med), "event_type")
+             .select("event_type", "event_id",
+                     F.abs(F.col("value") - F.col("med")).alias("adev")))
+    mad = _median(dev, "adev", "mad")
+    z = 0.6745 * F.abs(F.col("value") - F.col("med")) / F.col("mad")
+    return (ev.join(F.broadcast(med), "event_type")
+              .join(F.broadcast(mad), "event_type")
+              .select("event_type", "med", "mad",
+                      (z > MAD_Z_MAX).cast("int").alias("is_out"))
+              .groupBy("event_type")
+              .agg(F.count("*").alias("n"),
+                   F.min("med").alias("median"),
+                   F.round(F.min("mad"), 6).alias("mad"),
+                   F.sum("is_out").alias("n_outliers"))
+              .filter(F.col("mad") > 0))
+
+
 QUERIES = {
     "winsorize_events": q_winsorize_events,
+    "mad_outlier_events": q_mad_outlier_events,
     "ks_drift_events": q_ks_drift_events,
     "table_diff": q_table_diff,
     "pricing_summary": q_pricing_summary,
@@ -429,8 +476,45 @@ SELECT event_type, n_first, n_second, ks,
 FROM agg
 """
 
+_SQL_MAD = f"""
+WITH ev AS (
+  SELECT event_type, event_id, value FROM events WHERE value IS NOT NULL
+), r1 AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM ev
+), med AS (
+  SELECT event_type, MIN(value) AS med FROM r1
+  WHERE rn = CEIL(n / 2.0) GROUP BY event_type
+), dev AS (
+  SELECT e.event_type, e.event_id, ABS(e.value - m.med) AS adev
+  FROM ev e JOIN med m USING (event_type)
+), r2 AS (
+  SELECT event_type, adev,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY adev, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM dev
+), mad AS (
+  SELECT event_type, MIN(adev) AS mad FROM r2
+  WHERE rn = CEIL(n / 2.0) GROUP BY event_type
+)
+SELECT e.event_type, COUNT(*) AS n,
+       MIN(m.med) AS median,
+       ROUND(MIN(d.mad), 6) AS mad,
+       CAST(SUM(CASE WHEN 0.6745 * ABS(e.value - m.med) / d.mad
+                          > {MAD_Z_MAX} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers
+FROM ev e JOIN med m USING (event_type) JOIN mad d USING (event_type)
+GROUP BY e.event_type
+HAVING ROUND(MIN(d.mad), 6) > 0
+"""
+
 ORACLE = {
     "winsorize_events": _sql_winsorize(),
+    "mad_outlier_events": _SQL_MAD,
     "ks_drift_events": _SQL_KS,
     "pricing_summary": f"""
 SELECT l_returnflag, l_linestatus,

@@ -343,9 +343,53 @@ def q_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
              .orderBy("src_a", "src_b"))  # bounded: |sources|² rows
 
 
+# --- per-source quality scorecard: the ONE table a curation run reads
+#     to rank ingest sources — volume, exact-dup rate, length, and
+#     repetition quality folded into a row per source. Composes the
+#     repo's per-doc signal math (distinct-word ratio) with the
+#     dedup-exact fingerprint discipline (md5 of whitespace-normalized
+#     text), all in two hash aggs: (source, fingerprint) counts for the
+#     dup rate, then one combinable per-source rollup. Means go through
+#     exact decimal sums (dsum convention) so the driver hash is
+#     order-free. ---
+def q_source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ._util import davg, rebalance_scan, sql_davg  # noqa: F401
+    d = rebalance_scan(table(spark, sf_dir, "documents")) \
+        .select("source", "text", "n_chars")
+    norm = F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
+    w = F.split(F.col("text"), " ")
+    # dratio travels as integer micro-units with an EXPLICIT round():
+    # ratios of small ints can land exactly on a 1e-6 half-tie (any
+    # 128-word doc does), where decimal-cast rounding modes diverge
+    # between engines; round() of a positive double is half-up on both.
+    per_doc = d.select(
+        "source", "n_chars",
+        F.md5(norm).alias("fp"),
+        F.round(F.size(F.array_distinct(w)) / F.size(w) * 1_000_000)
+         .cast("bigint").alias("dr6"))
+    fp_counts = (per_doc.groupBy("source", "fp")
+                        .agg(F.count("*").alias("c")))
+    dup = (fp_counts.groupBy("source")
+           .agg(F.sum("c").alias("n_docs"),
+                F.sum(F.when(F.col("c") >= 2, F.col("c"))
+                       .otherwise(0)).alias("n_dup_docs")))
+    sig = (per_doc.groupBy("source")
+           .agg(F.round(davg("n_chars"), 6).alias("avg_chars"),
+                F.round(F.sum("dr6")
+                        / (F.count("*") * 1_000_000.0), 6)
+                 .alias("avg_distinct_ratio")))
+    return (dup.join(sig, "source")
+               .select("source", "n_docs",
+                       F.round(F.col("n_dup_docs") / F.col("n_docs"), 6)
+                        .alias("dup_frac"),
+                       "avg_chars", "avg_distinct_ratio")
+               .orderBy("source"))  # bounded: one row per source
+
+
 QUERIES = {
     "ctfidf_source_terms": q_ctfidf_source_terms,
     "js_divergence_sources": q_js_divergence_sources,
+    "source_scorecard": q_source_scorecard,
     "text_features": q_text_features,
     "text_rlike_filter": q_text_rlike_filter,
     "text_dup_rate": q_text_dup_rate,
@@ -420,9 +464,43 @@ FROM j GROUP BY src_a, src_b ORDER BY src_a, src_b
 """
 
 
+def _sql_scorecard() -> str:
+    from ._util import sql_davg
+    return f"""
+WITH per_doc AS (
+  SELECT source, n_chars,
+         md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp,
+         CAST(ROUND(CAST(len(list_distinct(string_split(text, ' ')))
+                         AS DOUBLE)
+                    / len(string_split(text, ' ')) * 1000000) AS BIGINT)
+           AS dr6
+  FROM documents
+), fp_counts AS (
+  SELECT source, fp, COUNT(*) AS c FROM per_doc GROUP BY source, fp
+), dup AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT)
+           AS n_dup_docs
+  FROM fp_counts GROUP BY source
+), sig AS (
+  SELECT source,
+         ROUND({sql_davg('n_chars')}, 6) AS avg_chars,
+         ROUND(CAST(SUM(dr6) AS DOUBLE) / (COUNT(*) * 1000000.0), 6)
+           AS avg_distinct_ratio
+  FROM per_doc GROUP BY source
+)
+SELECT d.source, d.n_docs,
+       ROUND(CAST(d.n_dup_docs AS DOUBLE) / d.n_docs, 6) AS dup_frac,
+       s.avg_chars, s.avg_distinct_ratio
+FROM dup d JOIN sig s USING (source)
+ORDER BY d.source
+"""
+
+
 ORACLE = {
     "ctfidf_source_terms": _sql_ctfidf(),
     "js_divergence_sources": _sql_js_divergence(),
+    "source_scorecard": _sql_scorecard(),
     "text_features": f"""
 SELECT doc_id, lang, source,
        length(text) AS text_len,
