@@ -8,8 +8,12 @@ the `documents` table:
     2. exact dedup, keep-min-id    (normalized-content hash groupBy)
     3. benchmark decontamination   (queries/cleaning.py, broadcast grams)
     4. repetition filter           (queries/cleaning.py per-row metrics)
-    5. deterministic split         (queries/sampling.py hash buckets)
-    6. write, partitioned by split (+ a one-row funnel-stats frame)
+    5. LM perplexity filter        (queries/cleaning.py unigram NLL vs a
+                                    corpus-derived percentile cut — the
+                                    CCNet discipline; threshold is a
+                                    driver scalar from approxQuantile)
+    6. deterministic split         (queries/sampling.py hash buckets)
+    7. write, partitioned by split (+ a one-row funnel-stats frame)
 
 Every stage is a column flag until the single final filter, so the
 whole funnel is ONE corpus scan plus the two narrow side plans the
@@ -28,13 +32,20 @@ import argparse
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+LM_DROP_FRAC = 0.10  # worst decile by unigram NLL (CCNet's "tail" cut)
+
 
 def curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Annotated corpus: every doc with its per-stage keep flags, final
     `keep`, and `split`. Filter on `keep` to materialize the corpus;
     keep the full frame for drop auditing."""
     from ..queries._util import table
-    from ..queries.cleaning import decontaminate, repetition_signals
+    from ..queries.cleaning import (
+        decontaminate,
+        repetition_signals,
+        unigram_model,
+        unigram_score,
+    )
     from ..queries.sampling import split_train_val_test
     from ..queries.text import q_text_c4_filter
 
@@ -54,15 +65,28 @@ def curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     rep = repetition_signals(d).select(
         "doc_id", (1 - F.col("repetitive")).alias("repetition_ok"))
 
+    # CCNet-style perplexity cut: score every doc under the corpus
+    # unigram LM, drop the worst LM_DROP_FRAC by avg NLL. The threshold
+    # is a bounded driver scalar (approxQuantile over one score column);
+    # the flag itself stays a column like every other stage.
+    lp, oov, _ = unigram_model(d)
+    scores = unigram_score(d, lp, oov).select("doc_id", "avg_nll")
+    cut = scores.approxQuantile("avg_nll", [1.0 - LM_DROP_FRAC], 1e-3)[0]
+    lm = scores.select(
+        "doc_id",
+        (F.col("avg_nll") <= cut).cast("int").alias("lm_ok"))
+
     out = (split_train_val_test(d, "doc_id")
            .join(quality, "doc_id")
            .join(rep, "doc_id")
+           .join(lm, "doc_id")
            .join(keep_ids, "doc_id", "left")
            .join(F.broadcast(contaminated), "doc_id", "left")
            .withColumn("dedup_keep", F.coalesce("dedup_keep", F.lit(0)))
            .withColumn("contaminated",
                        F.coalesce("contaminated", F.lit(0))))
     keep = ((F.col("quality_ok") == 1) & (F.col("repetition_ok") == 1)
+            & (F.col("lm_ok") == 1)
             & (F.col("dedup_keep") == 1) & (F.col("contaminated") == 0))
     return out.withColumn("keep", keep.cast("int"))
 
@@ -76,6 +100,7 @@ def funnel_stats(annotated: DataFrame) -> DataFrame:
         F.sum(1 - F.col("dedup_keep")).alias("drop_dup"),
         F.sum("contaminated").alias("drop_contaminated"),
         F.sum(1 - F.col("repetition_ok")).alias("drop_repetitive"),
+        F.sum(1 - F.col("lm_ok")).alias("drop_lm"),
         F.sum("keep").alias("n_kept"))
 
 

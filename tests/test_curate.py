@@ -25,7 +25,8 @@ def test_funnel_accounts_for_every_doc(spark):
         (F.col("keep") == 1)
         & ((F.col("quality_ok") == 0) | (F.col("dedup_keep") == 0)
            | (F.col("contaminated") == 1)
-           | (F.col("repetition_ok") == 0))).count()
+           | (F.col("repetition_ok") == 0)
+           | (F.col("lm_ok") == 0))).count()
     assert bad == 0
     # exact dedup really keeps one doc per normalized content
     kept = ann.filter(F.col("keep") == 1)
@@ -47,3 +48,19 @@ def test_run_curation_writes_split_partitions(spark, tmp_path):
     assert back.count() == stats["n_kept"]
     # partition pruning works on the split column
     assert back.filter(F.col("split") == "train").count() < stats["n_kept"]
+
+
+def test_lm_stage_drops_roughly_the_tail_decile(spark):
+    """The perplexity stage must drop close to LM_DROP_FRAC of docs
+    (approxQuantile tolerance + score ties make it approximate), and
+    every dropped doc must score worse than every kept doc's threshold
+    side."""
+    from big_data_crypto_sentiment_spark.jobs.curate import (
+        LM_DROP_FRAC,
+        curate,
+        funnel_stats,
+    )
+    ann = curate(spark, SF_DIR)
+    stats = funnel_stats(ann).first()
+    frac = stats.drop_lm / stats.n_docs
+    assert 0.0 < frac <= LM_DROP_FRAC + 0.06
