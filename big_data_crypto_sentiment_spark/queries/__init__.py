@@ -132,6 +132,12 @@ DEFERRALS: dict[str, dict] = {
                                extra="3-SF check.py + per-round sf0.001 auto-verify"),
     "source_scorecard":   dict(since=6, family="composes in-window text_signals + dedup_exact disciplines",
                                extra="3-SF check.py + per-round sf0.001 auto-verify"),
+    "dedup_span_stats":   dict(since=6, family="dedup family via dedup_exact/minhash/simhash in-window",
+                               extra="3-SF check.py + per-round sf0.001 auto-verify"),
+    "sim_bm25_topk":      dict(since=6, family="retrieval family via sim_tfidf_zipf_topk (same inverted index)",
+                               extra="3-SF check.py + per-round sf0.001 auto-verify"),
+    "text_fingerprint":   dict(since=6, family="text family via text_signals; md5 path via dedup_exact",
+                               extra="3-SF check.py + per-round sf0.001 auto-verify"),
 }
 
 _DEFER_FROM_WINDOW = tuple(DEFERRALS)

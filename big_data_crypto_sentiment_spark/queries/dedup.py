@@ -373,6 +373,84 @@ def q_dedup_fuzzy_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_term_pairs(words.union(typos).distinct())
 
 
+# --- Exact duplicate-SPAN detection (substring-level dedup) ---
+# The document-level tiers above decide keep/drop per doc; web-scale
+# corpora also need SUBSTRING-level dedup (Lee et al. 2021, "Deduplicating
+# Training Data Makes Language Models Better": remove repeated spans, not
+# docs — boilerplate headers, license blocks, templated passages). The
+# suffix-array construction in the paper is a single-machine algorithm;
+# the Spark-first reformulation is positional token k-grams:
+#   1. each doc emits (pos, gram) for every SPAN_GRAM-token window — same
+#      projection-staged construction as cleaning._word_grams (each array
+#      in its own stage, cheap word-count pre-filter so nothing expensive
+#      is ever pushed into the scan filter);
+#   2. one partial-combined hash agg finds grams occurring in >= 2
+#      DISTINCT docs (cross-doc duplication; within-doc repetition is
+#      repetition_filter's job);
+#   3. an equality join on the gram marks duplicated positions — never
+#      all-pairs; AQE's skew-join split handles hot boilerplate grams
+#      (the dup set is distinct grams, so skew is 1xM and splittable);
+#   4. per-doc gaps-and-islands (pos - row_number) turns marked positions
+#      into maximal runs: a run of r consecutive duplicated grams is a
+#      duplicated token span of r + SPAN_GRAM - 1 tokens.
+# Output is O(docs), unsorted: every doc with >= SPAN_GRAM words, with
+# its duplicated-gram count/fraction and longest duplicated span — the
+# columns a curation pipeline thresholds on to strip or drop.
+SPAN_GRAM = 8
+
+
+def duplicate_span_stats(docs: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text",
+                         n: int = SPAN_GRAM) -> DataFrame:
+    """(doc_id, n_grams, n_dup_grams, dup_frac, max_dup_span) per doc
+    with >= n words; max_dup_span is the longest run of cross-doc
+    duplicated tokens (0 when the doc shares no n-gram with any other
+    doc)."""
+    from pyspark.sql import Window
+
+    w = F.split(F.col(text_col), " ")
+    base = (docs.filter(F.col(text_col).isNotNull())
+                .filter(F.size(w) >= n)
+                .select(F.col(id_col), w.alias("_w")))
+    grams = (base
+             .select(id_col,
+                     F.transform(
+                         F.sequence(F.lit(1), F.size("_w") - (n - 1)),
+                         lambda i: F.concat_ws(" ", F.slice("_w", i, n)))
+                      .alias("grams"))
+             .select(id_col, F.posexplode_outer("grams")
+                              .alias("pos", "gram")))
+    dup = (grams.groupBy("gram")
+                .agg(F.count_distinct(id_col).alias("nd"))
+                .filter(F.col("nd") >= 2)
+                .select("gram"))
+    win = Window.partitionBy(id_col).orderBy("pos")
+    hits = (grams.join(dup, "gram")
+                 .select(id_col, "pos")
+                 .withColumn("grp", F.col("pos")
+                             - F.row_number().over(win)))
+    agg = (hits.groupBy(id_col, "grp").agg(F.count("*").alias("run"))
+               .groupBy(id_col)
+               .agg(F.sum("run").alias("n_dup_grams"),
+                    F.max("run").alias("max_run")))
+    per_doc = base.select(id_col,
+                          (F.size("_w") - (n - 1)).alias("n_grams"))
+    return (per_doc.join(agg, id_col, "left")
+            .select(id_col, "n_grams",
+                    F.coalesce("n_dup_grams", F.lit(0)).alias("n_dup_grams"),
+                    F.round(F.coalesce("n_dup_grams", F.lit(0))
+                            / F.col("n_grams"), 6).alias("dup_frac"),
+                    F.coalesce(F.col("max_run") + (n - 1), F.lit(0))
+                     .cast("bigint").alias("max_dup_span")))
+
+
+def q_dedup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ._util import rebalance_scan
+    d = rebalance_scan(table(spark, sf_dir, "documents")) \
+        .select("doc_id", "text")
+    return duplicate_span_stats(d)  # O(docs): unsorted
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_source_matrix": q_dedup_source_matrix,
@@ -380,6 +458,7 @@ QUERIES = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_fuzzy_terms": q_dedup_fuzzy_terms,
+    "dedup_span_stats": q_dedup_span_stats,
 }
 
 
@@ -433,6 +512,45 @@ FROM cand WHERE levenshtein(term_a, term_b) <= 1
 
 
 ORACLE = {
+    # positions are 1-based here vs posexplode's 0-based — grouping by
+    # pos - row_number() is invariant to the constant offset
+    "dedup_span_stats": f"""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+  WHERE text IS NOT NULL
+    AND len(string_split(text, ' ')) >= {SPAN_GRAM}
+), pos AS (
+  SELECT doc_id, words,
+         unnest(range(1, len(words) - {SPAN_GRAM - 2})) AS pos
+  FROM base
+), grams AS (
+  SELECT doc_id, pos,
+         array_to_string(words[pos:pos + {SPAN_GRAM - 1}], ' ') AS gram
+  FROM pos
+), dup AS (
+  SELECT gram FROM grams GROUP BY gram
+  HAVING COUNT(DISTINCT doc_id) >= 2
+), hits AS (
+  SELECT g.doc_id, g.pos,
+         g.pos - ROW_NUMBER() OVER (PARTITION BY g.doc_id
+                                    ORDER BY g.pos) AS grp
+  FROM grams g JOIN dup d USING (gram)
+), runs AS (
+  SELECT doc_id, grp, COUNT(*) AS run FROM hits GROUP BY doc_id, grp
+), agg AS (
+  SELECT doc_id, SUM(run) AS n_dup_grams, MAX(run) AS max_run
+  FROM runs GROUP BY doc_id
+), per_doc AS (
+  SELECT doc_id, len(words) - {SPAN_GRAM - 1} AS n_grams FROM base
+)
+SELECT p.doc_id, p.n_grams,
+       CAST(COALESCE(a.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+       ROUND(CAST(COALESCE(a.n_dup_grams, 0) AS DOUBLE) / p.n_grams, 6)
+         AS dup_frac,
+       CAST(COALESCE(a.max_run + {SPAN_GRAM - 1}, 0) AS BIGINT)
+         AS max_dup_span
+FROM per_doc p LEFT JOIN agg a USING (doc_id)
+""",
     "dedup_fuzzy_terms": _oracle_fuzzy_terms(),
     "dedup_source_matrix": """
 WITH g AS (

@@ -209,9 +209,87 @@ def q_sim_tfidf_zipf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         cache_key=("sim_tfidf_zipf_topk", sf_dir))
 
 
+# --- Okapi BM25 (the other standard sparse lexical ranker) ---
+# Same inverted-index scale shape as tfidf_topk, but BM25's per-term
+# contribution depends only on the DOC side (tf saturation + length
+# normalization), so the corpus index precomputes the complete per-
+# (doc, term) partial score and a query is just Σ over its distinct
+# terms — one broadcast postings join + one combinable sum, no norms.
+# Float portability: the per-term score is frozen to an INTEGER in
+# 1e-4 units ON BOTH ENGINES with the identical expression tree
+# (idf4·tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl)), one ROUND) — avgdl is
+# the only shared scalar, an exact BIGINT sum ÷ count (same IEEE
+# division both sides), so the final per-pair sum is exact integer
+# math and rank order is engine-independent.
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_postings(docs: DataFrame, idf: dict[str, int], avgdl: float,
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """(id, term, s4): integer per-(doc, term) BM25 partial scores —
+    the corpus-side index. One (id, term) hash agg; dl rides along as
+    a grouping key (constant per doc, no extra shuffle)."""
+    idfmap = F.create_map(*[F.lit(x) for kv in idf.items() for x in kv])
+    words = F.split(F.col(text_col), " ")
+    tf = (docs.select(F.col(id_col), F.size(words).alias("dl"),
+                      F.explode(words).alias("term"))
+              .groupBy(id_col, "dl", "term")
+              .agg(F.count("*").alias("tf")))
+    num = (F.col("_idf").cast("double") * F.col("tf")
+           * F.lit(BM25_K1 + 1.0))
+    den = (F.col("tf") + F.lit(BM25_K1)
+           * (F.lit(1.0 - BM25_B)
+              + F.lit(BM25_B) * F.col("dl") / F.lit(avgdl)))
+    return (tf.withColumn("_idf", F.element_at(idfmap, F.col("term")))
+              .filter(F.col("_idf").isNotNull())
+              .select(id_col, "term",
+                      F.round(num / den).cast("bigint").alias("s4")))
+
+
+def q_sim_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ._util import rebalance_scan
+    from .sampling import _hash_bucket
+    d = zipf_planted_docs(
+        rebalance_scan(table(spark, sf_dir, "documents")).select("doc_id"))
+    idf, _ = tfidf_idf_table(d, max_df_frac=ZIPF_MAX_DF_FRAC)
+    # avgdl: exact integer token total / doc count (both engines compute
+    # the same BIGINT÷BIGINT double) — a 2-value driver scalar
+    tot = d.select(F.sum(F.size(F.split("text", " "))).alias("s"),
+                   F.count("*").alias("n")).first()
+    # float() FIRST to mirror DuckDB's CAST(SUM AS DOUBLE)/n (round the
+    # sum to double, then divide) — Python's int/int is correctly
+    # rounded from the exact rational and diverges past 2^53 tokens
+    avgdl = float(tot.s) / tot.n
+
+    key = (spark.sparkContext.applicationId, "sim_bm25_topk", sf_dir)
+    if key in _WTS_CACHE:
+        postings = _WTS_CACHE[key]
+    else:
+        postings = bm25_postings(d, idf, avgdl).persist()
+        _WTS_CACHE[key] = postings
+    # postings are already unique per (doc, term) — no distinct needed
+    q = (postings.filter(_hash_bucket(F.col("doc_id"), 100)
+                         < TFIDF_QUERY_PCT)
+                 .select(F.col("doc_id").alias("query_id"), "term"))
+    scored = (F.broadcast(q).join(postings, "term")
+               .filter(F.col("doc_id") != F.col("query_id"))
+               .groupBy("query_id", "doc_id")
+               .agg(F.sum("s4").alias("s4sum")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("s4sum"), "doc_id")
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= TFIDF_TOP_K)
+                  .select("query_id", "doc_id",
+                          F.round(F.col("s4sum").cast("double")
+                                  / _IDF_SCALE, 4).alias("bm25"),
+                          "rank"))
+
+
 QUERIES = {
     "sim_tfidf_topk": q_sim_tfidf_topk,
     "sim_tfidf_zipf_topk": q_sim_tfidf_zipf_topk,
+    "sim_bm25_topk": q_sim_bm25_topk,
 }
 
 
@@ -281,8 +359,62 @@ def _zipf_src_cte() -> str:
 ), """
 
 
+def _oracle_bm25() -> str:
+    from .sampling import _sql_hash_bucket
+    return f"""
+WITH {_zipf_src_cte()}params AS (
+  SELECT COUNT(*) AS n FROM zsrc
+), avg_dl AS (
+  SELECT CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*)
+           AS a
+  FROM zsrc
+), dterms AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term
+  FROM zsrc
+), idf AS (
+  SELECT term,
+         CAST(ROUND((LN(CAST(n + 1 AS DOUBLE) / (COUNT(*) + 1)) + 1)
+                    * {_IDF_SCALE}) AS BIGINT) AS idf4
+  FROM dterms CROSS JOIN params
+  GROUP BY term, n
+  HAVING COUNT(*) <= {ZIPF_MAX_DF_FRAC} * n
+  ORDER BY COUNT(*) DESC, term LIMIT {TFIDF_VOCAB_K}
+), tok AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+         unnest(string_split(text, ' ')) AS term
+  FROM zsrc
+), tf AS (
+  SELECT doc_id, dl, term, COUNT(*) AS tf
+  FROM tok GROUP BY doc_id, dl, term
+), post AS (
+  SELECT t.doc_id, t.term,
+         CAST(ROUND(CAST(i.idf4 AS DOUBLE) * t.tf * {BM25_K1 + 1.0}
+                    / (t.tf + {BM25_K1} * ({1.0 - BM25_B}
+                       + {BM25_B} * t.dl / a))) AS BIGINT) AS s4
+  FROM tf t JOIN idf i USING (term) CROSS JOIN avg_dl
+), q AS (
+  SELECT doc_id AS query_id, term FROM post
+  WHERE {_sql_hash_bucket("doc_id", 100)} < {TFIDF_QUERY_PCT}
+), scored AS (
+  SELECT q.query_id, p.doc_id, SUM(p.s4) AS s4sum
+  FROM q JOIN post p USING (term)
+  WHERE p.doc_id <> q.query_id
+  GROUP BY q.query_id, p.doc_id
+), ranked AS (
+  SELECT query_id, doc_id, s4sum,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY s4sum DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT query_id, doc_id,
+       ROUND(CAST(s4sum AS DOUBLE) / {_IDF_SCALE}, 4) AS bm25, rank
+FROM ranked WHERE rank <= {TFIDF_TOP_K}
+"""
+
+
 ORACLE = {
     "sim_tfidf_topk": _oracle_tfidf("", "documents", TFIDF_MAX_DF_FRAC),
     "sim_tfidf_zipf_topk": _oracle_tfidf(_zipf_src_cte(), "zsrc",
                                          ZIPF_MAX_DF_FRAC),
+    "sim_bm25_topk": _oracle_bm25(),
 }

@@ -248,14 +248,38 @@ def q_text_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- extension: document fingerprinting (normalized-content md5) ---
+# --- extension: document fingerprinting (normalized-content md5 +
+#     Karp–Rabin polynomial hash) ---
+# Two fingerprints per doc, both zero-shuffle per-row array math:
+#   * md5 of whitespace-normalized lowercase content (the exact-dedup /
+#     shard-routing key), plus its 8-hex shard prefix;
+#   * a Karp–Rabin polynomial hash over the word sequence
+#     (acc = (acc·B + h(word)) mod P, B=131, P=1e9+7, h = 28-bit md5
+#     prefix) — the incremental-update family used for rolling-window
+#     substring fingerprints; computed as transform→aggregate so the
+#     identical fold runs on the DuckDB twin via list_reduce. All
+#     intermediates < 2^63 (acc < P ≈ 2^30, acc·131 + h < 2^38), so
+#     the math is exact BIGINT on both engines under ANSI mode.
+RK_BASE = 131
+RK_MOD = 1_000_000_007
+
+
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
-    norm = F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
+    norm = F.lower(F.regexp_replace(F.coalesce(F.col("text"), F.lit("")),
+                                    r"\s+", " "))
+    wints = F.transform(
+        F.split(norm, " "),
+        lambda w: F.conv(F.substring(F.md5(w), 1, 7), 16, 10)
+                   .cast("long"))
+    rk = F.aggregate(
+        wints, F.lit(0).cast("long"),
+        lambda a, b: (a * F.lit(RK_BASE) + b) % F.lit(RK_MOD))
     return d.select(
         "doc_id",
         F.md5(norm).alias("fingerprint"),
         F.substring(F.md5(norm), 1, 8).alias("shard_key"),
+        rk.alias("rk_hash"),
     )
 
 
@@ -387,6 +411,7 @@ def q_source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "text_fingerprint": q_text_fingerprint,
     "ctfidf_source_terms": q_ctfidf_source_terms,
     "js_divergence_sources": q_js_divergence_sources,
     "source_scorecard": q_source_scorecard,
@@ -497,7 +522,29 @@ ORDER BY d.source
 """
 
 
+_SQL_HEX7_W = "(" + " + ".join(
+    f"(strpos('0123456789abcdef', substring(md5(w), {i}, 1)) - 1)"
+    f" * {16 ** (7 - i)}" for i in range(1, 8)) + ")"
+
 ORACLE = {
+    "text_fingerprint": f"""
+WITH n AS (
+  SELECT doc_id,
+         lower(regexp_replace(COALESCE(text, ''), '\\s+', ' ', 'g'))
+           AS norm
+  FROM documents
+), h AS (
+  SELECT doc_id, norm,
+         list_transform(string_split(norm, ' '),
+                        w -> CAST({_SQL_HEX7_W} AS BIGINT)) AS wints
+  FROM n
+)
+SELECT doc_id, md5(norm) AS fingerprint,
+       substring(md5(norm), 1, 8) AS shard_key,
+       list_reduce(list_concat([CAST(0 AS BIGINT)], wints),
+                   (a, b) -> (a * {RK_BASE} + b) % {RK_MOD}) AS rk_hash
+FROM h
+""",
     "ctfidf_source_terms": _sql_ctfidf(),
     "js_divergence_sources": _sql_js_divergence(),
     "source_scorecard": _sql_scorecard(),

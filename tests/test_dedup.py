@@ -149,3 +149,33 @@ def test_fuzzy_term_pairs_symspell_completeness(spark):
     assert got[("shark", "spark")] == 1
     assert ("spar", "spork") not in got          # lev 2
     assert not any("quartz" in p for p in got)   # isolated term
+
+
+def test_duplicate_span_stats_planted_span(spark):
+    """Two docs sharing an exact 12-token span (boilerplate header) must
+    report a max_dup_span of exactly 12 and the right gram counts; a doc
+    sharing nothing reports zeros; sub-gram-length docs are excluded."""
+    from big_data_crypto_sentiment_spark.queries.dedup import (
+        SPAN_GRAM,
+        duplicate_span_stats,
+    )
+    header = [f"h{i}" for i in range(12)]           # shared 12-token span
+    a = header + [f"a{i}" for i in range(10)]
+    b = [f"b{i}" for i in range(7)] + header + [f"bb{i}" for i in range(5)]
+    c = [f"c{i}" for i in range(20)]                # no shared grams
+    short = ["x"] * (SPAN_GRAM - 1)                 # too short: excluded
+    rows = [(1, " ".join(a)), (2, " ".join(b)),
+            (3, " ".join(c)), (4, " ".join(short))]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in duplicate_span_stats(docs).collect()}
+
+    assert set(got) == {1, 2, 3}
+    # a shared run of 12 tokens = 12 - SPAN_GRAM + 1 duplicated grams
+    n_dup = 12 - SPAN_GRAM + 1
+    for d, n_words in ((1, len(a)), (2, len(b))):
+        assert got[d].n_grams == n_words - SPAN_GRAM + 1
+        assert got[d].n_dup_grams == n_dup
+        assert got[d].max_dup_span == 12
+    assert got[3].n_dup_grams == 0
+    assert got[3].max_dup_span == 0
+    assert got[3].dup_frac == 0.0
