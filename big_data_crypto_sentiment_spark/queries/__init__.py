@@ -138,6 +138,8 @@ DEFERRALS: dict[str, dict] = {
                                extra="3-SF check.py + per-round sf0.001 auto-verify"),
     "text_fingerprint":   dict(since=6, family="text family via text_signals; md5 path via dedup_exact",
                                extra="3-SF check.py + per-round sf0.001 auto-verify"),
+    "dsir_select":        dict(since=6, family="sampling family via sample_and_split/mixture_downsample; integer-nat LM machinery via unigram_logprob",
+                               extra="3-SF check.py + per-round sf0.001 auto-verify"),
 }
 
 _DEFER_FROM_WINDOW = tuple(DEFERRALS)

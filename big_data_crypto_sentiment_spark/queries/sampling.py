@@ -162,17 +162,171 @@ def q_mixture_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "source", "lang"))  # O(sample): unsorted
 
 
+# --- DSIR importance resampling (Xie et al. 2023, "Data Selection for
+#     Language Models via Importance Resampling") ---
+# Select raw-corpus docs whose hashed-n-gram distribution looks like a
+# TARGET corpus: fit two add-one-smoothed multinomials over a B-bucket
+# hashed (unigram + bigram) feature space — target vs raw — and weight
+# each raw doc by its log importance ratio Σ_f count_f·(ln p_t(f) −
+# ln p_r(f)); Gumbel-perturbed top-k then draws the sample ∝ weight
+# (the paper's resampling step, derandomized here via the portable
+# doc_id hash so both engines draw the same docs).
+#
+# Scale shape: feature counting is ONE explode + partial-combined hash
+# agg whose key cardinality is B (bounded, tiny); the fitted model is a
+# B-entry integer-nat driver artifact (unigram_model precedent); scoring
+# is a zero-shuffle per-row fold over a literal map; selection is a
+# bounded global top-k (TakeOrderedAndProject, never a full sort). The
+# fixture target is a deterministic hash slice of the corpus (decontam
+# precedent) — production passes the real target table via `target`.
+#
+# Float portability: per-bucket Δlp is a driver-side INTEGER in 1e-8
+# nats, so per-doc log-weights are exact integer sums; the only float
+# ops are the final /1e8 and the Gumbel −ln(−ln(u)) on the shared hash
+# uniform — identical expression both engines, round(6) on output.
+DSIR_BUCKETS = 512
+DSIR_TGT_PCT = 5          # fixture stand-in target: 5% hash slice
+DSIR_SELECT_K = 100
+_NAT_SCALE = 100_000_000  # integer 1e-8 nats (unigram_model precedent)
+_GUMBEL_MOD = 1 << 20
+
+
+def _feature_buckets(words_col):
+    """array<int> of hashed unigram + bigram feature buckets. The
+    bigram build is the O(n) indexed-transform form (cleaning.py's g2
+    A/B note); 1-word docs yield an empty bigram slice, no guard
+    needed (no sequence(), so no descending-range trap)."""
+    uni = F.transform(words_col,
+                      lambda w: _hash_bucket(w, DSIR_BUCKETS).cast("int"))
+    bi = F.transform(
+        F.expr("transform(slice(_w, 1, size(_w) - 1), "
+               "(w, i) -> concat(w, ' ', _w[i + 1]))"),
+        lambda g: _hash_bucket(g, DSIR_BUCKETS).cast("int"))
+    return F.concat(uni, bi)
+
+
+def dsir_model(docs: DataFrame, is_target, text_col: str = "text"):
+    """bucket -> Δlp8 dict covering ALL B buckets: integer 1e-8-nat
+    ln p_target − ln p_raw under add-one smoothing, fit from one
+    explode + hash agg (key cardinality = B)."""
+    import math
+    cnt = (docs.filter(F.col(text_col).isNotNull())
+               .select(is_target.alias("is_t"),
+                       F.split(F.col(text_col), " ").alias("_w"))
+               .select("is_t", F.explode(_feature_buckets(F.col("_w")))
+                                .alias("b"))
+               .groupBy("b")
+               .agg(F.sum(F.when(F.col("is_t"), 1).otherwise(0))
+                     .alias("ct"),
+                    F.sum(F.when(F.col("is_t"), 0).otherwise(1))
+                     .alias("cr"))
+               .collect())
+    ct = {r.b: r.ct for r in cnt}
+    cr = {r.b: r.cr for r in cnt}
+    tt, tr = sum(ct.values()), sum(cr.values())
+    dt, dr = float(tt + DSIR_BUCKETS), float(tr + DSIR_BUCKETS)
+    return {b: round(math.log((ct.get(b, 0) + 1) / dt) * _NAT_SCALE)
+               - round(math.log((cr.get(b, 0) + 1) / dr) * _NAT_SCALE)
+            for b in range(DSIR_BUCKETS)}
+
+
+def dsir_select(docs: DataFrame, diff8: dict[int, int],
+                is_target, k: int = DSIR_SELECT_K,
+                id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Top-k raw docs by Gumbel-perturbed importance weight:
+    (doc_id, logw8, score). Zero-shuffle scoring; bounded top-k."""
+    dmap = F.create_map(*[F.lit(x) for kv in diff8.items() for x in kv])
+    lw8 = F.aggregate(
+        F.transform(F.col("_b"), lambda b: F.element_at(dmap, b)),
+        F.lit(0).cast("bigint"), lambda a, x: a + x.cast("bigint"))
+    u = ((_hash_bucket(F.col(id_col), _GUMBEL_MOD).cast("double")
+          + F.lit(0.5)) / F.lit(float(_GUMBEL_MOD)))
+    gumbel = -F.log(-F.log(u))
+    score = F.col("logw8").cast("double") / F.lit(float(_NAT_SCALE)) \
+        + gumbel
+    return (docs.filter(F.col(text_col).isNotNull())
+                .filter(~is_target)
+                .select(F.col(id_col),
+                        F.split(F.col(text_col), " ").alias("_w"))
+                .select(id_col, _feature_buckets(F.col("_w"))
+                         .alias("_b"))
+                .select(id_col, lw8.alias("logw8"))
+                .select(id_col, "logw8", score.alias("_score"))
+                .orderBy(F.desc("_score"), id_col).limit(k)
+                .select(id_col, "logw8",
+                        F.round("_score", 6).alias("score")))
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    is_t = _hash_bucket(F.col("doc_id"), 100) < DSIR_TGT_PCT
+    diff8 = dsir_model(d, is_t)
+    return dsir_select(d, diff8, is_t)  # bounded: top-k
+
+
 QUERIES = {
     "sample_and_split": q_sample_and_split,
     "sample_stratified": q_sample_stratified,
     "sample_length_weighted": q_sample_length_weighted,
     "mixture_downsample": q_mixture_downsample,
+    "dsir_select": q_dsir_select,
 }
 
 _HB_DOC = _sql_hash_bucket("doc_id", SAMPLE_MOD)
 _HB_100 = _sql_hash_bucket("doc_id", 100)
 
+
+def _oracle_dsir() -> str:
+    hb_w = _sql_hash_bucket("w", DSIR_BUCKETS)
+    hb_g = _sql_hash_bucket("g", DSIR_BUCKETS)
+    hb_u = _sql_hash_bucket("doc_id", _GUMBEL_MOD)
+    lp = (lambda c, t: f"CAST(ROUND(LN(({c} + 1) / CAST({t} + "
+                       f"{DSIR_BUCKETS} AS DOUBLE)) * {_NAT_SCALE}) "
+                       f"AS BIGINT)")
+    return f"""
+WITH docs0 AS (
+  SELECT doc_id, text, string_split(text, ' ') AS words
+  FROM documents WHERE text IS NOT NULL
+), feats AS (
+  SELECT doc_id, {hb_w} AS b FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM docs0)
+  UNION ALL
+  SELECT doc_id, {hb_g} AS b FROM (
+    SELECT doc_id, unnest(list_transform(range(1, len(words)),
+             i -> words[i] || ' ' || words[i + 1])) AS g FROM docs0)
+), cnt AS (
+  SELECT b,
+         SUM(CASE WHEN {_HB_100} < {DSIR_TGT_PCT} THEN 1 ELSE 0 END)
+           AS ct,
+         SUM(CASE WHEN {_HB_100} < {DSIR_TGT_PCT} THEN 0 ELSE 1 END)
+           AS cr
+  FROM feats GROUP BY b
+), tot AS (
+  SELECT SUM(ct) AS tt, SUM(cr) AS tr FROM cnt
+), diff AS (
+  SELECT b, {lp('ct', 'tt')} - {lp('cr', 'tr')} AS d8
+  FROM cnt CROSS JOIN tot
+), zero AS (
+  SELECT {lp('0', 'tt')} - {lp('0', 'tr')} AS d8 FROM tot
+), lw AS (
+  SELECT f.doc_id, CAST(SUM(COALESCE(d.d8, z.d8)) AS BIGINT) AS logw8
+  FROM feats f LEFT JOIN diff d USING (b) CROSS JOIN zero z
+  WHERE {_HB_100.replace('doc_id', 'f.doc_id')} >= {DSIR_TGT_PCT}
+  GROUP BY f.doc_id
+), scored AS (
+  SELECT doc_id, logw8,
+         CAST(logw8 AS DOUBLE) / {float(_NAT_SCALE)}
+           + (-LN(-LN(({hb_u} + 0.5) / {float(_GUMBEL_MOD)}))) AS s
+  FROM lw
+)
+SELECT doc_id, logw8, ROUND(s, 6) AS score
+FROM scored ORDER BY s DESC, doc_id LIMIT {DSIR_SELECT_K}
+"""
+
+
 ORACLE = {
+    "dsir_select": _oracle_dsir(),
     "sample_and_split": f"""
 SELECT doc_id, lang, source, n_chars,
        CAST({_HB_DOC} < {SAMPLE_RATE_PPM} AS INT) AS in_sample,

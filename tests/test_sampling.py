@@ -127,3 +127,28 @@ def test_split_is_invariant_to_partitioning(spark):
     c = {r.doc_id: r.split
          for r in split_train_val_test(df.coalesce(1), "doc_id").collect()}
     assert a == b == c
+
+
+def test_dsir_prefers_target_like_docs(spark):
+    """DSIR importance weights must rank raw docs written in the target
+    distribution's vocabulary above dissimilar docs: with a wide
+    log-ratio gap the Gumbel perturbation (|g| <~ 7 for 2^20 hash
+    grid) cannot flip the ordering."""
+    from pyspark.sql import functions as F
+    from big_data_crypto_sentiment_spark.queries.sampling import (
+        dsir_model,
+        dsir_select,
+    )
+    tgt_text = "alpha beta gamma delta " * 10
+    junk_text = "zzz qqq xxx www " * 10
+    rows = (
+        [(i, tgt_text) for i in range(10)]            # target slice
+        + [(100 + i, tgt_text) for i in range(5)]     # target-like raw
+        + [(200 + i, junk_text) for i in range(20)]   # dissimilar raw
+    )
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    is_t = F.col("doc_id") < 100
+    diff8 = dsir_model(docs, is_t)
+    got = dsir_select(docs, diff8, is_t, k=5).collect()
+    assert {r.doc_id for r in got} == {100, 101, 102, 103, 104}
+    assert all(r.logw8 > 0 for r in got)
