@@ -140,6 +140,10 @@ DEFERRALS: dict[str, dict] = {
                                extra="3-SF check.py + per-round sf0.001 auto-verify"),
     "dsir_select":        dict(since=6, family="sampling family via sample_and_split/mixture_downsample; integer-nat LM machinery via unigram_logprob",
                                extra="3-SF check.py + per-round sf0.001 auto-verify"),
+    "sample_temperature": dict(since=6, family="sampling family via sample_and_split/mixture_downsample (same hash-threshold filter)",
+                               extra="3-SF check.py + per-round sf0.001 auto-verify"),
+    "dedup_canonical":    dict(since=6, family="cluster family via dedup_components in-window (same CC core + recursive-CTE oracle)",
+                               extra="3-SF check.py + per-round sf0.001 auto-verify"),
 }
 
 _DEFER_FROM_WINDOW = tuple(DEFERRALS)

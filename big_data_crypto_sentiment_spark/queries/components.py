@@ -156,15 +156,40 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_components(d, SLICE_JACCARD_THRESHOLD)
 
 
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware representative per near-dup cluster: keep the
+    LONGEST doc (n_chars desc, doc_id tie-break) instead of the min-id
+    default — the curation choice when duplicates differ in
+    completeness (truncated mirrors, partial scrapes). One bounded
+    per-component window over the cluster assignment; same scale shape
+    as dedup_components itself."""
+    from pyspark.sql import Window
+    d = (table(spark, sf_dir, "documents")
+         .filter(F.col("source") == PAIR_SLICE_SOURCE))
+    cc = dedup_components(d, SLICE_JACCARD_THRESHOLD) \
+        .select("doc_id", "component", "component_size")
+    w = (Window.partitionBy("component")
+               .orderBy(F.desc("n_chars"), "doc_id"))
+    return (cc.join(d.select("doc_id", "n_chars"), "doc_id")
+              .withColumn("rn", F.row_number().over(w))
+              .filter(F.col("rn") == 1)
+              .select("component",
+                      F.col("doc_id").alias("keep_doc_id"),
+                      F.col("n_chars").alias("keep_n_chars"),
+                      "component_size")
+              .orderBy("component"))  # bounded: one row per cluster
+
+
 QUERIES = {
     "dedup_components": q_dedup_components,
+    "dedup_canonical": q_dedup_canonical,
 }
 
 # The pair CTE is the dedup_ngram_jaccard oracle verbatim (same slice,
 # same threshold); the recursive walk computes min-reachable-label —
-# exactly the propagation fixpoint.
-ORACLE = {
-    "dedup_components": f"""
+# exactly the propagation fixpoint. The prefix is shared with the
+# quality-canonical variant below.
+_CC_SQL_PREFIX = f"""
 WITH RECURSIVE nodes AS (
   SELECT doc_id FROM documents
   WHERE source = '{PAIR_SLICE_SOURCE}'
@@ -198,10 +223,25 @@ WITH RECURSIVE nodes AS (
   SELECT e.d, w.label FROM walk w JOIN edges e ON w.node = e.s
 ), cc AS (
   SELECT node AS doc_id, MIN(label) AS component FROM walk GROUP BY node
-)
+)"""
+
+ORACLE = {
+    "dedup_components": _CC_SQL_PREFIX + """
 SELECT doc_id, component,
        CAST(doc_id = component AS INT) AS is_canonical,
        COUNT(*) OVER (PARTITION BY component) AS component_size
 FROM cc ORDER BY doc_id
+""",
+    "dedup_canonical": _CC_SQL_PREFIX + """
+, sized AS (
+  SELECT c.doc_id, c.component, d.n_chars,
+         COUNT(*) OVER (PARTITION BY c.component) AS component_size,
+         ROW_NUMBER() OVER (PARTITION BY c.component
+                            ORDER BY d.n_chars DESC, c.doc_id) AS rn
+  FROM cc c JOIN documents d USING (doc_id)
+)
+SELECT component, doc_id AS keep_doc_id, n_chars AS keep_n_chars,
+       component_size
+FROM sized WHERE rn = 1 ORDER BY component
 """,
 }

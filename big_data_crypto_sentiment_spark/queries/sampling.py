@@ -162,6 +162,48 @@ def q_mixture_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "source", "lang"))  # O(sample): unsorted
 
 
+# --- temperature-based mixture sampling (the multilingual-training
+#     reweighting: sampled counts ∝ n_s^α, α < 1 flattens the source
+#     distribution — XLM-R / mT5 style). Per-source keep threshold
+#     thr_s = mod · (T · p_s) / n_s with p_s = n_s^α / Σ n_t^α and
+#     budget T = total/2 — computed DRIVER-SIDE over the bounded
+#     per-source counts (|sources| rows), then applied as a zero-
+#     shuffle map-side hash filter via a literal map (the corpus never
+#     shuffles; same scale shape as mixture_downsample's caps, minus
+#     its broadcast join).
+#     Float portability: pow() lives driver-side in Python (glibc libm,
+#     same as the DuckDB twin — the JVM's Math.pow is the odd one out,
+#     so it is deliberately NOT used); n_s^α is frozen to INTEGER 1e-8
+#     units before the order-free integer Σ, and the remaining
+#     double ops follow one shared parenthesization. ---
+TEMP_ALPHA = 0.7
+_PW_SCALE = 100_000_000
+
+
+def temperature_thresholds(df: DataFrame, stratum: str,
+                           alpha: float = TEMP_ALPHA,
+                           mod: int = SAMPLE_MOD) -> dict[str, int]:
+    """stratum -> integer hash threshold implementing n^α sampling."""
+    import math
+    rows = df.groupBy(stratum).agg(F.count("*").alias("n_s")).collect()
+    total = sum(r.n_s for r in rows)
+    pw8 = {r[0]: round(math.pow(r.n_s, alpha) * _PW_SCALE) for r in rows}
+    sum_pw8 = sum(pw8.values())
+    n_s = {r[0]: r.n_s for r in rows}
+    return {s: min(mod, math.floor(
+                mod * ((total / 2.0) * pw8[s] / sum_pw8) / n_s[s]))
+            for s in pw8}
+
+
+def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    thr = temperature_thresholds(d, "source")
+    tmap = F.create_map(*[F.lit(x) for kv in thr.items() for x in kv])
+    return (d.filter(_hash_bucket(F.col("doc_id"), SAMPLE_MOD)
+                     < F.element_at(tmap, F.col("source")))
+             .select("doc_id", "source", "lang"))  # O(sample): unsorted
+
+
 # --- DSIR importance resampling (Xie et al. 2023, "Data Selection for
 #     Language Models via Importance Resampling") ---
 # Select raw-corpus docs whose hashed-n-gram distribution looks like a
@@ -270,6 +312,7 @@ QUERIES = {
     "sample_stratified": q_sample_stratified,
     "sample_length_weighted": q_sample_length_weighted,
     "mixture_downsample": q_mixture_downsample,
+    "sample_temperature": q_sample_temperature,
     "dsir_select": q_dsir_select,
 }
 
@@ -326,6 +369,29 @@ FROM scored ORDER BY s DESC, doc_id LIMIT {DSIR_SELECT_K}
 
 
 ORACLE = {
+    "sample_temperature": f"""
+WITH counts AS (
+  SELECT source, COUNT(*) AS n_s FROM documents GROUP BY 1
+), stats AS (
+  SELECT CAST(SUM(n_s) AS BIGINT) AS total FROM counts
+), pw AS (
+  SELECT source, n_s,
+         CAST(ROUND(POWER(n_s, {TEMP_ALPHA}) * {_PW_SCALE}) AS BIGINT)
+           AS pw8
+  FROM counts
+), spw AS (
+  SELECT CAST(SUM(pw8) AS BIGINT) AS sum_pw8 FROM pw
+), thr AS (
+  SELECT source,
+         LEAST(CAST({SAMPLE_MOD} AS BIGINT),
+               CAST(FLOOR({SAMPLE_MOD} * ((total / 2.0) * pw8 / sum_pw8)
+                          / n_s) AS BIGINT)) AS thr
+  FROM pw CROSS JOIN stats CROSS JOIN spw
+)
+SELECT d.doc_id, d.source, d.lang
+FROM documents d JOIN thr USING (source)
+WHERE {_HB_DOC} < thr.thr
+""",
     "dsir_select": _oracle_dsir(),
     "sample_and_split": f"""
 SELECT doc_id, lang, source, n_chars,

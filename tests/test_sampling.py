@@ -152,3 +152,23 @@ def test_dsir_prefers_target_like_docs(spark):
     got = dsir_select(docs, diff8, is_t, k=5).collect()
     assert {r.doc_id for r in got} == {100, 101, 102, 103, 104}
     assert all(r.logw8 > 0 for r in got)
+
+
+def test_temperature_sampling_flattens_mixture(spark):
+    """alpha < 1 must keep a HIGHER fraction of small sources than big
+    ones (the whole point of temperature reweighting), and every
+    threshold stays within [0, mod]."""
+    from big_data_crypto_sentiment_spark.queries.sampling import (
+        SAMPLE_MOD,
+        temperature_thresholds,
+    )
+    rows = ([(i, "big") for i in range(900)]
+            + [(1000 + i, "small") for i in range(300)])
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    thr = temperature_thresholds(df, "source", alpha=0.5)
+    assert set(thr) == {"big", "small"}
+    assert all(0 <= t <= SAMPLE_MOD for t in thr.values())
+    # keep fraction = thr/mod: in the uncapped regime the rate ratio is
+    # (n_big/n_small)^(1-alpha) = sqrt(3) ~ 1.732
+    ratio = thr["small"] / thr["big"]
+    assert 1.6 < ratio < 1.85
