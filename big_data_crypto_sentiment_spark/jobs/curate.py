@@ -8,18 +8,21 @@ the `documents` table:
     2. exact dedup, keep-min-id    (normalized-content hash groupBy)
     3. benchmark decontamination   (queries/cleaning.py, broadcast grams)
     4. repetition filter           (queries/cleaning.py per-row metrics)
-    5. LM perplexity filter        (queries/cleaning.py unigram NLL vs a
+    5. duplicate-span filter       (queries/dedup.py span stats: drop
+                                    docs that are mostly cross-doc
+                                    duplicated text, Lee et al. 2021)
+    6. LM perplexity filter        (queries/cleaning.py unigram NLL vs a
                                     corpus-derived percentile cut — the
                                     CCNet discipline; threshold is a
                                     driver scalar from approxQuantile)
-    6. deterministic split         (queries/sampling.py hash buckets)
-    7. write, partitioned by split (+ a one-row funnel-stats frame)
+    7. deterministic split         (queries/sampling.py hash buckets)
+    8. write, partitioned by split (+ a one-row funnel-stats frame)
 
 Every stage is a column flag until the single final filter, so the
-whole funnel is ONE corpus scan plus the two narrow side plans the
-stages need (the duplicate keep-set and the contaminated-id set, both
-id-only joins). Stage flags survive into the output for auditability —
-a curation pipeline must explain every drop.
+whole funnel is ONE corpus scan plus the three narrow side plans the
+stages need (the duplicate keep-set, the contaminated-id set, and the
+span-dup-id set — all id-only joins). Stage flags survive into the
+output for auditability — a curation pipeline must explain every drop.
 
 Run: python -m big_data_crypto_sentiment_spark.jobs.curate \
        --sf-dir /root/testdata/sf0.001 --out-dir /tmp/curated
@@ -33,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 LM_DROP_FRAC = 0.10  # worst decile by unigram NLL (CCNet's "tail" cut)
+SPAN_DUP_MAX_FRAC = 0.5  # drop docs whose dup-gram coverage exceeds this
 
 
 def curate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -65,6 +69,14 @@ def curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     rep = repetition_signals(d).select(
         "doc_id", (1 - F.col("repetitive")).alias("repetition_ok"))
 
+    # substring-level dedup: id-only set of docs that are mostly
+    # duplicated spans (dup_frac > cap); docs shorter than the gram
+    # width never appear in the stats and stay ok by coalesce
+    from ..queries.dedup import duplicate_span_stats
+    span_dup = (duplicate_span_stats(d)
+                .filter(F.col("dup_frac") > SPAN_DUP_MAX_FRAC)
+                .select("doc_id", F.lit(1).alias("span_dup")))
+
     # CCNet-style perplexity cut: score every doc under the corpus
     # unigram LM, drop the worst LM_DROP_FRAC by avg NLL. The threshold
     # is a bounded driver scalar (approxQuantile over one score column);
@@ -82,12 +94,15 @@ def curate(spark: SparkSession, sf_dir: str) -> DataFrame:
            .join(lm, "doc_id")
            .join(keep_ids, "doc_id", "left")
            .join(F.broadcast(contaminated), "doc_id", "left")
+           .join(F.broadcast(span_dup), "doc_id", "left")
            .withColumn("dedup_keep", F.coalesce("dedup_keep", F.lit(0)))
            .withColumn("contaminated",
-                       F.coalesce("contaminated", F.lit(0))))
+                       F.coalesce("contaminated", F.lit(0)))
+           .withColumn("span_dup", F.coalesce("span_dup", F.lit(0))))
     keep = ((F.col("quality_ok") == 1) & (F.col("repetition_ok") == 1)
             & (F.col("lm_ok") == 1)
-            & (F.col("dedup_keep") == 1) & (F.col("contaminated") == 0))
+            & (F.col("dedup_keep") == 1) & (F.col("contaminated") == 0)
+            & (F.col("span_dup") == 0))
     return out.withColumn("keep", keep.cast("int"))
 
 
@@ -100,6 +115,7 @@ def funnel_stats(annotated: DataFrame) -> DataFrame:
         F.sum(1 - F.col("dedup_keep")).alias("drop_dup"),
         F.sum("contaminated").alias("drop_contaminated"),
         F.sum(1 - F.col("repetition_ok")).alias("drop_repetitive"),
+        F.sum("span_dup").alias("drop_span_dup"),
         F.sum(1 - F.col("lm_ok")).alias("drop_lm"),
         F.sum("keep").alias("n_kept"))
 

@@ -26,6 +26,7 @@ def test_funnel_accounts_for_every_doc(spark):
         & ((F.col("quality_ok") == 0) | (F.col("dedup_keep") == 0)
            | (F.col("contaminated") == 1)
            | (F.col("repetition_ok") == 0)
+           | (F.col("span_dup") == 1)
            | (F.col("lm_ok") == 0))).count()
     assert bad == 0
     # exact dedup really keeps one doc per normalized content
@@ -64,3 +65,29 @@ def test_lm_stage_drops_roughly_the_tail_decile(spark):
     stats = funnel_stats(ann).first()
     frac = stats.drop_lm / stats.n_docs
     assert 0.0 < frac <= LM_DROP_FRAC + 0.06
+
+
+def test_span_dup_stage_drops_planted_boilerplate(spark, tmp_path):
+    """A corpus where several docs are mostly one shared span must drop
+    exactly those docs at the span stage. Runs curate() on a planted
+    parquet dir shaped like the documents table."""
+    from big_data_crypto_sentiment_spark.queries.dedup import SPAN_GRAM
+
+    shared = " ".join(f"s{i}" for i in range(30))
+    rows = []
+    for i in range(3):  # mostly-duplicated docs (dup_frac ~ 1)
+        rows.append((i, shared + f" u{i}", "en", "src0"))
+    for i in range(3, 40):  # unique docs
+        rows.append((i, " ".join(f"w{i}_{j}" for j in range(30)),
+                     "en", "src0"))
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+    df = df.withColumn("n_chars", F.length("text"))
+    sf_dir = str(tmp_path / "mini")
+    for t in ("documents",):
+        df.write.parquet(f"{sf_dir}/{t}.parquet")
+
+    ann = curate(spark, sf_dir)
+    dropped = {r.doc_id for r in
+               ann.filter(F.col("span_dup") == 1).collect()}
+    assert dropped == {0, 1, 2}
+    assert SPAN_GRAM <= 30
