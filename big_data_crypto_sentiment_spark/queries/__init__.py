@@ -144,6 +144,10 @@ DEFERRALS: dict[str, dict] = {
                                extra="3-SF check.py + per-round sf0.001 auto-verify"),
     "dedup_canonical":    dict(since=6, family="cluster family via dedup_components in-window (same CC core + recursive-CTE oracle)",
                                extra="3-SF check.py + per-round sf0.001 auto-verify"),
+    "upsert_latest":      dict(since=6, family="snapshot family via table_diff in-window; agg family via orders_by_nation",
+                               extra="3-SF check.py + per-round sf0.001 auto-verify"),
+    "embed_prototype_prune": dict(since=6, family="embedding family via sim_topk_cosine in-window (same integer dot/norm discipline)",
+                                  extra="3-SF check.py + per-round sf0.001 auto-verify"),
 }
 
 _DEFER_FROM_WINDOW = tuple(DEFERRALS)

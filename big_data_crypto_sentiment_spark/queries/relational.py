@@ -248,6 +248,55 @@ def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                       ["text", "lang", "source", "n_chars"])
 
 
+# --- CDC upsert / snapshot merge (table_diff's complement): apply a
+#     change batch (updates + tombstone deletes) onto a base snapshot,
+#     keeping the latest version per key. Spark-first shape: ONE
+#     union + ONE partial-combinable hash agg (max_by per column on a
+#     shared integer order key) — no per-key window sort, no join. The
+#     order key is exact integer micros·2 + source-rank so delta beats
+#     base at equal timestamps; callers must ensure it is unique per
+#     key (one delta row per key per batch — the standard CDC compact
+#     form), which the planted demo satisfies by construction. ---
+UPSERT_UPDATE_PCT = 5   # hash bucket [0, 5)  -> updated (+1h, value+1)
+UPSERT_DELETE_PCT = 8   # hash bucket [5, 8)  -> tombstoned
+
+
+def upsert_latest(base: DataFrame, delta: DataFrame, key: str,
+                  version_col: str, op_col: str,
+                  cols: list[str]) -> DataFrame:
+    """Merged snapshot: per key the row with the greatest
+    (version, delta-beats-base) wins; rows whose winning op is 'd'
+    (tombstone) drop out. `cols` are the payload columns to carry."""
+    u = (base.withColumn("_src", F.lit(0))
+             .unionByName(delta.withColumn("_src", F.lit(1))))
+    ord_ = (F.unix_micros(F.col(version_col)) * 2
+            + F.col("_src").cast("bigint"))
+    picked = [F.max_by(c, ord_).alias(c)
+              for c in [version_col, op_col, *cols]]
+    return (u.groupBy(key).agg(*picked)
+             .filter(F.col(op_col) == "u")
+             .drop(op_col))
+
+
+def q_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sampling import _hash_bucket
+    e = table(spark, sf_dir, "events") \
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    b = _hash_bucket(F.col("event_id"), 100)
+    base = e.withColumn("op", F.lit("u"))
+    updates = (e.filter(b < UPSERT_UPDATE_PCT)
+                .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 HOUR"))
+                .withColumn("value", F.col("value") + F.lit(1.0))
+                .withColumn("op", F.lit("u")))
+    deletes = (e.filter((b >= UPSERT_UPDATE_PCT)
+                        & (b < UPSERT_DELETE_PCT))
+                .withColumn("op", F.lit("d")))
+    return upsert_latest(base, updates.unionByName(deletes),
+                         "event_id", "ts", "op",
+                         ["user_id", "event_type", "value"]
+                         )  # O(snapshot): unsorted
+
+
 # --- winsorization: clip numeric outliers at per-key discrete
 #     percentiles — the standard numeric-cleaning op a feature pipeline
 #     runs before training. DISCRETE (rank-indexed) percentiles, not
@@ -396,6 +445,7 @@ QUERIES = {
     "mad_outlier_events": q_mad_outlier_events,
     "ks_drift_events": q_ks_drift_events,
     "table_diff": q_table_diff,
+    "upsert_latest": q_upsert_latest,
     "pricing_summary": q_pricing_summary,
     "filter_time_range": q_filter_time_range,
     "orders_by_nation": q_orders_by_nation,
@@ -669,3 +719,36 @@ WHERE (h_old IS NULL) OR (h_new IS NULL) OR (h_old <> h_new)
 
 
 ORACLE["table_diff"] = _table_diff_sql()
+
+
+def _upsert_sql() -> str:
+    from .sampling import _sql_hash_bucket  # deferred: avoids import cycle
+    hb = _sql_hash_bucket("event_id", 100)
+    return f"""
+WITH e AS (
+  SELECT event_id, ts, user_id, event_type, value, {hb} AS hb FROM events
+), u AS (
+  SELECT event_id, ts, user_id, event_type, value, 'u' AS op, 0 AS src
+  FROM e
+  UNION ALL
+  SELECT event_id, ts + INTERVAL 1 HOUR, user_id, event_type,
+         value + 1.0, 'u', 1
+  FROM e WHERE hb < {UPSERT_UPDATE_PCT}
+  UNION ALL
+  SELECT event_id, ts, user_id, event_type, value, 'd', 1
+  FROM e WHERE hb >= {UPSERT_UPDATE_PCT} AND hb < {UPSERT_DELETE_PCT}
+), o AS (
+  SELECT *, epoch_us(ts) * 2 + src AS ord FROM u
+), m AS (
+  SELECT event_id,
+         max_by(ts, ord) AS ts, max_by(op, ord) AS op,
+         max_by(user_id, ord) AS user_id,
+         max_by(event_type, ord) AS event_type,
+         max_by(value, ord) AS value
+  FROM o GROUP BY event_id
+)
+SELECT event_id, ts, user_id, event_type, value FROM m WHERE op = 'u'
+"""
+
+
+ORACLE["upsert_latest"] = _upsert_sql()

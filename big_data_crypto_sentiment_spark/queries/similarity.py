@@ -377,8 +377,72 @@ def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("pca_csv"))  # O(input): unsorted; list->string (hash rule)
 
 
+# --- prototype-distance pruning (Sorscher et al. 2022, "Beyond neural
+#     scaling laws": rank examples by cosine to their class prototype;
+#     on large datasets prune the EASIEST — most prototypical — first).
+#     Spark-first + engine-exact: each float32 coordinate is frozen to
+#     INTEGER 1e-6 units, per-(label, dim) sums are exact BIGINT aggs,
+#     the prototype is the rounded mean back at the same scale, and
+#     dot/norms are exact integer sums — the only float ops are the
+#     final sqrt/divide (IEEE, bit-identical) + round(6). Plan shape:
+#     one posexplode + two bounded hash aggs (key cardinality
+#     labels × dims), prototypes BROADCAST back, per-vector scores from
+#     one combinable agg, rank via per-label window. Overflow headroom:
+#     |x8| < 2^20 ⇒ vn2, dot < 2^33·dims; the mean-not-sum prototype
+#     keeps cn2 in the same bound regardless of class size. ---
+PROTO_SCALE = 1_000_000
+
+
+def prototype_scores(vecs: DataFrame, label_col: str = "label",
+                     emb_col: str = "embedding") -> DataFrame:
+    """(vec_id, label, cos_to_proto, proto_rank): cosine of each vector
+    to its class prototype; rank 1 = most prototypical (prune first)."""
+    x8 = F.transform(F.col(emb_col),
+                     lambda x: F.round(x.cast("double") * PROTO_SCALE)
+                                .cast("bigint"))
+    # cheap pre-filter + posexplode_OUTER: the inner form makes
+    # InferFiltersFromGenerate push `size(transform(...)) > 0` — the
+    # whole freeze expression — into the scan-stage Filter (the exact
+    # r5 decontam defect; tests/test_plan_guards.py rejects it)
+    ex = (vecs.filter(F.size(F.col(emb_col)) >= 1)
+              .select("vec_id", F.col(label_col).alias("label"),
+                      x8.alias("_x8"))
+              .select("vec_id", "label",
+                      F.posexplode_outer("_x8").alias("dim", "v")))
+    cmean = (ex.groupBy("label", "dim")
+               .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+               .select("label", "dim",
+                       F.round(F.col("s").cast("double") / F.col("n"))
+                        .cast("bigint").alias("c")))
+    cn2 = cmean.groupBy("label").agg(F.sum(F.col("c") * F.col("c"))
+                                      .alias("cn2"))
+    scored = (ex.join(F.broadcast(cmean), ["label", "dim"])
+                .groupBy("vec_id", "label")
+                .agg(F.sum(F.col("v") * F.col("c")).alias("dot"),
+                     F.sum(F.col("v") * F.col("v")).alias("vn2"))
+                .join(F.broadcast(cn2), "label")
+                .select("vec_id", "label",
+                        (F.col("dot").cast("double")
+                         / (F.sqrt(F.col("vn2").cast("double"))
+                            * F.sqrt(F.col("cn2").cast("double"))))
+                        .alias("_cos")))
+    from pyspark.sql import Window
+    w = Window.partitionBy("label").orderBy(F.desc("_cos"), "vec_id")
+    return (scored.withColumn("proto_rank", F.row_number().over(w))
+                  .select("vec_id", "label",
+                          F.round("_cos", 6).alias("cos_to_proto"),
+                          "proto_rank"))
+
+
+def q_embed_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings") \
+        .select("vec_id", "label", "embedding")
+    return prototype_scores(e)  # O(input): unsorted
+
+
 QUERIES = {
     "sim_topk_cosine": q_sim_topk_cosine,
+    "embed_prototype_prune": q_embed_prototype_prune,
     "embed_pca": q_embed_pca,                    # rows-only: eigensolve
     "sim_ann_lsh": q_sim_ann_lsh,                # rows-only: hash planes
     "sim_near_dup_pairs": q_sim_near_dup_pairs,  # rows-only: hash planes
@@ -387,6 +451,38 @@ QUERIES = {
 }
 
 ORACLE = {
+    "embed_prototype_prune": f"""
+WITH ex AS (
+  SELECT vec_id, label, i AS dim,
+         CAST(ROUND(CAST(embedding[i] AS DOUBLE) * {PROTO_SCALE})
+              AS BIGINT) AS v
+  FROM embeddings,
+       unnest(generate_series(1, len(embedding))) AS t(i)
+), cmean AS (
+  SELECT label, dim,
+         CAST(ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+  FROM ex GROUP BY label, dim
+), cn2 AS (
+  SELECT label, CAST(SUM(c * c) AS BIGINT) AS cn2
+  FROM cmean GROUP BY label
+), sc AS (
+  SELECT e.vec_id, e.label,
+         CAST(SUM(e.v * c.c) AS BIGINT) AS dot,
+         CAST(SUM(e.v * e.v) AS BIGINT) AS vn2
+  FROM ex e JOIN cmean c ON e.label = c.label AND e.dim = c.dim
+  GROUP BY e.vec_id, e.label
+), cosd AS (
+  SELECT s.vec_id, s.label,
+         CAST(s.dot AS DOUBLE)
+           / (SQRT(CAST(s.vn2 AS DOUBLE)) * SQRT(CAST(n.cn2 AS DOUBLE)))
+           AS _cos
+  FROM sc s JOIN cn2 n USING (label)
+)
+SELECT vec_id, label, ROUND(_cos, 6) AS cos_to_proto,
+       ROW_NUMBER() OVER (PARTITION BY label
+                          ORDER BY _cos DESC, vec_id) AS proto_rank
+FROM cosd
+""",
     "embed_quantize": """
 WITH s AS (
   SELECT vec_id, embedding,

@@ -212,3 +212,30 @@ def test_embed_pca_recovers_planted_direction_and_orders_variance(spark):
         "/root/testdata/sf0.001/embeddings.parquet").count()
     assert len(rows) == n_emb
     assert all(len(r.pca_csv.split(",")) == PCA_K for r in rows)
+
+
+def test_prototype_scores_rank_centroid_first(spark):
+    """The vector pointing along its class's mean direction must get
+    proto_rank 1; an off-axis outlier must rank last."""
+    from big_data_crypto_sentiment_spark.queries.similarity import (
+        prototype_scores,
+    )
+    rows = [
+        # label 0: three near-axis vectors + one outlier
+        (1, 0, [1.0, 0.02, 0.0, 0.0]),
+        (2, 0, [1.0, -0.02, 0.0, 0.0]),
+        (3, 0, [1.0, 0.0, 0.02, 0.0]),
+        (4, 0, [0.0, 0.0, 0.0, 1.0]),     # outlier
+        # label 1: orthogonal class
+        (5, 1, [0.0, 1.0, 0.0, 0.0]),
+        (6, 1, [0.02, 1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "label", "embedding"])
+    got = {r.vec_id: r for r in prototype_scores(df).collect()}
+    assert len(got) == 6
+    l0 = sorted((r for r in got.values() if r.label == 0),
+                key=lambda r: r.proto_rank)
+    assert l0[-1].vec_id == 4                  # outlier ranks last
+    assert l0[-1].cos_to_proto < 0.5
+    assert all(r.cos_to_proto > 0.9 for r in l0[:3])
+    assert {r.proto_rank for r in l0} == {1, 2, 3, 4}
