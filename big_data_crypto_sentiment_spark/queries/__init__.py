@@ -148,6 +148,8 @@ DEFERRALS: dict[str, dict] = {
                                extra="3-SF check.py + per-round sf0.001 auto-verify"),
     "embed_prototype_prune": dict(since=6, family="embedding family via sim_topk_cosine in-window (same integer dot/norm discipline)",
                                   extra="3-SF check.py + per-round sf0.001 auto-verify"),
+    "sim_rrf_hybrid":     dict(since=6, family="retrieval family via sim_tfidf_zipf_topk (pure composition of two checked rankers)",
+                               extra="3-SF check.py + per-round sf0.001 auto-verify"),
 }
 
 _DEFER_FROM_WINDOW = tuple(DEFERRALS)

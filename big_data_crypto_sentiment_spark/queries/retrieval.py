@@ -286,10 +286,45 @@ def q_sim_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                           "rank"))
 
 
+# --- Reciprocal Rank Fusion (Cormack et al. 2009): the standard hybrid-
+#     retrieval combiner — fuse the TF-IDF and BM25 rankings per query
+#     with score Σ 1/(k + rank). Pure composition: a full-outer join of
+#     the two bounded top-k outputs (≤ 2k rows per query) + a bounded
+#     per-query rerank window; the expensive work is the two upstream
+#     retrievers, both session-cached. The fusion score is a TWO-TERM
+#     coalesce sum (not an agg), so there is no float accumulation
+#     order to disagree on between engines.
+RRF_K = 60
+
+
+def rrf_fuse(a: DataFrame, b: DataFrame, k: int = RRF_K,
+             top_k: int = TFIDF_TOP_K) -> DataFrame:
+    """Fuse two (query_id, doc_id, ..., rank) rankings into
+    (query_id, doc_id, rrf, rank)."""
+    ra = a.select("query_id", "doc_id", F.col("rank").alias("rank_a"))
+    rb = b.select("query_id", "doc_id", F.col("rank").alias("rank_b"))
+    term = lambda c: F.coalesce(  # noqa: E731
+        F.lit(1.0) / (F.lit(k) + F.col(c)), F.lit(0.0))
+    fused = (ra.join(rb, ["query_id", "doc_id"], "full_outer")
+               .select("query_id", "doc_id",
+                       (term("rank_a") + term("rank_b")).alias("_rrf")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("_rrf"), "doc_id")
+    return (fused.withColumn("rank", F.row_number().over(w))
+                 .filter(F.col("rank") <= top_k)
+                 .select("query_id", "doc_id",
+                         F.round("_rrf", 6).alias("rrf"), "rank"))
+
+
+def q_sim_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rrf_fuse(q_sim_tfidf_zipf_topk(spark, sf_dir),
+                    q_sim_bm25_topk(spark, sf_dir))
+
+
 QUERIES = {
     "sim_tfidf_topk": q_sim_tfidf_topk,
     "sim_tfidf_zipf_topk": q_sim_tfidf_zipf_topk,
     "sim_bm25_topk": q_sim_bm25_topk,
+    "sim_rrf_hybrid": q_sim_rrf_hybrid,
 }
 
 
@@ -412,9 +447,36 @@ FROM ranked WHERE rank <= {TFIDF_TOP_K}
 """
 
 
+def _oracle_rrf() -> str:
+    """Both retriever oracles verbatim as parenthesized WITH-subqueries,
+    fused by the same two-term coalesce sum."""
+    t = lambda c: f"COALESCE(1.0 / ({RRF_K} + {c}), 0.0)"  # noqa: E731
+    return f"""
+WITH ta AS (SELECT * FROM (
+{_oracle_tfidf(_zipf_src_cte(), "zsrc", ZIPF_MAX_DF_FRAC)}
+) x), tb AS (SELECT * FROM (
+{_oracle_bm25()}
+) y), fused AS (
+  SELECT COALESCE(a.query_id, b.query_id) AS query_id,
+         COALESCE(a.doc_id, b.doc_id) AS doc_id,
+         {t('a.rank')} + {t('b.rank')} AS _rrf
+  FROM ta a FULL OUTER JOIN tb b
+    ON a.query_id = b.query_id AND a.doc_id = b.doc_id
+), ranked AS (
+  SELECT query_id, doc_id, _rrf,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY _rrf DESC, doc_id) AS rank
+  FROM fused
+)
+SELECT query_id, doc_id, ROUND(_rrf, 6) AS rrf, rank
+FROM ranked WHERE rank <= {TFIDF_TOP_K}
+"""
+
+
 ORACLE = {
     "sim_tfidf_topk": _oracle_tfidf("", "documents", TFIDF_MAX_DF_FRAC),
     "sim_tfidf_zipf_topk": _oracle_tfidf(_zipf_src_cte(), "zsrc",
                                          ZIPF_MAX_DF_FRAC),
     "sim_bm25_topk": _oracle_bm25(),
+    "sim_rrf_hybrid": _oracle_rrf(),
 }

@@ -11,3 +11,4 @@ from .windowed import (  # noqa: F401
     streaming_prices_with_tweets,
     union_form_prices_with_tweets,
 )
+from .heavy_hitters import streaming_heavy_hitters  # noqa: F401
