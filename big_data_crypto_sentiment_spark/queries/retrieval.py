@@ -253,20 +253,21 @@ def q_sim_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sampling import _hash_bucket
     d = zipf_planted_docs(
         rebalance_scan(table(spark, sf_dir, "documents")).select("doc_id"))
-    idf, _ = tfidf_idf_table(d, max_df_frac=ZIPF_MAX_DF_FRAC)
-    # avgdl: exact integer token total / doc count (both engines compute
-    # the same BIGINT÷BIGINT double) — a 2-value driver scalar
-    tot = d.select(F.sum(F.size(F.split("text", " "))).alias("s"),
-                   F.count("*").alias("n")).first()
-    # float() FIRST to mirror DuckDB's CAST(SUM AS DOUBLE)/n (round the
-    # sum to double, then divide) — Python's int/int is correctly
-    # rounded from the exact rational and diverges past 2^53 tokens
-    avgdl = float(tot.s) / tot.n
-
     key = (spark.sparkContext.applicationId, "sim_bm25_topk", sf_dir)
     if key in _WTS_CACHE:
         postings = _WTS_CACHE[key]
     else:
+        # idf + avgdl only feed the cached postings — computing them on
+        # a cache hit (e.g. the rrf_hybrid re-entry) would re-run three
+        # full corpus actions whose results are discarded
+        idf, _ = tfidf_idf_table(d, max_df_frac=ZIPF_MAX_DF_FRAC)
+        # avgdl: exact integer token total / doc count. float() FIRST
+        # to mirror DuckDB's CAST(SUM AS DOUBLE)/n (round the sum to
+        # double, then divide) — Python's int/int is correctly rounded
+        # from the exact rational and diverges past 2^53 tokens
+        tot = d.select(F.sum(F.size(F.split("text", " "))).alias("s"),
+                       F.count("*").alias("n")).first()
+        avgdl = float(tot.s) / tot.n
         postings = bm25_postings(d, idf, avgdl).persist()
         _WTS_CACHE[key] = postings
     # postings are already unique per (doc, term) — no distinct needed

@@ -350,11 +350,12 @@ WITH docs0 AS (
 ), diff AS (
   SELECT b, {lp('ct', 'tt')} - {lp('cr', 'tr')} AS d8
   FROM cnt CROSS JOIN tot
-), zero AS (
-  SELECT {lp('0', 'tt')} - {lp('0', 'tr')} AS d8 FROM tot
 ), lw AS (
-  SELECT f.doc_id, CAST(SUM(COALESCE(d.d8, z.d8)) AS BIGINT) AS logw8
-  FROM feats f LEFT JOIN diff d USING (b) CROSS JOIN zero z
+  -- inner join: every bucket of a scored doc appeared in feats, hence
+  -- in cnt/diff (the Spark side's all-B map covers unseen buckets for
+  -- generality; here they cannot occur)
+  SELECT f.doc_id, CAST(SUM(d.d8) AS BIGINT) AS logw8
+  FROM feats f JOIN diff d USING (b)
   WHERE {_HB_100.replace('doc_id', 'f.doc_id')} >= {DSIR_TGT_PCT}
   GROUP BY f.doc_id
 ), scored AS (

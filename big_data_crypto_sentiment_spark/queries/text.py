@@ -265,9 +265,12 @@ RK_MOD = 1_000_000_007
 
 
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
-    norm = F.lower(F.regexp_replace(F.coalesce(F.col("text"), F.lit("")),
-                                    r"\s+", " "))
+    # NULL-text docs are DROPPED (unigram_score convention): coalescing
+    # to '' would hand every NULL doc the empty-string fingerprint and
+    # spuriously merge them with empty docs in dedup/shard routing
+    d = table(spark, sf_dir, "documents") \
+        .filter(F.col("text").isNotNull())
+    norm = F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
     wints = F.transform(
         F.split(norm, " "),
         lambda w: F.conv(F.substring(F.md5(w), 1, 7), 16, 10)
@@ -530,9 +533,8 @@ ORACLE = {
     "text_fingerprint": f"""
 WITH n AS (
   SELECT doc_id,
-         lower(regexp_replace(COALESCE(text, ''), '\\s+', ' ', 'g'))
-           AS norm
-  FROM documents
+         lower(regexp_replace(text, '\\s+', ' ', 'g')) AS norm
+  FROM documents WHERE text IS NOT NULL
 ), h AS (
   SELECT doc_id, norm,
          list_transform(string_split(norm, ' '),

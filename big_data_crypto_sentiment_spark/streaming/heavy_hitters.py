@@ -81,10 +81,15 @@ def make_hh_fn(capacity: int = MG_CAPACITY):
             n += len(pdf)
         state.update((list(summary.keys()),
                       [int(v) for v in summary.values()], n))
+        # an empty summary (decrement wiped all counters) still emits a
+        # NULL-key sentinel so readers see the updated n_shard — else
+        # the n/(C+1) error bound they form goes stale for this shard
+        keys_out = list(summary.keys()) or [None]
+        counts_out = [int(v) for v in summary.values()] or [0]
         yield pd.DataFrame({
             "shard": shard,
-            "key": list(summary.keys()),
-            "est_count": [int(v) for v in summary.values()],
+            "key": keys_out,
+            "est_count": counts_out,
             "n_shard": n,
         })
     return fn

@@ -91,3 +91,26 @@ def test_span_dup_stage_drops_planted_boilerplate(spark, tmp_path):
                ann.filter(F.col("span_dup") == 1).collect()}
     assert dropped == {0, 1, 2}
     assert SPAN_GRAM <= 30
+
+
+def test_exact_dup_representative_survives_span_stage(spark, tmp_path):
+    """Stage 2 keeps one representative of each exact-duplicate group;
+    the span stage must NOT then flag that representative (it would see
+    all its grams duplicated by its own dropped copies)."""
+    text = " ".join(f"t{i}" for i in range(30))
+    rows = ([(0, text, "en", "src0"), (1, text, "en", "src0")]  # exact dups
+            + [(i, " ".join(f"q{i}_{j}" for j in range(30)), "en", "src0")
+               for i in range(2, 40)])
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+    df = df.withColumn("n_chars", F.length("text"))
+    sf_dir = str(tmp_path / "mini2")
+    df.write.parquet(f"{sf_dir}/documents.parquet")
+
+    ann = curate(spark, sf_dir)
+    rep = ann.filter(F.col("doc_id") == 0).first()
+    assert rep.dedup_keep == 1
+    assert rep.span_dup == 0     # the r6 review finding: was 1
+    # (other stages — quality/LM — may still drop word-soup docs; only
+    # the dedup/span interplay is under test here)
+    dropped_copy = ann.filter(F.col("doc_id") == 1).first()
+    assert dropped_copy.dedup_keep == 0 and dropped_copy.keep == 0

@@ -54,14 +54,16 @@ def test_streaming_heavy_hitters_across_batches(spark, tmp_path):
             "SELECT shard, key, est_count, n_shard FROM hh").collect()
     finally:
         q.stop()
-    last = {}
-    for r in rows:
-        last[(r.shard, r.key)] = r
-    est = {}
+    # final emission per shard = rows carrying that shard's max n_shard
+    # (monotone per shard) — robust to the memory sink's row order,
+    # which is not contractual
     n_by_shard = {}
-    for (shard, key), r in last.items():
-        est[key] = est.get(key, 0) + r.est_count
-        n_by_shard[shard] = max(n_by_shard.get(shard, 0), r.n_shard)
+    for r in rows:
+        n_by_shard[r.shard] = max(n_by_shard.get(r.shard, 0), r.n_shard)
+    est = {}
+    for r in rows:
+        if r.n_shard == n_by_shard[r.shard] and r.key is not None:
+            est[r.key] = est.get(r.key, 0) + r.est_count
     n = sum(n_by_shard.values())
     assert n == 200
     exact = Counter([k for (k,) in rows1 + rows2])
