@@ -150,6 +150,8 @@ DEFERRALS: dict[str, dict] = {
                                   extra="3-SF check.py + per-round sf0.001 auto-verify"),
     "sim_rrf_hybrid":     dict(since=6, family="retrieval family via sim_tfidf_zipf_topk (pure composition of two checked rankers)",
                                extra="3-SF check.py + per-round sf0.001 auto-verify"),
+    "pivot_user_events":  dict(since=6, family="wide-reshape family via unpivot_order_measures (its inverse) in-window",
+                               extra="3-SF check.py + per-round sf0.001 auto-verify"),
 }
 
 _DEFER_FROM_WINDOW = tuple(DEFERRALS)

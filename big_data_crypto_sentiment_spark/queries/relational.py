@@ -248,6 +248,26 @@ def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                       ["text", "lang", "source", "n_chars"])
 
 
+# --- long→wide pivot (unpivot_order_measures' inverse): per-user
+#     event-type count matrix via df.pivot with EXPLICIT values — the
+#     explicit list keeps it ONE pass (values=None adds a distinct-scan
+#     job first) and compiles to the same partial-combinable
+#     conditional aggregate as the SQL twin; unbounded pivot keys
+#     don't belong in a wide schema at scale anyway. ---
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_pivot_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    wide = (ev.groupBy("user_id")
+              .pivot("event_type", list(EVENT_TYPES))
+              .count())
+    return wide.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}")
+          for t in EVENT_TYPES])  # O(users): unsorted
+
+
 # --- CDC upsert / snapshot merge (table_diff's complement): apply a
 #     change batch (updates + tombstone deletes) onto a base snapshot,
 #     keeping the latest version per key. Spark-first shape: ONE
@@ -446,6 +466,7 @@ QUERIES = {
     "ks_drift_events": q_ks_drift_events,
     "table_diff": q_table_diff,
     "upsert_latest": q_upsert_latest,
+    "pivot_user_events": q_pivot_user_events,
     "pricing_summary": q_pricing_summary,
     "filter_time_range": q_filter_time_range,
     "orders_by_nation": q_orders_by_nation,
@@ -752,3 +773,13 @@ SELECT event_id, ts, user_id, event_type, value FROM m WHERE op = 'u'
 
 
 ORACLE["upsert_latest"] = _upsert_sql()
+
+
+ORACLE["pivot_user_events"] = f"""
+SELECT user_id,
+       {", ".join(
+           f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) "
+           f"AS BIGINT) AS n_{t}" for t in EVENT_TYPES)}
+FROM events WHERE user_id IS NOT NULL
+GROUP BY user_id
+"""
