@@ -112,6 +112,21 @@ def _weights(docs: DataFrame, idf: dict[str, int], id_col: str,
 # the session lifetime. Bounded: one entry per registered query config.
 _WTS_CACHE: dict[tuple, DataFrame] = {}
 
+# The idf dict is itself three corpus actions (count + df agg collect);
+# rebuilding it when the postings/weights cache will hit anyway (rrf
+# re-entry, repeat bench/check invocations) wastes full scans. Keyed
+# like _WTS_CACHE; bounded by registered configs.
+_IDF_CACHE: dict[tuple, dict[str, int]] = {}
+
+
+def _cached_idf(docs: DataFrame, entry: str, sf_dir: str,
+                max_df_frac: float) -> dict[str, int]:
+    key = (docs.sparkSession.sparkContext.applicationId, entry, sf_dir)
+    if key not in _IDF_CACHE:
+        _IDF_CACHE[key] = tfidf_idf_table(docs,
+                                          max_df_frac=max_df_frac)[0]
+    return _IDF_CACHE[key]
+
 
 def tfidf_topk(docs: DataFrame, idf: dict[str, int],
                query_pred, k: int = TFIDF_TOP_K,
@@ -171,7 +186,7 @@ def q_sim_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sampling import _hash_bucket
     d = rebalance_scan(table(spark, sf_dir, "documents")) \
         .select("doc_id", "text")
-    idf, _ = tfidf_idf_table(d)
+    idf = _cached_idf(d, "sim_tfidf_topk", sf_dir, TFIDF_MAX_DF_FRAC)
     return tfidf_topk(
         d, idf, lambda c: _hash_bucket(c, 100) < TFIDF_QUERY_PCT,
         cache_key=("sim_tfidf_topk", sf_dir))
@@ -203,7 +218,8 @@ def q_sim_tfidf_zipf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sampling import _hash_bucket
     d = zipf_planted_docs(
         rebalance_scan(table(spark, sf_dir, "documents")).select("doc_id"))
-    idf, _ = tfidf_idf_table(d, max_df_frac=ZIPF_MAX_DF_FRAC)
+    idf = _cached_idf(d, "sim_tfidf_zipf_topk", sf_dir,
+                      ZIPF_MAX_DF_FRAC)
     return tfidf_topk(
         d, idf, lambda c: _hash_bucket(c, 100) < TFIDF_QUERY_PCT,
         cache_key=("sim_tfidf_zipf_topk", sf_dir))
@@ -259,8 +275,11 @@ def q_sim_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     else:
         # idf + avgdl only feed the cached postings — computing them on
         # a cache hit (e.g. the rrf_hybrid re-entry) would re-run three
-        # full corpus actions whose results are discarded
-        idf, _ = tfidf_idf_table(d, max_df_frac=ZIPF_MAX_DF_FRAC)
+        # full corpus actions whose results are discarded. Same key as
+        # the zipf tfidf entry: identical corpus + max_df → one build
+        # serves both rankers.
+        idf = _cached_idf(d, "sim_tfidf_zipf_topk", sf_dir,
+                          ZIPF_MAX_DF_FRAC)
         # avgdl: exact integer token total / doc count. float() FIRST
         # to mirror DuckDB's CAST(SUM AS DOUBLE)/n (round the sum to
         # double, then divide) — Python's int/int is correctly rounded
