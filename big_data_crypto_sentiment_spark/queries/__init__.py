@@ -132,26 +132,30 @@ DEFERRALS: dict[str, dict] = {
                                extra="3-SF check.py + per-round sf0.001 auto-verify"),
     "source_scorecard":   dict(since=6, family="composes in-window text_signals + dedup_exact disciplines",
                                extra="3-SF check.py + per-round sf0.001 auto-verify"),
-    "dedup_span_stats":   dict(since=6, family="dedup family via dedup_exact/minhash/simhash in-window",
-                               extra="3-SF check.py + per-round sf0.001 auto-verify"),
     "sim_bm25_topk":      dict(since=6, family="retrieval family via sim_tfidf_zipf_topk (same inverted index)",
                                extra="3-SF check.py + per-round sf0.001 auto-verify"),
     "text_fingerprint":   dict(since=6, family="text family via text_signals; md5 path via dedup_exact",
                                extra="3-SF check.py + per-round sf0.001 auto-verify"),
-    "dsir_select":        dict(since=6, family="sampling family via sample_and_split/mixture_downsample; integer-nat LM machinery via unigram_logprob",
-                               extra="3-SF check.py + per-round sf0.001 auto-verify"),
-    "sample_temperature": dict(since=6, family="sampling family via sample_and_split/mixture_downsample (same hash-threshold filter)",
-                               extra="3-SF check.py + per-round sf0.001 auto-verify"),
     "dedup_canonical":    dict(since=6, family="cluster family via dedup_components in-window (same CC core + recursive-CTE oracle)",
                                extra="3-SF check.py + per-round sf0.001 auto-verify"),
-    "upsert_latest":      dict(since=6, family="snapshot family via table_diff in-window; agg family via orders_by_nation",
-                               extra="3-SF check.py + per-round sf0.001 auto-verify"),
-    "embed_prototype_prune": dict(since=6, family="embedding family via sim_topk_cosine in-window (same integer dot/norm discipline)",
-                                  extra="3-SF check.py + per-round sf0.001 auto-verify"),
     "sim_rrf_hybrid":     dict(since=6, family="retrieval family via sim_tfidf_zipf_topk (pure composition of two checked rankers)",
                                extra="3-SF check.py + per-round sf0.001 auto-verify"),
-    "pivot_user_events":  dict(since=6, family="wide-reshape family via unpivot_order_measures (its inverse) in-window",
-                               extra="3-SF check.py + per-round sf0.001 auto-verify"),
+    # late-r6 window rotation: six long-green redundant family reps hand
+    # their driver slots to the NEW operator families (span dedup, DSIR,
+    # temperature sampling, CDC upsert, prototype pruning, pivot) so the
+    # driver hash-checks fresh surface each round
+    "ts_window_calcs":    dict(since=6, family="window-calc family via ts_rollup/ts_lag_sweep_corr/ta_sma_vwap",
+                               extra="driver-green r2-r5; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "text_c4_filter":     dict(since=6, family="rule-filter family via text_signals (same per-row flag plan)",
+                               extra="driver-green r2-r5; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "dedup_simhash":      dict(since=6, family="hash-sketch dedup via dedup_minhash_lsh in-window",
+                               extra="driver-green r2-r5; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "ml_lexicon_sentiment": dict(since=6, family="scoring family via ml_sentiment (same per-row math)",
+                                 extra="driver-green r2-r5; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "unpivot_order_measures": dict(since=6, family="reshape family via pivot_user_events (its exact inverse) in-window",
+                                   extra="driver-green r2-r5; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "mixture_downsample": dict(since=6, family="mixture family via sample_temperature (same hash-threshold filter) in-window",
+                               extra="driver-green r2-r5; 3-SF check.py + per-round sf0.001 auto-verify"),
 }
 
 _DEFER_FROM_WINDOW = tuple(DEFERRALS)
