@@ -140,6 +140,8 @@ DEFERRALS: dict[str, dict] = {
                                extra="3-SF check.py + per-round sf0.001 auto-verify"),
     "sim_rrf_hybrid":     dict(since=6, family="retrieval family via sim_tfidf_zipf_topk (pure composition of two checked rankers)",
                                extra="3-SF check.py + per-round sf0.001 auto-verify"),
+    "split_by_cluster":   dict(since=6, family="cluster family via dedup_components in-window; split family via sample_and_split",
+                               extra="3-SF check.py + per-round sf0.001 auto-verify"),
     # late-r6 window rotation: six long-green redundant family reps hand
     # their driver slots to the NEW operator families (span dedup, DSIR,
     # temperature sampling, CDC upsert, prototype pruning, pivot) so the

@@ -197,9 +197,23 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
               .orderBy("component"))  # bounded: one row per cluster
 
 
+def q_split_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free splitting: assign train/val/test by the NEAR-DUP
+    CLUSTER's hash, not the doc's — near-duplicates never straddle
+    splits (hashing doc_id would put a doc and its near-copy in train
+    and test, leaking eval content into training). Composes the cached
+    cluster assignment with the standard 80/10/10 hash split; pure
+    per-row math after the (shared) clustering."""
+    from .sampling import split_train_val_test
+    cc = _slice_components(spark, sf_dir).select("doc_id", "component")
+    return (split_train_val_test(cc, "component")
+            .select("doc_id", "component", "split"))  # O(slice): unsorted
+
+
 QUERIES = {
     "dedup_components": q_dedup_components,
     "dedup_canonical": q_dedup_canonical,
+    "split_by_cluster": q_split_by_cluster,
 }
 
 # The pair CTE is the dedup_ngram_jaccard oracle verbatim (same slice,
@@ -249,6 +263,13 @@ SELECT doc_id, component,
        COUNT(*) OVER (PARTITION BY component) AS component_size
 FROM cc ORDER BY doc_id
 """,
+    "split_by_cluster": _CC_SQL_PREFIX + """
+SELECT doc_id, component,
+       CASE WHEN {hb} < 80 THEN 'train'
+            WHEN {hb} < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM cc
+""",
     "dedup_canonical": _CC_SQL_PREFIX + """
 , sized AS (
   SELECT c.doc_id, c.component, d.n_chars,
@@ -262,3 +283,12 @@ SELECT component, doc_id AS keep_doc_id, n_chars AS keep_n_chars,
 FROM sized WHERE rn = 1 ORDER BY component
 """,
 }
+
+
+def _finalize_split_sql() -> None:
+    from .sampling import _sql_hash_bucket  # deferred: avoids import cycle
+    ORACLE["split_by_cluster"] = ORACLE["split_by_cluster"].format(
+        hb=_sql_hash_bucket("component", 100))
+
+
+_finalize_split_sql()
