@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from . import (
     approx,
     avro_rt,
+    behavior,
     bpe,
     cleaning,
     components,
@@ -44,7 +45,7 @@ from . import (
 
 _MODULES = (flagship, relational, timeseries, text, dedup, similarity, ml,
             ingestion, ta, media, reshape, approx, avro_rt, components,
-            sampling, packing, cleaning, retrieval, bpe)
+            sampling, packing, cleaning, retrieval, bpe, behavior)
 
 # More oracle-paired queries exist than the driver's fixed 50-entry
 # correctness window can check; the overflow is deliberately deferred to
@@ -158,6 +159,14 @@ DEFERRALS: dict[str, dict] = {
                                    extra="driver-green r2-r5; 3-SF check.py + per-round sf0.001 auto-verify"),
     "mixture_downsample": dict(since=6, family="mixture family via sample_temperature (same hash-threshold filter) in-window",
                                extra="driver-green r2-r5; 3-SF check.py + per-round sf0.001 auto-verify"),
+    # born-deferred: behavioral-analytics trio (funnel / cohorts /
+    # transitions) — window + agg families all represented in-window
+    "funnel_conversion":  dict(since=6, family="conditional-agg family via left_join_fillna's plan shape; window family via ts_window_calcs",
+                               extra="3-SF check.py + per-round sf0.001 auto-verify"),
+    "cohort_retention":   dict(since=6, family="two-level agg family via top_users/key_skew_profile",
+                               extra="3-SF check.py + per-round sf0.001 auto-verify"),
+    "event_transitions":  dict(since=6, family="lag-window family via ts_window_calcs/ts_sessionize",
+                               extra="3-SF check.py + per-round sf0.001 auto-verify"),
 }
 
 _DEFER_FROM_WINDOW = tuple(DEFERRALS)

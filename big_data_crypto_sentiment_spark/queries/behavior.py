@@ -1,0 +1,157 @@
+"""Behavioral analytics over the events stream: funnel conversion,
+cohort retention, and the event-type transition matrix — the standard
+product-analytics trio a warehouse team runs daily, each expressed as
+one or two partial-combinable aggregations (no self-joins, no
+driver-side loops) with an exact DuckDB oracle twin.
+
+Spark-first shapes:
+  * funnel_conversion — ordered-step funnel (click → purchase strictly
+    after it) as ONE conditional agg per user: min(click ts) and
+    min(purchase ts > first click) come from the same shuffle via a
+    two-pass-free min(CASE) trick — the second step's bound is the
+    user's first click, obtained from a per-user window in the same
+    plan (no join of two aggregates).
+  * cohort_retention — cohort = first-seen day; per (cohort_day,
+    day_offset) distinct-user counts. Two hash aggs: first-seen per
+    user (combinable min), then the (cohort, offset) rollup joined by
+    broadcast of nothing — the cohort rides the row via a window-free
+    groupBy-join on user_id (the only shuffle is keyed by user).
+  * event_transitions — per-user lag(event_type) over ts, then a
+    global (prev, cur) count: the Markov transition counts a sessions
+    team reads. One per-user window pass + one tiny agg.
+
+Timestamp math parity: day bucketing uses to_date / DATE_TRUNC on both
+engines; offsets are exact integer day differences.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ._util import table
+
+FUNNEL_FIRST = "click"
+FUNNEL_SECOND = "purchase"
+
+
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, first_click_ts, first_purchase_ts, converted,
+    latency_s) for every user with >= 1 click; purchase must be
+    STRICTLY after the first click (ordered-step semantics, not mere
+    co-occurrence)."""
+    ev = (table(spark, sf_dir, "events")
+          .filter(F.col("user_id").isNotNull())
+          .select("user_id", "ts", "event_type"))
+    w = Window.partitionBy("user_id")
+    first_click = F.min(F.when(F.col("event_type") == FUNNEL_FIRST,
+                               F.col("ts"))).over(w)
+    with_fc = ev.withColumn("_fc", first_click).filter(
+        F.col("_fc").isNotNull())
+    agg = (with_fc.groupBy("user_id", "_fc")
+           .agg(F.min(F.when((F.col("event_type") == FUNNEL_SECOND)
+                             & (F.col("ts") > F.col("_fc")),
+                             F.col("ts"))).alias("first_purchase_ts")))
+    return agg.select(
+        "user_id",
+        F.col("_fc").alias("first_click_ts"),
+        "first_purchase_ts",
+        F.col("first_purchase_ts").isNotNull().cast("int")
+         .alias("converted"),
+        (F.unix_micros("first_purchase_ts") - F.unix_micros("_fc"))
+        .cast("double").alias("latency_us"),
+    )  # O(users with a click): unsorted
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cohort_day, day_offset, n_users): distinct users from each
+    first-seen-day cohort active again `day_offset` days later. The
+    classic retention triangle."""
+    ev = (table(spark, sf_dir, "events")
+          .filter(F.col("user_id").isNotNull())
+          .select("user_id", F.to_date("ts").alias("day")))
+    first_seen = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (ev.join(first_seen, "user_id")
+              .select("user_id", "cohort_day",
+                      F.datediff("day", "cohort_day").alias("day_offset"))
+              .groupBy("cohort_day", "day_offset")
+              .agg(F.count_distinct("user_id").alias("n_users"))
+              # ISO string: DATE columns round-trip as datetime64 in one
+              # engine's pandas and date objects in the other's
+              .select(F.col("cohort_day").cast("string")
+                       .alias("cohort_day"), "day_offset", "n_users")
+              .orderBy("cohort_day", "day_offset"))  # bounded: days²
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(prev_type, cur_type, n): Markov transition counts over each
+    user's time-ordered event sequence (ties broken by event_id so the
+    sequence is total-ordered and engine-independent)."""
+    ev = (table(spark, sf_dir, "events")
+          .filter(F.col("user_id").isNotNull())
+          .select("user_id", "ts", "event_id", "event_type"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (ev.withColumn("prev_type", F.lag("event_type").over(w))
+              .filter(F.col("prev_type").isNotNull())
+              .groupBy("prev_type", F.col("event_type").alias("cur_type"))
+              .agg(F.count("*").alias("n"))
+              .orderBy("prev_type", "cur_type"))  # bounded: types²
+
+
+QUERIES = {
+    "funnel_conversion": q_funnel_conversion,
+    "cohort_retention": q_cohort_retention,
+    "event_transitions": q_event_transitions,
+}
+
+ORACLE = {
+    "funnel_conversion": f"""
+WITH ev AS (
+  SELECT user_id, ts, event_type FROM events WHERE user_id IS NOT NULL
+), fc AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = '{FUNNEL_FIRST}' THEN ts END)
+           AS first_click_ts
+  FROM ev GROUP BY user_id
+), agg AS (
+  SELECT e.user_id, f.first_click_ts,
+         MIN(CASE WHEN e.event_type = '{FUNNEL_SECOND}'
+                   AND e.ts > f.first_click_ts THEN e.ts END)
+           AS first_purchase_ts
+  FROM ev e JOIN fc f ON e.user_id = f.user_id
+  WHERE f.first_click_ts IS NOT NULL
+  GROUP BY e.user_id, f.first_click_ts
+)
+SELECT user_id, first_click_ts, first_purchase_ts,
+       CAST(first_purchase_ts IS NOT NULL AS INT) AS converted,
+       CAST(epoch_us(first_purchase_ts) - epoch_us(first_click_ts)
+            AS DOUBLE) AS latency_us
+FROM agg
+""",
+    "cohort_retention": """
+WITH ev AS (
+  SELECT user_id, CAST(ts AS DATE) AS day FROM events
+  WHERE user_id IS NOT NULL
+), fs AS (
+  SELECT user_id, MIN(day) AS cohort_day FROM ev GROUP BY user_id
+)
+SELECT CAST(f.cohort_day AS VARCHAR) AS cohort_day,
+       CAST(e.day - f.cohort_day AS INT) AS day_offset,
+       COUNT(DISTINCT e.user_id) AS n_users
+FROM ev e JOIN fs f ON e.user_id = f.user_id
+GROUP BY f.cohort_day, day_offset
+ORDER BY cohort_day, day_offset
+""",
+    "event_transitions": """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events WHERE user_id IS NOT NULL
+)
+SELECT prev_type, event_type AS cur_type, COUNT(*) AS n
+FROM seq WHERE prev_type IS NOT NULL
+GROUP BY prev_type, cur_type
+ORDER BY prev_type, cur_type
+""",
+}
