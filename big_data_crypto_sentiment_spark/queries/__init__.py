@@ -167,6 +167,8 @@ DEFERRALS: dict[str, dict] = {
                                extra="3-SF check.py + per-round sf0.001 auto-verify"),
     "event_transitions":  dict(since=6, family="lag-window family via ts_window_calcs/ts_sessionize",
                                extra="3-SF check.py + per-round sf0.001 auto-verify"),
+    "rollup_merge_incremental": dict(since=6, family="rollup family via ts_rollup; decimal-exact agg via pricing_summary",
+                                     extra="3-SF check.py + per-round sf0.001 auto-verify; hash equality proves merge == recompute"),
 }
 
 _DEFER_FROM_WINDOW = tuple(DEFERRALS)

@@ -98,13 +98,61 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
               .orderBy("prev_type", "cur_type"))  # bounded: types²
 
 
+# --- incremental rollup maintenance (the materialized-view refresh
+#     discipline): merge yesterday's stored daily rollup with today's
+#     delta partition instead of recomputing history. Correct exactly
+#     when every measure is a MERGEABLE PARTIAL (sums/counts add;
+#     min/max combine; the HLL family in approx.py merges) — the query
+#     computes base-rollup ∪ delta-rollup → one merge agg, while the
+#     DuckDB twin recomputes the rollup from scratch over all events:
+#     the driver's hash equality IS the merge ≡ recompute proof. Value
+#     sums ride the repo's exact decimal(27,6) convention so merge
+#     order cannot perturb the double. ---
+ROLLUP_SPLIT_DAY = "2024-01-15"
+
+
+def _day_rollup(ev: DataFrame) -> DataFrame:
+    return (ev.groupBy(F.to_date("ts").cast("string").alias("day"),
+                       "event_type")
+              .agg(F.count("*").alias("n"),
+                   F.sum(F.col("value").cast("decimal(27,6)"))
+                    .alias("_sv")))
+
+
+def q_rollup_merge_incremental(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("ts", "event_type", "value")
+    base = _day_rollup(ev.filter(F.to_date("ts")
+                                 < F.lit(ROLLUP_SPLIT_DAY).cast("date")))
+    delta = _day_rollup(ev.filter(F.to_date("ts")
+                                  >= F.lit(ROLLUP_SPLIT_DAY).cast("date")))
+    return (base.unionByName(delta)
+            .groupBy("day", "event_type")
+            .agg(F.sum("n").alias("n"),
+                 F.sum("_sv").cast("double").alias("sum_value"))
+            .orderBy("day", "event_type"))  # bounded: days × types
+
+
 QUERIES = {
     "funnel_conversion": q_funnel_conversion,
     "cohort_retention": q_cohort_retention,
     "event_transitions": q_event_transitions,
+    "rollup_merge_incremental": q_rollup_merge_incremental,
 }
 
+def _oracle_rollup() -> str:
+    from ._util import sql_dsum
+    return f"""
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
+       COUNT(*) AS n, {sql_dsum('value')} AS sum_value
+FROM events
+GROUP BY day, event_type
+ORDER BY day, event_type
+"""
+
+
 ORACLE = {
+    "rollup_merge_incremental": _oracle_rollup(),
     "funnel_conversion": f"""
 WITH ev AS (
   SELECT user_id, ts, event_type FROM events WHERE user_id IS NOT NULL
