@@ -60,13 +60,13 @@ _MODULES = (flagship, relational, timeseries, text, dedup, similarity, ml,
 DEFERRALS: dict[str, dict] = {
     "src_avro_roundtrip": dict(since=3, family="source family via src_tweets_normalize",
                                extra="real-Avro-bytes pytest roundtrip (test_sources.py)"),
-    "log_return":         dict(since=3, family="same window math in-window via ts_window_calcs",
+    "log_return":         dict(since=3, family="window-math family via ts_rollup/ts_lag_sweep_corr in-window",
                                extra="driver-green r2-r3"),
     "binned_features":    dict(since=3, family="reshape family via group_collect_training",
                                extra="driver-green r2-r3"),
     "ts_corr":            dict(since=3, family="k=0 slice of in-window ts_lag_sweep_corr",
                                extra="driver-green r2-r3"),
-    "sample_stratified":  dict(since=3, family="sampling family via sample_and_split/mixture_downsample",
+    "sample_stratified":  dict(since=3, family="sampling family via sample_and_split/sample_temperature in-window",
                                extra="quota property tests (test_sampling.py)"),
     "text_dup_rate":      dict(since=4, family="dup family via dedup_exact's hash-agg",
                                extra="driver-green r2-r4"),
@@ -85,7 +85,7 @@ DEFERRALS: dict[str, dict] = {
                                       "hash-checked non-empty there by tools/check.py"),
     "tokens_to_ids":      dict(since=4, family="packing family via chunk_overlap/pack_sequences",
                                extra="hash-checked at 3 SFs"),
-    "retention_after_deletes": dict(since=4, family="join family via left_join_fillna",
+    "retention_after_deletes": dict(since=4, family="anti-join family via orders_by_nation's broadcast-dim shape in-window",
                                     extra="hash-checked at 3 SFs"),
     "ta_ema_rsi_macd":    dict(since=4, family="TA family via ta_sma_vwap",
                                extra="recurrence pinned in pytest"),
@@ -99,9 +99,9 @@ DEFERRALS: dict[str, dict] = {
                                extra="driver-green r2-r5"),
     "text_top_duplicated": dict(since=5, family="dup family via dedup_exact",
                                 extra="driver-green r2-r5"),
-    "text_rlike_filter":  dict(since=5, family="regex surface via text_signals/text_c4_filter",
+    "text_rlike_filter":  dict(since=5, family="regex surface via text_signals in-window",
                                extra="driver-green r2-r5"),
-    "ts_trailing_hour":   dict(since=5, family="six other timeseries members in-window",
+    "ts_trailing_hour":   dict(since=5, family="five other timeseries members in-window (sessionize/rollup/resample_ffill/lag_sweep/spearman)",
                                extra="driver-green r2-r5"),
     "top_users":          dict(since=5, family="bounded-top-k plan shape via vocab_top_terms",
                                extra="driver-green r2-r5"),
@@ -118,7 +118,7 @@ DEFERRALS: dict[str, dict] = {
     # r6: three long-green redundant family reps hand their slots to the
     # NEW operator families (winsorize_events, ctfidf_source_terms,
     # js_divergence_sources) so the driver hash-checks fresh surface
-    "text_features":      dict(since=6, family="text family via text_signals/text_c4_filter/vocab_top_terms",
+    "text_features":      dict(since=6, family="text family via text_signals/vocab_top_terms in-window",
                                extra="driver-green r2-r5"),
     "json_props":         dict(since=6, family="JSON parse path via src_tweets_normalize",
                                extra="driver-green r2-r5"),
@@ -161,11 +161,11 @@ DEFERRALS: dict[str, dict] = {
                                extra="driver-green r2-r5; 3-SF check.py + per-round sf0.001 auto-verify"),
     # born-deferred: behavioral-analytics trio (funnel / cohorts /
     # transitions) — window + agg families all represented in-window
-    "funnel_conversion":  dict(since=6, family="conditional-agg family via left_join_fillna's plan shape; window family via ts_window_calcs",
+    "funnel_conversion":  dict(since=6, family="conditional-agg + window families via key_skew_profile/ts_sessionize in-window",
                                extra="3-SF check.py + per-round sf0.001 auto-verify"),
-    "cohort_retention":   dict(since=6, family="two-level agg family via top_users/key_skew_profile",
+    "cohort_retention":   dict(since=6, family="two-level agg family via key_skew_profile in-window",
                                extra="3-SF check.py + per-round sf0.001 auto-verify"),
-    "event_transitions":  dict(since=6, family="lag-window family via ts_window_calcs/ts_sessionize",
+    "event_transitions":  dict(since=6, family="lag-window family via ts_sessionize (same per-key ordered window) in-window",
                                extra="3-SF check.py + per-round sf0.001 auto-verify"),
     "rollup_merge_incremental": dict(since=6, family="rollup family via ts_rollup; decimal-exact agg via pricing_summary",
                                      extra="3-SF check.py + per-round sf0.001 auto-verify; hash equality proves merge == recompute"),

@@ -37,7 +37,7 @@ FUNNEL_SECOND = "purchase"
 
 def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(user_id, first_click_ts, first_purchase_ts, converted,
-    latency_s) for every user with >= 1 click; purchase must be
+    latency_us) for every user with >= 1 click; purchase must be
     STRICTLY after the first click (ordered-step semantics, not mere
     co-occurrence)."""
     ev = (table(spark, sf_dir, "events")
@@ -87,8 +87,11 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(prev_type, cur_type, n): Markov transition counts over each
     user's time-ordered event sequence (ties broken by event_id so the
     sequence is total-ordered and engine-independent)."""
+    # NULL ts would sort NULLS FIRST here but NULLS LAST in the DuckDB
+    # twin's LAG ordering — excluded on both engines
     ev = (table(spark, sf_dir, "events")
-          .filter(F.col("user_id").isNotNull())
+          .filter(F.col("user_id").isNotNull()
+                  & F.col("ts").isNotNull())
           .select("user_id", "ts", "event_id", "event_type"))
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return (ev.withColumn("prev_type", F.lag("event_type").over(w))
@@ -121,7 +124,12 @@ def _day_rollup(ev: DataFrame) -> DataFrame:
 
 def q_rollup_merge_incremental(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events").select("ts", "event_type", "value")
+    # NULL-ts rows are unpartitionable by day — dropped explicitly on
+    # BOTH engines, else base/delta lose them while a from-scratch
+    # rollup emits a NULL-day group and merge != recompute
+    ev = (table(spark, sf_dir, "events")
+          .filter(F.col("ts").isNotNull())
+          .select("ts", "event_type", "value"))
     base = _day_rollup(ev.filter(F.to_date("ts")
                                  < F.lit(ROLLUP_SPLIT_DAY).cast("date")))
     delta = _day_rollup(ev.filter(F.to_date("ts")
@@ -145,7 +153,7 @@ def _oracle_rollup() -> str:
     return f"""
 SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
        COUNT(*) AS n, {sql_dsum('value')} AS sum_value
-FROM events
+FROM events WHERE ts IS NOT NULL
 GROUP BY day, event_type
 ORDER BY day, event_type
 """
@@ -195,7 +203,7 @@ WITH seq AS (
   SELECT user_id, event_type,
          LAG(event_type) OVER (PARTITION BY user_id
                                ORDER BY ts, event_id) AS prev_type
-  FROM events WHERE user_id IS NOT NULL
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
 )
 SELECT prev_type, event_type AS cur_type, COUNT(*) AS n
 FROM seq WHERE prev_type IS NOT NULL

@@ -265,8 +265,8 @@ FROM cc ORDER BY doc_id
 """,
     "split_by_cluster": _CC_SQL_PREFIX + """
 SELECT doc_id, component,
-       CASE WHEN {hb} < 80 THEN 'train'
-            WHEN {hb} < 90 THEN 'val'
+       CASE WHEN {hb} < {b0} THEN 'train'
+            WHEN {hb} < {b1} THEN 'val'
             ELSE 'test' END AS split
 FROM cc
 """,
@@ -286,9 +286,12 @@ FROM sized WHERE rn = 1 ORDER BY component
 
 
 def _finalize_split_sql() -> None:
-    from .sampling import _sql_hash_bucket  # deferred: avoids import cycle
+    # deferred imports: avoids import cycle; SPLIT_BUCKETS interpolated
+    # (not hardcoded) so tuning it cannot silently desync the twin
+    from .sampling import SPLIT_BUCKETS, _sql_hash_bucket
     ORACLE["split_by_cluster"] = ORACLE["split_by_cluster"].format(
-        hb=_sql_hash_bucket("component", 100))
+        hb=_sql_hash_bucket("component", 100),
+        b0=SPLIT_BUCKETS[0], b1=SPLIT_BUCKETS[1])
 
 
 _finalize_split_sql()

@@ -121,7 +121,10 @@ _IDF_CACHE: dict[tuple, dict[str, int]] = {}
 
 def _cached_idf(docs: DataFrame, entry: str, sf_dir: str,
                 max_df_frac: float) -> dict[str, int]:
-    key = (docs.sparkSession.sparkContext.applicationId, entry, sf_dir)
+    # max_df_frac IS part of the key: a same-entry call with a
+    # different frac must rebuild, not silently reuse a stale vocab
+    key = (docs.sparkSession.sparkContext.applicationId, entry, sf_dir,
+           max_df_frac)
     if key not in _IDF_CACHE:
         _IDF_CACHE[key] = tfidf_idf_table(docs,
                                           max_df_frac=max_df_frac)[0]
