@@ -169,6 +169,8 @@ DEFERRALS: dict[str, dict] = {
                                extra="3-SF check.py + per-round sf0.001 auto-verify"),
     "rollup_merge_incremental": dict(since=6, family="rollup family via ts_rollup; decimal-exact agg via pricing_summary",
                                      extra="3-SF check.py + per-round sf0.001 auto-verify; hash equality proves merge == recompute"),
+    "sample_weighted_ak": dict(since=6, family="sampling family via sample_and_split/sample_temperature in-window; bounded top-k via top_users' plan shape",
+                               extra="3-SF check.py + per-round sf0.001 auto-verify"),
 }
 
 _DEFER_FROM_WINDOW = tuple(DEFERRALS)

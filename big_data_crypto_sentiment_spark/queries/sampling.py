@@ -204,6 +204,31 @@ def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select("doc_id", "source", "lang"))  # O(sample): unsorted
 
 
+# --- weighted sampling WITHOUT replacement (Efraimidis–Spirakis 2006
+#     "A-ES": each row draws key = ln(u)/w with u ~ Uniform(0,1); the
+#     k largest keys are an exact weight-proportional sample without
+#     replacement). Derandomized via the portable doc_id hash (the DSIR
+#     Gumbel precedent: same 2^20 grid, identical ln expression on both
+#     engines), so the drawn sample is reproducible and engine-equal.
+#     ONE zero-shuffle per-row key computation + a bounded global top-k
+#     (TakeOrderedAndProject) — the scale shape for "sample k docs
+#     ∝ length" without a full sort or any per-stratum state. ---
+AES_K = 100
+
+
+def q_sample_weighted_ak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents") \
+        .filter(F.col("n_chars") > 0)
+    u = ((_hash_bucket(F.col("doc_id"), 1 << 20).cast("double")
+          + F.lit(0.5)) / F.lit(float(1 << 20)))
+    key = F.log(u) / F.col("n_chars")
+    return (d.select("doc_id", "source", "n_chars",
+                     key.alias("_k"))
+             .orderBy(F.desc("_k"), "doc_id").limit(AES_K)
+             .select("doc_id", "source", "n_chars",
+                     F.round("_k", 8).alias("es_key")))  # bounded top-k
+
+
 # --- DSIR importance resampling (Xie et al. 2023, "Data Selection for
 #     Language Models via Importance Resampling") ---
 # Select raw-corpus docs whose hashed-n-gram distribution looks like a
@@ -313,6 +338,7 @@ QUERIES = {
     "sample_length_weighted": q_sample_length_weighted,
     "mixture_downsample": q_mixture_downsample,
     "sample_temperature": q_sample_temperature,
+    "sample_weighted_ak": q_sample_weighted_ak,
     "dsir_select": q_dsir_select,
 }
 
@@ -369,7 +395,18 @@ FROM scored ORDER BY s DESC, doc_id LIMIT {DSIR_SELECT_K}
 """
 
 
+_HB_GUMBEL = _sql_hash_bucket("doc_id", 1 << 20)
+
 ORACLE = {
+    "sample_weighted_ak": f"""
+WITH keyed AS (
+  SELECT doc_id, source, n_chars,
+         LN(({_HB_GUMBEL} + 0.5) / {float(1 << 20)}) / n_chars AS _k
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, source, n_chars, ROUND(_k, 8) AS es_key
+FROM keyed ORDER BY _k DESC, doc_id LIMIT {AES_K}
+""",
     "sample_temperature": f"""
 WITH counts AS (
   SELECT source, COUNT(*) AS n_s FROM documents GROUP BY 1
