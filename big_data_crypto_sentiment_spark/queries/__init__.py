@@ -171,6 +171,8 @@ DEFERRALS: dict[str, dict] = {
                                      extra="3-SF check.py + per-round sf0.001 auto-verify; hash equality proves merge == recompute"),
     "sample_weighted_ak": dict(since=6, family="sampling family via sample_and_split/sample_temperature in-window; bounded top-k via top_users' plan shape",
                                extra="3-SF check.py + per-round sf0.001 auto-verify"),
+    "ts_seasonal_anomaly": dict(since=6, family="timeseries family via ts_rollup (same exact-decimal hourly baseline) in-window",
+                                extra="3-SF check.py + per-round sf0.001 auto-verify"),
 }
 
 _DEFER_FROM_WINDOW = tuple(DEFERRALS)

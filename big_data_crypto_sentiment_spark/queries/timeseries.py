@@ -241,7 +241,40 @@ def q_ts_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                    - F.unix_timestamp(F.min("ts"))).alias("duration_sec")))
 
 
+# --- seasonal-baseline anomaly detection: the monitoring op a metrics
+#     team runs — fit the hour-of-day mean profile per event_type (the
+#     seasonal-naive baseline), then surface the observations deviating
+#     most from their seasonal slot. Plan shape: one bounded hash agg
+#     (types × 24 rows), profile BROADCAST back, residual per row with
+#     zero extra shuffle, bounded global top-k. Float parity: the
+#     baseline is an exact decimal sum ÷ count (identical double both
+#     engines), the residual a single subtraction, so ranking is
+#     engine-independent; round(6) on output only. ---
+ANOMALY_TOP_K = 20
+
+
+def q_ts_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (table(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull())
+          .select("event_id", "event_type", "value",
+                  F.hour("ts").alias("hr")))
+    base = (ev.groupBy("event_type", "hr")
+              .agg((F.sum(F.col("value").cast("decimal(27,6)"))
+                     .cast("double") / F.count("value"))
+                   .alias("baseline")))
+    resid = F.col("value") - F.col("baseline")
+    return (ev.join(F.broadcast(base), ["event_type", "hr"])
+              .select("event_id", "event_type", "hr", "value",
+                      F.col("baseline").alias("_b"), resid.alias("_r"))
+              .orderBy(F.abs(F.col("_r")).desc(), "event_id")
+              .limit(ANOMALY_TOP_K)
+              .select("event_id", "event_type", "hr", "value",
+                      F.round("_b", 6).alias("baseline"),
+                      F.round("_r", 6).alias("residual")))  # bounded
+
+
 QUERIES = {
+    "ts_seasonal_anomaly": q_ts_seasonal_anomaly,
     "ts_sessionize": q_ts_sessionize,
     "ts_session_stats": q_ts_session_stats,
     "ts_trailing_hour": q_ts_trailing_hour,
@@ -289,6 +322,26 @@ s AS (
 """
 
 ORACLE = {
+    "ts_seasonal_anomaly": f"""
+WITH ev AS (
+  SELECT event_id, event_type, value,
+         EXTRACT(hour FROM ts) AS hr
+  FROM events WHERE value IS NOT NULL
+), base AS (
+  SELECT event_type, hr,
+         (CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE)
+          / COUNT(value)) AS baseline
+  FROM ev GROUP BY event_type, hr
+), joined AS (
+  SELECT e.event_id, e.event_type, e.hr, e.value,
+         b.baseline, e.value - b.baseline AS _r
+  FROM ev e JOIN base b
+    ON e.event_type = b.event_type AND e.hr = b.hr
+)
+SELECT event_id, event_type, CAST(hr AS INT) AS hr, value,
+       ROUND(baseline, 6) AS baseline, ROUND(_r, 6) AS residual
+FROM joined ORDER BY ABS(_r) DESC, event_id LIMIT {ANOMALY_TOP_K}
+""",
     "ts_sessionize": f"""
 WITH {_SQL_SESSIONIZED}
 SELECT event_id, user_id, ts, event_type, session_id FROM sess
