@@ -37,6 +37,7 @@ from . import (
     reshape,
     retrieval,
     sampling,
+    scd,
     similarity,
     ta,
     text,
@@ -45,7 +46,7 @@ from . import (
 
 _MODULES = (flagship, relational, timeseries, text, dedup, similarity, ml,
             ingestion, ta, media, reshape, approx, avro_rt, components,
-            sampling, packing, cleaning, retrieval, bpe, behavior)
+            sampling, packing, cleaning, retrieval, bpe, behavior, scd)
 
 # More oracle-paired queries exist than the driver's fixed 50-entry
 # correctness window can check; the overflow is deliberately deferred to
@@ -173,6 +174,16 @@ DEFERRALS: dict[str, dict] = {
                                extra="3-SF check.py + per-round sf0.001 auto-verify"),
     "ts_seasonal_anomaly": dict(since=6, family="timeseries family via ts_rollup (same exact-decimal hourly baseline) in-window",
                                 extra="3-SF check.py + per-round sf0.001 auto-verify"),
+    # born-deferred late-r6 additions: SCD2 history, histogram
+    # profiling, gap interpolation, training-shard shuffle
+    "scd2_user_state":    dict(since=6, family="lag/lead-window family via ts_sessionize/event_transitions (same per-user ordered window) in-window",
+                               extra="3-SF check.py + per-round sf0.001 auto-verify"),
+    "value_histogram":    dict(since=6, family="profiling family via summary_stats/key_skew_profile; broadcast-stats shape via mad_outlier_events in-window",
+                               extra="3-SF check.py + per-round sf0.001 auto-verify"),
+    "ts_interpolate":     dict(since=6, family="spine family via ts_resample_ffill (same b/spine plan, adds framed neighbor reads) in-window",
+                               extra="3-SF check.py + per-round sf0.001 auto-verify"),
+    "shuffle_shards":     dict(since=6, family="hash-partition family via sample_and_split (same portable md5 bucket) in-window",
+                               extra="3-SF check.py + per-round sf0.001 auto-verify"),
 }
 
 _DEFER_FROM_WINDOW = tuple(DEFERRALS)

@@ -460,7 +460,46 @@ def q_mad_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
               .filter(F.col("mad") > 0))
 
 
+# --- equi-width histogram profiling (the numeric-distribution probe
+#     summary_stats/data_profile stop short of): per event_type, 20
+#     equal-width bins over `value` with explicit bounds. Two hash aggs
+#     and one broadcast: the (min, max) stats frame is tiny (one row per
+#     type), broadcast back onto the scan, then one partial-combinable
+#     (type, bin) count — the corpus shuffles once, keyed by a bounded
+#     composite. Bin math is a single shared IEEE expression tree on
+#     both engines (same ops, same order → bit-identical), with the
+#     max-value row clamped into the last bin and degenerate
+#     (min == max) types collapsed to bin 0. ---
+HIST_BINS = 20
+
+
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (table(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull())
+          .select("event_type", "value"))
+    stats = ev.groupBy("event_type").agg(F.min("value").alias("mn"),
+                                         F.max("value").alias("mx"))
+    span = F.col("mx") - F.col("mn")
+    raw_bin = F.floor((F.col("value") - F.col("mn")) / span
+                      * F.lit(HIST_BINS))
+    bin_ = (F.when(span == 0, F.lit(0).cast("long"))
+             .otherwise(F.least(F.lit(HIST_BINS - 1).cast("long"), raw_bin)))
+    lo = F.col("mn") + F.col("bin").cast("double") * span / F.lit(float(HIST_BINS))
+    hi = (F.col("mn")
+          + (F.col("bin") + F.lit(1)).cast("double") * span / F.lit(float(HIST_BINS)))
+    return (ev.join(F.broadcast(stats), "event_type")
+              .select("event_type", "mn", "mx", bin_.alias("bin"))
+              .groupBy("event_type", "mn", "mx", "bin")
+              .agg(F.count("*").alias("n"))
+              .select("event_type", "bin",
+                      F.round(lo, 6).alias("bin_lo"),
+                      F.round(hi, 6).alias("bin_hi"),
+                      "n")
+              .orderBy("event_type", "bin"))  # bounded: types × bins
+
+
 QUERIES = {
+    "value_histogram": q_value_histogram,
     "winsorize_events": q_winsorize_events,
     "mad_outlier_events": q_mad_outlier_events,
     "ks_drift_events": q_ks_drift_events,
@@ -782,4 +821,34 @@ SELECT user_id,
            f"AS BIGINT) AS n_{t}" for t in EVENT_TYPES)}
 FROM events WHERE user_id IS NOT NULL
 GROUP BY user_id
+"""
+
+
+# bin math written as the SAME expression tree the Spark side builds
+# (((value - mn) / (mx - mn)) * 20, floor, clamp; lo/hi = mn + bin *
+# span / 20.0) so every double op matches bit-for-bit
+ORACLE["value_histogram"] = f"""
+WITH ev AS (
+  SELECT event_type, value FROM events WHERE value IS NOT NULL
+), stats AS (
+  SELECT event_type, MIN(value) AS mn, MAX(value) AS mx
+  FROM ev GROUP BY event_type
+), binned AS (
+  SELECT e.event_type, s.mn, s.mx,
+         CASE WHEN s.mx - s.mn = 0 THEN CAST(0 AS BIGINT)
+              ELSE LEAST(CAST({HIST_BINS - 1} AS BIGINT),
+                         CAST(FLOOR((e.value - s.mn) / (s.mx - s.mn)
+                                    * {HIST_BINS}) AS BIGINT))
+         END AS bin
+  FROM ev e JOIN stats s USING (event_type)
+)
+SELECT event_type, bin,
+       ROUND(mn + CAST(bin AS DOUBLE) * (mx - mn) / {float(HIST_BINS)}, 6)
+         AS bin_lo,
+       ROUND(mn + CAST(bin + 1 AS DOUBLE) * (mx - mn) / {float(HIST_BINS)}, 6)
+         AS bin_hi,
+       COUNT(*) AS n
+FROM binned
+GROUP BY event_type, mn, mx, bin
+ORDER BY event_type, bin
 """

@@ -332,7 +332,37 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_select(d, diff8, is_t)  # bounded: top-k
 
 
+# --- deterministic global training-data shuffle (the write-side step
+#     every pretraining pipeline ends with: emit the final mix in
+#     pseudo-random order WITHOUT a global sort). Each doc gets a
+#     60-bit portable hash; shard = hash mod N_SHARDS, position =
+#     rank of the hash within the shard. The only shuffle is keyed by
+#     shard and each shard sorts locally — at 100 TB you size N_SHARDS
+#     so a shard fits an executor (e.g. 100k shards ≈ 1 GB each), which
+#     is exactly how sharded .jsonl/tfrecord training dumps are laid
+#     out; no stage ever sees a global order. Reproducible: same corpus
+#     → same permutation, on both engines. ---
+N_SHARDS = 32
+
+
+def shuffle_shards(df: DataFrame, key: str,
+                   n_shards: int = N_SHARDS) -> DataFrame:
+    from pyspark.sql import Window
+    h = _hash_bucket(F.col(key), 1 << 60)
+    w = Window.partitionBy("shard").orderBy("_pos_key", key)
+    return (df.select(F.col(key), h.alias("_pos_key"),
+                      (h % n_shards).alias("shard"))
+              .select(key, "shard",
+                      F.row_number().over(w).cast("long").alias("position")))
+
+
+def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    return shuffle_shards(d, "doc_id")  # O(input): unsorted
+
+
 QUERIES = {
+    "shuffle_shards": q_shuffle_shards,
     "sample_and_split": q_sample_and_split,
     "sample_stratified": q_sample_stratified,
     "sample_length_weighted": q_sample_length_weighted,
@@ -398,6 +428,17 @@ FROM scored ORDER BY s DESC, doc_id LIMIT {DSIR_SELECT_K}
 _HB_GUMBEL = _sql_hash_bucket("doc_id", 1 << 20)
 
 ORACLE = {
+    "shuffle_shards": f"""
+WITH k AS (
+  SELECT doc_id, {_sql_hash_bucket("doc_id", 1 << 60)} AS pos_key
+  FROM documents
+)
+SELECT doc_id, pos_key % {N_SHARDS} AS shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY pos_key % {N_SHARDS}
+                               ORDER BY pos_key, doc_id) AS BIGINT)
+         AS position
+FROM k
+""",
     "sample_weighted_ak": f"""
 WITH keyed AS (
   SELECT doc_id, source, n_chars,

@@ -91,6 +91,60 @@ def q_ts_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
                           .alias("value_ffill")))
 
 
+# --- A8 extension: resample-last + LINEAR INTERPOLATION onto the same
+#     per-symbol spine (pandas .interpolate() / TimescaleDB interpolate
+#     — the gap-fill a price series wants where ffill introduces a
+#     staircase bias). Same scale shape as the ffill form: the spine is
+#     symbols × buckets (never input rows), and the four neighbor
+#     lookups (prev/next value + their buckets) come from TWO frames
+#     over ONE (symbol) sort — Catalyst plans a single Exchange + Sort
+#     feeding both Window nodes. Fraction math: exact integer
+#     micro-epoch differences, one double division, one fused
+#     a+(b-a)*t expression — identical trees on both engines; the
+#     interpolated branch is round()ed to 6, observed values pass
+#     through untouched. Spine endpoints are observed buckets, so
+#     interior gaps always have both neighbors; the edge coalesce is
+#     belt-and-braces only. ---
+def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    last_per_bucket = (
+        ev.filter(F.col("value").isNotNull())
+          .groupBy(F.window("ts", BUCKET).alias("w"), "event_type")
+          .agg(F.max_by("value", F.struct("ts", "event_id")).alias("last_value"))
+          .select(F.col("w.start").alias("bucket"), "event_type", "last_value")
+    )
+    spine = (
+        last_per_bucket.groupBy("event_type")
+        .agg(F.min("bucket").alias("mn"), F.max("bucket").alias("mx"))
+        .select("event_type",
+                F.explode(F.sequence("mn", "mx", F.expr(f"INTERVAL {BUCKET}")))
+                 .alias("bucket"))
+    )
+    wp = (Window.partitionBy("event_type").orderBy("bucket")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wn = (Window.partitionBy("event_type").orderBy("bucket")
+                .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    obs_bucket = F.when(F.col("last_value").isNotNull(), F.col("bucket"))
+    grid = (spine.join(last_per_bucket, ["event_type", "bucket"], "left")
+            .select("event_type", "bucket", "last_value",
+                    F.last("last_value", ignorenulls=True).over(wp).alias("_pv"),
+                    F.last(obs_bucket, ignorenulls=True).over(wp).alias("_pb"),
+                    F.first("last_value", ignorenulls=True).over(wn).alias("_nv"),
+                    F.first(obs_bucket, ignorenulls=True).over(wn).alias("_nb")))
+    frac = ((F.unix_micros("bucket") - F.unix_micros("_pb")).cast("double")
+            / (F.unix_micros("_nb") - F.unix_micros("_pb")).cast("double"))
+    interp = F.round(F.col("_pv") + (F.col("_nv") - F.col("_pv")) * frac, 6)
+    value_interp = (
+        F.when(F.col("last_value").isNotNull(), F.col("last_value"))
+         .when(F.col("_pv").isNull(), F.col("_nv"))
+         .when(F.col("_nv").isNull(), F.col("_pv"))
+         .otherwise(interp))
+    return grid.select(
+        "event_type", "bucket",
+        value_interp.alias("value_interp"),
+        F.col("last_value").isNull().cast("int").alias("is_interpolated"))
+
+
 def _bucket_metrics(ev: DataFrame) -> DataFrame:
     """Contiguous per-symbol grid of (n_events, avg_value) per bucket —
     the joined volume/price frame the EDA correlates (Milestone3 cell 44).
@@ -282,6 +336,7 @@ QUERIES = {
     "ts_window_calcs": q_ts_window_calcs,
     "ts_bucket_counts": q_ts_bucket_counts,
     "ts_resample_ffill": q_ts_resample_ffill,
+    "ts_interpolate": q_ts_interpolate,
     "ts_corr": q_ts_corr,
     "ts_spearman": q_ts_spearman,
     "ts_lag_sweep_corr": q_ts_lag_sweep_corr,
@@ -405,6 +460,48 @@ SELECT s.event_type, s.bucket,
          PARTITION BY s.event_type ORDER BY s.bucket
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill
 FROM spine s LEFT JOIN b ON s.event_type = b.event_type AND s.bucket = b.bucket
+""",
+    # same b/spine CTEs as the ffill twin; neighbor lookups via framed
+    # IGNORE NULLS window reads, fraction from exact micro-epoch ints
+    "ts_interpolate": """
+WITH b AS (
+  SELECT bucket, event_type, value AS last_value FROM (
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket, event_type, value,
+           ROW_NUMBER() OVER (PARTITION BY event_type, time_bucket(INTERVAL '1 hour', ts)
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events WHERE value IS NOT NULL)
+  WHERE rn = 1
+), spine AS (
+  SELECT event_type, unnest(generate_series(mn, mx, INTERVAL '1 hour')) AS bucket
+  FROM (SELECT event_type, MIN(bucket) AS mn, MAX(bucket) AS mx FROM b GROUP BY event_type)
+), grid AS (
+  SELECT s.event_type, s.bucket, b.last_value,
+         last_value(b.last_value IGNORE NULLS) OVER (
+           PARTITION BY s.event_type ORDER BY s.bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         last_value(CASE WHEN b.last_value IS NOT NULL THEN s.bucket END
+                    IGNORE NULLS) OVER (
+           PARTITION BY s.event_type ORDER BY s.bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
+         first_value(b.last_value IGNORE NULLS) OVER (
+           PARTITION BY s.event_type ORDER BY s.bucket
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         first_value(CASE WHEN b.last_value IS NOT NULL THEN s.bucket END
+                     IGNORE NULLS) OVER (
+           PARTITION BY s.event_type ORDER BY s.bucket
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+  FROM spine s LEFT JOIN b ON s.event_type = b.event_type AND s.bucket = b.bucket
+)
+SELECT event_type, bucket,
+       CASE WHEN last_value IS NOT NULL THEN last_value
+            WHEN pv IS NULL THEN nv
+            WHEN nv IS NULL THEN pv
+            ELSE ROUND(pv + (nv - pv)
+                       * (CAST(epoch_us(bucket) - epoch_us(pb) AS DOUBLE)
+                          / CAST(epoch_us(nb) - epoch_us(pb) AS DOUBLE)), 6)
+       END AS value_interp,
+       CAST(last_value IS NULL AS INT) AS is_interpolated
+FROM grid
 """,
     "ts_corr": f"""
 WITH {_SQL_BUCKET_METRICS}
