@@ -30,6 +30,7 @@ from . import (
     dedup,
     flagship,
     ingestion,
+    linkage,
     media,
     ml,
     packing,
@@ -46,7 +47,8 @@ from . import (
 
 _MODULES = (flagship, relational, timeseries, text, dedup, similarity, ml,
             ingestion, ta, media, reshape, approx, avro_rt, components,
-            sampling, packing, cleaning, retrieval, bpe, behavior, scd)
+            sampling, packing, cleaning, retrieval, bpe, behavior, scd,
+            linkage)
 
 # More oracle-paired queries exist than the driver's fixed 50-entry
 # correctness window can check; the overflow is deliberately deferred to
@@ -184,6 +186,8 @@ DEFERRALS: dict[str, dict] = {
                                extra="3-SF check.py + per-round sf0.001 auto-verify"),
     "shuffle_shards":     dict(since=6, family="hash-partition family via sample_and_split (same portable md5 bucket) in-window",
                                extra="3-SF check.py + per-round sf0.001 auto-verify"),
+    "link_customer_batch": dict(since=6, family="fuzzy-blocking family via dedup_fuzzy_terms in-window (same SymSpell delete-sig join core)",
+                                extra="3-SF check.py + per-round sf0.001 auto-verify"),
 }
 
 _DEFER_FROM_WINDOW = tuple(DEFERRALS)
