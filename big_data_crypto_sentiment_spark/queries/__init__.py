@@ -30,6 +30,7 @@ from . import (
     dedup,
     flagship,
     ingestion,
+    layout,
     linkage,
     media,
     ml,
@@ -48,7 +49,7 @@ from . import (
 _MODULES = (flagship, relational, timeseries, text, dedup, similarity, ml,
             ingestion, ta, media, reshape, approx, avro_rt, components,
             sampling, packing, cleaning, retrieval, bpe, behavior, scd,
-            linkage)
+            linkage, layout)
 
 # More oracle-paired queries exist than the driver's fixed 50-entry
 # correctness window can check; the overflow is deliberately deferred to
@@ -188,6 +189,8 @@ DEFERRALS: dict[str, dict] = {
                                extra="3-SF check.py + per-round sf0.001 auto-verify"),
     "link_customer_batch": dict(since=6, family="fuzzy-blocking family via dedup_fuzzy_terms in-window (same SymSpell delete-sig join core)",
                                 extra="3-SF check.py + per-round sf0.001 auto-verify"),
+    "zorder_key_lineitem": dict(since=6, family="exact-integer-expression family via text_fingerprint's Karp-Rabin fold; broadcast-stats shape via mad_outlier_events in-window",
+                                extra="3-SF check.py + per-round sf0.001 auto-verify; skipping payoff pinned in test_zorder.py"),
 }
 
 _DEFER_FROM_WINDOW = tuple(DEFERRALS)

@@ -28,6 +28,7 @@ ALLOW_NESTED_LOOP = {
     "sim_topk_cosine": "documented brute-force baseline, broadcast Q",
     "key_skew_profile": "scalar one-row broadcast (global totals)",
     "mixture_downsample": "scalar one-row broadcast (global totals)",
+    "zorder_key_lineitem": "scalar one-row broadcast (global min/max stats)",
 }
 
 
