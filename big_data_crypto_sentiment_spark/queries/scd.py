@@ -63,8 +63,49 @@ def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
                           "ts", "event_id")  # O(state changes): unsorted
 
 
+# --- point-in-time dimension lookup (the query SCD2 exists to answer):
+#     enrich each fact row with the dimension state that was valid AT
+#     the fact's timestamp. Spark-first: NOT a range join on
+#     [valid_from, valid_to) — that plans as a nested-loop — but the
+#     repo's as-of join (tag-union + one per-key window pass), which at
+#     100 TB costs exactly one (user_id) shuffle over facts ∪ dim.
+#     Same-ts state-change runs are disambiguated by dropping the
+#     zero-length intervals the SCD2 build gives every superseded
+#     same-timestamp version: exactly one dim row per (user,
+#     valid_from) survives, so the as-of tie-pick is deterministic on
+#     both engines. Facts before any dim row keep a NULL state (left
+#     semantics). Fixture: dimension = click/purchase state changes,
+#     facts = error events. ---
+DIM_TYPES = ("click", "purchase")
+FACT_TYPE = "error"
+
+
+def scd2_lookup(facts: DataFrame, dim: DataFrame) -> DataFrame:
+    """facts(event_id, user_id, ts) + the dim state valid at ts.
+    dim: SCD2 intervals (user_id, version, state, valid_from, valid_to,
+    is_current) from scd2_intervals."""
+    from ..operators.asof_join import asof_join
+    d = (dim.filter(F.col("valid_to").isNull()
+                    | (F.col("valid_from") != F.col("valid_to")))
+            .select("user_id", F.col("valid_from").alias("ts"), "state"))
+    return asof_join(facts, d, "user_id", "ts", ("state",))
+
+
+def q_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (table(spark, sf_dir, "events")
+          .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+                  & F.col("event_type").isNotNull())
+          .select("user_id", "ts", "event_id", "event_type"))
+    dim = scd2_intervals(ev.filter(F.col("event_type").isin(*DIM_TYPES)),
+                         "user_id", "event_type", "ts", "event_id")
+    facts = (ev.filter(F.col("event_type") == FACT_TYPE)
+               .select("event_id", "user_id", "ts"))
+    return scd2_lookup(facts, dim)  # O(facts): unsorted
+
+
 QUERIES = {
     "scd2_user_state": q_scd2_user_state,
+    "scd2_point_in_time": q_scd2_point_in_time,
 }
 
 ORACLE = {
@@ -88,5 +129,34 @@ SELECT user_id,
        CAST(LEAD(ts) OVER w IS NULL AS INT) AS is_current
 FROM chg
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+    "scd2_point_in_time": f"""
+WITH ev AS (
+  SELECT user_id, ts, event_id, event_type FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND event_type IS NOT NULL
+), seq AS (
+  SELECT user_id, ts, event_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM ev WHERE event_type IN {DIM_TYPES!r}
+), chg AS (
+  SELECT user_id, ts, event_id, event_type FROM seq
+  WHERE prev IS NULL OR prev <> event_type
+), dim AS (
+  SELECT user_id, event_type AS state, ts AS valid_from,
+         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS valid_to
+  FROM chg
+), dim1 AS (
+  SELECT user_id, valid_from AS ts, state FROM dim
+  WHERE valid_to IS NULL OR valid_from <> valid_to
+), facts AS (
+  SELECT event_id, user_id, ts FROM ev
+  WHERE event_type = '{FACT_TYPE}'
+)
+SELECT f.event_id, f.user_id, f.ts, d.state
+FROM facts f ASOF LEFT JOIN dim1 d
+  ON f.user_id = d.user_id AND f.ts >= d.ts
 """,
 }

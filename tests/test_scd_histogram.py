@@ -55,6 +55,28 @@ def test_scd2_same_ts_ties_break_on_event_id(spark):
     assert got == [(1, "a", True), (2, "b", False)]
 
 
+def test_scd2_lookup_point_in_time_semantics(spark):
+    from big_data_crypto_sentiment_spark.queries.scd import scd2_lookup
+    dim_events = spark.createDataFrame(
+        [(1, _ts(10), 1, "a"),
+         # two changes at the SAME instant: b is superseded by c at t20,
+         # so a lookup at t20+ must see c (zero-length interval dropped)
+         (1, _ts(20), 2, "b"), (1, _ts(20), 3, "c")],
+        "user_id long, ts timestamp, event_id long, event_type string")
+    dim = scd2_intervals(dim_events, "user_id", "event_type",
+                         "ts", "event_id")
+    facts = spark.createDataFrame(
+        [(100, 1, _ts(5)),    # before any state -> NULL
+         (101, 1, _ts(10)),   # tie with valid_from -> inclusive
+         (102, 1, _ts(15)),
+         (103, 1, _ts(20)),   # same-ts run -> the LAST version wins
+         (104, 2, _ts(50))],  # unknown user -> NULL
+        "event_id long, user_id long, ts timestamp")
+    got = {r.event_id: r.state
+           for r in scd2_lookup(facts, dim).collect()}
+    assert got == {100: None, 101: "a", 102: "a", 103: "c", 104: None}
+
+
 def test_value_histogram_bins_cover_and_clamp(spark, tmp_path):
     # plant a tiny events table: type "u" uniform 0..100 (max lands IN
     # bin 19, not a phantom bin 20), type "c" constant (degenerate span)
