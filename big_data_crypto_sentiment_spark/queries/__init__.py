@@ -193,6 +193,8 @@ DEFERRALS: dict[str, dict] = {
                                 extra="3-SF check.py + per-round sf0.001 auto-verify; skipping payoff pinned in test_zorder.py"),
     "scd2_point_in_time": dict(since=6, family="as-of family via asof_price_at_tweet in-window (same tag-union window core); SCD2 build via scd2_user_state's deferred pair",
                                extra="3-SF check.py + per-round sf0.001 auto-verify"),
+    "value_quantile_bins": dict(since=6, family="rank-window family via winsorize_events in-window (same per-type ordered window)",
+                                extra="3-SF check.py + per-round sf0.001 auto-verify"),
 }
 
 _DEFER_FROM_WINDOW = tuple(DEFERRALS)

@@ -498,8 +498,33 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
               .orderBy("event_type", "bin"))  # bounded: types × bins
 
 
+# --- equi-DEPTH companion: quantile binning via ntile — every bin
+#     holds (n/k ± 1) rows, bounds follow the data (the optimizer-stats
+#     / feature-bucketing shape equi-width can't give on skewed
+#     columns). Total order (value, event_id) makes tile assignment
+#     engine-independent under ties. Scale: one per-type window sort —
+#     the winsorize/mad precedent (types are bounded; each partition
+#     sorts locally, no global sort). ---
+EQD_BINS = 10
+
+
+def q_value_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    ev = (table(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull())
+          .select("event_type", "event_id", "value"))
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (ev.withColumn("tile", F.ntile(EQD_BINS).over(w))
+              .groupBy("event_type", "tile")
+              .agg(F.count("*").alias("n"),
+                   F.min("value").alias("lo"),
+                   F.max("value").alias("hi"))
+              .orderBy("event_type", "tile"))  # bounded: types × bins
+
+
 QUERIES = {
     "value_histogram": q_value_histogram,
+    "value_quantile_bins": q_value_quantile_bins,
     "winsorize_events": q_winsorize_events,
     "mad_outlier_events": q_mad_outlier_events,
     "ks_drift_events": q_ks_drift_events,
@@ -851,4 +876,20 @@ SELECT event_type, bin,
 FROM binned
 GROUP BY event_type, mn, mx, bin
 ORDER BY event_type, bin
+"""
+
+
+ORACLE["value_quantile_bins"] = f"""
+WITH ev AS (
+  SELECT event_type, event_id, value FROM events WHERE value IS NOT NULL
+), t AS (
+  SELECT event_type, value,
+         NTILE({EQD_BINS}) OVER (PARTITION BY event_type
+                                 ORDER BY value, event_id) AS tile
+  FROM ev
+)
+SELECT event_type, CAST(tile AS INT) AS tile, COUNT(*) AS n,
+       MIN(value) AS lo, MAX(value) AS hi
+FROM t GROUP BY event_type, tile
+ORDER BY event_type, tile
 """

@@ -6,6 +6,7 @@ from .sinks import jsonl_partition_sink, start_capture_sink, start_jsonl_sink  #
 from .stateful import online_forecast  # noqa: F401
 from .windowed import (  # noqa: F401
     dedupe_stream,
+    hopping_window_counts,
     sessionize_stream,
     stream_stream_interval_join,
     streaming_prices_with_tweets,

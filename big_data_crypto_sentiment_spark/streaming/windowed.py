@@ -119,6 +119,31 @@ def sessionize_stream(df: DataFrame, keys: tuple[str, ...],
                       "n_events", "last_event"))
 
 
+def hopping_window_counts(df: DataFrame, keys: tuple[str, ...],
+                          ts_col: str = "event_time",
+                          window: str = "2 minutes",
+                          slide: str = "1 minute",
+                          watermark: str = "0 seconds") -> DataFrame:
+    """Sliding (hopping) event-time windows: each event lands in
+    window/slide overlapping windows, emitted (append) once the
+    watermark passes each window's end — the T2 tumbling operator's
+    overlapping sibling (Beam `SlidingWindows`; a 1-min-sliding 2-min
+    count is the standard streaming rate monitor).
+
+    Scale/state note: state is one row per (open window × key); an
+    event contributes to window/slide windows, so state and shuffle
+    volume scale by that overlap factor — choose slide accordingly
+    (window/slide is typically 2-4). Works unchanged on batch frames
+    (the parity test replays the same rows both ways)."""
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (df.groupBy(F.window(ts_col, window, slide).alias("w"), *keys)
+              .agg(F.count("*").alias("n_events"))
+              .select(F.col("w.start").alias("window_start"),
+                      F.col("w.end").alias("window_end"),
+                      *keys, "n_events"))
+
+
 def stream_stream_interval_join(
         tweets: DataFrame, prices: DataFrame,
         tolerance: str = "30 seconds",
