@@ -82,6 +82,18 @@ HEADLINE = [
      "materialized-view refresh: base/delta partial rollups union into "
      "one merge agg; hash equality vs the from-scratch twin proves "
      "merge == recompute"),
+    ("scd2_user_state",
+     "SCD2 build: ONE Exchange + ONE Sort feed both Window nodes (the "
+     "lag change-detect and the lead/row_number interval pass)"),
+    ("scd2_point_in_time",
+     "point-in-time dimension lookup: as-of tag-union window, NO "
+     "nested-loop range join on validity intervals"),
+    ("link_customer_batch",
+     "record linkage: delete-sig blocking equality join (never "
+     "all-pairs); levenshtein/field verify only on blocked candidates"),
+    ("zorder_key_lineitem",
+     "z-order key: one-row stats broadcast (allow-listed nested loop), "
+     "then pure JVM bit-interleave expressions — no UDF, no shuffle"),
 ]
 
 _ADDR = re.compile(r"#\d+L?")
