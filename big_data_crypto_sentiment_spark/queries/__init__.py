@@ -195,6 +195,8 @@ DEFERRALS: dict[str, dict] = {
                                extra="3-SF check.py + per-round sf0.001 auto-verify"),
     "value_quantile_bins": dict(since=6, family="rank-window family via winsorize_events in-window (same per-type ordered window)",
                                 extra="3-SF check.py + per-round sf0.001 auto-verify"),
+    "scd2_merge_incremental": dict(since=6, family="incremental-merge family via rollup_merge_incremental's precedent; SCD2 core via scd2_user_state's deferred pair",
+                                   extra="3-SF check.py + per-round sf0.001 auto-verify; hash equality proves merge == recompute"),
 }
 
 _DEFER_FROM_WINDOW = tuple(DEFERRALS)

@@ -103,9 +103,63 @@ def q_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_lookup(facts, dim)  # O(facts): unsorted
 
 
+# --- incremental SCD2 maintenance (the dimension's materialized-view
+#     refresh, rollup_merge_incremental's precedent): merge a new batch
+#     of events into an EXISTING dimension instead of rebuilding from
+#     all history. Only users present in the batch rebuild — and they
+#     rebuild from their COMPRESSED intervals (each interval replayed
+#     as one pseudo-event), not from raw history, so the merge cost is
+#     O(batch users' intervals + batch), never O(all events). Untouched
+#     users pass through with a broadcast anti join.
+#
+#     Correctness contract (asserted by the oracle): merge ≡ full
+#     rebuild whenever the batch is append-only per user — every new
+#     event at or after the user's last seen ts (the watermark
+#     discipline any streaming ingest already enforces). The
+#     consecutive-duplicate compression is idempotent, so replaying
+#     compressed intervals reproduces the original change sequence
+#     exactly; version tiebreaks keep same-ts runs in original order.
+#     The registered query splits events at a cutoff, builds the
+#     dimension from the old half, merges the new half, and is
+#     hash-checked against a DuckDB twin that rebuilds from scratch —
+#     the hash equality IS the merge ≡ recompute proof. ---
+SCD2_SPLIT = "2024-01-15"
+
+
+def scd2_merge(dim: DataFrame, new_events: DataFrame, key: str,
+               state: str, ts: str, tiebreak: str) -> DataFrame:
+    """Merge an append-only event batch into an scd2_intervals output
+    (same schema back)."""
+    affected = new_events.select(F.col(key)).distinct()
+    untouched = dim.join(F.broadcast(affected), key, "left_anti")
+    old_ev = (dim.join(F.broadcast(affected), key, "left_semi")
+                 .select(F.col(key),
+                         F.col("valid_from").alias(ts),
+                         F.col("version").alias(tiebreak),
+                         F.col("state").alias(state)))
+    new_ev = new_events.select(key, ts, tiebreak, state)
+    rebuilt = scd2_intervals(old_ev.unionByName(new_ev),
+                             key, state, ts, tiebreak)
+    return untouched.unionByName(rebuilt)
+
+
+def q_scd2_merge_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (table(spark, sf_dir, "events")
+          .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+                  & F.col("event_type").isNotNull())
+          .select("user_id", "ts", "event_id", "event_type"))
+    cut = F.lit(SCD2_SPLIT).cast("timestamp")
+    base = scd2_intervals(ev.filter(F.col("ts") < cut),
+                          "user_id", "event_type", "ts", "event_id")
+    return scd2_merge(base, ev.filter(F.col("ts") >= cut),
+                      "user_id", "event_type",
+                      "ts", "event_id")  # O(state changes): unsorted
+
+
 QUERIES = {
     "scd2_user_state": q_scd2_user_state,
     "scd2_point_in_time": q_scd2_point_in_time,
+    "scd2_merge_incremental": q_scd2_merge_incremental,
 }
 
 ORACLE = {
@@ -160,3 +214,7 @@ FROM facts f ASOF LEFT JOIN dim1 d
   ON f.user_id = d.user_id AND f.ts >= d.ts
 """,
 }
+
+# the incremental merge's oracle IS the from-scratch rebuild — hash
+# equality proves merge ≡ recompute (rollup_merge_incremental precedent)
+ORACLE["scd2_merge_incremental"] = ORACLE["scd2_user_state"]

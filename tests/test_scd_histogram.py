@@ -55,6 +55,37 @@ def test_scd2_same_ts_ties_break_on_event_id(spark):
     assert got == [(1, "a", True), (2, "b", False)]
 
 
+def test_scd2_merge_equals_full_rebuild(spark):
+    from big_data_crypto_sentiment_spark.queries.scd import scd2_merge
+    schema = "user_id long, ts timestamp, event_id long, event_type string"
+    old = [
+        (1, _ts(0), 1, "a"), (1, _ts(10), 2, "b"),  # u1 history a->b
+        (2, _ts(5), 3, "x"),                        # u2 untouched later
+    ]
+    new = [
+        (1, _ts(20), 10, "b"),  # same state across the boundary: no-op
+        (1, _ts(30), 11, "c"),  # real change -> closes b, opens c
+        (3, _ts(25), 12, "z"),  # user born in the new batch
+    ]
+    base = scd2_intervals(spark.createDataFrame(old, schema),
+                          "user_id", "event_type", "ts", "event_id")
+    merged = scd2_merge(base, spark.createDataFrame(new, schema),
+                        "user_id", "event_type", "ts", "event_id")
+    full = scd2_intervals(
+        spark.createDataFrame(old + new, schema),
+        "user_id", "event_type", "ts", "event_id")
+    key = lambda r: (r.user_id, r.version)  # noqa: E731
+    as_map = lambda df: {key(r): (r.state, r.valid_from, r.valid_to,  # noqa: E731
+                                  r.is_current) for r in df.collect()}
+    assert as_map(merged) == as_map(full)
+    # and the merge really extended/created what it should
+    m = as_map(merged)
+    assert m[(1, 2)] == ("b", _ts(10), _ts(30), 0)  # no-op event absorbed
+    assert m[(1, 3)] == ("c", _ts(30), None, 1)
+    assert m[(2, 1)] == ("x", _ts(5), None, 1)      # untouched passthrough
+    assert m[(3, 1)] == ("z", _ts(25), None, 1)     # new user
+
+
 def test_scd2_lookup_point_in_time_semantics(spark):
     from big_data_crypto_sentiment_spark.queries.scd import scd2_lookup
     dim_events = spark.createDataFrame(
