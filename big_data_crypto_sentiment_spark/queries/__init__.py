@@ -197,6 +197,10 @@ DEFERRALS: dict[str, dict] = {
                                 extra="3-SF check.py + per-round sf0.001 auto-verify"),
     "scd2_merge_incremental": dict(since=6, family="incremental-merge family via rollup_merge_incremental's precedent; SCD2 core via scd2_user_state's deferred pair",
                                    extra="3-SF check.py + per-round sf0.001 auto-verify; hash equality proves merge == recompute"),
+    "ts_trailing_distinct": dict(since=6, family="distinct-agg family via retention_after_deletes' count_distinct; hour-bucket family via ts_rollup in-window",
+                                 extra="3-SF check.py + per-round sf0.001 auto-verify"),
+    "top_docs_per_source": dict(since=6, family="rank-window family via winsorize_events; bounded top-k via vocab_top_terms in-window",
+                                extra="3-SF check.py + per-round sf0.001 auto-verify"),
 }
 
 _DEFER_FROM_WINDOW = tuple(DEFERRALS)

@@ -413,7 +413,31 @@ def q_source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
                .orderBy("source"))  # bounded: one row per source
 
 
+# --- grouped top-k (the per-group twin of the global bounded top-k
+#     top_users): k best rows per group via a per-group rank window —
+#     rank's sort is local to each group partition after the one
+#     (source) shuffle, never a global sort; at 100 TB pre-aggregate or
+#     pre-filter per-partition candidates if k << group size (Spark
+#     already pushes the rank-filter below exchange via
+#     WindowGroupLimit). Deterministic total order (n_chars desc,
+#     doc_id). ---
+TOPK_PER_GROUP = 3
+
+
+def q_top_docs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    d = table(spark, sf_dir, "documents") \
+        .select("source", "doc_id", "n_chars")
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), "doc_id")
+    return (d.withColumn("rk", F.row_number().over(w))
+             .filter(F.col("rk") <= TOPK_PER_GROUP)
+             .select("source", F.col("rk").cast("int").alias("rk"),
+                     "doc_id", "n_chars")
+             .orderBy("source", "rk"))  # bounded: sources × k
+
+
 QUERIES = {
+    "top_docs_per_source": q_top_docs_per_source,
     "text_fingerprint": q_text_fingerprint,
     "ctfidf_source_terms": q_ctfidf_source_terms,
     "js_divergence_sources": q_js_divergence_sources,
@@ -639,3 +663,16 @@ SELECT doc_id,
 FROM f
 """,
 }
+
+
+ORACLE["top_docs_per_source"] = f"""
+WITH ranked AS (
+  SELECT source, doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rk
+  FROM documents
+)
+SELECT source, CAST(rk AS INT) AS rk, doc_id, n_chars
+FROM ranked WHERE rk <= {TOPK_PER_GROUP}
+ORDER BY source, rk
+"""

@@ -249,6 +249,42 @@ def q_ts_trailing_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .alias("avg_last_hour")))
 
 
+# --- trailing-window DISTINCT counts (rolling active users): distinct
+#     is NOT sum-decomposable, so the windowed-sum trick above cannot
+#     compute it. Scale shape: contribution expansion — reduce to
+#     distinct (type, hour, user) first (one hash agg), then each
+#     active (hour, user) contributes to the TRAIL_HOURS window-ends it
+#     belongs to (bounded 6× explode of the already-aggregated rows,
+#     never of raw events), then one count_distinct keyed by (type,
+#     end). Window-ends with no event in their own hour are not
+#     emitted (semi join against the observed-hour spine) — same
+#     convention both engines. The approximate scale path for very
+#     long trails is the mergeable-HLL family in approx.py (merge
+#     hourly sketches instead of exploding); this operator is the
+#     exact twin. ---
+TRAIL_HOURS = 6
+
+
+def q_ts_trailing_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (table(spark, sf_dir, "events")
+          .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+          .select("event_type", F.date_trunc("hour", "ts").alias("hr"),
+                  "user_id"))
+    tri = ev.distinct()
+    hours = tri.select("event_type", "hr").distinct()
+    ends = tri.select(
+        "event_type", "user_id",
+        F.explode(F.sequence(
+            F.col("hr"),
+            F.col("hr") + F.expr(f"INTERVAL {TRAIL_HOURS - 1} HOURS"),
+            F.expr("INTERVAL 1 HOUR"))).alias("window_end"))
+    return (ends.join(hours.withColumnRenamed("hr", "window_end"),
+                      ["event_type", "window_end"], "left_semi")
+                .groupBy("event_type", "window_end")
+                .agg(F.count_distinct("user_id").alias("n_active_users"))
+                .orderBy("event_type", "window_end"))  # bounded: types × hours
+
+
 # --- multi-granularity rollup: per (symbol, day) with day and grand
 # totals — the hypertable-rollup shape (GROUPING SETS via rollup) ---
 def q_ts_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -332,6 +368,7 @@ QUERIES = {
     "ts_sessionize": q_ts_sessionize,
     "ts_session_stats": q_ts_session_stats,
     "ts_trailing_hour": q_ts_trailing_hour,
+    "ts_trailing_distinct": q_ts_trailing_distinct,
     "ts_rollup": q_ts_rollup,
     "ts_window_calcs": q_ts_window_calcs,
     "ts_bucket_counts": q_ts_bucket_counts,
@@ -460,6 +497,27 @@ SELECT s.event_type, s.bucket,
          PARTITION BY s.event_type ORDER BY s.bucket
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill
 FROM spine s LEFT JOIN b ON s.event_type = b.event_type AND s.bucket = b.bucket
+""",
+    # contribution expansion over distinct (type, hour, user) triples,
+    # window-ends restricted to observed hours — mirrors the Spark plan
+    "ts_trailing_distinct": f"""
+WITH tri AS (
+  SELECT DISTINCT event_type, date_trunc('hour', ts) AS hr, user_id
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+), hours AS (
+  SELECT DISTINCT event_type, hr FROM tri
+), ends AS (
+  SELECT event_type, user_id,
+         hr + unnest(range(0, {TRAIL_HOURS})) * INTERVAL 1 HOUR
+           AS window_end
+  FROM tri
+)
+SELECT e.event_type, e.window_end,
+       COUNT(DISTINCT e.user_id) AS n_active_users
+FROM ends e SEMI JOIN hours h
+  ON e.event_type = h.event_type AND e.window_end = h.hr
+GROUP BY e.event_type, e.window_end
+ORDER BY e.event_type, e.window_end
 """,
     # same b/spine CTEs as the ffill twin; neighbor lookups via framed
     # IGNORE NULLS window reads, fraction from exact micro-epoch ints
