@@ -35,6 +35,7 @@ from . import (
     media,
     ml,
     packing,
+    quality,
     relational,
     reshape,
     retrieval,
@@ -49,7 +50,7 @@ from . import (
 _MODULES = (flagship, relational, timeseries, text, dedup, similarity, ml,
             ingestion, ta, media, reshape, approx, avro_rt, components,
             sampling, packing, cleaning, retrieval, bpe, behavior, scd,
-            linkage, layout)
+            linkage, layout, quality)
 
 # More oracle-paired queries exist than the driver's fixed 50-entry
 # correctness window can check; the overflow is deliberately deferred to
@@ -201,6 +202,8 @@ DEFERRALS: dict[str, dict] = {
                                  extra="3-SF check.py + per-round sf0.001 auto-verify"),
     "top_docs_per_source": dict(since=6, family="rank-window family via winsorize_events; bounded top-k via vocab_top_terms in-window",
                                 extra="3-SF check.py + per-round sf0.001 auto-verify"),
+    "dq_suite":           dict(since=6, family="conditional-agg family via data_profile/summary_stats; anti-join family via retention_after_deletes in-window",
+                               extra="3-SF check.py + per-round sf0.001 auto-verify"),
 }
 
 _DEFER_FROM_WINDOW = tuple(DEFERRALS)
