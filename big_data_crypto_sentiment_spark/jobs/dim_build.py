@@ -1,0 +1,103 @@
+"""Dimension-maintenance job: the SCD2 lifecycle composed end-to-end —
+initial build, partitioned write, incremental refresh from a new event
+batch, and a point-in-time fact enrichment read — the warehouse-side
+sibling of the speed/batch layers (no reference twin; the reference has
+no dimension management, SURVEY.md §2.3 notes no temporal joins).
+
+Steps (each a checked operator from queries/scd.py):
+  1. build   — scd2_intervals over the seed events (one exchange+sort).
+  2. persist — parquet partitioned by is_current: the hot `is_current=1`
+     slice is what lookup joins read (partition-pruned), history stays
+     queryable.
+  3. refresh — scd2_merge of an append-only batch: only affected users
+     rebuild (from their compressed intervals), untouched users
+     pass through; the refreshed dimension atomically replaces the old
+     via write-to-new-dir (the compact_parquet swap discipline).
+  4. enrich  — scd2_lookup joins facts to the state valid at their
+     timestamp (as-of tag-union, no range join).
+
+Run: python -m big_data_crypto_sentiment_spark.jobs.dim_build \
+       --sf-dir /root/testdata/sf0.001 --out-dir /tmp/dim
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..queries.scd import DIM_TYPES, FACT_TYPE, scd2_intervals, scd2_lookup, scd2_merge
+
+
+def _dim_events(events: DataFrame) -> DataFrame:
+    return (events
+            .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+                    & F.col("event_type").isNotNull())
+            .select("user_id", "ts", "event_id", "event_type"))
+
+
+def build_dimension(events: DataFrame) -> DataFrame:
+    return scd2_intervals(_dim_events(events)
+                          .filter(F.col("event_type").isin(*DIM_TYPES)),
+                          "user_id", "event_type", "ts", "event_id")
+
+
+def write_dimension(dim: DataFrame, path: str) -> None:
+    """Partitioned by is_current so current-state lookups prune to the
+    hot partition."""
+    dim.write.mode("overwrite").partitionBy("is_current").parquet(path)
+
+
+def read_current(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path).filter(F.col("is_current") == 1)
+
+
+def refresh_dimension(spark: SparkSession, path: str,
+                      new_events: DataFrame, out_path: str) -> DataFrame:
+    """Incremental SCD2 refresh: merge the batch into the stored
+    dimension and write the result to out_path (write-new-then-swap is
+    the caller's atomicity discipline, as in sinks.compact_parquet)."""
+    dim = spark.read.parquet(path)
+    merged = scd2_merge(dim,
+                        _dim_events(new_events)
+                        .filter(F.col("event_type").isin(*DIM_TYPES)),
+                        "user_id", "event_type", "ts", "event_id")
+    write_dimension(merged, out_path)
+    return merged
+
+
+def enrich_facts(events: DataFrame, dim: DataFrame) -> DataFrame:
+    facts = (_dim_events(events)
+             .filter(F.col("event_type") == FACT_TYPE)
+             .select("event_id", "user_id", "ts"))
+    return scd2_lookup(facts, dim)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", required=True)
+    ap.add_argument("--out-dir", required=True)
+    ap.add_argument("--split", default="2024-01-15",
+                    help="seed/batch boundary (events before build the "
+                         "seed dimension; the rest arrive as the batch)")
+    args = ap.parse_args()
+    from ..catalog import load
+    from ..session import get_spark
+    spark = get_spark()
+    events = load(spark, "events", args.sf_dir)
+    cut = F.lit(args.split).cast("timestamp")
+    seed_path = f"{args.out_dir}/dim_v1"
+    new_path = f"{args.out_dir}/dim_v2"
+    write_dimension(build_dimension(events.filter(F.col("ts") < cut)),
+                    seed_path)
+    merged = refresh_dimension(spark, seed_path,
+                               events.filter(F.col("ts") >= cut), new_path)
+    enriched = enrich_facts(events, merged)
+    print(f"dimension rows: {merged.count()}, "
+          f"enriched facts: {enriched.count()}, "
+          f"current states: {read_current(spark, new_path).count()}")
+
+
+if __name__ == "__main__":
+    main()

@@ -92,3 +92,40 @@ def test_train_job_writes_bundle(spark, tmp_path, capsys):
     assert bundle["models"]
     printed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert printed["symbols"] == sorted(bundle["models"])
+
+
+def test_dim_build_lifecycle(spark, tmp_path):
+    """Dimension job end-to-end on fixture data: seed build + persist,
+    incremental refresh equals a from-scratch rebuild, point-in-time
+    enrichment covers every fact, and the is_current partition prunes
+    to one open interval per user."""
+    from big_data_crypto_sentiment_spark.jobs.dim_build import (
+        build_dimension,
+        enrich_facts,
+        read_current,
+        refresh_dimension,
+        write_dimension,
+    )
+    events = table(spark, SF_DIR, "events")
+    cut = F.lit("2024-01-15").cast("timestamp")
+    seed = str(tmp_path / "dim_v1")
+    write_dimension(build_dimension(events.filter(F.col("ts") < cut)), seed)
+    merged = refresh_dimension(spark, seed,
+                               events.filter(F.col("ts") >= cut),
+                               str(tmp_path / "dim_v2"))
+    full = build_dimension(events)
+    as_set = lambda df: {  # noqa: E731
+        (r.user_id, r.version, r.state, r.valid_from, r.valid_to)
+        for r in df.collect()}
+    assert as_set(merged) == as_set(full)
+    # hot partition: exactly one open interval per user
+    cur = read_current(spark, str(tmp_path / "dim_v2"))
+    n_users = cur.select("user_id").distinct().count()
+    assert cur.count() == n_users > 0
+    # enrichment: one output row per fact event
+    n_facts = events.filter(F.col("event_type") == "error")\
+                    .filter(F.col("user_id").isNotNull()
+                            & F.col("ts").isNotNull()).count()
+    enriched = enrich_facts(events, merged)
+    assert enriched.count() == n_facts
+    assert enriched.filter(F.col("state").isNotNull()).count() > 0
