@@ -204,6 +204,8 @@ DEFERRALS: dict[str, dict] = {
                                 extra="3-SF check.py + per-round sf0.001 auto-verify"),
     "dq_suite":           dict(since=6, family="conditional-agg family via data_profile/summary_stats; anti-join family via retention_after_deletes in-window",
                                extra="3-SF check.py + per-round sf0.001 auto-verify"),
+    "rollup_backfill_late": dict(since=6, family="incremental-maintenance family via rollup_merge_incremental's deferred pair; anti/semi-join shapes via retention_after_deletes in-window",
+                                 extra="3-SF check.py + per-round sf0.001 auto-verify; hash equality proves backfill == recompute incl. count_distinct"),
 }
 
 _DEFER_FROM_WINDOW = tuple(DEFERRALS)

@@ -141,7 +141,66 @@ def q_rollup_merge_incremental(spark: SparkSession,
             .orderBy("day", "event_type"))  # bounded: days × types
 
 
+# --- late-data backfill (the OTHER incremental-maintenance case):
+#     rollup_merge handles APPEND-ONLY deltas by merging partials, but
+#     late-arriving rows land in day partitions the base rollup already
+#     covers — partials can't just union (the group exists on both
+#     sides... they can for sums, but NOT for non-decomposable measures
+#     like the count_distinct a real rollup often carries). The general
+#     discipline, implemented here: find the AFFECTED (day, type)
+#     groups from the late batch (tiny, broadcast), drop them from the
+#     stored rollup (broadcast anti join — untouched groups never
+#     recompute), recompute ONLY those groups from the raw events
+#     semi-joined to the affected keys (at scale: partition-pruned to
+#     the affected days), and union back. The oracle recomputes the
+#     whole rollup from scratch — hash equality proves backfill ≡
+#     recompute, including the count_distinct measure that partial
+#     merging could not maintain. The late slice is a deterministic
+#     event_id hash sample (arrival order is not ts order — exactly why
+#     this case exists). ---
+LATE_PCT = 3
+
+
+def _full_rollup(ev: DataFrame) -> DataFrame:
+    return (ev.groupBy(F.to_date("ts").cast("string").alias("day"),
+                       "event_type")
+              .agg(F.count("*").alias("n"),
+                   F.count_distinct("user_id").alias("n_users"),
+                   F.sum(F.col("value").cast("decimal(27,6)"))
+                    .cast("double").alias("sum_value")))
+
+
+def rollup_backfill(base_rollup: DataFrame, all_events: DataFrame,
+                    late: DataFrame) -> DataFrame:
+    """Fold a late batch into a stored rollup by recomputing only the
+    groups the batch touches. all_events = the raw store AFTER the late
+    rows landed (at scale: read partition-pruned to affected days)."""
+    affected = (late.select(F.to_date("ts").cast("string").alias("day"),
+                            "event_type")
+                    .distinct())
+    untouched = base_rollup.join(F.broadcast(affected),
+                                 ["day", "event_type"], "left_anti")
+    rebuilt = _full_rollup(
+        all_events
+        .withColumn("day", F.to_date("ts").cast("string"))
+        .join(F.broadcast(affected), ["day", "event_type"], "left_semi")
+        .drop("day"))
+    return untouched.unionByName(rebuilt)
+
+
+def q_rollup_backfill_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sampling import _hash_bucket
+    ev = (table(spark, sf_dir, "events")
+          .filter(F.col("ts").isNotNull())
+          .select("event_id", "ts", "event_type", "user_id", "value"))
+    is_late = _hash_bucket(F.col("event_id"), 100) < LATE_PCT
+    base = _full_rollup(ev.filter(~is_late))
+    return (rollup_backfill(base, ev, ev.filter(is_late))
+            .orderBy("day", "event_type"))  # bounded: days × types
+
+
 QUERIES = {
+    "rollup_backfill_late": q_rollup_backfill_late,
     "funnel_conversion": q_funnel_conversion,
     "cohort_retention": q_cohort_retention,
     "event_transitions": q_event_transitions,
@@ -159,7 +218,22 @@ ORDER BY day, event_type
 """
 
 
+def _oracle_backfill() -> str:
+    # from-scratch recompute — hash equality proves backfill ≡ recompute
+    from ._util import sql_dsum
+    return f"""
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
+       COUNT(*) AS n,
+       COUNT(DISTINCT user_id) AS n_users,
+       {sql_dsum('value')} AS sum_value
+FROM events WHERE ts IS NOT NULL
+GROUP BY day, event_type
+ORDER BY day, event_type
+"""
+
+
 ORACLE = {
+    "rollup_backfill_late": _oracle_backfill(),
     "rollup_merge_incremental": _oracle_rollup(),
     "funnel_conversion": f"""
 WITH ev AS (

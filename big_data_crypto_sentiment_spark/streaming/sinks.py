@@ -74,3 +74,31 @@ def start_jsonl_sink(df: DataFrame, out_dir: str, checkpoint: str,
     if trigger_once:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def start_dq_monitor(df: DataFrame, out_dir: str, checkpoint: str,
+                     checks=None):
+    """Per-microbatch data-quality monitor (the streaming form of
+    queries/quality.py): foreachBatch runs the single-scan
+    conditional-aggregate check pass on every batch and appends one
+    parquet row per (batch_id, check) — the audit trail a streaming
+    ingest keeps next to its data. Check rows are tiny (bounded by
+    checks × batches); the batch itself is scanned once, never
+    collected. Replayed batches overwrite their own (batch_id-named)
+    file, so at-least-once redelivery stays idempotent (T9 discipline,
+    same as the JSONL sink)."""
+    from pyspark.sql import functions as F
+
+    from ..queries.quality import dq_events_checks
+    check_fn = checks or dq_events_checks
+
+    def audit(batch_df: DataFrame, batch_id: int) -> None:
+        (check_fn(batch_df)
+         .withColumn("batch_id", F.lit(batch_id))
+         .coalesce(1)
+         .write.mode("overwrite")
+         .parquet(f"{out_dir}/batch_id={batch_id}"))
+
+    return (df.writeStream.foreachBatch(audit)
+              .option("checkpointLocation", checkpoint)
+              .start())

@@ -53,3 +53,40 @@ def test_fk_orphans_counts_and_ignores_null_keys(spark):
     r = dq_fk_orphans(facts, "fk", dim, "k", "t.fk").collect()[0]
     # NULL fk is a completeness problem, not a referential one
     assert (r.n_rows, r.n_violations) == (3, 1)
+
+
+def test_streaming_dq_monitor(spark, tmp_path):
+    """The foreachBatch monitor audits every microbatch: per-batch check
+    rows land in parquet, violations attributed to the batch that
+    carried them."""
+    from big_data_crypto_sentiment_spark.streaming.sinks import (
+        start_dq_monitor,
+    )
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "audit")
+    clean = [(i, T0, 100 + i, "click", 1.0, None) for i in range(5)]
+    dirty = [(9, None, None, "bogus", VALUE_HI * 3, None)]
+    spark.createDataFrame(clean, EV_SCHEMA).coalesce(1) \
+         .write.mode("append").parquet(src)
+    stream = (spark.readStream.schema(EV_SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = start_dq_monitor(stream, out, str(tmp_path / "ck"))
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(dirty, EV_SCHEMA).coalesce(1) \
+             .write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    audit = spark.read.parquet(out)
+    got = {(r.batch_id, r.check_name): r.n_violations
+           for r in audit.collect()}
+    clean_batches = {b for (b, _) in got}
+    assert len(clean_batches) == 2
+    b0, b1 = sorted(clean_batches)
+    assert all(got[(b0, c)] == 0 for c in
+               ("events.ts_not_null", "events.user_id_not_null",
+                "events.value_in_range", "events.event_type_in_domain"))
+    assert got[(b1, "events.ts_not_null")] == 1
+    assert got[(b1, "events.value_in_range")] == 1
+    assert got[(b1, "events.event_type_in_domain")] == 1
