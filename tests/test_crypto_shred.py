@@ -1,0 +1,64 @@
+"""Crypto-shredding (operators/crypto_shred.py): roundtrip, forgotten
+users decrypt to NULL while their ciphertext bytes persist unchanged,
+and the whole path stays JVM-side (no Python UDF in the plan)."""
+
+from pyspark.sql import functions as F
+
+from big_data_crypto_sentiment_spark.operators.crypto_shred import (
+    decrypt_payload,
+    derive_keys,
+    encrypt_payload,
+    shred_users,
+)
+
+
+def _facts(spark):
+    return spark.createDataFrame(
+        [(1, 10, "alpha"), (2, 10, "beta"), (3, 20, "gamma"),
+         (4, 30, None)],
+        "event_id long, user_id long, props string")
+
+
+def test_roundtrip_and_shred(spark):
+    facts = _facts(spark)
+    keys = derive_keys(facts)
+    enc = encrypt_payload(facts, keys)
+    # ciphertext is binary and differs from plaintext
+    cts = {r.event_id: r.props for r in enc.collect()}
+    assert isinstance(cts[1], (bytes, bytearray)) and cts[1] != b"alpha"
+    assert cts[4] is None  # NULL payload stays NULL
+
+    # full roundtrip before shredding
+    dec = {r.event_id: r.props for r in decrypt_payload(enc, keys).collect()}
+    assert dec == {1: "alpha", 2: "beta", 3: "gamma", 4: None}
+
+    # forget user 10: key deleted, facts untouched
+    forget = spark.createDataFrame([(10,)], "user_id long")
+    keys2 = shred_users(keys, forget)
+    assert keys2.count() == keys.count() - 1
+    dec2 = {r.event_id: r.props
+            for r in decrypt_payload(enc, keys2).collect()}
+    assert dec2 == {1: None, 2: None, 3: "gamma", 4: None}
+    # the stored ciphertext itself did not change (no rewrite happened)
+    cts_after = {r.event_id: r.props for r in enc.collect()}
+    assert cts_after == cts
+
+
+def test_same_user_same_plaintext_distinct_users_distinct_keys(spark):
+    facts = _facts(spark)
+    keys = derive_keys(facts)
+    two = spark.createDataFrame(
+        [(1, 10, "same"), (2, 20, "same")],
+        "event_id long, user_id long, props string")
+    cts = {r.event_id: bytes(r.props)
+           for r in encrypt_payload(two, keys).collect()}
+    assert cts[1] != cts[2]  # per-user keys -> different ciphertext
+
+
+def test_plan_stays_jvm_side(spark):
+    facts = _facts(spark)
+    keys = derive_keys(facts)
+    plan = decrypt_payload(encrypt_payload(facts, keys), keys) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
