@@ -206,6 +206,8 @@ DEFERRALS: dict[str, dict] = {
                                extra="3-SF check.py + per-round sf0.001 auto-verify"),
     "rollup_backfill_late": dict(since=6, family="incremental-maintenance family via rollup_merge_incremental's deferred pair; anti/semi-join shapes via retention_after_deletes in-window",
                                  extra="3-SF check.py + per-round sf0.001 auto-verify; hash equality proves backfill == recompute incl. count_distinct"),
+    "sft_mask_spans":     dict(since=6, family="cumulative-window family via ts_sessionize/event_transitions (same per-key ordered window); packing family via pack_sequences in-window",
+                               extra="3-SF check.py + per-round sf0.001 auto-verify"),
 }
 
 _DEFER_FROM_WINDOW = tuple(DEFERRALS)

@@ -191,7 +191,62 @@ def q_pack_bins_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_bins_ffd(table(spark, sf_dir, "documents"))
 
 
+# --- SFT chat-template rendering + loss-mask spans: the supervised-
+#     fine-tuning data shape. Each user's time-ordered payload turns
+#     alternate user/assistant roles; the template wraps every turn in
+#     role markers, and the LOSS MASK is the set of character spans
+#     covering assistant turns (train-on-assistant-only). Spans come
+#     from a cumulative-length window over the SAME per-conversation
+#     sort the turn ordering uses — one (conv) shuffle, exact integer
+#     char arithmetic on both engines, no string materialization of the
+#     full rendered doc (only lengths flow through the window; the
+#     downstream packer consumes spans + turns). ---
+SFT_OPEN = {"user": "<|user|>", "assistant": "<|assistant|>"}
+SFT_CLOSE = "<|end|>"
+
+
+def sft_mask_spans(turns: DataFrame, conv: str, ts: str,
+                   tiebreak: str, text: str) -> DataFrame:
+    """(conv_id, turn_idx, role, start_char, end_char) for every
+    ASSISTANT turn of each rendered conversation — the spans a loss
+    mask keeps. turns: (conv, ts, tiebreak, text)."""
+    from pyspark.sql import Window
+    w = Window.partitionBy(conv).orderBy(ts, tiebreak)
+    role = F.when(F.row_number().over(w) % 2 == 1, F.lit("user")) \
+            .otherwise(F.lit("assistant"))
+    open_len = F.when(F.col("role") == "user",
+                      F.lit(len(SFT_OPEN["user"]))) \
+                .otherwise(F.lit(len(SFT_OPEN["assistant"])))
+    turn_len = open_len + F.length(text) + F.lit(len(SFT_CLOSE))
+    base = (turns.select(F.col(conv).alias("conv_id"),
+                         F.col(ts), F.col(tiebreak), F.col(text),
+                         F.row_number().over(w).alias("turn_idx"),
+                         role.alias("role"))
+                 .withColumn("_len", turn_len))
+    w2 = (Window.partitionBy("conv_id").orderBy(ts, tiebreak)
+                .rowsBetween(Window.unboundedPreceding, -1))
+    return (base.withColumn("start_char",
+                            F.coalesce(F.sum("_len").over(w2),
+                                       F.lit(0)).cast("long"))
+                .withColumn("end_char",
+                            (F.col("start_char") + F.col("_len"))
+                            .cast("long"))
+                .filter(F.col("role") == "assistant")
+                .select("conv_id", "turn_idx", "role",
+                        "start_char", "end_char"))
+
+
+def q_sft_mask_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (table(spark, sf_dir, "events")
+          .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+                  & F.col("props").isNotNull())
+          .select("user_id", "ts", "event_id", "props"))
+    return sft_mask_spans(ev, "user_id", "ts",
+                          "event_id", "props")  # O(assistant turns)
+
+
 QUERIES = {
+    "sft_mask_spans": q_sft_mask_spans,
     "chunk_overlap": q_chunk_overlap,
     "tokens_to_ids": q_tokens_to_ids,
     "pack_sequences": q_pack_sequences,
@@ -201,6 +256,34 @@ QUERIES = {
 _PAT_SQL = PAT_TOKEN.replace("'", "''")
 
 ORACLE = {
+    "sft_mask_spans": f"""
+WITH t AS (
+  SELECT user_id AS conv_id, ts, event_id, props,
+         ROW_NUMBER() OVER w AS turn_idx,
+         CASE WHEN (ROW_NUMBER() OVER w) % 2 = 1 THEN 'user'
+              ELSE 'assistant' END AS role
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND props IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), l AS (
+  SELECT conv_id, ts, event_id, turn_idx, role,
+         (CASE WHEN role = 'user' THEN {len(SFT_OPEN["user"])}
+               ELSE {len(SFT_OPEN["assistant"])} END)
+           + length(props) + {len(SFT_CLOSE)} AS len
+  FROM t
+), s AS (
+  SELECT conv_id, turn_idx, role,
+         CAST(COALESCE(SUM(len) OVER (
+           PARTITION BY conv_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS start_char,
+         CAST(len AS BIGINT) AS len
+  FROM l
+)
+SELECT conv_id, turn_idx, role, start_char,
+       start_char + len AS end_char
+FROM s WHERE role = 'assistant'
+""",
     "tokens_to_ids": f"""
 WITH vocab AS (
   SELECT term, CAST(ROW_NUMBER() OVER (ORDER BY n DESC, term) AS INT)

@@ -85,3 +85,40 @@ def test_chunk_documents_reconstructs_text(spark):
     assert all(r.chunk_len == len(r.chunk_text) <= 10 for r in rows)
     # a doc shorter than one chunk yields exactly one chunk
     assert [r.chunk_text for r in by_doc[2]] == ["tiny"]
+
+
+def test_sft_mask_spans_match_rendered_string(spark):
+    """The span arithmetic must index into the ACTUAL rendered string —
+    verified against a Python-side render (both engines share the SQL
+    arithmetic, so only this closed-form check proves it means what it
+    claims)."""
+    import datetime as dt
+
+    from big_data_crypto_sentiment_spark.queries.packing import (
+        SFT_CLOSE,
+        SFT_OPEN,
+        sft_mask_spans,
+    )
+    t0 = dt.datetime(2024, 1, 1)
+    turns = [(1, t0 + dt.timedelta(minutes=i), i, txt)
+             for i, txt in enumerate(["hi", "hello there", "how are you?",
+                                      "fine & dandy"])]
+    df = spark.createDataFrame(
+        turns, "conv long, ts timestamp, eid long, txt string")
+    spans = sorted(
+        (r.turn_idx, r.start_char, r.end_char)
+        for r in sft_mask_spans(df, "conv", "ts", "eid", "txt").collect())
+    rendered = ""
+    expected = []
+    for i, (_, _, _, txt) in enumerate(turns):
+        role = "user" if (i + 1) % 2 == 1 else "assistant"
+        start = len(rendered)
+        rendered += SFT_OPEN[role] + txt + SFT_CLOSE
+        if role == "assistant":
+            expected.append((i + 1, start, len(rendered)))
+    assert spans == expected
+    # and the spans really slice assistant content out of the render
+    for _, s, e in spans:
+        seg = rendered[s:e]
+        assert seg.startswith(SFT_OPEN["assistant"]) \
+            and seg.endswith(SFT_CLOSE)
