@@ -208,6 +208,8 @@ DEFERRALS: dict[str, dict] = {
                                  extra="3-SF check.py + per-round sf0.001 auto-verify; hash equality proves backfill == recompute incl. count_distinct"),
     "sft_mask_spans":     dict(since=6, family="cumulative-window family via ts_sessionize/event_transitions (same per-key ordered window); packing family via pack_sequences in-window",
                                extra="3-SF check.py + per-round sf0.001 auto-verify"),
+    "funnel_steps":       dict(since=6, family="funnel family via funnel_conversion's deferred pair; chained-window shape via key_skew_profile in-window",
+                               extra="3-SF check.py + per-round sf0.001 auto-verify"),
 }
 
 _DEFER_FROM_WINDOW = tuple(DEFERRALS)

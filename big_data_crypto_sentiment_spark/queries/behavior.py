@@ -141,6 +141,40 @@ def q_rollup_merge_incremental(spark: SparkSession,
             .orderBy("day", "event_type"))  # bounded: days × types
 
 
+# --- N-step ordered funnel (the 2-step operator's generalization):
+#     first time of step k STRICTLY after the user's first time of step
+#     k-1 — chained window minima over ONE (user) exchange: each step's
+#     conditional min references the previous step's column, so
+#     Catalyst plans N Window nodes over a single Exchange + Sort (no
+#     self-joins, no N aggregations). Output: per-user step timestamps
+#     + funnel depth reached. ---
+FUNNEL_STEPS = ("click", "view", "purchase")
+
+
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (table(spark, sf_dir, "events")
+          .filter(F.col("user_id").isNotNull())
+          .select("user_id", "ts", "event_type"))
+    w = Window.partitionBy("user_id")
+    out = ev
+    prev_col = None
+    for i, step in enumerate(FUNNEL_STEPS, start=1):
+        cond = F.col("event_type") == step
+        if prev_col is not None:
+            cond = cond & (F.col("ts") > F.col(prev_col))
+        out = out.withColumn(f"step{i}_ts",
+                             F.min(F.when(cond, F.col("ts"))).over(w))
+        prev_col = f"step{i}_ts"
+    depth = sum(
+        F.col(f"step{i}_ts").isNotNull().cast("int")
+        for i in range(1, len(FUNNEL_STEPS) + 1))
+    step_cols = [f"step{i}_ts" for i in range(1, len(FUNNEL_STEPS) + 1)]
+    return (out.filter(F.col("step1_ts").isNotNull())
+               .select("user_id", *step_cols)
+               .distinct()  # window cols are constant per user
+               .withColumn("depth", depth))  # O(users with step1): unsorted
+
+
 # --- late-data backfill (the OTHER incremental-maintenance case):
 #     rollup_merge handles APPEND-ONLY deltas by merging partials, but
 #     late-arriving rows land in day partitions the base rollup already
@@ -200,6 +234,7 @@ def q_rollup_backfill_late(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "funnel_steps": q_funnel_steps,
     "rollup_backfill_late": q_rollup_backfill_late,
     "funnel_conversion": q_funnel_conversion,
     "cohort_retention": q_cohort_retention,
@@ -233,6 +268,30 @@ ORDER BY day, event_type
 
 
 ORACLE = {
+    "funnel_steps": f"""
+WITH ev AS (
+  SELECT user_id, ts, event_type FROM events WHERE user_id IS NOT NULL
+), s1 AS (
+  SELECT *, MIN(CASE WHEN event_type = '{FUNNEL_STEPS[0]}' THEN ts END)
+              OVER (PARTITION BY user_id) AS step1_ts
+  FROM ev
+), s2 AS (
+  SELECT *, MIN(CASE WHEN event_type = '{FUNNEL_STEPS[1]}'
+                      AND ts > step1_ts THEN ts END)
+              OVER (PARTITION BY user_id) AS step2_ts
+  FROM s1
+), s3 AS (
+  SELECT *, MIN(CASE WHEN event_type = '{FUNNEL_STEPS[2]}'
+                      AND ts > step2_ts THEN ts END)
+              OVER (PARTITION BY user_id) AS step3_ts
+  FROM s2
+)
+SELECT DISTINCT user_id, step1_ts, step2_ts, step3_ts,
+       CAST(step1_ts IS NOT NULL AS INT)
+         + CAST(step2_ts IS NOT NULL AS INT)
+         + CAST(step3_ts IS NOT NULL AS INT) AS depth
+FROM s3 WHERE step1_ts IS NOT NULL
+""",
     "rollup_backfill_late": _oracle_backfill(),
     "rollup_merge_incremental": _oracle_rollup(),
     "funnel_conversion": f"""
