@@ -210,6 +210,8 @@ DEFERRALS: dict[str, dict] = {
                                extra="3-SF check.py + per-round sf0.001 auto-verify"),
     "funnel_steps":       dict(since=6, family="funnel family via funnel_conversion's deferred pair; chained-window shape via key_skew_profile in-window",
                                extra="3-SF check.py + per-round sf0.001 auto-verify"),
+    "embed_mean_pool":    dict(since=6, family="embedding family via sim_topk_cosine/embed_quantize in-window; integer-frozen accumulation via unigram_logprob's discipline",
+                               extra="3-SF check.py + per-round sf0.001 auto-verify"),
 }
 
 _DEFER_FROM_WINDOW = tuple(DEFERRALS)

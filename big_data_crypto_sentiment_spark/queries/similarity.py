@@ -440,7 +440,43 @@ def q_embed_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prototype_scores(e)  # O(input): unsorted
 
 
+# --- element-wise mean pooling: chunk embeddings → document embedding
+#     (the aggregation a chunked-embedding store needs before doc-level
+#     retrieval). Distributed tensor math via posexplode + (group, pos)
+#     hash agg: partial combines make the per-position sums map-side,
+#     the shuffle key is (groups × dims) — never a whole-vector
+#     collect. Float portability: float32 components are frozen to
+#     integer micro-units driver-free (round(v·1e6) per element), so
+#     both engines do exact integer sums in any order; the mean divides
+#     once at the end (the unigram-LM integer-nat discipline applied to
+#     tensors). ---
+POOL_GROUP = 8
+_EMB_SCALE = 1_000_000
+
+
+def mean_pool(emb: DataFrame, group_col, id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """(group_id, pos, avg_val): element-wise mean over each group's
+    vectors, exact integer accumulation."""
+    iv = F.round(F.col("v").cast("double") * _EMB_SCALE).cast("long")
+    return (emb.select(group_col.alias("group_id"),
+                       F.posexplode(vec_col).alias("pos", "v"))
+               .select("group_id", "pos", iv.alias("_iv"))
+               .groupBy("group_id", "pos")
+               .agg((F.sum("_iv").cast("double")
+                     / (F.count("_iv") * float(_EMB_SCALE)))
+                    .alias("avg_val")))  # single IEEE div: bit-exact,
+                                         # no round-mode divergence
+
+
+def q_embed_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return mean_pool(emb, F.expr(f"vec_id div {POOL_GROUP}"))
+    # O(groups × dims): unsorted
+
+
 QUERIES = {
+    "embed_mean_pool": q_embed_mean_pool,
     "sim_topk_cosine": q_sim_topk_cosine,
     "embed_prototype_prune": q_embed_prototype_prune,
     "embed_pca": q_embed_pca,                    # rows-only: eigensolve
@@ -451,6 +487,20 @@ QUERIES = {
 }
 
 ORACLE = {
+    "embed_mean_pool": f"""
+WITH ex AS (
+  SELECT vec_id // {POOL_GROUP} AS group_id,
+         unnest(range(0, len(embedding))) AS pos,
+         unnest(list_transform(embedding,
+           x -> CAST(ROUND(CAST(x AS DOUBLE) * {_EMB_SCALE}) AS BIGINT)))
+           AS iv
+  FROM embeddings
+)
+SELECT group_id, CAST(pos AS INT) AS pos,
+       CAST(CAST(SUM(iv) AS BIGINT) AS DOUBLE)
+         / (COUNT(iv) * {float(_EMB_SCALE)}) AS avg_val
+FROM ex GROUP BY group_id, pos
+""",
     "embed_prototype_prune": f"""
 WITH ex AS (
   SELECT vec_id, label, i AS dim,
