@@ -75,3 +75,30 @@ def write_zordered(df: DataFrame, cols: tuple[str, str], path: str,
        .sortWithinPartitions("_zkey")
        .drop("_zkey")
        .write.mode("overwrite").parquet(path))
+
+
+def file_stats_catalog(spark, path: str, cols: tuple[str, ...]):
+    """Manifest of per-file (row_count, min, max per column) — the
+    data-skipping index a reader consults before planning scans (the
+    Delta/Iceberg manifest analog, built distributed from the hidden
+    `_metadata.file_path` column rather than driver-side footer reads:
+    one scan + one hash agg keyed by file, works at any file count)."""
+    from pyspark.sql import functions as F
+    df = spark.read.parquet(path)
+    aggs = [F.count("*").alias("row_count")]
+    for c in cols:
+        aggs += [F.min(c).alias(f"{c}_min"), F.max(c).alias(f"{c}_max")]
+    return (df.select(F.col("_metadata.file_path").alias("file"), *cols)
+              .groupBy("file").agg(*aggs))
+
+
+def prunable_files(catalog, box: dict) -> tuple[int, int]:
+    """(files that could match the conjunctive box, total files) from a
+    file_stats_catalog frame — the skip decision itself, as one filter."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+    cond = reduce(lambda a, b: a & b,
+                  [(F.col(f"{c}_min") <= hi) & (F.col(f"{c}_max") >= lo)
+                   for c, (lo, hi) in box.items()])
+    return catalog.filter(cond).count(), catalog.count()

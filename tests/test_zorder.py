@@ -71,3 +71,21 @@ def test_zordered_layout_prunes_box_predicates(spark, tmp_path):
     # z-order: the box lives in ~one quadrant-cell -> most files prune
     assert h_hit >= 14
     assert z_hit <= 5
+
+
+def test_file_stats_catalog_drives_pruning(spark, tmp_path):
+    from big_data_crypto_sentiment_spark.operators.zorder import (
+        file_stats_catalog,
+        prunable_files,
+    )
+    df = spark.range(10_000).select(
+        (F.col("id") % 100).cast("double").alias("x"),
+        ((F.col("id") * 37) % 100).cast("double").alias("y"))
+    zpath = str(tmp_path / "zc")
+    write_zordered(df, ("x", "y"), zpath, n_files=16)
+    cat = file_stats_catalog(spark, zpath, ("x", "y"))
+    assert cat.count() == 16
+    assert cat.agg(F.sum("row_count")).first()[0] == 10_000
+    hit, total = prunable_files(cat, {"x": (10.0, 19.0),
+                                      "y": (50.0, 59.0)})
+    assert total == 16 and hit <= 5
