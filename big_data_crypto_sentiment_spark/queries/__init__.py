@@ -212,6 +212,10 @@ DEFERRALS: dict[str, dict] = {
                                extra="3-SF check.py + per-round sf0.001 auto-verify"),
     "embed_mean_pool":    dict(since=6, family="embedding family via sim_topk_cosine/embed_quantize in-window; integer-frozen accumulation via unigram_logprob's discipline",
                                extra="3-SF check.py + per-round sf0.001 auto-verify"),
+    "scd2_snapshot_at":   dict(since=6, family="temporal family via scd2_user_state/scd2_point_in_time's deferred pairs (pure interval filter over the same build)",
+                               extra="3-SF check.py + per-round sf0.001 auto-verify"),
+    "scd2_state_durations": dict(since=6, family="temporal family via scd2_user_state's deferred pair; exact-integer agg via rollup_merge_incremental's discipline",
+                                 extra="3-SF check.py + per-round sf0.001 auto-verify"),
 }
 
 _DEFER_FROM_WINDOW = tuple(DEFERRALS)

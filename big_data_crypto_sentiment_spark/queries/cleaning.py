@@ -286,11 +286,25 @@ UNIGRAM_VOCAB_K = 1000
 _LP_SCALE = 100_000_000  # 1e8: lp8 = round(ln(p) * _LP_SCALE)
 
 
+# Session cache for the unigram model artifact: q_unigram_logprob and
+# q_bigram_logprob (whose backoff distribution is the SAME model over
+# the same corpus) would otherwise each run the count agg + two
+# collects — the registered-entry key is (appId, sf_dir)-scoped like
+# retrieval._IDF_CACHE, bounded by registered configs.
+_UNIGRAM_CACHE: dict[tuple, tuple] = {}
+
+
 def unigram_model(docs: DataFrame, text_col: str = "text",
-                  vocab_k: int = UNIGRAM_VOCAB_K):
+                  vocab_k: int = UNIGRAM_VOCAB_K,
+                  cache_key: tuple | None = None):
     """(term -> lp8 dict, oov lp8, truncated?) — add-one smoothing over
     the full-corpus term counts; OOV mass = 1/(total+V+1)."""
     import math
+    if cache_key is not None:
+        full_key = (docs.sparkSession.sparkContext.applicationId,
+                    *cache_key, text_col, vocab_k)
+        if full_key in _UNIGRAM_CACHE:
+            return _UNIGRAM_CACHE[full_key]
     cnt = (docs.select(F.explode(F.split(F.col(text_col), " "))
                         .alias("term"))
                .groupBy("term").agg(F.count("*").alias("c")))
@@ -300,7 +314,10 @@ def unigram_model(docs: DataFrame, text_col: str = "text",
     lp = {r.term: round(math.log((r.c + 1) / denom) * _LP_SCALE)
           for r in top[:vocab_k]}
     oov = round(math.log(1.0 / denom) * _LP_SCALE)
-    return lp, oov, len(top) > vocab_k
+    out = (lp, oov, len(top) > vocab_k)
+    if cache_key is not None:
+        _UNIGRAM_CACHE[full_key] = out
+    return out
 
 
 def unigram_score(docs: DataFrame, lp: dict[str, int], oov: int,
@@ -346,12 +363,14 @@ BIGRAM_VOCAB_K = 2000
 
 
 def bigram_model(docs: DataFrame, text_col: str = "text",
-                 vocab_k: int = BIGRAM_VOCAB_K):
+                 vocab_k: int = BIGRAM_VOCAB_K,
+                 cache_key: tuple | None = None):
     """(bigram -> lp8, unigram -> lp8, oov lp8, truncated?) — add-one-
     smoothed conditional bigram log-probs over corpus counts; unigram
     backoff from unigram_model's add-one distribution."""
     import math
-    uni_lp, uni_oov, _ = unigram_model(docs, text_col, UNIGRAM_VOCAB_K)
+    uni_lp, uni_oov, _ = unigram_model(docs, text_col, UNIGRAM_VOCAB_K,
+                                       cache_key=cache_key)
     w = F.split(F.col(text_col), " ")
     grams = F.expr("transform(slice(_w, 1, size(_w) - 1), "
                    "(x, i) -> concat(x, ' ', _w[i + 1]))")
@@ -423,7 +442,7 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ._util import rebalance_scan
     d = rebalance_scan(table(spark, sf_dir, "documents")) \
         .select("doc_id", "text")
-    blp, ulp, uoov, _ = bigram_model(d)
+    blp, ulp, uoov, _ = bigram_model(d, cache_key=("unigram_docs", sf_dir))
     return bigram_score(d, blp, ulp, uoov)  # O(input): unsorted
 
 
@@ -485,7 +504,7 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ._util import rebalance_scan
     d = rebalance_scan(table(spark, sf_dir, "documents")) \
         .select("doc_id", "text")
-    lp, oov, _ = unigram_model(d)
+    lp, oov, _ = unigram_model(d, cache_key=("unigram_docs", sf_dir))
     return unigram_score(d, lp, oov)  # O(input): unsorted
 
 

@@ -156,10 +156,60 @@ def q_scd2_merge_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "ts", "event_id")  # O(state changes): unsorted
 
 
+# --- the two read patterns the interval table serves besides the
+#     per-fact lookup: AS-OF snapshot (state of EVERY key at one
+#     instant — a pure interval filter, no join, no window) and
+#     time-in-state durations (how long keys spend in each state —
+#     exact integer microsecond sums over closed intervals; open
+#     intervals have no end and are reported separately as a count). ---
+SNAPSHOT_AT = "2024-01-20 00:00:00"
+
+
+def scd2_snapshot_at(dim: DataFrame, at) -> DataFrame:
+    """(user_id, state, since): every user's state at instant `at` —
+    one map-side filter over the interval table (zero-length same-ts
+    versions drop out of the half-open containment automatically)."""
+    return (dim.filter((F.col("valid_from") <= at)
+                       & (F.col("valid_to").isNull()
+                          | (F.col("valid_to") > at)))
+               .select("user_id", "state",
+                       F.col("valid_from").alias("since")))
+
+
+def q_scd2_snapshot_at(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (table(spark, sf_dir, "events")
+          .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+                  & F.col("event_type").isNotNull())
+          .select("user_id", "ts", "event_id", "event_type"))
+    dim = scd2_intervals(ev, "user_id", "event_type", "ts", "event_id")
+    return scd2_snapshot_at(dim, F.lit(SNAPSHOT_AT).cast("timestamp"))
+    # O(users): unsorted
+
+
+def q_scd2_state_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(state, n_closed, total_us, n_open): exact integer time-in-state
+    over closed intervals; open intervals counted, not timed."""
+    ev = (table(spark, sf_dir, "events")
+          .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+                  & F.col("event_type").isNotNull())
+          .select("user_id", "ts", "event_id", "event_type"))
+    dim = scd2_intervals(ev, "user_id", "event_type", "ts", "event_id")
+    dur = F.unix_micros("valid_to") - F.unix_micros("valid_from")
+    return (dim.groupBy("state")
+               .agg(F.count("valid_to").alias("n_closed"),
+                    F.coalesce(F.sum(dur), F.lit(0)).cast("long")
+                     .alias("total_us"),
+                    F.count(F.when(F.col("valid_to").isNull(), 1))
+                     .alias("n_open"))
+               .orderBy("state"))  # bounded: one row per state
+
+
 QUERIES = {
     "scd2_user_state": q_scd2_user_state,
     "scd2_point_in_time": q_scd2_point_in_time,
     "scd2_merge_incremental": q_scd2_merge_incremental,
+    "scd2_snapshot_at": q_scd2_snapshot_at,
+    "scd2_state_durations": q_scd2_state_durations,
 }
 
 ORACLE = {
@@ -218,3 +268,39 @@ FROM facts f ASOF LEFT JOIN dim1 d
 # the incremental merge's oracle IS the from-scratch rebuild — hash
 # equality proves merge ≡ recompute (rollup_merge_incremental precedent)
 ORACLE["scd2_merge_incremental"] = ORACLE["scd2_user_state"]
+
+_SQL_DIM = """
+WITH seq AS (
+  SELECT user_id, ts, event_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND event_type IS NOT NULL
+), chg AS (
+  SELECT user_id, ts, event_id, event_type FROM seq
+  WHERE prev IS NULL OR prev <> event_type
+), dim AS (
+  SELECT user_id, event_type AS state, ts AS valid_from,
+         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS valid_to
+  FROM chg
+)"""
+
+ORACLE["scd2_snapshot_at"] = _SQL_DIM + f"""
+SELECT user_id, state, valid_from AS since
+FROM dim
+WHERE valid_from <= TIMESTAMP '{SNAPSHOT_AT}'
+  AND (valid_to IS NULL OR valid_to > TIMESTAMP '{SNAPSHOT_AT}')
+"""
+
+ORACLE["scd2_state_durations"] = _SQL_DIM + """
+SELECT state,
+       COUNT(valid_to) AS n_closed,
+       CAST(COALESCE(SUM(epoch_us(valid_to) - epoch_us(valid_from)), 0)
+            AS BIGINT) AS total_us,
+       CAST(SUM(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_open
+FROM dim
+GROUP BY state ORDER BY state
+"""
