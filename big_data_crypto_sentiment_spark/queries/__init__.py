@@ -216,6 +216,10 @@ DEFERRALS: dict[str, dict] = {
                                extra="3-SF check.py + per-round sf0.001 auto-verify"),
     "scd2_state_durations": dict(since=6, family="temporal family via scd2_user_state's deferred pair; exact-integer agg via rollup_merge_incremental's discipline",
                                  extra="3-SF check.py + per-round sf0.001 auto-verify"),
+    "ts_cube":            dict(since=6, family="grouping-sets family via ts_rollup in-window (same expand + one hash agg)",
+                               extra="3-SF check.py + per-round sf0.001 auto-verify"),
+    "moment_profile":     dict(since=6, family="profiling family via summary_stats in-window; exact-decimal discipline via pricing_summary",
+                               extra="3-SF check.py + per-round sf0.001 auto-verify"),
 }
 
 _DEFER_FROM_WINDOW = tuple(DEFERRALS)

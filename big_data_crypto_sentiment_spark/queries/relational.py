@@ -522,7 +522,42 @@ def q_value_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
               .orderBy("event_type", "tile"))  # bounded: types × bins
 
 
+# --- higher-moment profiling: population variance + skewness from
+#     EXACT decimal power sums (summary_stats stops at mean/median).
+#     Built-in skewness() is out: Spark and DuckDB disagree on
+#     sample-vs-population corrections AND their float accumulation
+#     orders differ. Instead the raw sums Σx, Σx², Σx³ ride staged
+#     decimal widths chosen so no product exceeds precision 38 —
+#     (12,6)·(12,6)→(25,12), ·(12,6)→(38,18); each is exact, so both
+#     engines hold identical rationals, and every downstream double op
+#     is the same IEEE expression tree (m2^1.5 as m2·sqrt(m2), never
+#     pow — libm/JVM pow differ by ulps). Σx⁴ (kurtosis) does NOT fit
+#     width 38 — documented boundary, not an oversight. One
+#     partial-combined hash agg; bounded output. ---
+def q_moment_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (table(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull())
+          .select("event_type", F.col("value").cast("decimal(12,6)")
+                  .alias("d")))
+    d, n = F.col("d"), F.count("d")
+    agg = (ev.groupBy("event_type")
+             .agg(n.alias("n"),
+                  F.sum(d).cast("double").alias("s1"),
+                  F.sum(d * d).cast("double").alias("s2"),
+                  F.sum((d * d) * d).cast("double").alias("s3")))
+    mean = F.col("s1") / F.col("n")
+    va = F.col("s2") / F.col("n") - mean * mean
+    m3 = (F.col("s3") / F.col("n") - F.lit(3.0) * mean
+          * (F.col("s2") / F.col("n")) + F.lit(2.0) * mean * mean * mean)
+    return (agg.select("event_type", "n",
+                       F.round(mean, 6).alias("mean"),
+                       F.round(va, 6).alias("var_pop"),
+                       F.round(m3 / (va * F.sqrt(va)), 6).alias("skewness"))
+               .orderBy("event_type"))  # bounded: one row per type
+
+
 QUERIES = {
+    "moment_profile": q_moment_profile,
     "value_histogram": q_value_histogram,
     "value_quantile_bins": q_value_quantile_bins,
     "winsorize_events": q_winsorize_events,
@@ -892,4 +927,29 @@ SELECT event_type, CAST(tile AS INT) AS tile, COUNT(*) AS n,
        MIN(value) AS lo, MAX(value) AS hi
 FROM t GROUP BY event_type, tile
 ORDER BY event_type, tile
+"""
+
+
+# identical staged decimal widths and double expression trees as the
+# Spark side; VARCHAR hop on each sum avoids DuckDB's DECIMAL->DOUBLE
+# double-rounding
+ORACLE["moment_profile"] = """
+WITH ev AS (
+  SELECT event_type, CAST(value AS DECIMAL(12,6)) AS d FROM events
+  WHERE value IS NOT NULL
+), agg AS (
+  SELECT event_type, COUNT(d) AS n,
+         CAST(CAST(SUM(d) AS VARCHAR) AS DOUBLE) AS s1,
+         CAST(CAST(SUM(d * d) AS VARCHAR) AS DOUBLE) AS s2,
+         CAST(CAST(SUM((d * d) * d) AS VARCHAR) AS DOUBLE) AS s3
+  FROM ev GROUP BY event_type
+)
+SELECT event_type, n,
+       ROUND(s1 / n, 6) AS mean,
+       ROUND(s2 / n - (s1 / n) * (s1 / n), 6) AS var_pop,
+       ROUND((s3 / n - 3.0 * (s1 / n) * (s2 / n)
+              + 2.0 * (s1 / n) * (s1 / n) * (s1 / n))
+             / ((s2 / n - (s1 / n) * (s1 / n))
+                * SQRT(s2 / n - (s1 / n) * (s1 / n))), 6) AS skewness
+FROM agg ORDER BY event_type
 """

@@ -285,6 +285,26 @@ def q_ts_trailing_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .orderBy("event_type", "window_end"))  # bounded: types × hours
 
 
+# --- full CUBE over (symbol, day): all four grouping sets in one pass
+#     (rollup's lattice completion — adds the per-day-across-symbols
+#     slice rollup omits). grouping_id() disambiguates a NULL data key
+#     from a NULL produced by the cube totals — the correctness nuance
+#     any grouping-sets consumer needs; identical GROUPING() arithmetic
+#     on both engines. Same scale shape as rollup: Spark expands to the
+#     grouping-set union before ONE partial-combined hash agg. ---
+def q_ts_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").alias("day")
+    return (ev.filter(F.col("value").isNotNull())
+              .cube(F.col("event_type"), day)
+              .agg(F.grouping_id().cast("int").alias("gid"),
+                   F.count("*").alias("n"),
+                   (F.sum(F.col("value").cast("decimal(27,6)"))
+                     .cast("double") / F.count("value")).alias("avg_value"))
+              .select("event_type", "day", "gid",
+                      "n", "avg_value"))  # bounded: (types+1)(days+1)
+
+
 # --- multi-granularity rollup: per (symbol, day) with day and grand
 # totals — the hypertable-rollup shape (GROUPING SETS via rollup) ---
 def q_ts_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -370,6 +390,7 @@ QUERIES = {
     "ts_trailing_hour": q_ts_trailing_hour,
     "ts_trailing_distinct": q_ts_trailing_distinct,
     "ts_rollup": q_ts_rollup,
+    "ts_cube": q_ts_cube,
     "ts_window_calcs": q_ts_window_calcs,
     "ts_bucket_counts": q_ts_bucket_counts,
     "ts_resample_ffill": q_ts_resample_ffill,
@@ -497,6 +518,18 @@ SELECT s.event_type, s.bucket,
          PARTITION BY s.event_type ORDER BY s.bucket
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill
 FROM spine s LEFT JOIN b ON s.event_type = b.event_type AND s.bucket = b.bucket
+""",
+    # GROUPING() arithmetic matches Spark's grouping_id bit order
+    # (event_type is the high bit)
+    "ts_cube": """
+SELECT event_type, date_trunc('day', ts) AS day,
+       CAST(2 * GROUPING(event_type)
+            + GROUPING(date_trunc('day', ts)) AS INT) AS gid,
+       COUNT(*) AS n,
+       (CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / COUNT(value))
+         AS avg_value
+FROM events WHERE value IS NOT NULL
+GROUP BY CUBE (event_type, date_trunc('day', ts))
 """,
     # contribution expansion over distinct (type, hour, user) triples,
     # window-ends restricted to observed hours — mirrors the Spark plan
