@@ -220,6 +220,12 @@ DEFERRALS: dict[str, dict] = {
                                extra="3-SF check.py + per-round sf0.001 auto-verify"),
     "moment_profile":     dict(since=6, family="profiling family via summary_stats in-window; exact-decimal discipline via pricing_summary",
                                extra="3-SF check.py + per-round sf0.001 auto-verify"),
+    "event_debounce":     dict(since=6, family="lag-window family via ts_sessionize/event_transitions (same per-key ordered window) in-window",
+                               extra="3-SF check.py + per-round sf0.001 auto-verify"),
+    "type_share_daily":   dict(since=6, family="window-over-aggregate family via key_skew_profile in-window",
+                               extra="3-SF check.py + per-round sf0.001 auto-verify"),
+    "cohort_retention_pct": dict(since=6, family="cohort family via cohort_retention's deferred pair (pure normalization on top)",
+                                 extra="3-SF check.py + per-round sf0.001 auto-verify"),
 }
 
 _DEFER_FROM_WINDOW = tuple(DEFERRALS)

@@ -141,6 +141,63 @@ def q_rollup_merge_incremental(spark: SparkSession,
             .orderBy("day", "event_type"))  # bounded: days × types
 
 
+# --- event debounce / throttle: suppress a (user, type) event arriving
+#     within DEBOUNCE_MIN of the PREVIOUS event of that key — telemetry
+#     hygiene for double-fires and retry storms (gap-based form: the
+#     suppression window restarts at every event, which is one lag()
+#     over the (user, type) sort; the alternative anchored-at-last-KEPT
+#     form needs a running-state scan — sessionize's is_new machinery —
+#     and is deliberately NOT this operator). One exchange keyed by
+#     (user_id, event_type). ---
+DEBOUNCE_MIN = 10
+
+
+def q_event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (table(spark, sf_dir, "events")
+          .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+          .select("event_id", "user_id", "event_type", "ts"))
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    return (ev.withColumn("_gap", gap_us)
+              .filter(F.col("_gap").isNull()
+                      | (F.col("_gap") > DEBOUNCE_MIN * 60 * 1_000_000))
+              .select("event_id", "user_id", "event_type",
+                      "ts"))  # O(kept): unsorted
+
+
+# --- percent-of-total contribution: each type's share of its day's
+#     events — the BI "contribution analysis" shape: one grouped count,
+#     then a window sum over the day partition (day cardinality is
+#     bounded, the window input is the aggregated grid, never raw
+#     events). Share = exact integer counts in one double division. ---
+def q_type_share_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (table(spark, sf_dir, "events")
+          .filter(F.col("ts").isNotNull()))
+    daily = (ev.groupBy(F.to_date("ts").cast("string").alias("day"),
+                        "event_type")
+               .agg(F.count("*").alias("n")))
+    tot = F.sum("n").over(Window.partitionBy("day"))
+    return (daily.select("day", "event_type", "n",
+                         (F.col("n").cast("double") / tot.cast("double"))
+                         .alias("share"))
+                 .orderBy("day", "event_type"))  # bounded: days × types
+
+
+# --- normalized retention curve: the cohort triangle as percentages of
+#     each cohort's day-0 size (what analysts actually read). The day-0
+#     sizes are one tiny slice of the triangle itself, broadcast back —
+#     never a second scan of events. ---
+def q_cohort_retention_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tri = q_cohort_retention(spark, sf_dir)
+    base = (tri.filter(F.col("day_offset") == 0)
+               .select("cohort_day", F.col("n_users").alias("size0")))
+    return (tri.join(F.broadcast(base), "cohort_day")
+               .select("cohort_day", "day_offset", "n_users", "size0",
+                       (F.col("n_users").cast("double")
+                        / F.col("size0").cast("double")).alias("retained"))
+               .orderBy("cohort_day", "day_offset"))  # bounded: days²
+
+
 # --- N-step ordered funnel (the 2-step operator's generalization):
 #     first time of step k STRICTLY after the user's first time of step
 #     k-1 — chained window minima over ONE (user) exchange: each step's
@@ -234,6 +291,9 @@ def q_rollup_backfill_late(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "event_debounce": q_event_debounce,
+    "type_share_daily": q_type_share_daily,
+    "cohort_retention_pct": q_cohort_retention_pct,
     "funnel_steps": q_funnel_steps,
     "rollup_backfill_late": q_rollup_backfill_late,
     "funnel_conversion": q_funnel_conversion,
@@ -268,6 +328,49 @@ ORDER BY day, event_type
 
 
 ORACLE = {
+    "event_debounce": f"""
+WITH s AS (
+  SELECT event_id, user_id, event_type, ts,
+         epoch_us(ts) - epoch_us(LAG(ts) OVER (
+           PARTITION BY user_id, event_type
+           ORDER BY ts, event_id)) AS gap
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+)
+SELECT event_id, user_id, event_type, ts
+FROM s WHERE gap IS NULL OR gap > {DEBOUNCE_MIN * 60 * 1_000_000}
+""",
+    "type_share_daily": """
+WITH daily AS (
+  SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
+         COUNT(*) AS n
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY day, event_type
+)
+SELECT day, event_type, n,
+       CAST(n AS DOUBLE)
+         / CAST(SUM(n) OVER (PARTITION BY day) AS DOUBLE) AS share
+FROM daily ORDER BY day, event_type
+""",
+    "cohort_retention_pct": """
+WITH ev AS (
+  SELECT user_id, CAST(ts AS DATE) AS day FROM events
+  WHERE user_id IS NOT NULL
+), fs AS (
+  SELECT user_id, MIN(day) AS cohort_day FROM ev GROUP BY user_id
+), tri AS (
+  SELECT CAST(f.cohort_day AS VARCHAR) AS cohort_day,
+         CAST(e.day - f.cohort_day AS INT) AS day_offset,
+         COUNT(DISTINCT e.user_id) AS n_users
+  FROM ev e JOIN fs f ON e.user_id = f.user_id
+  GROUP BY f.cohort_day, day_offset
+), base AS (
+  SELECT cohort_day, n_users AS size0 FROM tri WHERE day_offset = 0
+)
+SELECT t.cohort_day, t.day_offset, t.n_users, b.size0,
+       CAST(t.n_users AS DOUBLE) / CAST(b.size0 AS DOUBLE) AS retained
+FROM tri t JOIN base b USING (cohort_day)
+ORDER BY cohort_day, day_offset
+""",
     "funnel_steps": f"""
 WITH ev AS (
   SELECT user_id, ts, event_type FROM events WHERE user_id IS NOT NULL
