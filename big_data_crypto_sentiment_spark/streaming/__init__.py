@@ -13,4 +13,5 @@ from .windowed import (  # noqa: F401
     union_form_prices_with_tweets,
 )
 from .heavy_hitters import streaming_heavy_hitters  # noqa: F401
+from .debounce import debounce_stream  # noqa: F401
 from .observe import observed, progress_frame  # noqa: F401
