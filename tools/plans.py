@@ -94,6 +94,17 @@ HEADLINE = [
     ("zorder_key_lineitem",
      "z-order key: one-row stats broadcast (allow-listed nested loop), "
      "then pure JVM bit-interleave expressions — no UDF, no shuffle"),
+    ("funnel_steps",
+     "N-step funnel: three chained conditional window minima + the "
+     "per-user dedup, ALL over one Exchange (subset-key clustering "
+     "satisfies the distinct's requirement)"),
+    ("ts_cube",
+     "full CUBE: Expand to 4 grouping sets feeding ONE "
+     "partial-combined hash agg; grouping_id disambiguates totals"),
+    ("moment_profile",
+     "exact higher moments: staged-width decimal products "
+     "(12,6)->(25,12)->(38,18) inside one hash agg — no second scan, "
+     "no float accumulation"),
 ]
 
 _ADDR = re.compile(r"#\d+L?")
