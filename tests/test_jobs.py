@@ -129,3 +129,42 @@ def test_dim_build_lifecycle(spark, tmp_path):
     enriched = enrich_facts(events, merged)
     assert enriched.count() == n_facts
     assert enriched.filter(F.col("state").isNotNull()).count() > 0
+
+
+def test_streaming_dim_maintenance_converges_to_batch_rebuild(spark, tmp_path):
+    """CDC-style streaming SCD2 upkeep: seed a dimension, stream two
+    append-only event drops through start_dim_maintenance, and assert
+    the published `current` snapshot equals a from-scratch batch
+    rebuild over everything."""
+    from big_data_crypto_sentiment_spark.jobs.dim_build import (
+        build_dimension,
+        start_dim_maintenance,
+        write_dimension,
+    )
+    events = table(spark, SF_DIR, "events").filter(F.col("ts").isNotNull())
+    c1 = F.lit("2024-01-12").cast("timestamp")
+    c2 = F.lit("2024-01-21").cast("timestamp")
+    dim_dir = str(tmp_path / "dim")
+    write_dimension(build_dimension(events.filter(F.col("ts") < c1)),
+                    f"{dim_dir}/current")
+    src = str(tmp_path / "src")
+    events.filter((F.col("ts") >= c1) & (F.col("ts") < c2)).coalesce(1) \
+          .write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = start_dim_maintenance(spark, stream, dim_dir,
+                              str(tmp_path / "ck"))
+    try:
+        q.processAllAvailable()
+        events.filter(F.col("ts") >= c2).coalesce(1) \
+              .write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.read.parquet(f"{dim_dir}/current")
+    want = build_dimension(events)
+    key = lambda r: (r.user_id, r.version)  # noqa: E731
+    as_map = lambda df: {key(r): (r.state, r.valid_from, r.valid_to,  # noqa: E731
+                                  r.is_current) for r in df.collect()}
+    assert as_map(got) == as_map(want)
