@@ -168,3 +168,41 @@ def test_streaming_dim_maintenance_converges_to_batch_rebuild(spark, tmp_path):
     as_map = lambda df: {key(r): (r.state, r.valid_from, r.valid_to,  # noqa: E731
                                   r.is_current) for r in df.collect()}
     assert as_map(got) == as_map(want)
+
+
+def test_export_training_sharded_shuffle(spark, tmp_path):
+    """Last-mile export: curate, then export the train split — every
+    kept train doc appears exactly once, each shard file is ordered by
+    position, and a re-run reproduces identical shard contents."""
+    import json as _json
+
+    from big_data_crypto_sentiment_spark.jobs.curate import run_curation
+    from big_data_crypto_sentiment_spark.jobs.export_training import (
+        export_training,
+    )
+    curated = str(tmp_path / "curated")
+    run_curation(spark, SF_DIR, curated)
+    want = (spark.read.parquet(curated)
+                 .filter(F.col("split") == "train").count())
+    out1 = str(tmp_path / "shards1")
+    n = export_training(spark, SF_DIR, curated, out1, n_shards=4)
+    assert n == want > 0
+
+    def shard_contents(out):
+        got = {}
+        for p in sorted(glob.glob(f"{out}/shard=*/*.json")):
+            shard = p.split("shard=")[1].split("/")[0]
+            rows = [_json.loads(line) for line in open(p)]
+            got.setdefault(shard, []).extend(rows)
+        return got
+
+    got = shard_contents(out1)
+    all_docs = [r["doc_id"] for rows in got.values() for r in rows]
+    assert len(all_docs) == len(set(all_docs)) == want
+    for shard, rows in got.items():
+        assert [r["position"] for r in rows] == \
+            sorted(r["position"] for r in rows)
+    # reproducible
+    out2 = str(tmp_path / "shards2")
+    export_training(spark, SF_DIR, curated, out2, n_shards=4)
+    assert shard_contents(out2) == got
