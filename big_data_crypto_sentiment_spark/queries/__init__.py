@@ -226,6 +226,8 @@ DEFERRALS: dict[str, dict] = {
                                extra="3-SF check.py + per-round sf0.001 auto-verify"),
     "cohort_retention_pct": dict(since=6, family="cohort family via cohort_retention's deferred pair (pure normalization on top)",
                                  extra="3-SF check.py + per-round sf0.001 auto-verify"),
+    "ta_twap":            dict(since=6, family="TA family via ta_sma_vwap in-window (same per-symbol window + agg shape); exact decimal x integer weighting",
+                               extra="3-SF check.py + per-round sf0.001 auto-verify"),
 }
 
 _DEFER_FROM_WINDOW = tuple(DEFERRALS)

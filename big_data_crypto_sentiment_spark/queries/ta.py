@@ -49,9 +49,38 @@ def q_ta_ema_rsi_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("symbol", "ts", "price", *rounded)
 
 
+# --- TWAP: TIME-weighted average price per (symbol, day) — VWAP's
+#     sibling for thin/no-volume feeds: each tick's price is weighted
+#     by how long it remained the live quote (next tick ts − ts within
+#     the day; the day's last tick carries zero weight rather than
+#     crossing midnight). Exact arithmetic end-to-end: price as
+#     decimal(12,6) × integer micro-duration = decimal(32,6), summed
+#     exactly, ONE double division at the end — identical IEEE tree on
+#     both engines, no rounding step. One (symbol) window pass + one
+#     hash agg. ---
+def q_ta_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    t = _ticks(spark, sf_dir).select("symbol", "ts", "event_id", "price")
+    day = F.to_date("ts").cast("string")
+    w = Window.partitionBy("symbol", day).orderBy("ts", "event_id")
+    dt_us = (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts"))
+    weighted = (t.select("symbol", day.alias("day"),
+                         F.col("price").cast("decimal(12,6)").alias("p"),
+                         F.coalesce(dt_us, F.lit(0)).alias("dt"))
+                 .select("symbol", "day",
+                         (F.col("p") * F.col("dt")).alias("pw"), "dt"))
+    return (weighted.groupBy("symbol", "day")
+            .agg(F.count("*").alias("n_ticks"),
+                 F.sum("dt").cast("long").alias("span_us"),
+                 (F.sum("pw").cast("double")
+                  / F.sum("dt").cast("double")).alias("twap"))
+            .orderBy("symbol", "day"))  # bounded: symbols × days
+
+
 QUERIES = {
     "ta_sma_vwap": q_ta_sma_vwap,
     "ta_ema_rsi_macd": q_ta_ema_rsi_macd,
+    "ta_twap": q_ta_twap,
 }
 
 # exact double literals for the EMA alphas — the recursive-CTE oracle
@@ -126,3 +155,27 @@ SELECT symbol, ts, price,
 FROM rec
 """,
 }
+
+
+# identical decimal widths and single final division; VARCHAR hop on
+# the decimal sum avoids DuckDB's DECIMAL->DOUBLE double-rounding
+ORACLE["ta_twap"] = """
+WITH t AS (
+  SELECT event_type AS symbol, ts, event_id,
+         CAST(value AS DECIMAL(12,6)) AS p,
+         CAST(CAST(ts AS DATE) AS VARCHAR) AS day
+  FROM events WHERE value IS NOT NULL
+), d AS (
+  SELECT symbol, day, p,
+         COALESCE(epoch_us(LEAD(ts) OVER (
+           PARTITION BY symbol, day ORDER BY ts, event_id))
+           - epoch_us(ts), 0) AS dt
+  FROM t
+)
+SELECT symbol, day, COUNT(*) AS n_ticks,
+       CAST(SUM(dt) AS BIGINT) AS span_us,
+       CAST(CAST(SUM(p * dt) AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(SUM(dt) AS VARCHAR) AS DOUBLE) AS twap
+FROM d GROUP BY symbol, day
+ORDER BY symbol, day
+"""
