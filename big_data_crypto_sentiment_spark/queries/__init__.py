@@ -228,6 +228,8 @@ DEFERRALS: dict[str, dict] = {
                                  extra="3-SF check.py + per-round sf0.001 auto-verify"),
     "ta_twap":            dict(since=6, family="TA family via ta_sma_vwap in-window (same per-symbol window + agg shape); exact decimal x integer weighting",
                                extra="3-SF check.py + per-round sf0.001 auto-verify"),
+    "type_cooccurrence":  dict(since=6, family="bounded self-join family via dedup_source_matrix's in-group pair expansion; basket reduction via dedup_exact's hash agg in-window",
+                               extra="3-SF check.py + per-round sf0.001 auto-verify"),
 }
 
 _DEFER_FROM_WINDOW = tuple(DEFERRALS)

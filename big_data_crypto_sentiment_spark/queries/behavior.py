@@ -198,6 +198,38 @@ def q_cohort_retention_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
                .orderBy("cohort_day", "day_offset"))  # bounded: days²
 
 
+# --- market-basket co-occurrence with lift: which event types appear
+#     together in the same (user, day) basket more often than chance —
+#     the association-rule primitive behind "users who X also Y".
+#     Scale shape: reduce to DISTINCT basket memberships first (one
+#     hash agg), then the within-basket self-join is bounded by
+#     |types|² per basket, never events²; the per-type totals broadcast.
+#     lift = (n_ab·N)/(n_a·n_b) as ONE division of exact integer
+#     products (no rounding step); N is a bounded driver scalar. ---
+def q_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (table(spark, sf_dir, "events")
+          .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull()))
+    b = (ev.select("user_id", F.to_date("ts").alias("day"), "event_type")
+           .distinct())
+    n_baskets = b.select("user_id", "day").distinct().count()
+    na = b.groupBy("event_type").agg(F.count("*").alias("n"))
+    left = b.select("user_id", "day", F.col("event_type").alias("type_a"))
+    right = b.select("user_id", "day", F.col("event_type").alias("type_b"))
+    pairs = (left.join(right, ["user_id", "day"])
+                 .filter(F.col("type_a") < F.col("type_b"))
+                 .groupBy("type_a", "type_b")
+                 .agg(F.count("*").alias("n_ab")))
+    lift = ((F.col("n_ab") * F.lit(n_baskets)).cast("double")
+            / (F.col("na") * F.col("nb")).cast("double"))
+    return (pairs
+            .join(F.broadcast(na.select(F.col("event_type").alias("type_a"),
+                                        F.col("n").alias("na"))), "type_a")
+            .join(F.broadcast(na.select(F.col("event_type").alias("type_b"),
+                                        F.col("n").alias("nb"))), "type_b")
+            .select("type_a", "type_b", "n_ab", "na", "nb", lift.alias("lift"))
+            .orderBy("type_a", "type_b"))  # bounded: types²
+
+
 # --- N-step ordered funnel (the 2-step operator's generalization):
 #     first time of step k STRICTLY after the user's first time of step
 #     k-1 — chained window minima over ONE (user) exchange: each step's
@@ -291,6 +323,7 @@ def q_rollup_backfill_late(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "type_cooccurrence": q_type_cooccurrence,
     "event_debounce": q_event_debounce,
     "type_share_daily": q_type_share_daily,
     "cohort_retention_pct": q_cohort_retention_pct,
@@ -328,6 +361,32 @@ ORDER BY day, event_type
 
 
 ORACLE = {
+    "type_cooccurrence": """
+WITH b AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+), nb AS (
+  SELECT COUNT(*) AS n_baskets
+  FROM (SELECT DISTINCT user_id, day FROM b)
+), na AS (
+  SELECT event_type, COUNT(*) AS n FROM b GROUP BY event_type
+), pairs AS (
+  SELECT l.event_type AS type_a, r.event_type AS type_b,
+         COUNT(*) AS n_ab
+  FROM b l JOIN b r
+    ON l.user_id = r.user_id AND l.day = r.day
+   AND l.event_type < r.event_type
+  GROUP BY type_a, type_b
+)
+SELECT p.type_a, p.type_b, p.n_ab, a.n AS na, c.n AS nb,
+       CAST(p.n_ab * x.n_baskets AS DOUBLE)
+         / CAST(a.n * c.n AS DOUBLE) AS lift
+FROM pairs p
+JOIN na a ON p.type_a = a.event_type
+JOIN na c ON p.type_b = c.event_type
+CROSS JOIN nb x
+ORDER BY type_a, type_b
+""",
     "event_debounce": f"""
 WITH s AS (
   SELECT event_id, user_id, event_type, ts,
