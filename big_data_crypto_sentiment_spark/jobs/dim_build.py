@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -104,6 +105,27 @@ if __name__ == "__main__":
     main()
 
 
+def recover_current(dim_dir: str) -> None:
+    """Heal the swap crash window: if `current` is missing, the
+    previous snapshot still exists intact as the newest `_old_<batch>`
+    (it was renamed aside BEFORE `current` was removed) — restore it.
+    If `current` exists, prune leftover `_old_*` from a crash after
+    publish but before cleanup (they would block the next swap's
+    rename). `_next_*` leftovers need no handling: a partial one is
+    overwritten by the replayed batch's mode("overwrite") write."""
+    cur = f"{dim_dir}/current"
+    olds = sorted((d for d in os.listdir(dim_dir)
+                   if d.startswith("_old_")),
+                  key=lambda d: int(d.rsplit("_", 1)[1]))
+    if os.path.isdir(cur):
+        for d in olds:
+            shutil.rmtree(f"{dim_dir}/{d}")
+    elif olds:
+        os.rename(f"{dim_dir}/{olds[-1]}", cur)
+        for d in olds[:-1]:
+            shutil.rmtree(f"{dim_dir}/{d}")
+
+
 def start_dim_maintenance(spark: SparkSession, stream: DataFrame,
                           dim_dir: str, checkpoint: str):
     """Streaming SCD2 maintenance: every micro-batch merges into the
@@ -118,23 +140,33 @@ def start_dim_maintenance(spark: SparkSession, stream: DataFrame,
 
     `stream`: the raw events stream (event_id, ts, user_id,
     event_type, ...). Dimension versions are directories under
-    dim_dir: `current` is always a complete published snapshot."""
-    import shutil
+    dim_dir: `current` is always a complete published snapshot.
 
+    Swap discipline (crash-safe): the old snapshot is renamed ASIDE
+    (`_old_<batch>`) before the new one is renamed into place, so at
+    every instant a complete snapshot exists under either `current` or
+    `_old_*` — never a window with neither. recover_current() restores
+    the newest `_old_*` if a crash landed between the two renames, and
+    prunes leftover `_old_*` once `current` exists; merge idempotence +
+    checkpoint offsets make the replayed batch converge."""
     cur = f"{dim_dir}/current"
+    recover_current(dim_dir)
     if not os.path.isdir(cur):
         raise ValueError(f"seed dimension missing at {cur} — "
                          "write_dimension(build_dimension(seed), path) first")
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        recover_current(dim_dir)  # heal any prior-run crash window
         batch = (_dim_events(batch_df)
                  .filter(F.col("event_type").isin(*DIM_TYPES)))
         nxt = f"{dim_dir}/_next_{batch_id}"
         merged = scd2_merge(spark.read.parquet(cur), batch,
                             "user_id", "event_type", "ts", "event_id")
         merged.write.mode("overwrite").partitionBy("is_current").parquet(nxt)
-        shutil.rmtree(cur)
-        os.rename(nxt, cur)
+        old = f"{dim_dir}/_old_{batch_id}"
+        os.rename(cur, old)   # complete snapshot preserved aside
+        os.rename(nxt, cur)   # publish (single atomic rename)
+        shutil.rmtree(old)
 
     return (stream.writeStream.foreachBatch(apply_batch)
                   .option("checkpointLocation", checkpoint)

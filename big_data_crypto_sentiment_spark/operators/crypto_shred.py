@@ -11,28 +11,56 @@ the house rule), applied after a broadcast join against the key table.
 Decryption of a forgotten user LEFT-joins no key and yields NULL — the
 reader sees absence, never ciphertext garbage or an exception.
 
-Key discipline: the fixture derives keys deterministically (md5 of a
-salted user id → 16-byte AES-128 key) so tests are reproducible; a
-production deployment generates random keys into the key table (a
-small, ACID store — the only mutable state in the system) and rotates
-the salt per tenant. GCM mode would add a random IV per row (Spark
-supports it) at the cost of nondeterministic ciphertext; the fixture
-uses ECB only so ciphertexts are comparable in tests — switch
+Key discipline: TWO key paths ship. `generate_keys` is the production
+path — a CSPRNG (`secrets.token_bytes`) per-user random key minted in
+an Arrow-batched pandas UDF (distributed, never collected to the
+driver); only with random keys does deleting a key row actually make
+the bytes unrecoverable. `derive_fixture_keys` is the TEST-ONLY
+deterministic path (md5 of a salted user id) so ciphertexts are
+reproducible across engines/processes — anyone with the source can
+re-derive those keys, so it provides ZERO forgetting guarantee and
+must never leave a test. GCM mode would add a random IV per row
+(Spark supports it) at the cost of nondeterministic ciphertext; the
+fixture uses ECB only so ciphertexts are comparable in tests — switch
 `MODE` to 'GCM' in production.
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 MODE = "ECB"  # deterministic for tests; use 'GCM' in production
 KEY_SALT = "spark-shred-v1/"
 
 
-def derive_keys(users: DataFrame, key: str = "user_id") -> DataFrame:
-    """(key, enc_key): the per-user key table. Fixture derivation is
-    md5-based (deterministic); production swaps in random keys."""
+def _random_key_udf():
+    # built lazily: pandas_udf registration needs an active session
+    @pandas_udf("binary")
+    def _random_key(ids: pd.Series) -> pd.Series:
+        import secrets
+        return pd.Series([secrets.token_bytes(16)
+                          for _ in range(len(ids))])
+    return _random_key
+
+
+def generate_keys(users: DataFrame, key: str = "user_id") -> DataFrame:
+    """(key, enc_key): the PRODUCTION key table — a fresh 128-bit
+    CSPRNG key per user, minted executor-side (Arrow batches, no
+    driver collect, no derivable structure). Persist the result to the
+    ACID key store before first use: the expression is nondeterministic,
+    so re-evaluating the plan would mint different keys."""
+    return (users.select(F.col(key)).distinct()
+                 .withColumn("enc_key", _random_key_udf()(F.col(key))))
+
+
+def derive_fixture_keys(users: DataFrame, key: str = "user_id") -> DataFrame:
+    """(key, enc_key): TEST-ONLY deterministic key table (md5 of a
+    source-visible salt + user id). Reproducible by anyone with this
+    file, so shredding these keys forgets NOTHING — use generate_keys
+    in any real deployment."""
     return (users.select(F.col(key)).distinct()
                  .select(key,
                          F.unhex(F.md5(F.concat(F.lit(KEY_SALT),

@@ -32,10 +32,17 @@ def quantize(col: Column, mn: Column, mx: Column,
              bits: int = ZORDER_BITS) -> Column:
     """Clamp col into integer rank buckets [0, 2^bits) by min/max
     scaling — the same expression tree the histogram operator uses, so
-    both engines agree bit-for-bit on the bucket."""
+    both engines agree bit-for-bit on the bucket. NULL values get an
+    explicit bucket 0: without the branch, `least` would IGNORE the
+    NULL raw term and silently return n-1, scattering NULL rows into
+    the max-key region and stretching that file's min/max stats for
+    the other column — the opposite of what clustering is for. (Bucket
+    0 is safe: parquet min/max stats skip NULLs, so NULL rows never
+    stretch this column's own file stats.)"""
     n = 1 << bits
     raw = F.floor((col - mn) / (mx - mn) * F.lit(n))
-    return (F.when(mx == mn, F.lit(0).cast("long"))
+    return (F.when(col.isNull(), F.lit(0).cast("long"))
+             .when(mx == mn, F.lit(0).cast("long"))
              .otherwise(F.least(F.lit(n - 1).cast("long"), raw)))
 
 

@@ -66,15 +66,18 @@ def dq_fk_orphans(facts: DataFrame, fact_key: str,
                   dim: DataFrame, dim_key: str,
                   name: str) -> DataFrame:
     """Referential integrity: count facts whose key has no dimension
-    row — ONE pass: broadcast left join against the dimension's
-    distinct key set, then a conditional aggregate (total + orphans
-    from the same scan; facts never shuffle). NULL fact keys are a
-    completeness problem, not a referential one — excluded here, the
-    not_null family covers them."""
+    row — ONE pass: left join against the dimension's distinct key
+    set, then a conditional aggregate (total + orphans from the same
+    scan). NULL fact keys are a completeness problem, not a
+    referential one — excluded here, the not_null family covers them.
+    No hard F.broadcast() hint: a dimension key set is unbounded at
+    scale (billion-key dims exist); AQE broadcasts when the runtime
+    size is small and otherwise degrades to a shuffled join — a hard
+    hint would override the threshold and OOM."""
     hits = (dim.select(F.col(dim_key).alias(fact_key)).distinct()
                .withColumn("_hit", F.lit(1)))
     return (facts.filter(F.col(fact_key).isNotNull())
-                 .join(F.broadcast(hits), fact_key, "left")
+                 .join(hits, fact_key, "left")
                  .agg(F.count("*").alias("_n"),
                       F.count(F.when(F.col("_hit").isNull(), 1))
                        .alias("_v"))

@@ -130,9 +130,14 @@ def scd2_merge(dim: DataFrame, new_events: DataFrame, key: str,
                state: str, ts: str, tiebreak: str) -> DataFrame:
     """Merge an append-only event batch into an scd2_intervals output
     (same schema back)."""
+    # No hard F.broadcast() hint: `affected` is the batch's distinct key
+    # set, unbounded at scale (a 100-TB CDC batch can touch 1e8+ keys).
+    # AQE broadcasts it when its runtime size is under the threshold and
+    # degrades to a shuffled semi/anti join otherwise — a hard hint
+    # would override the threshold and OOM instead.
     affected = new_events.select(F.col(key)).distinct()
-    untouched = dim.join(F.broadcast(affected), key, "left_anti")
-    old_ev = (dim.join(F.broadcast(affected), key, "left_semi")
+    untouched = dim.join(affected, key, "left_anti")
+    old_ev = (dim.join(affected, key, "left_semi")
                  .select(F.col(key),
                          F.col("valid_from").alias(ts),
                          F.col("version").alias(tiebreak),

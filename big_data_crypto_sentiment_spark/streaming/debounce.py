@@ -1,5 +1,7 @@
 """Anchored streaming debounce / rate limiter — keep an event only if
-at least `min_gap` has passed since the last KEPT event of its key.
+STRICTLY more than `min_gap` has passed since the last KEPT event of
+its key (matching the batch gap-form oracle's strict-> comparison: an
+event landing exactly min_gap after the last kept one is suppressed).
 
 This is the semantics the batch gap-form (queries/behavior.py:
 q_event_debounce, suppression window restarts at EVERY event) cannot
@@ -68,12 +70,37 @@ def make_debounce_fn(min_gap_us: int):
     return fn
 
 
+_GAP_UNITS_S = {"second": 1, "sec": 1, "s": 1,
+                "minute": 60, "min": 60, "m": 60,
+                "hour": 3600, "hr": 3600, "h": 3600}
+
+
+def parse_gap_us(min_gap: str) -> int:
+    """'10 minutes' / '1 minute' / '30 secs' / '2 hours' → microseconds.
+    Units are normalized (optional plural 's' stripped); anything else
+    raises a ValueError listing the accepted forms."""
+    try:
+        qty, unit = min_gap.split()
+        n = int(qty)
+    except ValueError:
+        raise ValueError(f"min_gap {min_gap!r}: expected '<int> <unit>', "
+                         f"e.g. '10 minutes'") from None
+    u = unit.lower()
+    if u not in _GAP_UNITS_S and u.endswith("s"):
+        u = u[:-1]
+    if u not in _GAP_UNITS_S:
+        raise ValueError(
+            f"min_gap unit {unit!r} not recognized; accepted: "
+            f"{sorted(set(_GAP_UNITS_S))} (with or without plural 's')")
+    return n * _GAP_UNITS_S[u] * 1_000_000
+
+
 def debounce_stream(events: DataFrame, min_gap: str = "10 minutes") -> DataFrame:
     """events: (event_id, user_id, event_type, ts[, ...]) streaming or
-    batch frame → kept events (user_id, event_type, event_id, ts_us)."""
-    mins = {"minutes": 60, "seconds": 1}
-    qty, unit = min_gap.split()
-    gap_us = int(qty) * mins[unit] * 1_000_000
+    batch frame → kept events (user_id, event_type, event_id, ts_us).
+    An event is kept iff its gap to the last KEPT event is strictly
+    greater than min_gap (batch-oracle strict-> semantics)."""
+    gap_us = parse_gap_us(min_gap)
     keyed = (events
              .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
              .select("user_id", "event_type", "event_id",

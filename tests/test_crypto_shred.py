@@ -6,8 +6,9 @@ from pyspark.sql import functions as F
 
 from big_data_crypto_sentiment_spark.operators.crypto_shred import (
     decrypt_payload,
-    derive_keys,
+    derive_fixture_keys,
     encrypt_payload,
+    generate_keys,
     shred_users,
 )
 
@@ -21,7 +22,7 @@ def _facts(spark):
 
 def test_roundtrip_and_shred(spark):
     facts = _facts(spark)
-    keys = derive_keys(facts)
+    keys = derive_fixture_keys(facts)
     enc = encrypt_payload(facts, keys)
     # ciphertext is binary and differs from plaintext
     cts = {r.event_id: r.props for r in enc.collect()}
@@ -46,7 +47,7 @@ def test_roundtrip_and_shred(spark):
 
 def test_same_user_same_plaintext_distinct_users_distinct_keys(spark):
     facts = _facts(spark)
-    keys = derive_keys(facts)
+    keys = derive_fixture_keys(facts)
     two = spark.createDataFrame(
         [(1, 10, "same"), (2, 20, "same")],
         "event_id long, user_id long, props string")
@@ -57,8 +58,31 @@ def test_same_user_same_plaintext_distinct_users_distinct_keys(spark):
 
 def test_plan_stays_jvm_side(spark):
     facts = _facts(spark)
-    keys = derive_keys(facts)
+    keys = derive_fixture_keys(facts)
     plan = decrypt_payload(encrypt_payload(facts, keys), keys) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_generate_keys_random_roundtrip_and_shred(spark):
+    """Production key path: CSPRNG keys are 16 bytes, unique per user,
+    NOT re-derivable (differ from the fixture derivation), and support
+    the same roundtrip + shred semantics once materialized."""
+    facts = _facts(spark)
+    # materialize: generate_keys is nondeterministic by design
+    keys = spark.createDataFrame(generate_keys(facts).collect(),
+                                 "user_id long, enc_key binary")
+    rows = {r.user_id: bytes(r.enc_key) for r in keys.collect()}
+    assert set(rows) == {10, 20, 30}
+    assert all(len(k) == 16 for k in rows.values())
+    assert len(set(rows.values())) == 3
+    fixture = {r.user_id: bytes(r.enc_key)
+               for r in derive_fixture_keys(facts).collect()}
+    assert all(rows[u] != fixture[u] for u in rows)
+    enc = encrypt_payload(facts, keys)
+    keys2 = shred_users(keys, spark.createDataFrame([(10,)],
+                                                    "user_id long"))
+    dec = {r.event_id: r.props
+           for r in decrypt_payload(enc, keys2).collect()}
+    assert dec == {1: None, 2: None, 3: "gamma", 4: None}

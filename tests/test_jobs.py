@@ -170,6 +170,37 @@ def test_streaming_dim_maintenance_converges_to_batch_rebuild(spark, tmp_path):
     assert as_map(got) == as_map(want)
 
 
+def test_dim_swap_crash_recovery(spark, tmp_path):
+    """Both crash windows of the snapshot swap heal: (a) crash between
+    the two renames → no `current` but `_old_<b>` intact, recovery
+    restores it; (b) crash after publish before cleanup → `current` new
+    plus stale `_old_<b>`, recovery keeps `current` and prunes the
+    stale dir so the next swap's rename isn't blocked."""
+    import os
+    import shutil
+
+    from big_data_crypto_sentiment_spark.jobs.dim_build import (
+        build_dimension,
+        recover_current,
+        write_dimension,
+    )
+    events = table(spark, SF_DIR, "events").filter(F.col("ts").isNotNull())
+    dim_dir = str(tmp_path / "dim")
+    cur = f"{dim_dir}/current"
+    write_dimension(build_dimension(events), cur)
+    want = sorted(map(tuple, spark.read.parquet(cur).collect()))
+    # (a) mid-swap: old renamed aside, new not yet published
+    os.rename(cur, f"{dim_dir}/_old_7")
+    recover_current(dim_dir)
+    assert os.path.isdir(cur) and not os.path.isdir(f"{dim_dir}/_old_7")
+    assert sorted(map(tuple, spark.read.parquet(cur).collect())) == want
+    # (b) post-publish: current exists, stale _old left behind
+    shutil.copytree(cur, f"{dim_dir}/_old_8")
+    recover_current(dim_dir)
+    assert os.path.isdir(cur) and not os.path.isdir(f"{dim_dir}/_old_8")
+    assert sorted(map(tuple, spark.read.parquet(cur).collect())) == want
+
+
 def test_export_training_sharded_shuffle(spark, tmp_path):
     """Last-mile export: curate, then export the train split — every
     kept train doc appears exactly once, each shard file is ordered by

@@ -62,3 +62,23 @@ def test_stream_matches_reference_across_batches(spark, tmp_path):
     finally:
         q.stop()
     assert got == _reference(rows + late, 10) == [0, 4, 100, 200]
+
+
+def test_gap_parser_units_and_errors():
+    """Singular, plural, and abbreviated units all parse; bad input
+    raises ValueError (not KeyError) naming the accepted forms."""
+    import pytest
+
+    from big_data_crypto_sentiment_spark.streaming.debounce import (
+        parse_gap_us,
+    )
+    assert parse_gap_us("1 minute") == 60_000_000
+    assert parse_gap_us("10 minutes") == 600_000_000
+    assert parse_gap_us("30 secs") == 30_000_000
+    assert parse_gap_us("30 seconds") == 30_000_000
+    assert parse_gap_us("2 hours") == 7_200_000_000
+    assert parse_gap_us("1 h") == 3_600_000_000
+    with pytest.raises(ValueError, match="accepted"):
+        parse_gap_us("5 fortnights")
+    with pytest.raises(ValueError, match="expected"):
+        parse_gap_us("soon")

@@ -89,3 +89,21 @@ def test_file_stats_catalog_drives_pruning(spark, tmp_path):
     hit, total = prunable_files(cat, {"x": (10.0, 19.0),
                                       "y": (50.0, 59.0)})
     assert total == 16 and hit <= 5
+
+
+def test_quantize_nulls_get_bucket_zero(spark):
+    """NULL clustering values must not land in the top bucket (least()
+    ignores NULL args and would return n-1): they quantize to an
+    explicit bucket 0, and write_zordered clusters them at the low end
+    of the key range instead of stretching the max-key file's stats."""
+    from big_data_crypto_sentiment_spark.operators.zorder import quantize
+
+    df = spark.createDataFrame(
+        [(0, None), (1, 0.0), (2, 50.0), (3, 100.0), (4, None)],
+        "id long, v double")
+    q = df.select("id", quantize(F.col("v"), F.lit(0.0),
+                                 F.lit(100.0)).alias("b"))
+    got = {r.id: r.b for r in q.collect()}
+    assert got[0] == 0 and got[4] == 0          # NULLs -> bucket 0
+    assert got[1] == 0 and got[3] == 255        # clamped extremes
+    assert 0 < got[2] < 255
