@@ -65,26 +65,8 @@ _MODULES = (flagship, relational, timeseries, text, dedup, similarity, ml,
 DEFERRALS: dict[str, dict] = {
     "src_avro_roundtrip": dict(since=3, family="source family via src_tweets_normalize",
                                extra="real-Avro-bytes pytest roundtrip (test_sources.py)"),
-    "log_return":         dict(since=3, family="window-math family via ts_rollup/ts_lag_sweep_corr in-window",
-                               extra="driver-green r2-r3"),
-    "binned_features":    dict(since=3, family="reshape family via group_collect_training",
-                               extra="driver-green r2-r3"),
-    "ts_corr":            dict(since=3, family="k=0 slice of in-window ts_lag_sweep_corr",
-                               extra="driver-green r2-r3"),
     "sample_stratified":  dict(since=3, family="sampling family via sample_and_split/sample_temperature in-window",
                                extra="quota property tests (test_sampling.py)"),
-    "text_dup_rate":      dict(since=4, family="dup family via dedup_exact's hash-agg",
-                               extra="driver-green r2-r4"),
-    "kv_flatten":         dict(since=4, family="reshape family via zip_explode_measures",
-                               extra="driver-green r3-r4"),
-    "union_event_slices": dict(since=4, family="plain UNION ALL of two pushed-down slices",
-                               extra="driver-green r2-r4"),
-    "ts_session_stats":   dict(since=4, family="session family via ts_sessionize",
-                               extra="driver-green r2-r4"),
-    "src_tweets_volume":  dict(since=4, family="source family via src_tweets_normalize",
-                               extra="driver-green r2-r4"),
-    "zip_explode_measures": dict(since=4, family="reshape family via group_collect_training",
-                                 extra="driver-green r3-r4"),
     "dedup_source_matrix": dict(since=4, family="dedup family broadly in-window",
                                 extra="leaks only exist at sf0.1 in fixtures; "
                                       "hash-checked non-empty there by tools/check.py"),
@@ -100,8 +82,6 @@ DEFERRALS: dict[str, dict] = {
                                    extra="tier-weight pytest (test_sampling.py)"),
     "src_warehouse_fallback": dict(since=5, family="source family via src_tweets_normalize",
                                    extra="fallback/avro tiers pytest-covered (test_sources.py); green r2-r5"),
-    "ts_bucket_counts":   dict(since=5, family="timeseries family via ts_rollup/ts_resample_ffill",
-                               extra="driver-green r2-r5"),
     "text_top_duplicated": dict(since=5, family="dup family via dedup_exact",
                                 extra="driver-green r2-r5"),
     "text_rlike_filter":  dict(since=5, family="regex surface via text_signals in-window",
@@ -230,6 +210,34 @@ DEFERRALS: dict[str, dict] = {
                                extra="3-SF check.py + per-round sf0.001 auto-verify"),
     "type_cooccurrence":  dict(since=6, family="bounded self-join family via dedup_source_matrix's in-group pair expansion; basket reduction via dedup_exact's hash agg in-window",
                                extra="3-SF check.py + per-round sf0.001 auto-verify"),
+    # r7 window rotation (VERDICT r6 #4): ten of the OLDEST deferrals
+    # (stale "driver-green r2-r5" evidence) rotate back into the
+    # driver window so their driver-side hash evidence refreshes;
+    # these eleven long-green members hand over their slots (every
+    # family keeps an in-window or freshly-rotated representative),
+    # and the new sim_semdedup pair takes the eleventh inflow slot.
+    "ts_spearman":        dict(since=7, family="rank-corr family via rotated-in ts_corr; lag windows via ts_lag_sweep_corr in-window",
+                               extra="driver-green r2-r6; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "ts_resample_ffill":  dict(since=7, family="resample family via rotated-in ts_bucket_counts; spine/ffill via ts_interpolate's deferred pair; ts_rollup in-window",
+                               extra="driver-green r2-r6; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "ts_sessionize":      dict(since=7, family="session family via rotated-in ts_session_stats (same gap-window core)",
+                               extra="driver-green r2-r6; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "dedup_ngram_jaccard": dict(since=7, family="shingle-pair family via dedup_minhash_lsh/dedup_span_stats in-window; dup-rate via rotated-in text_dup_rate",
+                                extra="driver-green r2-r6; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "group_collect_training": dict(since=7, family="reshape family via rotated-in zip_explode_measures/kv_flatten/binned_features",
+                                   extra="driver-green r2-r6; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "sim_topk_cosine":    dict(since=7, family="embedding family via embed_prototype_prune + new sim_semdedup in-window (same integer-frozen cosine core)",
+                               extra="driver-green r2-r6; brute-force baseline also exercised by test_similarity.py recall bounds"),
+    "src_tweets_normalize": dict(since=7, family="tweets-JSON source path via rotated-in src_tweets_volume (same reader/parse/fallback chain)",
+                                 extra="driver-green r2-r6; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "summary_stats":      dict(since=7, family="profiling family via key_skew_profile in-window; moments via moment_profile's deferred pair",
+                               extra="driver-green r2-r6; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "chunk_overlap":      dict(since=7, family="packing family via pack_sequences in-window (same pos-window core)",
+                               extra="driver-green r2-r6; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "ml_forecast_metrics": dict(since=7, family="ml family via ml_sentiment/ml_ar1_train in-window (same per-symbol eval math)",
+                                extra="driver-green r2-r6; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "orders_by_nation":   dict(since=7, family="broadcast-dim join family via flagship full-outer/asof_price_at_tweet/interval_join_events in-window; union via rotated-in union_event_slices",
+                               extra="driver-green r2-r6; 3-SF check.py + per-round sf0.001 auto-verify"),
 }
 
 _DEFER_FROM_WINDOW = tuple(DEFERRALS)

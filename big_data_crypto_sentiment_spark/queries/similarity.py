@@ -475,6 +475,138 @@ def q_embed_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     # O(groups × dims): unsorted
 
 
+# --- SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+#     deduplication — cluster the embedding space, then compare pairs
+#     ONLY within a cluster and drop, from every pair above the cosine
+#     threshold, the member MORE similar to its cluster centroid (the
+#     paper's keep-low-centroid-similarity rule: prototypical copies
+#     go, the outlier representative stays). Never all-pairs: the
+#     intra-cluster self-join is the whole point — at 100 TB k scales
+#     with N (the paper uses k ≈ N/10⁴) so cluster sizes stay bounded
+#     and pair work is O(N·cluster_size), not O(N²).
+#
+#     Engine-exact (the embed_prototype_prune discipline): embeddings
+#     freeze to INTEGER 1e-6 units, centroids are integer vectors, so
+#     cluster assignment (argmin of the exact-integer squared distance
+#     vn2 - 2·dot + cn2, ties by cid) is identical on both engines; the
+#     only float ops are the final sqrt/divide cosines — identical IEEE
+#     expression trees, bit-identical doubles, so the >= threshold cut
+#     and the who-is-closer-to-centroid comparison agree exactly.
+#
+#     Two centroid front-ends feed the same core: the registered query
+#     derives integer-frozen label prototypes (SQL-reproducible → full
+#     hash-check vs DuckDB); `freeze_kmeans_centroids` adapts
+#     fit_ivf_centroids' KMeans output (the IVF reuse — pytest-pinned
+#     with planted semantic dups, rows-only by nature of the fit). ---
+SEMDEDUP_THRESHOLD = 0.35  # fixture-tuned: drops exist at all 3 SFs
+
+
+def freeze_kmeans_centroids(spark: SparkSession, centroids) -> DataFrame:
+    """fit_ivf_centroids output [(cid, [float])] → long-form integer
+    centroid table (cid, dim, c) in PROTO_SCALE units — the bounded
+    O(k·dim) model artifact semdedup consumes."""
+    rows = [(int(cid), d, int(round(v * PROTO_SCALE)))
+            for cid, vec in centroids for d, v in enumerate(vec)]
+    return spark.createDataFrame(rows, "cid int, dim int, c bigint")
+
+
+def _freeze_vectors(vecs: DataFrame, id_col: str = "vec_id",
+                    emb_col: str = "embedding") -> DataFrame:
+    """(id, x8 array<bigint>): integer-frozen embedding. The size>=1
+    pre-filter keeps InferFiltersFromGenerate from cloning the freeze
+    transform into a scan Filter (the decontam defect; guard-tested)."""
+    x8 = F.transform(F.col(emb_col),
+                     lambda x: F.round(x.cast("double") * PROTO_SCALE)
+                                .cast("bigint"))
+    return (vecs.filter(F.size(F.col(emb_col)) >= 1)
+                .select(F.col(id_col).alias("vec_id"), x8.alias("x8")))
+
+
+def label_prototype_centroids(vecs: DataFrame, label_col: str = "label",
+                              emb_col: str = "embedding") -> DataFrame:
+    """(cid, dim, c): per-label integer-frozen mean vectors — the
+    SQL-reproducible centroid source (same expression tree as
+    prototype_scores' cmean, which is oracle-proven)."""
+    x8 = F.transform(F.col(emb_col),
+                     lambda x: F.round(x.cast("double") * PROTO_SCALE)
+                                .cast("bigint"))
+    ex = (vecs.filter(F.size(F.col(emb_col)) >= 1)
+              .select(F.col(label_col).alias("cid"), x8.alias("_x8"))
+              .select("cid", F.posexplode_outer("_x8").alias("dim", "v")))
+    return (ex.groupBy("cid", "dim")
+              .agg(F.round(F.sum("v").cast("double") / F.count("*"))
+                    .cast("bigint").alias("c")))
+
+
+def semdedup(frozen: DataFrame, cents: DataFrame,
+             threshold: float = SEMDEDUP_THRESHOLD) -> DataFrame:
+    """(vec_id, cid, cos_to_centroid, is_kept): SemDeDup over frozen
+    integer vectors and an integer centroid table.
+
+    Plan shape: one posexplode; assignment joins the BROADCAST centroid
+    table (a bounded O(k·dim) model artifact, not a data-dependent key
+    set — the hint is safe here) on dim, map-side, then one combinable
+    (vec_id, cid) agg + a k-row window per vector; the intra-cluster
+    pair join is an equality join on cid over id+array rows, with the
+    pair cosine as one zip_with/aggregate per candidate pair."""
+    from pyspark.sql import Window
+    ex = frozen.select("vec_id", F.posexplode_outer("x8").alias("dim", "v"))
+    vn2 = ex.groupBy("vec_id").agg(F.sum(F.col("v") * F.col("v"))
+                                    .alias("vn2"))
+    cn2 = cents.groupBy("cid").agg(F.sum(F.col("c") * F.col("c"))
+                                    .alias("cn2"))
+    dots = (ex.join(F.broadcast(cents), "dim")
+              .groupBy("vec_id", "cid")
+              .agg(F.sum(F.col("v") * F.col("c")).alias("dot")))
+    w = Window.partitionBy("vec_id").orderBy("dist2", "cid")
+    assigned = (dots.join(vn2, "vec_id").join(F.broadcast(cn2), "cid")
+                    .withColumn("dist2", F.col("vn2") - 2 * F.col("dot")
+                                + F.col("cn2"))
+                    .withColumn("_rn", F.row_number().over(w))
+                    .filter(F.col("_rn") == 1)
+                    .select("vec_id", "cid", "vn2",
+                            (F.col("dot").cast("double")
+                             / (F.sqrt(F.col("vn2").cast("double"))
+                                * F.sqrt(F.col("cn2").cast("double"))))
+                            .alias("cos_c")))
+    en = assigned.join(frozen, "vec_id")
+    a = en.select(F.col("vec_id").alias("a_id"), "cid",
+                  F.col("vn2").alias("a_vn2"), F.col("cos_c").alias("a_cc"),
+                  F.col("x8").alias("a_x8"))
+    b = en.select(F.col("vec_id").alias("b_id"), "cid",
+                  F.col("vn2").alias("b_vn2"), F.col("cos_c").alias("b_cc"),
+                  F.col("x8").alias("b_x8"))
+    pdot = F.aggregate(F.zip_with("a_x8", "b_x8", lambda x, y: x * y),
+                       F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+    pairs = (a.join(b, "cid")
+              .filter(F.col("a_id") < F.col("b_id"))
+              .select("a_id", "b_id", "a_cc", "b_cc",
+                      (pdot.cast("double")
+                       / (F.sqrt(F.col("a_vn2").cast("double"))
+                          * F.sqrt(F.col("b_vn2").cast("double"))))
+                      .alias("cos_pair"))
+              .filter(F.col("cos_pair") >= threshold))
+    dropped = (pairs.select(
+                   F.when((F.col("a_cc") > F.col("b_cc"))
+                          | ((F.col("a_cc") == F.col("b_cc"))
+                             & (F.col("a_id") > F.col("b_id"))),
+                          F.col("a_id")).otherwise(F.col("b_id"))
+                    .alias("vec_id"))
+                    .distinct()
+                    .withColumn("_d", F.lit(1)))
+    return (assigned.join(dropped, "vec_id", "left")
+                    .select("vec_id", "cid",
+                            F.round("cos_c", 6).alias("cos_to_centroid"),
+                            F.col("_d").isNull().alias("is_kept")))
+
+
+def q_sim_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings") \
+        .select("vec_id", "label", "embedding")
+    return semdedup(_freeze_vectors(e),
+                    label_prototype_centroids(e))  # O(input): unsorted
+
+
 QUERIES = {
     "embed_mean_pool": q_embed_mean_pool,
     "sim_topk_cosine": q_sim_topk_cosine,
@@ -484,6 +616,7 @@ QUERIES = {
     "sim_near_dup_pairs": q_sim_near_dup_pairs,  # rows-only: hash planes
     "sim_ivf_topk": q_sim_ivf_topk,              # rows-only: KMeans fit
     "embed_quantize": q_embed_quantize,
+    "sim_semdedup": q_sim_semdedup,
 }
 
 ORACLE = {
@@ -546,6 +679,62 @@ SELECT vec_id, ROUND(sc, 8) AS scale,
            x -> CAST(ROUND(CAST(x AS DOUBLE) * sc, 0) AS INT)), ',')
          AS q_int8
 FROM s
+""",
+    "sim_semdedup": f"""
+WITH fr AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+           x -> CAST(ROUND(CAST(x AS DOUBLE) * {PROTO_SCALE}) AS BIGINT))
+           AS x8
+  FROM embeddings WHERE len(embedding) >= 1
+), ex AS (
+  SELECT vec_id, label, i - 1 AS dim, x8[i] AS v
+  FROM fr, unnest(generate_series(1, len(x8))) AS t(i)
+), cents AS (
+  SELECT label AS cid, dim,
+         CAST(ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+  FROM ex GROUP BY label, dim
+), vn2 AS (
+  SELECT vec_id, CAST(SUM(v * v) AS BIGINT) AS vn2 FROM ex GROUP BY vec_id
+), cn2 AS (
+  SELECT cid, CAST(SUM(c * c) AS BIGINT) AS cn2 FROM cents GROUP BY cid
+), dots AS (
+  SELECT e.vec_id, c.cid, CAST(SUM(e.v * c.c) AS BIGINT) AS dot
+  FROM ex e JOIN cents c ON e.dim = c.dim
+  GROUP BY e.vec_id, c.cid
+), assigned AS (
+  SELECT vec_id, cid, vn2,
+         CAST(dot AS DOUBLE)
+           / (SQRT(CAST(vn2 AS DOUBLE)) * SQRT(CAST(cn2 AS DOUBLE)))
+           AS cos_c
+  FROM (
+    SELECT d.vec_id, d.cid, v.vn2, d.dot, n.cn2,
+           ROW_NUMBER() OVER (PARTITION BY d.vec_id
+                              ORDER BY v.vn2 - 2 * d.dot + n.cn2, d.cid)
+             AS rn
+    FROM dots d JOIN vn2 v USING (vec_id) JOIN cn2 n USING (cid)
+  ) WHERE rn = 1
+), en AS (
+  SELECT a.vec_id, a.cid, a.vn2, a.cos_c, f.x8
+  FROM assigned a JOIN fr f USING (vec_id)
+), pairs AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.cos_c AS a_cc,
+         b.cos_c AS b_cc,
+         CAST(CAST(list_sum(list_transform(list_zip(a.x8, b.x8),
+                                           x -> x[1] * x[2])) AS BIGINT)
+              AS DOUBLE)
+           / (SQRT(CAST(a.vn2 AS DOUBLE)) * SQRT(CAST(b.vn2 AS DOUBLE)))
+           AS cos_pair
+  FROM en a JOIN en b ON a.cid = b.cid AND a.vec_id < b.vec_id
+), dropped AS (
+  SELECT DISTINCT CASE WHEN a_cc > b_cc
+                         OR (a_cc = b_cc AND a_id > b_id)
+                       THEN a_id ELSE b_id END AS vec_id
+  FROM pairs WHERE cos_pair >= {SEMDEDUP_THRESHOLD}
+)
+SELECT s.vec_id, s.cid, ROUND(s.cos_c, 6) AS cos_to_centroid,
+       d.vec_id IS NULL AS is_kept
+FROM assigned s LEFT JOIN dropped d USING (vec_id)
 """,
     "sim_topk_cosine": f"""
 WITH q AS (
