@@ -123,7 +123,7 @@ def fit_sentiment_pipeline(labeled_docs: DataFrame, text_col: str = "text",
 
 def fit_tfidf_ridge(docs: DataFrame, text_col: str = "text",
                     label_col: str = "label",
-                    reg: float = RIDGE_REG):
+                    reg: float = RIDGE_REG, tol: float = 1e-6):
     """Fit the M6 pipeline; returns (pipeline_model, vocabulary)."""
     pipe = Pipeline(stages=[
         RegexTokenizer(inputCol=text_col, outputCol="tokens",
@@ -131,14 +131,88 @@ def fit_tfidf_ridge(docs: DataFrame, text_col: str = "text",
         CountVectorizer(inputCol="tokens", outputCol="tf",
                         vocabSize=VOCAB_SIZE, minDF=MIN_DF),
         IDF(inputCol="tf", outputCol="tfidf"),
+        # pure ridge (elasticNet=0) with vocab <= 4096 features: the
+        # "normal" solver (one treeAggregate pass + driver Cholesky) is
+        # EXACT and replaces ~30 L-BFGS full-data passes — the right
+        # physical strategy at any scale where d² fits an executor
         LinearRegression(featuresCol="tfidf", labelCol=label_col,
                          regParam=reg, elasticNetParam=0.0,
-                         maxIter=MAX_ITER),
+                         solver="normal",
+                         maxIter=MAX_ITER, tol=tol),
     ])
     with _persisted_for_fit(docs) as d:
         model = pipe.fit(d)
     vocab = model.stages[1].vocabulary
     return model, vocab
+
+
+CV_FOLDS = 5
+
+
+def temporal_cv_boundaries(docs: DataFrame, ts_col: str,
+                           n_folds: int = CV_FOLDS) -> list:
+    """Expanding-window fold cuts — the TimeSeriesSplit(n_folds) analog
+    (the reference evaluates M6 with sklearn TimeSeriesSplit(5),
+    eda/Data_Minions_EDA_Milestone4.ipynb cell 15; SURVEY §2.11 maps it
+    to a manual time-ordered window split). Returns n_folds+1 cut
+    values: fold i trains on ts <= cut[i-1] and tests on
+    cut[i-1] < ts <= cut[i] — train data always strictly precedes its
+    test block, so no future leaks into any fit. Cuts are equal-count
+    quantiles of the time column (one agg pass, no global sort); at
+    100 TB swap `percentile` for `approx_percentile` — fold balance
+    needs no exactness, only the <= / > boundary discipline."""
+    fracs = [(i + 1) / (n_folds + 1) for i in range(n_folds + 1)]
+    arr = ",".join(str(f) for f in fracs)
+    return list(docs.agg(F.expr(
+        f"percentile({ts_col}, array({arr}))")).first()[0])
+
+
+def temporal_cv_tfidf_ridge(docs: DataFrame, ts_col: str,
+                            text_col: str = "text",
+                            label_col: str = "label",
+                            n_folds: int = CV_FOLDS,
+                            reg: float = RIDGE_REG) -> list[tuple]:
+    """M6 fidelity: per-fold MAE of the TF-IDF+Ridge pipeline under
+    expanding-window temporal CV. Returns
+    [(fold, n_train, n_test, train_end, mae)] for folds 1..n_folds —
+    each fit sees only documents at or before its cut, each MAE is
+    measured on the strictly-later test block.
+
+    The labeled corpus is persisted ONCE for the whole loop: every fold
+    re-reads an expanding slice of the same rows, and without the cache
+    the (often regex-heavy) label lineage would recompute ~4× per fold
+    (pipeline stage fits + transform + counts)."""
+    from pyspark.ml.evaluation import RegressionEvaluator
+    own = docs.storageLevel == StorageLevel.NONE
+    if own:
+        docs.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        cuts = temporal_cv_boundaries(docs, ts_col, n_folds)
+
+        def run_fold(i: int) -> tuple:
+            ev = RegressionEvaluator(labelCol=label_col,
+                                     predictionCol="prediction",
+                                     metricName="mae")
+            train = docs.filter(F.col(ts_col) <= cuts[i])
+            test = docs.filter((F.col(ts_col) > cuts[i])
+                               & (F.col(ts_col) <= cuts[i + 1]))
+            model, _ = fit_tfidf_ridge(train, text_col, label_col, reg,
+                                       tol=1e-4)
+            mae = ev.evaluate(model.transform(test))
+            return (i + 1, train.count(), test.count(),
+                    float(cuts[i]), float(mae))
+
+        # folds are independent fits over slices of one cached frame —
+        # submit them concurrently (Spark's scheduler interleaves the
+        # jobs; wall time ≈ the largest fold, not the sum). tol=1e-4:
+        # per-fold MAE reporting doesn't need 1e-6 coefficients, and
+        # every optimizer iteration is a full distributed pass.
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=n_folds) as pool:
+            return list(pool.map(run_fold, range(n_folds)))
+    finally:
+        if own:
+            docs.unpersist()
 
 
 def top_terms(model, vocab, k: int = 10):

@@ -269,3 +269,31 @@ def all_oracle_sql() -> dict[str, str]:
     for m in _MODULES:
         out.update(m.ORACLE)
     return out
+
+
+def clear_session_caches() -> int:
+    """Evict every module-level session cache (persisted shared
+    DataFrames / driver artifacts keyed by (applicationId, …, sf_dir)).
+    The caches are bounded per fixture, but nothing evicts them on a
+    fixture swap WITHIN one session — harness code that runs several
+    sf_dirs in one process (a future single-process tools/check.py
+    sweep) calls this between fixtures. Returns the number of entries
+    dropped; unpersists any cached DataFrame values."""
+    from . import cleaning as _cl
+    from . import components as _co
+    from . import dedup as _de
+    from . import ml as _ml
+    from . import retrieval as _re
+    caches = [_re._WTS_CACHE, _re._IDF_CACHE, _co._CC_CACHE,
+              _cl._UNIGRAM_CACHE, _ml._GRID_CACHE, _ml._LABELED_CACHE,
+              _de._GRAMS_CACHE]
+    n = 0
+    for c in caches:
+        for v in c.values():
+            vals = v if isinstance(v, tuple) else (v,)
+            for x in vals:
+                if hasattr(x, "unpersist"):
+                    x.unpersist()
+        n += len(c)
+        c.clear()
+    return n

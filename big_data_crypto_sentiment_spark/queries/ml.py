@@ -462,15 +462,50 @@ def q_ml_sentiment_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The lexicon-labeled corpus (a regex-heavy scan joined back to the
+# documents) feeds BOTH M6 entries below; persist it once per
+# (session, sf_dir) — the retrieval._WTS_CACHE pattern, bounded by the
+# SFs touched in one process.
+_LABELED_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _labeled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _LABELED_CACHE:
+        from pyspark import StorageLevel
+        docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+        labels = (q_ml_lexicon_sentiment(spark, sf_dir)
+                  .select("doc_id", F.col("polarity").alias("label")))
+        _LABELED_CACHE[key] = (docs.join(labels, "doc_id")
+                               .persist(StorageLevel.MEMORY_AND_DISK))
+    return _LABELED_CACHE[key]
+
+
 # --- M6: TF-IDF + Ridge top terms (MLlib pipeline; rows-only) ---
 def q_ml_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ml_pipelines import fit_tfidf_ridge, top_terms
-    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
-    labels = (q_ml_lexicon_sentiment(spark, sf_dir)
-              .select("doc_id", F.col("polarity").alias("label")))
-    model, vocab = fit_tfidf_ridge(docs.join(labels, "doc_id"))
+    model, vocab = fit_tfidf_ridge(_labeled_docs(spark, sf_dir))
     rows = top_terms(model, vocab, k=10)
     return spark.createDataFrame(rows, "term string, coef double, sign string")
+
+
+# --- M6 temporal CV: expanding-window TimeSeriesSplit(5) analog
+#     (eda/Data_Minions_EDA_Milestone4.ipynb cell 15) — per-fold MAE of
+#     the TF-IDF+Ridge fit, trained strictly on earlier documents and
+#     scored on the next time block, plus a mean row. doc_id is the
+#     ingest-order surrogate (the documents fixture carries no event
+#     time). Rows-only: iterative MLlib fits; the no-future-leakage
+#     fold contract is pinned in tests/test_ml_pipelines.py. ---
+def q_ml_tfidf_ridge_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml_pipelines import temporal_cv_tfidf_ridge
+    folds = temporal_cv_tfidf_ridge(_labeled_docs(spark, sf_dir), "doc_id")
+    rows = [(str(f), n_tr, n_te, end, round(mae, 6))
+            for f, n_tr, n_te, end, mae in folds]
+    rows.append(("mean", sum(r[1] for r in rows), sum(r[2] for r in rows),
+                 None, round(sum(r[4] for r in rows) / len(rows), 6)))
+    return spark.createDataFrame(
+        rows, "fold string, n_train long, n_test long, "
+              "train_end double, mae double")
 
 
 # --- M7: Ridge + permutation importance on numeric features (rows-only) ---
@@ -501,6 +536,7 @@ QUERIES = {
     "ml_arma_train": q_ml_arma_train,                  # rows-only: HR lstsq
     "ml_sentiment_model": q_ml_sentiment_model,        # rows-only: MLlib fit
     "ml_tfidf_top_terms": q_ml_tfidf_top_terms,        # rows-only: MLlib fit
+    "ml_tfidf_ridge_cv": q_ml_tfidf_ridge_cv,          # rows-only: MLlib fits × folds
     "ml_ridge_perm_importance": q_ml_ridge_perm_importance,  # rows-only: MLlib fit
 }
 

@@ -117,3 +117,38 @@ def test_no_global_window_sorts_in_source():
     offenders = [p for p in pkg.rglob("*.py")
                  if "Window.orderBy(" in p.read_text()]
     assert offenders == [], f"global-sort windows in: {offenders}"
+
+
+def test_temporal_cv_folds_are_time_ordered_no_leakage(spark):
+    """M6 temporal CV contract (the TimeSeriesSplit(5) analog): every
+    fold trains only on rows at or before its cut and tests on the
+    strictly-later block; test blocks are disjoint, consecutive, and
+    cover everything after the first cut; MAE is finite per fold."""
+    from big_data_crypto_sentiment_spark.ml_pipelines import (
+        temporal_cv_boundaries,
+        temporal_cv_tfidf_ridge,
+    )
+    words = ["up good gain", "down bad loss", "flat hold steady"]
+    rows = [(i, words[i % 3] + f" tok{i % 7}", float(i % 3) - 1.0)
+            for i in range(240)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, "
+                                       "label double")
+    cuts = temporal_cv_boundaries(docs, "doc_id", n_folds=5)
+    assert cuts == sorted(cuts) and len(cuts) == 6
+    assert cuts[-1] == 239  # last cut is the max: folds cover the tail
+    folds = temporal_cv_tfidf_ridge(docs, "doc_id", n_folds=5)
+    assert [f for f, *_ in folds] == [1, 2, 3, 4, 5]
+    total_test = 0
+    for i, (fold, n_train, n_test, train_end, mae) in enumerate(folds):
+        # train strictly precedes test: the boundary IS the train max
+        assert train_end == cuts[i]
+        assert n_train == docs.filter(f"doc_id <= {cuts[i]}").count()
+        assert n_test == docs.filter(
+            f"doc_id > {cuts[i]} AND doc_id <= {cuts[i+1]}").count()
+        assert n_test > 0 and mae == mae and mae >= 0.0  # finite
+        total_test += n_test
+    # disjoint + consecutive: test blocks tile (cuts[0], max] exactly
+    assert total_test == docs.filter(f"doc_id > {cuts[0]}").count()
+    # expanding window: each fold trains on strictly more history
+    trains = [n for _, n, *_ in folds]
+    assert trains == sorted(trains) and trains[0] < trains[-1]

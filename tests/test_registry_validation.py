@@ -89,3 +89,20 @@ def test_validate_dir_distributed(spark, tmp_path):
     assert out["good.avro"].format == "avro" and out["good.avro"].valid
     assert out["good.gz"].format == "avro" and out["good.gz"].valid
     assert not out["bad.bin"].valid
+
+
+def test_clear_session_caches_evicts_and_unpersists(spark):
+    """clear_session_caches drops every module cache entry and
+    unpersists cached DataFrames — the fixture-swap eviction hook for
+    single-process multi-SF harness loops."""
+    from pyspark import StorageLevel
+
+    from big_data_crypto_sentiment_spark.queries import (
+        clear_session_caches,
+    )
+    from big_data_crypto_sentiment_spark.queries import ml as _ml
+    df = _ml._labeled_docs(spark, "/root/testdata/sf0.001")
+    assert df.storageLevel != StorageLevel.NONE
+    assert clear_session_caches() >= 1
+    assert df.storageLevel == StorageLevel.NONE
+    assert _ml._LABELED_CACHE == {}

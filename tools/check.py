@@ -136,6 +136,11 @@ def main():
             print(f"PASS {name} rows={len(sdf)}")
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_weak} weak (rows-only), sf_dir={SF_DIR}")
+    # evict the per-(session, sf_dir) shared caches so a caller looping
+    # several fixtures through main() in ONE process never reuses a
+    # stale fixture's persisted artifacts
+    from big_data_crypto_sentiment_spark.queries import clear_session_caches
+    clear_session_caches()
     return 1 if n_fail else 0
 
 
