@@ -118,3 +118,34 @@ def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
     the DuckDB oracle's pre-registered views one-to-one."""
     for name in TABLES:
         load(spark, name, sf_dir).createOrReplaceTempView(name)
+
+
+_EPOCH_UNITS = {"s": F.timestamp_seconds, "ms": F.timestamp_millis,
+                "us": F.timestamp_micros}
+
+
+def register_repaired_view(spark: SparkSession, raw: DataFrame,
+                           name: str,
+                           epoch_cols: dict[str, str]) -> DataFrame:
+    """Type-repair view: expose `raw` under temp view `name` with each
+    integer epoch column converted to a proper TIMESTAMP — the
+    reference's repair CTAS (`CREATE OR REPLACE TABLE … AS SELECT
+    TIMESTAMP_MILLIS(CAST(timestamp AS INT64))`,
+    eda/Data_Minions_EDA_Milestone3.ipynb cell 4; SURVEY §3.3 maps it
+    to a view). A VIEW beats the reference's CTAS at scale: no copy of
+    the table is materialized, and the conversion folds into every
+    reader's plan.
+
+    epoch_cols: {column: unit} with unit in {'s','ms','us'}. Column
+    order and all other columns pass through unchanged. Caveat: a
+    filter on the CONVERTED column is a DataFilter, not a parquet
+    PushedFilter — time-range scans that must prune row groups go
+    through load_events_range's raw-column comparisons instead."""
+    for col, unit in epoch_cols.items():
+        if unit not in _EPOCH_UNITS:
+            raise ValueError(f"unit {unit!r} for {col!r} not in "
+                             f"{sorted(_EPOCH_UNITS)}")
+        raw = raw.withColumn(
+            col, _EPOCH_UNITS[unit](F.col(col).cast("bigint")))
+    raw.createOrReplaceTempView(name)
+    return raw

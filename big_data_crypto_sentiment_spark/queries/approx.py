@@ -14,6 +14,7 @@ value_counts at notebook scale, which doesn't survive 1000 executors).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -86,11 +87,79 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id long, exact_n long, cms_n long, overestimate long")
 
 
+# --- Misra–Gries batch twin (VERDICT r6 #7): the streaming heavy
+#     hitters operator (streaming/heavy_hitters.py) replayed over a
+#     batch fixture, joined to EXACT counts, with the error-bound
+#     artifact emitted per row. Rows-only BY NATURE, documented here:
+#     an MG summary is a sequential left-to-right fold whose surviving
+#     keys depend on arrival order — not expressible as (order-free)
+#     SQL, so hash-parity with a DuckDB twin is impossible even though
+#     the replay below is deterministic (each shard's rows are sorted
+#     by (ts, event_id) before folding). What IS checkable is the
+#     GUARANTEE, and it rides in the output: per surviving key,
+#     bound = floor(n_shard/(C+1)) and the two inequality flags
+#     exact - bound <= est <= exact; tests/test_approx.py additionally
+#     pins the presence guarantee (every key with true_count >
+#     n_shard/(C+1) survives) against the exact counts. ---
+MG_BATCH_CAPACITY = 16  # small enough that decrements fire on fixtures
+MG_BATCH_SHARDS = 4
+
+
+def mg_batch_summary(df: DataFrame, key_col: str, order_cols: list[str],
+                     capacity: int = MG_BATCH_CAPACITY,
+                     n_shards: int = MG_BATCH_SHARDS) -> DataFrame:
+    """(shard, key, est_count, n_shard): the streaming operator's exact
+    per-shard fold, run as one applyInPandas over hash shards — each
+    group sorts its slice by order_cols so the fold (and therefore the
+    summary) is deterministic and restart-independent."""
+    from ..streaming.heavy_hitters import mg_update
+    from .sampling import _hash_bucket
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols)
+        summary: dict[str, int] = {}
+        for k in pdf["_key"]:
+            mg_update(summary, str(k), capacity)
+        return pd.DataFrame({
+            "shard": int(pdf["_shard"].iloc[0]),
+            "key": list(summary.keys()),
+            "est_count": [int(v) for v in summary.values()],
+            "n_shard": len(pdf),
+        })
+
+    keyed = df.select(
+        _hash_bucket(F.col(key_col), n_shards).cast("int").alias("_shard"),
+        F.col(key_col).cast("string").alias("_key"), *order_cols)
+    return keyed.groupBy("_shard").applyInPandas(
+        fold, "shard int, key string, est_count long, n_shard long")
+
+
+def q_hh_mg_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per surviving key: MG estimate vs exact count plus the n/(C+1)
+    error-bound artifact and both guarantee flags."""
+    ev = (table(spark, sf_dir, "events")
+          .filter(F.col("user_id").isNotNull())
+          .select("user_id", "ts", "event_id"))
+    mg = mg_batch_summary(ev, "user_id", ["ts", "event_id"])
+    exact = (ev.groupBy(F.col("user_id").cast("string").alias("key"))
+               .agg(F.count("*").alias("exact_count")))
+    bound = F.floor(F.col("n_shard") / (MG_BATCH_CAPACITY + 1))
+    return (mg.join(exact, "key")
+              .select("shard", "key", "est_count", "exact_count",
+                      "n_shard", bound.alias("err_bound"),
+                      (F.col("est_count") <= F.col("exact_count"))
+                      .alias("le_exact"),
+                      (F.col("exact_count") - F.col("est_count")
+                       <= bound).alias("within_bound")))
+    # O(C · shards) rows: unsorted
+
+
 QUERIES = {
     "approx_distinct_users": q_approx_distinct_users,    # rows-only: sketch
     "hll_mergeable_distinct": q_hll_mergeable_distinct,  # rows-only: sketch
     "approx_quantiles": q_approx_quantiles,              # rows-only: sketch
     "cms_heavy_hitters": q_cms_heavy_hitters,            # rows-only: sketch
+    "hh_mg_vs_exact": q_hh_mg_vs_exact,  # rows-only: sequential MG fold
 }
 
 ORACLE = {}

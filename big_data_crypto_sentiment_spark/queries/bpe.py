@@ -79,10 +79,89 @@ def _merge_udf(a: str, b: str):
     return pandas_udf("array<string>")(apply)
 
 
+def _batch_merge_udf(pairs: list[tuple[str, str]]):
+    """Arrow-batched application of an ORDERED merge batch: each word's
+    symbols get every merge in sequence in one Python crossing —
+    batching m merges costs the same two actions one merge used to."""
+    from pyspark.sql.functions import pandas_udf
+
+    def apply(col):
+        def one(seq):
+            seq = list(seq)
+            for a, b in pairs:
+                seq = _merge_seq(seq, a, b)
+            return seq
+        return col.map(one)
+
+    return pandas_udf("array<string>")(apply)
+
+
+def _select_batch(cand, batch_m: int, budget: int, seen_all: bool):
+    """Greedy EXACT batch selection from one round's top-K candidate
+    pairs [(pair, cnt)] (sorted count desc, pair asc — the greedy
+    order). The batch equals what sequential top-1 greedy would pick,
+    guaranteed by three strict guards that truncate it early:
+
+      * disjoint: a member may not share a symbol with any earlier
+        member — disjoint merges commute and leave each other's counts
+        untouched (truncate at the FIRST overlap so no candidate is
+        ever skipped-then-outranked);
+      * created-pair dominance: merging (a,b) can create pairs (x,ab)
+        / (ab,y) with count <= min(cnt(a,b), cnt(x,a) | cnt(b,y)) —
+        every later member must STRICTLY outrank that bound (sequential
+        greedy would otherwise pick the created pair first);
+      * unseen-pair dominance: pairs outside the top-K have count <=
+        the K-th candidate's — every later member must strictly exceed
+        that too, so the created-pair bound above is sound even for
+        (x,a) pairs the candidate list didn't surface.
+
+    Strict inequalities kill tie-break ambiguity: a created pair can
+    never tie a later member. `seen_all=True` (the candidate list held
+    the ENTIRE pair table) drops the unseen-pair floor to zero.
+    Returns [(a, b, cnt)]."""
+    full_view = 0 if seen_all else int(cand[-1].cnt)
+    batch: list[tuple[str, str, int]] = []
+    used: set[str] = set()
+    created_bound = 0
+    for row in cand:
+        if len(batch) >= min(batch_m, budget):
+            break
+        a, b = row.pair.split(_SEP)
+        c = int(row.cnt)
+        if batch:
+            if not (c > created_bound and c > full_view):
+                break
+            if a in used or b in used:
+                break  # truncate, never skip
+        # bound on counts of pairs this merge creates: adjacent pairs
+        # (x,a) / (b,y) among candidates, unseen ones bounded by kth
+        nb = full_view
+        for r2 in cand:
+            x, y = r2.pair.split(_SEP)
+            if (y == a or x == b) and not (x == a and y == b):
+                nb = max(nb, int(r2.cnt))
+        created_bound = max(created_bound, min(nb, c))
+        batch.append((a, b, c))
+        used.update((a, b))
+    return batch
+
+
+BPE_BATCH_M = 4
+
+
 def bpe_train(docs: DataFrame, n_merges: int = BPE_MERGES,
-              text_col: str = "text"):
+              text_col: str = "text", batch_m: int = BPE_BATCH_M):
     """Ranked merge list [(rank, left, right, merged, freq)] plus the
-    final (word, wc, s) symbol table."""
+    final (word, wc, s) symbol table.
+
+    Each round still pays exactly 2 actions (one top-K collect + the
+    lazy localCheckpoint the next action materializes) but commits up
+    to `batch_m` merges — the standard fast-trainer batching, here
+    with _select_batch's strict guards so the merge list is IDENTICAL
+    to sequential top-1 greedy (batch_m=1 recovers it trivially);
+    pytest pins batched == reference on the classic corpus and random
+    dicts. Rounds drop ~batch_m× on natural corpora where the top
+    pairs are unrelated."""
     # narrow the iteration width: the word table is orders of magnitude
     # smaller than the corpus, and every round pays per-partition task
     # overhead twice (pair agg + merge UDF) — 8 partitions measured ~2×
@@ -90,15 +169,20 @@ def bpe_train(docs: DataFrame, n_merges: int = BPE_MERGES,
     # still giving a 100-TB word table (~100M rows) ~12M rows/partition
     syms = (_word_symbols(docs, text_col).coalesce(8)
             .localCheckpoint(eager=False))
-    merges = []
-    for rank in range(1, n_merges + 1):
-        best = (_pair_counts(syms)
-                .orderBy(F.desc("cnt"), "pair").limit(1).collect())
-        if not best:
+    merges: list[tuple] = []
+    top_k = 8 * max(1, batch_m)
+    while len(merges) < n_merges:
+        cand = (_pair_counts(syms)
+                .orderBy(F.desc("cnt"), "pair").limit(top_k).collect())
+        if not cand:
             break
-        a, b = best[0].pair.split(_SEP)
-        merges.append((rank, a, b, a + b, int(best[0].cnt)))
-        syms = (syms.withColumn("s", _merge_udf(a, b)(F.col("s")))
+        batch = _select_batch(cand, batch_m, n_merges - len(merges),
+                              seen_all=len(cand) < top_k)
+        for a, b, c in batch:
+            merges.append((len(merges) + 1, a, b, a + b, c))
+        syms = (syms.withColumn(
+                    "s", _batch_merge_udf([(a, b) for a, b, _ in batch])
+                         (F.col("s")))
                     .localCheckpoint(eager=False))
     return merges, syms
 

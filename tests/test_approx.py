@@ -55,3 +55,64 @@ def test_cms_sketch_merges_across_partitions(spark):
     b = spark.createDataFrame(rows, "k long").repartition(8)
     assert cms_estimates(a, "k", [0, 1, 2, 3, 4]) == \
         cms_estimates(b, "k", [0, 1, 2, 3, 4])
+
+
+def test_mg_batch_twin_bounds_and_presence(spark):
+    """Batch Misra–Gries twin vs exact counts: every emitted estimate
+    satisfies exact - n_shard/(C+1) <= est <= exact (the registry
+    entry's explicit error-bound artifact), and the PRESENCE guarantee
+    holds — every key whose true count exceeds its shard's n/(C+1)
+    survives in the summary."""
+    from big_data_crypto_sentiment_spark.queries._util import table
+    from big_data_crypto_sentiment_spark.queries.approx import (
+        MG_BATCH_CAPACITY,
+        MG_BATCH_SHARDS,
+        mg_batch_summary,
+        q_hh_mg_vs_exact,
+    )
+    from big_data_crypto_sentiment_spark.queries.sampling import (
+        _hash_bucket,
+    )
+    sf = "/root/testdata/sf0.01"
+    out = q_hh_mg_vs_exact(spark, sf).collect()
+    assert out and all(r.le_exact and r.within_bound for r in out)
+    assert all(r.err_bound == r.n_shard // (MG_BATCH_CAPACITY + 1)
+               for r in out)
+    # presence: the fixture's users are near-uniform (nothing exceeds
+    # n/(C+1)), so plant a heavy hitter — 3 skewed keys over 400
+    # uniform-ish rows; every key above its shard's bound must survive
+    rows = ([(9_000_001, i) for i in range(200)]          # heavy
+            + [(9_000_002, 200 + i) for i in range(80)]
+            + [(1000 + i % 120, 300 + i) for i in range(400)])
+    skew = spark.createDataFrame(
+        [(u, i, i) for u, i in rows], "user_id long, ts long, "
+                                      "event_id long")
+    summ = {(r.shard, r.key): r for r in
+            mg_batch_summary(skew, "user_id",
+                             ["ts", "event_id"]).collect()}
+    exact = {(r.shard, r.key): r.n for r in
+             skew.select(_hash_bucket(F.col("user_id"), MG_BATCH_SHARDS)
+                         .cast("int").alias("shard"),
+                         F.col("user_id").cast("string").alias("key"))
+                 .groupBy("shard", "key").agg(F.count("*").alias("n"))
+                 .collect()}
+    n_shard = {}
+    for (s, _), n in exact.items():
+        n_shard[s] = n_shard.get(s, 0) + n
+    must_be_present = {(s, k) for (s, k), n in exact.items()
+                       if n > n_shard[s] / (MG_BATCH_CAPACITY + 1)}
+    assert must_be_present and must_be_present <= set(summ)
+    # the planted heavies survive with in-bound estimates
+    for (s, k) in must_be_present:
+        lo = exact[(s, k)] - n_shard[s] // (MG_BATCH_CAPACITY + 1)
+        assert lo <= summ[(s, k)].est_count <= exact[(s, k)]
+    # decrements actually fire on the fixture (the bound is exercised)
+    assert any(r.est_count < r.exact_count for r in out)
+    # determinism: a second run folds identical summaries
+    again = {(r.shard, r.key): r.est_count
+             for r in mg_batch_summary(
+                 table(spark, sf, "events")
+                 .filter(F.col("user_id").isNotNull())
+                 .select("user_id", "ts", "event_id"),
+                 "user_id", ["ts", "event_id"]).collect()}
+    assert again == {(r.shard, r.key): r.est_count for r in out}

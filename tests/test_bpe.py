@@ -66,3 +66,46 @@ def test_incremental_reference_matches_naive_spec():
         wc = {"".join(rng.choices("abcde", k=rng.randint(1, 7))):
               rng.randint(1, 50) for _ in range(60)}
         assert reference_bpe(dict(wc), 10) == reference_bpe_naive(dict(wc), 10)
+
+
+def test_batched_trainer_equals_sequential_and_cuts_rounds(spark, classic):
+    """Top-m batching (VERDICT r6 #5): the batched trainer's merge list
+    is IDENTICAL to top-1 sequential greedy and to the reference spec
+    (the strict dominance guards make batching exact, not approximate),
+    while driver rounds drop — counted via _pair_counts invocations."""
+    from unittest import mock
+
+    from big_data_crypto_sentiment_spark.queries import bpe as B
+    wc, docs = classic
+
+    def rounds_of(d, n, batch_m):
+        calls = {"n": 0}
+        orig = B._pair_counts
+
+        def counting(syms):
+            calls["n"] += 1
+            return orig(syms)
+
+        with mock.patch.object(B, "_pair_counts", counting):
+            merges, _ = B.bpe_train(d, n_merges=n, batch_m=batch_m)
+        return merges, calls["n"]
+
+    seq, r1 = rounds_of(docs, 6, 1)
+    bat, rm = rounds_of(docs, 6, 4)
+    assert bat == seq == B.reference_bpe(wc, 6)
+    assert r1 == 6      # sequential: one round per merge
+    # the classic corpus is ONE chained word family (es -> est -> ...),
+    # so the exactness guards allow only occasional 2-merge batches —
+    # still strictly fewer rounds
+    assert rm < r1
+    # a corpus with DISJOINT pair families shows the full ~m* saving:
+    # interleaved counts let the dominance guards accept 4 per round
+    words = {"ab": 50, "abc": 50, "de": 45, "def": 45,
+             "gh": 40, "ghi": 40, "jk": 35, "jkl": 35}
+    docs2 = spark.createDataFrame(
+        [(i, " ".join([w] * c)) for i, (w, c) in enumerate(words.items())],
+        "doc_id long, text string")
+    seq2, r1b = rounds_of(docs2, 4, 1)
+    bat2, rmb = rounds_of(docs2, 4, 4)
+    assert bat2 == seq2 == B.reference_bpe(words, 4)
+    assert r1b == 4 and rmb == 1  # all four merges land in ONE round

@@ -117,3 +117,29 @@ def test_events_range_micros_branch_unaligned_bounds_exact(spark, tmp_path):
     ]
     for s, e in cases:
         assert got(s, e) == want(s, e), (s, e)
+
+
+def test_register_repaired_view_converts_epoch_columns(spark):
+    """The Milestone3 type-repair analog: an integer epoch-ms column is
+    exposed through a temp view as a proper TIMESTAMP, queryable via
+    spark.sql; unknown units raise."""
+    import datetime as dt
+
+    import pytest
+
+    from big_data_crypto_sentiment_spark.catalog import (
+        register_repaired_view,
+    )
+    raw = spark.createDataFrame(
+        [(1, 1704067200000, "a"), (2, 1704070800000, "b")],
+        "id long, timestamp long, v string")
+    out = register_repaired_view(spark, raw, "repaired",
+                                 {"timestamp": "ms"})
+    assert dict(out.dtypes)["timestamp"] == "timestamp"
+    got = spark.sql(
+        "SELECT id, timestamp, v FROM repaired ORDER BY id").collect()
+    assert got[0].timestamp == dt.datetime(2024, 1, 1, 0, 0)
+    assert got[1].timestamp == dt.datetime(2024, 1, 1, 1, 0)
+    assert [r.v for r in got] == ["a", "b"]  # passthrough intact
+    with pytest.raises(ValueError, match="unit"):
+        register_repaired_view(spark, raw, "bad", {"timestamp": "ns"})
