@@ -551,15 +551,18 @@ def semdedup(frozen: DataFrame, cents: DataFrame,
     pair cosine as one zip_with/aggregate per candidate pair."""
     from pyspark.sql import Window
     ex = frozen.select("vec_id", F.posexplode_outer("x8").alias("dim", "v"))
-    vn2 = ex.groupBy("vec_id").agg(F.sum(F.col("v") * F.col("v"))
-                                    .alias("vn2"))
     cn2 = cents.groupBy("cid").agg(F.sum(F.col("c") * F.col("c"))
                                     .alias("cn2"))
+    # vn2 folds into the SAME (vec_id, cid) agg as the dot (each
+    # (vec_id, dim) row joins exactly one centroid row per cid, so
+    # sum(v·v) per (vec_id, cid) IS the vector norm²) — k× redundant
+    # integer adds in exchange for dropping a whole shuffle + join
     dots = (ex.join(F.broadcast(cents), "dim")
               .groupBy("vec_id", "cid")
-              .agg(F.sum(F.col("v") * F.col("c")).alias("dot")))
+              .agg(F.sum(F.col("v") * F.col("c")).alias("dot"),
+                   F.sum(F.col("v") * F.col("v")).alias("vn2")))
     w = Window.partitionBy("vec_id").orderBy("dist2", "cid")
-    assigned = (dots.join(vn2, "vec_id").join(F.broadcast(cn2), "cid")
+    assigned = (dots.join(F.broadcast(cn2), "cid")
                     .withColumn("dist2", F.col("vn2") - 2 * F.col("dot")
                                 + F.col("cn2"))
                     .withColumn("_rn", F.row_number().over(w))
@@ -569,7 +572,14 @@ def semdedup(frozen: DataFrame, cents: DataFrame,
                              / (F.sqrt(F.col("vn2").cast("double"))
                                 * F.sqrt(F.col("cn2").cast("double"))))
                             .alias("cos_c")))
-    en = assigned.join(frozen, "vec_id")
+    # `en` feeds the a-side, the b-side AND the final output — without
+    # lineage truncation Spark recomputes the whole
+    # explode→join→agg→window subtree once per reference. A non-eager
+    # localCheckpoint (materialized by the query's own first action,
+    # shared by all three readers) makes it compute once — the
+    # components.py one-action-per-round discipline.
+    en = (assigned.join(frozen, "vec_id")
+                  .localCheckpoint(eager=False))
     a = en.select(F.col("vec_id").alias("a_id"), "cid",
                   F.col("vn2").alias("a_vn2"), F.col("cos_c").alias("a_cc"),
                   F.col("x8").alias("a_x8"))
@@ -594,10 +604,10 @@ def semdedup(frozen: DataFrame, cents: DataFrame,
                     .alias("vec_id"))
                     .distinct()
                     .withColumn("_d", F.lit(1)))
-    return (assigned.join(dropped, "vec_id", "left")
-                    .select("vec_id", "cid",
-                            F.round("cos_c", 6).alias("cos_to_centroid"),
-                            F.col("_d").isNull().alias("is_kept")))
+    return (en.join(dropped, "vec_id", "left")
+              .select("vec_id", "cid",
+                      F.round("cos_c", 6).alias("cos_to_centroid"),
+                      F.col("_d").isNull().alias("is_kept")))
 
 
 def q_sim_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -105,6 +105,19 @@ HEADLINE = [
      "exact higher moments: staged-width decimal products "
      "(12,6)->(25,12)->(38,18) inside one hash agg — no second scan, "
      "no float accumulation"),
+    ("sim_semdedup",
+     "SemDeDup: broadcast centroid join (bounded model artifact), "
+     "integer argmin assignment, intra-cluster-only pair join on cid; "
+     "en subtree computed once (lazy localCheckpoint)"),
+    ("scd2_merge_incremental",
+     "r7: NO hard broadcast hint on the affected-key set — AQE picks "
+     "broadcast when small, degrades to shuffled semi/anti when huge"),
+    ("dq_suite",
+     "r7: FK dim key set joins without a hard broadcast hint (same "
+     "degradation story); one conditional-agg pass per table"),
+    ("hh_mg_vs_exact",
+     "Misra-Gries batch twin: one applyInPandas fold per hash shard + "
+     "exact-count join; bound arithmetic rides in the projection"),
 ]
 
 _ADDR = re.compile(r"#\d+L?")
