@@ -11,6 +11,11 @@ the `documents` table:
     5. duplicate-span filter       (queries/dedup.py span stats: drop
                                     docs that are mostly cross-doc
                                     duplicated text, Lee et al. 2021)
+   5b. semantic dedup              (queries/similarity.py SemDeDup over
+                                    the docs that carry embeddings —
+                                    within-cluster cosine pairs, drop
+                                    the more-prototypical member; docs
+                                    without embeddings pass)
     6. LM perplexity filter        (queries/cleaning.py unigram NLL vs a
                                     corpus-derived percentile cut — the
                                     CCNet discipline; threshold is a
@@ -83,6 +88,36 @@ def curate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .filter(F.col("dup_frac") > SPAN_DUP_MAX_FRAC)
                 .select("doc_id", F.lit(1).alias("span_dup")))
 
+    # semantic dedup over the subset of docs that carry embeddings
+    # (vec_id == doc_id by fixture convention). Runs on the EXACT-DEDUP
+    # SURVIVORS like the span stage — exact copies have identical
+    # embeddings (cos 1 pairs) and SemDeDup's equal-cos tie-break drops
+    # the higher id, which happens to agree with stage 2's keep-min-id,
+    # but computing on survivors keeps the funnel discipline uniform
+    # and the agreement non-load-bearing. Docs without embeddings pass.
+    # A corpus without an embeddings table skips the stage entirely
+    # (every doc passes) — embeddings are an optional enrichment.
+    import os
+    from ..queries.similarity import (
+        _freeze_vectors,
+        label_prototype_centroids,
+        semdedup,
+    )
+    if os.path.exists(os.path.join(sf_dir, "embeddings.parquet")):
+        emb = (table(spark, sf_dir, "embeddings")
+               .select(F.col("vec_id").alias("doc_id"), "label",
+                       "embedding")
+               .join(keep_ids.select("doc_id"), "doc_id")
+               .withColumnRenamed("doc_id", "vec_id"))
+        sem_dup = (semdedup(_freeze_vectors(emb),
+                            label_prototype_centroids(emb))
+                   .filter(~F.col("is_kept"))
+                   .select(F.col("vec_id").alias("doc_id"),
+                           F.lit(1).alias("semantic_dup")))
+    else:
+        sem_dup = spark.createDataFrame(
+            [], "doc_id long, semantic_dup int")
+
     # CCNet-style perplexity cut: score every doc under the corpus
     # unigram LM, drop the worst LM_DROP_FRAC by avg NLL. The threshold
     # is a bounded driver scalar (approxQuantile over one score column);
@@ -101,14 +136,17 @@ def curate(spark: SparkSession, sf_dir: str) -> DataFrame:
            .join(keep_ids, "doc_id", "left")
            .join(F.broadcast(contaminated), "doc_id", "left")
            .join(F.broadcast(span_dup), "doc_id", "left")
+           .join(F.broadcast(sem_dup), "doc_id", "left")
            .withColumn("dedup_keep", F.coalesce("dedup_keep", F.lit(0)))
            .withColumn("contaminated",
                        F.coalesce("contaminated", F.lit(0)))
-           .withColumn("span_dup", F.coalesce("span_dup", F.lit(0))))
+           .withColumn("span_dup", F.coalesce("span_dup", F.lit(0)))
+           .withColumn("semantic_dup",
+                       F.coalesce("semantic_dup", F.lit(0))))
     keep = ((F.col("quality_ok") == 1) & (F.col("repetition_ok") == 1)
             & (F.col("lm_ok") == 1)
             & (F.col("dedup_keep") == 1) & (F.col("contaminated") == 0)
-            & (F.col("span_dup") == 0))
+            & (F.col("span_dup") == 0) & (F.col("semantic_dup") == 0))
     return out.withColumn("keep", keep.cast("int"))
 
 
@@ -122,6 +160,7 @@ def funnel_stats(annotated: DataFrame) -> DataFrame:
         F.sum("contaminated").alias("drop_contaminated"),
         F.sum(1 - F.col("repetition_ok")).alias("drop_repetitive"),
         F.sum("span_dup").alias("drop_span_dup"),
+        F.sum("semantic_dup").alias("drop_semantic_dup"),
         F.sum(1 - F.col("lm_ok")).alias("drop_lm"),
         F.sum("keep").alias("n_kept"))
 

@@ -292,6 +292,76 @@ def bpe_word_counts(docs: DataFrame, text_col: str = "text",
     return {r.word: r.wc for r in rows[:cap]}, truncated
 
 
+# --- BPE ENCODING (inference): apply a trained merge list to text —
+#     the step that turns the trained tokenizer into corpus tokens for
+#     tokens_to_ids / pack_sequences downstream. Classic GPT-2-style
+#     loop per word: repeatedly merge every occurrence of the
+#     LOWEST-RANK pair present (provably equal to applying the ranked
+#     merge list in order). The merge-rank dict is a closure constant —
+#     O(vocab) per executor, the model-as-broadcast shape — and the
+#     whole pass is one Arrow-batched crossing, zero shuffles.
+#     Rows-only: the per-word priority loop is sequential. ---
+def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Greedy min-rank BPE encode of one word (END marker appended)."""
+    seq = list(word) + [END]
+    while len(seq) >= 2:
+        best_rank, best_pair = None, None
+        for i in range(len(seq) - 1):
+            r = ranks.get((seq[i], seq[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_pair = r, (seq[i], seq[i + 1])
+        if best_pair is None:
+            break
+        seq = _merge_seq(seq, *best_pair)
+    return seq
+
+
+def _encode_udf(ranks: dict[tuple[str, str], int]):
+    from pyspark.sql.functions import pandas_udf
+
+    def apply(col):
+        def one(text):
+            out: list[str] = []
+            for w in str(text).split(" "):
+                if w:
+                    out.extend(encode_word(w, ranks))
+            return out
+        return col.map(one)
+
+    return pandas_udf("array<string>")(apply)
+
+
+def bpe_encode(docs: DataFrame, merges, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """(id, tokens array<string>): corpus tokenization under a trained
+    merge list [(rank, left, right, merged, freq)]."""
+    ranks = {(m[1], m[2]): m[0] for m in merges}
+    return (docs.filter(F.col(text_col).isNotNull())
+                .select(id_col,
+                        _encode_udf(ranks)(F.col(text_col))
+                        .alias("tokens")))
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train on the corpus word dict, then tokenize the corpus with the
+    trained merges: (doc_id, n_tokens, n_merged_tokens, tokens) —
+    tokens projected to a joined string (driver hash rule)."""
+    from ._util import rebalance_scan
+    d = rebalance_scan(table(spark, sf_dir, "documents")) \
+        .select("doc_id", "text")
+    wc, _ = bpe_word_counts(d)
+    merges = reference_bpe(wc, BPE_MERGES)
+    enc = bpe_encode(d, merges)
+    # initial symbols are single chars plus the bare END marker, so any
+    # longer token (incl. char+END fusions) came from >= 1 merge
+    multi = F.size(F.filter(
+        "tokens", lambda t: (F.length(t) > 1) & (t != F.lit(END))))
+    return enc.select(
+        "doc_id", F.size("tokens").alias("n_tokens"),
+        multi.alias("n_merged_tokens"),
+        F.array_join("tokens", "\x1f").alias("tokens"))  # O(input): unsorted
+
+
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ._util import rebalance_scan
     d = rebalance_scan(table(spark, sf_dir, "documents")) \
@@ -305,6 +375,7 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "bpe_merges": q_bpe_merges,  # rows-only: iterative argmax+rewrite
+    "bpe_encode_tokens": q_bpe_encode,  # rows-only: sequential min-rank loop
 }
 
 ORACLE: dict[str, str] = {}

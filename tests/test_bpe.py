@@ -109,3 +109,47 @@ def test_batched_trainer_equals_sequential_and_cuts_rounds(spark, classic):
     bat2, rmb = rounds_of(docs2, 4, 4)
     assert bat2 == seq2 == B.reference_bpe(words, 4)
     assert r1b == 4 and rmb == 1  # all four merges land in ONE round
+
+
+def test_bpe_encode_roundtrip_and_rank_priority(spark, classic):
+    """Encoding with the trained merges: (a) joining a word's tokens
+    (END stripped) reproduces the word — no characters lost; (b) the
+    greedy min-rank loop equals applying the ranked merge list in
+    order (the textbook equivalence); (c) trained merges actually fire
+    on the training corpus."""
+    from big_data_crypto_sentiment_spark.queries.bpe import (
+        END,
+        _merge_seq,
+        bpe_encode,
+        encode_word,
+        reference_bpe,
+    )
+    wc, docs = classic
+    merges = reference_bpe(wc, 6)
+    ranks = {(m[1], m[2]): m[0] for m in merges}
+    for w in wc:
+        got = encode_word(w, ranks)
+        # (a) reconstruction
+        assert "".join(got).removesuffix(END) == w
+        # (b) rank-order application equivalence
+        seq = list(w) + [END]
+        for _, a, b, _, _ in merges:
+            seq = _merge_seq(seq, a, b)
+        assert got == seq
+    # (c) distributed encode over the corpus: merged tokens appear
+    rows = {r.doc_id: r.tokens for r in bpe_encode(docs, merges).collect()}
+    assert any(len(t) > 1 and t != END
+               for toks in rows.values() for t in toks)
+    # 'newest' (doc 2) starts with the famous 'est'-family merges
+    assert "est" + END in set(rows[2]) or "est" in set(rows[2])
+
+
+def test_bpe_encode_registered_query_shape(spark):
+    from big_data_crypto_sentiment_spark.queries.bpe import q_bpe_encode
+    rows = q_bpe_encode(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows[:50]:
+        toks = r.tokens.split("\x1f") if r.tokens else []
+        assert r.n_tokens == len(toks)
+        assert 0 <= r.n_merged_tokens <= r.n_tokens
+    assert any(r.n_merged_tokens > 0 for r in rows)

@@ -114,3 +114,30 @@ def test_exact_dup_representative_survives_span_stage(spark, tmp_path):
     # the dedup/span interplay is under test here)
     dropped_copy = ann.filter(F.col("doc_id") == 1).first()
     assert dropped_copy.dedup_keep == 0 and dropped_copy.keep == 0
+
+
+def test_semantic_dedup_stage_flags_only_embedded_docs(spark):
+    """Stage 5b: SemDeDup drops fire on the real fixture, every flagged
+    doc actually carries an embedding, flagged docs are excluded from
+    the final keep, and docs without embeddings always pass the stage."""
+    from big_data_crypto_sentiment_spark.jobs.curate import curate
+    from big_data_crypto_sentiment_spark.queries._util import table
+
+    sf = "/root/testdata/sf0.001"
+    ann = curate(spark, sf).persist()
+    try:
+        flagged = {r.doc_id for r in
+                   ann.filter(F.col("semantic_dup") == 1).collect()}
+        assert flagged  # the stage genuinely fires on the fixture
+        embedded = {r.vec_id for r in
+                    table(spark, sf, "embeddings")
+                    .select("vec_id").collect()}
+        assert flagged <= embedded
+        assert ann.filter((F.col("semantic_dup") == 1)
+                          & (F.col("keep") == 1)).count() == 0
+        # embeddingless docs are never flagged (vacuous by flagged ⊆
+        # embedded, asserted directly for the coalesce path)
+        assert ann.filter(~F.col("doc_id").isin(*embedded)
+                          & (F.col("semantic_dup") == 1)).count() == 0
+    finally:
+        ann.unpersist()
