@@ -224,6 +224,61 @@ def top_terms(model, vocab, k: int = 10):
     return lo + hi
 
 
+# --- topic discovery (LDA): the domain-clustering step a mixture
+#     pipeline needs before per-domain sampling weights (the
+#     sample_mixture / temperature operators consume exactly the kind
+#     of domain label this produces). Distributed MLlib LDA: the
+#     tokenize→CountVectorizer front-end is shared with the ridge
+#     pipelines; online variational inference scales as one corpus
+#     pass per iteration with a k×V topic matrix as the model artifact
+#     (broadcast-sized for any practical k·vocab). Seeded, so the fit
+#     is reproducible on a fixed input partitioning. ---
+LDA_TOPICS = 4
+LDA_MAX_ITER = 10  # online VI converges for domain-level separation in
+                   # ~10 passes (planted-topic pytest); each extra
+                   # iteration is a full distributed pass
+
+
+def fit_topics(docs: DataFrame, k: int = LDA_TOPICS,
+               text_col: str = "text", id_col: str = "doc_id",
+               vocab_size: int = VOCAB_SIZE, seed: int = 7,
+               max_iter: int = LDA_MAX_ITER):
+    """(doc_topics DataFrame, topic_terms list, vocab) — doc_topics is
+    (id, topic, topic_weight): each doc's dominant topic and its
+    weight; topic_terms is [(topic, [top terms])]."""
+    from pyspark.ml.clustering import LDA
+    from pyspark.ml.functions import vector_to_array
+    pipe = Pipeline(stages=[
+        RegexTokenizer(inputCol=text_col, outputCol="tokens",
+                       pattern=r"\s+"),
+        CountVectorizer(inputCol="tokens", outputCol="tf",
+                        vocabSize=vocab_size, minDF=MIN_DF),
+        # online VI draws a ~5% minibatch per iteration, so TINY
+        # corpora need proportionally more iterations to be seen at
+        # all — callers fitting < ~1k docs should raise max_iter
+        LDA(featuresCol="tf", k=k, seed=seed, maxIter=max_iter,
+            optimizer="online"),
+    ])
+    with _persisted_for_fit(docs) as d:
+        model = pipe.fit(d)
+        dist = vector_to_array(F.col("topicDistribution"))
+        doc_topics = (model.transform(d)
+                      .select(id_col, dist.alias("_td"))
+                      .select(id_col,
+                              F.expr("array_position(_td, "
+                                     "array_max(_td)) - 1")
+                               .cast("int").alias("topic"),
+                              F.round(F.array_max("_td"), 6)
+                               .alias("topic_weight")))
+        # materialize while the fit input is still cached
+        doc_topics = doc_topics.localCheckpoint(eager=True)
+    vocab = model.stages[1].vocabulary
+    lda = model.stages[-1]
+    terms = [(int(r.topic), [vocab[i] for i in r.termIndices])
+             for r in lda.describeTopics(10).collect()]
+    return doc_topics, terms, vocab
+
+
 PERM_BUCKETS = 64
 
 

@@ -99,6 +99,41 @@ def file_stats_catalog(spark, path: str, cols: tuple[str, ...]):
               .groupBy("file").agg(*aggs))
 
 
+def read_skipping(spark, path: str, box: dict,
+                  catalog=None) -> tuple:
+    """(DataFrame, n_files_read, n_files_total): scan ONLY the files
+    whose min/max stats can match the conjunctive box predicate, then
+    apply the residual row filter — the manifest-planned read every
+    table format (Delta/Iceberg) performs, composed from plain Spark.
+
+    The selected file list is a driver artifact, exactly as in those
+    formats' planning step: the manifest is orders of magnitude smaller
+    than the data, and after skipping the survivors are the files a
+    single query actually touches. `catalog` (a file_stats_catalog
+    frame, possibly persisted/stored) is rebuilt from footer stats when
+    not supplied. Row-level residual filtering stays necessary —
+    min/max skipping is file-granular, and the parquet reader still
+    prunes row groups inside the survivors via PushedFilters."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+    if catalog is None:
+        catalog = file_stats_catalog(spark, path, tuple(box))
+    cond = reduce(lambda a, b: a & b,
+                  [(F.col(f"{c}_min") <= hi) & (F.col(f"{c}_max") >= lo)
+                   for c, (lo, hi) in box.items()])
+    n_total = catalog.count()
+    files = [r.file for r in catalog.filter(cond).select("file").collect()]
+    row_filter = reduce(lambda a, b: a & b,
+                        [(F.col(c) >= lo) & (F.col(c) <= hi)
+                         for c, (lo, hi) in box.items()])
+    if not files:
+        empty = spark.read.parquet(path).filter(F.lit(False))
+        return empty, 0, n_total
+    return (spark.read.parquet(*files).filter(row_filter),
+            len(files), n_total)
+
+
 def prunable_files(catalog, box: dict) -> tuple[int, int]:
     """(files that could match the conjunctive box, total files) from a
     file_stats_catalog frame — the skip decision itself, as one filter."""

@@ -508,6 +508,18 @@ def q_ml_tfidf_ridge_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
               "train_end double, mae double")
 
 
+# --- Topic discovery (LDA) over documents: per-doc dominant topic +
+#     weight. Rows-only: variational inference is iterative; contract
+#     (planted disjoint-vocab topics separate) pinned in
+#     tests/test_ml_pipelines.py. ---
+def q_ml_doc_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml_pipelines import fit_topics
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text") \
+        .filter(F.col("text").isNotNull())
+    doc_topics, _, _ = fit_topics(docs)
+    return doc_topics  # O(input): unsorted
+
+
 # --- M7: Ridge + permutation importance on numeric features (rows-only) ---
 def q_ml_ridge_perm_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -537,6 +549,7 @@ QUERIES = {
     "ml_sentiment_model": q_ml_sentiment_model,        # rows-only: MLlib fit
     "ml_tfidf_top_terms": q_ml_tfidf_top_terms,        # rows-only: MLlib fit
     "ml_tfidf_ridge_cv": q_ml_tfidf_ridge_cv,          # rows-only: MLlib fits × folds
+    "ml_doc_topics": q_ml_doc_topics,                  # rows-only: LDA inference
     "ml_ridge_perm_importance": q_ml_ridge_perm_importance,  # rows-only: MLlib fit
 }
 

@@ -152,3 +152,32 @@ def test_temporal_cv_folds_are_time_ordered_no_leakage(spark):
     # expanding window: each fold trains on strictly more history
     trains = [n for _, n, *_ in folds]
     assert trains == sorted(trains) and trains[0] < trains[-1]
+
+
+def test_lda_separates_planted_disjoint_topics(spark):
+    """Topic-discovery contract: two corpora with DISJOINT vocabularies
+    must land in different dominant topics, consistently within each
+    corpus; the topic term lists reflect the split."""
+    from big_data_crypto_sentiment_spark.ml_pipelines import fit_topics
+    a_words = ["market", "price", "trade", "coin", "chart"]
+    b_words = ["pasta", "sauce", "oven", "basil", "garlic"]
+    rows = []
+    for i in range(60):
+        w = a_words if i % 2 == 0 else b_words
+        text = " ".join(w[(i + j) % 5] for j in range(12))
+        rows.append((i, text))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    doc_topics, terms, vocab = fit_topics(docs, k=2, seed=11,
+                                          max_iter=25)
+    got = {r.doc_id: (r.topic, r.topic_weight)
+           for r in doc_topics.collect()}
+    assert len(got) == 60
+    a_topics = {got[i][0] for i in range(0, 60, 2)}
+    b_topics = {got[i][0] for i in range(1, 60, 2)}
+    assert len(a_topics) == 1 and len(b_topics) == 1
+    assert a_topics != b_topics
+    assert all(0.5 < w <= 1.0 for _, w in got.values())
+    # each topic's top terms come from its own corpus' vocabulary
+    by_topic = dict(terms)
+    assert set(by_topic[a_topics.pop()][:5]) <= set(a_words)
+    assert set(by_topic[b_topics.pop()][:5]) <= set(b_words)

@@ -107,3 +107,34 @@ def test_quantize_nulls_get_bucket_zero(spark):
     assert got[0] == 0 and got[4] == 0          # NULLs -> bucket 0
     assert got[1] == 0 and got[3] == 255        # clamped extremes
     assert 0 < got[2] < 255
+
+
+def test_read_skipping_prunes_files_and_matches_full_scan(spark, tmp_path):
+    """The manifest-planned read: over a z-ordered layout, a box query
+    reads a fraction of the files yet returns row-identical results to
+    the naive full-scan + filter; a box outside the data reads zero
+    files and returns an empty frame with the right schema."""
+    from big_data_crypto_sentiment_spark.operators.zorder import (
+        read_skipping,
+        write_zordered,
+    )
+    df = spark.range(10_000).select(
+        F.col("id"),
+        (F.col("id") % 100).cast("double").alias("x"),
+        ((F.col("id") * 37) % 100).cast("double").alias("y"))
+    zpath = str(tmp_path / "zr")
+    write_zordered(df, ("x", "y"), zpath, n_files=16)
+    box = {"x": (10.0, 19.0), "y": (50.0, 59.0)}
+    got, n_read, n_total = read_skipping(spark, zpath, box)
+    assert n_total == 16 and 0 < n_read <= 5  # real skipping happened
+    want = (spark.read.parquet(zpath)
+            .filter((F.col("x") >= 10.0) & (F.col("x") <= 19.0)
+                    & (F.col("y") >= 50.0) & (F.col("y") <= 59.0)))
+    assert sorted(r.id for r in got.collect()) \
+        == sorted(r.id for r in want.collect())
+    assert want.count() > 0  # the box is non-trivial
+    # a box entirely outside the data: zero files, empty typed frame
+    out, n0, _ = read_skipping(spark, zpath, {"x": (500.0, 600.0),
+                                              "y": (500.0, 600.0)})
+    assert n0 == 0 and out.count() == 0
+    assert set(out.columns) == {"id", "x", "y"}
