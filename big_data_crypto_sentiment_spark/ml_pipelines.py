@@ -242,22 +242,31 @@ LDA_MAX_ITER = 10  # online VI converges for domain-level separation in
 def fit_topics(docs: DataFrame, k: int = LDA_TOPICS,
                text_col: str = "text", id_col: str = "doc_id",
                vocab_size: int = VOCAB_SIZE, seed: int = 7,
-               max_iter: int = LDA_MAX_ITER):
+               max_iter: int = LDA_MAX_ITER,
+               subsampling: float | None = None):
     """(doc_topics DataFrame, topic_terms list, vocab) — doc_topics is
     (id, topic, topic_weight): each doc's dominant topic and its
-    weight; topic_terms is [(topic, [top terms])]."""
+    weight; topic_terms is [(topic, [top terms])].
+
+    `subsampling` is online VI's per-iteration minibatch fraction
+    (None = Spark's 0.05 default, the right setting at corpus scale
+    where 5% of the data per pass is plenty). Small corpora
+    (≲ 10k docs) MUST pass subsampling=1.0: a 5% draw of a tiny corpus
+    gives the natural-gradient steps too little evidence per iteration
+    and the posterior collapses into one topic before the learning
+    rate decays."""
     from pyspark.ml.clustering import LDA
     from pyspark.ml.functions import vector_to_array
+    lda = LDA(featuresCol="tf", k=k, seed=seed, maxIter=max_iter,
+              optimizer="online")
+    if subsampling is not None:
+        lda.setSubsamplingRate(subsampling)
     pipe = Pipeline(stages=[
         RegexTokenizer(inputCol=text_col, outputCol="tokens",
                        pattern=r"\s+"),
         CountVectorizer(inputCol="tokens", outputCol="tf",
                         vocabSize=vocab_size, minDF=MIN_DF),
-        # online VI draws a ~5% minibatch per iteration, so TINY
-        # corpora need proportionally more iterations to be seen at
-        # all — callers fitting < ~1k docs should raise max_iter
-        LDA(featuresCol="tf", k=k, seed=seed, maxIter=max_iter,
-            optimizer="online"),
+        lda,
     ])
     with _persisted_for_fit(docs) as d:
         model = pipe.fit(d)

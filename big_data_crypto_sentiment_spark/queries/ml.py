@@ -516,7 +516,11 @@ def q_ml_doc_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ml_pipelines import fit_topics
     docs = table(spark, sf_dir, "documents").select("doc_id", "text") \
         .filter(F.col("text").isNotNull())
-    doc_topics, _, _ = fit_topics(docs)
+    # full-batch online VI: the fixtures are ≤5k docs, far below the
+    # scale where the default 5% minibatch has enough evidence per
+    # natural-gradient step (see fit_topics docstring); at corpus
+    # scale drop subsampling back to the default
+    doc_topics, _, _ = fit_topics(docs, subsampling=1.0)
     return doc_topics  # O(input): unsorted
 
 

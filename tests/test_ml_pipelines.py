@@ -168,7 +168,7 @@ def test_lda_separates_planted_disjoint_topics(spark):
         rows.append((i, text))
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     doc_topics, terms, vocab = fit_topics(docs, k=2, seed=11,
-                                          max_iter=25)
+                                          max_iter=25, subsampling=1.0)
     got = {r.doc_id: (r.topic, r.topic_weight)
            for r in doc_topics.collect()}
     assert len(got) == 60
