@@ -29,6 +29,7 @@ from . import (
     components,
     dedup,
     flagship,
+    graph,
     ingestion,
     layout,
     linkage,
@@ -50,7 +51,7 @@ from . import (
 _MODULES = (flagship, relational, timeseries, text, dedup, similarity, ml,
             ingestion, ta, media, reshape, approx, avro_rt, components,
             sampling, packing, cleaning, retrieval, bpe, behavior, scd,
-            linkage, layout, quality)
+            linkage, layout, quality, graph)
 
 # More oracle-paired queries exist than the driver's fixed 50-entry
 # correctness window can check; the overflow is deliberately deferred to
@@ -238,6 +239,18 @@ DEFERRALS: dict[str, dict] = {
                                 extra="driver-green r2-r6; 3-SF check.py + per-round sf0.001 auto-verify"),
     "orders_by_nation":   dict(since=7, family="broadcast-dim join family via flagship full-outer/asof_price_at_tweet/interval_join_events in-window; union via rotated-in union_event_slices",
                                extra="driver-green r2-r6; 3-SF check.py + per-round sf0.001 auto-verify"),
+    # r7 mid-round rotation: two long-green members (neither cited as a
+    # family rep by any deferral) hand their slots to the NEW graph
+    # family (graph_pagerank's recursive-CTE-twinned power iteration,
+    # graph_triangles' degree-ordered counting) so its first driver
+    # hash check happens this round; the degree histogram is
+    # born-deferred (same edge derivation, trivially simpler plan).
+    "table_diff":         dict(since=7, family="diff/upsert family via upsert_latest + ks_drift_events in-window; anti/semi-join shape via retention_after_deletes' deferred pair",
+                               extra="driver-green r4-r6; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "log_return":         dict(since=7, family="window-calc family via ta_sma_vwap in-window and ts_window_calcs' deferred pair",
+                               extra="driver-green r2-r6; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "graph_degree_profile": dict(since=7, family="graph family via graph_pagerank/graph_triangles in-window (same lag-window edge derivation)",
+                                 extra="3-SF check.py + per-round sf0.001 auto-verify"),
 }
 
 _DEFER_FROM_WINDOW = tuple(DEFERRALS)
@@ -282,11 +295,12 @@ def clear_session_caches() -> int:
     from . import cleaning as _cl
     from . import components as _co
     from . import dedup as _de
+    from . import graph as _gr
     from . import ml as _ml
     from . import retrieval as _re
     caches = [_re._WTS_CACHE, _re._IDF_CACHE, _co._CC_CACHE,
               _cl._UNIGRAM_CACHE, _ml._GRID_CACHE, _ml._LABELED_CACHE,
-              _de._GRAMS_CACHE]
+              _de._GRAMS_CACHE, _gr._GRAPH_CACHE]
     n = 0
     for c in caches:
         for v in c.values():
