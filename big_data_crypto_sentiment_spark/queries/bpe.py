@@ -62,7 +62,7 @@ def _merge_udf(a: str, b: str):
     from pyspark.sql.functions import pandas_udf
 
     # NB: no pd.Series annotations — function-local annotations break
-    # pandas_udf's signature inference (see .claude/skills/verify)
+    # pandas_udf's signature inference
     def apply(col):
         def one(seq):
             out, i, n = [], 0, len(seq)
