@@ -261,17 +261,25 @@ def fit_topics(docs: DataFrame, k: int = LDA_TOPICS,
               optimizer="online")
     if subsampling is not None:
         lda.setSubsamplingRate(subsampling)
-    pipe = Pipeline(stages=[
+    front = Pipeline(stages=[
         RegexTokenizer(inputCol=text_col, outputCol="tokens",
                        pattern=r"\s+"),
         CountVectorizer(inputCol="tokens", outputCol="tf",
                         vocabSize=vocab_size, minDF=MIN_DF),
-        lda,
     ])
+    # Fit the front-end once, then persist the FEATURIZED frame for
+    # the LDA fit: online VI draws a fresh sample of the input every
+    # iteration, and sampling an unpersisted frame re-runs the whole
+    # tokenize→CountVectorizer lineage per pass (maxIter corpus scans
+    # instead of one). Persisting the tf vectors makes each pass a
+    # cache read — the dominant cost drops to the VI math itself.
     with _persisted_for_fit(docs) as d:
-        model = pipe.fit(d)
+        fe = front.fit(d)
+    with _persisted_for_fit(fe.transform(docs)
+                            .select(id_col, "tf")) as feats:
+        model = lda.fit(feats)
         dist = vector_to_array(F.col("topicDistribution"))
-        doc_topics = (model.transform(d)
+        doc_topics = (model.transform(feats)
                       .select(id_col, dist.alias("_td"))
                       .select(id_col,
                               F.expr("array_position(_td, "
@@ -281,10 +289,9 @@ def fit_topics(docs: DataFrame, k: int = LDA_TOPICS,
                                .alias("topic_weight")))
         # materialize while the fit input is still cached
         doc_topics = doc_topics.localCheckpoint(eager=True)
-    vocab = model.stages[1].vocabulary
-    lda = model.stages[-1]
+    vocab = fe.stages[1].vocabulary
     terms = [(int(r.topic), [vocab[i] for i in r.termIndices])
-             for r in lda.describeTopics(10).collect()]
+             for r in model.describeTopics(10).collect()]
     return doc_topics, terms, vocab
 
 

@@ -316,15 +316,32 @@ def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
     return seq
 
 
-def _encode_udf(ranks: dict[tuple[str, str], int]):
+def _encode_udf(ranks: dict[tuple[str, str], int], pre_bc=None):
+    """Arrow-batched encode. Heaps' law: distinct words ≪ occurrences,
+    so the Python merge loop runs once per DISTINCT word, not per
+    occurrence — known words come from the broadcast word→tokens table
+    (`pre_bc`, built driver-side from the capped dict); long-tail words
+    beyond the cap are encoded once per task via a closure memo that
+    persists across Arrow batches. Output is byte-identical to the
+    per-occurrence form (encode_word is deterministic)."""
     from pyspark.sql.functions import pandas_udf
 
+    memo: dict[str, list[str]] = {}
+
     def apply(col):
+        pre = pre_bc.value if pre_bc is not None else {}
+
         def one(text):
             out: list[str] = []
             for w in str(text).split(" "):
                 if w:
-                    out.extend(encode_word(w, ranks))
+                    toks = pre.get(w)
+                    if toks is None:
+                        toks = memo.get(w)
+                        if toks is None:
+                            toks = encode_word(w, ranks)
+                            memo[w] = toks
+                    out.extend(toks)
             return out
         return col.map(one)
 
@@ -332,13 +349,21 @@ def _encode_udf(ranks: dict[tuple[str, str], int]):
 
 
 def bpe_encode(docs: DataFrame, merges, text_col: str = "text",
-               id_col: str = "doc_id") -> DataFrame:
+               id_col: str = "doc_id", known_words=None) -> DataFrame:
     """(id, tokens array<string>): corpus tokenization under a trained
-    merge list [(rank, left, right, merged, freq)]."""
+    merge list [(rank, left, right, merged, freq)]. When `known_words`
+    (an iterable of words, e.g. the capped training dict) is given,
+    each is encoded ONCE on the driver and shipped as a broadcast
+    word→tokens table — the production-tokenizer shape (vocab-sized
+    Python work, occurrence-sized dict lookups)."""
     ranks = {(m[1], m[2]): m[0] for m in merges}
+    pre_bc = None
+    if known_words:
+        pre = {w: encode_word(w, ranks) for w in known_words}
+        pre_bc = docs.sparkSession.sparkContext.broadcast(pre)
     return (docs.filter(F.col(text_col).isNotNull())
                 .select(id_col,
-                        _encode_udf(ranks)(F.col(text_col))
+                        _encode_udf(ranks, pre_bc)(F.col(text_col))
                         .alias("tokens")))
 
 
@@ -351,7 +376,7 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
     wc, _ = bpe_word_counts(d)
     merges = reference_bpe(wc, BPE_MERGES)
-    enc = bpe_encode(d, merges)
+    enc = bpe_encode(d, merges, known_words=wc)
     # initial symbols are single chars plus the bare END marker, so any
     # longer token (incl. char+END fusions) came from >= 1 merge
     multi = F.size(F.filter(
