@@ -98,19 +98,17 @@ def curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # A corpus without an embeddings table skips the stage entirely
     # (every doc passes) — embeddings are an optional enrichment.
     import os
-    from ..queries.similarity import (
-        _freeze_vectors,
-        label_prototype_centroids,
-        semdedup,
-    )
+    from ..queries.similarity import semdedup_kmeans
     if os.path.exists(os.path.join(sf_dir, "embeddings.parquet")):
         emb = (table(spark, sf_dir, "embeddings")
-               .select(F.col("vec_id").alias("doc_id"), "label",
-                       "embedding")
+               .select(F.col("vec_id").alias("doc_id"), "embedding")
                .join(keep_ids.select("doc_id"), "doc_id")
                .withColumnRenamed("doc_id", "vec_id"))
-        sem_dup = (semdedup(_freeze_vectors(emb),
-                            label_prototype_centroids(emb))
+        # k-means front-end (the paper's own clustering): k grows
+        # with the survivor count via semdedup_k_for, so cluster sizes
+        # — and the intra-cluster pair fan-out — stay bounded without
+        # any dependence on a label column
+        sem_dup = (semdedup_kmeans(spark, emb)
                    .filter(~F.col("is_kept"))
                    .select(F.col("vec_id").alias("doc_id"),
                            F.lit(1).alias("semantic_dup")))

@@ -501,6 +501,56 @@ def q_embed_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
 SEMDEDUP_THRESHOLD = 0.35  # fixture-tuned: drops exist at all 3 SFs
 
 
+SEMDEDUP_ROWS_PER_CLUSTER = 100  # target expected cluster size: the
+# paper (Abbas et al. 2023) scales k WITH the corpus (k ≈ N/10⁴ on
+# LAION); holding N/k bounded is what keeps the intra-cluster pair
+# join O(N·cluster_size) instead of collapsing toward O(N²)
+SEMDEDUP_MAX_K = 4096  # centroid table stays a broadcastable
+                       # O(k·dim) artifact under this cap
+
+
+def semdedup_k_for(n_rows: int,
+                   rows_per_cluster: int = SEMDEDUP_ROWS_PER_CLUSTER,
+                   max_k: int = SEMDEDUP_MAX_K) -> int:
+    """Enforced k-scaling rule for SemDeDup: k grows with N so the
+    expected cluster size stays ≤ rows_per_cluster (pair work per
+    cluster is size², so bounded size ⇒ linear total pair work),
+    capped so the centroid table stays broadcast-sized. Raising the
+    cap at extreme N trades broadcast size for cluster size — at
+    k = max_k the expected cluster is N/max_k, which the caller must
+    re-bound (shrink rows_per_cluster via a bigger max_k) before the
+    pair join degenerates."""
+    if n_rows <= 0:
+        return 2
+    return max(2, min(max_k, -(-n_rows // rows_per_cluster)))
+
+
+def semdedup_kmeans(spark: SparkSession, vecs: DataFrame,
+                    id_col: str = "vec_id", emb_col: str = "embedding",
+                    k: int | None = None,
+                    threshold: float = SEMDEDUP_THRESHOLD,
+                    seed: int = 42,
+                    sample_ppm: int | None = None) -> DataFrame:
+    """SemDeDup with k-means centroids — the SCALE path (the paper's
+    own clustering front-end), composing fit_ivf_centroids →
+    freeze_kmeans_centroids → semdedup. The label-prototype front-end
+    (q_sim_semdedup) stays the exactness witness: identical core, a
+    SQL-derivable centroid table, full DuckDB hash-check. This form is
+    rows-only by nature of the iterative KMeans fit.
+
+    k defaults to semdedup_k_for(count): cluster count grows with the
+    corpus so expected cluster size — and with it the intra-cluster
+    pair fan-out — stays bounded. The count is one bounded driver
+    scalar; at 100 TB pass sample_ppm so the KMeans fit itself runs on
+    a representative hash-sample instead of the full corpus."""
+    if k is None:
+        k = semdedup_k_for(vecs.count())
+    cents = fit_ivf_centroids(vecs, emb_col=emb_col, k=k, seed=seed,
+                              sample_ppm=sample_ppm, id_col=id_col)
+    return semdedup(_freeze_vectors(vecs, id_col, emb_col),
+                    freeze_kmeans_centroids(spark, cents), threshold)
+
+
 def freeze_kmeans_centroids(spark: SparkSession, centroids) -> DataFrame:
     """fit_ivf_centroids output [(cid, [float])] → long-form integer
     centroid table (cid, dim, c) in PROTO_SCALE units — the bounded
@@ -617,6 +667,16 @@ def q_sim_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     label_prototype_centroids(e))  # O(input): unsorted
 
 
+def q_sim_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The paper-faithful scale form: data-derived k-means clusters
+    (k grows with N via semdedup_k_for) instead of label prototypes.
+    Rows-only — KMeans is iterative; the shared semdedup core's
+    exactness is witnessed by q_sim_semdedup's oracle pair and the
+    planted-dup pytest runs THIS composition."""
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return semdedup_kmeans(spark, e)  # O(input): unsorted
+
+
 QUERIES = {
     "embed_mean_pool": q_embed_mean_pool,
     "sim_topk_cosine": q_sim_topk_cosine,
@@ -627,6 +687,7 @@ QUERIES = {
     "sim_ivf_topk": q_sim_ivf_topk,              # rows-only: KMeans fit
     "embed_quantize": q_embed_quantize,
     "sim_semdedup": q_sim_semdedup,
+    "sim_semdedup_kmeans": q_sim_semdedup_kmeans,  # rows-only: KMeans fit
 }
 
 ORACLE = {

@@ -247,10 +247,7 @@ def test_semdedup_drops_planted_semantic_dup_via_kmeans(spark, corpus):
     and exactly the more-prototypical member of each duplicate pair is
     dropped; the untouched remainder of the corpus keeps its rows."""
     from big_data_crypto_sentiment_spark.queries.similarity import (
-        _freeze_vectors,
-        fit_ivf_centroids,
-        freeze_kmeans_centroids,
-        semdedup,
+        semdedup_kmeans,
     )
     base = corpus.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     copy = [float(x) * (1.0 + (0.001 if i % 2 else -0.001))
@@ -260,9 +257,7 @@ def test_semdedup_drops_planted_semantic_dup_via_kmeans(spark, corpus):
                   .unionByName(spark.createDataFrame(
                       [(100001, copy)],
                       "vec_id long, embedding array<float>")))
-    cents = freeze_kmeans_centroids(
-        spark, fit_ivf_centroids(both, k=8, seed=7))
-    out = semdedup(_freeze_vectors(both), cents, threshold=0.95)
+    out = semdedup_kmeans(spark, both, k=8, seed=7, threshold=0.95)
     rows = {r.vec_id: r for r in out.collect()}
     assert len(rows) == corpus.count() + 1     # one verdict per vector
     # same cluster, and exactly one of the planted pair survives
