@@ -62,6 +62,7 @@ SELECT media_id, kind,
        sha AS content_sha,
        CAST(16 + {_HEXVAL.format(a=1, b=2)} % 240 AS INT) AS decoded_width,
        CAST(16 + {_HEXVAL.format(a=3, b=4)} % 240 AS INT) AS decoded_height,
+       CAST(NULL AS BIGINT) AS decoded_duration_ms,
        'fake' AS decode_status
 FROM f
 """,

@@ -97,8 +97,54 @@ def test_media_features_deterministic_and_stubbed(media_df):
 
 
 def test_decode_media_is_explicitly_unimplemented():
+    # formats whose metadata needs an entropy decoder stay stubbed
     with pytest.raises(NotImplementedError):
         decode_media(b"xx", "image")
+
+
+def _png(w, h):
+    import struct
+    return (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+            + struct.pack(">II", w, h) + b"\x08\x02\x00\x00\x00")
+
+
+def _wav(byte_rate, data_size):
+    import struct
+    fmt = struct.pack("<HHIIHH", 1, 2, 44100, byte_rate, 4, 16)
+    return (b"RIFF" + struct.pack("<I", 36 + data_size) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", data_size))
+
+
+def test_decode_media_parses_real_container_headers(spark):
+    """Fixed-offset header parsing against spec-built real bytes:
+    PNG IHDR, GIF logical screen, BMP info header (incl. top-down
+    negative height), WAV fmt/data chunk walk — all through the full
+    mapInPandas path with use_real_codec=True."""
+    import struct
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 5
+    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 800, -600)
+    rows = [
+        (1, "image", _png(640, 480), "image/png", None, None, None),
+        (2, "image", gif, "image/gif", None, None, None),
+        (3, "image", bmp, "image/bmp", None, None, None),
+        (4, "audio", _wav(176400, 352800), "audio/wav", None, None, None),
+        (5, "image", b"\x89PNG\r\n\x1a\n\x00\x00", "image/png",
+         None, None, None),                              # truncated PNG
+        (6, "video", b"\x00\x00\x00 ftypmp4", "video/mp4",
+         None, None, 60000),                             # no mp4 parser
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r.media_id: r for r in
+           extract_media_features(df, use_real_codec=True).collect()}
+    assert (out[1].decoded_width, out[1].decoded_height) == (640, 480)
+    assert (out[2].decoded_width, out[2].decoded_height) == (320, 200)
+    assert (out[3].decoded_width, out[3].decoded_height) == (800, 600)
+    assert out[4].decoded_duration_ms == 2000  # 352800 B / 176400 B/s
+    assert (out[4].decoded_width, out[4].decoded_height) == (None, None)
+    assert all(out[i].decode_status == "decoded" for i in (1, 2, 3, 4))
+    assert out[5].decode_status == "corrupt"
+    assert out[6].decode_status == "stubbed"  # honest fallback survives
 
 
 def test_frame_sampling_offsets(media_df):
