@@ -83,14 +83,6 @@ DEFERRALS: dict[str, dict] = {
                                    extra="tier-weight pytest (test_sampling.py)"),
     "src_warehouse_fallback": dict(since=5, family="source family via src_tweets_normalize",
                                    extra="fallback/avro tiers pytest-covered (test_sources.py); green r2-r5"),
-    "text_top_duplicated": dict(since=5, family="dup family via dedup_exact",
-                                extra="driver-green r2-r5"),
-    "text_rlike_filter":  dict(since=5, family="regex surface via text_signals in-window",
-                               extra="driver-green r2-r5"),
-    "ts_trailing_hour":   dict(since=5, family="five other timeseries members in-window (sessionize/rollup/resample_ffill/lag_sweep/spearman)",
-                               extra="driver-green r2-r5"),
-    "top_users":          dict(since=5, family="bounded-top-k plan shape via vocab_top_terms",
-                               extra="driver-green r2-r5"),
     # r6: the degenerate-fixture stress config hands its driver slot to
     # sim_tfidf_zipf_topk -- the max_df-cut scale shape is what should
     # be hash-checked and benched per round
@@ -99,19 +91,9 @@ DEFERRALS: dict[str, dict] = {
     # r6: double-mode CSV source hands its slot to src_csv_prices_decimal,
     # which drives the same reader/parse path plus the faithful
     # DecimalType(38,18) aggregates
-    "src_csv_prices":     dict(since=6, family="CSV path via src_csv_prices_decimal",
-                               extra="double/decimal parity pytest (test_sources.py)"),
     # r6: three long-green redundant family reps hand their slots to the
     # NEW operator families (winsorize_events, ctfidf_source_terms,
     # js_divergence_sources) so the driver hash-checks fresh surface
-    "text_features":      dict(since=6, family="text family via text_signals/vocab_top_terms in-window",
-                               extra="driver-green r2-r5"),
-    "json_props":         dict(since=6, family="JSON parse path via src_tweets_normalize",
-                               extra="driver-green r2-r5"),
-    "left_join_fillna":   dict(since=6, family="join family via orders_by_nation/flagship full-outer/asof/interval",
-                               extra="driver-green r2-r5"),
-    "data_profile":       dict(since=6, family="profiling family via summary_stats/key_skew_profile",
-                               extra="driver-green r2-r5; slot to ks_drift_events (new drift family)"),
     # born-deferred r6 additions: window already full of newer families
     "bigram_logprob":     dict(since=6, family="LM-quality family via unigram_logprob (same integer-nat architecture)",
                                extra="3-SF check.py + per-round sf0.001 auto-verify"),
@@ -133,8 +115,6 @@ DEFERRALS: dict[str, dict] = {
     # their driver slots to the NEW operator families (span dedup, DSIR,
     # temperature sampling, CDC upsert, prototype pruning, pivot) so the
     # driver hash-checks fresh surface each round
-    "ts_window_calcs":    dict(since=6, family="window-calc family via ts_rollup/ts_lag_sweep_corr/ta_sma_vwap",
-                               extra="driver-green r2-r5; 3-SF check.py + per-round sf0.001 auto-verify"),
     "text_c4_filter":     dict(since=6, family="rule-filter family via text_signals (same per-row flag plan)",
                                extra="driver-green r2-r5; 3-SF check.py + per-round sf0.001 auto-verify"),
     "dedup_simhash":      dict(since=6, family="hash-sketch dedup via dedup_minhash_lsh in-window",
@@ -217,9 +197,9 @@ DEFERRALS: dict[str, dict] = {
     # these eleven long-green members hand over their slots (every
     # family keeps an in-window or freshly-rotated representative),
     # and the new sim_semdedup pair takes the eleventh inflow slot.
-    "ts_spearman":        dict(since=7, family="rank-corr family via rotated-in ts_corr; lag windows via ts_lag_sweep_corr in-window",
+    "ts_spearman":        dict(since=7, family="corr family via ts_lag_sweep_corr in-window; ts_corr's deferred pair shares the integer-frozen covariance core",
                                extra="driver-green r2-r6; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "ts_resample_ffill":  dict(since=7, family="resample family via rotated-in ts_bucket_counts; spine/ffill via ts_interpolate's deferred pair; ts_rollup in-window",
+    "ts_resample_ffill":  dict(since=7, family="resample family via ts_rollup in-window; spine/ffill via ts_interpolate's deferred pair",
                                extra="driver-green r2-r6; 3-SF check.py + per-round sf0.001 auto-verify"),
     "ts_sessionize":      dict(since=7, family="session family via rotated-in ts_session_stats (same gap-window core)",
                                extra="driver-green r2-r6; 3-SF check.py + per-round sf0.001 auto-verify"),
@@ -247,10 +227,36 @@ DEFERRALS: dict[str, dict] = {
     # born-deferred (same edge derivation, trivially simpler plan).
     "table_diff":         dict(since=7, family="diff/upsert family via upsert_latest + ks_drift_events in-window; anti/semi-join shape via retention_after_deletes' deferred pair",
                                extra="driver-green r4-r6; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "log_return":         dict(since=7, family="window-calc family via ta_sma_vwap in-window and ts_window_calcs' deferred pair",
+    "log_return":         dict(since=7, family="window-calc family via ta_sma_vwap + rotated-in ts_window_calcs in-window",
                                extra="driver-green r2-r6; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "graph_degree_profile": dict(since=7, family="graph family via graph_pagerank/graph_triangles in-window (same lag-window edge derivation)",
-                                 extra="3-SF check.py + per-round sf0.001 auto-verify"),
+    # r8 window rotation (VERDICT r7 #7 + ADVICE): eleven pairs with
+    # stale "driver-green r2-r5" evidence — plus the born-deferred
+    # graph_degree_profile, which had never had a driver-side hash
+    # check — rotate back into the driver window; these eleven members
+    # with fresh r6/r7 driver evidence hand over their slots (every
+    # family keeps an in-window or freshly-rotated representative).
+    "filter_time_range":  dict(since=8, family="pushdown-scan family via key_skew_profile/pricing_summary in-window; PushedFilters pinned by tests/test_plan_guards.py",
+                               extra="driver-green r2-r7; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "ctfidf_source_terms": dict(since=8, family="text family via text_signals/vocab_top_terms + rotated-in text_features in-window",
+                                extra="driver-green r6-r7; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "js_divergence_sources": dict(since=8, family="text-distribution family via text_signals in-window (same token-histogram core)",
+                                  extra="driver-green r6-r7; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "dsir_select":        dict(since=8, family="sampling family via sample_and_split/sample_temperature in-window (same hash-threshold filter)",
+                               extra="driver-green r6-r7; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "decontam_overlap":   dict(since=8, family="cleaning family via unigram_logprob in-window (same broadcast-gram join core)",
+                               extra="driver-green r6-r7; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "repetition_filter":  dict(since=8, family="cleaning family via unigram_logprob in-window; window shapes via key_skew_profile",
+                               extra="driver-green r6-r7; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "pii_redact":         dict(since=8, family="regex-rewrite family via rotated-in text_rlike_filter; cleaning family via unigram_logprob in-window",
+                               extra="driver-green r6-r7; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "boilerplate_strip":  dict(since=8, family="cleaning family via unigram_logprob in-window (same per-line explode/agg shape)",
+                               extra="driver-green r6-r7; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "src_csv_prices_decimal": dict(since=8, family="CSV path via rotated-in src_csv_prices (same reader/parse chain); decimal discipline via pricing_summary in-window",
+                                   extra="driver-green r6-r7; double/decimal parity pytest (test_sources.py)"),
+    "ts_corr":            dict(since=8, family="corr family via ts_lag_sweep_corr in-window (same integer-frozen covariance core)",
+                               extra="driver-green r2-r7; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "ts_bucket_counts":   dict(since=8, family="resample family via ts_rollup + rotated-in ts_window_calcs in-window",
+                               extra="driver-green r2-r7; 3-SF check.py + per-round sf0.001 auto-verify"),
 }
 
 _DEFER_FROM_WINDOW = tuple(DEFERRALS)
