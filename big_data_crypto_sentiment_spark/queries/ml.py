@@ -362,20 +362,12 @@ def _arma_forecast(train, phi, theta, resid, mu, horizon: int):
     return np.array(out) + mu
 
 
-def _arma_train(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Per-symbol (p,q) grid search p,q <= 5 (p+q >= 1), holdout-MAE
-    selection — the stepwise auto_arima outcome in closed form."""
+def _arma_select(train, hold):
+    """Shared (p,q) grid search p,q <= MAX_ARMA_ORDER (p+q >= 1) with
+    holdout-MAE selection — the stepwise auto_arima outcome in closed
+    form. Returns (mae, p, q, phi, theta, err, mu) or None when no
+    order produces a finite fit."""
     import numpy as np
-    sym = pdf["event_type"].iloc[0]
-    x = pdf.sort_values("bucket")["value_ffill"].astype(float).to_numpy()
-    x = x[~pd.isna(x)]
-    null_row = {
-        "event_type": sym, "n_train": len(x), "chosen_p": None,
-        "chosen_q": None, "phi": None, "theta": None, "mu": None,
-        "mae": None, "mse": None, "mape": None}
-    if len(x) <= MIN_TRAIN + HOLDOUT:
-        return pd.DataFrame([null_row])
-    train, hold = x[:-HOLDOUT], x[-HOLDOUT:]
     mu = float(train.mean())
     d = train - mu
     best = None
@@ -388,17 +380,36 @@ def _arma_train(pdf: pd.DataFrame) -> pd.DataFrame:
                 if not (np.all(np.isfinite(phi))
                         and np.all(np.isfinite(theta))):
                     continue
-                fc = _arma_forecast(train, phi, theta, resid, mu, HOLDOUT)
+                fc = _arma_forecast(train, phi, theta, resid, mu,
+                                    len(hold))
             except Exception:
                 continue
             err = hold - fc
             mae = float(np.abs(err).mean())
             if np.isfinite(mae) and (best is None or mae < best[0]):
-                best = (mae, p, q, phi, theta, err)
-    if best is None:
-        null_row.update({"n_train": int(len(train)), "mu": round(mu, 6)})
+                best = (mae, p, q, phi, theta, err, mu)
+    return best
+
+
+def _arma_train(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-symbol ARMA fit via the shared _arma_select grid search."""
+    import numpy as np
+    sym = pdf["event_type"].iloc[0]
+    x = pdf.sort_values("bucket")["value_ffill"].astype(float).to_numpy()
+    x = x[~pd.isna(x)]
+    null_row = {
+        "event_type": sym, "n_train": len(x), "chosen_p": None,
+        "chosen_q": None, "phi": None, "theta": None, "mu": None,
+        "mae": None, "mse": None, "mape": None}
+    if len(x) <= MIN_TRAIN + HOLDOUT:
         return pd.DataFrame([null_row])
-    mae, p, q, phi, theta, err = best
+    train, hold = x[:-HOLDOUT], x[-HOLDOUT:]
+    best = _arma_select(train, hold)
+    if best is None:
+        null_row.update({"n_train": int(len(train)),
+                         "mu": round(float(train.mean()), 6)})
+        return pd.DataFrame([null_row])
+    mae, p, q, phi, theta, err, mu = best
     mape = float((np.abs(err) / np.clip(np.abs(hold), MAPE_CLIP, None)).mean())
     join6 = lambda v: ",".join(str(round(float(c), 6)) for c in v)
     return pd.DataFrame([{
@@ -421,6 +432,88 @@ def arma_train(grid: DataFrame) -> DataFrame:
 
 def q_ml_arma_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return arma_train(_shared_grid(spark, sf_dir))
+
+
+# --- Expanding-window temporal CV for the ARMA trainer: the
+#     reference's holdout discipline (analytical_module/arima.py:
+#     237-291 — fixed-size tail holdout + the >=MIN_TRAIN-train-points
+#     gate) applied per expanding fold, the same fold contract M6's
+#     temporal_cv_tfidf_ridge uses. Unlike the TF-IDF folds (each an
+#     iterative distributed MLlib fit), the whole per-symbol fold loop
+#     runs INSIDE one applyInPandas group — one shuffle on symbol
+#     total, folds are pure numpy on an already-local series, so CV
+#     costs one pass regardless of fold count. Rows-only: HR lstsq. ---
+ARMA_CV_FOLDS = 4
+
+_ARMA_CV_SCHEMA = T.StructType([
+    T.StructField("event_type", T.StringType()),
+    T.StructField("fold", T.StringType()),
+    T.StructField("n_train", T.IntegerType()),
+    T.StructField("n_test", T.IntegerType()),
+    T.StructField("chosen_p", T.IntegerType()),
+    T.StructField("chosen_q", T.IntegerType()),
+    T.StructField("mae", T.DoubleType()),
+    T.StructField("mse", T.DoubleType()),
+    T.StructField("mape", T.DoubleType()),
+    T.StructField("gated", T.BooleanType()),
+])
+
+
+def _arma_cv(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-symbol expanding-window CV: the last ARMA_CV_FOLDS
+    consecutive HOLDOUT-sized blocks are the test folds; each fold
+    trains on EVERYTHING strictly before its block (no future
+    leakage). A fold whose train slice has < MIN_TRAIN points is
+    emitted gated=True with null metrics — the reference's
+    too-little-history skip, kept visible instead of silent. A 'mean'
+    row aggregates the ungated folds."""
+    import numpy as np
+    sym = pdf["event_type"].iloc[0]
+    x = pdf.sort_values("bucket")["value_ffill"].astype(float).to_numpy()
+    x = x[~pd.isna(x)]
+    n = len(x)
+    rows = []
+    for fold in range(1, ARMA_CV_FOLDS + 1):
+        cut = n - (ARMA_CV_FOLDS - fold + 1) * HOLDOUT
+        row = {"event_type": sym, "fold": str(fold),
+               "n_train": max(int(cut), 0), "n_test": HOLDOUT,
+               "chosen_p": None, "chosen_q": None, "mae": None,
+               "mse": None, "mape": None, "gated": True}
+        if cut >= MIN_TRAIN:
+            best = _arma_select(x[:cut], x[cut:cut + HOLDOUT])
+            if best is not None:
+                mae, p, q, phi, theta, err, mu = best
+                hold = x[cut:cut + HOLDOUT]
+                mape = float((np.abs(err)
+                              / np.clip(np.abs(hold), MAPE_CLIP,
+                                        None)).mean())
+                row.update({
+                    "chosen_p": int(p), "chosen_q": int(q),
+                    "mae": round(mae, 6),
+                    "mse": round(float((err ** 2).mean()), 6),
+                    "mape": round(mape, 6), "gated": False})
+        rows.append(row)
+    ok = [r for r in rows if not r["gated"]]
+    if ok:
+        rows.append({
+            "event_type": sym, "fold": "mean",
+            "n_train": sum(r["n_train"] for r in ok),
+            "n_test": sum(r["n_test"] for r in ok),
+            "chosen_p": None, "chosen_q": None,
+            "mae": round(sum(r["mae"] for r in ok) / len(ok), 6),
+            "mse": round(sum(r["mse"] for r in ok) / len(ok), 6),
+            "mape": round(sum(r["mape"] for r in ok) / len(ok), 6),
+            "gated": False})
+    return pd.DataFrame(rows, columns=[f.name for f in _ARMA_CV_SCHEMA])
+
+
+def arma_cv(grid: DataFrame) -> DataFrame:
+    return grid.groupBy("event_type").applyInPandas(_arma_cv,
+                                                    _ARMA_CV_SCHEMA)
+
+
+def q_ml_arma_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return arma_cv(_shared_grid(spark, sf_dir))
 
 
 # --- M1 upstream: text → 3-class sentiment probabilities + scoring math
@@ -559,6 +652,7 @@ QUERIES = {
     "ml_ar1_train": q_ml_ar1_train,
     "ml_ar_train": q_ml_ar_train,                      # rows-only: YW solve
     "ml_arma_train": q_ml_arma_train,                  # rows-only: HR lstsq
+    "ml_arma_cv": q_ml_arma_cv,  # rows-only: HR lstsq per expanding fold
     "ml_sentiment_model": q_ml_sentiment_model,        # rows-only: MLlib fit
     "ml_tfidf_top_terms": q_ml_tfidf_top_terms,        # rows-only: MLlib fit
     "ml_tfidf_ridge_cv": q_ml_tfidf_ridge_cv,          # rows-only: MLlib fits × folds

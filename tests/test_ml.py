@@ -178,3 +178,50 @@ def test_arma_train_constant_and_short_series_null_rows():
     short = _arma_train(_grid([1.0, 2.0] * ((MIN_TRAIN + HOLDOUT) // 2)))
     assert short["chosen_p"].iloc[0] is None
     assert short["n_train"].iloc[0] == MIN_TRAIN + HOLDOUT
+
+
+def test_arma_cv_expanding_folds_and_min_train_gate():
+    """Expanding-window CV contract: fold k trains on everything
+    strictly before its HOLDOUT-sized test block (monotonically
+    growing n_train, no future leakage by construction), and any fold
+    whose train slice has < MIN_TRAIN points is emitted gated with
+    null metrics — the reference's too-little-history skip
+    (analytical_module/arima.py's >=50-train-points gate) made
+    visible per fold."""
+    from big_data_crypto_sentiment_spark.queries.ml import (
+        ARMA_CV_FOLDS,
+        _arma_cv,
+    )
+
+    # series sized so the FIRST fold's train slice falls below
+    # MIN_TRAIN but later folds clear it:
+    # n = MIN_TRAIN + ARMA_CV_FOLDS*HOLDOUT - 1 -> fold-1 train =
+    # MIN_TRAIN - 1 (gated), fold-2 train = MIN_TRAIN - 1 + HOLDOUT
+    n = MIN_TRAIN + ARMA_CV_FOLDS * HOLDOUT - 1
+    x = _gen_arma([0.7], [], n, seed=3) + 50.0
+    out = _arma_cv(_grid(list(x)))
+    folds = out[out["fold"] != "mean"].sort_values("fold")
+    assert len(folds) == ARMA_CV_FOLDS
+    trains = folds["n_train"].tolist()
+    assert trains == sorted(trains)                      # expanding
+    assert trains[1] - trains[0] == HOLDOUT              # by one block
+    g1 = folds.iloc[0]
+    assert g1["n_train"] == MIN_TRAIN - 1 and bool(g1["gated"])
+    assert pd.isna(g1["mae"])                            # gate: no metric
+    ungated = folds[~folds["gated"]]
+    assert len(ungated) == ARMA_CV_FOLDS - 1
+    assert (ungated["n_train"] >= MIN_TRAIN).all()
+    assert ungated["mae"].notna().all()
+    # mean row aggregates only the ungated folds
+    mean = out[out["fold"] == "mean"].iloc[0]
+    assert mean["n_train"] == ungated["n_train"].sum()
+    assert mean["mae"] == pytest.approx(
+        round(ungated["mae"].mean(), 6), abs=1e-9)
+
+
+def test_arma_cv_all_gated_short_series_has_no_mean_row():
+    from big_data_crypto_sentiment_spark.queries.ml import _arma_cv
+
+    out = _arma_cv(_grid([1.0, 2.0] * 10))
+    assert out["gated"].all()
+    assert "mean" not in set(out["fold"])
