@@ -75,7 +75,13 @@ def _cached(kind: str, spark: SparkSession, sf_dir: str,
 def _edges(ev: DataFrame) -> DataFrame:
     """Directed weighted interaction edges (src, dst, w): consecutive
     distinct users within each event_type stream, one window pass."""
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    # nulls pinned explicitly: Spark's asc default is NULLS FIRST but
+    # DuckDB's is NULLS LAST — a null event_id on a tied ts would
+    # otherwise produce different edge sets between the twins (ts
+    # itself is filtered non-null upstream)
+    w = Window.partitionBy("event_type") \
+              .orderBy(F.col("ts").asc_nulls_first(),
+                       F.col("event_id").asc_nulls_first())
     return (ev.withColumn("_prev", F.lag("user_id").over(w))
               .filter(F.col("_prev").isNotNull()
                       & (F.col("_prev") != F.col("user_id")))
@@ -109,7 +115,21 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         return a.join(outw, "src")
 
     aug = _cached("pr_aug", spark, sf_dir, _build_aug)
-    n = max(aug.select("src").distinct().count(), 1)  # bounded scalar
+    # one bounded action for BOTH driver scalars: n, and the max edge
+    # weight that enforces the documented BIGINT bound (r ≤ SCALE, so
+    # r·w stays inside int64 only while w ≤ (2⁶³-1)/SCALE ≈ 9.2e6 —
+    # Spark's non-ANSI BIGINT would wrap SILENTLY past it while
+    # DuckDB promotes to HUGEINT, a silent twin divergence)
+    stats = aug.agg(F.countDistinct("src").alias("n"),
+                    F.max("w").alias("maxw")).first()
+    n = max(int(stats["n"]), 1)
+    w_bound = (2 ** 63 - 1) // PR_SCALE
+    if stats["maxw"] is not None and int(stats["maxw"]) > w_bound:
+        raise ValueError(
+            f"pagerank edge weight {stats['maxw']} exceeds the int64 "
+            f"bound {w_bound} for SCALE={PR_SCALE}; promote the r*w "
+            "product to DECIMAL(38,0) on both engines before raising "
+            "the bound")
     teleport = (15 * PR_SCALE) // (100 * n)
     ranks = nodes.select("node", F.lit(PR_SCALE // n).alias("r"))
     for _ in range(PR_ITERS):
@@ -194,7 +214,8 @@ _SQL_EDGES = """
 tr AS (
   SELECT user_id,
          LAG(user_id) OVER (PARTITION BY event_type
-                            ORDER BY ts, event_id) AS prev
+                            ORDER BY ts NULLS FIRST,
+                                     event_id NULLS FIRST) AS prev
   FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
 ),
 e0 AS (
