@@ -257,6 +257,9 @@ DEFERRALS: dict[str, dict] = {
                                extra="driver-green r2-r7; 3-SF check.py + per-round sf0.001 auto-verify"),
     "ts_bucket_counts":   dict(since=8, family="resample family via ts_rollup + rotated-in ts_window_calcs in-window",
                                extra="driver-green r2-r7; 3-SF check.py + per-round sf0.001 auto-verify"),
+    # born-deferred r8 addition: window already full of refreshed pairs
+    "text_gopher_rules":  dict(since=8, family="rule-filter family via rotated-in text_features + text_signals in-window (same integer-crossmul flag plan as the deferred text_c4_filter)",
+                               extra="3-SF check.py + per-round sf0.001 auto-verify"),
 }
 
 _DEFER_FROM_WINDOW = tuple(DEFERRALS)

@@ -248,8 +248,61 @@ def q_text_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- extension: document fingerprinting (normalized-content md5 +
-#     Karp–Rabin polynomial hash) ---
+# --- extension: Gopher quality rules (Rae et al. 2021, "Scaling
+#     Language Models: ... Gopher", Appendix A.1.1 — the published
+#     rule set, complementing the C4 filter above). Same engine-exact
+#     discipline: every threshold is an INTEGER cross-multiplication
+#     (alpha*10 >= n_words*8, never alpha/n_words >= 0.8), so no float
+#     boundary can flip a row between Spark and the oracle. One scan,
+#     zero shuffles; the line/word rules are higher-order array ops
+#     over split() — JVM-side, no UDF. ---
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MWL, GOPHER_MAX_MWL = 3, 10   # mean word length bounds
+GOPHER_SYM_PCT = 10        # symbol (#/ellipsis) to word ratio <= 0.1
+GOPHER_BULLET_PCT = 90     # < 90% of lines start with a bullet
+GOPHER_ELLIPSIS_PCT = 30   # < 30% of lines end with an ellipsis
+GOPHER_ALPHA_PCT = 80      # >= 80% of words contain a letter
+GOPHER_MIN_STOPWORDS = 2   # >= 2 distinct stop words present
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that",
+                    "have", "with")
+PAT_SYMBOL = r"#|\.\.\.|…"
+PAT_BULLET = r"^\s*[-*•]"
+PAT_ELLIPSIS_END = r"(\.\.\.|…)\s*$"
+
+
+def q_text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ._util import rebalance_scan
+    d = rebalance_scan(table(spark, sf_dir, "documents"))
+    t = F.col("text")
+    words = F.split(t, " ")
+    lines = F.split(t, "\n")
+    n_words = F.size(words)
+    n_lines = F.size(lines)
+    # mean-word-length bounds via total non-whitespace chars
+    ns_chars = F.length(F.regexp_replace(t, r"[\s]", ""))
+    sym_n = F.regexp_count(t, F.lit(PAT_SYMBOL))
+    bullet_n = F.size(F.filter(lines, lambda l: l.rlike(PAT_BULLET)))
+    ell_n = F.size(F.filter(lines, lambda l: l.rlike(PAT_ELLIPSIS_END)))
+    alpha_n = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    stop_distinct = sum(
+        (F.regexp_count(t, F.lit(rf"(?i)\b{s}\b")) > 0).cast("int")
+        for s in GOPHER_STOPWORDS)
+    flags = {
+        "f_word_count": (n_words < GOPHER_MIN_WORDS)
+        | (n_words > GOPHER_MAX_WORDS),
+        "f_mean_word_len": (ns_chars < n_words * GOPHER_MIN_MWL)
+        | (ns_chars > n_words * GOPHER_MAX_MWL),
+        "f_symbol_ratio": sym_n * 100 > n_words * GOPHER_SYM_PCT,
+        "f_bullet_lines": bullet_n * 100 >= n_lines * GOPHER_BULLET_PCT,
+        "f_ellipsis_lines": ell_n * 100 >= n_lines * GOPHER_ELLIPSIS_PCT,
+        "f_low_alpha": alpha_n * 100 < n_words * GOPHER_ALPHA_PCT,
+        "f_few_stopwords": stop_distinct < GOPHER_MIN_STOPWORDS,
+    }
+    cols = [f.cast("int").alias(name) for name, f in flags.items()]
+    keep = (sum(f.cast("int") for f in flags.values()) == 0).cast("int")
+    return d.select("doc_id", n_words.alias("n_words"), *cols,
+                    keep.alias("keep"))
 # Two fingerprints per doc, both zero-shuffle per-row array math:
 #   * md5 of whitespace-normalized lowercase content (the exact-dedup /
 #     shard-routing key), plus its 8-hex shard prefix;
@@ -448,6 +501,7 @@ QUERIES = {
     "text_top_duplicated": q_text_top_duplicated,
     "text_signals": q_text_signals,
     "text_c4_filter": q_text_c4_filter,
+    "text_gopher_rules": q_text_gopher_rules,
     "vocab_top_terms": q_vocab_top_terms,
 }
 
@@ -664,6 +718,46 @@ FROM f
 """,
 }
 
+
+_SQL_STOP_DISTINCT = " + ".join(
+    f"CAST(regexp_matches(text, '(?i)\\b{s}\\b') AS INT)"
+    for s in GOPHER_STOPWORDS)
+
+ORACLE["text_gopher_rules"] = f"""
+WITH f AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_words,
+         len(string_split(text, chr(10))) AS n_lines,
+         length(regexp_replace(text, '[\\s]', '', 'g')) AS ns_chars,
+         len(regexp_extract_all(text, '{PAT_SYMBOL}')) AS sym_n,
+         len(list_filter(string_split(text, chr(10)),
+             l -> regexp_matches(l, '{PAT_BULLET}'))) AS bullet_n,
+         len(list_filter(string_split(text, chr(10)),
+             l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$'))) AS ell_n,
+         len(list_filter(string_split(text, ' '),
+             w -> regexp_matches(w, '[A-Za-z]'))) AS alpha_n,
+         {_SQL_STOP_DISTINCT} AS stop_distinct
+  FROM documents
+), g AS (
+  SELECT doc_id, n_words,
+    CAST(n_words < {GOPHER_MIN_WORDS}
+      OR n_words > {GOPHER_MAX_WORDS} AS INT) AS f_word_count,
+    CAST(ns_chars < n_words * {GOPHER_MIN_MWL}
+      OR ns_chars > n_words * {GOPHER_MAX_MWL} AS INT) AS f_mean_word_len,
+    CAST(sym_n * 100 > n_words * {GOPHER_SYM_PCT} AS INT) AS f_symbol_ratio,
+    CAST(bullet_n * 100 >= n_lines * {GOPHER_BULLET_PCT} AS INT)
+      AS f_bullet_lines,
+    CAST(ell_n * 100 >= n_lines * {GOPHER_ELLIPSIS_PCT} AS INT)
+      AS f_ellipsis_lines,
+    CAST(alpha_n * 100 < n_words * {GOPHER_ALPHA_PCT} AS INT) AS f_low_alpha,
+    CAST(stop_distinct < {GOPHER_MIN_STOPWORDS} AS INT) AS f_few_stopwords
+  FROM f
+)
+SELECT *, CAST(f_word_count + f_mean_word_len + f_symbol_ratio
+             + f_bullet_lines + f_ellipsis_lines + f_low_alpha
+             + f_few_stopwords = 0 AS INT) AS keep
+FROM g
+"""
 
 ORACLE["top_docs_per_source"] = f"""
 WITH ranked AS (
