@@ -257,9 +257,11 @@ DEFERRALS: dict[str, dict] = {
                                extra="driver-green r2-r7; 3-SF check.py + per-round sf0.001 auto-verify"),
     "ts_bucket_counts":   dict(since=8, family="resample family via ts_rollup + rotated-in ts_window_calcs in-window",
                                extra="driver-green r2-r7; 3-SF check.py + per-round sf0.001 auto-verify"),
-    # born-deferred r8 addition: window already full of refreshed pairs
+    # born-deferred r8 additions: window already full of refreshed pairs
     "text_gopher_rules":  dict(since=8, family="rule-filter family via rotated-in text_features + text_signals in-window (same integer-crossmul flag plan as the deferred text_c4_filter)",
                                extra="3-SF check.py + per-round sf0.001 auto-verify"),
+    "dedup_minhash_incremental": dict(since=8, family="minhash family via dedup_minhash_lsh in-window (same shingle/signature/band core, delta-vs-index join form)",
+                                      extra="3-SF check.py + per-round sf0.001 auto-verify; planted base/delta dup pytest (test_dedup.py)"),
 }
 
 _DEFER_FROM_WINDOW = tuple(DEFERRALS)

@@ -224,6 +224,22 @@ def shingled_docs(docs: DataFrame) -> DataFrame:
                 .select("doc_id", _shingles().alias("shingles")))
 
 
+def band_table(sh: DataFrame) -> DataFrame:
+    """(doc_id, band, bh): the LSH band index of a shingled frame —
+    THE mergeable/maintainable artifact of the MinHash family (at
+    100 TB this table is what you materialize once per corpus and
+    append to per ingest batch; see incremental_minhash_verdicts)."""
+    sig = (sh.withColumn("hs", _hash_pairs())
+             .select("doc_id", "shingles", *minhash_signature_cols()))
+    return sig.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"), _band_hash(b).alias("bh"))
+            for b in range(BANDS)
+        ])).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bh")
+
+
 def lsh_candidate_pairs(docs: DataFrame,
                         shingled: DataFrame | None = None) -> DataFrame:
     """Distinct (doc_a < doc_b) candidate pairs that collide in >=1 band.
@@ -231,15 +247,7 @@ def lsh_candidate_pairs(docs: DataFrame,
     Pass `shingled` (from shingled_docs, ideally persisted) to reuse an
     already-computed shingle DF instead of re-deriving it from docs."""
     sh = shingled if shingled is not None else shingled_docs(docs)
-    sig = (sh.withColumn("hs", _hash_pairs())
-             .select("doc_id", "shingles", *minhash_signature_cols()))
-    bands = sig.select(
-        "doc_id",
-        F.explode(F.array(*[
-            F.struct(F.lit(b).alias("band"), _band_hash(b).alias("bh"))
-            for b in range(BANDS)
-        ])).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bh")
+    bands = band_table(sh)
     a, b = bands.alias("a"), bands.alias("b")
     return (a.join(b, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.bh") == F.col("b.bh"))
@@ -276,6 +284,77 @@ def minhash_near_dups(docs: DataFrame, threshold: float) -> DataFrame:
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     return minhash_near_dups(d, JACCARD_THRESHOLD)
+
+
+# --- incremental MinHash index maintenance: the daily-crawl shape.
+#     At 100 TB you never re-shingle the whole corpus per ingest
+#     batch: the band index (band_table) and the shingled frame are
+#     materialized artifacts, and a new batch only computes ITS OWN
+#     shingles/signatures (O(|delta|)) then equality-joins on
+#     (band, bh) against the index. Per delta doc the verdict is
+#     dup-of-existing (any base partner), dup-of-earlier-in-batch
+#     (smaller delta doc_id wins — first-writer-wins within the
+#     batch), or new. Verified with exact Jaccard like the batch
+#     form. The batch split here is the portable md5 bucket on doc_id
+#     so the DuckDB twin reproduces it exactly. ---
+INCR_BASE_PCT = 80  # fixture split: ~80% existing corpus, ~20% delta
+
+
+def incremental_minhash_verdicts(base_sh: DataFrame,
+                                 base_bands: DataFrame,
+                                 delta: DataFrame,
+                                 threshold: float) -> DataFrame:
+    """(doc_id, dup_of, jaccard, is_new) for every DELTA doc, given
+    the existing corpus only as its materialized artifacts (shingled
+    frame + band index) — the base text is never re-read."""
+    from pyspark import StorageLevel
+    sh_d = shingled_docs(delta).persist(StorageLevel.MEMORY_AND_DISK)
+    bands_d = band_table(sh_d)
+    # partners: the whole index (disjoint ids, any order) plus earlier
+    # delta docs; side flag 1 = same-batch, needing the id ordering
+    x = (base_bands.withColumn("side", F.lit(0))
+                   .unionByName(bands_d.withColumn("side", F.lit(1))))
+    d, xx = bands_d.alias("d"), x.alias("x")
+    cand = (d.join(xx, (F.col("d.band") == F.col("x.band"))
+                   & (F.col("d.bh") == F.col("x.bh"))
+                   & ((F.col("x.side") == 0)
+                      | (F.col("x.doc_id") < F.col("d.doc_id"))))
+             .select(F.col("d.doc_id").alias("doc_id"),
+                     F.col("x.doc_id").alias("partner"))
+             .distinct())
+    wa = sh_d.select(F.col("doc_id"), F.col("shingles").alias("sh_a"))
+    wb = (base_sh.unionByName(sh_d)
+                 .select(F.col("doc_id").alias("partner"),
+                         F.col("shingles").alias("sh_b")))
+    common = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - common
+    jac = common / union
+    verified = (cand.join(wa, "doc_id").join(wb, "partner")
+                    .filter(jac >= threshold)
+                    .select("doc_id", "partner",
+                            F.round(jac, 6).alias("jaccard")))
+    # arg-min by partner id: the struct min orders by its first field,
+    # and (doc_id, partner) rows are unique so the jaccard rides along
+    best = verified.groupBy("doc_id").agg(
+        F.min(F.struct("partner", "jaccard")).alias("m"))
+    return (delta.select("doc_id").join(best, "doc_id", "left")
+                 .select("doc_id",
+                         F.col("m.partner").alias("dup_of"),
+                         F.col("m.jaccard").alias("jaccard"),
+                         F.col("m").isNull().cast("int").alias("is_new")))
+
+
+def q_dedup_minhash_incremental(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+    from .sampling import _hash_bucket
+    d = table(spark, sf_dir, "documents")
+    bucket = _hash_bucket(F.col("doc_id"), 100)
+    base = d.filter(bucket < INCR_BASE_PCT)
+    delta = d.filter(bucket >= INCR_BASE_PCT)
+    sh_b = shingled_docs(base).persist(StorageLevel.MEMORY_AND_DISK)
+    return incremental_minhash_verdicts(
+        sh_b, band_table(sh_b), delta, JACCARD_THRESHOLD)
 
 
 # --- SimHash: 16-bit sign-sum fingerprint per document ---
@@ -475,6 +554,7 @@ QUERIES = {
     "dedup_source_matrix": q_dedup_source_matrix,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_minhash_incremental": q_dedup_minhash_incremental,
     "dedup_simhash": q_dedup_simhash,
     "dedup_fuzzy_terms": q_dedup_fuzzy_terms,
     "dedup_span_stats": q_dedup_span_stats,
@@ -655,6 +735,67 @@ FROM pairs
 JOIN sizes sa ON doc_a = sa.doc_id
 JOIN sizes sb ON doc_b = sb.doc_id
 WHERE common / (sa.n + sb.n - common) >= {JACCARD_THRESHOLD}
+""",
+    "dedup_minhash_incremental": f"""
+WITH docs AS (
+  SELECT doc_id, string_split(text, ' ') AS words
+  FROM documents WHERE len(string_split(text, ' ')) >= {SHINGLE_WORDS}
+), sh AS (
+  SELECT DISTINCT doc_id,
+         words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+  FROM docs, unnest(generate_series(1, len(words) - {SHINGLE_WORDS - 1})) AS t(i)
+), hh AS (
+  SELECT doc_id, shingle,
+         substring(md5(shingle), 1, 15) AS hx1,
+         substring(md5(shingle), 17, 15) AS hx2
+  FROM sh
+), hv AS (
+  SELECT doc_id, shingle,
+         {_sql_hex2int('hx1')} AS h1,
+         {_sql_hex2int('hx2')} % {HASH_P} AS h2
+  FROM hh
+), sig AS (
+  SELECT doc_id,
+         {_SQL_MH}
+  FROM hv GROUP BY doc_id
+), bands AS (
+{_SQL_BANDS}
+), split AS (
+  SELECT doc_id,
+         ({_sql_hex2int("substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)")}
+          % 100) AS bucket
+  FROM documents
+), delta_ids AS (SELECT doc_id FROM split WHERE bucket >= {INCR_BASE_PCT}),
+cand AS (
+  SELECT DISTINCT d.doc_id, x.doc_id AS partner
+  FROM bands d
+  JOIN delta_ids di ON d.doc_id = di.doc_id
+  JOIN bands x ON x.band = d.band AND x.bh = d.bh
+  LEFT JOIN delta_ids xd ON x.doc_id = xd.doc_id
+  WHERE xd.doc_id IS NULL OR x.doc_id < d.doc_id
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), pairs AS (
+  SELECT c.doc_id, c.partner, COUNT(*) AS common
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_id
+  JOIN sh b ON b.doc_id = c.partner AND b.shingle = a.shingle
+  GROUP BY 1, 2
+), verified AS (
+  SELECT p.doc_id, p.partner,
+         ROUND(common / (sa.n + sb.n - common), 6) AS jaccard
+  FROM pairs p
+  JOIN sizes sa ON p.doc_id = sa.doc_id
+  JOIN sizes sb ON p.partner = sb.doc_id
+  WHERE common / (sa.n + sb.n - common) >= {JACCARD_THRESHOLD}
+), best AS (
+  SELECT doc_id, MIN(partner) AS dup_of FROM verified GROUP BY doc_id
+)
+SELECT del.doc_id, b.dup_of, v.jaccard,
+       CAST(b.dup_of IS NULL AS INT) AS is_new
+FROM delta_ids del
+LEFT JOIN best b ON del.doc_id = b.doc_id
+LEFT JOIN verified v ON v.doc_id = del.doc_id AND v.partner = b.dup_of
 """,
     "dedup_simhash": f"""
 WITH w AS (

@@ -179,3 +179,37 @@ def test_duplicate_span_stats_planted_span(spark):
     assert got[3].n_dup_grams == 0
     assert got[3].max_dup_span == 0
     assert got[3].dup_frac == 0.0
+
+
+def test_incremental_minhash_verdicts_against_index_and_batch(spark):
+    """Daily-crawl contract: a delta doc duplicating an INDEXED doc is
+    flagged with dup_of = the base id; within the batch the smaller
+    delta id wins (first-writer-wins) and the earlier copy stays new;
+    an unrelated delta doc is new. The base text is consumed only via
+    its materialized artifacts (shingled frame + band index)."""
+    from big_data_crypto_sentiment_spark.queries.dedup import (
+        band_table,
+        incremental_minhash_verdicts,
+        shingled_docs,
+    )
+    near = list(BASE)
+    near[5] = "leaps"
+    near[20] = "quiet"
+    fresh = ("completely different content about spark shuffle "
+             "partitions and columnar parquet readers with zero "
+             "overlap in any shingle of the original text at all "
+             "plus more filler words to reach comparable length").split()
+    base = spark.createDataFrame([_doc(1, BASE)], ["doc_id", "text"])
+    delta = spark.createDataFrame(
+        [_doc(10, near),        # dup of indexed doc 1
+         _doc(11, fresh),       # genuinely new
+         _doc(12, fresh)],      # same-batch dup of 11
+        ["doc_id", "text"])
+    sh_b = shingled_docs(base)
+    out = {r.doc_id: r for r in incremental_minhash_verdicts(
+        sh_b, band_table(sh_b), delta, 0.5).collect()}
+    assert len(out) == 3                      # one verdict per delta doc
+    assert out[10].dup_of == 1 and out[10].is_new == 0
+    assert out[10].jaccard >= 0.5
+    assert out[11].dup_of is None and out[11].is_new == 1
+    assert out[12].dup_of == 11 and out[12].is_new == 0
