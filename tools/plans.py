@@ -118,6 +118,16 @@ HEADLINE = [
     ("hh_mg_vs_exact",
      "Misra-Gries batch twin: one applyInPandas fold per hash shard + "
      "exact-count join; bound arithmetic rides in the projection"),
+    ("text_gopher_rules",
+     "r8: Gopher rule set — one scan, zero shuffles; line/word rules "
+     "are JVM higher-order array ops, thresholds integer crossmuls"),
+    ("dedup_minhash_incremental",
+     "r8: delta-vs-index maintenance — delta-only shingle/signature "
+     "cost, (band,bh) equality join against the materialized index; "
+     "base text never re-read"),
+    ("graph_pagerank",
+     "r8: per-round combinable dst-sum + keyed join; max-weight int64 "
+     "bound now enforced in the same bounded action as n"),
 ]
 
 _ADDR = re.compile(r"#\d+L?")
