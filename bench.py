@@ -46,9 +46,22 @@ def main() -> int:
     spark = get_spark("bench", extra_conf={"spark.ui.enabled": "false"})
     qs = E.queries()
 
-    # warmup: run the cheapest full scan once (JVM/codegen warm)
+    # warmup: run the cheapest full scan once (JVM/codegen warm), and
+    # micro-fit the iterative MLlib estimators the registry uses so
+    # their one-time class-loading/JIT cost lands here, not inside
+    # whichever registered entry happens to call each first (measured:
+    # the first LDA fit of a session costs ~4s more than the second on
+    # identical data) — per this file's contract that timings measure
+    # the plan, not the JVM.
     try:
         materialize(spark.read.parquet(os.path.join(SF_DIR, "nation.parquet")))
+        from pyspark.ml.clustering import LDA, KMeans
+        from pyspark.ml.linalg import Vectors
+        tiny = spark.createDataFrame(
+            [(Vectors.dense([float(i % 3), float(i % 5)]),)
+             for i in range(20)], ["features"])
+        LDA(k=2, maxIter=1, optimizer="online").fit(tiny)
+        KMeans(k=2, maxIter=1).fit(tiny)
     except Exception:
         pass
 

@@ -243,10 +243,13 @@ def fit_topics(docs: DataFrame, k: int = LDA_TOPICS,
                text_col: str = "text", id_col: str = "doc_id",
                vocab_size: int = VOCAB_SIZE, seed: int = 7,
                max_iter: int = LDA_MAX_ITER,
-               subsampling: float | None = None):
+               subsampling: float | None = None,
+               want_terms: bool = True):
     """(doc_topics DataFrame, topic_terms list, vocab) — doc_topics is
     (id, topic, topic_weight): each doc's dominant topic and its
-    weight; topic_terms is [(topic, [top terms])].
+    weight; topic_terms is [(topic, [top terms])] (empty when
+    want_terms=False — skips the describeTopics collect for callers
+    that only consume doc_topics).
 
     `subsampling` is online VI's per-iteration minibatch fraction
     (None = Spark's 0.05 default, the right setting at corpus scale
@@ -290,8 +293,10 @@ def fit_topics(docs: DataFrame, k: int = LDA_TOPICS,
         # materialize while the fit input is still cached
         doc_topics = doc_topics.localCheckpoint(eager=True)
     vocab = fe.stages[1].vocabulary
-    terms = [(int(r.topic), [vocab[i] for i in r.termIndices])
-             for r in model.describeTopics(10).collect()]
+    terms = []
+    if want_terms:
+        terms = [(int(r.topic), [vocab[i] for i in r.termIndices])
+                 for r in model.describeTopics(10).collect()]
     return doc_topics, terms, vocab
 
 

@@ -615,14 +615,17 @@ def q_ml_doc_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     # below the scale where the default 5% minibatch has enough
     # evidence per natural-gradient step — so full-batch VI
     # (subsampling=1.0) with a short iteration budget (the fixture's
-    # 4 domain topics separate within 4 full passes; the harder
+    # 4 domain topics separate within 3 full passes; the harder
     # planted-disjoint contract in tests/test_ml_pipelines.py keeps
     # its own deeper budget). At corpus scale drop subsampling back
     # to the default and restore LDA_MAX_ITER — each pass is then a
     # 5% draw, and more cheap passes beat few expensive ones. The
     # rebalance_scan matters here too: the single-row-group fixture
     # file otherwise serializes every VI pass onto one core.
-    doc_topics, _, _ = fit_topics(docs, subsampling=1.0, max_iter=4)
+    # want_terms=False: this entry consumes only doc_topics, so the
+    # describeTopics collect is skipped.
+    doc_topics, _, _ = fit_topics(docs, subsampling=1.0, max_iter=3,
+                                  want_terms=False)
     return doc_topics  # O(input): unsorted
 
 

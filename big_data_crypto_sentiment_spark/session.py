@@ -44,7 +44,14 @@ def get_spark(app_name: str = "big-data-crypto-sentiment-spark",
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
         .config("spark.sql.files.maxPartitionBytes", "128MB")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local-mode driver == the whole executor JVM: a long session
+        # (the 150-query bench) accumulates caches/broadcasts/codegen
+        # classes, and an 8g heap turns the tail of the run GC-bound
+        # (measured: the LAST bench entry inflated 7x at 8g, back to
+        # its solo time at 32g). Max heap, not a reservation — safe on
+        # any box this runs on; on a real cluster executors get their
+        # own spark.executor.memory and this only sizes the driver.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
     )
     if master:
         builder = builder.master(master)
