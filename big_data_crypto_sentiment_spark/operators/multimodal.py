@@ -52,10 +52,14 @@ def decode_media(payload: bytes, kind: str) -> dict:
            bytes 18/22 (negative height = top-down row order → abs).
       WAV  RIFF/WAVE chunk walk: byte-rate from the fmt chunk,
            duration = data-chunk size / byte-rate.
+      JPEG marker-segment walk to the SOF frame header (height/width
+           big-endian u16 at fixed offsets inside SOF) — segment
+           structure only, no entropy decoding.
+      MP4  ISO-BMFF box walk: mvhd timescale/duration,
+           tkhd 16.16-fixed presentation width/height.
     Raises ValueError for a recognized magic with a truncated or
-    malformed header ("corrupt"), NotImplementedError for formats
-    whose metadata needs an entropy decoder (JPEG/MP4/...) — callers
-    fall back to the deterministic fake for those."""
+    malformed header ("corrupt"), NotImplementedError for anything
+    else — callers fall back to the deterministic fake for those."""
     if payload.startswith(b"\x89PNG\r\n\x1a\n"):
         if len(payload) < 24 or payload[12:16] != b"IHDR":
             raise ValueError("truncated or non-IHDR-first PNG")
@@ -89,8 +93,97 @@ def decode_media(payload: bytes, kind: str) -> dict:
             raise ValueError("WAV missing fmt/data chunk")
         return {"width": None, "height": None,
                 "duration_ms": data_size * 1000 // byte_rate}
+    if payload[:2] == b"\xff\xd8":
+        return _decode_jpeg(payload)
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        return _decode_mp4(payload)
     raise NotImplementedError(
         f"no {kind} codec for magic {payload[:4]!r} in this environment")
+
+
+def _decode_jpeg(payload: bytes) -> dict:
+    """JPEG dimensions by SEGMENT-STRUCTURE walk (still no entropy
+    decoding): every marker segment after SOI is FF xx LEN(2,BE);
+    hop segment to segment until a start-of-frame marker (SOF0-15
+    minus DHT/JPG/DAC), whose fixed layout is precision(1),
+    height(2,BE), width(2,BE)."""
+    pos = 2
+    n = len(payload)
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        marker = payload[pos + 1]
+        if marker == 0xFF:          # fill byte
+            pos += 1
+            continue
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
+            pos += 2                # standalone markers have no length
+            continue
+        seg = int.from_bytes(payload[pos + 2:pos + 4], "big")
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if pos + 9 > n:
+                raise ValueError("truncated JPEG SOF")
+            return {"width": int.from_bytes(payload[pos + 7:pos + 9],
+                                            "big"),
+                    "height": int.from_bytes(payload[pos + 5:pos + 7],
+                                             "big"),
+                    "duration_ms": None}
+        pos += 2 + seg
+    raise ValueError("JPEG without SOF header")
+
+
+def _decode_mp4(payload: bytes) -> dict:
+    """ISO-BMFF (MP4/MOV) metadata by BOX walk: every box is
+    SIZE(4,BE) TYPE(4); moov/mvhd carries timescale+duration at
+    version-dependent fixed offsets, moov/trak/tkhd carries the
+    16.16-fixed-point presentation width/height. Structure walk only —
+    no codec payload is touched."""
+    dur_ms = width = height = None
+
+    def walk(lo: int, hi: int):
+        nonlocal dur_ms, width, height
+        pos = lo
+        while pos + 8 <= hi:
+            size = int.from_bytes(payload[pos:pos + 4], "big")
+            btype = payload[pos + 4:pos + 8]
+            body = pos + 8
+            if size == 1:  # 64-bit largesize follows
+                size = int.from_bytes(payload[pos + 8:pos + 16], "big")
+                body = pos + 16
+            if size < 8 or pos + size > hi:
+                raise ValueError("malformed MP4 box")
+            if btype in (b"moov", b"trak"):
+                walk(body, pos + size)
+            elif btype == b"mvhd" and body + 4 <= hi:
+                v = payload[body]
+                if v == 1 and body + 32 <= hi:
+                    ts = int.from_bytes(payload[body + 20:body + 24],
+                                        "big")
+                    dur = int.from_bytes(payload[body + 24:body + 32],
+                                         "big")
+                elif body + 24 <= hi:
+                    ts = int.from_bytes(payload[body + 12:body + 16],
+                                        "big")
+                    dur = int.from_bytes(payload[body + 16:body + 20],
+                                         "big")
+                else:
+                    raise ValueError("truncated mvhd")
+                if ts:
+                    dur_ms = dur * 1000 // ts
+            elif btype == b"tkhd":
+                v = payload[body]
+                end = body + (96 if v == 1 else 84)
+                if end <= hi:
+                    width = int.from_bytes(payload[end - 8:end - 4],
+                                           "big") >> 16
+                    height = int.from_bytes(payload[end - 4:end],
+                                            "big") >> 16
+            pos += size
+
+    walk(0, len(payload))
+    if dur_ms is None and width is None:
+        raise ValueError("MP4 without moov metadata")
+    return {"width": width, "height": height, "duration_ms": dur_ms}
 
 
 def fake_decode(payload: bytes) -> tuple[int, int]:

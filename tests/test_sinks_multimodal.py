@@ -147,6 +147,53 @@ def test_decode_media_parses_real_container_headers(spark):
     assert out[6].decode_status == "stubbed"  # honest fallback survives
 
 
+def _jpeg(w, h):
+    import struct
+    # SOI, APP0 (JFIF stub), DQT (skipped by length), SOF0, EOI
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" * 65
+    sof = (b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+           + struct.pack(">HH", h, w) + b"\x01\x11\x00")
+    return b"\xff\xd8" + app0 + dqt + sof + b"\xff\xd9"
+
+
+def _mp4(timescale, duration, w, h):
+    import struct
+
+    def box(btype, body):
+        return struct.pack(">I", 8 + len(body)) + btype + body
+
+    mvhd = box(b"mvhd", b"\x00\x00\x00\x00" + b"\x00" * 8
+               + struct.pack(">II", timescale, duration) + b"\x00" * 80)
+    # v0 tkhd body: fullbox(4) + cre/mod/id/res/dur(20) + res(8)
+    # + layer/alt/vol/res(8) + matrix(36) = 76, then width/height
+    tkhd = box(b"tkhd", b"\x00\x00\x00\x07" + b"\x00" * 72
+               + struct.pack(">II", w << 16, h << 16))
+    moov = box(b"moov", mvhd + box(b"trak", tkhd))
+    ftyp = box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    return ftyp + moov
+
+
+def test_decode_media_jpeg_sof_walk_and_mp4_box_walk():
+    """JPEG SOF and ISO-BMFF box parsing on spec-built bytes — pure
+    structure walks, never touching entropy-coded payload."""
+    import pytest as _pytest
+    from big_data_crypto_sentiment_spark.operators.multimodal import (
+        decode_media,
+    )
+    m = decode_media(_jpeg(1024, 768), "image")
+    assert (m["width"], m["height"]) == (1024, 768)
+    m = decode_media(_mp4(1000, 90_500, 1920, 1080), "video")
+    assert m["duration_ms"] == 90_500 and (m["width"], m["height"]) \
+        == (1920, 1080)
+    # marker desync inside a recognized JPEG -> corrupt, not fake
+    with _pytest.raises(ValueError):
+        decode_media(b"\xff\xd8\x00\x00\x00\x00", "image")
+    # truncated ftyp-only MP4 (no moov) -> corrupt
+    with _pytest.raises(ValueError):
+        decode_media(_mp4(1000, 1, 1, 1)[:16], "video")
+
+
 def test_frame_sampling_offsets(media_df):
     rows = sample_frames(media_df, n_frames=4).collect()
     assert len(rows) == 1
