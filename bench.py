@@ -90,11 +90,20 @@ def main() -> int:
                    "unit": "sec", "queries": timings,
                    "sf": _sf_label(SF_DIR)}, f, indent=1, sort_keys=True)
 
+    print(summary_line(timings, total, _sf_label(SF_DIR)))
+    return 0
+
+
+def summary_line(timings: dict[str, float], total: float,
+                 sf, limit: int = 1900) -> str:
+    """The one printed JSON line, guaranteed under `limit` bytes:
+    slowest entries first until the byte budget runs out (the full map
+    is in BENCH_FULL.json)."""
     head = {"metric": "total_query_wall_sec", "value": total,
-            "unit": "sec", "sf": _sf_label(SF_DIR),
+            "unit": "sec", "sf": sf,
             "n_queries": len(timings), "full": "BENCH_FULL.json",
             "queries": {}}
-    budget = 1900 - len(json.dumps(head, separators=(",", ":")))
+    budget = limit - len(json.dumps(head, separators=(",", ":")))
     by_cost = sorted(timings.items(), key=lambda kv: (-kv[1], kv[0]))
     for name, sec in by_cost:
         entry_len = len(name) + len(json.dumps(sec)) + 4  # "n":v,
@@ -102,8 +111,7 @@ def main() -> int:
             break
         head["queries"][name] = sec
         budget -= entry_len
-    print(json.dumps(head, separators=(",", ":")))
-    return 0
+    return json.dumps(head, separators=(",", ":"))
 
 
 if __name__ == "__main__":
