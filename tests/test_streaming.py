@@ -530,3 +530,53 @@ def test_stateful_forecast_under_rocksdb_state_store(
     pd.testing.assert_series_equal(got["next_price_forecast"],
                                    want["next_price_forecast"],
                                    rtol=1e-12)
+
+
+def test_transform_with_state_forecast_parity(spark, tmp_path):
+    """Spark 4 transformWithStateInPandas twin of the online forecast:
+    typed ValueState in RocksDB (the API requires that provider)
+    produces the same sequence as the sequential reference — so the
+    repo's stateful operator ports cleanly to the successor API.
+
+    Gated on protobuf: transformWithState's Python driver worker
+    imports google.protobuf (its state-server wire protocol), which
+    this container doesn't ship — the operator itself is plain
+    pyspark API and runs wherever pyspark's own requirements
+    (incl. protobuf) are installed."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState needs protobuf for its state "
+               "protocol; not shipped in this container")
+    from big_data_crypto_sentiment_spark.streaming.stateful import (
+        online_forecast_tws,
+    )
+    sess = spark.newSession()
+    sess.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider")
+    raw = (prices_role(sess, SF_DIR)
+           .select("symbol", "event_time", "price"))
+    chunks = str(tmp_path / "prices_tws")
+    schema = write_replay_chunks(raw, chunks, 4)
+    prices = (replay_dir(sess, chunks, schema)
+              .select("symbol", "event_time",
+                      F.col("price").cast("double").alias("price")))
+    out = online_forecast_tws(prices, phi=0.8)
+    q = (out.writeStream.format("memory").queryName("forecasts_tws")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt_tws"))
+            .start())
+    try:
+        q.processAllAvailable()
+        got = (sess.table("forecasts_tws").toPandas()
+               .sort_values(["symbol", "event_time"])
+               .reset_index(drop=True))
+    finally:
+        q.stop()
+    want = (reference_forecast_series(raw.toPandas(), phi=0.8)
+            .sort_values(["symbol", "event_time"]).reset_index(drop=True))
+    assert len(got) == len(want)
+    pd.testing.assert_series_equal(got["next_price_forecast"],
+                                   want["next_price_forecast"],
+                                   rtol=1e-12)
