@@ -262,6 +262,8 @@ DEFERRALS: dict[str, dict] = {
                                extra="3-SF check.py + per-round sf0.001 auto-verify"),
     "dedup_minhash_incremental": dict(since=8, family="minhash family via dedup_minhash_lsh in-window (same shingle/signature/band core, delta-vs-index join form)",
                                       extra="3-SF check.py + per-round sf0.001 auto-verify; planted base/delta dup pytest (test_dedup.py)"),
+    "revenue_by_nation_q5": dict(since=8, family="dim/fact join family via flagship full-outer/asof/interval in-window; 3-way dim-join + exact-decimal agg via orders_by_nation/pricing_summary's deferred pairs",
+                                 extra="3-SF check.py + per-round sf0.001 auto-verify; zero join hints — AQE broadcast choice pinned in PLANS.md"),
 }
 
 _DEFER_FROM_WINDOW = tuple(DEFERRALS)

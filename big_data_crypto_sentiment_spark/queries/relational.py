@@ -74,6 +74,42 @@ def q_orders_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- TPC-H Q5 shape: the six-way dim/fact join with a cross-dim
+#     equality (customer and supplier must share a nation) — the
+#     classic join-REORDERING workout. Declared with zero hints: the
+#     region filter prunes nation broadcast-side, AQE picks broadcast
+#     for every dim and keeps the lineitem fact unshuffled until the
+#     final n_name agg; the o_orderdate range reaches the orders scan
+#     as PushedFilters. Revenue decimal discipline copied verbatim
+#     from the green pricing_summary pair. ---
+Q5_REGION = "ASIA"
+Q5_FROM, Q5_TO = "1996-01-01", "1997-01-01"
+
+
+def q_revenue_by_nation_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    o = (table(spark, sf_dir, "orders")
+         .filter((F.col("o_orderdate") >= F.lit(Q5_FROM))
+                 & (F.col("o_orderdate") < F.lit(Q5_TO))))
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region") \
+        .filter(F.col("r_name") == Q5_REGION)
+    dec = lambda col: F.col(col).cast("decimal(27,6)")  # noqa: E731
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+              .join(s, li.l_suppkey == s.s_suppkey)
+              .join(c, (o.o_custkey == c.c_custkey)
+                       & (c.c_nationkey == s.s_nationkey))
+              .join(n, s.s_nationkey == n.n_nationkey)
+              .join(r, n.n_regionkey == r.r_regionkey)
+              .groupBy("n_name")
+              .agg(F.sum(dec("l_extendedprice") * (1 - dec("l_discount")))
+                    .cast("double").alias("revenue"),
+                   F.count(F.lit(1)).alias("n_lineitems"))
+              .orderBy("n_name"))  # bounded: one row per nation
+
+
 # --- J3: left-join + fillna(0) semantics (eda Milestone4 cell 10), but as a
 #     single-pass conditional aggregate: one shuffle of events instead of two
 #     aggregations + a join — the scale-correct plan for self-join-on-aggregate
@@ -569,6 +605,7 @@ QUERIES = {
     "pricing_summary": q_pricing_summary,
     "filter_time_range": q_filter_time_range,
     "orders_by_nation": q_orders_by_nation,
+    "revenue_by_nation_q5": q_revenue_by_nation_q5,
     "left_join_fillna": q_left_join_fillna,
     "top_users": q_top_users,
     "union_event_slices": q_union_event_slices,
@@ -720,6 +757,25 @@ SELECT n_name, COUNT(*) AS order_count,
 FROM orders
 JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY n_name
+""",
+    "revenue_by_nation_q5": f"""
+SELECT n_name,
+       CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+                          * (1 - CAST(l_discount AS DECIMAL(12,6)))
+                     AS DECIMAL(27,12)))
+            AS DECIMAL(38,6)) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lineitems
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = '{Q5_REGION}'
+  AND o_orderdate >= TIMESTAMP '{Q5_FROM} 00:00:00'
+  AND o_orderdate < TIMESTAMP '{Q5_TO} 00:00:00'
 GROUP BY n_name
 ORDER BY n_name
 """,

@@ -128,6 +128,10 @@ HEADLINE = [
     ("graph_pagerank",
      "r8: per-round combinable dst-sum + keyed join; max-weight int64 "
      "bound now enforced in the same bounded action as n"),
+    ("revenue_by_nation_q5",
+     "r8: TPC-H Q5 shape, ZERO hints — AQE broadcasts all five dims "
+     "(fact never shuffles before the final agg), o_orderdate range "
+     "in PushedFilters"),
 ]
 
 _ADDR = re.compile(r"#\d+L?")
