@@ -475,8 +475,12 @@ def _arma_cv(pdf: pd.DataFrame) -> pd.DataFrame:
     rows = []
     for fold in range(1, ARMA_CV_FOLDS + 1):
         cut = n - (ARMA_CV_FOLDS - fold + 1) * HOLDOUT
+        # a negative cut (series shorter than the fold grid) has an
+        # empty-or-partial test block; report its true size and never
+        # slice with a negative start (python would wrap)
+        n_test = max(min(cut + HOLDOUT, n), 0) - max(cut, 0)
         row = {"event_type": sym, "fold": str(fold),
-               "n_train": max(int(cut), 0), "n_test": HOLDOUT,
+               "n_train": max(int(cut), 0), "n_test": int(n_test),
                "chosen_p": None, "chosen_q": None, "mae": None,
                "mse": None, "mape": None, "gated": True}
         if cut >= MIN_TRAIN:
