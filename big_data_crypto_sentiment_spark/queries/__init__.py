@@ -264,6 +264,8 @@ DEFERRALS: dict[str, dict] = {
                                       extra="3-SF check.py + per-round sf0.001 auto-verify; planted base/delta dup pytest (test_dedup.py)"),
     "revenue_by_nation_q5": dict(since=8, family="dim/fact join family via flagship full-outer/asof/interval in-window; 3-way dim-join + exact-decimal agg via orders_by_nation/pricing_summary's deferred pairs",
                                  extra="3-SF check.py + per-round sf0.001 auto-verify; zero join hints — AQE broadcast choice pinned in PLANS.md"),
+    "promo_revenue_share": dict(since=8, family="conditional-agg family via ks_drift_events/key_skew_profile in-window; exact-decimal discipline via pricing_summary's deferred pair",
+                                extra="3-SF check.py + per-round sf0.001 auto-verify; covers the part table (previously unexercised)"),
 }
 
 _DEFER_FROM_WINDOW = tuple(DEFERRALS)

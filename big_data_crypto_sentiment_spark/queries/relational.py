@@ -110,6 +110,34 @@ def q_revenue_by_nation_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
               .orderBy("n_name"))  # bounded: one row per nation
 
 
+# --- TPC-H Q14 shape: part ⋈ lineitem with a CASE-conditional
+#     exact-decimal aggregate (promotion revenue share in a shipdate
+#     window) — covers the one fixture table (`part`) no other query
+#     touched, with the classic conditional-agg join plan: the dim
+#     broadcasts (AQE, no hint), the shipdate range reaches the fact
+#     scan as PushedFilters, and the promo branch sums WHEN-without-
+#     OTHERWISE so the null-skipping sum stays exact decimal. ---
+Q14_FROM, Q14_TO = "1996-01-01", "1997-01-01"
+
+
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (table(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate") >= F.lit(Q14_FROM))
+                  & (F.col("l_shipdate") < F.lit(Q14_TO))))
+    p = table(spark, sf_dir, "part")
+    dec = lambda col: F.col(col).cast("decimal(27,6)")  # noqa: E731
+    disc = dec("l_extendedprice") * (1 - dec("l_discount"))
+    agg = (li.join(p, li.l_partkey == p.p_partkey)
+             .agg(F.sum(F.when(F.col("p_type").startswith("PROMO"),
+                               disc))
+                   .cast("double").alias("promo_revenue"),
+                  F.sum(disc).cast("double").alias("total_revenue")))
+    return agg.select(
+        "promo_revenue", "total_revenue",
+        F.round((100 * F.col("promo_revenue"))
+                / F.col("total_revenue"), 6).alias("promo_share_pct"))
+
+
 # --- J3: left-join + fillna(0) semantics (eda Milestone4 cell 10), but as a
 #     single-pass conditional aggregate: one shuffle of events instead of two
 #     aggregations + a join — the scale-correct plan for self-join-on-aggregate
@@ -606,6 +634,7 @@ QUERIES = {
     "filter_time_range": q_filter_time_range,
     "orders_by_nation": q_orders_by_nation,
     "revenue_by_nation_q5": q_revenue_by_nation_q5,
+    "promo_revenue_share": q_promo_revenue_share,
     "left_join_fillna": q_left_join_fillna,
     "top_users": q_top_users,
     "union_event_slices": q_union_event_slices,
@@ -778,6 +807,27 @@ WHERE r_name = '{Q5_REGION}'
   AND o_orderdate < TIMESTAMP '{Q5_TO} 00:00:00'
 GROUP BY n_name
 ORDER BY n_name
+""",
+    "promo_revenue_share": f"""
+WITH j AS (
+  SELECT p_type,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+              * (1 - CAST(l_discount AS DECIMAL(12,6)))
+           AS DECIMAL(27,12)) AS dp
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '{Q14_FROM} 00:00:00'
+    AND l_shipdate < TIMESTAMP '{Q14_TO} 00:00:00'
+), s AS (
+  SELECT
+    CAST(CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN dp END)
+         AS DECIMAL(38,6)) AS DOUBLE) AS promo_revenue,
+    CAST(CAST(SUM(dp) AS DECIMAL(38,6)) AS DOUBLE) AS total_revenue
+  FROM j
+)
+SELECT promo_revenue, total_revenue,
+       ROUND((100 * promo_revenue) / total_revenue, 6)
+         AS promo_share_pct
+FROM s
 """,
     "left_join_fillna": f"""
 WITH base AS (
