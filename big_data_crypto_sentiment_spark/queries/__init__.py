@@ -315,7 +315,7 @@ def clear_session_caches() -> int:
     from . import retrieval as _re
     caches = [_re._WTS_CACHE, _re._IDF_CACHE, _co._CC_CACHE,
               _cl._UNIGRAM_CACHE, _ml._GRID_CACHE, _ml._LABELED_CACHE,
-              _de._GRAMS_CACHE, _gr._GRAPH_CACHE]
+              _de._GRAMS_CACHE, _de._SHINGLE_CACHE, _gr._GRAPH_CACHE]
     n = 0
     for c in caches:
         for v in c.values():

@@ -257,7 +257,8 @@ def lsh_candidate_pairs(docs: DataFrame,
              .distinct())
 
 
-def minhash_near_dups(docs: DataFrame, threshold: float) -> DataFrame:
+def minhash_near_dups(docs: DataFrame, threshold: float,
+                      shingled: DataFrame | None = None) -> DataFrame:
     """LSH candidates verified with exact Jaccard via array_intersect on
     the shingle arrays (arrays ride along two doc_id hash joins).
 
@@ -265,9 +266,12 @@ def minhash_near_dups(docs: DataFrame, threshold: float) -> DataFrame:
     the signature stage and both sides of the verify join read the cached
     tokenized form instead of re-running the split+shingle scan three
     times. At 100 TB the same shape holds — you'd materialize the
-    shingled table to storage once and feed every downstream stage."""
+    shingled table to storage once and feed every downstream stage.
+    Pass `shingled` (ideally an already-persisted/cached frame) to
+    reuse exactly such an artifact."""
     from pyspark import StorageLevel
-    sh = shingled_docs(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = (shingled if shingled is not None
+          else shingled_docs(docs).persist(StorageLevel.MEMORY_AND_DISK))
     cand = lsh_candidate_pairs(docs, shingled=sh)
     wa = sh.select(F.col("doc_id").alias("doc_a"),
                    F.col("shingles").alias("sh_a"))
@@ -281,9 +285,29 @@ def minhash_near_dups(docs: DataFrame, threshold: float) -> DataFrame:
                 .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard")))
 
 
+# the tokenize+shingle scan is the expensive leaf of the whole MinHash
+# family, and TWO registered entries (batch near-dups + the
+# incremental index-maintenance form) plus any curate re-entry consume
+# it in one session — cache the shingled corpus per (appId, sf_dir),
+# the materialized-shingle-table shape a 100-TB pipeline would persist
+# to storage once. Evicted by queries.clear_session_caches().
+_SHINGLE_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _shingled_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _SHINGLE_CACHE:
+        _SHINGLE_CACHE[key] = (
+            shingled_docs(table(spark, sf_dir, "documents"))
+            .persist(StorageLevel.MEMORY_AND_DISK))
+    return _SHINGLE_CACHE[key]
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
-    return minhash_near_dups(d, JACCARD_THRESHOLD)
+    return minhash_near_dups(d, JACCARD_THRESHOLD,
+                             shingled=_shingled_documents(spark, sf_dir))
 
 
 # --- incremental MinHash index maintenance: the daily-crawl shape.
@@ -303,12 +327,19 @@ INCR_BASE_PCT = 80  # fixture split: ~80% existing corpus, ~20% delta
 def incremental_minhash_verdicts(base_sh: DataFrame,
                                  base_bands: DataFrame,
                                  delta: DataFrame,
-                                 threshold: float) -> DataFrame:
+                                 threshold: float,
+                                 delta_sh: DataFrame | None = None
+                                 ) -> DataFrame:
     """(doc_id, dup_of, jaccard, is_new) for every DELTA doc, given
     the existing corpus only as its materialized artifacts (shingled
-    frame + band index) — the base text is never re-read."""
+    frame + band index) — the base text is never re-read. `delta_sh`
+    lets the caller hand in an already-shingled delta (e.g. a slice
+    of a cached corpus-wide shingle table); `delta` itself is still
+    needed for the id universe (docs too short to shingle get a
+    verdict too: is_new=1)."""
     from pyspark import StorageLevel
-    sh_d = shingled_docs(delta).persist(StorageLevel.MEMORY_AND_DISK)
+    sh_d = (delta_sh if delta_sh is not None
+            else shingled_docs(delta).persist(StorageLevel.MEMORY_AND_DISK))
     bands_d = band_table(sh_d)
     # partners: the whole index (disjoint ids, any order) plus earlier
     # delta docs; side flag 1 = same-batch, needing the id ordering
@@ -346,15 +377,19 @@ def incremental_minhash_verdicts(base_sh: DataFrame,
 
 def q_dedup_minhash_incremental(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
-    from pyspark import StorageLevel
     from .sampling import _hash_bucket
     d = table(spark, sf_dir, "documents")
     bucket = _hash_bucket(F.col("doc_id"), 100)
-    base = d.filter(bucket < INCR_BASE_PCT)
     delta = d.filter(bucket >= INCR_BASE_PCT)
-    sh_b = shingled_docs(base).persist(StorageLevel.MEMORY_AND_DISK)
+    # base and delta shingles are slices of ONE cached corpus-wide
+    # shingle table (shared with q_dedup_minhash_lsh in-session) —
+    # the artifact-reuse shape: nothing is shingled twice
+    sh = _shingled_documents(spark, sf_dir)
+    sh_bucket = _hash_bucket(F.col("doc_id"), 100)
+    sh_b = sh.filter(sh_bucket < INCR_BASE_PCT)
+    sh_d = sh.filter(sh_bucket >= INCR_BASE_PCT)
     return incremental_minhash_verdicts(
-        sh_b, band_table(sh_b), delta, JACCARD_THRESHOLD)
+        sh_b, band_table(sh_b), delta, JACCARD_THRESHOLD, delta_sh=sh_d)
 
 
 # --- SimHash: 16-bit sign-sum fingerprint per document ---
