@@ -57,3 +57,80 @@ def test_stopword_rule_counts_distinct_not_total(spark, tmp_path):
                        (2, two, "en", "s", 0)], tmp_path)
     assert out[1].f_few_stopwords == 1
     assert out[2].f_few_stopwords == 0
+
+
+def _py_gopher(text):
+    """Pure-Python twin of the rule math (ASCII + the unicode marks
+    the generator uses, where python re and Java regex agree)."""
+    import re
+    words = text.split(" ")
+    lines = text.split("\n")
+    n_words, n_lines = len(words), len(lines)
+    ns_chars = len(re.sub(r"\s", "", text))
+    sym_n = len(re.findall(r"#|\.\.\.|…", text))
+    bullet_n = sum(bool(re.search(r"^\s*[-*•]", l)) for l in lines)
+    ell_n = sum(bool(re.search(r"(\.\.\.|…)\s*$", l)) for l in lines)
+    alpha_n = sum(bool(re.search(r"[A-Za-z]", w)) for w in words)
+    from big_data_crypto_sentiment_spark.queries.text import (
+        GOPHER_ALPHA_PCT,
+        GOPHER_BULLET_PCT,
+        GOPHER_ELLIPSIS_PCT,
+        GOPHER_MAX_MWL,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_MWL,
+        GOPHER_MIN_STOPWORDS,
+        GOPHER_MIN_WORDS,
+        GOPHER_STOPWORDS,
+        GOPHER_SYM_PCT,
+    )
+    stop_distinct = sum(
+        bool(re.search(rf"(?i)\b{s}\b", text)) for s in GOPHER_STOPWORDS)
+    flags = dict(
+        f_word_count=int(n_words < GOPHER_MIN_WORDS
+                         or n_words > GOPHER_MAX_WORDS),
+        f_mean_word_len=int(ns_chars < n_words * GOPHER_MIN_MWL
+                            or ns_chars > n_words * GOPHER_MAX_MWL),
+        f_symbol_ratio=int(sym_n * 100 > n_words * GOPHER_SYM_PCT),
+        f_bullet_lines=int(bullet_n * 100 >= n_lines * GOPHER_BULLET_PCT),
+        f_ellipsis_lines=int(ell_n * 100 >= n_lines * GOPHER_ELLIPSIS_PCT),
+        f_low_alpha=int(alpha_n * 100 < n_words * GOPHER_ALPHA_PCT),
+        f_few_stopwords=int(stop_distinct < GOPHER_MIN_STOPWORDS),
+    )
+    flags["keep"] = int(sum(flags.values()) == 0)
+    flags["n_words"] = n_words
+    return flags
+
+
+def test_gopher_rules_match_python_twin_on_seeded_adversarial_docs(
+        spark, tmp_path):
+    """200 seeded random docs mixing words, stop words, bullets,
+    ellipses, symbols, unicode marks, newlines and empty lines —
+    every per-doc flag must match the pure-Python rule math exactly
+    (catches engine-vs-python regex or threshold drift)."""
+    import random
+    rng = random.Random(20240814)
+    vocab = ["the", "and", "zebra", "qq", "x9", "...", "#", "…",
+             "payload", "of", "data", "—", "12345", "a" * 30, "•"]
+    docs = []
+    for i in range(200):
+        n_lines = rng.randint(1, 6)
+        lines = []
+        for _ in range(n_lines):
+            n_w = rng.randint(1, 40)
+            ws = [rng.choice(vocab) for _ in range(n_w)]
+            if rng.random() < 0.3:
+                ws.insert(0, rng.choice(["-", "*", "•"]))
+            if rng.random() < 0.3:
+                ws.append(rng.choice(["...", "…"]))
+            lines.append(" ".join(ws))
+        docs.append((i, "\n".join(lines), "en", "s", 0))
+    out = _run(spark, docs, tmp_path)
+    assert len(out) == 200
+    mismatches = []
+    for i, text, *_ in docs:
+        want = _py_gopher(text)
+        got = out[i]
+        for f, v in want.items():
+            if getattr(got, f) != v:
+                mismatches.append((i, f, getattr(got, f), v))
+    assert not mismatches, mismatches[:5]
