@@ -88,10 +88,21 @@ def main() -> int:
     with open(full_path, "w") as f:
         json.dump({"metric": "total_query_wall_sec", "value": total,
                    "unit": "sec", "queries": timings,
-                   "sf": _sf_label(SF_DIR)}, f, indent=1, sort_keys=True)
+                   "sf": _sf_label(SF_DIR),
+                   # 1/5/15-min load at exit: this box is a shared-host
+                   # VM and per-query secs swing up to ~2x with host
+                   # contention — read sub-3s deltas against this
+                   "loadavg": _loadavg()}, f, indent=1, sort_keys=True)
 
     print(summary_line(timings, total, _sf_label(SF_DIR)))
     return 0
+
+
+def _loadavg():
+    try:
+        return [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        return None
 
 
 def summary_line(timings: dict[str, float], total: float,
@@ -102,7 +113,7 @@ def summary_line(timings: dict[str, float], total: float,
     head = {"metric": "total_query_wall_sec", "value": total,
             "unit": "sec", "sf": sf,
             "n_queries": len(timings), "full": "BENCH_FULL.json",
-            "queries": {}}
+            "loadavg": _loadavg(), "queries": {}}
     budget = limit - len(json.dumps(head, separators=(",", ":")))
     by_cost = sorted(timings.items(), key=lambda kv: (-kv[1], kv[0]))
     for name, sec in by_cost:
