@@ -1,0 +1,80 @@
+"""On-disk dedup-index lifecycle (jobs/dedup_index.py): build from a
+base corpus, verdict successive delta batches against the STORED
+artifacts (base text never re-read), append each batch, and survive a
+crashed append. Complements the batch-operator pytest in
+test_dedup.py with the storage lifecycle."""
+
+import os
+
+import pytest
+
+from big_data_crypto_sentiment_spark.jobs.dedup_index import (
+    append_batch,
+    build_index,
+    index_stats,
+    verdict_batch,
+)
+from tests.test_dedup import BASE, _doc
+
+
+@pytest.fixture()
+def corpus_parts(spark):
+    near = list(BASE)
+    near[5] = "leaps"
+    near[20] = "quiet"
+    fresh = ("completely different content about spark shuffle "
+             "partitions and columnar parquet readers with zero "
+             "overlap in any shingle of the original text at all "
+             "plus more filler words to reach comparable length").split()
+    base = spark.createDataFrame([_doc(1, BASE), _doc(2, fresh)],
+                                 ["doc_id", "text"])
+    batch1 = spark.createDataFrame(
+        [_doc(10, near)], ["doc_id", "text"])          # dup of indexed 1
+    batch2 = spark.createDataFrame(
+        [_doc(20, near),                               # dup via batch1's 10
+         _doc(21, ("totally novel second batch text about watermark "
+                   "semantics and state stores with ample distinct "
+                   "words to cross the shingle threshold easily for "
+                   "sure absolutely definitely").split())],
+        ["doc_id", "text"])
+    return base, batch1, batch2
+
+
+def test_lifecycle_build_verdict_append_across_batches(
+        spark, corpus_parts, tmp_path):
+    base, batch1, batch2 = corpus_parts
+    idx = str(tmp_path / "index")
+    assert build_index(spark, base, idx)["indexed_docs"] == 2
+
+    v1 = {r.doc_id: r for r in
+          append_batch(spark, idx, batch1, threshold=0.5).collect()}
+    assert v1[10].dup_of == 1 and v1[10].is_new == 0
+
+    # batch2's copy resolves against batch1's APPENDED artifacts —
+    # min-partner rule picks the earliest indexed copy (doc 1, not 10)
+    v2 = {r.doc_id: r for r in
+          append_batch(spark, idx, batch2, threshold=0.5).collect()}
+    assert v2[20].is_new == 0 and v2[20].dup_of == 1
+    assert v2[21].is_new == 1
+
+    stats = index_stats(spark, idx)
+    assert stats["generations"] == 3                  # base + 2 batches
+    assert stats["docs"] == 5
+
+
+def test_crashed_append_is_invisible_and_retry_safe(
+        spark, corpus_parts, tmp_path):
+    base, batch1, _ = corpus_parts
+    idx = str(tmp_path / "index")
+    build_index(spark, base, idx)
+    # simulate a crash mid-append: a _tmp_* directory with garbage
+    crash = os.path.join(idx, "bands", "_tmp_gen_000001_deadbeef")
+    os.makedirs(crash)
+    with open(os.path.join(crash, "part-junk.parquet"), "w") as f:
+        f.write("not parquet")
+    # readers never list _tmp_*: verdicts still work, retry appends fine
+    v = {r.doc_id: r for r in
+         verdict_batch(spark, idx, batch1, threshold=0.5).collect()}
+    assert v[10].dup_of == 1
+    append_batch(spark, idx, batch1, threshold=0.5)
+    assert index_stats(spark, idx)["generations"] == 2
