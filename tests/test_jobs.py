@@ -237,3 +237,37 @@ def test_export_training_sharded_shuffle(spark, tmp_path):
     out2 = str(tmp_path / "shards2")
     export_training(spark, SF_DIR, curated, out2, n_shards=4)
     assert shard_contents(out2) == got
+
+
+def test_export_packed_fixed_length_reproducible(spark, tmp_path):
+    """Tensor-ready export: every emitted sequence is exactly seq_len
+    ids inside the vocab, token accounting balances (emitted + counted
+    tail drop == total corpus tokens), and a re-run is value-identical
+    — the byte-reproducibility contract extended through tokenize and
+    pack."""
+    from big_data_crypto_sentiment_spark.jobs.curate import run_curation
+    from big_data_crypto_sentiment_spark.jobs.export_training import (
+        export_packed,
+    )
+    curated = str(tmp_path / "curated")
+    run_curation(spark, SF_DIR, curated)
+    out1 = str(tmp_path / "packed1")
+    stats = export_packed(spark, SF_DIR, curated, out1,
+                          seq_len=64, n_shards=2)
+    assert stats["sequences"] > 0
+    assert stats["tokens"] == (stats["sequences"] * 64
+                               + stats["dropped_tail_tokens"])
+    assert 0 <= stats["dropped_tail_tokens"] < 2 * 64  # < seq_len/shard
+    rows = spark.read.parquet(out1).collect()
+    assert all(len(r.input_ids) == 64 for r in rows)
+    assert all(0 <= t < stats["vocab_size"]
+               for r in rows for t in r.input_ids)
+    assert all(r.n_docs >= 1 for r in rows)
+
+    out2 = str(tmp_path / "packed2")
+    export_packed(spark, SF_DIR, curated, out2, seq_len=64, n_shards=2)
+    a = sorted((r.shard, r.seq, tuple(r.input_ids))
+               for r in spark.read.parquet(out1).collect())
+    b = sorted((r.shard, r.seq, tuple(r.input_ids))
+               for r in spark.read.parquet(out2).collect())
+    assert a == b
