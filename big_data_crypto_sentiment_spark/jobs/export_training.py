@@ -129,10 +129,13 @@ def export_packed(spark: SparkSession, sf_dir: str, curated_dir: str,
     (seqs.repartition(n_shards, "shard")
          .sortWithinPartitions("shard", "seq")
          .write.mode("overwrite").partitionBy("shard").parquet(out_dir))
-    back = spark.read.parquet(out_dir)
-    n_seq = back.count()
-    n_tokens = int(tok.count())
-    return {"docs": int(ids.count()), "tokens": n_tokens,
+    # accounting from DOC-level sizes (one agg) + the written output —
+    # never a second pass over the token-level explode
+    acc = placed.agg(F.count(F.lit(1)).alias("docs"),
+                     F.sum(F.size("ids")).alias("tokens")).first()
+    n_seq = spark.read.parquet(out_dir).count()
+    n_tokens = int(acc["tokens"] or 0)
+    return {"docs": int(acc["docs"]), "tokens": n_tokens,
             "sequences": int(n_seq), "seq_len": seq_len,
             "dropped_tail_tokens": n_tokens - int(n_seq) * seq_len,
             "vocab_size": len(vocab) + 1,
