@@ -109,6 +109,36 @@ def append_batch(spark: SparkSession, index_dir: str, delta: DataFrame,
     return verdicts
 
 
+def compact_index(spark: SparkSession, index_dir: str) -> dict:
+    """Fold all generations of each artifact into one (daily batches
+    accumulate one generation per ingest; listing/scanning thousands
+    of small generations is the classic small-files tax). Crash-safe
+    in the dim_build discipline: the merged generation is written to
+    _tmp and renamed in BEFORE the old generations are renamed aside
+    (readers between the two steps see duplicated rows in `bands` /
+    `shingles`, which every consumer tolerates: the candidate join
+    dedups pairs and verdicts are recomputed per batch — never a
+    missing-data window). Aside dirs (_old_*) are then removed."""
+    import shutil
+
+    out = {}
+    for sub in _SUBS:
+        olds = _gen_dirs(index_dir, sub)
+        if len(olds) <= 1:
+            out[sub] = len(olds)
+            continue
+        merged = spark.read.parquet(*olds)
+        final = _write_generation(merged, index_dir, sub)
+        for d in olds:
+            aside = os.path.join(os.path.dirname(d),
+                                 "_old_" + os.path.basename(d))
+            os.rename(d, aside)
+            shutil.rmtree(aside)
+        out[sub] = 1
+        assert _gen_dirs(index_dir, sub) == [final]
+    return out
+
+
 def index_stats(spark: SparkSession, index_dir: str) -> dict:
     """Bounded audit scalars for the stored index."""
     sh = _read_all(spark, index_dir, "shingles")

@@ -78,3 +78,26 @@ def test_crashed_append_is_invisible_and_retry_safe(
     assert v[10].dup_of == 1
     append_batch(spark, idx, batch1, threshold=0.5)
     assert index_stats(spark, idx)["generations"] == 2
+
+
+def test_compact_folds_generations_and_preserves_verdicts(
+        spark, corpus_parts, tmp_path):
+    from big_data_crypto_sentiment_spark.jobs.dedup_index import (
+        compact_index,
+    )
+    base, batch1, batch2 = corpus_parts
+    idx = str(tmp_path / "index")
+    build_index(spark, base, idx)
+    append_batch(spark, idx, batch1, threshold=0.5)
+    before = index_stats(spark, idx)
+    assert before["generations"] == 2
+    assert compact_index(spark, idx) == {"shingles": 1, "bands": 1}
+    after = index_stats(spark, idx)
+    assert after["generations"] == 1
+    assert (after["docs"], after["band_rows"], after["shingle_rows"]) \
+        == (before["docs"], before["band_rows"], before["shingle_rows"])
+    # verdicts against the compacted index are unchanged
+    v = {r.doc_id: r for r in
+         verdict_batch(spark, idx, batch2, threshold=0.5).collect()}
+    assert v[20].is_new == 0 and v[20].dup_of == 1
+    assert v[21].is_new == 1
