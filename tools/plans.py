@@ -132,6 +132,10 @@ HEADLINE = [
      "r8: TPC-H Q5 shape, ZERO hints — AQE broadcasts all five dims "
      "(fact never shuffles before the final agg), o_orderdate range "
      "in PushedFilters"),
+    ("promo_revenue_share",
+     "r8: TPC-H Q14 shape — part broadcasts under AQE, l_shipdate "
+     "range in PushedFilters, WHEN-without-OTHERWISE keeps the promo "
+     "branch an exact null-skipping decimal sum"),
 ]
 
 _ADDR = re.compile(r"#\d+L?")
