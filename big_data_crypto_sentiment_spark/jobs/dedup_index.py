@@ -150,3 +150,43 @@ def index_stats(spark: SparkSession, index_dir: str) -> dict:
             "docs": int(row["docs"]),
             "band_rows": int(row["band_rows"]),
             "shingle_rows": sh.count()}
+
+
+def main() -> None:
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        description="On-disk MinHash dedup-index lifecycle")
+    ap.add_argument("command",
+                    choices=["build", "verdict", "append", "compact",
+                             "stats"])
+    ap.add_argument("--index-dir", required=True)
+    ap.add_argument("--docs-parquet",
+                    help="documents parquet for build/verdict/append "
+                         "(doc_id, text)")
+    ap.add_argument("--out", help="verdict output parquet (optional)")
+    args = ap.parse_args()
+    from ..session import get_spark
+    spark = get_spark("dedup-index")
+    if args.command in ("build", "verdict", "append"):
+        if not args.docs_parquet:
+            ap.error(f"{args.command} needs --docs-parquet")
+        docs = spark.read.parquet(args.docs_parquet) \
+                    .select("doc_id", "text")
+    if args.command == "build":
+        print(build_index(spark, docs, args.index_dir))
+    elif args.command in ("verdict", "append"):
+        fn = verdict_batch if args.command == "verdict" else append_batch
+        v = fn(spark, args.index_dir, docs)
+        if args.out:
+            v.write.mode("overwrite").parquet(args.out)
+        dup = v.filter(F.col("is_new") == 0).count()
+        print({"batch_docs": v.count(), "duplicates": dup})
+    elif args.command == "compact":
+        print(compact_index(spark, args.index_dir))
+    else:
+        print(index_stats(spark, args.index_dir))
+
+
+if __name__ == "__main__":
+    main()
