@@ -41,3 +41,21 @@ def test_tiny_limit_still_valid_json():
     summary_line = _summary_line()
     d = json.loads(_summary_line()({"a": 1.0}, 1.0, 0.1, limit=10))
     assert d["queries"] == {}          # no room -> head only, parseable
+
+
+def test_bench_compare_loads_all_artifact_shapes(tmp_path):
+    import json as _json
+    sys.path.insert(0, "/root/repo/tools")
+    import bench_compare as bc
+    full = tmp_path / "full.json"
+    full.write_text(_json.dumps(
+        {"queries": {"a": 1.0, "b": 2.0, "tiny": 0.1}}))
+    driver = tmp_path / "driver.json"
+    driver.write_text(_json.dumps(
+        {"parsed": None,
+         "tail": 'garbage "a": 2.1, "b": 2.0, "tiny": 0.4 more'}))
+    old, new = bc.load(str(full)), bc.load(str(driver))
+    regs, imps, n = bc.compare(old, new, 1.5)
+    assert n == 2                      # tiny filtered by MIN_BASE_SEC
+    assert [r[1] for r in regs] == ["a"]      # 1.0 -> 2.1
+    assert not imps
