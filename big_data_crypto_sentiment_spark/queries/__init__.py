@@ -299,6 +299,21 @@ def all_oracle_sql() -> dict[str, str]:
     return out
 
 
+def session_caches() -> list[dict]:
+    """Every module-level session cache dict, discovered by the naming
+    convention: any `queries.*` module attribute matching `_*_CACHE`
+    that is a dict. Convention is the registration — a new cache is
+    picked up automatically, and tests/test_registry_validation.py
+    pins that nothing persisting DataFrames escapes this discovery."""
+    out: list[dict] = []
+    for m in _MODULES:
+        for name in dir(m):
+            if (name.startswith("_") and name.endswith("_CACHE")
+                    and isinstance(getattr(m, name), dict)):
+                out.append(getattr(m, name))
+    return out
+
+
 def clear_session_caches() -> int:
     """Evict every module-level session cache (persisted shared
     DataFrames / driver artifacts keyed by (applicationId, …, sf_dir)).
@@ -307,15 +322,7 @@ def clear_session_caches() -> int:
     sf_dirs in one process (a future single-process tools/check.py
     sweep) calls this between fixtures. Returns the number of entries
     dropped; unpersists any cached DataFrame values."""
-    from . import cleaning as _cl
-    from . import components as _co
-    from . import dedup as _de
-    from . import graph as _gr
-    from . import ml as _ml
-    from . import retrieval as _re
-    caches = [_re._WTS_CACHE, _re._IDF_CACHE, _co._CC_CACHE,
-              _cl._UNIGRAM_CACHE, _ml._GRID_CACHE, _ml._LABELED_CACHE,
-              _de._GRAMS_CACHE, _de._SHINGLE_CACHE, _gr._GRAPH_CACHE]
+    caches = session_caches()
     n = 0
     for c in caches:
         for v in c.values():

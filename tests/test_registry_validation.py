@@ -106,3 +106,26 @@ def test_clear_session_caches_evicts_and_unpersists(spark):
     assert clear_session_caches() >= 1
     assert df.storageLevel == StorageLevel.NONE
     assert _ml._LABELED_CACHE == {}
+
+
+def test_every_module_session_cache_is_discoverable():
+    """Session-cache eviction is convention-driven (`_*_CACHE` dict
+    attributes on queries.* modules). This pins (a) the discovery
+    finds every cache the codebase currently defines, and (b) no
+    module grows a persisted-DataFrame cache under a name the
+    convention misses (any module-level dict whose name mentions
+    CACHE must match the discovery pattern)."""
+    from big_data_crypto_sentiment_spark import queries as Q
+    discovered = {id(c) for c in Q.session_caches()}
+    assert len(discovered) >= 9        # the nine known caches
+    stragglers = []
+    for m in Q._MODULES:
+        for name in dir(m):
+            if "CACHE" in name.upper() and isinstance(
+                    getattr(m, name), dict):
+                if not (name.startswith("_")
+                        and name.endswith("_CACHE")):
+                    stragglers.append(f"{m.__name__}.{name}")
+                else:
+                    assert id(getattr(m, name)) in discovered
+    assert not stragglers, stragglers
