@@ -4,6 +4,8 @@ column names, and values (exact for non-floats, bitwise-or-1e-9-relative
 for floats so we catch anything that would break a strict value hash).
 
 Usage: python tools/check.py [sf_dir] [name_filter ...]
+       python tools/check.py --all [name_filter ...]   # all 3 SFs,
+           one Spark session (session caches evicted between fixtures)
 """
 
 from __future__ import annotations
@@ -96,24 +98,25 @@ def compare(name, sdf: pd.DataFrame, ddf: pd.DataFrame) -> list[str]:
     return issues
 
 
-def main():
+def main(sf_dir: str = SF_DIR, only: set | None = None):
     import __spark_entry__ as E
     from big_data_crypto_sentiment_spark.session import get_spark
 
+    only = ONLY if only is None else only
     spark = get_spark("check", extra_conf={"spark.ui.enabled": "false"})
     con = duckdb.connect()
     for t in TABLES:
-        p = os.path.join(SF_DIR, f"{t}.parquet")
+        p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     qs, oracles = E.queries(), E.oracle_sql()
     n_pass = n_fail = n_weak = 0
     for name, fn in qs.items():
-        if ONLY and not any(o in name for o in ONLY):
+        if only and not any(o in name for o in only):
             continue
         try:
-            sdf = fn(spark, SF_DIR).toPandas()
+            sdf = fn(spark, sf_dir).toPandas()
         except Exception as ex:
             print(f"FAIL {name}: spark raised {type(ex).__name__}: {str(ex)[:500]}")
             n_fail += 1
@@ -135,7 +138,7 @@ def main():
         else:
             print(f"PASS {name} rows={len(sdf)}")
             n_pass += 1
-    print(f"\n{n_pass} pass, {n_fail} fail, {n_weak} weak (rows-only), sf_dir={SF_DIR}")
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_weak} weak (rows-only), sf_dir={sf_dir}")
     # evict the per-(session, sf_dir) shared caches so a caller looping
     # several fixtures through main() in ONE process never reuses a
     # stale fixture's persisted artifacts
@@ -145,4 +148,10 @@ def main():
 
 
 if __name__ == "__main__":
+    if SF_DIR == "--all":
+        rc = 0
+        for _sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+                    "/root/testdata/sf0.1"):
+            rc |= main(_sf, ONLY)
+        sys.exit(rc)
     sys.exit(main())
