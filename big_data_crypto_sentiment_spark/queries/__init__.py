@@ -266,6 +266,8 @@ DEFERRALS: dict[str, dict] = {
                                  extra="3-SF check.py + per-round sf0.001 auto-verify; zero join hints — AQE broadcast choice pinned in PLANS.md"),
     "promo_revenue_share": dict(since=8, family="conditional-agg family via ks_drift_events/key_skew_profile in-window; exact-decimal discipline via pricing_summary's deferred pair",
                                 extra="3-SF check.py + per-round sf0.001 auto-verify; covers the part table (previously unexercised)"),
+    "vocab_novelty_by_source": dict(since=8, family="explode+agg family via vocab_top_terms in-window (same term-agg core); per-source profiling via rotated-in text_features + source_scorecard's deferred pair",
+                                    extra="3-SF check.py + per-round sf0.001 auto-verify"),
 }
 
 _DEFER_FROM_WINDOW = tuple(DEFERRALS)

@@ -303,6 +303,49 @@ def q_text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep = (sum(f.cast("int") for f in flags.values()) == 0).cast("int")
     return d.select("doc_id", n_words.alias("n_words"), *cols,
                     keep.alias("keep"))
+
+
+# --- extension: per-source vocabulary novelty — which sources
+#     INTRODUCE terms vs repeat them (a curation diversity signal: a
+#     source whose docs mostly re-emit already-seen vocabulary adds
+#     little; one that keeps introducing first occurrences can be
+#     worth keeping even at lower quality scores). "First" is global
+#     min(doc_id) (ingest order) — a deterministic integer argmin.
+#     Plan: one explode+agg shuffle for the per-term first-doc, one
+#     doc_id-keyed join to attribute each introduction to its source,
+#     one bounded per-source agg; the ratio is round()ed per the
+#     float convention, raw counts ride alongside. ---
+def q_vocab_novelty_by_source(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    from ._util import rebalance_scan
+    d = rebalance_scan(table(spark, sf_dir, "documents")) \
+        .filter(F.col("text").isNotNull())
+    tok = (d.select("doc_id", "source",
+                    F.explode(F.split(F.col("text"), " ")).alias("term"))
+            .filter(F.col("term") != ""))
+    first = tok.groupBy("term").agg(F.min("doc_id").alias("first_doc"))
+    intro = (first.join(d.select(F.col("doc_id").alias("first_doc"),
+                                 F.col("source").alias("intro_source")),
+                        "first_doc")
+                  .groupBy("intro_source")
+                  .agg(F.count(F.lit(1)).alias("n_introduced")))
+    vol = tok.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_term_occurrences"),
+        F.count_distinct("term").alias("n_distinct_terms"))
+    return (vol.join(intro, vol.source == intro.intro_source, "left")
+               .select("source", "n_term_occurrences",
+                       "n_distinct_terms",
+                       F.coalesce("n_introduced", F.lit(0))
+                        .alias("n_introduced"),
+                       F.round(F.coalesce("n_introduced", F.lit(0))
+                               * 1000.0
+                               / F.col("n_term_occurrences"), 6)
+                        .alias("novelty_per_1k"))
+               .orderBy("source"))  # bounded: one row per source
+
+
+# --- extension: document fingerprinting (normalized-content md5 +
+#     Karp–Rabin polynomial hash) ---
 # Two fingerprints per doc, both zero-shuffle per-row array math:
 #   * md5 of whitespace-normalized lowercase content (the exact-dedup /
 #     shard-routing key), plus its 8-hex shard prefix;
@@ -502,6 +545,7 @@ QUERIES = {
     "text_signals": q_text_signals,
     "text_c4_filter": q_text_c4_filter,
     "text_gopher_rules": q_text_gopher_rules,
+    "vocab_novelty_by_source": q_vocab_novelty_by_source,
     "vocab_top_terms": q_vocab_top_terms,
 }
 
@@ -718,6 +762,32 @@ FROM f
 """,
 }
 
+
+ORACLE["vocab_novelty_by_source"] = """
+WITH tok AS (
+  SELECT doc_id, source, t.term
+  FROM documents, unnest(string_split(text, ' ')) AS t(term)
+  WHERE text IS NOT NULL AND t.term <> ''
+), first AS (
+  SELECT term, MIN(doc_id) AS first_doc FROM tok GROUP BY term
+), intro AS (
+  SELECT d.source AS intro_source, COUNT(*) AS n_introduced
+  FROM first f JOIN documents d ON d.doc_id = f.first_doc
+  GROUP BY d.source
+), vol AS (
+  SELECT source, COUNT(*) AS n_term_occurrences,
+         COUNT(DISTINCT term) AS n_distinct_terms
+  FROM tok GROUP BY source
+)
+SELECT v.source,
+       CAST(v.n_term_occurrences AS BIGINT) AS n_term_occurrences,
+       CAST(v.n_distinct_terms AS BIGINT) AS n_distinct_terms,
+       CAST(COALESCE(i.n_introduced, 0) AS BIGINT) AS n_introduced,
+       ROUND(COALESCE(i.n_introduced, 0) * 1000.0
+             / v.n_term_occurrences, 6) AS novelty_per_1k
+FROM vol v LEFT JOIN intro i ON v.source = i.intro_source
+ORDER BY v.source
+"""
 
 _SQL_STOP_DISTINCT = " + ".join(
     f"CAST(regexp_matches(text, '(?i)\\b{s}\\b') AS INT)"
