@@ -101,3 +101,16 @@ def test_compact_folds_generations_and_preserves_verdicts(
          verdict_batch(spark, idx, batch2, threshold=0.5).collect()}
     assert v[20].is_new == 0 and v[20].dup_of == 1
     assert v[21].is_new == 1
+
+
+def test_empty_delta_batch_is_a_clean_noop(spark, corpus_parts, tmp_path):
+    """A batch with no rows (quiet ingest day) verdicts to an empty
+    frame and appends empty generations without corrupting stats."""
+    base, batch1, _ = corpus_parts
+    idx = str(tmp_path / "index")
+    build_index(spark, base, idx)
+    empty = batch1.filter("doc_id < 0")
+    assert verdict_batch(spark, idx, empty, threshold=0.5).count() == 0
+    append_batch(spark, idx, empty, threshold=0.5)
+    s = index_stats(spark, idx)
+    assert s["docs"] == 2 and s["generations"] == 2
