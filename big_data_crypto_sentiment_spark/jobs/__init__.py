@@ -1,3 +1,11 @@
-"""Composed, runnable jobs mirroring the reference's three entry points
-(SURVEY.md §3): the streaming speed layer, the cron batch job, and the
-model trainer."""
+"""Composed, runnable jobs.
+
+The reference's three entry points (SURVEY.md §3) map to
+`speed_layer` (streaming fan-out), `batch_job` (incremental cron
+batch) and `train` (model trainer → versioned bundle). The
+LLM-pipeline extensions add `curate` (the corpus-curation funnel),
+`export_training` (sharded text export + the tensor-ready packed
+variant), `dim_build` (SCD2 dimension maintenance, batch + streaming)
+and `dedup_index` (on-disk MinHash index lifecycle: build / verdict /
+append / compact). Every job is `python -m`-runnable with a CLI.
+"""
