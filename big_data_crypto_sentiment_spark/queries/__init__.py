@@ -203,11 +203,11 @@ DEFERRALS: dict[str, dict] = {
                                extra="driver-green r2-r6; 3-SF check.py + per-round sf0.001 auto-verify"),
     "ts_sessionize":      dict(since=7, family="session family via rotated-in ts_session_stats (same gap-window core)",
                                extra="driver-green r2-r6; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "dedup_ngram_jaccard": dict(since=7, family="shingle-pair family via dedup_minhash_lsh/dedup_span_stats in-window; dup-rate via rotated-in text_dup_rate",
+    "dedup_ngram_jaccard": dict(since=7, family="shingle-pair family via dedup_minhash_lsh/dedup_span_stats in-window; dup-rate via text_dup_rate's deferred pair",
                                 extra="driver-green r2-r6; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "group_collect_training": dict(since=7, family="reshape family via rotated-in zip_explode_measures/kv_flatten/binned_features",
+    "group_collect_training": dict(since=7, family="reshape family via rotated-in zip_explode_measures/binned_features in-window; kv_flatten's deferred pair shares the map-projection core",
                                    extra="driver-green r2-r6; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "sim_topk_cosine":    dict(since=7, family="embedding family via embed_prototype_prune + new sim_semdedup in-window (same integer-frozen cosine core)",
+    "sim_topk_cosine":    dict(since=7, family="embedding family via sim_semdedup in-window (same integer-frozen cosine/centroid core); embed_prototype_prune's deferred pair",
                                extra="driver-green r2-r6; brute-force baseline also exercised by test_similarity.py recall bounds"),
     "src_tweets_normalize": dict(since=7, family="tweets-JSON source path via rotated-in src_tweets_volume (same reader/parse/fallback chain)",
                                  extra="driver-green r2-r6; 3-SF check.py + per-round sf0.001 auto-verify"),
@@ -217,7 +217,7 @@ DEFERRALS: dict[str, dict] = {
                                extra="driver-green r2-r6; 3-SF check.py + per-round sf0.001 auto-verify"),
     "ml_forecast_metrics": dict(since=7, family="ml family via ml_sentiment/ml_ar1_train in-window (same per-symbol eval math)",
                                 extra="driver-green r2-r6; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "orders_by_nation":   dict(since=7, family="broadcast-dim join family via flagship full-outer/asof_price_at_tweet/interval_join_events in-window; union via rotated-in union_event_slices",
+    "orders_by_nation":   dict(since=7, family="broadcast-dim join family via flagship full-outer/asof_price_at_tweet/interval_join_events in-window",
                                extra="driver-green r2-r6; 3-SF check.py + per-round sf0.001 auto-verify"),
     # r7 mid-round rotation: two long-green members (neither cited as a
     # family rep by any deferral) hand their slots to the NEW graph
@@ -225,7 +225,7 @@ DEFERRALS: dict[str, dict] = {
     # graph_triangles' degree-ordered counting) so its first driver
     # hash check happens this round; the degree histogram is
     # born-deferred (same edge derivation, trivially simpler plan).
-    "table_diff":         dict(since=7, family="diff/upsert family via upsert_latest + ks_drift_events in-window; anti/semi-join shape via retention_after_deletes' deferred pair",
+    "table_diff":         dict(since=7, family="diff/upsert family via upsert_latest in-window; drift via ks_drift_events' deferred pair; anti/semi-join shape via retention_after_deletes' deferred pair",
                                extra="driver-green r4-r6; 3-SF check.py + per-round sf0.001 auto-verify"),
     "log_return":         dict(since=7, family="window-calc family via ta_sma_vwap + rotated-in ts_window_calcs in-window",
                                extra="driver-green r2-r6; 3-SF check.py + per-round sf0.001 auto-verify"),
@@ -257,17 +257,21 @@ DEFERRALS: dict[str, dict] = {
                                extra="driver-green r2-r7; 3-SF check.py + per-round sf0.001 auto-verify"),
     "ts_bucket_counts":   dict(since=8, family="resample family via ts_rollup + rotated-in ts_window_calcs in-window",
                                extra="driver-green r2-r7; 3-SF check.py + per-round sf0.001 auto-verify"),
-    # born-deferred r8 additions: window already full of refreshed pairs
-    "text_gopher_rules":  dict(since=8, family="rule-filter family via rotated-in text_features + text_signals in-window (same integer-crossmul flag plan as the deferred text_c4_filter)",
-                               extra="3-SF check.py + per-round sf0.001 auto-verify"),
-    "dedup_minhash_incremental": dict(since=8, family="minhash family via dedup_minhash_lsh in-window (same shingle/signature/band core, delta-vs-index join form)",
-                                      extra="3-SF check.py + per-round sf0.001 auto-verify; planted base/delta dup pytest (test_dedup.py)"),
-    "revenue_by_nation_q5": dict(since=8, family="dim/fact join family via flagship full-outer/asof/interval in-window; 3-way dim-join + exact-decimal agg via orders_by_nation/pricing_summary's deferred pairs",
-                                 extra="3-SF check.py + per-round sf0.001 auto-verify; zero join hints — AQE broadcast choice pinned in PLANS.md"),
-    "promo_revenue_share": dict(since=8, family="conditional-agg family via ks_drift_events/key_skew_profile in-window; exact-decimal discipline via pricing_summary's deferred pair",
-                                extra="3-SF check.py + per-round sf0.001 auto-verify; covers the part table (previously unexercised)"),
-    "vocab_novelty_by_source": dict(since=8, family="explode+agg family via vocab_top_terms in-window (same term-agg core); per-source profiling via rotated-in text_features + source_scorecard's deferred pair",
-                                    extra="3-SF check.py + per-round sf0.001 auto-verify"),
+# r8 mid-round rotation (the r7 precedent): the round's five NEW
+    # oracle pairs take window slots so their FIRST driver-side hash
+    # check happens this round; five members with fresh r6/r7 driver
+    # evidence hand over their slots (every family keeps an in-window
+    # or freshly-rotated representative).
+    "kv_flatten":         dict(since=8, family="reshape family via zip_explode_measures/binned_features in-window",
+                               extra="driver-green r2-r4 + refreshed r7; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "union_event_slices": dict(since=8, family="plain UNION ALL of two pushed-down slices; scan/pushdown families via key_skew_profile/pricing_summary in-window",
+                               extra="driver-green r2-r4 + refreshed r7; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "text_dup_rate":      dict(since=8, family="dup family via dedup_exact in-window (same normalized-hash agg)",
+                               extra="driver-green r2-r4 + refreshed r7; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "ks_drift_events":    dict(since=8, family="drift family via rotated-in data_profile + winsorize_events in-window (same exact rank/window machinery)",
+                               extra="driver-green r6-r7; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "embed_prototype_prune": dict(since=8, family="embedding family via sim_semdedup in-window (same integer-frozen cosine/centroid core)",
+                                  extra="driver-green r6-r7; 3-SF check.py + per-round sf0.001 auto-verify"),
 }
 
 _DEFER_FROM_WINDOW = tuple(DEFERRALS)
