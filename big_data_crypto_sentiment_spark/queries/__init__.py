@@ -127,69 +127,31 @@ DEFERRALS: dict[str, dict] = {
                                extra="driver-green r2-r5; 3-SF check.py + per-round sf0.001 auto-verify"),
     # born-deferred: behavioral-analytics trio (funnel / cohorts /
     # transitions) — window + agg families all represented in-window
-    "funnel_conversion":  dict(since=6, family="conditional-agg + window families via key_skew_profile/ts_sessionize in-window",
-                               extra="3-SF check.py + per-round sf0.001 auto-verify"),
-    "cohort_retention":   dict(since=6, family="two-level agg family via key_skew_profile in-window",
-                               extra="3-SF check.py + per-round sf0.001 auto-verify"),
-    "event_transitions":  dict(since=6, family="lag-window family via ts_sessionize (same per-key ordered window) in-window",
-                               extra="3-SF check.py + per-round sf0.001 auto-verify"),
-    "rollup_merge_incremental": dict(since=6, family="rollup family via ts_rollup; decimal-exact agg via pricing_summary",
-                                     extra="3-SF check.py + per-round sf0.001 auto-verify; hash equality proves merge == recompute"),
-    "sample_weighted_ak": dict(since=6, family="sampling family via sample_and_split/sample_temperature in-window; bounded top-k via top_users' plan shape",
+    "sample_weighted_ak": dict(since=6, family="sampling family via sample_and_split/sample_temperature in-window; bounded top-k via vocab_top_terms in-window (same TakeOrderedAndProject shape)",
                                extra="3-SF check.py + per-round sf0.001 auto-verify"),
     "ts_seasonal_anomaly": dict(since=6, family="timeseries family via ts_rollup (same exact-decimal hourly baseline) in-window",
                                 extra="3-SF check.py + per-round sf0.001 auto-verify"),
     # born-deferred late-r6 additions: SCD2 history, histogram
     # profiling, gap interpolation, training-shard shuffle
-    "scd2_user_state":    dict(since=6, family="lag/lead-window family via ts_sessionize/event_transitions (same per-user ordered window) in-window",
-                               extra="3-SF check.py + per-round sf0.001 auto-verify"),
     "value_histogram":    dict(since=6, family="profiling family via summary_stats/key_skew_profile; broadcast-stats shape via mad_outlier_events in-window",
                                extra="3-SF check.py + per-round sf0.001 auto-verify"),
     "ts_interpolate":     dict(since=6, family="spine family via ts_resample_ffill (same b/spine plan, adds framed neighbor reads) in-window",
                                extra="3-SF check.py + per-round sf0.001 auto-verify"),
     "shuffle_shards":     dict(since=6, family="hash-partition family via sample_and_split (same portable md5 bucket) in-window",
                                extra="3-SF check.py + per-round sf0.001 auto-verify"),
-    "link_customer_batch": dict(since=6, family="fuzzy-blocking family via dedup_fuzzy_terms in-window (same SymSpell delete-sig join core)",
-                                extra="3-SF check.py + per-round sf0.001 auto-verify"),
-    "zorder_key_lineitem": dict(since=6, family="exact-integer-expression family via text_fingerprint's Karp-Rabin fold; broadcast-stats shape via mad_outlier_events in-window",
-                                extra="3-SF check.py + per-round sf0.001 auto-verify; skipping payoff pinned in test_zorder.py"),
-    "scd2_point_in_time": dict(since=6, family="as-of family via asof_price_at_tweet in-window (same tag-union window core); SCD2 build via scd2_user_state's deferred pair",
-                               extra="3-SF check.py + per-round sf0.001 auto-verify"),
     "value_quantile_bins": dict(since=6, family="rank-window family via winsorize_events in-window (same per-type ordered window)",
                                 extra="3-SF check.py + per-round sf0.001 auto-verify"),
-    "scd2_merge_incremental": dict(since=6, family="incremental-merge family via rollup_merge_incremental's precedent; SCD2 core via scd2_user_state's deferred pair",
-                                   extra="3-SF check.py + per-round sf0.001 auto-verify; hash equality proves merge == recompute"),
     "ts_trailing_distinct": dict(since=6, family="distinct-agg family via retention_after_deletes' count_distinct; hour-bucket family via ts_rollup in-window",
                                  extra="3-SF check.py + per-round sf0.001 auto-verify"),
     "top_docs_per_source": dict(since=6, family="rank-window family via winsorize_events; bounded top-k via vocab_top_terms in-window",
                                 extra="3-SF check.py + per-round sf0.001 auto-verify"),
-    "dq_suite":           dict(since=6, family="conditional-agg family via data_profile/summary_stats; anti-join family via retention_after_deletes in-window",
-                               extra="3-SF check.py + per-round sf0.001 auto-verify"),
-    "rollup_backfill_late": dict(since=6, family="incremental-maintenance family via rollup_merge_incremental's deferred pair; anti/semi-join shapes via retention_after_deletes in-window",
-                                 extra="3-SF check.py + per-round sf0.001 auto-verify; hash equality proves backfill == recompute incl. count_distinct"),
     "sft_mask_spans":     dict(since=6, family="cumulative-window family via ts_sessionize/event_transitions (same per-key ordered window); packing family via pack_sequences in-window",
-                               extra="3-SF check.py + per-round sf0.001 auto-verify"),
-    "funnel_steps":       dict(since=6, family="funnel family via funnel_conversion's deferred pair; chained-window shape via key_skew_profile in-window",
                                extra="3-SF check.py + per-round sf0.001 auto-verify"),
     "embed_mean_pool":    dict(since=6, family="embedding family via sim_topk_cosine/embed_quantize in-window; integer-frozen accumulation via unigram_logprob's discipline",
                                extra="3-SF check.py + per-round sf0.001 auto-verify"),
-    "scd2_snapshot_at":   dict(since=6, family="temporal family via scd2_user_state/scd2_point_in_time's deferred pairs (pure interval filter over the same build)",
-                               extra="3-SF check.py + per-round sf0.001 auto-verify"),
-    "scd2_state_durations": dict(since=6, family="temporal family via scd2_user_state's deferred pair; exact-integer agg via rollup_merge_incremental's discipline",
-                                 extra="3-SF check.py + per-round sf0.001 auto-verify"),
-    "ts_cube":            dict(since=6, family="grouping-sets family via ts_rollup in-window (same expand + one hash agg)",
-                               extra="3-SF check.py + per-round sf0.001 auto-verify"),
     "moment_profile":     dict(since=6, family="profiling family via summary_stats in-window; exact-decimal discipline via pricing_summary",
                                extra="3-SF check.py + per-round sf0.001 auto-verify"),
-    "event_debounce":     dict(since=6, family="lag-window family via ts_sessionize/event_transitions (same per-key ordered window) in-window",
-                               extra="3-SF check.py + per-round sf0.001 auto-verify"),
-    "type_share_daily":   dict(since=6, family="window-over-aggregate family via key_skew_profile in-window",
-                               extra="3-SF check.py + per-round sf0.001 auto-verify"),
-    "cohort_retention_pct": dict(since=6, family="cohort family via cohort_retention's deferred pair (pure normalization on top)",
-                                 extra="3-SF check.py + per-round sf0.001 auto-verify"),
     "ta_twap":            dict(since=6, family="TA family via ta_sma_vwap in-window (same per-symbol window + agg shape); exact decimal x integer weighting",
-                               extra="3-SF check.py + per-round sf0.001 auto-verify"),
-    "type_cooccurrence":  dict(since=6, family="bounded self-join family via dedup_source_matrix's in-group pair expansion; basket reduction via dedup_exact's hash agg in-window",
                                extra="3-SF check.py + per-round sf0.001 auto-verify"),
     # r7 window rotation (VERDICT r6 #4): ten of the OLDEST deferrals
     # (stale "driver-green r2-r5" evidence) rotate back into the
@@ -205,7 +167,7 @@ DEFERRALS: dict[str, dict] = {
                                extra="driver-green r2-r6; 3-SF check.py + per-round sf0.001 auto-verify"),
     "dedup_ngram_jaccard": dict(since=7, family="shingle-pair family via dedup_minhash_lsh/dedup_span_stats in-window; dup-rate via text_dup_rate's deferred pair",
                                 extra="driver-green r2-r6; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "group_collect_training": dict(since=7, family="reshape family via rotated-in zip_explode_measures/binned_features in-window; kv_flatten's deferred pair shares the map-projection core",
+    "group_collect_training": dict(since=7, family="reshape family via rotated-in zip_explode_measures in-window; kv_flatten's deferred pair shares the map-projection core",
                                    extra="driver-green r2-r6; 3-SF check.py + per-round sf0.001 auto-verify"),
     "sim_topk_cosine":    dict(since=7, family="embedding family via sim_semdedup in-window (same integer-frozen cosine/centroid core); embed_prototype_prune's deferred pair",
                                extra="driver-green r2-r6; brute-force baseline also exercised by test_similarity.py recall bounds"),
@@ -217,7 +179,7 @@ DEFERRALS: dict[str, dict] = {
                                extra="driver-green r2-r6; 3-SF check.py + per-round sf0.001 auto-verify"),
     "ml_forecast_metrics": dict(since=7, family="ml family via ml_sentiment/ml_ar1_train in-window (same per-symbol eval math)",
                                 extra="driver-green r2-r6; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "orders_by_nation":   dict(since=7, family="broadcast-dim join family via flagship full-outer/asof_price_at_tweet/interval_join_events in-window",
+    "orders_by_nation":   dict(since=7, family="broadcast-dim join family via flagship full-outer/asof_price_at_tweet in-window",
                                extra="driver-green r2-r6; 3-SF check.py + per-round sf0.001 auto-verify"),
     # r7 mid-round rotation: two long-green members (neither cited as a
     # family rep by any deferral) hand their slots to the NEW graph
@@ -225,7 +187,7 @@ DEFERRALS: dict[str, dict] = {
     # graph_triangles' degree-ordered counting) so its first driver
     # hash check happens this round; the degree histogram is
     # born-deferred (same edge derivation, trivially simpler plan).
-    "table_diff":         dict(since=7, family="diff/upsert family via upsert_latest in-window; drift via ks_drift_events' deferred pair; anti/semi-join shape via retention_after_deletes' deferred pair",
+    "table_diff":         dict(since=7, family="diff/upsert family via rotated-in scd2_merge_incremental in-window (same keyed latest-wins merge); drift via ks_drift_events' deferred pair; anti/semi-join shape via retention_after_deletes' deferred pair",
                                extra="driver-green r4-r6; 3-SF check.py + per-round sf0.001 auto-verify"),
     "log_return":         dict(since=7, family="window-calc family via ta_sma_vwap + rotated-in ts_window_calcs in-window",
                                extra="driver-green r2-r6; 3-SF check.py + per-round sf0.001 auto-verify"),
@@ -262,7 +224,7 @@ DEFERRALS: dict[str, dict] = {
     # check happens this round; five members with fresh r6/r7 driver
     # evidence hand over their slots (every family keeps an in-window
     # or freshly-rotated representative).
-    "kv_flatten":         dict(since=8, family="reshape family via zip_explode_measures/binned_features in-window",
+    "kv_flatten":         dict(since=8, family="reshape family via zip_explode_measures in-window",
                                extra="driver-green r2-r4 + refreshed r7; 3-SF check.py + per-round sf0.001 auto-verify"),
     "union_event_slices": dict(since=8, family="plain UNION ALL of two pushed-down slices; scan/pushdown families via key_skew_profile/pricing_summary in-window",
                                extra="driver-green r2-r4 + refreshed r7; 3-SF check.py + per-round sf0.001 auto-verify"),
@@ -272,6 +234,52 @@ DEFERRALS: dict[str, dict] = {
                                extra="driver-green r6-r7; 3-SF check.py + per-round sf0.001 auto-verify"),
     "embed_prototype_prune": dict(since=8, family="embedding family via sim_semdedup in-window (same integer-frozen cosine/centroid core)",
                                   extra="driver-green r6-r7; 3-SF check.py + per-round sf0.001 auto-verify"),
+    # r9 window rotation (VERDICT r8 #1): the nineteen never-driver-checked
+    # pairs — the whole behavior family (funnels / cohorts / transitions /
+    # debounce / shares / co-occurrence), the SCD2 five, both incremental
+    # rollups, dq_suite, link_customer_batch, zorder_key_lineitem and
+    # ts_cube — rotate INTO the driver window for their first driver-side
+    # hash check; these nineteen members, every one driver-green in the r8
+    # window, hand over their slots (each family keeps an in-window or
+    # freshly-rotated representative).
+    "flagship_speed_layer": dict(since=9, family="flagship family via flagship_windowed_join in-window (identical windowed-join plan, speed-layer config)",
+                                 extra="driver-green r2-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "revenue_by_nation_q5": dict(since=9, family="TPC-H star-join family via pricing_summary in-window; 5-dim AQE broadcast plan pinned in PLANS.md",
+                                 extra="driver-green r2-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "promo_revenue_share": dict(since=9, family="TPC-H family via pricing_summary in-window (same decimal-exact aggregate discipline)",
+                                extra="driver-green r2-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "left_join_fillna":   dict(since=9, family="outer-join+coalesce family via flagship_windowed_join's full-outer in-window",
+                               extra="driver-green r2-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "top_users":          dict(since=9, family="top-k family via vocab_top_terms in-window (same TakeOrderedAndProject plan)",
+                               extra="driver-green r2-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "json_props":         dict(since=9, family="map-parse/typed-projection family via src_tweets_volume's from_json path in-window",
+                               extra="driver-green r2-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "ts_trailing_hour":   dict(since=9, family="range-frame window family via ts_window_calcs/ts_lag_sweep_corr in-window",
+                               extra="driver-green r2-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "text_top_duplicated": dict(since=9, family="dup family via dedup_exact in-window (same normalized-hash agg)",
+                                extra="driver-green r6-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "text_gopher_rules":  dict(since=9, family="rule-filter family via text_signals in-window (same single-scan flag plan)",
+                               extra="driver-green r8; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "vocab_novelty_by_source": dict(since=9, family="vocab family via vocab_top_terms in-window (same token-histogram core)",
+                                    extra="driver-green r8; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "dedup_minhash_incremental": dict(since=9, family="MinHash family via dedup_minhash_lsh in-window (same signature/band core); on-disk lifecycle via test_dedup_index.py",
+                                      extra="driver-green r8; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "dedup_fuzzy_terms":  dict(since=9, family="SymSpell delete-sig blocking via rotated-in link_customer_batch in-window (same join core)",
+                               extra="driver-green r2-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "media_features":     dict(since=9, family="binary/mapInPandas codec family — real-codec parity pinned in test_sinks_multimodal.py",
+                               extra="driver-green r6-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "interval_join_events": dict(since=9, family="interval/as-of family via asof_price_at_tweet in-window (same range-condition join)",
+                                 extra="driver-green r4-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "graph_pagerank":     dict(since=9, family="graph family: integer-exact power iteration vs recursive-CTE twin, re-verified per round; convergence pinned in test_components.py",
+                               extra="driver-green r8 (first check); 3-SF check.py + per-round sf0.001 auto-verify"),
+    "graph_triangles":    dict(since=9, family="graph family via graph_pagerank's deferred pair (same edge derivation); degree-ordered wedge join",
+                               extra="driver-green r8 (first check); 3-SF check.py + per-round sf0.001 auto-verify"),
+    "graph_degree_profile": dict(since=9, family="graph family via graph_pagerank's deferred pair (trivially simpler plan over the same edges)",
+                                 extra="driver-green r8 (first check); 3-SF check.py + per-round sf0.001 auto-verify"),
+    "upsert_latest":      dict(since=9, family="upsert family via rotated-in scd2_merge_incremental in-window (same keyed latest-wins merge)",
+                               extra="driver-green r2-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "binned_features":    dict(since=9, family="reshape family via zip_explode_measures in-window; bucketed-last via ts_rollup in-window",
+                               extra="driver-green r6-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
 }
 
 _DEFER_FROM_WINDOW = tuple(DEFERRALS)
