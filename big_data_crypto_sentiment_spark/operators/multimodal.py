@@ -4,12 +4,15 @@ reference twin).
 Image/audio/video ride as opaque `binary` columns with typed metadata
 (schemas.MEDIA_SCHEMA). The Spark-side machinery — schema, partitioning,
 Arrow batch shapes, mapInPandas signatures — is real and tested.
-`decode_media` is a REAL pure-Python container-header codec for the
-formats whose metadata sits at fixed offsets (PNG / GIF / BMP / WAV —
-published file-format specs, no libraries needed); formats that require
-an entropy decoder to get metadata (JPEG SOF scan, MP4 box walk, …)
-raise NotImplementedError and fall back to the clearly-marked
-deterministic fake, so pipelines still exercise end to end.
+`decode_media` is a REAL pure-Python container codec (published
+file-format specs, no libraries needed): fixed-offset headers for
+PNG / GIF / BMP / WAV, a JPEG marker walk to the SOF frame header for
+dimensions, and an ISO-BMFF box walk (moov/mvhd/tkhd) for MP4 duration
+and track dimensions. Only payloads whose magic matches none of these
+containers raise NotImplementedError and fall back to the
+clearly-marked deterministic fake, so pipelines still exercise end to
+end; full-frame pixel/sample decode (which would need an entropy
+decoder) is out of scope throughout.
 
 Scale notes: mapInPandas streams Arrow batches — payload bytes never
 materialize as a full-partition list; batch size is bounded by
@@ -174,10 +177,16 @@ def _decode_mp4(payload: bytes) -> dict:
                 v = payload[body]
                 end = body + (96 if v == 1 else 84)
                 if end <= hi:
-                    width = int.from_bytes(payload[end - 8:end - 4],
-                                           "big") >> 16
-                    height = int.from_bytes(payload[end - 4:end],
-                                            "big") >> 16
+                    w = int.from_bytes(payload[end - 8:end - 4],
+                                       "big") >> 16
+                    h = int.from_bytes(payload[end - 4:end],
+                                       "big") >> 16
+                    # first track with real dimensions wins: an audio
+                    # track's tkhd carries 0x0 and must not clobber
+                    # the video track's values
+                    if width is None or (not (width and height)
+                                         and w and h):
+                        width, height = w, h
             pos += size
 
     walk(0, len(payload))

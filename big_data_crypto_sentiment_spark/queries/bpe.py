@@ -322,11 +322,17 @@ def _encode_udf(ranks: dict[tuple[str, str], int], pre_bc=None):
     occurrence — known words come from the broadcast word→tokens table
     (`pre_bc`, built driver-side from the capped dict); long-tail words
     beyond the cap are encoded once per task via a closure memo that
-    persists across Arrow batches. Output is byte-identical to the
-    per-occurrence form (encode_word is deterministic)."""
+    persists across Arrow batches. The memo is size-bounded: the
+    executor Python worker outlives tasks, so an unbounded dict would
+    grow with corpus-lifetime distinct words (a real leak at the
+    100 TB target); cap-exceeding words are by construction rare, so
+    dropping the memo and re-encoding them is cheap. Output is
+    byte-identical to the per-occurrence form (encode_word is
+    deterministic)."""
     from pyspark.sql.functions import pandas_udf
 
     memo: dict[str, list[str]] = {}
+    memo_cap = 200_000
 
     def apply(col):
         pre = pre_bc.value if pre_bc is not None else {}
@@ -340,6 +346,8 @@ def _encode_udf(ranks: dict[tuple[str, str], int], pre_bc=None):
                         toks = memo.get(w)
                         if toks is None:
                             toks = encode_word(w, ranks)
+                            if len(memo) >= memo_cap:
+                                memo.clear()
                             memo[w] = toks
                     out.extend(toks)
             return out

@@ -17,6 +17,18 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
 
 
+def _default_driver_mem() -> str:
+    """~60% of physical RAM, floored at 2g and capped at 32g (the
+    measured sweet spot for the long-session bench). Falls back to 8g
+    when physical memory can't be detected."""
+    try:
+        total = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+    except (ValueError, OSError, AttributeError):
+        return "8g"
+    gb = max(2, min(32, int(total * 0.6 / (1 << 30))))
+    return f"{gb}g"
+
+
 def get_spark(app_name: str = "big-data-crypto-sentiment-spark",
               master: str | None = None,
               extra_conf: dict[str, str] | None = None) -> SparkSession:
@@ -48,10 +60,15 @@ def get_spark(app_name: str = "big-data-crypto-sentiment-spark",
         # (the 150-query bench) accumulates caches/broadcasts/codegen
         # classes, and an 8g heap turns the tail of the run GC-bound
         # (measured: the LAST bench entry inflated 7x at 8g, back to
-        # its solo time at 32g). Max heap, not a reservation — safe on
-        # any box this runs on; on a real cluster executors get their
-        # own spark.executor.memory and this only sizes the driver.
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
+        # its solo time at 32g). -Xmx is lazily committed, but a heap
+        # bigger than the box invites the OS OOM-killer instead of
+        # graceful GC pressure, so the default clamps to ~60% of
+        # detected physical RAM (floor 2g, cap 32g); override with
+        # SPARK_GRAFT_DRIVER_MEM. On a real cluster executors get
+        # their own spark.executor.memory; this only sizes the driver.
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM",
+                               _default_driver_mem()))
     )
     if master:
         builder = builder.master(master)

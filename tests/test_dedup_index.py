@@ -67,10 +67,14 @@ def test_crashed_append_is_invisible_and_retry_safe(
     base, batch1, _ = corpus_parts
     idx = str(tmp_path / "index")
     build_index(spark, base, idx)
-    # simulate a crash mid-append: a _tmp_* directory with garbage
-    crash = os.path.join(idx, "bands", "_tmp_gen_000001_deadbeef")
-    os.makedirs(crash)
-    with open(os.path.join(crash, "part-junk.parquet"), "w") as f:
+    # simulate a crash mid-append: an uncommitted _tmp_* generation
+    # root — even one already holding a complete shingles half (the
+    # exact state that, pre-atomic-commit, could leave shingles
+    # visible with no matching bands)
+    crash = os.path.join(idx, "_tmp_gen_000001_deadbeef")
+    os.makedirs(os.path.join(crash, "shingles"))
+    with open(os.path.join(crash, "shingles", "part-junk.parquet"),
+              "w") as f:
         f.write("not parquet")
     # readers never list _tmp_*: verdicts still work, retry appends fine
     v = {r.doc_id: r for r in
@@ -78,6 +82,23 @@ def test_crashed_append_is_invisible_and_retry_safe(
     assert v[10].dup_of == 1
     append_batch(spark, idx, batch1, threshold=0.5)
     assert index_stats(spark, idx)["generations"] == 2
+
+
+def test_batch_id_keyed_append_retry_is_exactly_once(
+        spark, corpus_parts, tmp_path):
+    """An at-least-once replay of the same batch (same batch_id, the
+    streaming consumer's epoch id) still returns verdicts but skips
+    the duplicate append — index contents stay exactly-once."""
+    base, batch1, _ = corpus_parts
+    idx = str(tmp_path / "index")
+    build_index(spark, base, idx)
+    append_batch(spark, idx, batch1, threshold=0.5, batch_id=7)
+    s1 = index_stats(spark, idx)
+    v = {r.doc_id: r for r in
+         append_batch(spark, idx, batch1, threshold=0.5,
+                      batch_id=7).collect()}
+    assert v[10].dup_of == 1                      # replay still verdicts
+    assert index_stats(spark, idx) == s1          # but appends nothing
 
 
 def test_compact_folds_generations_and_preserves_verdicts(
@@ -101,6 +122,39 @@ def test_compact_folds_generations_and_preserves_verdicts(
          verdict_batch(spark, idx, batch2, threshold=0.5).collect()}
     assert v[20].is_new == 0 and v[20].dup_of == 1
     assert v[21].is_new == 1
+
+
+def test_compact_retry_after_partial_removal_heals_duplication(
+        spark, corpus_parts, tmp_path):
+    """Crash mid-removal leaves the merged generation plus surviving
+    olds; a retried compact folds them on the natural keys, so row
+    counts return to the clean single-copy state instead of baking
+    the duplication in."""
+    import shutil as _sh
+
+    from big_data_crypto_sentiment_spark.jobs.dedup_index import (
+        _gen_dirs,
+        compact_index,
+    )
+    base, batch1, _ = corpus_parts
+    idx = str(tmp_path / "index")
+    build_index(spark, base, idx)
+    append_batch(spark, idx, batch1, threshold=0.5)
+    clean = index_stats(spark, idx)
+    # simulate the crash window: keep a pre-compact copy of gen 0,
+    # compact, then restore the old generation beside the merged one
+    g0 = _gen_dirs(idx)[0]
+    saved = str(tmp_path / "saved_gen")
+    _sh.copytree(g0, saved)
+    compact_index(spark, idx)
+    _sh.copytree(saved, os.path.join(idx, "gen_000000_restored"))
+    dup = index_stats(spark, idx)
+    assert dup["shingle_rows"] > clean["shingle_rows"]  # duplicated state
+    compact_index(spark, idx)                            # the retry
+    healed = index_stats(spark, idx)
+    assert healed["generations"] == 1
+    assert (healed["docs"], healed["band_rows"], healed["shingle_rows"]) \
+        == (clean["docs"], clean["band_rows"], clean["shingle_rows"])
 
 
 def test_empty_delta_batch_is_a_clean_noop(spark, corpus_parts, tmp_path):

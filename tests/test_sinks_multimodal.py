@@ -194,6 +194,37 @@ def test_decode_media_jpeg_sof_walk_and_mp4_box_walk():
         decode_media(_mp4(1000, 1, 1, 1)[:16], "video")
 
 
+def test_mp4_audio_track_does_not_clobber_video_dimensions():
+    """Multi-track file with the audio track's 0x0 tkhd AFTER the
+    video track: the first nonzero dimensions win."""
+    import struct
+
+    from big_data_crypto_sentiment_spark.operators.multimodal import (
+        decode_media,
+    )
+
+    def box(btype, body):
+        return struct.pack(">I", 8 + len(body)) + btype + body
+
+    mvhd = box(b"mvhd", b"\x00\x00\x00\x00" + b"\x00" * 8
+               + struct.pack(">II", 1000, 5000) + b"\x00" * 80)
+
+    def tkhd(w, h):
+        return box(b"tkhd", b"\x00\x00\x00\x07" + b"\x00" * 72
+                   + struct.pack(">II", w << 16, h << 16))
+
+    moov = box(b"moov", mvhd + box(b"trak", tkhd(640, 480))
+               + box(b"trak", tkhd(0, 0)))
+    ftyp = box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    m = decode_media(ftyp + moov, "video")
+    assert (m["width"], m["height"]) == (640, 480)
+    # audio-first ordering also resolves to the video track
+    moov2 = box(b"moov", mvhd + box(b"trak", tkhd(0, 0))
+                + box(b"trak", tkhd(640, 480)))
+    m2 = decode_media(ftyp + moov2, "video")
+    assert (m2["width"], m2["height"]) == (640, 480)
+
+
 def test_frame_sampling_offsets(media_df):
     rows = sample_frames(media_df, n_frames=4).collect()
     assert len(rows) == 1
