@@ -199,7 +199,7 @@ DEFERRALS: dict[str, dict] = {
     # family keeps an in-window or freshly-rotated representative).
     "filter_time_range":  dict(since=8, family="pushdown-scan family via key_skew_profile/pricing_summary in-window; PushedFilters pinned by tests/test_plan_guards.py",
                                extra="driver-green r2-r7; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "ctfidf_source_terms": dict(since=8, family="text family via text_signals/vocab_top_terms + rotated-in text_features in-window",
+    "ctfidf_source_terms": dict(since=8, family="text family via text_signals/vocab_top_terms in-window",
                                 extra="driver-green r6-r7; 3-SF check.py + per-round sf0.001 auto-verify"),
     "js_divergence_sources": dict(since=8, family="text-distribution family via text_signals in-window (same token-histogram core)",
                                   extra="driver-green r6-r7; 3-SF check.py + per-round sf0.001 auto-verify"),
@@ -280,6 +280,10 @@ DEFERRALS: dict[str, dict] = {
                                extra="driver-green r2-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
     "binned_features":    dict(since=9, family="reshape family via zip_explode_measures in-window; bucketed-last via ts_rollup in-window",
                                extra="driver-green r6-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
+    # r9: the NEW partition-pruning pair (warehouse_prune_day) takes a
+    # window slot for its first driver-side hash check
+    "text_features":      dict(since=9, family="text family via text_signals in-window (same single-scan string features)",
+                               extra="driver-green r2-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
 }
 
 _DEFER_FROM_WINDOW = tuple(DEFERRALS)

@@ -1,18 +1,91 @@
-"""Data-layout queries: the Z-order (Morton) clustering key, oracle-
-checked as exact integer math. The layout WRITER built on this key
-(`operators/zorder.py:write_zordered`) is a sink — its data-skipping
-payoff is pinned by tests/test_zorder.py (parquet footer-stats pruning
-vs a hash layout); this query hash-checks the key construction itself
-(quantization + bit interleave) against DuckDB at all SFs.
+"""Data-layout queries: at-rest layouts whose payoff is reading LESS.
+
+* Z-order (Morton) clustering key, oracle-checked as exact integer
+  math. The layout WRITER built on this key
+  (`operators/zorder.py:write_zordered`) is a sink — its data-skipping
+  payoff is pinned by tests/test_zorder.py (parquet footer-stats
+  pruning vs a hash layout); the query hash-checks the key
+  construction itself (quantization + bit interleave) against DuckDB
+  at all SFs.
+* Date-partitioned warehouse scan (the reference's BigQuery
+  day-partitioning + clustering, terraform/storage.tf:81-88,117-122):
+  events written `partitionBy(date)` via sinks.write_warehouse, read
+  back with a day filter that Catalyst turns into PartitionFilters —
+  directory-level pruning, so files outside the day are never LISTED
+  into the scan, let alone read. At 100 TB this is the difference
+  between scanning a day and scanning the archive; the oracle twin
+  proves the partitioned roundtrip is lossless, and
+  tests/test_partition_prune.py pins the plan + pruned file set.
 """
 
 from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.zorder import ZORDER_BITS, quantize, sql_zorder_key, zorder_key
-from ._util import table
+from ._util import sql_dsum, table
+
+
+# --- date-partitioned warehouse: build-once artifact per fixture ---
+
+PRUNE_DAY = "2024-01-15"
+
+# path cache only (no persisted DataFrames): sf fingerprint → on-disk
+# warehouse dir. The artifact itself lives on disk and is reused
+# across sessions; the dict just skips the stat/listdir re-check.
+_WH_CACHE: dict[tuple, str] = {}
+
+
+def events_warehouse(spark: SparkSession, sf_dir: str) -> str:
+    """Date-partitioned copy of events (date=YYYY-MM-DD/ dirs), built
+    once per events fixture — keyed by (name, size, mtime) so a
+    regenerated fixture rebuilds — and committed by atomic rename, so
+    a crashed build leaves only an invisible tmp dir and a concurrent
+    builder loses the rename race harmlessly."""
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    key = (os.path.basename(os.path.normpath(sf_dir)),
+           st.st_size, int(st.st_mtime))
+    root = os.environ.get(
+        "SPARK_GRAFT_WAREHOUSE_DIR",
+        os.path.join(tempfile.gettempdir(), "spark_graft_warehouse"))
+    dest = os.path.join(root, f"events_{key[0]}_{key[1]}_{key[2]}")
+    if _WH_CACHE.get(key) == dest and os.path.isdir(dest):
+        return dest
+    if not os.path.isdir(dest):
+        from ..sinks import write_warehouse
+        os.makedirs(root, exist_ok=True)
+        tmp = os.path.join(root, f"_tmp_{uuid.uuid4().hex[:8]}")
+        write_warehouse(table(spark, sf_dir, "events"), tmp,
+                        date_col="ts")
+        try:
+            os.rename(tmp, dest)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+    _WH_CACHE[key] = dest
+    return dest
+
+
+def q_warehouse_prune_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One day's per-type rollup off the PARTITIONED layout: the
+    date literal lands in the scan's PartitionFilters (directory
+    pruning), so only date=PRUNE_DAY files are listed/read. The
+    oracle computes the same rollup from the unpartitioned source —
+    hash equality proves the partitioned roundtrip lost nothing."""
+    wh = events_warehouse(spark, sf_dir)
+    df = (spark.read.parquet(wh)
+          .filter(F.col("date") == F.to_date(F.lit(PRUNE_DAY))))
+    return (df.groupBy("event_type")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.count_distinct("user_id").alias("users"),
+                   F.sum(F.col("value").cast("decimal(27,6)"))
+                    .cast("double").alias("value_sum")))
 
 
 def q_zorder_key_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -41,6 +114,7 @@ def q_zorder_key_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "zorder_key_lineitem": q_zorder_key_lineitem,
+    "warehouse_prune_day": q_warehouse_prune_day,
 }
 
 _N = 1 << ZORDER_BITS
@@ -70,5 +144,14 @@ WITH li AS (
 SELECT l_orderkey, l_linenumber, qx, qy,
        {sql_zorder_key("qx", "qy")} AS zkey
 FROM q
+""",
+    "warehouse_prune_day": f"""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users,
+       {sql_dsum('value')} AS value_sum
+FROM events
+WHERE CAST(ts AS DATE) = DATE '{PRUNE_DAY}'
+GROUP BY event_type
 """,
 }

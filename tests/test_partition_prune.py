@@ -1,0 +1,87 @@
+"""End-to-end partition pruning (SURVEY §4; reference: BigQuery DAY
+time-partitioning + clustering, terraform/storage.tf:81-88,117-122).
+
+The date-partitioned warehouse layout must turn a day filter into
+PartitionFilters on the scan — directory pruning, not row filtering —
+so files outside the day never enter the scan's file list. This is the
+claim PLANS.md pins textually; here it's asserted against the live
+plan and the actual file set."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_crypto_sentiment_spark.queries.layout import (
+    PRUNE_DAY,
+    _WH_CACHE,
+    events_warehouse,
+    q_warehouse_prune_day,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def wh_dir(spark, tmp_path, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_WAREHOUSE_DIR", str(tmp_path))
+    _WH_CACHE.clear()
+    yield events_warehouse(spark, SF)
+    _WH_CACHE.clear()
+
+
+def test_scan_has_partition_filters_and_prunes_file_list(spark, wh_dir):
+    df = q_warehouse_prune_day(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the date literal must reach PartitionFilters (directory pruning),
+    # and ONLY PartitionFilters — with DataFilters/PushedFilters empty
+    # there is no post-scan filter, so any file the scan read
+    # contributes rows to the output
+    scan = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    assert scan, plan
+    line = scan[0]
+    assert "PartitionFilters: [" in line and f"= {PRUNE_DAY}" in line
+    assert "DataFilters: []" in line and "PushedFilters: []" in line
+    # therefore the executed file set IS the post-pruning file set:
+    # only date=PRUNE_DAY files may appear
+    touched = [
+        r.f for r in
+        (spark.read.parquet(wh_dir)
+         .filter(F.col("date") == F.to_date(F.lit(PRUNE_DAY)))
+         .select(F.input_file_name().alias("f")).distinct().collect())]
+    assert touched and all(f"date={PRUNE_DAY}" in f for f in touched)
+    # control: the unfiltered scan really spans all 30 day dirs
+    alldays = (spark.read.parquet(wh_dir)
+               .select(F.input_file_name().alias("f")).distinct().count())
+    assert alldays >= 30 and len(touched) < alldays
+    # while the warehouse holds all 30 days on disk
+    days = [d for d in os.listdir(wh_dir) if d.startswith("date=")]
+    assert len(days) == 30
+
+
+def test_partitioned_rollup_matches_unpartitioned_source(spark, wh_dir):
+    from big_data_crypto_sentiment_spark.catalog import load
+
+    got = {r.event_type: r for r in
+           q_warehouse_prune_day(spark, SF).collect()}
+    want = {r.event_type: r for r in (
+        load(spark, "events", SF)
+        .filter(F.to_date("ts") == F.to_date(F.lit(PRUNE_DAY)))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.count_distinct("user_id").alias("users"))
+    ).collect()}
+    assert set(got) == set(want) and got
+    for k in got:
+        assert (got[k].n, got[k].users) == (want[k].n, want[k].users)
+
+
+def test_build_is_cached_and_crash_tmp_is_invisible(spark, wh_dir,
+                                                    tmp_path):
+    # second call returns the same committed dir without rebuilding
+    assert events_warehouse(spark, SF) == wh_dir
+    # a crashed build's tmp dir is never mistaken for the warehouse
+    crash = os.path.join(os.path.dirname(wh_dir), "_tmp_deadbeef")
+    os.makedirs(crash)
+    _WH_CACHE.clear()
+    assert events_warehouse(spark, SF) == wh_dir

@@ -136,6 +136,10 @@ HEADLINE = [
      "r8: TPC-H Q14 shape — part broadcasts under AQE, l_shipdate "
      "range in PushedFilters, WHEN-without-OTHERWISE keeps the promo "
      "branch an exact null-skipping decimal sum"),
+    ("warehouse_prune_day",
+     "r9: day-partitioned warehouse scan — the date literal lands in "
+     "PartitionFilters (directory pruning; DataFilters stays empty), "
+     "so files outside the day never enter the scan"),
 ]
 
 _ADDR = re.compile(r"#\d+L?")
