@@ -122,19 +122,29 @@ def verdict_batch(spark: SparkSession, index_dir: str, delta: DataFrame,
                                         threshold)
 
 
+def append_artifacts(spark: SparkSession, index_dir: str,
+                     delta: DataFrame,
+                     batch_id: int | str | None = None) -> str | None:
+    """Index the batch's own artifacts as a new generation, without
+    computing verdicts (every delta doc is indexed — dups stay
+    queryable so later batches resolve to the earliest copy, matching
+    the operator's min-partner rule). Returns the committed generation
+    path, or None when a batch_id-keyed generation already exists
+    (idempotent replay)."""
+    sh_d = shingled_docs(delta).persist()
+    gen = _write_generation(sh_d, band_table(sh_d), index_dir, batch_id)
+    sh_d.unpersist()
+    return gen
+
+
 def append_batch(spark: SparkSession, index_dir: str, delta: DataFrame,
                  threshold: float = JACCARD_THRESHOLD,
                  batch_id: int | str | None = None) -> DataFrame:
     """Verdict the batch, then append its artifacts as a new
-    generation (only NEW-or-dup — every delta doc — is indexed: dups
-    stay queryable so later batches resolve to the earliest copy,
-    matching the operator's min-partner rule). With a ``batch_id``
-    a replayed batch skips the append (generation already committed)
-    but still returns its verdicts."""
+    generation. With a ``batch_id`` a replayed batch skips the append
+    (generation already committed) but still returns its verdicts."""
     verdicts = verdict_batch(spark, index_dir, delta, threshold)
-    sh_d = shingled_docs(delta).persist()
-    _write_generation(sh_d, band_table(sh_d), index_dir, batch_id)
-    sh_d.unpersist()
+    append_artifacts(spark, index_dir, delta, batch_id)
     return verdicts
 
 

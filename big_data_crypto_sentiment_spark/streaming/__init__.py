@@ -14,4 +14,8 @@ from .windowed import (  # noqa: F401
 )
 from .heavy_hitters import streaming_heavy_hitters  # noqa: F401
 from .debounce import debounce_stream  # noqa: F401
+from .dedup_stream import (  # noqa: F401
+    dedup_verdict_batch_writer,
+    start_dedup_verdict_sink,
+)
 from .observe import observed, progress_frame  # noqa: F401
