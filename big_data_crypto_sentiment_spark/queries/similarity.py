@@ -276,6 +276,26 @@ def fit_ivf_centroids(corpus: DataFrame, emb_col: str = "embedding",
     return [(i, c.tolist()) for i, c in enumerate(model.clusterCenters())]
 
 
+def ivf_topk_assigned(queries: DataFrame, assigned_corpus: DataFrame,
+                      centroids, k: int,
+                      n_probe: int = IVF_PROBES) -> DataFrame:
+    """ivf_topk over a PRE-ASSIGNED corpus (vec_id, embedding, cid) —
+    the stored-inverted-file path (jobs/ann_index.py): at 100 TB you
+    query an index built once, not a per-run assignment scan."""
+    from pyspark.sql import Window
+    qa = _assign_clusters(queries, centroids, "qe", n_probe) \
+        .select("query_id", "qe", "cid")
+    scored = (assigned_corpus.select("vec_id", "embedding", "cid")
+                .join(F.broadcast(qa), "cid")
+                .filter(F.col("vec_id") != F.col("query_id"))
+                .select("query_id", "vec_id",
+                        cosine(F.col("qe"), F.col("embedding")).alias("cos")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "vec_id")
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k)
+                  .select("query_id", "vec_id", "cos", "rank"))
+
+
 def ivf_topk(queries: DataFrame, corpus: DataFrame, centroids, k: int,
              n_probe: int = IVF_PROBES) -> DataFrame:
     """Approximate top-k: corpus rows are probed only in the query's
@@ -288,19 +308,9 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, centroids, k: int,
     corpus streams through a single broadcast hash join and nothing wide
     ever shuffles. (If corpus-side multi-probe is ever enabled, dedup on
     bare (query_id, vec_id) and join the embeddings back, per ann_topk.)"""
-    from pyspark.sql import Window
-    qa = _assign_clusters(queries, centroids, "qe", n_probe) \
-        .select("query_id", "qe", "cid")
     ca = _assign_clusters(corpus, centroids, "embedding", 1) \
         .select("vec_id", "embedding", "cid")
-    scored = (ca.join(F.broadcast(qa), "cid")
-                .filter(F.col("vec_id") != F.col("query_id"))
-                .select("query_id", "vec_id",
-                        cosine(F.col("qe"), F.col("embedding")).alias("cos")))
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "vec_id")
-    return (scored.withColumn("rank", F.row_number().over(w))
-                  .filter(F.col("rank") <= k)
-                  .select("query_id", "vec_id", "cos", "rank"))
+    return ivf_topk_assigned(queries, ca, centroids, k, n_probe)
 
 
 def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
