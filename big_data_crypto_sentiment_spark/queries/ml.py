@@ -78,12 +78,20 @@ def q_ml_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- M5: lexicon (VADER-style) sentiment over documents ---
-def q_ml_lexicon_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
-    t = F.col("text")
+def lexicon_polarity(t=None):
+    """(n_pos, n_neg, polarity) column expressions over a text column —
+    pure map-side math, reusable inline (the model-distillation teacher
+    labels ride the SAME scan as the student's features; no self-join)."""
+    t = F.col("text") if t is None else t
     n_pos = sum(F.regexp_count(t, F.lit(rf"\b{w}\b")) for w in POS_WORDS)
     n_neg = sum(F.regexp_count(t, F.lit(rf"\b{w}\b")) for w in NEG_WORDS)
     polarity = (n_pos - n_neg) / F.greatest(n_pos + n_neg, F.lit(1))
+    return n_pos, n_neg, polarity
+
+
+def q_ml_lexicon_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    n_pos, n_neg, polarity = lexicon_polarity()
     return d.select(
         "doc_id",
         n_pos.alias("n_pos"), n_neg.alias("n_neg"),
@@ -528,12 +536,14 @@ def q_ml_sentiment_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.functions import vector_to_array
     from ..ml_pipelines import fit_sentiment_pipeline
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
-    labels = (q_ml_lexicon_sentiment(spark, sf_dir)
-              .select("doc_id",
-                      F.when(F.col("lexicon_label") == "NEGATIVE", 0)
-                       .when(F.col("lexicon_label") == "NEUTRAL", 1)
-                       .otherwise(2).cast("double").alias("label")))
-    model = fit_sentiment_pipeline(docs.join(labels, "doc_id"))
+    # teacher labels ride the SAME scan as the student's features (the
+    # lexicon is pure column math — q_ml_lexicon_sentiment's label rule
+    # inlined), instead of a doc_id self-join of two documents scans
+    _, _, polarity = lexicon_polarity()
+    label = (F.when(polarity > 0.05, 2.0)
+              .when(polarity < -0.05, 0.0)
+              .otherwise(1.0).alias("label"))
+    model = fit_sentiment_pipeline(docs.select("doc_id", "text", label))
     probs = (model.transform(docs)
              .select("doc_id",
                      vector_to_array("probability").alias("p")))
