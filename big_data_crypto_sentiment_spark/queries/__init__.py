@@ -73,8 +73,6 @@ DEFERRALS: dict[str, dict] = {
                                       "hash-checked non-empty there by tools/check.py"),
     "tokens_to_ids":      dict(since=4, family="packing family via chunk_overlap/pack_sequences",
                                extra="hash-checked at 3 SFs"),
-    "retention_after_deletes": dict(since=4, family="anti-join family via orders_by_nation's broadcast-dim shape in-window",
-                                    extra="hash-checked at 3 SFs"),
     "ta_ema_rsi_macd":    dict(since=4, family="TA family via ta_sma_vwap",
                                extra="recurrence pinned in pytest"),
     "embed_quantize":     dict(since=4, family="similarity family via sim_topk_cosine",
@@ -96,8 +94,6 @@ DEFERRALS: dict[str, dict] = {
     # js_divergence_sources) so the driver hash-checks fresh surface
     # born-deferred r6 additions: window already full of newer families
     "bigram_logprob":     dict(since=6, family="LM-quality family via unigram_logprob (same integer-nat architecture)",
-                               extra="3-SF check.py + per-round sf0.001 auto-verify"),
-    "mad_outlier_events": dict(since=6, family="robust-numeric family via winsorize_events (same exact rank-median machinery)",
                                extra="3-SF check.py + per-round sf0.001 auto-verify"),
     "source_scorecard":   dict(since=6, family="composes in-window text_signals + dedup_exact disciplines",
                                extra="3-SF check.py + per-round sf0.001 auto-verify"),
@@ -121,7 +117,7 @@ DEFERRALS: dict[str, dict] = {
                                extra="driver-green r2-r5; 3-SF check.py + per-round sf0.001 auto-verify"),
     "ml_lexicon_sentiment": dict(since=6, family="scoring family via ml_sentiment (same per-row math)",
                                  extra="driver-green r2-r5; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "unpivot_order_measures": dict(since=6, family="reshape family via pivot_user_events (its exact inverse) in-window",
+    "unpivot_order_measures": dict(since=6, family="reshape family via zip_explode_measures in-window (pivot twin deferred alongside)",
                                    extra="driver-green r2-r5; 3-SF check.py + per-round sf0.001 auto-verify"),
     "mixture_downsample": dict(since=6, family="mixture family via sample_temperature (same hash-threshold filter) in-window",
                                extra="driver-green r2-r5; 3-SF check.py + per-round sf0.001 auto-verify"),
@@ -133,23 +129,19 @@ DEFERRALS: dict[str, dict] = {
                                 extra="3-SF check.py + per-round sf0.001 auto-verify"),
     # born-deferred late-r6 additions: SCD2 history, histogram
     # profiling, gap interpolation, training-shard shuffle
-    "value_histogram":    dict(since=6, family="profiling family via summary_stats/key_skew_profile; broadcast-stats shape via mad_outlier_events in-window",
+    "value_histogram":    dict(since=6, family="profiling family via key_skew_profile in-window; broadcast-stats shape via rotated-in mad_outlier_events",
                                extra="3-SF check.py + per-round sf0.001 auto-verify"),
     "ts_interpolate":     dict(since=6, family="spine family via ts_resample_ffill (same b/spine plan, adds framed neighbor reads) in-window",
                                extra="3-SF check.py + per-round sf0.001 auto-verify"),
     "shuffle_shards":     dict(since=6, family="hash-partition family via sample_and_split (same portable md5 bucket) in-window",
                                extra="3-SF check.py + per-round sf0.001 auto-verify"),
-    "value_quantile_bins": dict(since=6, family="rank-window family via winsorize_events in-window (same per-type ordered window)",
-                                extra="3-SF check.py + per-round sf0.001 auto-verify"),
-    "ts_trailing_distinct": dict(since=6, family="distinct-agg family via retention_after_deletes' count_distinct; hour-bucket family via ts_rollup in-window",
+    "ts_trailing_distinct": dict(since=6, family="distinct-agg family via rotated-in retention_after_deletes in-window; hour-bucket family via ts_rollup in-window",
                                  extra="3-SF check.py + per-round sf0.001 auto-verify"),
-    "top_docs_per_source": dict(since=6, family="rank-window family via winsorize_events; bounded top-k via vocab_top_terms in-window",
+    "top_docs_per_source": dict(since=6, family="rank-window family via rotated-in value_quantile_bins; bounded top-k via vocab_top_terms in-window",
                                 extra="3-SF check.py + per-round sf0.001 auto-verify"),
     "sft_mask_spans":     dict(since=6, family="cumulative-window family via ts_sessionize/event_transitions (same per-key ordered window); packing family via pack_sequences in-window",
                                extra="3-SF check.py + per-round sf0.001 auto-verify"),
     "embed_mean_pool":    dict(since=6, family="embedding family via sim_topk_cosine/embed_quantize in-window; integer-frozen accumulation via unigram_logprob's discipline",
-                               extra="3-SF check.py + per-round sf0.001 auto-verify"),
-    "moment_profile":     dict(since=6, family="profiling family via summary_stats in-window; exact-decimal discipline via pricing_summary",
                                extra="3-SF check.py + per-round sf0.001 auto-verify"),
     "ta_twap":            dict(since=6, family="TA family via ta_sma_vwap in-window (same per-symbol window + agg shape); exact decimal x integer weighting",
                                extra="3-SF check.py + per-round sf0.001 auto-verify"),
@@ -165,7 +157,7 @@ DEFERRALS: dict[str, dict] = {
                                extra="driver-green r2-r6; 3-SF check.py + per-round sf0.001 auto-verify"),
     "ts_sessionize":      dict(since=7, family="session family via rotated-in ts_session_stats (same gap-window core)",
                                extra="driver-green r2-r6; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "dedup_ngram_jaccard": dict(since=7, family="shingle-pair family via dedup_minhash_lsh/dedup_span_stats in-window; dup-rate via text_dup_rate's deferred pair",
+    "dedup_ngram_jaccard": dict(since=7, family="shingle-pair family via dedup_minhash_lsh in-window; dup-rate via text_dup_rate's deferred pair",
                                 extra="driver-green r2-r6; 3-SF check.py + per-round sf0.001 auto-verify"),
     "group_collect_training": dict(since=7, family="reshape family via rotated-in zip_explode_measures in-window; kv_flatten's deferred pair shares the map-projection core",
                                    extra="driver-green r2-r6; 3-SF check.py + per-round sf0.001 auto-verify"),
@@ -173,11 +165,11 @@ DEFERRALS: dict[str, dict] = {
                                extra="driver-green r2-r6; brute-force baseline also exercised by test_similarity.py recall bounds"),
     "src_tweets_normalize": dict(since=7, family="tweets-JSON source path via rotated-in src_tweets_volume (same reader/parse/fallback chain)",
                                  extra="driver-green r2-r6; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "summary_stats":      dict(since=7, family="profiling family via key_skew_profile in-window; moments via moment_profile's deferred pair",
+    "summary_stats":      dict(since=7, family="profiling family via key_skew_profile in-window; moments via rotated-in moment_profile in-window",
                                extra="driver-green r2-r6; 3-SF check.py + per-round sf0.001 auto-verify"),
     "chunk_overlap":      dict(since=7, family="packing family via pack_sequences in-window (same pos-window core)",
                                extra="driver-green r2-r6; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "ml_forecast_metrics": dict(since=7, family="ml family via ml_sentiment/ml_ar1_train in-window (same per-symbol eval math)",
+    "ml_forecast_metrics": dict(since=7, family="ml family via ml_sentiment in-window (same per-symbol eval math)",
                                 extra="driver-green r2-r6; 3-SF check.py + per-round sf0.001 auto-verify"),
     "orders_by_nation":   dict(since=7, family="broadcast-dim join family via flagship full-outer/asof_price_at_tweet in-window",
                                extra="driver-green r2-r6; 3-SF check.py + per-round sf0.001 auto-verify"),
@@ -187,7 +179,7 @@ DEFERRALS: dict[str, dict] = {
     # graph_triangles' degree-ordered counting) so its first driver
     # hash check happens this round; the degree histogram is
     # born-deferred (same edge derivation, trivially simpler plan).
-    "table_diff":         dict(since=7, family="diff/upsert family via rotated-in scd2_merge_incremental in-window (same keyed latest-wins merge); drift via ks_drift_events' deferred pair; anti/semi-join shape via retention_after_deletes' deferred pair",
+    "table_diff":         dict(since=7, family="diff/upsert family via rotated-in scd2_merge_incremental in-window (same keyed latest-wins merge); drift via ks_drift_events' deferred pair; anti/semi-join shape via rotated-in retention_after_deletes in-window",
                                extra="driver-green r4-r6; 3-SF check.py + per-round sf0.001 auto-verify"),
     "log_return":         dict(since=7, family="window-calc family via ta_sma_vwap + rotated-in ts_window_calcs in-window",
                                extra="driver-green r2-r6; 3-SF check.py + per-round sf0.001 auto-verify"),
@@ -230,7 +222,7 @@ DEFERRALS: dict[str, dict] = {
                                extra="driver-green r2-r4 + refreshed r7; 3-SF check.py + per-round sf0.001 auto-verify"),
     "text_dup_rate":      dict(since=8, family="dup family via dedup_exact in-window (same normalized-hash agg)",
                                extra="driver-green r2-r4 + refreshed r7; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "ks_drift_events":    dict(since=8, family="drift family via rotated-in data_profile + winsorize_events in-window (same exact rank/window machinery)",
+    "ks_drift_events":    dict(since=8, family="drift family via data_profile + rotated-in mad_outlier_events in-window (same exact rank/window machinery)",
                                extra="driver-green r6-r7; 3-SF check.py + per-round sf0.001 auto-verify"),
     "embed_prototype_prune": dict(since=8, family="embedding family via sim_semdedup in-window (same integer-frozen cosine/centroid core)",
                                   extra="driver-green r6-r7; 3-SF check.py + per-round sf0.001 auto-verify"),
@@ -283,6 +275,21 @@ DEFERRALS: dict[str, dict] = {
     # r9: the NEW partition-pruning pair (warehouse_prune_day) takes a
     # window slot for its first driver-side hash check
     "text_features":      dict(since=9, family="text family via text_signals in-window (same single-scan string features)",
+                               extra="driver-green r2-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
+    # r9 mid-round rotation (the r7/r8 precedent): four more
+    # never-driver-checked pairs rotate IN where the family swap is
+    # clean — mad_outlier_events + value_quantile_bins take over the
+    # rank/robust-numeric duty from winsorize_events (same exact rank
+    # machinery), retention_after_deletes brings the anti-join family
+    # in-window itself, moment_profile the exact-moments profiling —
+    # and four members with fresh r8 driver evidence hand over slots.
+    "winsorize_events":   dict(since=9, family="robust-numeric/rank-window family via rotated-in mad_outlier_events + value_quantile_bins in-window (same exact rank machinery)",
+                               extra="driver-green r6-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "pivot_user_events":  dict(since=9, family="reshape family via zip_explode_measures in-window; unpivot twin deferred alongside",
+                               extra="driver-green r2-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "dedup_span_stats":   dict(since=9, family="positional-gram family via dedup_minhash_lsh in-window (same shingle-scan core); gaps-and-islands window via scd2/behavior rows in-window",
+                               extra="driver-green r6-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "ml_ar1_train":       dict(since=9, family="ml family via ml_sentiment in-window; AR/ARMA fit math pinned by test_ml.py (YW/HR parity)",
                                extra="driver-green r2-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
 }
 
