@@ -86,6 +86,7 @@ def main() -> int:
             timings[name] = -1.0
 
     from big_data_crypto_sentiment_spark.queries.dedup import (
+        _base_band_index,
         _shingled_documents,
     )
     from big_data_crypto_sentiment_spark.queries.layout import (
@@ -93,6 +94,8 @@ def main() -> int:
     )
     _timed("artifact:dedup_shingles",
            lambda: materialize(_shingled_documents(spark, SF_DIR)))
+    _timed("artifact:dedup_base_band_index",
+           lambda: materialize(_base_band_index(spark, SF_DIR)))
     _timed("artifact:events_warehouse",
            lambda: events_warehouse(spark, SF_DIR))
 
