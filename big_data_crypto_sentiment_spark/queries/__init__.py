@@ -64,195 +64,118 @@ _MODULES = (flagship, relational, timeseries, text, dedup, similarity, ml,
 # family represented inside the driver window; extra = independent
 # evidence beyond the automated sf0.001 re-check.
 DEFERRALS: dict[str, dict] = {
-    "src_avro_roundtrip": dict(since=3, family="source family via src_tweets_normalize",
-                               extra="real-Avro-bytes pytest roundtrip (test_sources.py)"),
-    "sample_stratified":  dict(since=3, family="sampling family via sample_and_split/sample_temperature in-window",
-                               extra="quota property tests (test_sampling.py)"),
-    "dedup_source_matrix": dict(since=4, family="dedup family broadly in-window",
+    "dedup_source_matrix": dict(since=4, family="dedup family broadly in-window (dedup_minhash_lsh, dedup_canonical)",
                                 extra="leaks only exist at sf0.1 in fixtures; "
-                                      "hash-checked non-empty there by tools/check.py"),
-    "tokens_to_ids":      dict(since=4, family="packing family via chunk_overlap/pack_sequences",
-                               extra="hash-checked at 3 SFs"),
-    "ta_ema_rsi_macd":    dict(since=4, family="TA family via ta_sma_vwap",
-                               extra="recurrence pinned in pytest"),
-    "embed_quantize":     dict(since=4, family="similarity family via sim_topk_cosine",
-                               extra="error bound pinned in pytest (test_similarity.py)"),
-    "sample_length_weighted": dict(since=4, family="sampling family via sample_and_split",
-                                   extra="tier-weight pytest (test_sampling.py)"),
-    "src_warehouse_fallback": dict(since=5, family="source family via src_tweets_normalize",
+                                      "hash-checked non-empty there by tools/check.py. "
+                                      "Stays deferred: at the driver's sf0.01 the result is EMPTY, "
+                                      "so a window slot would only hash two empty frames"),
+    "src_warehouse_fallback": dict(since=5, family="source family via src_avro_roundtrip in-window; fallback tiers shared with deferred src_tweets_normalize",
                                    extra="fallback/avro tiers pytest-covered (test_sources.py); green r2-r5"),
     # r6: the degenerate-fixture stress config hands its driver slot to
-    # sim_tfidf_zipf_topk -- the max_df-cut scale shape is what should
-    # be hash-checked and benched per round
-    "sim_tfidf_topk":     dict(since=6, family="retrieval family via sim_tfidf_zipf_topk",
+    # the max_df-cut scale shape (sim_tfidf_zipf_topk, itself rotated
+    # out with r6-r8 evidence once the bm25/rrf twins entered r9's
+    # window)
+    "sim_tfidf_topk":     dict(since=6, family="retrieval family via sim_bm25_topk in-window (same inverted index)",
                                extra="documented worst-case config; hash-checked at 3 SFs"),
-    # r6: double-mode CSV source hands its slot to src_csv_prices_decimal,
-    # which drives the same reader/parse path plus the faithful
-    # DecimalType(38,18) aggregates
-    # r6: three long-green redundant family reps hand their slots to the
-    # NEW operator families (winsorize_events, ctfidf_source_terms,
-    # js_divergence_sources) so the driver hash-checks fresh surface
-    # born-deferred r6 additions: window already full of newer families
-    "bigram_logprob":     dict(since=6, family="LM-quality family via unigram_logprob (same integer-nat architecture)",
+    "text_fingerprint":   dict(since=6, family="text family via source_scorecard in-window; md5 path via its fingerprint dup-rate",
                                extra="3-SF check.py + per-round sf0.001 auto-verify"),
-    "source_scorecard":   dict(since=6, family="composes in-window text_signals + dedup_exact disciplines",
-                               extra="3-SF check.py + per-round sf0.001 auto-verify"),
-    "sim_bm25_topk":      dict(since=6, family="retrieval family via sim_tfidf_zipf_topk (same inverted index)",
-                               extra="3-SF check.py + per-round sf0.001 auto-verify"),
-    "text_fingerprint":   dict(since=6, family="text family via text_signals; md5 path via dedup_exact",
-                               extra="3-SF check.py + per-round sf0.001 auto-verify"),
-    "dedup_canonical":    dict(since=6, family="cluster family via dedup_components in-window (same CC core + recursive-CTE oracle)",
-                               extra="3-SF check.py + per-round sf0.001 auto-verify"),
-    "sim_rrf_hybrid":     dict(since=6, family="retrieval family via sim_tfidf_zipf_topk (pure composition of two checked rankers)",
-                               extra="3-SF check.py + per-round sf0.001 auto-verify"),
-    "split_by_cluster":   dict(since=6, family="cluster family via dedup_components in-window; split family via sample_and_split",
-                               extra="3-SF check.py + per-round sf0.001 auto-verify"),
-    # late-r6 window rotation: six long-green redundant family reps hand
-    # their driver slots to the NEW operator families (span dedup, DSIR,
-    # temperature sampling, CDC upsert, prototype pruning, pivot) so the
-    # driver hash-checks fresh surface each round
-    "text_c4_filter":     dict(since=6, family="rule-filter family via text_signals (same per-row flag plan)",
+    "text_c4_filter":     dict(since=6, family="rule-filter family via source_scorecard in-window (same per-row flag plan)",
                                extra="driver-green r2-r5; 3-SF check.py + per-round sf0.001 auto-verify"),
     "dedup_simhash":      dict(since=6, family="hash-sketch dedup via dedup_minhash_lsh in-window",
                                extra="driver-green r2-r5; 3-SF check.py + per-round sf0.001 auto-verify"),
     "ml_lexicon_sentiment": dict(since=6, family="scoring family via ml_sentiment (same per-row math)",
                                  extra="driver-green r2-r5; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "unpivot_order_measures": dict(since=6, family="reshape family via zip_explode_measures in-window (pivot twin deferred alongside)",
+    "unpivot_order_measures": dict(since=6, family="reshape family via sft_mask_spans/tokens_to_ids in-window (pivot twin deferred alongside)",
                                    extra="driver-green r2-r5; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "mixture_downsample": dict(since=6, family="mixture family via sample_temperature (same hash-threshold filter) in-window",
+    "mixture_downsample": dict(since=6, family="mixture family via sample_length_weighted in-window (same hash-threshold filter)",
                                extra="driver-green r2-r5; 3-SF check.py + per-round sf0.001 auto-verify"),
-    # born-deferred: behavioral-analytics trio (funnel / cohorts /
-    # transitions) — window + agg families all represented in-window
-    "sample_weighted_ak": dict(since=6, family="sampling family via sample_and_split/sample_temperature in-window; bounded top-k via vocab_top_terms in-window (same TakeOrderedAndProject shape)",
-                               extra="3-SF check.py + per-round sf0.001 auto-verify"),
-    "ts_seasonal_anomaly": dict(since=6, family="timeseries family via ts_rollup (same exact-decimal hourly baseline) in-window",
-                                extra="3-SF check.py + per-round sf0.001 auto-verify"),
-    # born-deferred late-r6 additions: SCD2 history, histogram
-    # profiling, gap interpolation, training-shard shuffle
-    "value_histogram":    dict(since=6, family="profiling family via key_skew_profile in-window; broadcast-stats shape via rotated-in mad_outlier_events",
-                               extra="3-SF check.py + per-round sf0.001 auto-verify"),
-    "ts_interpolate":     dict(since=6, family="spine family via ts_resample_ffill (same b/spine plan, adds framed neighbor reads) in-window",
-                               extra="3-SF check.py + per-round sf0.001 auto-verify"),
-    "shuffle_shards":     dict(since=6, family="hash-partition family via sample_and_split (same portable md5 bucket) in-window",
-                               extra="3-SF check.py + per-round sf0.001 auto-verify"),
-    "ts_trailing_distinct": dict(since=6, family="distinct-agg family via rotated-in retention_after_deletes in-window; hour-bucket family via ts_rollup in-window",
-                                 extra="3-SF check.py + per-round sf0.001 auto-verify"),
-    "top_docs_per_source": dict(since=6, family="rank-window family via rotated-in value_quantile_bins; bounded top-k via vocab_top_terms in-window",
-                                extra="3-SF check.py + per-round sf0.001 auto-verify"),
-    "sft_mask_spans":     dict(since=6, family="cumulative-window family via ts_sessionize/event_transitions (same per-key ordered window); packing family via pack_sequences in-window",
-                               extra="3-SF check.py + per-round sf0.001 auto-verify"),
-    "embed_mean_pool":    dict(since=6, family="embedding family via sim_topk_cosine/embed_quantize in-window; integer-frozen accumulation via unigram_logprob's discipline",
-                               extra="3-SF check.py + per-round sf0.001 auto-verify"),
-    "ta_twap":            dict(since=6, family="TA family via ta_sma_vwap in-window (same per-symbol window + agg shape); exact decimal x integer weighting",
-                               extra="3-SF check.py + per-round sf0.001 auto-verify"),
-    # r7 window rotation (VERDICT r6 #4): ten of the OLDEST deferrals
-    # (stale "driver-green r2-r5" evidence) rotate back into the
-    # driver window so their driver-side hash evidence refreshes;
-    # these eleven long-green members hand over their slots (every
-    # family keeps an in-window or freshly-rotated representative),
-    # and the new sim_semdedup pair takes the eleventh inflow slot.
+    # r7 window rotation (VERDICT r6 #4): long-green members handed
+    # their slots to stale-evidence deferrals; surviving rows below
     "ts_spearman":        dict(since=7, family="corr family via ts_lag_sweep_corr in-window; ts_corr's deferred pair shares the integer-frozen covariance core",
                                extra="driver-green r2-r6; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "ts_resample_ffill":  dict(since=7, family="resample family via ts_rollup in-window; spine/ffill via ts_interpolate's deferred pair",
+    "ts_resample_ffill":  dict(since=7, family="resample family via ts_seasonal_anomaly in-window (same hourly-bucket core); spine/ffill via ts_interpolate in-window",
                                extra="driver-green r2-r6; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "ts_sessionize":      dict(since=7, family="session family via rotated-in ts_session_stats (same gap-window core)",
+    "ts_sessionize":      dict(since=7, family="session family via event_debounce + event_transitions in-window (same lag-gap window core)",
                                extra="driver-green r2-r6; 3-SF check.py + per-round sf0.001 auto-verify"),
     "dedup_ngram_jaccard": dict(since=7, family="shingle-pair family via dedup_minhash_lsh in-window; dup-rate via text_dup_rate's deferred pair",
                                 extra="driver-green r2-r6; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "group_collect_training": dict(since=7, family="reshape family via rotated-in zip_explode_measures in-window; kv_flatten's deferred pair shares the map-projection core",
+    "group_collect_training": dict(since=7, family="reshape family via sft_mask_spans in-window; kv_flatten's deferred pair shares the map-projection core",
                                    extra="driver-green r2-r6; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "sim_topk_cosine":    dict(since=7, family="embedding family via sim_semdedup in-window (same integer-frozen cosine/centroid core); embed_prototype_prune's deferred pair",
+    "sim_topk_cosine":    dict(since=7, family="embedding family via embed_mean_pool + embed_quantize in-window (same integer-frozen cosine core); embed_prototype_prune's deferred pair",
                                extra="driver-green r2-r6; brute-force baseline also exercised by test_similarity.py recall bounds"),
-    "src_tweets_normalize": dict(since=7, family="tweets-JSON source path via rotated-in src_tweets_volume (same reader/parse/fallback chain)",
+    "src_tweets_normalize": dict(since=7, family="source family via src_avro_roundtrip in-window; tweets-JSON reader/parse/fallback chain shared with deferred src_tweets_volume",
                                  extra="driver-green r2-r6; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "summary_stats":      dict(since=7, family="profiling family via key_skew_profile in-window; moments via rotated-in moment_profile in-window",
+    "summary_stats":      dict(since=7, family="profiling family via moment_profile + value_quantile_bins in-window",
                                extra="driver-green r2-r6; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "chunk_overlap":      dict(since=7, family="packing family via pack_sequences in-window (same pos-window core)",
+    "chunk_overlap":      dict(since=7, family="packing family via tokens_to_ids + sft_mask_spans in-window (same pos-window core)",
                                extra="driver-green r2-r6; 3-SF check.py + per-round sf0.001 auto-verify"),
     "ml_forecast_metrics": dict(since=7, family="ml family via ml_sentiment in-window (same per-symbol eval math)",
                                 extra="driver-green r2-r6; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "orders_by_nation":   dict(since=7, family="broadcast-dim join family via flagship full-outer/asof_price_at_tweet in-window",
+    "orders_by_nation":   dict(since=7, family="broadcast-dim join family via flagship full-outer in-window; point-in-time join via scd2_point_in_time in-window",
                                extra="driver-green r2-r6; 3-SF check.py + per-round sf0.001 auto-verify"),
-    # r7 mid-round rotation: two long-green members (neither cited as a
-    # family rep by any deferral) hand their slots to the NEW graph
-    # family (graph_pagerank's recursive-CTE-twinned power iteration,
-    # graph_triangles' degree-ordered counting) so its first driver
-    # hash check happens this round; the degree histogram is
-    # born-deferred (same edge derivation, trivially simpler plan).
     "table_diff":         dict(since=7, family="diff/upsert family via rotated-in scd2_merge_incremental in-window (same keyed latest-wins merge); drift via ks_drift_events' deferred pair; anti/semi-join shape via rotated-in retention_after_deletes in-window",
                                extra="driver-green r4-r6; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "log_return":         dict(since=7, family="window-calc family via ta_sma_vwap + rotated-in ts_window_calcs in-window",
+    "log_return":         dict(since=7, family="window-calc family via ta_ema_rsi_macd + ta_twap in-window (same per-symbol ordered window)",
                                extra="driver-green r2-r6; 3-SF check.py + per-round sf0.001 auto-verify"),
-    # r8 window rotation (VERDICT r7 #7 + ADVICE): eleven pairs with
-    # stale "driver-green r2-r5" evidence — plus the born-deferred
-    # graph_degree_profile, which had never had a driver-side hash
-    # check — rotate back into the driver window; these eleven members
-    # with fresh r6/r7 driver evidence hand over their slots (every
-    # family keeps an in-window or freshly-rotated representative).
-    "filter_time_range":  dict(since=8, family="pushdown-scan family via key_skew_profile/pricing_summary in-window; PushedFilters pinned by tests/test_plan_guards.py",
+    # r8 window rotation (VERDICT r7 #7 + ADVICE): stale-evidence pairs
+    # rotated back in; these surviving rows handed over their slots
+    "filter_time_range":  dict(since=8, family="pushdown-scan family via warehouse_prune_day + zorder_key_lineitem in-window; PushedFilters pinned by tests/test_plan_guards.py",
                                extra="driver-green r2-r7; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "ctfidf_source_terms": dict(since=8, family="text family via text_signals/vocab_top_terms in-window",
+    "ctfidf_source_terms": dict(since=8, family="text family via source_scorecard in-window; token histograms via bigram_logprob in-window",
                                 extra="driver-green r6-r7; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "js_divergence_sources": dict(since=8, family="text-distribution family via text_signals in-window (same token-histogram core)",
+    "js_divergence_sources": dict(since=8, family="text-distribution family via bigram_logprob in-window (same token-histogram core)",
                                   extra="driver-green r6-r7; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "dsir_select":        dict(since=8, family="sampling family via sample_and_split/sample_temperature in-window (same hash-threshold filter)",
+    "dsir_select":        dict(since=8, family="sampling family via sample_stratified/sample_length_weighted in-window (same hash-threshold filter)",
                                extra="driver-green r6-r7; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "decontam_overlap":   dict(since=8, family="cleaning family via unigram_logprob in-window (same broadcast-gram join core)",
+    "decontam_overlap":   dict(since=8, family="cleaning family via bigram_logprob in-window (same broadcast-gram join core)",
                                extra="driver-green r6-r7; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "repetition_filter":  dict(since=8, family="cleaning family via unigram_logprob in-window; window shapes via key_skew_profile",
+    "repetition_filter":  dict(since=8, family="cleaning family via bigram_logprob in-window; rank-window shape via top_docs_per_source in-window",
                                extra="driver-green r6-r7; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "pii_redact":         dict(since=8, family="regex-rewrite family via rotated-in text_rlike_filter; cleaning family via unigram_logprob in-window",
+    "pii_redact":         dict(since=8, family="regex-rewrite path via source_scorecard's regexp normalization in-window; cleaning family via bigram_logprob in-window",
                                extra="driver-green r6-r7; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "boilerplate_strip":  dict(since=8, family="cleaning family via unigram_logprob in-window (same per-line explode/agg shape)",
+    "boilerplate_strip":  dict(since=8, family="cleaning family via bigram_logprob in-window (same per-line explode/agg shape)",
                                extra="driver-green r6-r7; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "src_csv_prices_decimal": dict(since=8, family="CSV path via rotated-in src_csv_prices (same reader/parse chain); decimal discipline via pricing_summary in-window",
+    "src_csv_prices_decimal": dict(since=8, family="CSV reader/parse chain shared with deferred src_csv_prices; source family via src_avro_roundtrip in-window; decimal discipline via ta_twap in-window",
                                    extra="driver-green r6-r7; double/decimal parity pytest (test_sources.py)"),
     "ts_corr":            dict(since=8, family="corr family via ts_lag_sweep_corr in-window (same integer-frozen covariance core)",
                                extra="driver-green r2-r7; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "ts_bucket_counts":   dict(since=8, family="resample family via ts_rollup + rotated-in ts_window_calcs in-window",
+    "ts_bucket_counts":   dict(since=8, family="resample family via ts_seasonal_anomaly in-window; lag features via event_transitions in-window",
                                extra="driver-green r2-r7; 3-SF check.py + per-round sf0.001 auto-verify"),
-# r8 mid-round rotation (the r7 precedent): the round's five NEW
-    # oracle pairs take window slots so their FIRST driver-side hash
-    # check happens this round; five members with fresh r6/r7 driver
-    # evidence hand over their slots (every family keeps an in-window
-    # or freshly-rotated representative).
-    "kv_flatten":         dict(since=8, family="reshape family via zip_explode_measures in-window",
+    "kv_flatten":         dict(since=8, family="reshape family via sft_mask_spans/tokens_to_ids in-window",
                                extra="driver-green r2-r4 + refreshed r7; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "union_event_slices": dict(since=8, family="plain UNION ALL of two pushed-down slices; scan/pushdown families via key_skew_profile/pricing_summary in-window",
+    "union_event_slices": dict(since=8, family="plain UNION ALL of two pushed-down slices; scan/pushdown families via warehouse_prune_day + zorder_key_lineitem in-window",
                                extra="driver-green r2-r4 + refreshed r7; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "text_dup_rate":      dict(since=8, family="dup family via dedup_exact in-window (same normalized-hash agg)",
+    "text_dup_rate":      dict(since=8, family="dup family via source_scorecard's fingerprint dup-rate in-window (same normalized-hash agg)",
                                extra="driver-green r2-r4 + refreshed r7; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "ks_drift_events":    dict(since=8, family="drift family via data_profile + rotated-in mad_outlier_events in-window (same exact rank/window machinery)",
+    "ks_drift_events":    dict(since=8, family="drift family via mad_outlier_events + moment_profile in-window (same exact rank/window machinery)",
                                extra="driver-green r6-r7; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "embed_prototype_prune": dict(since=8, family="embedding family via sim_semdedup in-window (same integer-frozen cosine/centroid core)",
+    "embed_prototype_prune": dict(since=8, family="embedding family via embed_mean_pool + embed_quantize in-window (same integer-frozen cosine/centroid core)",
                                   extra="driver-green r6-r7; 3-SF check.py + per-round sf0.001 auto-verify"),
-    # r9 window rotation (VERDICT r8 #1): the nineteen never-driver-checked
-    # pairs — the whole behavior family (funnels / cohorts / transitions /
-    # debounce / shares / co-occurrence), the SCD2 five, both incremental
-    # rollups, dq_suite, link_customer_batch, zorder_key_lineitem and
-    # ts_cube — rotate INTO the driver window for their first driver-side
-    # hash check; these nineteen members, every one driver-green in the r8
-    # window, hand over their slots (each family keeps an in-window or
-    # freshly-rotated representative).
+    # r9 window rotation (VERDICT r8 #1), first tranche: the nineteen
+    # never-driver-checked pairs — the whole behavior family, the SCD2
+    # five, both incremental rollups, dq_suite, link_customer_batch,
+    # zorder_key_lineitem and ts_cube — rotated INTO the driver window;
+    # these members, every one driver-green in the r8 window, handed
+    # over their slots.
     "flagship_speed_layer": dict(since=9, family="flagship family via flagship_windowed_join in-window (identical windowed-join plan, speed-layer config)",
                                  extra="driver-green r2-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "revenue_by_nation_q5": dict(since=9, family="TPC-H star-join family via pricing_summary in-window; 5-dim AQE broadcast plan pinned in PLANS.md",
+    "revenue_by_nation_q5": dict(since=9, family="TPC-H lineitem family via zorder_key_lineitem in-window; 5-dim AQE broadcast plan pinned in PLANS.md; decimal-exact agg via ta_twap in-window",
                                  extra="driver-green r2-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "promo_revenue_share": dict(since=9, family="TPC-H family via pricing_summary in-window (same decimal-exact aggregate discipline)",
+    "promo_revenue_share": dict(since=9, family="TPC-H lineitem family via zorder_key_lineitem in-window (same pushed-down scan); decimal-exact agg via ta_twap in-window",
                                 extra="driver-green r2-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
     "left_join_fillna":   dict(since=9, family="outer-join+coalesce family via flagship_windowed_join's full-outer in-window",
                                extra="driver-green r2-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "top_users":          dict(since=9, family="top-k family via vocab_top_terms in-window (same TakeOrderedAndProject plan)",
+    "top_users":          dict(since=9, family="top-k family via tokens_to_ids' vocab build + sample_weighted_ak in-window (same TakeOrderedAndProject plan)",
                                extra="driver-green r2-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "json_props":         dict(since=9, family="map-parse/typed-projection family via src_tweets_volume's from_json path in-window",
+    "json_props":         dict(since=9, family="map-parse/typed-projection family via the from_json chain shared with deferred src_tweets_volume; source family via src_avro_roundtrip in-window",
                                extra="driver-green r2-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "ts_trailing_hour":   dict(since=9, family="range-frame window family via ts_window_calcs/ts_lag_sweep_corr in-window",
+    "ts_trailing_hour":   dict(since=9, family="range-frame window family via ts_lag_sweep_corr in-window",
                                extra="driver-green r2-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "text_top_duplicated": dict(since=9, family="dup family via dedup_exact in-window (same normalized-hash agg)",
+    "text_top_duplicated": dict(since=9, family="dup family via source_scorecard's fingerprint dup-rate in-window (same normalized-hash agg)",
                                 extra="driver-green r6-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "text_gopher_rules":  dict(since=9, family="rule-filter family via text_signals in-window (same single-scan flag plan)",
+    "text_gopher_rules":  dict(since=9, family="rule-filter family via source_scorecard in-window (same single-scan flag plan)",
                                extra="driver-green r8; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "vocab_novelty_by_source": dict(since=9, family="vocab family via vocab_top_terms in-window (same token-histogram core)",
+    "vocab_novelty_by_source": dict(since=9, family="vocab family via tokens_to_ids + bigram_logprob in-window (same token-histogram core)",
                                     extra="driver-green r8; 3-SF check.py + per-round sf0.001 auto-verify"),
     "dedup_minhash_incremental": dict(since=9, family="MinHash family via dedup_minhash_lsh in-window (same signature/band core); on-disk lifecycle via test_dedup_index.py",
                                       extra="driver-green r8; 3-SF check.py + per-round sf0.001 auto-verify"),
@@ -260,7 +183,7 @@ DEFERRALS: dict[str, dict] = {
                                extra="driver-green r2-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
     "media_features":     dict(since=9, family="binary/mapInPandas codec family — real-codec parity pinned in test_sinks_multimodal.py",
                                extra="driver-green r6-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "interval_join_events": dict(since=9, family="interval/as-of family via asof_price_at_tweet in-window (same range-condition join)",
+    "interval_join_events": dict(since=9, family="interval/as-of family via scd2_point_in_time + scd2_snapshot_at in-window (same range-condition semantics)",
                                  extra="driver-green r4-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
     "graph_pagerank":     dict(since=9, family="graph family: integer-exact power iteration vs recursive-CTE twin, re-verified per round; convergence pinned in test_components.py",
                                extra="driver-green r8 (first check); 3-SF check.py + per-round sf0.001 auto-verify"),
@@ -270,29 +193,77 @@ DEFERRALS: dict[str, dict] = {
                                  extra="driver-green r8 (first check); 3-SF check.py + per-round sf0.001 auto-verify"),
     "upsert_latest":      dict(since=9, family="upsert family via rotated-in scd2_merge_incremental in-window (same keyed latest-wins merge)",
                                extra="driver-green r2-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "binned_features":    dict(since=9, family="reshape family via zip_explode_measures in-window; bucketed-last via ts_rollup in-window",
+    "binned_features":    dict(since=9, family="reshape family via sft_mask_spans/tokens_to_ids in-window; bucketed aggregates via rollup_merge_incremental in-window",
                                extra="driver-green r6-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
-    # r9: the NEW partition-pruning pair (warehouse_prune_day) takes a
-    # window slot for its first driver-side hash check
-    "text_features":      dict(since=9, family="text family via text_signals in-window (same single-scan string features)",
+    "text_features":      dict(since=9, family="text family via source_scorecard in-window (same single-scan string features)",
                                extra="driver-green r2-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
-    # r9 mid-round rotation (the r7/r8 precedent): four more
-    # never-driver-checked pairs rotate IN where the family swap is
-    # clean — mad_outlier_events + value_quantile_bins take over the
-    # rank/robust-numeric duty from winsorize_events (same exact rank
-    # machinery), retention_after_deletes brings the anti-join family
-    # in-window itself, moment_profile the exact-moments profiling —
-    # and four members with fresh r8 driver evidence hand over slots.
     "winsorize_events":   dict(since=9, family="robust-numeric/rank-window family via rotated-in mad_outlier_events + value_quantile_bins in-window (same exact rank machinery)",
                                extra="driver-green r6-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "pivot_user_events":  dict(since=9, family="reshape family via zip_explode_measures in-window; unpivot twin deferred alongside",
+    "pivot_user_events":  dict(since=9, family="reshape family via sft_mask_spans/tokens_to_ids in-window; unpivot twin deferred alongside",
                                extra="driver-green r2-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
     "dedup_span_stats":   dict(since=9, family="positional-gram family via dedup_minhash_lsh in-window (same shingle-scan core); gaps-and-islands window via scd2/behavior rows in-window",
                                extra="driver-green r6-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
     "ml_ar1_train":       dict(since=9, family="ml family via ml_sentiment in-window; AR/ARMA fit math pinned by test_ml.py (YW/HR parity)",
                                extra="driver-green r2-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
+    # r9 window rotation, second tranche (completing VERDICT r8 #1 in
+    # one round): the remaining 22 never-driver-checked pairs rotate
+    # INTO the window — the whole r6 born-deferred backlog
+    # (sampling/packing/retrieval/embedding/TA/timeseries tranche) plus
+    # src_avro_roundtrip — leaving dedup_source_matrix (empty at the
+    # driver's sf0.01, see its row) as the ONLY pair without a
+    # driver-side hash check. The 22 members below hand over their
+    # slots; each is driver-green THIS ROUND'S WINDOW or earlier
+    # (every one r8-green), and every operator family keeps an
+    # in-window representative — the four veterans staying in-window
+    # (flagship_windowed_join, ts_lag_sweep_corr, ml_sentiment,
+    # dedup_minhash_lsh) are exactly the ones whose family would
+    # otherwise lose window presence (flagship, corr, ML fits, MinHash
+    # banding).
+    "pricing_summary":    dict(since=9, family="TPC-H lineitem-agg family via zorder_key_lineitem in-window (same pushed-down lineitem scan); decimal-exact agg discipline via ta_twap in-window",
+                               extra="driver-green r1-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "data_profile":       dict(since=9, family="profiling family via moment_profile + value_quantile_bins in-window (same exact stats core)",
+                               extra="driver-green r3-r5 + r8; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "key_skew_profile":   dict(since=9, family="skew/profiling family via value_histogram + moment_profile in-window (same groupBy-count core)",
+                               extra="driver-green r4-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "ts_session_stats":   dict(since=9, family="gap/session family via event_debounce + event_transitions in-window (same lag-gap window core)",
+                               extra="driver-green r2-r3 + r7-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "ts_rollup":          dict(since=9, family="hourly-rollup family via ts_seasonal_anomaly in-window (same exact-decimal hourly baseline); incremental path via rollup_merge_incremental in-window",
+                               extra="driver-green r2-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "ts_window_calcs":    dict(since=9, family="window-calc family via ta_ema_rsi_macd + ta_twap in-window (same per-symbol ordered window); lag/lead via event_transitions in-window",
+                               extra="driver-green r3-r5 + r8; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "text_rlike_filter":  dict(since=9, family="content-filter family via source_scorecard in-window (same single-scan text predicates and regexp normalization)",
+                               extra="driver-green r2-r4 + r8; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "text_signals":       dict(since=9, family="text-features family via source_scorecard in-window (direct composition of the same signal columns)",
+                               extra="driver-green r4-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "vocab_top_terms":    dict(since=9, family="vocab family via tokens_to_ids' rank vocabulary + bigram_logprob's token histogram in-window (same explode/agg + TakeOrderedAndProject core)",
+                               extra="driver-green r4-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "dedup_exact":        dict(since=9, family="exact-dup family via source_scorecard's fingerprint dup-rate in-window (same normalized-md5 agg); dedup family broadly in-window (dedup_minhash_lsh, dedup_canonical)",
+                               extra="driver-green r2-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "sim_semdedup":       dict(since=9, family="embedding family via embed_mean_pool + embed_quantize in-window (same integer-frozen cosine/centroid core)",
+                               extra="driver-green r7-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "src_tweets_volume":  dict(since=9, family="source family via src_avro_roundtrip in-window; tweets-JSON reader/parse chain shared with deferred src_tweets_normalize",
+                               extra="driver-green r2-r3 + r7-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "src_csv_prices":     dict(since=9, family="source family via src_avro_roundtrip in-window; CSV reader/parse chain shared with deferred src_csv_prices_decimal",
+                               extra="driver-green r2-r5 + r8; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "ta_sma_vwap":        dict(since=9, family="TA family via ta_ema_rsi_macd + ta_twap in-window (same per-symbol window + agg shape)",
+                               extra="driver-green r3-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "asof_price_at_tweet": dict(since=9, family="as-of/point-in-time family via scd2_point_in_time + scd2_snapshot_at in-window (same latest-before-ts join semantics)",
+                                extra="driver-green r3-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "zip_explode_measures": dict(since=9, family="reshape family via sft_mask_spans + tokens_to_ids in-window (same array build/explode core)",
+                                 extra="driver-green r3 + r7-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "dedup_components":   dict(since=9, family="CC family via dedup_canonical + split_by_cluster in-window (both consume the same large-star/small-star fixpoint)",
+                               extra="driver-green r4-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "sample_and_split":   dict(since=9, family="sampling family via sample_stratified + shuffle_shards + sample_weighted_ak in-window (same portable-md5 bucket)",
+                               extra="driver-green r4-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "sample_temperature": dict(since=9, family="mixture/temperature family via sample_length_weighted + sample_stratified in-window (same hash-threshold filter)",
+                               extra="driver-green r6-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "pack_sequences":     dict(since=9, family="packing family via tokens_to_ids + sft_mask_spans in-window (same per-shard offset-window core)",
+                               extra="driver-green r4-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "unigram_logprob":    dict(since=9, family="LM-quality family via bigram_logprob in-window (same integer-nat architecture, strictly richer plan)",
+                               extra="driver-green r5-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "sim_tfidf_zipf_topk": dict(since=9, family="retrieval family via sim_bm25_topk + sim_rrf_hybrid in-window (same inverted-index core)",
+                                extra="driver-green r6-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
 }
-
 _DEFER_FROM_WINDOW = tuple(DEFERRALS)
 
 
