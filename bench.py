@@ -54,6 +54,8 @@ def main() -> int:
     # identical data) — per this file's contract that timings measure
     # the plan, not the JVM.
     try:
+        from pyspark.sql import functions as F
+
         materialize(spark.read.parquet(os.path.join(SF_DIR, "nation.parquet")))
         from pyspark.ml.clustering import LDA, KMeans
         from pyspark.ml.linalg import Vectors
@@ -62,16 +64,30 @@ def main() -> int:
              for i in range(20)], ["features"])
         LDA(k=2, maxIter=1, optimizer="online").fit(tiny)
         KMeans(k=2, maxIter=1).fit(tiny)
+        # the linear-model family (M1 sentiment classifier, M6/M7
+        # ridge) additionally pays one-time netlib BLAS/LAPACK
+        # implementation resolution + solver JIT on its first fit
+        # (measured: first LogisticRegression fit of a session ~5s
+        # over its warm cost)
+        from pyspark.ml.classification import LogisticRegression
+        from pyspark.ml.regression import LinearRegression
+        tiny2 = tiny.withColumn("label", (F.rand(7) > 0.5).cast("double"))
+        LogisticRegression(maxIter=2).fit(tiny2)
+        LinearRegression(maxIter=2, elasticNetParam=0.0,
+                         regParam=0.1).fit(tiny2)
         # ... and one trivial grouped pandas op: the FIRST Arrow-batched
         # UDF of a session pays Python-worker spin-up + pandas import on
         # every executor thread it touches (measured: ~3s spread across
         # whichever registered entry runs the session's first pandas
         # UDF — an order-dependent misattribution, not a plan cost)
-        from pyspark.sql import functions as F
-        materialize(spark.range(64).groupBy((F.col("id") % 32).alias("g"))
+        materialize(spark.range(64).withColumn("g", F.col("id") % 32)
+                    .groupBy("g")
                     .applyInPandas(lambda pdf: pdf, "id bigint, g bigint"))
     except Exception:
-        pass
+        # a failed warmup only skews attribution, never correctness —
+        # but it must be VISIBLE (a silent pass hid a broken pandas
+        # warmup for a round)
+        traceback.print_exc(file=sys.stderr)
 
     timings: dict[str, float] = {}
 
