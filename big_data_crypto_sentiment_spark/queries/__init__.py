@@ -263,6 +263,10 @@ DEFERRALS: dict[str, dict] = {
                                extra="driver-green r5-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
     "sim_tfidf_zipf_topk": dict(since=9, family="retrieval family via sim_bm25_topk + sim_rrf_hybrid in-window (same inverted-index core)",
                                 extra="driver-green r6-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
+    # born-deferred r9 addition (window already carries the full
+    # never-checked backlog this round)
+    "text_langid_ngram":  dict(since=9, family="text family via source_scorecard in-window; per-key rank-window shape via top_docs_per_source in-window; broadcast-artifact join via bigram_logprob in-window",
+                               extra="planted two-script recovery pytest (test_text_extensions.py); 3-SF check.py + per-round sf0.001 auto-verify"),
 }
 _DEFER_FROM_WINDOW = tuple(DEFERRALS)
 

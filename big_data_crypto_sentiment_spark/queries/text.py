@@ -111,6 +111,70 @@ def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- extension: n-gram language identification (Cavnar & Trenkle 1994
+#     "N-Gram-Based Text Categorization": rank-order character-trigram
+#     profiles + out-of-place distance). The stopword/script heuristic
+#     above (also surfaced through text_signals) is the cheap one-scan
+#     screen; THIS is the standard content-based identifier. 100-TB
+#     shape: the trained profile is a bounded (n_langs × K) artifact
+#     that broadcasts — classification is one corpus scan, a per-doc
+#     top-M window over (doc, trigram) counts, and a broadcast join;
+#     no corpus-sized state ever shuffles on anything but doc keys.
+#     Integer-exact throughout (ranks and rank-distances only), so the
+#     DuckDB twin hashes bitwise. Docs whose top-M trigrams match NO
+#     language profile drop out identically on both engines (inner
+#     matched-join + (M_doc − n_match)·K completion, same SQL shape).
+LANGID_PROFILE_K = 40   # trigrams per language profile
+LANGID_DOC_M = 20       # trigrams per document profile
+
+
+def q_text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ._util import rebalance_scan
+    d = rebalance_scan(table(spark, sf_dir, "documents")) \
+        .select("doc_id", "lang", "text")
+    s = F.lower(F.regexp_replace(F.col("text"), r"\s+", "_"))
+    # explicit pre-filter + explode_outer: keeps the transform lambda
+    # out of inferred scan Filters (InferFiltersFromGenerate guard)
+    base = d.select("doc_id", "lang", s.alias("s")) \
+            .filter(F.length("s") >= 3)
+    tri = base.select(
+        "doc_id", "lang",
+        F.explode_outer(F.transform(
+            F.sequence(F.lit(1), F.length("s") - 2),
+            lambda i: F.col("s").substr(i, F.lit(3)))).alias("tri"))
+    doc_cnt = tri.groupBy("doc_id", "lang", "tri") \
+                 .agg(F.count("*").alias("cnt"))
+    wd = Window.partitionBy("doc_id").orderBy(F.desc("cnt"), "tri")
+    doc_prof = (doc_cnt.withColumn("doc_rank", F.row_number().over(wd))
+                       .filter(F.col("doc_rank") <= LANGID_DOC_M))
+    doc_m = doc_prof.groupBy("doc_id", "lang").agg(F.count("*").alias("m"))
+    # language profiles fold the per-doc counts (no second corpus pass)
+    lang_cnt = doc_cnt.groupBy("lang", "tri").agg(F.sum("cnt").alias("cnt"))
+    wl = Window.partitionBy("lang").orderBy(F.desc("cnt"), "tri")
+    prof = (lang_cnt.withColumn("prof_rank", F.row_number().over(wl))
+                    .filter(F.col("prof_rank") <= LANGID_PROFILE_K)
+                    .select(F.col("lang").alias("cand"), "tri", "prof_rank"))
+    matched = (doc_prof.select("doc_id", "tri", "doc_rank")
+                       .join(F.broadcast(prof), "tri")
+                       .groupBy("doc_id", "cand")
+                       .agg(F.sum(F.abs(F.col("doc_rank")
+                                        - F.col("prof_rank"))).alias("sum_abs"),
+                            F.count("*").alias("n_match")))
+    dist = (matched.join(doc_m, "doc_id")
+                   .select("doc_id", "lang", "cand",
+                           (F.col("sum_abs")
+                            + (F.col("m") - F.col("n_match"))
+                            * LANGID_PROFILE_K)
+                           .cast("bigint").alias("oop_distance")))
+    wbest = Window.partitionBy("doc_id").orderBy("oop_distance", "cand")
+    return (dist.withColumn("rn", F.row_number().over(wbest))
+                .filter(F.col("rn") == 1)
+                .select("doc_id", "lang",
+                        F.col("cand").alias("pred_lang"), "oop_distance"))
+
+
 # --- extension: quality scoring (length/punct/stopword composite) ---
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
@@ -545,6 +609,7 @@ QUERIES = {
     "text_signals": q_text_signals,
     "text_c4_filter": q_text_c4_filter,
     "text_gopher_rules": q_text_gopher_rules,
+    "text_langid_ngram": q_text_langid_ngram,
     "vocab_novelty_by_source": q_vocab_novelty_by_source,
     "vocab_top_terms": q_vocab_top_terms,
 }
@@ -762,6 +827,52 @@ FROM f
 """,
 }
 
+
+ORACLE["text_langid_ngram"] = f"""
+WITH base AS (
+  SELECT doc_id, lang, lower(regexp_replace(text, '\\s+', '_', 'g')) AS s
+  FROM documents
+), pos AS (
+  SELECT doc_id, lang, s, unnest(range(1, length(s) - 1)) AS i
+  FROM base WHERE length(s) >= 3
+), tri AS (
+  SELECT doc_id, lang, substr(s, CAST(i AS INT), 3) AS tri FROM pos
+), doc_cnt AS (
+  SELECT doc_id, lang, tri, COUNT(*) AS cnt FROM tri GROUP BY 1, 2, 3
+), doc_prof AS (
+  SELECT doc_id, lang, tri,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY cnt DESC, tri) AS doc_rank
+  FROM doc_cnt
+  QUALIFY doc_rank <= {LANGID_DOC_M}
+), doc_m AS (
+  SELECT doc_id, lang, COUNT(*) AS m FROM doc_prof GROUP BY 1, 2
+), prof AS (
+  SELECT lang AS cand, tri,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY cnt DESC, tri) AS prof_rank
+  FROM (SELECT lang, tri, CAST(SUM(cnt) AS BIGINT) AS cnt
+        FROM doc_cnt GROUP BY 1, 2)
+  QUALIFY prof_rank <= {LANGID_PROFILE_K}
+), matched AS (
+  SELECT d.doc_id, p.cand,
+         CAST(SUM(ABS(d.doc_rank - p.prof_rank)) AS BIGINT) AS sum_abs,
+         COUNT(*) AS n_match
+  FROM doc_prof d JOIN prof p USING (tri)
+  GROUP BY 1, 2
+), dist AS (
+  SELECT m.doc_id, m.lang, x.cand,
+         CAST(x.sum_abs
+              + (m.m - x.n_match) * {LANGID_PROFILE_K} AS BIGINT)
+           AS oop_distance
+  FROM matched x JOIN doc_m m USING (doc_id)
+)
+SELECT doc_id, lang, cand AS pred_lang, oop_distance
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY oop_distance, cand) AS rn
+      FROM dist)
+WHERE rn = 1
+"""
 
 ORACLE["vocab_novelty_by_source"] = """
 WITH tok AS (
