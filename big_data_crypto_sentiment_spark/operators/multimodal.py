@@ -237,6 +237,69 @@ def extract_media_features(df: DataFrame,
     return df.mapInPandas(extract, MEDIA_FEATURE_SCHEMA)
 
 
+MEDIA_RESIZE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("src_width", T.IntegerType()),
+    T.StructField("src_height", T.IntegerType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("resized", T.BooleanType()),
+    T.StructField("resize_status", T.StringType()),
+    T.StructField("payload", T.BinaryType()),
+])
+
+RESIZE_STUB_MAGIC = b"RSZ1"
+
+
+def resize_images(df: DataFrame, max_dim: int = 224,
+                  use_real_codec: bool = False) -> DataFrame:
+    """Image-resize plumbing over MEDIA_SCHEMA rows (mapInPandas).
+
+    REAL: the Arrow batch shape, the source-dimension decode (container
+    header codec / deterministic fake, exactly extract_media_features'
+    tiering), and the aspect-preserving target math — integer floor
+    division, never upscaling: for m = max(w, h) > max_dim the target
+    is (w·max_dim // m, h·max_dim // m) floored at 1.  STUBBED: the
+    pixel resample itself (no image library in this container) — the
+    output payload is the deterministic
+    ``RSZ1 ‖ big-endian (w, h) ‖ sha256(source)`` marker, so downstream
+    plumbing (size accounting, dedup over resized bytes) stays testable
+    and stable across runs and partitionings."""
+    import struct
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                payload = bytes(row.payload) if row.payload is not None else b""
+                status = "fake-dims"
+                if use_real_codec:
+                    try:
+                        meta = decode_media(payload, row.kind)
+                        w, h = meta["width"], meta["height"]
+                        status = "decoded-dims"
+                    except (NotImplementedError, ValueError):
+                        w, h = fake_decode(payload)
+                else:
+                    w, h = fake_decode(payload)
+                m = max(w, h)
+                if m > max_dim:
+                    tw = max(1, w * max_dim // m)
+                    th = max(1, h * max_dim // m)
+                    resized = True
+                else:
+                    tw, th, resized = w, h, False
+                stub = (RESIZE_STUB_MAGIC + struct.pack(">II", tw, th)
+                        + hashlib.sha256(payload).digest())
+                out.append((row.media_id, w, h, tw, th, resized,
+                            status, stub))
+            yield pd.DataFrame(
+                out, columns=[f.name for f in MEDIA_RESIZE_SCHEMA])
+
+    return (df.filter("kind = 'image'")
+              .mapInPandas(resize, MEDIA_RESIZE_SCHEMA))
+
+
 def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
     """Video frame-sampling plumbing: evenly-spaced frame offsets from
     duration metadata (the decode of each frame is the stubbed step)."""

@@ -267,6 +267,8 @@ DEFERRALS: dict[str, dict] = {
     # never-checked backlog this round)
     "text_langid_ngram":  dict(since=9, family="text family via source_scorecard in-window; per-key rank-window shape via top_docs_per_source in-window; broadcast-artifact join via bigram_logprob in-window",
                                extra="planted two-script recovery pytest (test_text_extensions.py); 3-SF check.py + per-round sf0.001 auto-verify"),
+    "media_resize":       dict(since=9, family="mapInPandas media plumbing via the media_features pair (driver-green r8, same Arrow batch shape + fake-dims tiering)",
+                               extra="stub-payload determinism + real-codec dims pytest (test_sinks_multimodal.py); 3-SF check.py + per-round sf0.001 auto-verify"),
 }
 _DEFER_FROM_WINDOW = tuple(DEFERRALS)
 

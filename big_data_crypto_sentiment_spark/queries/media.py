@@ -34,7 +34,20 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_media_features(media_from_documents(spark, sf_dir))
 
 
-QUERIES = {"media_features": q_media_features}
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing, hash-checkable slice: the integer target-dim
+    math from the deterministic fake dims. The stub payload (binary)
+    stays out of the driver projection — its determinism is pinned by
+    pytest (test_sinks_multimodal.py)."""
+    from ..operators.multimodal import resize_images
+    out = resize_images(media_from_documents(spark, sf_dir))
+    return out.select("media_id", "src_width", "src_height",
+                      "width", "height",
+                      F.col("resized").cast("int").alias("resized"))
+
+
+QUERIES = {"media_features": q_media_features,
+           "media_resize": q_media_resize}
 
 # hex-pair → int without casts DuckDB lacks: positional lookup in the
 # hex alphabet (strpos is 1-based)
@@ -65,5 +78,27 @@ SELECT media_id, kind,
        CAST(NULL AS BIGINT) AS decoded_duration_ms,
        'fake' AS decode_status
 FROM f
+""",
+    # // is floor division on positive ints in BOTH engines (Python //
+    # in the pandas UDF, DuckDB's integer-division operator here)
+    "media_resize": f"""
+WITH f AS (
+  SELECT doc_id AS media_id, lower(sha256(text)) AS sha
+  FROM documents WHERE doc_id % 3 = 0
+), d AS (
+  SELECT media_id,
+         CAST(16 + {_HEXVAL.format(a=1, b=2)} % 240 AS INT) AS w,
+         CAST(16 + {_HEXVAL.format(a=3, b=4)} % 240 AS INT) AS h
+  FROM f
+)
+SELECT media_id, w AS src_width, h AS src_height,
+       CAST(CASE WHEN GREATEST(w, h) > 224
+                 THEN GREATEST(1, w * 224 // GREATEST(w, h))
+                 ELSE w END AS INT) AS width,
+       CAST(CASE WHEN GREATEST(w, h) > 224
+                 THEN GREATEST(1, h * 224 // GREATEST(w, h))
+                 ELSE h END AS INT) AS height,
+       CAST(GREATEST(w, h) > 224 AS INT) AS resized
+FROM d
 """,
 }

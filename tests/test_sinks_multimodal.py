@@ -264,3 +264,52 @@ def test_compact_parquet_collapses_small_files(spark, tmp_path):
     assert n == 1 and len(files) == 1          # tiny data -> one file
     after = sorted(r.id for r in spark.read.parquet(path).collect())
     assert after == before == list(range(200))  # nothing lost or doubled
+
+
+def test_resize_images_fake_dims_and_stub_payload(media_df):
+    import hashlib
+    import struct
+
+    from big_data_crypto_sentiment_spark.operators.multimodal import (
+        RESIZE_STUB_MAGIC,
+        resize_images,
+    )
+    out = {r.media_id: r for r in resize_images(media_df).collect()}
+    assert set(out) == {1, 4}                  # images only
+    for payload, r in ((b"\x89PNG\r\nfakepayload", out[1]), (b"", out[4])):
+        w, h = fake_decode(payload)
+        assert (r.src_width, r.src_height) == (w, h)
+        m = max(w, h)
+        if m > 224:
+            assert (r.width, r.height) == (max(1, w * 224 // m),
+                                           max(1, h * 224 // m))
+            assert r.resized
+        else:
+            assert (r.width, r.height) == (w, h) and not r.resized
+        assert bytes(r.payload) == (RESIZE_STUB_MAGIC
+                                    + struct.pack(">II", r.width, r.height)
+                                    + hashlib.sha256(payload).digest())
+        assert r.resize_status == "fake-dims"
+    # deterministic across runs/partitionings
+    again = {r.media_id: bytes(r.payload)
+             for r in resize_images(media_df.repartition(4)).collect()}
+    assert again == {k: bytes(v.payload) for k, v in out.items()}
+
+
+def test_resize_images_real_codec_math(spark):
+    from big_data_crypto_sentiment_spark.operators.multimodal import (
+        resize_images,
+    )
+    rows = [
+        (1, "image", _png(640, 480), "image/png", None, None, None),
+        (2, "image", _png(100, 50), "image/png", None, None, None),
+        (3, "image", _png(2000, 1), "image/png", None, None, None),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r.media_id: r for r in
+           resize_images(df, use_real_codec=True).collect()}
+    assert (out[1].width, out[1].height) == (224, 168)   # 640x480 scaled
+    assert out[1].resized and out[1].resize_status == "decoded-dims"
+    assert (out[2].width, out[2].height) == (100, 50)    # never upscale
+    assert not out[2].resized
+    assert (out[3].width, out[3].height) == (224, 1)     # floor at 1
