@@ -362,6 +362,13 @@ def unigram_score(docs: DataFrame, lp: dict[str, int], oov: int,
 BIGRAM_VOCAB_K = 2000
 
 
+# Bigram-side twin of _UNIGRAM_CACHE: without it every bigram_model
+# call re-ran the bigram count agg + two collects even when the inner
+# unigram model hit its cache (measured ~2.3 s per re-entry at sf0.1
+# — paid by bigram_logprob, dsir_select and every check.py re-run).
+_BIGRAM_CACHE: dict[tuple, tuple] = {}
+
+
 def bigram_model(docs: DataFrame, text_col: str = "text",
                  vocab_k: int = BIGRAM_VOCAB_K,
                  cache_key: tuple | None = None):
@@ -369,6 +376,11 @@ def bigram_model(docs: DataFrame, text_col: str = "text",
     smoothed conditional bigram log-probs over corpus counts; unigram
     backoff from unigram_model's add-one distribution."""
     import math
+    if cache_key is not None:
+        full_key = (docs.sparkSession.sparkContext.applicationId,
+                    *cache_key, text_col, vocab_k)
+        if full_key in _BIGRAM_CACHE:
+            return _BIGRAM_CACHE[full_key]
     uni_lp, uni_oov, _ = unigram_model(docs, text_col, UNIGRAM_VOCAB_K,
                                        cache_key=cache_key)
     w = F.split(F.col(text_col), " ")
@@ -384,7 +396,10 @@ def bigram_model(docs: DataFrame, text_col: str = "text",
     denom = tot.t + tot.v + 1
     blp = {r.bg: round(math.log((r.c + 1) / denom) * _LP_SCALE)
            for r in top[:vocab_k]}
-    return blp, uni_lp, uni_oov, len(top) > vocab_k
+    out = (blp, uni_lp, uni_oov, len(top) > vocab_k)
+    if cache_key is not None:
+        _BIGRAM_CACHE[full_key] = out
+    return out
 
 
 # interpolation weights in integer tenths: 0.7·bigram + 0.3·unigram.
