@@ -263,12 +263,14 @@ DEFERRALS: dict[str, dict] = {
                                extra="driver-green r5-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
     "sim_tfidf_zipf_topk": dict(since=9, family="retrieval family via sim_bm25_topk + sim_rrf_hybrid in-window (same inverted-index core)",
                                 extra="driver-green r6-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
-    # born-deferred r9 addition (window already carries the full
-    # never-checked backlog this round)
-    "text_langid_ngram":  dict(since=9, family="text family via source_scorecard in-window; per-key rank-window shape via top_docs_per_source in-window; broadcast-artifact join via bigram_logprob in-window",
-                               extra="planted two-script recovery pytest (test_text_extensions.py); 3-SF check.py + per-round sf0.001 auto-verify"),
-    "media_resize":       dict(since=9, family="mapInPandas media plumbing via the media_features pair (driver-green r8, same Arrow batch shape + fake-dims tiering)",
-                               extra="stub-payload determinism + real-codec dims pytest (test_sinks_multimodal.py); 3-SF check.py + per-round sf0.001 auto-verify"),
+    # late-r9 rotation: the two NEW r9 pairs (text_langid_ngram,
+    # media_resize) take window slots immediately so their first driver
+    # hash-check lands this round; the two anchors below — driver-green
+    # in EVERY round r2-r8 — hand over their slots
+    "dedup_minhash_lsh":  dict(since=9, family="dedup family via dedup_canonical + split_by_cluster in-window; the banded-signature core also feeds dedup_minhash_incremental (driver-green r8)",
+                               extra="driver-green r2-r8 (every round); 3-SF check.py + per-round sf0.001 auto-verify"),
+    "ts_lag_sweep_corr":  dict(since=9, family="timeseries family via ts_seasonal_anomaly + ts_interpolate + ts_cube in-window; integer-frozen covariance core shared with deferred ts_corr/ts_spearman",
+                               extra="driver-green r2-r8 (every round); 3-SF check.py + per-round sf0.001 auto-verify"),
 }
 _DEFER_FROM_WINDOW = tuple(DEFERRALS)
 
