@@ -280,6 +280,12 @@ def resize_images(df: DataFrame, max_dim: int = 224,
                         status = "decoded-dims"
                     except (NotImplementedError, ValueError):
                         w, h = fake_decode(payload)
+                    # a container can decode WITHOUT dimensions (WAV,
+                    # audio-only MP4 mislabeled as image): fall back
+                    # like the decode-failure tier instead of max(None)
+                    if w is None or h is None:
+                        w, h = fake_decode(payload)
+                        status = "fake-dims"
                 else:
                     w, h = fake_decode(payload)
                 m = max(w, h)

@@ -214,11 +214,12 @@ DEFERRALS: dict[str, dict] = {
     # driver-side hash check. The 22 members below hand over their
     # slots; each is driver-green THIS ROUND'S WINDOW or earlier
     # (every one r8-green), and every operator family keeps an
-    # in-window representative — the four veterans staying in-window
-    # (flagship_windowed_join, ts_lag_sweep_corr, ml_sentiment,
-    # dedup_minhash_lsh) are exactly the ones whose family would
-    # otherwise lose window presence (flagship, corr, ML fits, MinHash
-    # banding).
+    # in-window representative. Of the four veterans this rotation
+    # kept in-window, two (flagship_windowed_join, ml_sentiment) still
+    # anchor their families there; the other two (ts_lag_sweep_corr,
+    # dedup_minhash_lsh) later handed their slots to the NEW r9 pairs
+    # — see their late-r9 entries at the bottom of this dict for the
+    # updated family coverage.
     "pricing_summary":    dict(since=9, family="TPC-H lineitem-agg family via zorder_key_lineitem in-window (same pushed-down lineitem scan); decimal-exact agg discipline via ta_twap in-window",
                                extra="driver-green r1-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
     "data_profile":       dict(since=9, family="profiling family via moment_profile + value_quantile_bins in-window (same exact stats core)",

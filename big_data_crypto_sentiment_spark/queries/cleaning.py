@@ -365,7 +365,8 @@ BIGRAM_VOCAB_K = 2000
 # Bigram-side twin of _UNIGRAM_CACHE: without it every bigram_model
 # call re-ran the bigram count agg + two collects even when the inner
 # unigram model hit its cache (measured ~2.3 s per re-entry at sf0.1
-# — paid by bigram_logprob, dsir_select and every check.py re-run).
+# — paid by every repeat q_bigram_logprob invocation: bench + the
+# per-pytest deferred-parity re-run + each check.py sweep).
 _BIGRAM_CACHE: dict[tuple, tuple] = {}
 
 

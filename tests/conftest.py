@@ -1,3 +1,5 @@
+from contextlib import contextmanager
+
 import pytest
 from pyspark.sql import SparkSession
 
@@ -16,3 +18,22 @@ def spark(tmp_path_factory):
     )
     yield s
     s.stop()
+
+
+@contextmanager
+def conf_gates(spark, gates: dict):
+    """Set Spark confs for a block, restoring previous values (or
+    unsetting keys that had none) on exit — the shared save/restore
+    used by the plan-behavior pins (runtime bloom, AQE skew join)."""
+    prev = {}
+    for k, v in gates.items():
+        prev[k] = spark.conf.get(k, None)
+        spark.conf.set(k, v)
+    try:
+        yield spark
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -12,6 +12,8 @@ salted_join operator."""
 import pytest
 from pyspark.sql import functions as F
 
+from conftest import conf_gates
+
 _GATES = {
     "spark.sql.autoBroadcastJoinThreshold": "-1",   # force sort-merge
     "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
@@ -22,18 +24,8 @@ _GATES = {
 
 @pytest.fixture
 def gated(spark):
-    prev = {}
-    for k, v in _GATES.items():
-        prev[k] = spark.conf.get(k, None)
-        spark.conf.set(k, v)
-    try:
-        yield spark
-    finally:
-        for k, v in prev.items():
-            if v is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, v)
+    with conf_gates(spark, _GATES) as s:
+        yield s
 
 
 def _skewed_sides(spark):

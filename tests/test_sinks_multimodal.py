@@ -313,3 +313,19 @@ def test_resize_images_real_codec_math(spark):
     assert (out[2].width, out[2].height) == (100, 50)    # never upscale
     assert not out[2].resized
     assert (out[3].width, out[3].height) == (224, 1)     # floor at 1
+
+
+def test_resize_images_dimensionless_decode_falls_back(spark):
+    # a container can decode WITHOUT dimensions (a WAV mislabeled as
+    # image): the real-codec path must fall back to fake dims instead
+    # of max(None, None)
+    from big_data_crypto_sentiment_spark.operators.multimodal import (
+        resize_images,
+    )
+    wav = _wav(176400, 352800)
+    df = spark.createDataFrame(
+        [(1, "image", wav, "audio/wav", None, None, None)], MEDIA_SCHEMA)
+    (r,) = resize_images(df, use_real_codec=True).collect()
+    fw, fh = fake_decode(wav)
+    assert (r.src_width, r.src_height) == (fw, fh)
+    assert r.resize_status == "fake-dims"
