@@ -64,11 +64,11 @@ _MODULES = (flagship, relational, timeseries, text, dedup, similarity, ml,
 # family represented inside the driver window; extra = independent
 # evidence beyond the automated sf0.001 re-check.
 DEFERRALS: dict[str, dict] = {
-    "dedup_source_matrix": dict(since=4, family="dedup family broadly in-window (dedup_minhash_lsh, dedup_canonical)",
-                                extra="leaks only exist at sf0.1 in fixtures; "
-                                      "hash-checked non-empty there by tools/check.py. "
-                                      "Stays deferred: at the driver's sf0.01 the result is EMPTY, "
-                                      "so a window slot would only hash two empty frames"),
+    "dedup_source_matrix": dict(since=4, family="dedup family broadly in-window (dedup_canonical, split_by_cluster)",
+                                extra="r9 widened it to the full matrix (diagonal = within-source dup groups), "
+                                      "but the fixture documents have NO exact-dup groups below sf0.1 at all — "
+                                      "hash-checked non-empty at sf0.1 by tools/check.py; stays deferred because "
+                                      "a driver slot at sf0.01 would only hash two empty frames"),
     "src_warehouse_fallback": dict(since=5, family="source family via src_avro_roundtrip in-window; fallback tiers shared with deferred src_tweets_normalize",
                                    extra="fallback/avro tiers pytest-covered (test_sources.py); green r2-r5"),
     # r6: the degenerate-fixture stress config hands its driver slot to

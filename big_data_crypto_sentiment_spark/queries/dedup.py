@@ -79,15 +79,28 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     corpus self-join. The audit a curation pipeline runs before
 #     deciding per-source dedup precedence. ---
 def q_dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full source co-occurrence matrix of duplicate groups, diagonal
+    included: (s, s) counts groups with >= 2 copies INSIDE source s —
+    the dominant dup mode on real crawls and the row that makes this
+    audit non-degenerate at every fixture SF (cross-source leaks only
+    exist at sf0.1); (a, b), a < b counts groups spanning both."""
     d = table(spark, sf_dir, "documents")
     norm = F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
-    groups = (d.groupBy(F.md5(norm).alias("h"))
-               .agg(F.sort_array(F.collect_set("source")).alias("srcs"))
-               .filter(F.size("srcs") >= 2))
+    per_src = (d.groupBy(F.md5(norm).alias("h"), "source")
+                .agg(F.count("*").alias("c")))
+    groups = (per_src.groupBy("h")
+              .agg(F.sort_array(F.collect_list(F.struct("source", "c")))
+                    .alias("sc"),
+                   F.sum("c").alias("n"))
+              .filter(F.col("n") >= 2))
+    # per group: self-pair (s,s) iff s holds >= 2 copies; cross pairs
+    # (a,b) a<b for every source combination present
     pairs = F.expr(
-        "flatten(transform(srcs, (a, i) -> "
-        "transform(slice(srcs, i + 2, size(srcs) - i - 1), "
-        "b -> struct(a AS src_a, b AS src_b))))")
+        "filter(flatten(transform(sc, (x, i) -> "
+        "transform(slice(sc, i + 1, size(sc) - i), "
+        "y -> struct(x.source AS src_a, y.source AS src_b, "
+        "IF(x.source = y.source, x.c >= 2, true) AS keep)))), "
+        "p -> p.keep)")
     return (groups.select(F.explode(pairs).alias("p"))
                   .select("p.src_a", "p.src_b")
                   .groupBy("src_a", "src_b")
@@ -710,12 +723,17 @@ FROM per_doc p LEFT JOIN agg a USING (doc_id)
 """,
     "dedup_fuzzy_terms": _oracle_fuzzy_terms(),
     "dedup_source_matrix": """
-WITH g AS (
-  SELECT md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS h, source
-  FROM documents
+WITH sc AS (
+  SELECT md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS h,
+         source, COUNT(*) AS c
+  FROM documents GROUP BY 1, 2
+), g AS (
+  SELECT h FROM sc GROUP BY h HAVING SUM(c) >= 2
 ), p AS (
-  SELECT DISTINCT a.h, a.source AS src_a, b.source AS src_b
-  FROM g a JOIN g b USING (h) WHERE a.source < b.source
+  SELECT a.h, a.source AS src_a, b.source AS src_b
+  FROM sc a JOIN sc b USING (h) JOIN g USING (h)
+  WHERE a.source < b.source
+     OR (a.source = b.source AND a.c >= 2)
 )
 SELECT src_a, src_b, COUNT(*) AS n_dup_groups
 FROM p GROUP BY src_a, src_b ORDER BY src_a, src_b

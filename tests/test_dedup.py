@@ -116,14 +116,16 @@ def test_source_matrix_pair_expansion(spark, monkeypatch):
     df = spark.createDataFrame(
         [(1, "Same  Text", "srcA"), (2, "same text", "srcB"),
          (3, "SAME TEXT", "srcC"),      # one group across 3 sources
-         (4, "same text", "srcA"),      # extra copy, same source: no new pair
-         (5, "unique", "srcA")],
+         (4, "same text", "srcA"),      # 2nd srcA copy -> diagonal row
+         (5, "unique", "srcA")],        # singleton: no rows at all
         "doc_id long, text string, source string")
     monkeypatch.setattr(D, "table", lambda s, d, n: df)
     rows = {(r.src_a, r.src_b): r.n_dup_groups
             for r in D.q_dedup_source_matrix(spark, "ignored").collect()}
-    # C(3,2) unordered pairs, each counted once per duplicate group
-    assert rows == {("srcA", "srcB"): 1, ("srcA", "srcC"): 1,
+    # C(3,2) unordered cross pairs once per duplicate group, plus the
+    # (s, s) diagonal for the source holding >= 2 copies in the group
+    assert rows == {("srcA", "srcA"): 1,
+                    ("srcA", "srcB"): 1, ("srcA", "srcC"): 1,
                     ("srcB", "srcC"): 1}
 
 
