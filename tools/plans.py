@@ -143,6 +143,9 @@ HEADLINE = [
 ]
 
 _ADDR = re.compile(r"#\d+L?")
+# plan_ids churn on every regeneration even when the plan is
+# structurally identical — strip them like expression ids
+_PLAN_ID = re.compile(r", \[plan_id=\d+\]")
 
 
 def main() -> None:
@@ -158,14 +161,14 @@ def main() -> None:
         "# PLANS — headline physical plans",
         "",
         f"Auto-generated by `python tools/plans.py` at sf_dir={sf_dir}; "
-        "do not edit by hand. Expression ids (#n) are stripped for "
-        "stable diffs. Structural rules are enforced by "
+        "do not edit by hand. Expression ids (#n) and plan_ids are "
+        "stripped for stable diffs. Structural rules are enforced by "
         "`tests/test_plan_guards.py`.",
     ]
     for name, note in HEADLINE:
         df = qs[name](spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
-        plan = _ADDR.sub("", plan)
+        plan = _PLAN_ID.sub("", _ADDR.sub("", plan))
         lines = [ln.rstrip() for ln in plan.split("\n")]
         if len(lines) > 40:
             lines = lines[:40] + [f"… (+{len(plan.splitlines()) - 40} lines)"]
