@@ -140,6 +140,14 @@ HEADLINE = [
      "r9: day-partitioned warehouse scan — the date literal lands in "
      "PartitionFilters (directory pruning; DataFilters stays empty), "
      "so files outside the day never enter the scan"),
+    ("text_langid_ngram",
+     "r9: Cavnar-Trenkle language ID — trigram explode keyed by doc, "
+     "bounded (n_langs x K) profile BROADCASTS to the matched join, "
+     "integer rank distances only"),
+    ("media_resize",
+     "r9: resize plumbing — one MapInPandas Arrow crossing over the "
+     "binary column, no shuffle anywhere (dims + target math ride the "
+     "same batch)"),
 ]
 
 _ADDR = re.compile(r"#\d+L?")
