@@ -81,10 +81,14 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full source co-occurrence matrix of duplicate groups, diagonal
     included: (s, s) counts groups with >= 2 copies INSIDE source s —
-    the dominant dup mode on real crawls and the row that makes this
-    audit non-degenerate at every fixture SF (cross-source leaks only
-    exist at sf0.1); (a, b), a < b counts groups spanning both."""
-    d = table(spark, sf_dir, "documents")
+    the dominant dup mode on real crawls; (a, b), a < b counts groups
+    spanning both. NOTE the fixtures contain NO exact-dup groups below
+    sf0.1 at all (diagonal or cross) — see the DEFERRALS entry; the
+    diagonal path is pinned by pytest. NULL text / NULL source rows
+    are dropped on BOTH engines (DuckDB's equi-join drops NULL keys
+    silently; being explicit keeps the twins aligned)."""
+    d = (table(spark, sf_dir, "documents")
+         .filter(F.col("text").isNotNull() & F.col("source").isNotNull()))
     norm = F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
     per_src = (d.groupBy(F.md5(norm).alias("h"), "source")
                 .agg(F.count("*").alias("c")))
@@ -94,12 +98,14 @@ def q_dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.sum("c").alias("n"))
               .filter(F.col("n") >= 2))
     # per group: self-pair (s,s) iff s holds >= 2 copies; cross pairs
-    # (a,b) a<b for every source combination present
+    # (a,b) a<b for every source combination present. The self-pair is
+    # detected POSITIONALLY (j = 0: slice starts at x itself), not by
+    # source equality — equality would misfire on NULLs
     pairs = F.expr(
         "filter(flatten(transform(sc, (x, i) -> "
         "transform(slice(sc, i + 1, size(sc) - i), "
-        "y -> struct(x.source AS src_a, y.source AS src_b, "
-        "IF(x.source = y.source, x.c >= 2, true) AS keep)))), "
+        "(y, j) -> struct(x.source AS src_a, y.source AS src_b, "
+        "IF(j = 0, x.c >= 2, true) AS keep)))), "
         "p -> p.keep)")
     return (groups.select(F.explode(pairs).alias("p"))
                   .select("p.src_a", "p.src_b")
@@ -726,7 +732,9 @@ FROM per_doc p LEFT JOIN agg a USING (doc_id)
 WITH sc AS (
   SELECT md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS h,
          source, COUNT(*) AS c
-  FROM documents GROUP BY 1, 2
+  FROM documents
+  WHERE text IS NOT NULL AND source IS NOT NULL
+  GROUP BY 1, 2
 ), g AS (
   SELECT h FROM sc GROUP BY h HAVING SUM(c) >= 2
 ), p AS (

@@ -117,7 +117,9 @@ def test_source_matrix_pair_expansion(spark, monkeypatch):
         [(1, "Same  Text", "srcA"), (2, "same text", "srcB"),
          (3, "SAME TEXT", "srcC"),      # one group across 3 sources
          (4, "same text", "srcA"),      # 2nd srcA copy -> diagonal row
-         (5, "unique", "srcA")],        # singleton: no rows at all
+         (5, "unique", "srcA"),         # singleton: no rows at all
+         (6, "same text", None),        # NULL source: dropped both engines
+         (7, None, "srcB"), (8, None, "srcB")],  # NULL text: dropped
         "doc_id long, text string, source string")
     monkeypatch.setattr(D, "table", lambda s, d, n: df)
     rows = {(r.src_a, r.src_b): r.n_dup_groups
