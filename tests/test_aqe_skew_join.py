@@ -77,3 +77,16 @@ def test_salted_join_agrees_with_aqe_path(gated):
                     salted_join(fact, dim, "k").select("k", "v", "w")
                     .collect())
     assert plain == salted
+
+
+def test_aqe_coalesces_small_shuffles(spark):
+    """The other half of the AQE story (SCALING.md): a shuffle whose
+    output is tiny collapses below spark.sql.shuffle.partitions — the
+    final plan reads the shuffle through a coalesced AQEShuffleRead.
+    No gates needed: coalescing is on at the session defaults."""
+    from pyspark.sql import functions as F
+    agg = (spark.range(1000)
+                .groupBy((F.col("id") % 50).alias("k")).count())
+    assert len(agg.collect()) == 50
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "AQEShuffleRead coalesced" in plan
