@@ -136,6 +136,22 @@ def main() -> int:
     _timed("artifact:retrieval_zipf_index",
            lambda: materialize(warm_zipf_index(spark, SF_DIR)))
 
+    def _warm_bpe_training() -> None:
+        # distributed word count + driver-side merge training, shared
+        # by both BPE entries through bpe._WC_CACHE
+        from big_data_crypto_sentiment_spark.queries._util import (
+            rebalance_scan,
+            table,
+        )
+        from big_data_crypto_sentiment_spark.queries.bpe import (
+            _cached_training,
+        )
+        d = rebalance_scan(table(spark, SF_DIR, "documents")) \
+            .select("doc_id", "text")
+        _cached_training(spark, d, SF_DIR)
+
+    _timed("artifact:bpe_training", _warm_bpe_training)
+
     def _warm_lm_models() -> None:
         # driver artifacts (the actions run inside the build); the
         # unigram inner model is the same ("unigram_docs", sf) key
