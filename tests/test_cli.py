@@ -24,3 +24,17 @@ def test_usage_on_unknown_job_and_help():
         [sys.executable, "-m", "big_data_crypto_sentiment_spark", "--help"],
         capture_output=True, text=True, cwd="/root/repo")
     assert ok.returncode == 0 and "jobs:" in ok.stderr
+
+
+def test_dispatch_forwards_args_to_the_job_parser():
+    # --help reaches each job's own argparse (prog renamed to the
+    # dispatcher form) and exits 0 before any Spark session spins up
+    from big_data_crypto_sentiment_spark.__main__ import JOBS
+    for name in ("dedup-index", "ann-index", "curate"):
+        assert name in JOBS
+        out = subprocess.run(
+            [sys.executable, "-m", "big_data_crypto_sentiment_spark",
+             name, "--help"],
+            capture_output=True, text=True, cwd="/root/repo", timeout=60)
+        assert out.returncode == 0, (name, out.stderr[-500:])
+        assert f"big_data_crypto_sentiment_spark {name}" in out.stdout
