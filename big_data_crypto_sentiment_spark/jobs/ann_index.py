@@ -136,9 +136,17 @@ def query_index(spark: SparkSession, index_dir: str, queries: DataFrame,
     one equality join on cid — identical semantics to the in-memory
     ivf_topk with the same centroids."""
     centroids = load_centroids(spark, index_dir)
-    return ivf_topk_assigned(queries,
-                             _read_assignments(spark, index_dir),
-                             centroids, k, n_probe)
+    # The crash model permits duplicated (vec_id, cid) rows: an un-keyed
+    # replayed append, or the window between compact's merged-generation
+    # commit and old-generation removal. Dedup consumers tolerate those
+    # (they dedup candidate pairs), but ranking does not — row_number
+    # over (cos desc, vec_id) would give the same vec_id two consecutive
+    # ranks and evict a genuine kth neighbor. Duplicate rows are
+    # identical re-assignments under the frozen centroids, so dropping
+    # them here is lossless.
+    assignments = _read_assignments(spark, index_dir) \
+        .dropDuplicates(["vec_id"])
+    return ivf_topk_assigned(queries, assignments, centroids, k, n_probe)
 
 
 def compact_index(spark: SparkSession, index_dir: str) -> dict:

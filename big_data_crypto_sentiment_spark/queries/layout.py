@@ -50,8 +50,11 @@ def events_warehouse(spark: SparkSession, sf_dir: str) -> str:
     builder loses the rename race harmlessly."""
     src = os.path.join(sf_dir, "events.parquet")
     st = os.stat(src)
+    # full-resolution mtime: with int(st_mtime) a fixture regenerated
+    # at the same byte size within the same second would silently reuse
+    # the stale warehouse across sessions
     key = (os.path.basename(os.path.normpath(sf_dir)),
-           st.st_size, int(st.st_mtime))
+           st.st_size, st.st_mtime_ns)
     root = os.environ.get(
         "SPARK_GRAFT_WAREHOUSE_DIR",
         os.path.join(tempfile.gettempdir(), "spark_graft_warehouse"))

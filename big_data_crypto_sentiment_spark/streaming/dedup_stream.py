@@ -63,7 +63,11 @@ def dedup_verdict_batch_writer(index_dir: str, verdict_dir: str,
             # below happened-before the append commit, so they exist
             # unless the crash hit the tiny window between — in which
             # case recompute against the index MINUS this generation.
-            if os.path.isdir(out):
+            # "Already written" means the commit marker exists, not the
+            # bare directory: a crash mid-write (notably in THIS replay
+            # branch) leaves a partial epoch dir with no _SUCCESS, and
+            # skipping on isdir would freeze that corrupt output forever.
+            if os.path.exists(os.path.join(out, "_SUCCESS")):
                 return
             keep = [d for d in _gen_dirs(index_dir) if d != gen]
             sh = spark.read.parquet(*[os.path.join(d, "shingles")

@@ -104,3 +104,29 @@ def test_crashed_append_invisible_and_compact_heals(spark, built):
     want = _ranked(ivf_topk(_queries(spark), _corpus(spark),
                             centroids, K))
     assert got == want
+
+
+def test_query_tolerates_duplicated_assignment_rows(spark, built):
+    """The crash model permits duplicate (vec_id, cid) rows BETWEEN
+    heals (un-keyed replayed append; compact's commit→cleanup window).
+    query_index must still return the true top-k — not hand one vec_id
+    two consecutive ranks and evict the real kth neighbor (ADVICE r9:
+    jobs/ann_index.py ranked without deduping vec_id)."""
+    centroids = load_centroids(spark, built)
+    want = _ranked(ivf_topk(_queries(spark), _corpus(spark),
+                            centroids, K))
+    # un-keyed double append: every appended vector's row duplicated
+    delta = _corpus(spark).filter(F.col("vec_id") >= 400)
+    append_vectors(spark, built, delta)
+    append_vectors(spark, built, delta)      # at-least-once, no key
+    assert index_stats(spark, built)["rows"] == 500 + 200
+    # query BEFORE any compact: ranks must be duplicate-free and
+    # identical to the clean in-memory operator
+    got_df = query_index(spark, built, _queries(spark), K)
+    got = _ranked(got_df)
+    assert got == want
+    per_q = {}
+    for qid, rank, vid, _ in got:
+        per_q.setdefault(qid, []).append(vid)
+    for qid, vids in per_q.items():
+        assert len(vids) == len(set(vids)) == K, qid

@@ -135,3 +135,37 @@ def test_replayed_epoch_is_idempotent(spark, parts, tmp_path):
     assert (v2[10].is_new, v2[10].dup_of) == (v1[10].is_new,
                                               v1[10].dup_of)
     assert index_stats(spark, idx) == s1
+
+
+def test_partial_verdict_write_is_repaired_on_replay(
+        spark, parts, tmp_path):
+    """A crash DURING the verdict parquet write leaves an epoch dir
+    with data files but no _SUCCESS marker. The replay must not treat
+    the bare directory as 'already written' — it rewrites the epoch
+    (ADVICE r9: streaming/dedup_stream.py skipped on isdir and froze
+    the corrupt output forever)."""
+    base, b1, _ = parts
+    idx, vdir = str(tmp_path / "index"), str(tmp_path / "verdicts")
+    build_index(spark, base, idx)
+    process = dedup_verdict_batch_writer(idx, vdir, threshold=0.5)
+    bdf = spark.createDataFrame(b1, DOC_SCHEMA)
+
+    process(bdf, 0)
+    out = os.path.join(vdir, "epoch=0")
+    v1 = _verdicts(spark, out)
+    s1 = index_stats(spark, idx)
+
+    # simulate the partial write: marker gone, a corrupt part left
+    os.remove(os.path.join(out, "_SUCCESS"))
+    for f in os.listdir(out):
+        if f.endswith(".parquet"):
+            with open(os.path.join(out, f), "w") as fh:
+                fh.write("torn")
+            break
+
+    process(bdf, 0)                    # replay repairs, not skips
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+    v2 = _verdicts(spark, out)
+    assert {k: (v.is_new, v.dup_of) for k, v in v2.items()} \
+        == {k: (v.is_new, v.dup_of) for k, v in v1.items()}
+    assert index_stats(spark, idx) == s1
