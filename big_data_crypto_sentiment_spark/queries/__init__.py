@@ -64,31 +64,12 @@ _MODULES = (flagship, relational, timeseries, text, dedup, similarity, ml,
 # family represented inside the driver window; extra = independent
 # evidence beyond the automated sf0.001 re-check.
 DEFERRALS: dict[str, dict] = {
-    "dedup_source_matrix": dict(since=4, family="dedup family broadly in-window (dedup_canonical, split_by_cluster)",
+    "dedup_source_matrix": dict(since=4, family="dedup family broadly in-window (dedup_canonical, split_by_cluster); same matrix core as dedup_source_matrix_fp in-window (r10), whose prefix key HAS dup groups at every SF",
                                 extra="r9 widened it to the full matrix (diagonal = within-source dup groups), "
                                       "but the fixture documents have NO exact-dup groups below sf0.1 at all — "
                                       "hash-checked non-empty at sf0.1 by tools/check.py; stays deferred because "
-                                      "a driver slot at sf0.01 would only hash two empty frames"),
-    "src_warehouse_fallback": dict(since=5, family="source family via src_avro_roundtrip in-window; fallback tiers shared with deferred src_tweets_normalize",
-                                   extra="fallback/avro tiers pytest-covered (test_sources.py); green r2-r5"),
-    # r6: the degenerate-fixture stress config hands its driver slot to
-    # the max_df-cut scale shape (sim_tfidf_zipf_topk, itself rotated
-    # out with r6-r8 evidence once the bm25/rrf twins entered r9's
-    # window)
-    "sim_tfidf_topk":     dict(since=6, family="retrieval family via sim_bm25_topk in-window (same inverted index)",
-                               extra="documented worst-case config; hash-checked at 3 SFs"),
-    "text_fingerprint":   dict(since=6, family="text family via source_scorecard in-window; md5 path via its fingerprint dup-rate",
-                               extra="3-SF check.py + per-round sf0.001 auto-verify"),
-    "text_c4_filter":     dict(since=6, family="rule-filter family via source_scorecard in-window (same per-row flag plan)",
-                               extra="driver-green r2-r5; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "dedup_simhash":      dict(since=6, family="hash-sketch dedup via dedup_minhash_lsh in-window",
-                               extra="driver-green r2-r5; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "ml_lexicon_sentiment": dict(since=6, family="scoring family via ml_sentiment (same per-row math)",
-                                 extra="driver-green r2-r5; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "unpivot_order_measures": dict(since=6, family="reshape family via sft_mask_spans/tokens_to_ids in-window (pivot twin deferred alongside)",
-                                   extra="driver-green r2-r5; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "mixture_downsample": dict(since=6, family="mixture family via sample_length_weighted in-window (same hash-threshold filter)",
-                               extra="driver-green r2-r5; 3-SF check.py + per-round sf0.001 auto-verify"),
+                                      "a driver slot at sf0.01 would only hash two empty frames; the shared "
+                                      "_source_matrix core earns its driver hash through the fp companion"),
     # r7 window rotation (VERDICT r6 #4): long-green members handed
     # their slots to stale-evidence deferrals; surviving rows below
     "ts_spearman":        dict(since=7, family="corr family via ts_lag_sweep_corr in-window; ts_corr's deferred pair shares the integer-frozen covariance core",
@@ -97,17 +78,11 @@ DEFERRALS: dict[str, dict] = {
                                extra="driver-green r2-r6; 3-SF check.py + per-round sf0.001 auto-verify"),
     "ts_sessionize":      dict(since=7, family="session family via event_debounce + event_transitions in-window (same lag-gap window core)",
                                extra="driver-green r2-r6; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "dedup_ngram_jaccard": dict(since=7, family="shingle-pair family via dedup_minhash_lsh in-window; dup-rate via text_dup_rate's deferred pair",
-                                extra="driver-green r2-r6; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "group_collect_training": dict(since=7, family="reshape family via sft_mask_spans in-window; kv_flatten's deferred pair shares the map-projection core",
-                                   extra="driver-green r2-r6; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "sim_topk_cosine":    dict(since=7, family="embedding family via embed_mean_pool + embed_quantize in-window (same integer-frozen cosine core); embed_prototype_prune's deferred pair",
+    "sim_topk_cosine":    dict(since=7, family="embedding family via embed_mean_pool in-window (same integer-frozen cosine core); embed_prototype_prune's deferred pair",
                                extra="driver-green r2-r6; brute-force baseline also exercised by test_similarity.py recall bounds"),
     "src_tweets_normalize": dict(since=7, family="source family via src_avro_roundtrip in-window; tweets-JSON reader/parse/fallback chain shared with deferred src_tweets_volume",
                                  extra="driver-green r2-r6; 3-SF check.py + per-round sf0.001 auto-verify"),
     "summary_stats":      dict(since=7, family="profiling family via moment_profile + value_quantile_bins in-window",
-                               extra="driver-green r2-r6; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "chunk_overlap":      dict(since=7, family="packing family via tokens_to_ids + sft_mask_spans in-window (same pos-window core)",
                                extra="driver-green r2-r6; 3-SF check.py + per-round sf0.001 auto-verify"),
     "ml_forecast_metrics": dict(since=7, family="ml family via ml_sentiment in-window (same per-symbol eval math)",
                                 extra="driver-green r2-r6; 3-SF check.py + per-round sf0.001 auto-verify"),
@@ -115,8 +90,6 @@ DEFERRALS: dict[str, dict] = {
                                extra="driver-green r2-r6; 3-SF check.py + per-round sf0.001 auto-verify"),
     "table_diff":         dict(since=7, family="diff/upsert family via rotated-in scd2_merge_incremental in-window (same keyed latest-wins merge); drift via ks_drift_events' deferred pair; anti/semi-join shape via rotated-in retention_after_deletes in-window",
                                extra="driver-green r4-r6; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "log_return":         dict(since=7, family="window-calc family via ta_ema_rsi_macd + ta_twap in-window (same per-symbol ordered window)",
-                               extra="driver-green r2-r6; 3-SF check.py + per-round sf0.001 auto-verify"),
     # r8 window rotation (VERDICT r7 #7 + ADVICE): stale-evidence pairs
     # rotated back in; these surviving rows handed over their slots
     "filter_time_range":  dict(since=8, family="pushdown-scan family via warehouse_prune_day + zorder_key_lineitem in-window; PushedFilters pinned by tests/test_plan_guards.py",
@@ -149,7 +122,7 @@ DEFERRALS: dict[str, dict] = {
                                extra="driver-green r2-r4 + refreshed r7; 3-SF check.py + per-round sf0.001 auto-verify"),
     "ks_drift_events":    dict(since=8, family="drift family via mad_outlier_events + moment_profile in-window (same exact rank/window machinery)",
                                extra="driver-green r6-r7; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "embed_prototype_prune": dict(since=8, family="embedding family via embed_mean_pool + embed_quantize in-window (same integer-frozen cosine/centroid core)",
+    "embed_prototype_prune": dict(since=8, family="embedding family via embed_mean_pool in-window (same integer-frozen cosine/centroid core)",
                                   extra="driver-green r6-r7; 3-SF check.py + per-round sf0.001 auto-verify"),
     # r9 window rotation (VERDICT r8 #1), first tranche: the nineteen
     # never-driver-checked pairs — the whole behavior family, the SCD2
@@ -240,7 +213,7 @@ DEFERRALS: dict[str, dict] = {
                                extra="driver-green r4-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
     "dedup_exact":        dict(since=9, family="exact-dup family via source_scorecard's fingerprint dup-rate in-window (same normalized-md5 agg); dedup family broadly in-window (dedup_minhash_lsh, dedup_canonical)",
                                extra="driver-green r2-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "sim_semdedup":       dict(since=9, family="embedding family via embed_mean_pool + embed_quantize in-window (same integer-frozen cosine/centroid core)",
+    "sim_semdedup":       dict(since=9, family="embedding family via embed_mean_pool in-window (same integer-frozen cosine/centroid core)",
                                extra="driver-green r7-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
     "src_tweets_volume":  dict(since=9, family="source family via src_avro_roundtrip in-window; tweets-JSON reader/parse chain shared with deferred src_tweets_normalize",
                                extra="driver-green r2-r3 + r7-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
@@ -254,7 +227,7 @@ DEFERRALS: dict[str, dict] = {
                                  extra="driver-green r3 + r7-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
     "dedup_components":   dict(since=9, family="CC family via dedup_canonical + split_by_cluster in-window (both consume the same large-star/small-star fixpoint)",
                                extra="driver-green r4-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "sample_and_split":   dict(since=9, family="sampling family via sample_stratified + shuffle_shards + sample_weighted_ak in-window (same portable-md5 bucket)",
+    "sample_and_split":   dict(since=9, family="sampling family via sample_stratified + sample_weighted_ak in-window (same portable-md5 bucket)",
                                extra="driver-green r4-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
     "sample_temperature": dict(since=9, family="mixture/temperature family via sample_length_weighted + sample_stratified in-window (same hash-threshold filter)",
                                extra="driver-green r6-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
@@ -262,7 +235,7 @@ DEFERRALS: dict[str, dict] = {
                                extra="driver-green r4-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
     "unigram_logprob":    dict(since=9, family="LM-quality family via bigram_logprob in-window (same integer-nat architecture, strictly richer plan)",
                                extra="driver-green r5-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "sim_tfidf_zipf_topk": dict(since=9, family="retrieval family via sim_bm25_topk + sim_rrf_hybrid in-window (same inverted-index core)",
+    "sim_tfidf_zipf_topk": dict(since=9, family="retrieval family via sim_bm25_topk + rotated-in sim_tfidf_topk in-window (same inverted-index core)",
                                 extra="driver-green r6-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
     # late-r9 rotation: the two NEW r9 pairs (text_langid_ngram,
     # media_resize) take window slots immediately so their first driver
@@ -272,6 +245,42 @@ DEFERRALS: dict[str, dict] = {
                                extra="driver-green r2-r8 (every round); 3-SF check.py + per-round sf0.001 auto-verify"),
     "ts_lag_sweep_corr":  dict(since=9, family="timeseries family via ts_seasonal_anomaly + ts_interpolate + ts_cube in-window; integer-frozen covariance core shared with deferred ts_corr/ts_spearman",
                                extra="driver-green r2-r8 (every round); 3-SF check.py + per-round sf0.001 auto-verify"),
+    # r10 evidence-freshness rotation (VERDICT r9 #8): the never-checked
+    # backlog is burned down, so the window slots now cycle by evidence
+    # AGE. The 12 OLDEST pairs (last driver hash r3-r6: log_return,
+    # text_fingerprint, src_warehouse_fallback, dedup_simhash,
+    # mixture_downsample, ml_lexicon_sentiment, sim_tfidf_topk,
+    # text_c4_filter, unpivot_order_measures, chunk_overlap,
+    # dedup_ngram_jaccard, group_collect_training) rotate back IN, plus
+    # the new dedup_source_matrix_fp takes its first slot. The 13
+    # r9-green members below hand over theirs; every family keeps an
+    # in-window representative.
+    "type_cooccurrence":  dict(since=10, family="behavior family via event_transitions + funnel_conversion + cohort_retention in-window (same per-user window chain)",
+                               extra="driver-green r9 (first check); 3-SF check.py + per-round sf0.001 auto-verify"),
+    "type_share_daily":   dict(since=10, family="behavior family via funnel_conversion + cohort_retention in-window (same day-bucket share plan)",
+                               extra="driver-green r9 (first check); 3-SF check.py + per-round sf0.001 auto-verify"),
+    "cohort_retention_pct": dict(since=10, family="cohort family via cohort_retention in-window (same cohort-week matrix, pct projection on top)",
+                                 extra="driver-green r9 (first check); 3-SF check.py + per-round sf0.001 auto-verify"),
+    "funnel_steps":       dict(since=10, family="funnel family via funnel_conversion in-window (same ordered-step windows)",
+                               extra="driver-green r9 (first check); 3-SF check.py + per-round sf0.001 auto-verify"),
+    "rollup_backfill_late": dict(since=10, family="incremental-rollup family via rollup_merge_incremental in-window (same keyed merge)",
+                                 extra="driver-green r9 (first check); 3-SF check.py + per-round sf0.001 auto-verify"),
+    "scd2_user_state":    dict(since=10, family="SCD2 family via scd2_point_in_time + scd2_merge_incremental + scd2_snapshot_at in-window (same validity-interval build)",
+                               extra="driver-green r9 (first check); 3-SF check.py + per-round sf0.001 auto-verify"),
+    "scd2_state_durations": dict(since=10, family="SCD2 family via scd2_point_in_time + scd2_snapshot_at in-window (same interval arithmetic)",
+                                 extra="driver-green r9 (first check); 3-SF check.py + per-round sf0.001 auto-verify"),
+    "ts_trailing_distinct": dict(since=10, family="trailing-window family via ts_seasonal_anomaly + ts_interpolate in-window; rank machinery via mad_outlier_events in-window",
+                                 extra="driver-green r9 (first check); 3-SF check.py + per-round sf0.001 auto-verify"),
+    "dq_suite":           dict(since=10, family="quality family via mad_outlier_events + value_histogram + value_quantile_bins + moment_profile in-window (same conditional-agg single pass)",
+                               extra="driver-green r9 (first check); 3-SF check.py + per-round sf0.001 auto-verify"),
+    "text_langid_ngram":  dict(since=10, family="text family via source_scorecard + top_docs_per_source in-window; rotated-in text_c4_filter shares the per-row flag plan",
+                               extra="driver-green r9 (first check); Cavnar-Trenkle profile math pinned by pytest; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "sim_rrf_hybrid":     dict(since=10, family="retrieval family via sim_bm25_topk + rotated-in sim_tfidf_topk in-window (same inverted index)",
+                               extra="driver-green r9; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "embed_quantize":     dict(since=10, family="embedding family via embed_mean_pool in-window (same integer-frozen vector math)",
+                               extra="driver-green r7-r9; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "shuffle_shards":     dict(since=10, family="sampling family via sample_stratified + sample_length_weighted + sample_weighted_ak + rotated-in mixture_downsample in-window (same portable-md5 bucket)",
+                               extra="driver-green r9; 3-SF check.py + per-round sf0.001 auto-verify"),
 }
 _DEFER_FROM_WINDOW = tuple(DEFERRALS)
 

@@ -78,19 +78,12 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     (bounded by the number of sources, not group size) — never a
 #     corpus self-join. The audit a curation pipeline runs before
 #     deciding per-source dedup precedence. ---
-def q_dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full source co-occurrence matrix of duplicate groups, diagonal
-    included: (s, s) counts groups with >= 2 copies INSIDE source s —
-    the dominant dup mode on real crawls; (a, b), a < b counts groups
-    spanning both. NOTE the fixtures contain NO exact-dup groups below
-    sf0.1 at all (diagonal or cross) — see the DEFERRALS entry; the
-    diagonal path is pinned by pytest. NULL text / NULL source rows
-    are dropped on BOTH engines (DuckDB's equi-join drops NULL keys
-    silently; being explicit keeps the twins aligned)."""
-    d = (table(spark, sf_dir, "documents")
-         .filter(F.col("text").isNotNull() & F.col("source").isNotNull()))
-    norm = F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
-    per_src = (d.groupBy(F.md5(norm).alias("h"), "source")
+def _source_matrix(d: DataFrame, key) -> DataFrame:
+    """The matrix core, shared by the exact- and prefix-fingerprint
+    variants: one hash-groupBy on (key, source), group the per-source
+    counts, expand pairs INSIDE each duplicate group's bounded
+    source-count array."""
+    per_src = (d.groupBy(key.alias("h"), "source")
                 .agg(F.count("*").alias("c")))
     groups = (per_src.groupBy("h")
               .agg(F.sort_array(F.collect_list(F.struct("source", "c")))
@@ -112,6 +105,45 @@ def q_dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .groupBy("src_a", "src_b")
                   .agg(F.count("*").alias("n_dup_groups"))
                   .orderBy("src_a", "src_b"))  # bounded: |sources|²
+
+
+def q_dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full source co-occurrence matrix of duplicate groups, diagonal
+    included: (s, s) counts groups with >= 2 copies INSIDE source s —
+    the dominant dup mode on real crawls; (a, b), a < b counts groups
+    spanning both. NOTE the fixtures contain NO exact-dup groups below
+    sf0.1 at all (diagonal or cross) — see the DEFERRALS entry; the
+    diagonal path is pinned by pytest. NULL text / NULL source rows
+    are dropped on BOTH engines (DuckDB's equi-join drops NULL keys
+    silently; being explicit keeps the twins aligned)."""
+    d = (table(spark, sf_dir, "documents")
+         .filter(F.col("text").isNotNull() & F.col("source").isNotNull()))
+    norm = F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
+    return _source_matrix(d, F.md5(norm))
+
+
+# first-k-words prefix fingerprint: the coarse leak key crawl pipelines
+# use for syndicated leads / shared boilerplate openings — docs that
+# start identically are near-certain copies of one wire item even when
+# trailing content diverges. Unlike the exact key above, its dup
+# groups exist at EVERY fixture SF, so this variant carries the
+# family's driver-hash evidence at sf0.01 (VERDICT r9 #1).
+PREFIX_FP_WORDS = 5
+
+
+def q_dedup_source_matrix_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source co-occurrence matrix keyed on the PREFIX fingerprint
+    (md5 of the first PREFIX_FP_WORDS whitespace-normalized lowercase
+    words) — same matrix semantics as q_dedup_source_matrix, coarser
+    key. Same single (h, source) hash-agg shape: at 100 TB the prefix
+    slice additionally caps the bytes hashed per row (the exact key
+    hashes whole documents)."""
+    d = (table(spark, sf_dir, "documents")
+         .filter(F.col("text").isNotNull() & F.col("source").isNotNull()))
+    norm = F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
+    prefix = F.array_join(
+        F.slice(F.split(norm, " "), 1, PREFIX_FP_WORDS), " ")
+    return _source_matrix(d, F.md5(prefix))
 
 
 # --- exact n-gram Jaccard pairs on a bounded slice (oracle-checked) ---
@@ -629,6 +661,7 @@ def q_dedup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_source_matrix": q_dedup_source_matrix,
+    "dedup_source_matrix_fp": q_dedup_source_matrix_fp,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_minhash_incremental": q_dedup_minhash_incremental,
@@ -731,6 +764,26 @@ FROM per_doc p LEFT JOIN agg a USING (doc_id)
     "dedup_source_matrix": """
 WITH sc AS (
   SELECT md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS h,
+         source, COUNT(*) AS c
+  FROM documents
+  WHERE text IS NOT NULL AND source IS NOT NULL
+  GROUP BY 1, 2
+), g AS (
+  SELECT h FROM sc GROUP BY h HAVING SUM(c) >= 2
+), p AS (
+  SELECT a.h, a.source AS src_a, b.source AS src_b
+  FROM sc a JOIN sc b USING (h) JOIN g USING (h)
+  WHERE a.source < b.source
+     OR (a.source = b.source AND a.c >= 2)
+)
+SELECT src_a, src_b, COUNT(*) AS n_dup_groups
+FROM p GROUP BY src_a, src_b ORDER BY src_a, src_b
+""",
+    "dedup_source_matrix_fp": f"""
+WITH sc AS (
+  SELECT md5(array_to_string(
+           string_split(lower(regexp_replace(text, '\\s+', ' ', 'g')),
+                        ' ')[1:{PREFIX_FP_WORDS}], ' ')) AS h,
          source, COUNT(*) AS c
   FROM documents
   WHERE text IS NOT NULL AND source IS NOT NULL

@@ -217,3 +217,27 @@ def test_incremental_minhash_verdicts_against_index_and_batch(spark):
     assert out[10].jaccard >= 0.5
     assert out[11].dup_of is None and out[11].is_new == 1
     assert out[12].dup_of == 11 and out[12].is_new == 0
+
+
+def test_source_matrix_fp_keys_on_word_prefix(spark, monkeypatch):
+    """The prefix variant groups docs sharing the first PREFIX_FP_WORDS
+    normalized words even when trailing content diverges (syndicated
+    leads), and does NOT merge docs that differ inside the prefix."""
+    from big_data_crypto_sentiment_spark.queries import dedup as D
+
+    lead = "alpha beta gamma delta epsilon"
+    df = spark.createDataFrame(
+        [(1, lead + " tail one", "srcA"),
+         (2, "Alpha  Beta gamma DELTA epsilon other tail", "srcB"),
+         (3, lead, "srcA"),              # exact prefix, no tail
+         (4, "alpha beta gamma delta DIFFERENT tail", "srcC"),
+         (5, "short one", "srcA")],
+        "doc_id long, text string, source string")
+    monkeypatch.setattr(D, "table", lambda s, d, n: df)
+    rows = {(r.src_a, r.src_b): r.n_dup_groups
+            for r in D.q_dedup_source_matrix_fp(spark, "ignored").collect()}
+    # docs 1,2,3 share the 5-word prefix (one group, srcA holds 2);
+    # doc 4 diverges at word 5; doc 5 is a singleton
+    assert rows == {("srcA", "srcA"): 1, ("srcA", "srcB"): 1}
+    # the exact-key matrix sees NO duplicate groups in the same data
+    assert D.q_dedup_source_matrix(spark, "ignored").count() == 0
