@@ -83,6 +83,32 @@ def main() -> int:
         materialize(spark.range(64).withColumn("g", F.col("id") % 32)
                     .groupBy("g")
                     .applyInPandas(lambda pdf: pdf, "id bigint, g bigint"))
+        # ... and the string-expression + decimal-agg family: the first
+        # plan of a session that runs md5/regexp_replace/split/
+        # array_distinct through a cascaded decimal-sum hash agg pays
+        # ~3-4s of codegen + C2 JIT for those expression pipelines
+        # (measured: source_scorecard 4.9s cold vs 1.1s warm at sf0.1
+        # on a 256-row warmup — the cost is shape-, not data-sized).
+        # Which registered entry paid it depended on registry order
+        # (r9's rotation moved source_scorecard ahead of the text
+        # family and it absorbed the whole cost: 0.83 -> 2.25s).
+        tiny3 = spark.range(256).select(
+            (F.col("id") % 8).cast("string").alias("source"),
+            F.concat_ws(" ", F.lit("a b"), F.col("id").cast("string"))
+             .alias("text"),
+            (F.col("id") % 100).alias("n_chars"))
+        _norm = F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
+        _w = F.split(F.col("text"), " ")
+        _pd = tiny3.select(
+            "source", "n_chars", F.md5(_norm).alias("fp"),
+            F.round(F.size(F.array_distinct(_w)) / F.size(_w) * 1e6)
+             .cast("bigint").alias("dr6"))
+        _g = _pd.groupBy("source", "fp").agg(
+            F.count("*").alias("c"),
+            F.sum(F.col("n_chars").cast("decimal(27,6)")).alias("sc"),
+            F.sum("dr6").alias("sd"))
+        materialize(_g.groupBy("source").agg(
+            F.sum("c"), F.sum("sc").cast("double"), F.sum("sd")))
     except Exception:
         # a failed warmup only skews attribution, never correctness —
         # but it must be VISIBLE (a silent pass hid a broken pandas

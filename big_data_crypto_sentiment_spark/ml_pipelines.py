@@ -56,13 +56,13 @@ SENT_NUM_FEATURES = 4096  # hashed feature space; power of 2 per HashingTF docs
 SENT_REG = 0.01
 # L-BFGS tolerance: each iteration is a full distributed pass whose cost
 # at small scale is dominated by fixed job overhead (~0.15 s/iteration
-# measured). 1e-3 converges in 15 iterations vs 21 at 1e-4 (and ~40 at
-# the 1e-6 default) with teacher-agreement accuracy IDENTICAL to four
-# decimal places at sf0.1 (0.9414 both ways, measured); the pytest
-# quality gates — planted-polar correctness + >0.8 teacher agreement —
-# bound the risk. Probability estimates are for thresholding, not
-# scientific reporting.
-SENT_TOL = 1e-3
+# measured). 3e-3 converges in 11 iterations vs 15 at 1e-3, 21 at 1e-4,
+# ~40 at the 1e-6 default, with teacher-agreement accuracy unchanged to
+# three decimal places at sf0.1 (0.9408 vs 0.9414, measured); the
+# pytest quality gates — planted-polar correctness + >0.8 teacher
+# agreement — bound the risk. Probability estimates are for
+# thresholding, not scientific reporting.
+SENT_TOL = 3e-3
 
 
 # An L-BFGS iteration costs one pass over the fit input; when the input
@@ -303,27 +303,44 @@ def fit_topics(docs: DataFrame, k: int = LDA_TOPICS,
 PERM_BUCKETS = 64
 
 
-def _permuted(df: DataFrame, id_col: str, col: str,
-              n_buckets: int = PERM_BUCKETS) -> DataFrame:
-    """Deterministically permute `col` without any global sort: rows are
-    hash-bucketed by xxhash64(id) % n_buckets, and within each bucket the
-    value ranked r by a seeded re-hash moves to the row ranked r by id.
-    Buckets are hash-random subsets (independent of features/labels), so
-    the within-bucket shuffle is a valid whole-column permutation for
+def _permuted_cols(df: DataFrame, id_col: str, cols: list[str],
+                   n_buckets: int = PERM_BUCKETS) -> DataFrame:
+    """Deterministically permute EVERY column in `cols` (one shared
+    permutation) without any global sort: rows are hash-bucketed by
+    xxhash64(id) % n_buckets, and within each bucket the value ranked r
+    by a seeded re-hash moves to the row ranked r by id. Buckets are
+    hash-random subsets (independent of features/labels), so the
+    within-bucket shuffle is a valid whole-column permutation for
     importance purposes, while every window is partitionBy'd — each
-    bucket sorts locally, nothing funnels through one task."""
+    bucket sorts locally, nothing funnels through one task.
+
+    The permutation is a function of the ids alone — it never depended
+    on which column was being permuted — so computing all columns'
+    permuted values in ONE window pass + ONE join is semantically
+    identical to the old per-column form and removes |F|-1 joins and
+    2(|F|-1) windows from the importance evaluation. Returns df plus a
+    `_perm_<col>` column per input col."""
     bucket = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets))
     w_id = Window.partitionBy("_b").orderBy(id_col)
     w_hash = Window.partitionBy("_b").orderBy(
         F.xxhash64(F.col(id_col), F.lit(7)), id_col)
     by_id = (df.withColumn("_b", bucket)
                .withColumn("_r", F.row_number().over(w_id)))
-    by_hash = (df.select(id_col, col)
+    by_hash = (df.select(id_col, *cols)
                  .withColumn("_b", bucket)
                  .withColumn("_r", F.row_number().over(w_hash))
-                 .select("_b", "_r", F.col(col).alias("_perm")))
-    return (by_id.drop(col).join(by_hash, ["_b", "_r"])
-                 .withColumnRenamed("_perm", col).drop("_b", "_r"))
+                 .select("_b", "_r",
+                         *[F.col(c).alias(f"_perm_{c}") for c in cols]))
+    return (by_id.join(by_hash, ["_b", "_r"])
+                 .drop("_b", "_r"))
+
+
+def _permuted(df: DataFrame, id_col: str, col: str,
+              n_buckets: int = PERM_BUCKETS) -> DataFrame:
+    """Single-column form of _permuted_cols (kept for tests/direct use)."""
+    return (_permuted_cols(df, id_col, [col], n_buckets)
+            .drop(col)
+            .withColumnRenamed(f"_perm_{col}", col))
 
 
 def ridge_permutation_importance(df: DataFrame, feature_cols: list[str],
@@ -332,8 +349,20 @@ def ridge_permutation_importance(df: DataFrame, feature_cols: list[str],
     """Fit ridge on feature_cols; return [(feature, base_mse,
     permuted_mse, importance)] with importance = mse lift when the
     feature's values are (deterministically) permuted."""
+    import math
     from functools import reduce
     df = df.select(id_col, label_col, *feature_cols).na.drop().cache()
+    # right-size like _persisted_for_fit: the fit's treeAggregate, the
+    # base-variant transform and the permutation windows all re-read
+    # this cache — on a small input, 32 near-empty tasks per job is
+    # pure scheduler overhead (measured ~2x of this function's wall
+    # at fixture scale)
+    cached = df
+    n = df.count()  # also materializes the cache
+    parts = df.rdd.getNumPartitions()
+    target = max(2, min(parts, math.ceil(n / FIT_ROWS_PER_PARTITION)))
+    if target < parts:
+        df = df.coalesce(target)  # wraps the cached relation
     asm = VectorAssembler(inputCols=feature_cols, outputCol="features")
     lr = LinearRegression(featuresCol="features", labelCol=label_col,
                           regParam=reg, elasticNetParam=0.0)
@@ -344,9 +373,22 @@ def ridge_permutation_importance(df: DataFrame, feature_cols: list[str],
     # jobs → 1 — the per-job overhead dominated this function's
     # wall-clock at fixture scale, and at 100 TB it's |F| fewer full
     # scoring scans)
+    # all permuted columns come out of ONE window pass + ONE join (the
+    # permutation is id-only, shared across features — see
+    # _permuted_cols); each variant is then a projection of that frame
+    # persisted: each variant branch projects this frame, and without
+    # the persist every branch would re-run the shared windows + join
+    # (same size class as the already-cached fit input)
+    perm = _permuted_cols(df, id_col, feature_cols) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
     variants = [df.withColumn("_variant", F.lit("base"))]
-    variants += [_permuted(df, id_col, c).withColumn("_variant", F.lit(c))
-                 for c in feature_cols]
+    variants += [
+        perm.select(
+            id_col, label_col,
+            *[(F.col(f"_perm_{c2}") if c2 == c else F.col(c2)).alias(c2)
+              for c2 in feature_cols])
+            .withColumn("_variant", F.lit(c))
+        for c in feature_cols]
     tagged = reduce(DataFrame.unionByName, variants)
     err = F.col("prediction") - F.col(label_col)
     mse = {r["_variant"]: float(r["mse"]) for r in
@@ -355,5 +397,6 @@ def ridge_permutation_importance(df: DataFrame, feature_cols: list[str],
                 .agg(F.avg(err * err).alias("mse")).collect()}
     base = mse["base"]
     out = [(c, base, mse[c], mse[c] - base) for c in feature_cols]
-    df.unpersist()
+    perm.unpersist()
+    cached.unpersist()
     return out

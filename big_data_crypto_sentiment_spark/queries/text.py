@@ -554,23 +554,34 @@ def q_source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(norm).alias("fp"),
         F.round(F.size(F.array_distinct(w)) / F.size(w) * 1_000_000)
          .cast("bigint").alias("dr6"))
-    fp_counts = (per_doc.groupBy("source", "fp")
-                        .agg(F.count("*").alias("c")))
-    dup = (fp_counts.groupBy("source")
-           .agg(F.sum("c").alias("n_docs"),
-                F.sum(F.when(F.col("c") >= 2, F.col("c"))
-                       .otherwise(0)).alias("n_dup_docs")))
-    sig = (per_doc.groupBy("source")
-           .agg(F.round(davg("n_chars"), 6).alias("avg_chars"),
-                F.round(F.sum("dr6")
-                        / (F.count("*") * 1_000_000.0), 6)
-                 .alias("avg_distinct_ratio")))
-    return (dup.join(sig, "source")
-               .select("source", "n_docs",
-                       F.round(F.col("n_dup_docs") / F.col("n_docs"), 6)
-                        .alias("dup_frac"),
-                       "avg_chars", "avg_distinct_ratio")
-               .orderBy("source"))  # bounded: one row per source
+    # ONE pass: the expensive per-row expressions (full-text md5 +
+    # split + array_distinct) are evaluated exactly once, and the
+    # per-source stats CASCADE off the (source, fp) agg instead of
+    # re-scanning per_doc for a second agg + join (the r9 shape paid
+    # the projection twice and a join; measured 2x at sf0.1). All
+    # level-1 partials are combinable (counts + exact decimal sums),
+    # so the rewrite is bit-identical: decimal sums are associative,
+    # and the final double cast happens at the same point.
+    fp_stats = (per_doc.groupBy("source", "fp")
+                .agg(F.count("*").alias("c"),
+                     F.count("n_chars").alias("nc"),
+                     F.sum(F.col("n_chars").cast("decimal(27,6)"))
+                      .alias("sc"),
+                     F.sum("dr6").alias("sd")))
+    return (fp_stats.groupBy("source")
+            .agg(F.sum("c").alias("n_docs"),
+                 F.sum(F.when(F.col("c") >= 2, F.col("c"))
+                        .otherwise(0)).alias("n_dup_docs"),
+                 F.round(F.sum("sc").cast("double") / F.sum("nc"), 6)
+                  .alias("avg_chars"),
+                 F.round(F.sum("sd")
+                         / (F.sum("c") * 1_000_000.0), 6)
+                  .alias("avg_distinct_ratio"))
+            .select("source", "n_docs",
+                    F.round(F.col("n_dup_docs") / F.col("n_docs"), 6)
+                     .alias("dup_frac"),
+                    "avg_chars", "avg_distinct_ratio")
+            .orderBy("source"))  # bounded: one row per source
 
 
 # --- grouped top-k (the per-group twin of the global bounded top-k
