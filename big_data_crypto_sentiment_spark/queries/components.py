@@ -57,46 +57,71 @@ from .dedup import (
 )
 
 
-def _large_star(edges: DataFrame) -> DataFrame:
-    """Emit (v, m) for every neighbor v > u, m = min(Γ(u) ∪ {u})."""
+def _large_star(edges: DataFrame, dedup: bool = True) -> DataFrame:
+    """Emit (v, m) for every neighbor v > u, m = min(Γ(u) ∪ {u}).
+
+    The per-u minimum rides a window over the one (u) shuffle instead
+    of a groupBy + join-back — same rows out, two fewer stages per
+    round (the iteration's cost at fixture scale is stage scheduling,
+    not data). dedup=False skips the output distinct for callers that
+    immediately feed _small_star: its min/membership math is
+    duplicate-insensitive and its own distinct dedups the round, so
+    the intermediate shuffle buys nothing (duplicates at most double
+    the rows riding ONE exchange)."""
+    from pyspark.sql import Window
     nbrs = (edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
                  .union(edges.select(F.col("dst").alias("u"),
                                      F.col("src").alias("v"))))
-    mins = (nbrs.groupBy("u").agg(F.min("v").alias("_mn"))
-                .select("u", F.least("_mn", "u").alias("m")))
-    return (nbrs.join(mins, "u")
-                .filter(F.col("v") > F.col("u"))
-                .select(F.col("v").alias("src"), F.col("m").alias("dst"))
-                .distinct())
+    m = F.least(F.min("v").over(Window.partitionBy("u")), F.col("u"))
+    out = (nbrs.withColumn("m", m)
+               .filter(F.col("v") > F.col("u"))
+               .select(F.col("v").alias("src"), F.col("m").alias("dst")))
+    return out.distinct() if dedup else out
 
 
 def _small_star(edges: DataFrame) -> DataFrame:
     """Over downward edges (dst < src): per u with smaller-neighbor set
-    N and m = min(N), emit (u, m) and (v, m) for v ∈ N \\ {m}."""
+    N and m = min(N), emit (u, m) and (v, m) for v ∈ N \\ {m} — one
+    window pass + per-row explode (each row contributes its own (v, m)
+    move plus the group's (u, m) edge, duplicated across the group's
+    rows and collapsed by the same distinct the join form needed)."""
+    from pyspark.sql import Window
     d = (edges.select(F.greatest("src", "dst").alias("u"),
                       F.least("src", "dst").alias("v"))
               .filter(F.col("u") != F.col("v")))
-    mins = d.groupBy("u").agg(F.min("v").alias("m"))
-    moved = (d.join(mins, "u")
-              .filter(F.col("v") != F.col("m"))
-              .select(F.col("v").alias("src"), F.col("m").alias("dst")))
-    return (moved.union(mins.select(F.col("u").alias("src"),
-                                    F.col("m").alias("dst")))
-                 .distinct())
+    m = F.min("v").over(Window.partitionBy("u"))
+    pair = lambda s, t: F.struct(s.alias("src"), t.alias("dst"))  # noqa: E731
+    out = F.when(F.col("v") != F.col("m"),
+                 F.array(pair(F.col("v"), F.col("m")),
+                         pair(F.col("u"), F.col("m")))) \
+           .otherwise(F.array(pair(F.col("u"), F.col("m"))))
+    return (d.withColumn("m", m)
+             .select(F.explode(out).alias("e"))
+             .select("e.src", "e.dst")
+             .distinct())
 
 
 def _is_star_forest(edges: DataFrame) -> bool:
-    """Exact fixpoint test, one action over checkpointed edges: every
-    src has exactly one distinct parent, and no dst is also a src."""
-    multi = (edges.groupBy("src")
-                  .agg(F.count_distinct("dst").alias("np"))
-                  .agg(F.coalesce(F.max("np"), F.lit(1)).alias("mp")))
-    chained = (edges.alias("e")
-               .join(edges.select("src").distinct().alias("s"),
-                     F.col("e.dst") == F.col("s.src"), "left_semi")
-               .agg(F.count("*").alias("nc")))
-    row = multi.crossJoin(chained).first()
-    return row.mp <= 1 and row.nc == 0
+    """Exact fixpoint test, ONE shuffle + one early-exit action over
+    checkpointed edges: every src has exactly one distinct parent, and
+    no dst is also a src. Both conditions come out of a single
+    per-node agg over the two roles (the old form paid a second
+    groupBy, a semi-join and a crossJoin for the same answer)."""
+    roles = (edges.select(F.col("src").alias("n"), F.col("dst").alias("p"))
+                  .unionAll(edges.select(
+                      F.col("dst").alias("n"),
+                      F.lit(None).cast(dict(edges.dtypes)["dst"])
+                       .alias("p"))))
+    bad = (roles.groupBy("n")
+                .agg(F.count_distinct("p").alias("np"),
+                     F.max(F.col("p").isNotNull().cast("int"))
+                      .alias("is_src"),
+                     F.max(F.col("p").isNull().cast("int"))
+                      .alias("is_dst"))
+                .filter((F.col("np") > 1)
+                        | ((F.col("is_src") == 1)
+                           & (F.col("is_dst") == 1))))
+    return bad.isEmpty()
 
 
 def connected_components(edges: DataFrame, nodes: DataFrame,
@@ -117,8 +142,14 @@ def connected_components(edges: DataFrame, nodes: DataFrame,
     if not e.isEmpty():
         for _ in range(max_iter):
             rounds += 1
-            e = _small_star(_large_star(e)).localCheckpoint(eager=False)
-            if _is_star_forest(e):
+            e = _small_star(_large_star(e, dedup=False)) \
+                .localCheckpoint(eager=False)
+            # skip the round-1 probe: a non-empty non-star input needs
+            # >= 2 rounds, so probing after round 1 spends an action +
+            # shuffle that can only say "not yet" (the unprobed round's
+            # lazy checkpoint simply materializes inside round 2's
+            # probe — no stage runs twice)
+            if rounds >= 2 and _is_star_forest(e):
                 break
     if _stats is not None:
         _stats["rounds"] = rounds

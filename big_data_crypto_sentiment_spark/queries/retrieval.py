@@ -274,10 +274,22 @@ def bm25_postings(docs: DataFrame, idf: dict[str, int], avgdl: float,
                       F.round(num / den).cast("bigint").alias("s4")))
 
 
+# The planted corpus itself: ~35 md5-bucket draws + string build per
+# doc, re-executed by EVERY corpus action (idf's count + df agg, the
+# weights pass, avgdl, the postings pass — five regenerations per index
+# build before this cache). Persisted once per (session, sf_dir); the
+# naming convention registers it with queries.session_caches().
+_ZIPF_CACHE: dict[tuple, DataFrame] = {}
+
+
 def _zipf_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ._util import rebalance_scan
-    return zipf_planted_docs(
-        rebalance_scan(table(spark, sf_dir, "documents")).select("doc_id"))
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _ZIPF_CACHE:
+        _ZIPF_CACHE[key] = zipf_planted_docs(
+            rebalance_scan(table(spark, sf_dir, "documents"))
+            .select("doc_id")).persist()
+    return _ZIPF_CACHE[key]
 
 
 def zipf_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
