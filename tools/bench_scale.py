@@ -1,0 +1,230 @@
+"""Empirical scaling bench (VERDICT r9 #5): run the four families whose
+100-TB claims carry the most weight at 1x and 10x corpus size and
+record wall-vs-rows growth in BENCH_SCALE.json.
+
+Corpus: both sizes come from ONE deterministic generator (seed 42,
+numpy PCG64) shaped like the driver's documents/embeddings fixtures
+(word-soup text, 20 sources, 5 langs, 10-100 words/doc; 64-dim float
+embeddings). Two deliberate distribution choices keep the comparison an
+ENGINE measurement instead of a data artifact:
+
+  * vocabulary grows Heaps-law-style with corpus size (V ~ 4.4 sqrt(n)),
+    holding per-shingle document frequency roughly constant. Holding the
+    fixture's 31-word vocabulary fixed at 10x would grow shingle DF 10x
+    and the candidate-pair GRAPH ~100x — a quadratic property of that
+    degenerate data, not of the operators under test (real corpora grow
+    vocabulary with size; the fixture's is a fixed toy set).
+  * near-duplicates are PLANTED at a constant 2% rate (every 50th doc is
+    a 90%-copy of its predecessor, same source), so the dedup/CC
+    families have real, linearly-scaling work to find at both sizes.
+
+Families timed (session caches cleared before each size so every entry
+pays its own index build):
+  * minhash_lsh         — signatures + banded self-join + exact verify
+  * minhash_incremental — delta verdict against the materialized index
+  * connected_components— pair graph + large/small-star fixpoint (src0)
+  * ivf_stored_index    — jobs/ann_index build + stored-index top-k
+  * retrieval_bm25      — zipf inverted-index build + BM25 top-k
+
+Usage: python tools/bench_scale.py   # writes BENCH_SCALE.json
+Fixture parquet lands under .scale_fixture/ (gitignored, regenerated on
+demand; delete the dir to force a rebuild).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+FIX = os.path.join(ROOT, ".scale_fixture")
+BASE_DOCS = 5_000          # = the sf0.1 documents row count
+BASE_VECS = 2_000          # = the sf0.1 embeddings row count
+SCALES = {"x1": 1, "x10": 10}
+SEED = 42
+DUP_EVERY = 50             # every 50th doc is a 90% near-copy (2%)
+EMB_DIM = 64
+
+
+def _gen_documents(n: int, out: str) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    rng = np.random.default_rng(SEED)
+    vocab_n = int(4.4 * np.sqrt(n))          # Heaps-law growth
+    vocab = np.array([f"w{i}" for i in range(vocab_n)])
+    langs = np.array(["en", "de", "es", "fr", "zh"])
+    lang_p = np.array([0.44, 0.14, 0.14, 0.14, 0.14])
+    doc_ids, texts, lang_col, src_col, n_chars = [], [], [], [], []
+    prev_words, prev_src = None, None
+    for i in range(n):
+        is_copy = (i % DUP_EVERY == 1) and prev_words is not None
+        if is_copy:
+            words = prev_words.copy()
+            k = max(1, len(words) // 10)     # replace ~10% of slots
+            idx = rng.integers(0, len(words), size=k)
+            words[idx] = vocab[rng.integers(0, vocab_n, size=k)]
+            src = prev_src
+        else:
+            n_words = int(rng.integers(10, 101))
+            words = vocab[rng.integers(0, vocab_n, size=n_words)]
+            src = f"src{int(rng.integers(0, 20))}"
+            prev_words, prev_src = words, src
+        text = " ".join(words.tolist())
+        doc_ids.append(i)
+        texts.append(text)
+        lang_col.append(str(rng.choice(langs, p=lang_p)))
+        src_col.append(src)
+        n_chars.append(len(text))
+    tbl = pa.table({"doc_id": pa.array(doc_ids, pa.int64()),
+                    "text": texts, "lang": lang_col,
+                    "source": src_col,
+                    "n_chars": pa.array(n_chars, pa.int64())})
+    pq.write_table(tbl, out)
+
+
+def _gen_embeddings(n: int, out: str) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    rng = np.random.default_rng(SEED + 1)
+    # 10 gaussian clusters so IVF has real structure at both sizes
+    centers = rng.normal(size=(10, EMB_DIM))
+    labels = rng.integers(0, 10, size=n)
+    vecs = centers[labels] + 0.3 * rng.normal(size=(n, EMB_DIM))
+    tbl = pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array(vecs.astype(np.float32).tolist(),
+                              pa.list_(pa.float32())),
+        "label": pa.array(labels.astype(np.int32), pa.int32())})
+    pq.write_table(tbl, out)
+
+
+def ensure_fixture() -> dict[str, str]:
+    dirs = {}
+    for tag, mult in SCALES.items():
+        d = os.path.join(FIX, tag)
+        dirs[tag] = d
+        docs = os.path.join(d, "documents.parquet")
+        embs = os.path.join(d, "embeddings.parquet")
+        if os.path.exists(docs) and os.path.exists(embs):
+            continue
+        os.makedirs(d, exist_ok=True)
+        _gen_documents(BASE_DOCS * mult, docs)
+        _gen_embeddings(BASE_VECS * mult, embs)
+    return dirs
+
+
+def _noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def run(spark, sf_dir: str, work: str) -> dict[str, float]:
+    from pyspark.sql import functions as F
+
+    from big_data_crypto_sentiment_spark.jobs.ann_index import (
+        build_index,
+        query_index,
+    )
+    from big_data_crypto_sentiment_spark.queries import (
+        clear_session_caches,
+    )
+    from big_data_crypto_sentiment_spark.queries.components import (
+        q_dedup_components,
+    )
+    from big_data_crypto_sentiment_spark.queries.dedup import (
+        q_dedup_minhash_incremental,
+        q_dedup_minhash_lsh,
+    )
+    from big_data_crypto_sentiment_spark.queries.retrieval import (
+        QUERIES as RQ,
+    )
+
+    clear_session_caches()   # every size pays its own index builds
+    t: dict[str, float] = {}
+
+    def timed(name, thunk):
+        t0 = time.perf_counter()
+        out = thunk()
+        t[name] = round(time.perf_counter() - t0, 2)
+        return out
+
+    r = {}
+    r["minhash_lsh_pairs"] = timed(
+        "minhash_lsh",
+        lambda: q_dedup_minhash_lsh(spark, sf_dir).count())
+    timed("minhash_incremental",
+          lambda: _noop(q_dedup_minhash_incremental(spark, sf_dir)))
+    r["cc_rows"] = timed(
+        "connected_components",
+        lambda: q_dedup_components(spark, sf_dir).count())
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")) \
+        .select("vec_id", "embedding")
+    queries = (emb.filter(F.col("vec_id") < 16)
+                  .select(F.col("vec_id").alias("query_id"),
+                          F.col("embedding").alias("qe")))
+    idx = os.path.join(work, "ann")
+    shutil.rmtree(idx, ignore_errors=True)
+
+    def ivf():
+        build_index(spark, emb, idx, k=16, seed=SEED)
+        _noop(query_index(spark, idx, queries, 8))
+    timed("ivf_stored_index", ivf)
+
+    def bm25():
+        from big_data_crypto_sentiment_spark.queries.retrieval import (
+            warm_zipf_index,
+        )
+        _noop(warm_zipf_index(spark, sf_dir))
+        _noop(RQ["sim_bm25_topk"](spark, sf_dir))
+    timed("retrieval_bm25", bm25)
+
+    clear_session_caches()
+    t.update({f"rows_{k}": v for k, v in r.items()})
+    return t
+
+
+def main() -> int:
+    dirs = ensure_fixture()
+    from big_data_crypto_sentiment_spark.session import get_spark
+    spark = get_spark("bench_scale",
+                      extra_conf={"spark.ui.enabled": "false"})
+    # warmup mirrors bench.py's intent: JVM/codegen cost out of entries
+    _noop(spark.read.parquet(os.path.join(dirs["x1"],
+                                          "documents.parquet")))
+    work = os.path.join(FIX, "_work")
+    os.makedirs(work, exist_ok=True)
+    # one UNTIMED pass over the small size first: without it the x1
+    # entries carry every session-cold cost (codegen, MLlib first-use,
+    # shuffle service spin-up) and the ratios read flatteringly
+    # sub-linear (first recording: ivf x10/x1 = 0.74)
+    run(spark, dirs["x1"], os.path.join(work, "_warm"))
+    load0 = [round(x, 2) for x in os.getloadavg()]
+    res = {tag: run(spark, d, os.path.join(work, tag))
+           for tag, d in dirs.items()}
+    families = sorted(k for k in res["x1"] if not k.startswith("rows_"))
+    out = {
+        "base_docs": BASE_DOCS, "base_vecs": BASE_VECS,
+        "row_ratio": SCALES["x10"] / SCALES["x1"],
+        "timings": res,
+        "wall_ratio": {f: (round(res["x10"][f] / res["x1"][f], 2)
+                           if res["x1"][f] > 0 else None)
+                       for f in families},
+        "loadavg_start": load0,
+        "loadavg": [round(x, 2) for x in os.getloadavg()],
+    }
+    path = os.path.join(ROOT, "BENCH_SCALE.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

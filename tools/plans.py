@@ -148,6 +148,18 @@ HEADLINE = [
      "r9: resize plumbing — one MapInPandas Arrow crossing over the "
      "binary column, no shuffle anywhere (dims + target math ride the "
      "same batch)"),
+    ("source_scorecard",
+     "r10: ONE documents scan — the expensive per-row projection "
+     "(full-text md5 + split + array_distinct) feeds a cascaded "
+     "(source,fp)->(source) agg pair; no second scan, no join"),
+    ("dedup_source_matrix_fp",
+     "r10: prefix-fingerprint source matrix — one (h, source) hash "
+     "agg, pair expansion inside each group's bounded source array "
+     "(higher-order exprs), never a corpus self-join"),
+    ("dedup_components",
+     "r10: large/small-star rounds — per-u minima ride Window over "
+     "the one (u) exchange (no groupBy+join-back), single explode "
+     "emits move+parent edges, one distinct per round"),
 ]
 
 _ADDR = re.compile(r"#\d+L?")
