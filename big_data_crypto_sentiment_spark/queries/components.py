@@ -163,13 +163,17 @@ def connected_components(edges: DataFrame, nodes: DataFrame,
                          F.coalesce("_comp", "node").alias("component")))
 
 
-def dedup_components(docs: DataFrame, threshold: float) -> DataFrame:
+def dedup_components(docs: DataFrame, threshold: float,
+                     shingled: DataFrame | None = None) -> DataFrame:
     """Cluster the near-dup pair graph of `docs`; one row per doc with its
     component id, canonical flag (keep min doc_id per cluster — the
-    standard deterministic tie-break), and cluster size."""
+    standard deterministic tie-break), and cluster size. `shingled`
+    optionally reuses a pre-shingled (doc_id, shingles) frame for pair
+    generation (see _jaccard_pairs)."""
     eligible = (docs.filter(F.size(_words()) >= SHINGLE_WORDS)
                     .select("doc_id"))
-    pairs = _jaccard_pairs(docs, threshold).select("doc_a", "doc_b")
+    pairs = _jaccard_pairs(docs, threshold, shingled=shingled) \
+        .select("doc_a", "doc_b")
     cc = connected_components(pairs, eligible)
     sizes = cc.groupBy("component").agg(F.count("*").alias("component_size"))
     return (cc.join(sizes, "component")
@@ -196,7 +200,18 @@ def _slice_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     if key not in _CC_CACHE:
         d = (table(spark, sf_dir, "documents")
              .filter(F.col("source") == PAIR_SLICE_SOURCE))
-        _CC_CACHE[key] = dedup_components(d, SLICE_JACCARD_THRESHOLD)
+        # opportunistic reuse: when the MinHash family's corpus-wide
+        # shingle table is ALREADY persisted this session (bench/check
+        # build it first), pair generation filters that cache instead
+        # of re-tokenizing the slice from raw text; a cold session
+        # keeps the cheaper slice-only shingling — identical sets
+        # either way
+        from .dedup import _SHINGLE_CACHE
+        sh_all = _SHINGLE_CACHE.get(key)
+        shingled = (sh_all.join(d.select("doc_id"), "doc_id")
+                    if sh_all is not None else None)
+        _CC_CACHE[key] = dedup_components(d, SLICE_JACCARD_THRESHOLD,
+                                          shingled=shingled)
     return _CC_CACHE[key]
 
 

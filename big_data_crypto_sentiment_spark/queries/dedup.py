@@ -148,7 +148,8 @@ def q_dedup_source_matrix_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- exact n-gram Jaccard pairs on a bounded slice (oracle-checked) ---
 def _jaccard_pairs(docs: DataFrame, threshold: float,
-                   max_shingle_df: int | None = None) -> DataFrame:
+                   max_shingle_df: int | None = None,
+                   shingled: DataFrame | None = None) -> DataFrame:
     """All (doc_a < doc_b) pairs with shingle-Jaccard >= threshold.
 
     Pair generation is a self-join on the shingle key — the classic
@@ -164,9 +165,18 @@ def _jaccard_pairs(docs: DataFrame, threshold: float,
     EXACT because surviving candidates are re-verified against the full
     shingle index. The hot set is small by construction (≤ corpus/max_df
     shingles) → broadcast anti-join, no extra shuffle of the index.
+
+    `shingled` (the shingled_docs convention: (doc_id, shingles array),
+    restricted to the same docs) reuses an already-materialized shingle
+    frame instead of re-deriving it from raw text — same sets either
+    way (both go through _shingles()'s array_distinct).
     """
-    sh = (docs.filter(F.size(_words()) >= SHINGLE_WORDS)
-              .select("doc_id", F.explode(_shingles()).alias("shingle")))
+    if shingled is not None:
+        sh = shingled.select("doc_id",
+                             F.explode("shingles").alias("shingle"))
+    else:
+        sh = (docs.filter(F.size(_words()) >= SHINGLE_WORDS)
+                  .select("doc_id", F.explode(_shingles()).alias("shingle")))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     if max_shingle_df is None:
         a, b = sh.alias("a"), sh.alias("b")
