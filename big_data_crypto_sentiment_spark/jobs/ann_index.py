@@ -21,9 +21,28 @@ of baking it in — and carries the centroids forward unchanged.
 
 Centroids are FROZEN at build: append-time assignment must use the
 same centroids queries probe, or stored cluster membership and query
-probes diverge (classic IVF staleness). Re-centering is a REBUILD
-(build_index to a fresh dir + atomic swap by the caller), not a
-mutation.
+probes diverge (classic IVF staleness). Re-centering is
+``retrain_index``: a full REBUILD folded in-place — new centroids fit
+over everything currently indexed, every vector re-assigned, the whole
+thing committed as ONE new full generation, and the switch made atomic
+by the ``CURRENT`` pointer file (JSON ``{"full": <gen>, "superseded":
+[<gens>]}``, staged + renamed). Readers resolve the live index as:
+
+    full generation  = CURRENT.full if the pointer exists, else the
+                       first centroids-bearing generation (legacy
+                       build layout, unchanged on disk)
+    assignments      = full + every centroids-LESS generation (i.e.
+                       appends) not listed as superseded
+
+so each crash window is deterministic: a retrain that died before the
+pointer rename leaves an unreferenced centroids-bearing generation that
+readers ignore entirely (a full generation is live only via the
+pointer); one that died after the rename but before cleanup leaves
+stale generations that the superseded list excludes (and the next
+retrain/compact removes). Appends that land AFTER a retrain are new
+``gen_b_*`` dirs absent from the superseded list, so they are read —
+the single-writer assumption (one maintainer process, same as the
+dedup index) covers appends concurrent WITH a retrain.
 
 Query-time semantics are byte-identical to the in-memory operator:
 ``query_index`` ≡ ``queries/similarity.py:ivf_topk`` with the same
@@ -54,6 +73,57 @@ def _gen_dirs(index_dir: str) -> list[str]:
     return sorted(
         os.path.join(index_dir, d) for d in os.listdir(index_dir)
         if d.startswith("gen_") and not d.startswith("_"))
+
+
+def _read_pointer(index_dir: str) -> dict | None:
+    """The CURRENT pointer ({"full": gen-name, "superseded": [...]}),
+    or None for the legacy build+appends layout."""
+    import json
+    p = os.path.join(index_dir, "CURRENT")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def _write_pointer(index_dir: str, full: str,
+                   superseded: list[str]) -> None:
+    """Stage + rename: the pointer flip IS the retrain/compact commit."""
+    import json
+    tmp = os.path.join(index_dir, f"_tmp_CURRENT_{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as f:
+        json.dump({"full": full, "superseded": sorted(superseded)}, f)
+    os.replace(tmp, os.path.join(index_dir, "CURRENT"))
+
+
+def _live_gens(index_dir: str) -> tuple[str, list[str]]:
+    """(full-generation dir, ordered live generation dirs) under the
+    reader rule in the module docstring. Raises if no full generation
+    exists."""
+    gens = _gen_dirs(index_dir)
+    ptr = _read_pointer(index_dir)
+    if ptr is not None:
+        full = os.path.join(index_dir, ptr["full"])
+        if not os.path.isdir(os.path.join(full, "centroids")):
+            raise FileNotFoundError(
+                f"CURRENT points at {ptr['full']} but it has no "
+                f"centroids — corrupt index at {index_dir}")
+        dead = {os.path.join(index_dir, d) for d in ptr["superseded"]}
+        live = [full] + [
+            d for d in gens
+            if d != full and d not in dead
+            and not os.path.isdir(os.path.join(d, "centroids"))]
+        return full, live
+    for d in gens:
+        if os.path.isdir(os.path.join(d, "centroids")):
+            # legacy layout: the build generation + every append; any
+            # OTHER centroids-bearing generation is an uncommitted
+            # retrain and stays invisible
+            live = [x for x in gens
+                    if x == d
+                    or not os.path.isdir(os.path.join(x, "centroids"))]
+            return d, live
+    raise FileNotFoundError(f"no centroids generation in {index_dir}")
 
 
 def _commit_generation(index_dir: str, writer,
@@ -97,18 +167,16 @@ def build_index(spark: SparkSession, corpus: DataFrame, index_dir: str,
 
 
 def load_centroids(spark: SparkSession, index_dir: str):
-    """[(cid, vector)] from the build generation — O(k·dim), a driver
-    artifact the assignment UDF ships as a closure constant."""
-    for d in _gen_dirs(index_dir):
-        cpath = os.path.join(d, "centroids")
-        if os.path.isdir(cpath):
-            rows = spark.read.parquet(cpath).collect()
-            return sorted((r.cid, list(r.centroid)) for r in rows)
-    raise FileNotFoundError(f"no centroids generation in {index_dir}")
+    """[(cid, vector)] from the LIVE full generation — O(k·dim), a
+    driver artifact the assignment UDF ships as a closure constant."""
+    full, _ = _live_gens(index_dir)
+    rows = spark.read.parquet(os.path.join(full, "centroids")).collect()
+    return sorted((r.cid, list(r.centroid)) for r in rows)
 
 
 def _read_assignments(spark: SparkSession, index_dir: str) -> DataFrame:
-    paths = [os.path.join(d, "assignments") for d in _gen_dirs(index_dir)]
+    _, live = _live_gens(index_dir)
+    paths = [os.path.join(d, "assignments") for d in live]
     paths = [p for p in paths if os.path.isdir(p)]
     if not paths:
         raise FileNotFoundError(f"no assignments in {index_dir}")
@@ -149,14 +217,37 @@ def query_index(spark: SparkSession, index_dir: str, queries: DataFrame,
     return ivf_topk_assigned(queries, assignments, centroids, k, n_probe)
 
 
+def _swap_in_full_gen(index_dir: str, final: str,
+                      superseded: list[str]) -> None:
+    """Point CURRENT at the freshly-committed full generation, then
+    remove everything it supersedes — plus any orphaned full
+    generation from an earlier crashed commit (committed but never
+    referenced by a pointer). The pointer rename is the commit point;
+    every removal after it is idempotent cleanup."""
+    _write_pointer(index_dir, os.path.basename(final),
+                   [os.path.basename(d) for d in superseded])
+    orphans = [d for d in _gen_dirs(index_dir)
+               if d != final and d not in superseded
+               and os.path.isdir(os.path.join(d, "centroids"))]
+    for d in superseded + orphans:
+        aside = os.path.join(os.path.dirname(d),
+                             "_old_" + os.path.basename(d))
+        try:
+            os.rename(d, aside)
+        except OSError:
+            continue  # a concurrent/previous cleanup got it first
+        shutil.rmtree(aside)
+
+
 def compact_index(spark: SparkSession, index_dir: str) -> dict:
-    """Fold all assignment generations into one, dedup on vec_id
+    """Fold the live assignment generations into one, dedup on vec_id
     (duplicate rows are identical re-assignments under the frozen
     centroids), centroids carried forward; merged generation committed
-    before the olds are removed — same crash story as the dedup index."""
-    olds = _gen_dirs(index_dir)
+    before the pointer flips and the olds are removed — same crash
+    story as the dedup index."""
+    _, olds = _live_gens(index_dir)
     if len(olds) <= 1:
-        return {"generations": len(olds)}
+        return {"generations": len(_gen_dirs(index_dir))}
     centroids = load_centroids(spark, index_dir)
     cdf = spark.createDataFrame(
         [(cid, vec) for cid, vec in centroids],
@@ -171,13 +262,44 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
               .parquet(os.path.join(tmp, "assignments"))
 
     final = _commit_generation(index_dir, write)
-    for d in olds:
-        aside = os.path.join(os.path.dirname(d),
-                             "_old_" + os.path.basename(d))
-        os.rename(d, aside)
-        shutil.rmtree(aside)
+    _swap_in_full_gen(index_dir, final, olds)
     assert _gen_dirs(index_dir) == [final]
     return {"generations": 1}
+
+
+def retrain_index(spark: SparkSession, index_dir: str,
+                  k: int | None = None, seed: int = 42,
+                  sample_ppm: int | None = None) -> dict:
+    """Re-center the index: fit FRESH centroids over everything
+    currently indexed (appends included, duplicates healed), re-assign
+    every vector, and commit the result as the new full generation —
+    the cure for IVF staleness after many appends under frozen
+    centroids. The pointer-file flip makes the switch atomic; see the
+    module docstring for the crash-window analysis. k defaults to the
+    current centroid count."""
+    from ..queries.similarity import fit_ivf_centroids
+    if k is None:
+        k = len(load_centroids(spark, index_dir))
+    _, olds = _live_gens(index_dir)
+    corpus = _read_assignments(spark, index_dir) \
+        .dropDuplicates(["vec_id"]).select("vec_id", "embedding")
+    centroids = fit_ivf_centroids(corpus, k=k, seed=seed,
+                                  sample_ppm=sample_ppm)
+    cdf = spark.createDataFrame(
+        [(cid, vec) for cid, vec in centroids],
+        "cid int, centroid array<double>")
+    assigned = _assign_clusters(corpus, centroids, "embedding", 1) \
+        .select("vec_id", "embedding", "cid")
+
+    def write(tmp: str) -> None:
+        cdf.coalesce(1).write.mode("overwrite") \
+           .parquet(os.path.join(tmp, "centroids"))
+        assigned.write.mode("overwrite") \
+                .parquet(os.path.join(tmp, "assignments"))
+
+    final = _commit_generation(index_dir, write)
+    _swap_in_full_gen(index_dir, final, olds)
+    return {"generations": 1, "clusters": k}
 
 
 def index_stats(spark: SparkSession, index_dir: str) -> dict:
@@ -198,7 +320,7 @@ def main() -> None:
         description="On-disk IVF ANN-index lifecycle")
     ap.add_argument("command",
                     choices=["build", "append", "query", "compact",
-                             "stats"])
+                             "retrain", "stats"])
     ap.add_argument("--index-dir", required=True)
     ap.add_argument("--vectors-parquet",
                     help="(vec_id, embedding) parquet for build/append; "
@@ -228,6 +350,8 @@ def main() -> None:
         print({"result_rows": r.count()})
     elif args.command == "compact":
         print(compact_index(spark, args.index_dir))
+    elif args.command == "retrain":
+        print(retrain_index(spark, args.index_dir))
     else:
         print(index_stats(spark, args.index_dir))
 

@@ -1,0 +1,219 @@
+"""Streaming vector ingest into the stored IVF index
+(streaming/ann_stream.py): micro-batched appends must equal the batch
+lifecycle over the same vectors, survive a kill/restart on the same
+checkpoint, and stay idempotent under foreachBatch replays — the
+embedding twin of test_stream_neardup.py. Also covers retrain_index
+(jobs/ann_index.py): re-centering folds appends in, queries stay
+consistent, and both crash windows (commit-without-pointer,
+pointer-without-cleanup) resolve deterministically."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_crypto_sentiment_spark.jobs.ann_index import (
+    _gen_dirs,
+    append_vectors,
+    build_index,
+    index_stats,
+    load_centroids,
+    query_index,
+    retrain_index,
+)
+from big_data_crypto_sentiment_spark.queries.similarity import ivf_topk
+from big_data_crypto_sentiment_spark.streaming.ann_stream import (
+    ann_ingest_batch_writer,
+    start_ann_ingest_sink,
+)
+
+SF = "/root/testdata/sf0.001"
+VEC_SCHEMA = "vec_id bigint, embedding array<float>"
+K = 5
+
+
+def _corpus(spark):
+    from big_data_crypto_sentiment_spark.catalog import load
+    return load(spark, "embeddings", SF).select("vec_id", "embedding")
+
+
+def _queries(spark):
+    return (_corpus(spark).filter(F.col("vec_id") < 4)
+            .select(F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("qe")))
+
+
+def _ranked(df):
+    return sorted((r.query_id, r.rank, r.vec_id, round(r.cos, 9))
+                  for r in df.collect())
+
+
+@pytest.fixture()
+def split(spark):
+    c = _corpus(spark)
+    base = c.filter(F.col("vec_id") < 300)
+    b1 = c.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 400))
+    b2 = c.filter(F.col("vec_id") >= 400)
+    return base, b1, b2
+
+
+def _drop(spark, src, df):
+    df.selectExpr("vec_id", "cast(embedding as array<float>) embedding") \
+      .coalesce(1).write.mode("append").parquet(src)
+
+
+def test_streamed_ingest_matches_batch_lifecycle_across_restart(
+        spark, split, tmp_path):
+    base, b1, b2 = split
+    src, ck = str(tmp_path / "src"), str(tmp_path / "ck")
+    idx = str(tmp_path / "index")
+    build_index(spark, base, idx, k=8, seed=42)
+
+    def start():
+        stream = (spark.readStream.schema(VEC_SCHEMA)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        return start_ann_ingest_sink(stream, idx, ck,
+                                     trigger_once=False)
+
+    _drop(spark, src, b1)
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()                       # "crash" between batches
+
+    _drop(spark, src, b2)
+    q = start()                        # same checkpoint: resumes
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    s = index_stats(spark, idx)
+    assert s["vectors"] == 500 and s["rows"] == 500
+    # stored-index query == one-shot in-memory operator over the full
+    # corpus with the stream index's (frozen) centroids
+    centroids = load_centroids(spark, idx)
+    got = _ranked(query_index(spark, idx, _queries(spark), K))
+    want = _ranked(ivf_topk(_queries(spark), _corpus(spark),
+                            centroids, K))
+    assert got == want
+
+    # batch-lifecycle twin: same base + same appends
+    idx2 = str(tmp_path / "index2")
+    build_index(spark, base, idx2, k=8, seed=42)
+    append_vectors(spark, idx2, b1, batch_id="a")
+    append_vectors(spark, idx2, b2, batch_id="b")
+    s2 = index_stats(spark, idx2)
+    assert (s2["vectors"], s2["rows"]) == (500, 500)
+    assert got == _ranked(query_index(spark, idx2, _queries(spark), K))
+
+
+def test_replayed_epoch_is_idempotent_and_repairs_partial_verdicts(
+        spark, split, tmp_path):
+    base, b1, _ = split
+    idx, vdir = str(tmp_path / "index"), str(tmp_path / "verdicts")
+    build_index(spark, base, idx, k=8, seed=42)
+    process = ann_ingest_batch_writer(idx, vdir, k=2)
+
+    process(b1, 0)
+    s1 = index_stats(spark, idx)
+    out = os.path.join(vdir, "epoch=0")
+    v1 = _ranked_verdicts(spark, out)
+    # verdicts probe the PRE-batch index only: no self-matches
+    assert all(vid < 300 for (_, _, vid) in v1)
+
+    process(b1, 0)                     # plain replay: both effects skip
+    assert index_stats(spark, idx) == s1
+    assert _ranked_verdicts(spark, out) == v1
+
+    # partial verdict write (no _SUCCESS): replay must repair, not
+    # skip, and must NOT re-append (its generation is committed)
+    os.remove(os.path.join(out, "_SUCCESS"))
+    process(b1, 0)
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+    assert _ranked_verdicts(spark, out) == v1
+    assert index_stats(spark, idx) == s1
+
+
+def _ranked_verdicts(spark, out):
+    return sorted((r.query_id, r.rank, r.vec_id)
+                  for r in spark.read.parquet(out).collect())
+
+
+def test_retrain_folds_appends_and_queries_stay_consistent(
+        spark, split, tmp_path):
+    base, b1, b2 = split
+    idx = str(tmp_path / "index")
+    build_index(spark, base, idx, k=8, seed=42)
+    append_vectors(spark, idx, b1, batch_id=1)
+    append_vectors(spark, idx, b1, batch_id=None)   # un-keyed dup rows
+    append_vectors(spark, idx, b2, batch_id=2)
+    assert index_stats(spark, idx)["rows"] == 600   # 100 dup rows
+
+    out = retrain_index(spark, idx, seed=7)
+    assert out == {"generations": 1, "clusters": 8}
+    s = index_stats(spark, idx)
+    assert s == {"generations": 1, "rows": 500, "vectors": 500,
+                 "clusters_used": s["clusters_used"]}
+    # post-retrain query == fresh in-memory operator with the NEW
+    # centroids over the full corpus
+    centroids = load_centroids(spark, idx)
+    got = _ranked(query_index(spark, idx, _queries(spark), K))
+    want = _ranked(ivf_topk(_queries(spark), _corpus(spark),
+                            centroids, K))
+    assert got == want
+    # appends keep working after a retrain (fresh batch ids)
+    assert append_vectors(spark, idx, b2.limit(10), batch_id=9) is not None
+    assert index_stats(spark, idx)["vectors"] == 500
+
+
+def test_retrain_crash_windows_are_deterministic(spark, split, tmp_path):
+    base, b1, _ = split
+    idx = str(tmp_path / "index")
+    build_index(spark, base, idx, k=8, seed=42)
+    append_vectors(spark, idx, b1, batch_id=1)
+    centroids_before = load_centroids(spark, idx)
+    want_before = _ranked(query_index(spark, idx, _queries(spark), K))
+
+    # window 1: full generation committed, pointer NEVER written — the
+    # unreferenced centroids-bearing generation must be invisible
+    from big_data_crypto_sentiment_spark.jobs import ann_index as AI
+    orig = AI._swap_in_full_gen
+    AI._swap_in_full_gen = lambda *a, **k: None
+    try:
+        retrain_index(spark, idx, seed=7)
+    finally:
+        AI._swap_in_full_gen = orig
+    assert len(_gen_dirs(idx)) == 3          # build + append + orphan
+    assert load_centroids(spark, idx) == centroids_before
+    assert _ranked(query_index(spark, idx, _queries(spark), K)) \
+        == want_before
+    assert index_stats(spark, idx)["vectors"] == 400
+
+    # retry heals: the orphan is swept by the completed retrain
+    retrain_index(spark, idx, seed=7)
+    assert len(_gen_dirs(idx)) == 1
+    assert index_stats(spark, idx)["vectors"] == 400
+
+    # window 2: pointer written, cleanup crashed — stale generations on
+    # disk must be excluded by the superseded list, and a later
+    # retrain/compact removes them
+    append_vectors(spark, idx, b1.limit(20), batch_id=5)
+    orig_rmtree = shutil.rmtree
+    AI.shutil.rmtree = lambda *a, **k: None  # "crash" during cleanup
+    try:
+        retrain_index(spark, idx, seed=11)
+    finally:
+        AI.shutil.rmtree = orig_rmtree
+    # stale dirs remain (renamed aside or listed superseded) but stats
+    # and queries resolve through the pointer only
+    s = index_stats(spark, idx)
+    assert s["vectors"] == 400 and s["rows"] == 400
+    centroids = load_centroids(spark, idx)
+    got = _ranked(query_index(spark, idx, _queries(spark), K))
+    want = _ranked(ivf_topk(
+        _queries(spark),
+        _corpus(spark).filter(F.col("vec_id") < 400), centroids, K))
+    assert got == want
