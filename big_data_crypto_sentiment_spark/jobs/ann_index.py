@@ -302,15 +302,89 @@ def retrain_index(spark: SparkSession, index_dir: str,
     return {"generations": 1, "clusters": k}
 
 
-def index_stats(spark: SparkSession, index_dir: str) -> dict:
+def index_stats(spark: SparkSession, index_dir: str,
+                include_full: bool = False) -> dict:
     a = _read_assignments(spark, index_dir)
     row = a.agg(F.count(F.lit(1)).alias("rows"),
                 F.count_distinct("vec_id").alias("vectors"),
                 F.count_distinct("cid").alias("clusters_used")).first()
-    return {"generations": len(_gen_dirs(index_dir)),
-            "rows": int(row["rows"]),
-            "vectors": int(row["vectors"]),
-            "clusters_used": int(row["clusters_used"])}
+    out = {"generations": len(_gen_dirs(index_dir)),
+           "rows": int(row["rows"]),
+           "vectors": int(row["vectors"]),
+           "clusters_used": int(row["clusters_used"])}
+    if include_full:
+        # rows living in the full generation (vs appends) — the input
+        # maintenance_due's retrain trigger reads
+        full, _ = _live_gens(index_dir)
+        out["full_rows"] = spark.read.parquet(
+            os.path.join(full, "assignments")).count()
+    return out
+
+
+def index_recall(spark: SparkSession, index_dir: str,
+                 n_queries: int = 32, k: int = 10,
+                 n_probe: int = IVF_PROBES, seed: int = 0) -> dict:
+    """Recall@k of the stored index against exact brute-force cosine on
+    a deterministic sample of its own vectors — the drift probe a
+    deployment runs after appends pile up under frozen centroids (and
+    the before/after evidence for a retrain decision). Query sample =
+    the n_queries smallest md5(seed:vec_id) (portable, seed-keyed, no
+    RNG state); driver traffic is bounded at 2·k rows per query."""
+    from pyspark import StorageLevel
+
+    from ..queries.similarity import brute_force_topk
+    corpus = _read_assignments(spark, index_dir) \
+        .dropDuplicates(["vec_id"]).select("vec_id", "embedding")
+    qs = (corpus
+          .withColumn("_h", F.md5(F.concat_ws(
+              ":", F.lit(str(seed)), F.col("vec_id").cast("string"))))
+          .orderBy("_h", "vec_id").limit(n_queries)
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("embedding").alias("qe"))
+          .persist(StorageLevel.MEMORY_AND_DISK))
+    try:
+        exact = brute_force_topk(qs, corpus, k)
+        approx = query_index(spark, index_dir, qs, k, n_probe)
+        hits = approx.join(exact, ["query_id", "vec_id"],
+                           "left_semi").count()
+        denom = exact.count()
+        n_q = qs.count()
+    finally:
+        qs.unpersist()
+    return {"recall_at_k": round(hits / denom, 4) if denom else 1.0,
+            "k": k, "n_probe": n_probe, "queries": int(n_q)}
+
+
+def maintenance_due(stats: dict, max_generations: int = 16,
+                    max_dup_frac: float = 0.05,
+                    max_append_frac: float = 0.25) -> dict:
+    """Maintenance policy over index_stats output (pure function, no
+    Spark): compact when the generation count (small-files tax) or the
+    duplicate-row fraction (crash-window debris) crosses its bound;
+    retrain when appends assigned under frozen centroids outweigh the
+    configured fraction of the index (classic IVF staleness — cell
+    sizes skew and recall decays). `append_frac` needs the caller to
+    pass stats extended with full-generation rows when available;
+    absent that, generation count is the retrain proxy (each append is
+    one generation)."""
+    reasons = []
+    dup_frac = 1.0 - (stats["vectors"] / stats["rows"]) \
+        if stats.get("rows") else 0.0
+    if stats.get("generations", 1) > max_generations:
+        reasons.append(f"generations>{max_generations}")
+    if dup_frac > max_dup_frac:
+        reasons.append(f"dup_frac {dup_frac:.3f}>{max_dup_frac}")
+    full_rows = stats.get("full_rows")
+    append_frac = (1.0 - full_rows / stats["rows"]
+                   if full_rows and stats.get("rows") else
+                   None)
+    retrain = (append_frac is not None
+               and append_frac > max_append_frac)
+    if retrain:
+        reasons.append(f"append_frac {append_frac:.3f}>{max_append_frac}")
+    return {"compact": bool(reasons) and not retrain,
+            "retrain": retrain,
+            "reasons": reasons}
 
 
 def main() -> None:

@@ -217,3 +217,39 @@ def test_retrain_crash_windows_are_deterministic(spark, split, tmp_path):
         _queries(spark),
         _corpus(spark).filter(F.col("vec_id") < 400), centroids, K))
     assert got == want
+
+
+def test_index_recall_and_maintenance_policy(spark, split, tmp_path):
+    from big_data_crypto_sentiment_spark.jobs.ann_index import (
+        index_recall,
+        maintenance_due,
+    )
+    base, b1, b2 = split
+    idx = str(tmp_path / "index")
+    build_index(spark, base, idx, k=8, seed=42)
+    r = index_recall(spark, idx, n_queries=8, k=4)
+    assert r["queries"] == 8 and 0.0 <= r["recall_at_k"] <= 1.0
+    # full probe set == exact: recall must be 1.0 by construction
+    n_clusters = len(load_centroids(spark, idx))
+    r_full = index_recall(spark, idx, n_queries=8, k=4,
+                          n_probe=n_clusters)
+    assert r_full["recall_at_k"] == 1.0
+    # recall is deterministic for a fixed seed, and seed changes the
+    # sample (not necessarily the value)
+    assert index_recall(spark, idx, n_queries=8, k=4) == r
+
+    # maintenance policy: pure function over stats
+    append_vectors(spark, idx, b1, batch_id=1)
+    append_vectors(spark, idx, b2, batch_id=2)
+    s = index_stats(spark, idx, include_full=True)
+    assert s["full_rows"] == 300 and s["rows"] == 500
+    due = maintenance_due(s, max_append_frac=0.25)
+    assert due["retrain"] and not due["compact"]   # 40% appended
+    assert maintenance_due(s, max_append_frac=0.5) \
+        == {"compact": False, "retrain": False, "reasons": []}
+    # crash-window dup debris -> compact
+    assert maintenance_due({"generations": 2, "rows": 110,
+                            "vectors": 100})["compact"]
+    # generation pile-up without append info -> compact proxy
+    assert maintenance_due({"generations": 40, "rows": 100,
+                            "vectors": 100})["compact"]
