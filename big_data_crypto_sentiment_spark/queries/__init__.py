@@ -281,6 +281,14 @@ DEFERRALS: dict[str, dict] = {
                                extra="driver-green r7-r9; 3-SF check.py + per-round sf0.001 auto-verify"),
     "shuffle_shards":     dict(since=10, family="sampling family via sample_stratified + sample_length_weighted + sample_weighted_ak + rotated-in mixture_downsample in-window (same portable-md5 bucket)",
                                extra="driver-green r9; 3-SF check.py + per-round sf0.001 auto-verify"),
+    # late-r10: sim_ann_lsh GAINED its DuckDB twin (the sha256 planes
+    # are engine-portable literals; margin pinned in
+    # test_similarity.py) — it takes a window slot immediately so the
+    # new pair's first driver hash lands this round, keeping
+    # dedup_source_matrix the only never-windowed pair; media_resize
+    # (first driver-checked r9) hands over its slot
+    "media_resize":       dict(since=10, family="binary/mapInPandas codec family via media_features' deferred pair (same header-codec core); real-codec parity pinned in test_sinks_multimodal.py",
+                               extra="driver-green r9 (first check); 3-SF check.py + per-round sf0.001 auto-verify"),
 }
 _DEFER_FROM_WINDOW = tuple(DEFERRALS)
 

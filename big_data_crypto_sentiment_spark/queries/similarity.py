@@ -692,7 +692,7 @@ QUERIES = {
     "sim_topk_cosine": q_sim_topk_cosine,
     "embed_prototype_prune": q_embed_prototype_prune,
     "embed_pca": q_embed_pca,                    # rows-only: eigensolve
-    "sim_ann_lsh": q_sim_ann_lsh,                # rows-only: hash planes
+    "sim_ann_lsh": q_sim_ann_lsh,
     "sim_near_dup_pairs": q_sim_near_dup_pairs,  # rows-only: hash planes
     "sim_ivf_topk": q_sim_ivf_topk,              # rows-only: KMeans fit
     "embed_quantize": q_embed_quantize,
@@ -840,3 +840,66 @@ WITH q AS (
 SELECT query_id, vec_id, cos, rank FROM ranked WHERE rank <= {TOP_K}
 """,
 }
+
+
+def _sql_lsh_planes() -> str:
+    """The 32 sha256-derived ±1 hyperplanes as a VALUES relation —
+    the SAME literals the Spark plan embeds, so both engines bucket
+    with identical geometry."""
+    rows = []
+    for t in range(N_TABLES):
+        for p in range(BITS_PER_TABLE):
+            w = ", ".join(str(x) for x in _plane_weights(t, p, EMBED_DIM))
+            rows.append(f"({t}, {p}, [{w}]::DOUBLE[])")
+    return ",\n    ".join(rows)
+
+
+# sim_ann_lsh oracle: expressible because every piece is deterministic —
+# the planes are sha256-derived literals, bucketing is sign(dot) and the
+# scoring is the proven sequential-fold cosine. The one cross-engine
+# subtlety is summation ORDER inside the projection dot (numpy matmul is
+# pairwise, DuckDB's list_sum is sequential): a sign could only diverge
+# if |projection| were within float-error of zero. The fixtures clear
+# that by eight orders of magnitude (min |X@W| = 1.87e-05 across all
+# three SFs vs ~1e-13 worst-case order deviation) and
+# tests/test_similarity.py pins the margin so a regenerated fixture that
+# ever lands near zero fails loudly instead of flipping a bucket
+# silently.
+ORACLE["sim_ann_lsh"] = f"""
+WITH planes(tbl, p, w) AS (
+  VALUES
+    {_sql_lsh_planes()}
+), cb AS (
+  SELECT e.vec_id, pl.tbl,
+         CAST(SUM(CASE WHEN list_sum(list_transform(
+                list_zip(e.embedding, pl.w),
+                x -> CAST(x[1] AS DOUBLE) * x[2])) > 0
+              THEN (1 << pl.p) ELSE 0 END) AS INT) AS bucket
+  FROM embeddings e CROSS JOIN planes pl
+  GROUP BY e.vec_id, pl.tbl
+), qb AS (
+  SELECT vec_id AS query_id, tbl, bucket FROM cb
+  WHERE vec_id < {N_QUERY}
+), cand AS (
+  SELECT DISTINCT qb.query_id, cb.vec_id
+  FROM cb JOIN qb USING (tbl, bucket)
+  WHERE cb.vec_id != qb.query_id
+), scored AS (
+  SELECT cand.query_id, cand.vec_id,
+         list_sum(list_transform(list_zip(q.embedding, c.embedding),
+                  x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(q.embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(c.embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+  FROM cand
+  JOIN embeddings q ON q.vec_id = cand.query_id
+  JOIN embeddings c ON c.vec_id = cand.vec_id
+), ranked AS (
+  SELECT query_id, vec_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cos, rank FROM ranked WHERE rank <= {TOP_K}
+"""

@@ -270,3 +270,31 @@ def test_semdedup_drops_planted_semantic_dup_via_kmeans(spark, corpus):
     # 0.60 brute-force-verified in VERDICT r6): all other rows kept
     others = [r for v, r in rows.items() if v not in (0, 100001)]
     assert all(r.is_kept for r in others)
+
+
+def test_lsh_projection_sign_margin_guards_oracle_parity():
+    """sim_ann_lsh's DuckDB twin re-derives the bucket bits with a
+    DIFFERENT summation order (sequential list_sum vs numpy's pairwise
+    matmul), so cross-engine bucket agreement rests on no projection
+    sitting within float-error of zero. Pin the margin: worst-case
+    order deviation is ~1e-13 for 64-dim O(1) data; demand 1e-9 so a
+    regenerated fixture that ever lands near zero fails HERE instead of
+    silently flipping a bucket in the driver's hash compare."""
+    import duckdb
+    import numpy as np
+
+    from big_data_crypto_sentiment_spark.queries.similarity import (
+        BITS_PER_TABLE,
+        EMBED_DIM,
+        N_TABLES,
+        _weight_matrix,
+    )
+    W = _weight_matrix(N_TABLES, BITS_PER_TABLE, EMBED_DIM)
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        con = duckdb.connect()
+        X = np.array(con.execute(
+            f"SELECT embedding FROM read_parquet("
+            f"'/root/testdata/{sf}/embeddings.parquet') ORDER BY vec_id"
+        ).fetchnumpy()["embedding"].tolist(), dtype=np.float64)
+        margin = float(np.abs(X @ W).min())
+        assert margin > 1e-9, (sf, margin)
