@@ -38,11 +38,15 @@ so each crash window is deterministic: a retrain that died before the
 pointer rename leaves an unreferenced centroids-bearing generation that
 readers ignore entirely (a full generation is live only via the
 pointer); one that died after the rename but before cleanup leaves
-stale generations that the superseded list excludes (and the next
-retrain/compact removes). Appends that land AFTER a retrain are new
-``gen_b_*`` dirs absent from the superseded list, so they are read —
-the single-writer assumption (one maintainer process, same as the
-dedup index) covers appends concurrent WITH a retrain.
+stale generations that the superseded list excludes and the next
+pointer flip (or a no-op compact) sweeps. The superseded list is a
+snapshot of EVERY on-disk generation except the new full one — not
+just the live set the writer folded — so debris from an earlier
+crashed flip can never be resurrected by a later one (r10 review
+finding). Appends that land AFTER a retrain are new ``gen_b_*`` dirs
+absent from the superseded list, so they are read — the single-writer
+assumption (one maintainer process, same as the dedup index) covers
+appends concurrent WITH a retrain.
 
 Query-time semantics are byte-identical to the in-memory operator:
 ``query_index`` ≡ ``queries/similarity.py:ivf_topk`` with the same
@@ -217,19 +221,36 @@ def query_index(spark: SparkSession, index_dir: str, queries: DataFrame,
     return ivf_topk_assigned(queries, assignments, centroids, k, n_probe)
 
 
-def _swap_in_full_gen(index_dir: str, final: str,
-                      superseded: list[str]) -> None:
+def _swap_in_full_gen(index_dir: str, final: str) -> None:
     """Point CURRENT at the freshly-committed full generation, then
-    remove everything it supersedes — plus any orphaned full
-    generation from an earlier crashed commit (committed but never
-    referenced by a pointer). The pointer rename is the commit point;
-    every removal after it is idempotent cleanup."""
+    remove everything else. The superseded list is EVERY on-disk
+    generation except the new full one — not just the live ones the
+    caller folded — so debris from ANY earlier crash (a pointer flip
+    that died before its rename loop, an orphaned commit) stays
+    reader-excluded and gets swept here instead of being resurrected
+    by a later flip whose list was built from live generations only
+    (the r10 review finding: a centroid-less append superseded by a
+    crashed retrain would otherwise re-enter the live set with cids
+    assigned under long-dead centroids). Single-writer assumption:
+    nothing appends between the caller's fold and this snapshot. The
+    pointer rename is the commit point; every removal after it is
+    idempotent cleanup."""
+    dead = [d for d in _gen_dirs(index_dir) if d != final]
     _write_pointer(index_dir, os.path.basename(final),
-                   [os.path.basename(d) for d in superseded])
-    orphans = [d for d in _gen_dirs(index_dir)
-               if d != final and d not in superseded
-               and os.path.isdir(os.path.join(d, "centroids"))]
-    for d in superseded + orphans:
+                   [os.path.basename(d) for d in dead])
+    _sweep_dead(index_dir)
+
+
+def _sweep_dead(index_dir: str) -> int:
+    """Remove every on-disk generation the reader rule considers dead
+    (pointer-superseded, or an unreferenced centroids-bearing commit).
+    Idempotent; safe to run any time under the single-writer
+    assumption. Returns the number of directories removed."""
+    _, live = _live_gens(index_dir)
+    n = 0
+    for d in _gen_dirs(index_dir):
+        if d in live:
+            continue
         aside = os.path.join(os.path.dirname(d),
                              "_old_" + os.path.basename(d))
         try:
@@ -237,6 +258,8 @@ def _swap_in_full_gen(index_dir: str, final: str,
         except OSError:
             continue  # a concurrent/previous cleanup got it first
         shutil.rmtree(aside)
+        n += 1
+    return n
 
 
 def compact_index(spark: SparkSession, index_dir: str) -> dict:
@@ -247,6 +270,11 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
     story as the dedup index."""
     _, olds = _live_gens(index_dir)
     if len(olds) <= 1:
+        # nothing to fold, but still sweep crash debris (dead dirs
+        # would otherwise survive forever: they're excluded from every
+        # fold, and index_stats' generation count would keep demanding
+        # a compact that merges nothing)
+        _sweep_dead(index_dir)
         return {"generations": len(_gen_dirs(index_dir))}
     centroids = load_centroids(spark, index_dir)
     cdf = spark.createDataFrame(
@@ -262,7 +290,7 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
               .parquet(os.path.join(tmp, "assignments"))
 
     final = _commit_generation(index_dir, write)
-    _swap_in_full_gen(index_dir, final, olds)
+    _swap_in_full_gen(index_dir, final)
     assert _gen_dirs(index_dir) == [final]
     return {"generations": 1}
 
@@ -277,7 +305,6 @@ def retrain_index(spark: SparkSession, index_dir: str,
     centroids. The pointer-file flip makes the switch atomic; see the
     module docstring for the crash-window analysis. k defaults to the
     current centroid count."""
-    from ..queries.similarity import fit_ivf_centroids
     if k is None:
         k = len(load_centroids(spark, index_dir))
     _, olds = _live_gens(index_dir)
@@ -298,7 +325,7 @@ def retrain_index(spark: SparkSession, index_dir: str,
                 .parquet(os.path.join(tmp, "assignments"))
 
     final = _commit_generation(index_dir, write)
-    _swap_in_full_gen(index_dir, final, olds)
+    _swap_in_full_gen(index_dir, final)
     return {"generations": 1, "clusters": k}
 
 
@@ -342,14 +369,19 @@ def index_recall(spark: SparkSession, index_dir: str,
           .select(F.col("vec_id").alias("query_id"),
                   F.col("embedding").alias("qe"))
           .persist(StorageLevel.MEMORY_AND_DISK))
+    # exact is consumed by two actions (the hit semi-join and the
+    # denominator count) — persist it or the O(|corpus|·n_queries)
+    # brute-force pass, this probe's dominant cost, runs twice
+    exact = brute_force_topk(qs, corpus, k) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        exact = brute_force_topk(qs, corpus, k)
         approx = query_index(spark, index_dir, qs, k, n_probe)
         hits = approx.join(exact, ["query_id", "vec_id"],
                            "left_semi").count()
         denom = exact.count()
         n_q = qs.count()
     finally:
+        exact.unpersist()
         qs.unpersist()
     return {"recall_at_k": round(hits / denom, 4) if denom else 1.0,
             "k": k, "n_probe": n_probe, "queries": int(n_q)}
@@ -376,7 +408,7 @@ def maintenance_due(stats: dict, max_generations: int = 16,
         reasons.append(f"dup_frac {dup_frac:.3f}>{max_dup_frac}")
     full_rows = stats.get("full_rows")
     append_frac = (1.0 - full_rows / stats["rows"]
-                   if full_rows and stats.get("rows") else
+                   if full_rows is not None and stats.get("rows") else
                    None)
     retrain = (append_frac is not None
                and append_frac > max_append_frac)

@@ -43,7 +43,7 @@ def ann_ingest_batch_writer(index_dir: str,
     """The foreachBatch function. Exposed separately so tests can drive
     replays deterministically (the dedup_stream pattern)."""
     from ..jobs.ann_index import (
-        _gen_dirs,
+        _live_gens,
         append_vectors,
         ivf_topk_assigned,
         load_centroids,
@@ -65,7 +65,6 @@ def ann_ingest_batch_writer(index_dir: str,
                 # batch: on the first pass the batch simply isn't
                 # appended yet; on a replay its own committed
                 # generation is excluded explicitly
-                from ..jobs.ann_index import _live_gens
                 _, live = _live_gens(index_dir)
                 paths = [os.path.join(d, "assignments")
                          for d in live if d != gen]

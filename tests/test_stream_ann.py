@@ -253,3 +253,58 @@ def test_index_recall_and_maintenance_policy(spark, split, tmp_path):
     # generation pile-up without append info -> compact proxy
     assert maintenance_due({"generations": 40, "rows": 100,
                             "vectors": 100})["compact"]
+
+
+def test_crashed_pointer_flip_cannot_resurrect_superseded_appends(
+        spark, split, tmp_path):
+    """The r10 review window: retrain writes the pointer but crashes
+    BEFORE any removal, leaving the superseded dirs on disk under
+    their original names. A later retrain (whose fold no longer sees
+    them) must not bring a superseded centroid-less append back into
+    the live set with cids assigned under long-dead centroids — and a
+    no-op compact must sweep the debris."""
+    from big_data_crypto_sentiment_spark.jobs import ann_index as AI
+    base, b1, _ = split
+    idx = str(tmp_path / "index")
+    build_index(spark, idx_corpus := base, idx, k=8, seed=42)
+    append_vectors(spark, idx, b1, batch_id=1)
+
+    # retrain R1: pointer written, cleanup never ran
+    orig = AI._sweep_dead
+    AI._sweep_dead = lambda *a, **k: 0
+    try:
+        retrain_index(spark, idx, seed=7)
+    finally:
+        AI._sweep_dead = orig
+    assert len(_gen_dirs(idx)) == 3      # build + append + R1, all on disk
+    assert index_stats(spark, idx)["vectors"] == 400   # pointer rules
+
+    # retrain R2 over the post-crash state: the old append must stay
+    # dead (its rows are already inside R1 -> R2), live set is R2 alone
+    retrain_index(spark, idx, seed=11)
+    _, live = AI._live_gens(idx)
+    assert len(live) == 1 and len(_gen_dirs(idx)) == 1
+    s = index_stats(spark, idx)
+    assert s["rows"] == 400 and s["vectors"] == 400
+    centroids = load_centroids(spark, idx)
+    got = _ranked(query_index(spark, idx, _queries(spark), K))
+    want = _ranked(ivf_topk(
+        _queries(spark),
+        _corpus(spark).filter(F.col("vec_id") < 400), centroids, K))
+    assert got == want
+
+    # same crash again, then a NO-OP compact (single live gen) must
+    # sweep the debris instead of leaving it forever
+    append_vectors(spark, idx, b1.limit(10), batch_id=2)
+    AI._sweep_dead = lambda *a, **k: 0
+    try:
+        retrain_index(spark, idx, seed=13)
+    finally:
+        AI._sweep_dead = orig
+    assert len(_gen_dirs(idx)) > 1
+    from big_data_crypto_sentiment_spark.jobs.ann_index import (
+        compact_index,
+    )
+    compact_index(spark, idx)
+    assert len(_gen_dirs(idx)) == 1
+    assert index_stats(spark, idx)["vectors"] == 400
