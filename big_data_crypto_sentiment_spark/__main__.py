@@ -21,7 +21,9 @@ JOBS = {
     "train": ("jobs.train", "per-symbol ARIMA training + model registry publish"),
     "curate": ("jobs.curate", "LLM-corpus curation funnel (quality -> dedup -> semdedup)"),
     "dedup-index": ("jobs.dedup_index", "on-disk MinHash dedup-index lifecycle"),
+    "dedup-stream": ("streaming.dedup_stream", "streaming near-dup dedup over a stored index"),
     "ann-index": ("jobs.ann_index", "on-disk IVF ANN-index lifecycle"),
+    "ann-ingest": ("streaming.ann_stream", "streaming vector ingest into a stored IVF index"),
     "dim-build": ("jobs.dim_build", "SCD2 dimension build/refresh"),
     "export-training": ("jobs.export_training", "tokenize + pack + shard training export"),
 }

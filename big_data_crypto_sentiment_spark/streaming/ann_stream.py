@@ -103,3 +103,34 @@ def start_ann_ingest_sink(vec_stream: DataFrame, index_dir: str,
     if trigger_once:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def main() -> int:
+    """Runnable ingest: stream a (vec_id, embedding) parquet directory
+    into a stored index, one committed generation per micro-batch."""
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        description="streaming vector ingest into a stored IVF index")
+    ap.add_argument("--index-dir", required=True,
+                    help="existing index (jobs/ann_index.py build)")
+    ap.add_argument("--src", required=True,
+                    help="parquet dir to stream (vec_id, embedding)")
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--verdicts",
+                    help="optional per-epoch pre-admission top-k output")
+    ap.add_argument("--k", type=int, default=VERDICT_K)
+    ap.add_argument("--follow", action="store_true",
+                    help="keep running (default: drain available input "
+                         "with availableNow and exit)")
+    args = ap.parse_args()
+    from ..session import get_spark
+    spark = get_spark("ann-ingest")
+    stream = (spark.readStream
+              .schema("vec_id bigint, embedding array<float>")
+              .parquet(args.src))
+    q = start_ann_ingest_sink(stream, args.index_dir, args.checkpoint,
+                              verdict_dir=args.verdicts, k=args.k,
+                              trigger_once=not args.follow)
+    q.awaitTermination()
+    return 0

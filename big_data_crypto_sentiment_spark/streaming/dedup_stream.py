@@ -107,3 +107,34 @@ def start_dedup_verdict_sink(docs_stream: DataFrame, index_dir: str,
     if trigger_once:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def main() -> int:
+    """Runnable dedup stream: verdict + index a (doc_id, text) parquet
+    directory against a stored MinHash index, one epoch per batch."""
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        description="streaming near-dup dedup over a stored MinHash index")
+    ap.add_argument("--index-dir", required=True,
+                    help="existing index (jobs/dedup_index.py build)")
+    ap.add_argument("--src", required=True,
+                    help="parquet dir to stream (doc_id, text)")
+    ap.add_argument("--verdicts", required=True)
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--threshold", type=float, default=JACCARD_THRESHOLD)
+    ap.add_argument("--follow", action="store_true",
+                    help="keep running (default: drain available input "
+                         "with availableNow and exit)")
+    args = ap.parse_args()
+    from ..session import get_spark
+    spark = get_spark("dedup-stream")
+    stream = (spark.readStream
+              .schema("doc_id bigint, text string")
+              .parquet(args.src))
+    q = start_dedup_verdict_sink(stream, args.index_dir, args.verdicts,
+                                 args.checkpoint,
+                                 threshold=args.threshold,
+                                 trigger_once=not args.follow)
+    q.awaitTermination()
+    return 0
