@@ -1,0 +1,56 @@
+"""Shared generation-store helpers for the on-disk index modules.
+
+Both index lifecycles (jobs/dedup_index.py, jobs/ann_index.py) key
+streaming appends by epoch as ``gen_b_<id>`` directories, and their
+maintenance (compact/retrain) FOLDS those directories away. The
+directory's existence doubled as the replay ledger — so folding a
+generation made a later checkpoint replay of the same epoch look like a
+first pass (r10 review finding: the replay then re-verdicted against an
+index that already contained the batch). The fix: removal of any
+``gen_b_*`` directory leaves a zero-byte tombstone under
+``processed/``, written BEFORE the directory is renamed aside, so
+"this epoch's data is in the index" survives every fold and the replay
+test is ``directory present OR tombstone present``. Tombstones are tiny
+(one empty file per folded batch), idempotent, and never read by query
+paths.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+PROCESSED = "processed"
+
+
+def tombstone(index_dir: str, gen_basename: str) -> None:
+    """Record that gen_basename's contents were folded into the index."""
+    d = os.path.join(index_dir, PROCESSED)
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, gen_basename), "w"):
+        pass
+
+
+def epoch_done(index_dir: str, gen_basename: str) -> bool:
+    """True iff this batch generation is committed — as a live
+    directory or as a folded tombstone."""
+    return (os.path.isdir(os.path.join(index_dir, gen_basename))
+            or os.path.exists(
+                os.path.join(index_dir, PROCESSED, gen_basename)))
+
+
+def remove_gen(gen_dir: str) -> bool:
+    """Rename-aside + rmtree one generation directory, tombstoning
+    batch (``gen_b_*``) generations first. Returns False when a
+    concurrent/previous cleanup already removed it."""
+    index_dir = os.path.dirname(gen_dir)
+    base = os.path.basename(gen_dir)
+    if base.startswith("gen_b_"):
+        tombstone(index_dir, base)
+    aside = os.path.join(index_dir, "_old_" + base)
+    try:
+        os.rename(gen_dir, aside)
+    except OSError:
+        return False
+    shutil.rmtree(aside)
+    return True

@@ -39,14 +39,17 @@ pointer rename leaves an unreferenced centroids-bearing generation that
 readers ignore entirely (a full generation is live only via the
 pointer); one that died after the rename but before cleanup leaves
 stale generations that the superseded list excludes and the next
-pointer flip (or a no-op compact) sweeps. The superseded list is a
-snapshot of EVERY on-disk generation except the new full one — not
-just the live set the writer folded — so debris from an earlier
-crashed flip can never be resurrected by a later one (r10 review
-finding). Appends that land AFTER a retrain are new ``gen_b_*`` dirs
-absent from the superseded list, so they are read — the single-writer
-assumption (one maintainer process, same as the dedup index) covers
-appends concurrent WITH a retrain.
+pointer flip (or a no-op compact) sweeps. The superseded list is the
+FOLD-TIME live set plus everything already dead on disk — never a
+whole-disk snapshot — so debris from an earlier crashed flip can't be
+resurrected by a later one, while an append that raced in during the
+retrain's fit is neither listed nor removed: it stays live and
+readable, carrying stale cids until the next retrain folds it. Prefer
+not to schedule appends concurrent with a retrain anyway (stale cids
+put those vectors in the wrong inverted-file cell until the next
+fold); a folded ``gen_b_*`` leaves a tombstone (jobs/_genstore.py) so
+a checkpoint replay of its epoch is still recognized after
+maintenance removed the directory.
 
 Query-time semantics are byte-identical to the in-memory operator:
 ``query_index`` ≡ ``queries/similarity.py:ivf_topk`` with the same
@@ -56,7 +59,6 @@ centroids — pinned by tests/test_ann_index.py.
 from __future__ import annotations
 
 import os
-import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -69,6 +71,8 @@ from ..queries.similarity import (
     fit_ivf_centroids,
     ivf_topk_assigned,
 )
+
+from ._genstore import epoch_done, remove_gen  # noqa: F401 (epoch_done is the stream writers' replay test)
 
 
 def _gen_dirs(index_dir: str) -> list[str]:
@@ -221,45 +225,45 @@ def query_index(spark: SparkSession, index_dir: str, queries: DataFrame,
     return ivf_topk_assigned(queries, assignments, centroids, k, n_probe)
 
 
-def _swap_in_full_gen(index_dir: str, final: str) -> None:
+def _swap_in_full_gen(index_dir: str, final: str,
+                      olds: list[str]) -> None:
     """Point CURRENT at the freshly-committed full generation, then
-    remove everything else. The superseded list is EVERY on-disk
-    generation except the new full one — not just the live ones the
-    caller folded — so debris from ANY earlier crash (a pointer flip
-    that died before its rename loop, an orphaned commit) stays
-    reader-excluded and gets swept here instead of being resurrected
-    by a later flip whose list was built from live generations only
-    (the r10 review finding: a centroid-less append superseded by a
-    crashed retrain would otherwise re-enter the live set with cids
-    assigned under long-dead centroids). Single-writer assumption:
-    nothing appends between the caller's fold and this snapshot. The
-    pointer rename is the commit point; every removal after it is
-    idempotent cleanup."""
-    dead = [d for d in _gen_dirs(index_dir) if d != final]
+    remove everything it supersedes. The dead set is the FOLD-TIME live
+    set (`olds` — exactly what the caller merged into `final`) UNION
+    everything that was already dead on disk (the previous pointer's
+    surviving superseded entries and any unreferenced centroids-bearing
+    commit) — so debris from an earlier crashed flip can never be
+    resurrected by a later one (r10 review finding #1), while an append
+    that raced in BETWEEN the fold and this flip is neither listed nor
+    removed: it stays live and readable, merely carrying stale cids
+    until the next retrain folds it (r10 review finding #2 — a
+    whole-disk snapshot here would silently DESTROY that raced batch).
+    The pointer rename is the commit point; every removal after it is
+    idempotent cleanup, and removed ``gen_b_*`` dirs leave tombstones
+    so epoch replays stay detectable (jobs/_genstore.py)."""
+    prev = _read_pointer(index_dir)
+    dead = {d for d in olds if d != final}
+    if prev is not None:
+        dead |= {os.path.join(index_dir, b) for b in prev["superseded"]
+                 if os.path.isdir(os.path.join(index_dir, b))}
+    dead |= {d for d in _gen_dirs(index_dir)
+             if d != final
+             and os.path.isdir(os.path.join(d, "centroids"))}
     _write_pointer(index_dir, os.path.basename(final),
-                   [os.path.basename(d) for d in dead])
-    _sweep_dead(index_dir)
+                   sorted(os.path.basename(d) for d in dead))
+    for d in sorted(dead):
+        remove_gen(d)
 
 
 def _sweep_dead(index_dir: str) -> int:
     """Remove every on-disk generation the reader rule considers dead
     (pointer-superseded, or an unreferenced centroids-bearing commit).
-    Idempotent; safe to run any time under the single-writer
-    assumption. Returns the number of directories removed."""
+    Idempotent; live generations — including appends that raced a
+    maintenance pass — are never touched. Returns the number of
+    directories removed."""
     _, live = _live_gens(index_dir)
-    n = 0
-    for d in _gen_dirs(index_dir):
-        if d in live:
-            continue
-        aside = os.path.join(os.path.dirname(d),
-                             "_old_" + os.path.basename(d))
-        try:
-            os.rename(d, aside)
-        except OSError:
-            continue  # a concurrent/previous cleanup got it first
-        shutil.rmtree(aside)
-        n += 1
-    return n
+    return sum(1 for d in _gen_dirs(index_dir)
+               if d not in live and remove_gen(d))
 
 
 def compact_index(spark: SparkSession, index_dir: str) -> dict:
@@ -290,8 +294,8 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
               .parquet(os.path.join(tmp, "assignments"))
 
     final = _commit_generation(index_dir, write)
-    _swap_in_full_gen(index_dir, final)
-    assert _gen_dirs(index_dir) == [final]
+    _swap_in_full_gen(index_dir, final, olds)
+    assert final in _gen_dirs(index_dir)
     return {"generations": 1}
 
 
@@ -325,7 +329,7 @@ def retrain_index(spark: SparkSession, index_dir: str,
                 .parquet(os.path.join(tmp, "assignments"))
 
     final = _commit_generation(index_dir, write)
-    _swap_in_full_gen(index_dir, final)
+    _swap_in_full_gen(index_dir, final, olds)
     return {"generations": 1, "clusters": k}
 
 

@@ -172,11 +172,11 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
     }
     final = _write_generation(merged["shingles"], merged["bands"],
                               index_dir)
+    # folded gen_b_* dirs leave tombstones so a checkpoint replay of
+    # their epoch is still recognized after the fold (jobs/_genstore.py)
+    from ._genstore import remove_gen
     for d in olds:
-        aside = os.path.join(os.path.dirname(d),
-                             "_old_" + os.path.basename(d))
-        os.rename(d, aside)
-        shutil.rmtree(aside)
+        remove_gen(d)
     assert _gen_dirs(index_dir) == [final]
     return {sub: 1 for sub in _SUBS}
 

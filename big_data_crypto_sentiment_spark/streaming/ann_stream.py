@@ -3,32 +3,46 @@ over jobs/ann_index.py (SURVEY T9 composed with the ANN family — the
 embedding twin of streaming/dedup_stream.py).
 
 Each micro-batch of (vec_id, embedding) rows is assigned to the FROZEN
-centroids map-side and appended as generation ``gen_b_<epoch>``; the
-next query over the stored index sees it immediately. Optionally each
-epoch also writes its own top-k verdicts against everything indexed
-BEFORE the batch (the "is this vector near something we already have"
-check an ingest pipeline runs before admitting a vector) — the
-stream-side analog of dedup_stream's verdict output.
+centroids map-side and appended as generation ``gen_b_<run>-<epoch>``;
+the next query over the stored index sees it immediately. Optionally
+each epoch also writes its own top-k verdicts against everything
+indexed BEFORE the batch (the "is this vector near something we
+already have" check an ingest pipeline runs before admitting a
+vector) — the stream-side analog of dedup_stream's verdict output.
 
 Delivery semantics (T9): the checkpoint gives at-least-once foreachBatch
-invocations; both effects are epoch-keyed, so replays are idempotent —
-  * the append commits ``gen_b_<epoch>`` by atomic rename (a replay
-    sees the committed generation and skips — jobs/ann_index.py),
-  * verdicts overwrite ``verdict_dir/epoch=<epoch>``, gated on the
-    ``_SUCCESS`` marker (not bare directory existence — the
-    dedup_stream r9 lesson), and a replayed epoch recomputes them
-    against the index MINUS its own generation so self-matches can't
-    appear.
+invocations; both effects are keyed by (run id, epoch id), so replays
+are idempotent —
+  * the append commits its generation by atomic rename; a replay sees
+    the committed generation OR, if maintenance has already folded it
+    into the full generation, its tombstone (jobs/_genstore.py) — the
+    r10 review finding: without the tombstone a post-fold replay looked
+    like a first pass and re-verdicted against an index that already
+    contained the batch;
+  * verdicts overwrite ``verdict_dir/epoch=<run>-<epoch>``, gated on
+    the ``_SUCCESS`` marker (not bare directory existence — the
+    dedup_stream r9 lesson), and a replayed epoch excludes the batch's
+    own vec_ids from the probe (by id, not by path, so the exclusion
+    survives a fold) so self-matches can't appear.
+
+The run id defaults to a hash of the checkpoint location, binding the
+generation keys to the checkpoint whose epoch counter names them: a
+NEW checkpoint against an index that already holds ``gen_b_0`` from an
+old stream must not mistake its own fresh epoch 0 for a replay (r10
+review finding — bare epoch keys silently dropped every batch in that
+setup). vec_ids are assumed unique across batches (they are ids).
 
 Scale: per batch the work is O(|batch|) centroid assignment (the
 centroid table is a broadcast closure constant) + one parquet append;
 the indexed corpus is only read by the optional verdict join, which
 probes n_probe cells per query vector — never a full scan. Run
-``compact_index`` / ``retrain_index`` on a maintenance cadence.
+``compact_index`` / ``retrain_index`` on a maintenance cadence (not
+concurrently with ingest — see jobs/ann_index.py's docstring).
 """
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 from pyspark.sql import DataFrame
@@ -37,23 +51,35 @@ from pyspark.sql.streaming import StreamingQuery
 VERDICT_K = 3
 
 
+def _run_id_for(checkpoint: str) -> str:
+    return hashlib.md5(
+        os.path.abspath(checkpoint).encode()).hexdigest()[:8]
+
+
 def ann_ingest_batch_writer(index_dir: str,
                             verdict_dir: str | None = None,
-                            k: int = VERDICT_K):
+                            k: int = VERDICT_K,
+                            run_id: str | None = None):
     """The foreachBatch function. Exposed separately so tests can drive
-    replays deterministically (the dedup_stream pattern)."""
+    replays deterministically (the dedup_stream pattern). run_id=None
+    keeps bare-epoch keys (direct/test drivers); the streaming sink
+    always passes one."""
     from ..jobs.ann_index import (
         _live_gens,
         append_vectors,
+        epoch_done,
         ivf_topk_assigned,
         load_centroids,
     )
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
-        gen = os.path.join(index_dir, f"gen_b_{epoch_id}")
-        replay = os.path.isdir(gen)
-        out = (os.path.join(verdict_dir, f"epoch={epoch_id}")
+        batch_id = (f"{run_id}-{epoch_id}" if run_id is not None
+                    else epoch_id)
+        gen_base = f"gen_b_{batch_id}"
+        gen = os.path.join(index_dir, gen_base)
+        replay = epoch_done(index_dir, gen_base)
+        out = (os.path.join(verdict_dir, f"epoch={batch_id}")
                if verdict_dir else None)
         if replay and (out is None
                        or os.path.exists(os.path.join(out, "_SUCCESS"))):
@@ -63,8 +89,8 @@ def ann_ingest_batch_writer(index_dir: str,
             if out is not None:
                 # verdict against the index as it stood BEFORE this
                 # batch: on the first pass the batch simply isn't
-                # appended yet; on a replay its own committed
-                # generation is excluded explicitly
+                # appended yet; on a replay its own rows are excluded
+                # BY ID (the generation may already be folded away)
                 _, live = _live_gens(index_dir)
                 paths = [os.path.join(d, "assignments")
                          for d in live if d != gen]
@@ -76,12 +102,15 @@ def ann_ingest_batch_writer(index_dir: str,
                     F.col("embedding").alias("qe"))
                 assignments = spark.read.parquet(*paths) \
                     .dropDuplicates(["vec_id"])
+                if replay:
+                    assignments = assignments.join(
+                        batch_df.select("vec_id"), "vec_id", "left_anti")
                 v = ivf_topk_assigned(queries, assignments,
                                       centroids, k)
                 v.write.mode("overwrite").parquet(out)
             if not replay:
                 append_vectors(spark, index_dir, batch_df,
-                               batch_id=epoch_id)
+                               batch_id=batch_id)
         finally:
             batch_df.unpersist()
 
@@ -95,9 +124,12 @@ def start_ann_ingest_sink(vec_stream: DataFrame, index_dir: str,
                           trigger_once: bool = True) -> StreamingQuery:
     """Stream (vec_id, embedding) micro-batches into the stored IVF
     index. The index must already exist (``build_index`` on the base
-    corpus)."""
+    corpus). Generation keys are bound to THIS checkpoint's epoch
+    counter via the derived run id."""
     w = (vec_stream.writeStream
-         .foreachBatch(ann_ingest_batch_writer(index_dir, verdict_dir, k))
+         .foreachBatch(ann_ingest_batch_writer(
+             index_dir, verdict_dir, k,
+             run_id=_run_id_for(checkpoint)))
          .option("checkpointLocation", checkpoint)
          .outputMode("update"))
     if trigger_once:
@@ -107,7 +139,9 @@ def start_ann_ingest_sink(vec_stream: DataFrame, index_dir: str,
 
 def main() -> int:
     """Runnable ingest: stream a (vec_id, embedding) parquet directory
-    into a stored index, one committed generation per micro-batch."""
+    into a stored index, one committed generation per micro-batch.
+    Keep --checkpoint paired with --index-dir across runs: the
+    checkpoint's epoch counter keys the idempotent appends."""
     import argparse
 
     ap = argparse.ArgumentParser(

@@ -11,25 +11,36 @@ NEAR-duplicates across the whole corpus lifetime, because its state is
 the persistent index, not a bounded state store.
 
 Delivery semantics (T9): the checkpoint gives at-least-once foreachBatch
-invocations; both effects are keyed by the epoch id, so replays are
-idempotent —
-  * the index append commits generation ``gen_b_<epoch>`` (atomic
-    rename; a replay sees it and skips — jobs/dedup_index.py),
-  * verdicts overwrite ``verdict_dir/epoch=<epoch>`` (same rows on
-    replay, since the index state the replayed batch sees is the same:
-    its own generation is excluded from nothing it joined before —
-    the batch's docs were never in the index when first verdicted, and
-    on replay the batch_id-keyed read below excludes them again).
+invocations; both effects are keyed by (run id, epoch id), so replays
+are idempotent —
+  * the index append commits generation ``gen_b_<run>-<epoch>`` (atomic
+    rename; a replay sees the committed generation OR — if a compact
+    has already folded it — its tombstone, jobs/_genstore.py; the r10
+    review finding: without the tombstone a post-fold replay looked
+    like a first pass and every replayed doc self-matched),
+  * verdicts overwrite ``verdict_dir/epoch=<run>-<epoch>`` (same rows
+    on replay: the replayed batch's own doc_ids are excluded from the
+    index view BY ID, which survives the fold, and the ``_SUCCESS``
+    marker — not bare directory existence — gates the skip so a crash
+    mid-write is repaired).
+
+The run id defaults to a hash of the checkpoint location, binding the
+generation keys to the checkpoint whose epoch counter names them: a
+NEW checkpoint against an index that already holds ``gen_b_0`` from an
+old stream must not mistake its own fresh epoch 0 for a replay (r10
+review finding — bare epoch keys silently dropped every batch in that
+setup). doc_ids are assumed unique across batches (they are ids).
 
 Scale: per batch the work is O(|batch|) shingling + an equality-keyed
 (band, bh) join against the index parquet — the indexed corpus TEXT is
 never re-read. Index growth is one generation per batch; run
-``compact_index`` on a maintenance cadence to pay down the small-files
-tax.
+``compact_index`` on a maintenance cadence (not concurrently with
+ingest).
 """
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 from pyspark.sql import DataFrame
@@ -38,13 +49,21 @@ from pyspark.sql.streaming import StreamingQuery
 from ..queries.dedup import JACCARD_THRESHOLD
 
 
+def _run_id_for(checkpoint: str) -> str:
+    return hashlib.md5(
+        os.path.abspath(checkpoint).encode()).hexdigest()[:8]
+
+
 def dedup_verdict_batch_writer(index_dir: str, verdict_dir: str,
-                               threshold: float = JACCARD_THRESHOLD):
+                               threshold: float = JACCARD_THRESHOLD,
+                               run_id: str | None = None):
     """The foreachBatch function: verdict against the stored index,
     write verdicts for this epoch (overwrite = replay-safe), append
     the batch's artifacts under the epoch-keyed generation (skip =
     replay-safe). Exposed separately so tests can drive replays
-    deterministically."""
+    deterministically. run_id=None keeps bare-epoch keys (direct/test
+    drivers); the streaming sink always passes one."""
+    from ..jobs._genstore import epoch_done
     from ..jobs.dedup_index import (
         _gen_dirs,
         append_artifacts,
@@ -53,27 +72,35 @@ def dedup_verdict_batch_writer(index_dir: str, verdict_dir: str,
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
-        out = os.path.join(verdict_dir, f"epoch={epoch_id}")
-        gen = os.path.join(index_dir, f"gen_b_{epoch_id}")
-        if os.path.isdir(gen):
-            # replayed epoch: its generation is already committed. Do
-            # NOT re-verdict against an index that now contains the
-            # batch itself (every doc would self-match); the verdicts
-            # for this epoch were already written, and the overwrite
-            # below happened-before the append commit, so they exist
-            # unless the crash hit the tiny window between — in which
-            # case recompute against the index MINUS this generation.
-            # "Already written" means the commit marker exists, not the
-            # bare directory: a crash mid-write (notably in THIS replay
-            # branch) leaves a partial epoch dir with no _SUCCESS, and
-            # skipping on isdir would freeze that corrupt output forever.
+        batch_id = (f"{run_id}-{epoch_id}" if run_id is not None
+                    else epoch_id)
+        gen_base = f"gen_b_{batch_id}"
+        gen = os.path.join(index_dir, gen_base)
+        out = os.path.join(verdict_dir, f"epoch={batch_id}")
+        if epoch_done(index_dir, gen_base):
+            # replayed epoch: its artifacts are already in the index
+            # (as the committed generation, or folded into a compacted
+            # one — the tombstone remembers). Do NOT re-verdict against
+            # an index view containing the batch itself (every doc
+            # would self-match); the verdicts were already written, and
+            # the overwrite below happened-before the append commit, so
+            # they exist unless the crash hit the tiny window between —
+            # in which case recompute against the index MINUS the
+            # batch's own doc_ids. "Already written" means the commit
+            # marker exists, not the bare directory: a crash mid-write
+            # (notably in THIS replay branch) leaves a partial epoch
+            # dir with no _SUCCESS, and skipping on isdir would freeze
+            # that corrupt output forever.
             if os.path.exists(os.path.join(out, "_SUCCESS")):
                 return
             keep = [d for d in _gen_dirs(index_dir) if d != gen]
+            ids = batch_df.select("doc_id")
             sh = spark.read.parquet(*[os.path.join(d, "shingles")
-                                      for d in keep])
+                                      for d in keep]) \
+                .join(ids, "doc_id", "left_anti")
             bands = spark.read.parquet(*[os.path.join(d, "bands")
-                                         for d in keep])
+                                         for d in keep]) \
+                .join(ids, "doc_id", "left_anti")
             from ..queries.dedup import incremental_minhash_verdicts
             v = incremental_minhash_verdicts(sh, bands, batch_df,
                                              threshold)
@@ -84,7 +111,7 @@ def dedup_verdict_batch_writer(index_dir: str, verdict_dir: str,
             v = verdict_batch(spark, index_dir, batch_df, threshold)
             v.write.mode("overwrite").parquet(out)
             append_artifacts(spark, index_dir, batch_df,
-                             batch_id=epoch_id)
+                             batch_id=batch_id)
         finally:
             batch_df.unpersist()
 
@@ -98,10 +125,13 @@ def start_dedup_verdict_sink(docs_stream: DataFrame, index_dir: str,
     """Stream (doc_id, text) micro-batches through the dedup index.
 
     The index must already exist (``build_index`` on the base corpus,
-    or an empty build on a zero-doc frame for a cold start)."""
+    or an empty build on a zero-doc frame for a cold start). Generation
+    keys are bound to THIS checkpoint's epoch counter via the derived
+    run id."""
     w = (docs_stream.writeStream
-         .foreachBatch(dedup_verdict_batch_writer(index_dir, verdict_dir,
-                                                  threshold))
+         .foreachBatch(dedup_verdict_batch_writer(
+             index_dir, verdict_dir, threshold,
+             run_id=_run_id_for(checkpoint)))
          .option("checkpointLocation", checkpoint)
          .outputMode("update"))
     if trigger_once:
@@ -111,7 +141,9 @@ def start_dedup_verdict_sink(docs_stream: DataFrame, index_dir: str,
 
 def main() -> int:
     """Runnable dedup stream: verdict + index a (doc_id, text) parquet
-    directory against a stored MinHash index, one epoch per batch."""
+    directory against a stored MinHash index, one epoch per batch.
+    Keep --checkpoint paired with --index-dir across runs: the
+    checkpoint's epoch counter keys the idempotent appends."""
     import argparse
 
     ap = argparse.ArgumentParser(

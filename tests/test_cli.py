@@ -84,6 +84,9 @@ def test_streaming_cli_mains_run_end_to_end(spark, tmp_path, monkeypatch):
         "dedup-stream", "--index-dir", didx, "--src", dsrc,
         "--verdicts", vdir, "--checkpoint", str(tmp_path / "ck2")])
     assert dedup_stream.main() == 0
+    import glob
     import os
-    assert os.path.exists(os.path.join(vdir, "epoch=0", "_SUCCESS"))
-    assert spark.read.parquet(os.path.join(vdir, "epoch=0")).count() > 0
+    epochs = glob.glob(os.path.join(vdir, "epoch=*"))
+    assert len(epochs) == 1                  # run-id-keyed epoch dir
+    assert os.path.exists(os.path.join(epochs[0], "_SUCCESS"))
+    assert spark.read.parquet(epochs[0]).count() > 0

@@ -201,12 +201,13 @@ def test_retrain_crash_windows_are_deterministic(spark, split, tmp_path):
     # disk must be excluded by the superseded list, and a later
     # retrain/compact removes them
     append_vectors(spark, idx, b1.limit(20), batch_id=5)
+    from big_data_crypto_sentiment_spark.jobs import _genstore as GS
     orig_rmtree = shutil.rmtree
-    AI.shutil.rmtree = lambda *a, **k: None  # "crash" during cleanup
+    GS.shutil.rmtree = lambda *a, **k: None  # "crash" during cleanup
     try:
         retrain_index(spark, idx, seed=11)
     finally:
-        AI.shutil.rmtree = orig_rmtree
+        GS.shutil.rmtree = orig_rmtree
     # stale dirs remain (renamed aside or listed superseded) but stats
     # and queries resolve through the pointer only
     s = index_stats(spark, idx)
@@ -269,13 +270,14 @@ def test_crashed_pointer_flip_cannot_resurrect_superseded_appends(
     build_index(spark, idx_corpus := base, idx, k=8, seed=42)
     append_vectors(spark, idx, b1, batch_id=1)
 
-    # retrain R1: pointer written, cleanup never ran
-    orig = AI._sweep_dead
-    AI._sweep_dead = lambda *a, **k: 0
+    # retrain R1: pointer written, cleanup never ran (the removal
+    # primitive "crashes" before touching anything)
+    orig = AI.remove_gen
+    AI.remove_gen = lambda d: False
     try:
         retrain_index(spark, idx, seed=7)
     finally:
-        AI._sweep_dead = orig
+        AI.remove_gen = orig
     assert len(_gen_dirs(idx)) == 3      # build + append + R1, all on disk
     assert index_stats(spark, idx)["vectors"] == 400   # pointer rules
 
@@ -296,11 +298,11 @@ def test_crashed_pointer_flip_cannot_resurrect_superseded_appends(
     # same crash again, then a NO-OP compact (single live gen) must
     # sweep the debris instead of leaving it forever
     append_vectors(spark, idx, b1.limit(10), batch_id=2)
-    AI._sweep_dead = lambda *a, **k: 0
+    AI.remove_gen = lambda d: False
     try:
         retrain_index(spark, idx, seed=13)
     finally:
-        AI._sweep_dead = orig
+        AI.remove_gen = orig
     assert len(_gen_dirs(idx)) > 1
     from big_data_crypto_sentiment_spark.jobs.ann_index import (
         compact_index,
@@ -308,3 +310,96 @@ def test_crashed_pointer_flip_cannot_resurrect_superseded_appends(
     compact_index(spark, idx)
     assert len(_gen_dirs(idx)) == 1
     assert index_stats(spark, idx)["vectors"] == 400
+
+
+def test_fresh_checkpoint_does_not_mistake_old_epochs_for_replays(
+        spark, split, tmp_path):
+    """r10 review: with bare epoch keys, a NEW checkpoint against an
+    index already holding gen_b_0 saw its own fresh epoch 0 as a
+    replay and silently dropped every batch. Generation keys are now
+    bound to the checkpoint via the run id."""
+    base, b1, b2 = split
+    idx = str(tmp_path / "index")
+    build_index(spark, base, idx, k=8, seed=42)
+
+    def drain(src, ck, df):
+        _drop(spark, src, df)
+        stream = (spark.readStream.schema(VEC_SCHEMA)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        q = start_ann_ingest_sink(stream, idx, ck)
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+
+    drain(str(tmp_path / "srcA"), str(tmp_path / "ckA"), b1)
+    # second stream, DIFFERENT checkpoint, epoch counter restarts at 0
+    drain(str(tmp_path / "srcB"), str(tmp_path / "ckB"), b2)
+    s = index_stats(spark, idx)
+    assert s["vectors"] == 500 and s["rows"] == 500
+
+
+def test_replay_after_compaction_is_recognized_and_self_match_free(
+        spark, split, tmp_path):
+    """r10 review: a compact between an epoch's generation commit and
+    its checkpoint replay used to delete the replay's evidence — the
+    replay then looked like a first pass and re-verdicted against an
+    index containing the batch. The tombstone keeps the epoch
+    recognized, and the recompute excludes the batch BY ID."""
+    from big_data_crypto_sentiment_spark.jobs.ann_index import (
+        compact_index,
+    )
+    base, b1, _ = split
+    idx, vdir = str(tmp_path / "index"), str(tmp_path / "verdicts")
+    build_index(spark, base, idx, k=8, seed=42)
+    process = ann_ingest_batch_writer(idx, vdir, k=2)
+
+    process(b1, 0)
+    out = os.path.join(vdir, "epoch=0")
+    v1 = _ranked_verdicts(spark, out)
+    compact_index(spark, idx)                 # folds gen_b_0 away
+    assert index_stats(spark, idx)["generations"] == 1
+
+    # crash window: verdicts lost after the fold; the replay must
+    # recompute them WITHOUT re-appending and WITHOUT self/batch-mates
+    os.remove(os.path.join(out, "_SUCCESS"))
+    process(b1, 0)
+    v2 = _ranked_verdicts(spark, out)
+    assert v2 == v1
+    assert all(vid < 300 for (_, _, vid) in v2)   # no batch members
+    assert index_stats(spark, idx)["rows"] == 400  # no duplicate append
+
+
+def test_append_racing_a_retrain_survives(spark, split, tmp_path):
+    """r10 review: the first resurrection fix superseded EVERY on-disk
+    generation, which would have silently destroyed an append that
+    committed between the retrain's fold and its pointer flip. The
+    dead set is fold-time + previously-dead only, so the raced batch
+    stays live (with stale cids until the next fold)."""
+    from big_data_crypto_sentiment_spark.jobs import ann_index as AI
+    base, b1, b2 = split
+    idx = str(tmp_path / "index")
+    build_index(spark, base, idx, k=8, seed=42)
+    append_vectors(spark, idx, b1, batch_id=1)
+
+    orig_swap = AI._swap_in_full_gen
+
+    def racing_swap(index_dir, final, olds):
+        append_vectors(spark, index_dir, b2, batch_id=7)  # races in
+        orig_swap(index_dir, final, olds)
+
+    AI._swap_in_full_gen = racing_swap
+    try:
+        retrain_index(spark, idx, seed=7)
+    finally:
+        AI._swap_in_full_gen = orig_swap
+    s = index_stats(spark, idx)
+    assert s["vectors"] == 500 and s["rows"] == 500   # nothing lost
+    # the raced generation is live on disk, not superseded
+    _, live = AI._live_gens(idx)
+    assert any(d.endswith("gen_b_7") for d in live)
+    # a follow-up retrain folds it under fresh centroids
+    retrain_index(spark, idx, seed=11)
+    s2 = index_stats(spark, idx)
+    assert s2 == {"generations": 1, "rows": 500, "vectors": 500,
+                  "clusters_used": s2["clusters_used"]}

@@ -169,3 +169,38 @@ def test_partial_verdict_write_is_repaired_on_replay(
     assert {k: (v.is_new, v.dup_of) for k, v in v2.items()} \
         == {k: (v.is_new, v.dup_of) for k, v in v1.items()}
     assert index_stats(spark, idx) == s1
+
+
+def test_replay_after_compaction_is_recognized_and_self_match_free(
+        spark, parts, tmp_path):
+    """r10 review: a compact between an epoch's generation commit and
+    its checkpoint replay used to delete the replay's evidence — the
+    replay then looked like a first pass and every replayed doc
+    matched its own indexed copy. The tombstone keeps the epoch
+    recognized; the recompute excludes the batch's doc_ids."""
+    from big_data_crypto_sentiment_spark.jobs.dedup_index import (
+        compact_index,
+    )
+    base, b1, _ = parts
+    idx, vdir = str(tmp_path / "index"), str(tmp_path / "verdicts")
+    build_index(spark, base, idx)
+    process = dedup_verdict_batch_writer(idx, vdir, threshold=0.5)
+    bdf = spark.createDataFrame(b1, DOC_SCHEMA)
+
+    process(bdf, 0)
+    out = os.path.join(vdir, "epoch=0")
+    v1 = _verdicts(spark, out)
+    s1 = index_stats(spark, idx)
+    compact_index(spark, idx)                 # folds gen_b_0 away
+
+    # crash window: verdicts lost after the fold; the replay must
+    # recompute them WITHOUT re-appending and WITHOUT matching the
+    # batch's own indexed copy (doc 10 resolves to doc 1, not itself)
+    import shutil
+    shutil.rmtree(out)
+    process(bdf, 0)
+    v2 = _verdicts(spark, out)
+    assert (v2[10].is_new, v2[10].dup_of) \
+        == (v1[10].is_new, v1[10].dup_of) == (0, 1)
+    s2 = index_stats(spark, idx)
+    assert (s2["docs"], s2["band_rows"]) == (s1["docs"], s1["band_rows"])
