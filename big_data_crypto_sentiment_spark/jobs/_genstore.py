@@ -19,8 +19,47 @@ from __future__ import annotations
 
 import os
 import shutil
+import uuid
 
 PROCESSED = "processed"
+RUN_ID_FILE = "RUN_ID"
+
+
+def run_id_for_checkpoint(checkpoint: str) -> str:
+    """Run id bound to the checkpoint INSTANCE, not its path.
+
+    r10 review (ADVICE, medium): deriving the run id from md5(abspath)
+    meant deleting and recreating the checkpoint directory at the same
+    path — a standard stream reset — reused the old run id while the
+    epoch counter restarted at 0, so the new stream's first epochs
+    collided with the old run's ``gen_b_<run>-<n>`` generations and
+    tombstones and were silently dropped as "replays". The fix: a
+    random RUN_ID file is created inside the checkpoint directory on
+    first start and read thereafter. It lives and dies WITH the
+    checkpoint — a reset destroys it, so the fresh checkpoint gets a
+    fresh run id and its epoch 0 can never look like the old run's.
+
+    Creation is O_EXCL-exclusive so two racing drivers converge on one
+    winner's id (Structured Streaming forbids two actives on one
+    checkpoint anyway — this just keeps the file single-writer-safe).
+    """
+    os.makedirs(checkpoint, exist_ok=True)
+    marker = os.path.join(checkpoint, RUN_ID_FILE)
+    try:
+        with open(marker) as f:
+            rid = f.read().strip()
+        if rid:
+            return rid
+    except FileNotFoundError:
+        pass
+    rid = uuid.uuid4().hex[:8]
+    try:
+        with open(marker, "x") as f:
+            f.write(rid)
+        return rid
+    except FileExistsError:
+        with open(marker) as f:
+            return f.read().strip()
 
 
 def tombstone(index_dir: str, gen_basename: str) -> None:

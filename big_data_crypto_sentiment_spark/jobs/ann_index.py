@@ -191,6 +191,45 @@ def _read_assignments(spark: SparkSession, index_dir: str) -> DataFrame:
     return spark.read.parquet(*paths)
 
 
+def read_assignments_dedup(spark: SparkSession, index_dir: str,
+                           exclude: tuple[str, ...] = ()) -> DataFrame:
+    """Live assignments deduped to ONE row per vec_id with a
+    DETERMINISTIC pick: the full generation's row wins over append
+    rows, and among appends the earliest generation (name order) wins.
+
+    r10 review (ADVICE, low): the previous unordered
+    ``dropDuplicates(["vec_id"])`` relied on every duplicate being an
+    identical re-assignment; if the same vec_id ever lands in two live
+    generations with DIFFERENT cids (e.g. re-ingest of an existing id
+    after a retrain — nothing enforces against it), ranking became
+    nondeterministic across runs. Here each generation is tagged with
+    its live-order priority and the min-priority row is kept via
+    ``min_by`` — one shuffle, same as dropDuplicates, but the winner is
+    total-ordered (priorities are distinct per generation; vec_id is
+    unique within one). `exclude` drops whole generations from the view
+    (the streaming verdict path excludes the current batch's own gen).
+    """
+    full, live = _live_gens(index_dir)
+    skip = set(exclude)
+    tagged = []
+    for pri, d in enumerate(live):          # live = [full] + name-order
+        p = os.path.join(d, "assignments")
+        if d not in skip and os.path.isdir(p):
+            tagged.append(
+                spark.read.parquet(p).withColumn("_pri", F.lit(pri)))
+    if not tagged:
+        raise FileNotFoundError(f"no assignments in {index_dir}")
+    u = tagged[0]
+    for t in tagged[1:]:
+        u = u.unionByName(t)
+    return (u.groupBy("vec_id")
+             .agg(F.min_by(F.struct("embedding", "cid"),
+                           F.col("_pri")).alias("_pick"))
+             .select("vec_id",
+                     F.col("_pick.embedding").alias("embedding"),
+                     F.col("_pick.cid").alias("cid")))
+
+
 def append_vectors(spark: SparkSession, index_dir: str, delta: DataFrame,
                    batch_id: int | str | None = None) -> str | None:
     """Assign the delta to the FROZEN centroids (map-side only) and
@@ -217,11 +256,11 @@ def query_index(spark: SparkSession, index_dir: str, queries: DataFrame,
     # commit and old-generation removal. Dedup consumers tolerate those
     # (they dedup candidate pairs), but ranking does not — row_number
     # over (cos desc, vec_id) would give the same vec_id two consecutive
-    # ranks and evict a genuine kth neighbor. Duplicate rows are
-    # identical re-assignments under the frozen centroids, so dropping
-    # them here is lossless.
-    assignments = _read_assignments(spark, index_dir) \
-        .dropDuplicates(["vec_id"])
+    # ranks and evict a genuine kth neighbor. The dedup pick is
+    # DETERMINISTIC (full generation wins — read_assignments_dedup) so
+    # a vec_id living in two generations with different cids can't make
+    # results flap across runs.
+    assignments = read_assignments_dedup(spark, index_dir)
     return ivf_topk_assigned(queries, assignments, centroids, k, n_probe)
 
 
@@ -284,8 +323,9 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
     cdf = spark.createDataFrame(
         [(cid, vec) for cid, vec in centroids],
         "cid int, centroid array<double>")
-    merged = _read_assignments(spark, index_dir) \
-        .dropDuplicates(["vec_id"])
+    # deterministic fold: same generation-priority pick as query_index,
+    # so a compact bakes in exactly the rows queries were already seeing
+    merged = read_assignments_dedup(spark, index_dir)
 
     def write(tmp: str) -> None:
         cdf.coalesce(1).write.mode("overwrite") \
@@ -312,8 +352,8 @@ def retrain_index(spark: SparkSession, index_dir: str,
     if k is None:
         k = len(load_centroids(spark, index_dir))
     _, olds = _live_gens(index_dir)
-    corpus = _read_assignments(spark, index_dir) \
-        .dropDuplicates(["vec_id"]).select("vec_id", "embedding")
+    corpus = read_assignments_dedup(spark, index_dir) \
+        .select("vec_id", "embedding")
     centroids = fit_ivf_centroids(corpus, k=k, seed=seed,
                                   sample_ppm=sample_ppm)
     cdf = spark.createDataFrame(
@@ -364,8 +404,8 @@ def index_recall(spark: SparkSession, index_dir: str,
     from pyspark import StorageLevel
 
     from ..queries.similarity import brute_force_topk
-    corpus = _read_assignments(spark, index_dir) \
-        .dropDuplicates(["vec_id"]).select("vec_id", "embedding")
+    corpus = read_assignments_dedup(spark, index_dir) \
+        .select("vec_id", "embedding")
     qs = (corpus
           .withColumn("_h", F.md5(F.concat_ws(
               ":", F.lit(str(seed)), F.col("vec_id").cast("string"))))

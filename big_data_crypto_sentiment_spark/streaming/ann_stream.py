@@ -25,12 +25,25 @@ are idempotent —
     own vec_ids from the probe (by id, not by path, so the exclusion
     survives a fold) so self-matches can't appear.
 
-The run id defaults to a hash of the checkpoint location, binding the
-generation keys to the checkpoint whose epoch counter names them: a
-NEW checkpoint against an index that already holds ``gen_b_0`` from an
-old stream must not mistake its own fresh epoch 0 for a replay (r10
-review finding — bare epoch keys silently dropped every batch in that
-setup). vec_ids are assumed unique across batches (they are ids).
+The run id is a random token stored IN the checkpoint directory
+(jobs/_genstore.py:run_id_for_checkpoint), binding the generation keys
+to the checkpoint INSTANCE whose epoch counter names them: a NEW
+checkpoint against an index that already holds ``gen_b_0`` from an old
+stream must not mistake its own fresh epoch 0 for a replay (r10 review
+finding — bare epoch keys silently dropped every batch in that setup),
+and — the r11 refinement — deleting and recreating the checkpoint at
+the SAME path (a standard stream reset) destroys the token with it, so
+the reset run can't collide with the old run's generations either.
+vec_ids are assumed unique across batches (they are ids).
+
+Maintenance cadence (r11, from review): a replay repair recomputes
+verdicts against the CURRENT centroids, so a compact/retrain between
+the original epoch and its repair would change the repaired verdicts.
+Operationally: REPAIR PENDING EPOCHS BEFORE RUNNING MAINTENANCE (one
+availableNow drain, which replays any _SUCCESS-less epoch, then
+compact/retrain). Each verdict epoch also records the centroid
+generation it was computed under (``_CENTROID_GEN`` marker) so an
+auditor can detect a cross-maintenance repair after the fact.
 
 Scale: per batch the work is O(|batch|) centroid assignment (the
 centroid table is a broadcast closure constant) + one parquet append;
@@ -42,18 +55,15 @@ concurrently with ingest — see jobs/ann_index.py's docstring).
 
 from __future__ import annotations
 
-import hashlib
 import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
 
+from ..jobs._genstore import run_id_for_checkpoint as _run_id_for
+
 VERDICT_K = 3
-
-
-def _run_id_for(checkpoint: str) -> str:
-    return hashlib.md5(
-        os.path.abspath(checkpoint).encode()).hexdigest()[:8]
+CENTROID_GEN_MARKER = "_CENTROID_GEN"
 
 
 def ann_ingest_batch_writer(index_dir: str,
@@ -70,6 +80,7 @@ def ann_ingest_batch_writer(index_dir: str,
         epoch_done,
         ivf_topk_assigned,
         load_centroids,
+        read_assignments_dedup,
     )
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
@@ -90,24 +101,34 @@ def ann_ingest_batch_writer(index_dir: str,
                 # verdict against the index as it stood BEFORE this
                 # batch: on the first pass the batch simply isn't
                 # appended yet; on a replay its own rows are excluded
-                # BY ID (the generation may already be folded away)
-                _, live = _live_gens(index_dir)
-                paths = [os.path.join(d, "assignments")
-                         for d in live if d != gen]
-                paths = [p for p in paths if os.path.isdir(p)]
+                # BY ID (the generation may already be folded away).
+                # The dedup pick is deterministic (full generation
+                # wins — jobs/ann_index.py:read_assignments_dedup).
+                full, _ = _live_gens(index_dir)
                 centroids = load_centroids(spark, index_dir)
                 from pyspark.sql import functions as F
                 queries = batch_df.select(
                     F.col("vec_id").alias("query_id"),
                     F.col("embedding").alias("qe"))
-                assignments = spark.read.parquet(*paths) \
-                    .dropDuplicates(["vec_id"])
+                assignments = read_assignments_dedup(
+                    spark, index_dir, exclude=(gen,))
                 if replay:
                     assignments = assignments.join(
                         batch_df.select("vec_id"), "vec_id", "left_anti")
                 v = ivf_topk_assigned(queries, assignments,
                                       centroids, k)
                 v.write.mode("overwrite").parquet(out)
+                # record the centroid generation these verdicts were
+                # computed under, so a replay repaired AFTER a
+                # compact/retrain (different centroids than the
+                # original pass) is detectable post-hoc (r10 ADVICE).
+                # Written after the parquet commit: at worst a crash
+                # here leaves a _SUCCESS'd epoch without the marker,
+                # which reads as "provenance unknown", never as a
+                # wrong provenance.
+                with open(os.path.join(out, CENTROID_GEN_MARKER),
+                          "w") as fh:
+                    fh.write(os.path.basename(full))
             if not replay:
                 append_vectors(spark, index_dir, batch_df,
                                batch_id=batch_id)

@@ -24,12 +24,16 @@ are idempotent —
     marker — not bare directory existence — gates the skip so a crash
     mid-write is repaired).
 
-The run id defaults to a hash of the checkpoint location, binding the
-generation keys to the checkpoint whose epoch counter names them: a
-NEW checkpoint against an index that already holds ``gen_b_0`` from an
-old stream must not mistake its own fresh epoch 0 for a replay (r10
-review finding — bare epoch keys silently dropped every batch in that
-setup). doc_ids are assumed unique across batches (they are ids).
+The run id is a random token stored IN the checkpoint directory
+(jobs/_genstore.py:run_id_for_checkpoint), binding the generation keys
+to the checkpoint INSTANCE whose epoch counter names them: a NEW
+checkpoint against an index that already holds ``gen_b_0`` from an old
+stream must not mistake its own fresh epoch 0 for a replay (r10 review
+finding — bare epoch keys silently dropped every batch in that setup),
+and — the r11 refinement — deleting and recreating the checkpoint at
+the SAME path (a standard stream reset) destroys the token with it, so
+the reset run can't collide with the old run's generations either.
+doc_ids are assumed unique across batches (they are ids).
 
 Scale: per batch the work is O(|batch|) shingling + an equality-keyed
 (band, bh) join against the index parquet — the indexed corpus TEXT is
@@ -40,18 +44,13 @@ ingest).
 
 from __future__ import annotations
 
-import hashlib
 import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
 
+from ..jobs._genstore import run_id_for_checkpoint as _run_id_for
 from ..queries.dedup import JACCARD_THRESHOLD
-
-
-def _run_id_for(checkpoint: str) -> str:
-    return hashlib.md5(
-        os.path.abspath(checkpoint).encode()).hexdigest()[:8]
 
 
 def dedup_verdict_batch_writer(index_dir: str, verdict_dir: str,
@@ -93,18 +92,26 @@ def dedup_verdict_batch_writer(index_dir: str, verdict_dir: str,
             # that corrupt output forever.
             if os.path.exists(os.path.join(out, "_SUCCESS")):
                 return
-            keep = [d for d in _gen_dirs(index_dir) if d != gen]
-            ids = batch_df.select("doc_id")
-            sh = spark.read.parquet(*[os.path.join(d, "shingles")
-                                      for d in keep]) \
-                .join(ids, "doc_id", "left_anti")
-            bands = spark.read.parquet(*[os.path.join(d, "bands")
-                                         for d in keep]) \
-                .join(ids, "doc_id", "left_anti")
-            from ..queries.dedup import incremental_minhash_verdicts
-            v = incremental_minhash_verdicts(sh, bands, batch_df,
-                                             threshold)
-            v.write.mode("overwrite").parquet(out)
+            # consumed three times (two left_anti id joins + the
+            # verdict join) — persist like the first-pass branch does,
+            # or the streamed batch source is recomputed per action
+            # (r10 ADVICE)
+            batch_df.persist()
+            try:
+                keep = [d for d in _gen_dirs(index_dir) if d != gen]
+                ids = batch_df.select("doc_id")
+                sh = spark.read.parquet(*[os.path.join(d, "shingles")
+                                          for d in keep]) \
+                    .join(ids, "doc_id", "left_anti")
+                bands = spark.read.parquet(*[os.path.join(d, "bands")
+                                             for d in keep]) \
+                    .join(ids, "doc_id", "left_anti")
+                from ..queries.dedup import incremental_minhash_verdicts
+                v = incremental_minhash_verdicts(sh, bands, batch_df,
+                                                 threshold)
+                v.write.mode("overwrite").parquet(out)
+            finally:
+                batch_df.unpersist()
             return
         batch_df.persist()  # consumed twice: verdict join + indexing
         try:
