@@ -4,7 +4,7 @@ Usage:
     python tools/bench_compare.py OLD NEW [threshold]
 
 OLD/NEW each accept any of:
-  * BENCH_FULL.json            (bench.py's complete per-query map)
+  * BENCH_FULL.json / BENCH_CLEAN.json (bench.py per-query maps)
   * a driver BENCH_r{N}.json   (parsed line, or regex over the tail
                                 when the line outgrew the capture)
   * the raw one-line JSON bench.py prints
