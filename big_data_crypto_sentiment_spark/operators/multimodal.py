@@ -11,8 +11,15 @@ dimensions, and an ISO-BMFF box walk (moov/mvhd/tkhd) for MP4 duration
 and track dimensions. Only payloads whose magic matches none of these
 containers raise NotImplementedError and fall back to the
 clearly-marked deterministic fake, so pipelines still exercise end to
-end; full-frame pixel/sample decode (which would need an entropy
-decoder) is out of scope throughout.
+end.
+
+Pixel decode (r11): PNG (8-bit grey/grey-alpha/RGB/RGBA,
+non-interlaced — stdlib zlib inflate + spec per-row unfiltering) and
+uncompressed 24/32-bit BMP decode to REAL pixel arrays, resize runs a
+TRUE closed-form area-average resample, and resized output re-encodes
+as a spec-correct PNG (encode_png, CRC'd chunks). Only formats whose
+pixels need an entropy decoder (JPEG/GIF frames) remain header-only
+with the deterministic marker payload.
 
 Scale notes: mapInPandas streams Arrow batches — payload bytes never
 materialize as a full-partition list; batch size is bounded by
@@ -195,6 +202,218 @@ def _decode_mp4(payload: bytes) -> dict:
     return {"width": width, "height": height, "duration_ms": dur_ms}
 
 
+def decode_png_pixels(payload: bytes):
+    """REAL PNG pixel decode, stdlib-only (r10 verdict #2): zlib
+    inflates the IDAT stream, then per-row unfiltering (none / sub /
+    up / average / paeth exactly as PNG spec §9 defines them, modular
+    256 arithmetic). Returns a (height, width, channels) uint8 numpy
+    array for 8-bit greyscale / grey+alpha / RGB / RGBA non-interlaced
+    images. Palette (colour type 3), 16-bit channels, and Adam7
+    interlacing raise NotImplementedError (callers fall back to the
+    header-metadata tier); structural damage — bad chunk CRC, missing
+    IDAT, inflated length mismatch — raises ValueError.
+
+    Scale note: this is the no-dependency correctness path. The sub /
+    average / paeth filters are sequential along a scanline by
+    definition, so rows decode in a Python loop ('up' and 'none' rows
+    vectorize); a deployment with native image libs would swap this
+    single function and keep every surrounding Arrow/mapInPandas
+    shape."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if not payload.startswith(b"\x89PNG\r\n\x1a\n"):
+        raise NotImplementedError("not a PNG")
+    pos, n = 8, len(payload)
+    ihdr = None
+    idat = []
+    while pos + 8 <= n:
+        clen = int.from_bytes(payload[pos:pos + 4], "big")
+        ctype = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + clen]
+        if len(data) != clen or pos + 12 + clen > n:
+            raise ValueError("truncated PNG chunk")
+        crc = int.from_bytes(payload[pos + 8 + clen:pos + 12 + clen],
+                             "big")
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk CRC mismatch in {ctype!r}")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen
+    if ihdr is None or not idat:
+        raise ValueError("PNG without IHDR/IDAT")
+    width, height, depth, colour, comp, filt, interlace = ihdr
+    if comp != 0 or filt != 0:
+        raise ValueError("PNG with nonstandard compression/filter")
+    if depth != 8 or colour not in (0, 2, 4, 6) or interlace != 0:
+        raise NotImplementedError(
+            f"PNG depth={depth} colour={colour} interlace={interlace} "
+            "outside the stdlib decode path (palette/16-bit/Adam7)")
+    ch = {0: 1, 2: 3, 4: 2, 6: 4}[colour]
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise ValueError(f"PNG IDAT inflate failed: {e}") from e
+    stride = width * ch
+    if len(raw) != height * (1 + stride):
+        raise ValueError("PNG inflated length mismatch")
+    out = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    pos = 0
+    for y in range(height):
+        ftype = raw[pos]
+        row = np.frombuffer(raw, np.uint8, stride, pos + 1).copy()
+        if ftype == 0:
+            pass
+        elif ftype == 2:                      # up: fully vectorized
+            row += prev                       # uint8 wrap == mod 256
+        elif ftype == 1:                      # sub
+            for x in range(ch, stride):
+                row[x] = (int(row[x]) + int(row[x - ch])) & 0xFF
+        elif ftype == 3:                      # average
+            for x in range(stride):
+                left = int(row[x - ch]) if x >= ch else 0
+                row[x] = (int(row[x])
+                          + (left + int(prev[x])) // 2) & 0xFF
+        elif ftype == 4:                      # paeth
+            for x in range(stride):
+                a = int(row[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                c = int(prev[x - ch]) if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) \
+                    else (b if pb <= pc else c)
+                row[x] = (int(row[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"PNG filter type {ftype}")
+        out[y] = row
+        prev = row
+        pos += 1 + stride
+    return out.reshape(height, width, ch)
+
+
+def decode_bmp_pixels(payload: bytes):
+    """REAL BMP pixel decode (uncompressed BI_RGB, 24/32-bit
+    BITMAPINFOHEADER): rows are 4-byte aligned, bottom-up unless the
+    height is negative, channel order BGR(A) → returned RGB(A).
+    Returns (height, width, channels) uint8. Other bit depths or
+    compressions raise NotImplementedError; truncated pixel data
+    raises ValueError."""
+    import numpy as np
+
+    if payload[:2] != b"BM":
+        raise NotImplementedError("not a BMP")
+    if len(payload) < 54:
+        raise ValueError("truncated BMP header")
+    data_off = int.from_bytes(payload[10:14], "little")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bits = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if compression != 0 or bits not in (24, 32):
+        raise NotImplementedError(
+            f"BMP bits={bits} compression={compression} outside the "
+            "stdlib decode path")
+    ch = bits // 8
+    width, height = abs(w), abs(h)
+    row_bytes = (width * ch + 3) & ~3
+    need = data_off + row_bytes * height
+    if len(payload) < need:
+        raise ValueError("truncated BMP pixel data")
+    rows = np.frombuffer(payload, np.uint8, row_bytes * height,
+                         data_off).reshape(height, row_bytes)
+    img = rows[:, :width * ch].reshape(height, width, ch)
+    if h > 0:                                  # bottom-up storage
+        img = img[::-1]
+    # BGR(A) -> RGB(A)
+    order = [2, 1, 0] + ([3] if ch == 4 else [])
+    return np.ascontiguousarray(img[:, :, order])
+
+
+def decode_image_pixels(payload: bytes):
+    """Magic-dispatched full pixel decode: PNG and BMP are real;
+    everything else raises NotImplementedError so callers drop to the
+    header-metadata tier (JPEG/GIF pixels need an entropy decoder —
+    the documented remaining stub)."""
+    if payload.startswith(b"\x89PNG\r\n\x1a\n"):
+        return decode_png_pixels(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp_pixels(payload)
+    raise NotImplementedError(
+        f"no pixel decoder for magic {payload[:4]!r}")
+
+
+def encode_png(arr) -> bytes:
+    """Minimal spec-correct PNG encoder for (h, w, c) uint8 arrays
+    (c ∈ 1 grey / 2 grey+alpha / 3 RGB / 4 RGBA): filter-0 scanlines,
+    one zlib IDAT, CRC'd chunks. Output round-trips through
+    decode_png_pixels bit-exactly."""
+    import struct
+    import zlib
+
+    h, w, ch = arr.shape
+    colour = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data)
+                              & 0xFFFFFFFF))
+
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    return (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, colour,
+                                         0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(raw, 9))
+            + chunk(b"IEND", b""))
+
+
+def _area_reduce(a, t: int, axis: int):
+    """Exact 1-D area (box) reduction along `axis` to t cells: target
+    cell k averages the source interval [k·s/t, (k+1)·s/t), fractional
+    edge pixels weighted by coverage — computed in closed form from a
+    cumulative sum, fully vectorized. Float64 in, float64 out."""
+    import numpy as np
+
+    s = a.shape[axis]
+    a = np.asarray(a, dtype=np.float64)
+    if t == s:
+        return a
+    edges = np.arange(t + 1, dtype=np.float64) * (s / t)
+    zshape = list(a.shape)
+    zshape[axis] = 1
+    c = np.concatenate([np.zeros(zshape),
+                        np.cumsum(a, axis=axis)], axis=axis)
+    idx = np.minimum(np.floor(edges).astype(np.int64), s)
+    frac = edges - np.floor(edges)
+    fshape = [1] * a.ndim
+    fshape[axis] = t + 1
+    # cumulative mass up to each (possibly fractional) edge
+    mass = (np.take(c, idx, axis=axis)
+            + np.take(a, np.minimum(idx, s - 1), axis=axis)
+            * frac.reshape(fshape))
+    num = (np.take(mass, np.arange(1, t + 1), axis=axis)
+           - np.take(mass, np.arange(t), axis=axis))
+    return num * (t / s)                        # cell width is s/t
+
+
+def area_resample(img, tw: int, th: int):
+    """True area-average resample of an (h, w, c) uint8 image to
+    (th, tw): separable exact box filter (the correct downscale — every
+    source pixel contributes proportionally to its overlap), rounded
+    half-up to uint8. Closed-form, no library."""
+    import numpy as np
+
+    out = _area_reduce(_area_reduce(img, th, 0), tw, 1)
+    return np.floor(out + 0.5).astype(np.uint8)
+
+
 def fake_decode(payload: bytes) -> tuple[int, int]:
     """Deterministic stand-in: pseudo-dimensions from the content hash
     (stable across runs/partitionings, so tests can golden it)."""
@@ -253,18 +472,28 @@ RESIZE_STUB_MAGIC = b"RSZ1"
 
 def resize_images(df: DataFrame, max_dim: int = 224,
                   use_real_codec: bool = False) -> DataFrame:
-    """Image-resize plumbing over MEDIA_SCHEMA rows (mapInPandas).
+    """Image-resize over MEDIA_SCHEMA rows (mapInPandas), tiered:
 
-    REAL: the Arrow batch shape, the source-dimension decode (container
-    header codec / deterministic fake, exactly extract_media_features'
-    tiering), and the aspect-preserving target math — integer floor
-    division, never upscaling: for m = max(w, h) > max_dim the target
-    is (w·max_dim // m, h·max_dim // m) floored at 1.  STUBBED: the
-    pixel resample itself (no image library in this container) — the
-    output payload is the deterministic
-    ``RSZ1 ‖ big-endian (w, h) ‖ sha256(source)`` marker, so downstream
-    plumbing (size accounting, dedup over resized bytes) stays testable
-    and stable across runs and partitionings."""
+    * ``resampled`` — the payload pixel-decodes (PNG via stdlib zlib
+      inflate + per-row unfilter, uncompressed 24/32-bit BMP) AND needs
+      shrinking: a TRUE area-average resample (closed-form separable
+      box filter) runs and the output payload is a real, decodable PNG
+      at the target dimensions. r10 verdict #2 — the resample is no
+      longer a stub for these formats.
+    * ``passthrough`` — pixel-decodes but already fits max_dim: the
+      original payload rides through untouched.
+    * ``decoded-dims`` — only the container HEADER decodes (JPEG/GIF
+      pixels need an entropy decoder — the documented remaining stub,
+      plus structurally-damaged PNG/BMP): real dims, deterministic
+      ``RSZ1 ‖ big-endian (w, h) ‖ sha256(source)`` marker payload.
+    * ``fake-dims`` — unknown magic (or a dimensionless container
+      mislabeled as image): hash-derived pseudo-dims + marker payload.
+
+    The aspect-preserving target math is shared by every tier — integer
+    floor division, never upscaling: for m = max(w, h) > max_dim the
+    target is (w·max_dim // m, h·max_dim // m) floored at 1. With
+    use_real_codec=False (the oracle-paired default) everything takes
+    the fake-dims tier, unchanged since r9."""
     import struct
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -273,13 +502,19 @@ def resize_images(df: DataFrame, max_dim: int = 224,
             for row in pdf.itertuples(index=False):
                 payload = bytes(row.payload) if row.payload is not None else b""
                 status = "fake-dims"
+                pixels = None
                 if use_real_codec:
                     try:
-                        meta = decode_media(payload, row.kind)
-                        w, h = meta["width"], meta["height"]
-                        status = "decoded-dims"
+                        pixels = decode_image_pixels(payload)
+                        h, w = pixels.shape[:2]
+                        status = "resampled"
                     except (NotImplementedError, ValueError):
-                        w, h = fake_decode(payload)
+                        try:
+                            meta = decode_media(payload, row.kind)
+                            w, h = meta["width"], meta["height"]
+                            status = "decoded-dims"
+                        except (NotImplementedError, ValueError):
+                            w, h = fake_decode(payload)
                     # a container can decode WITHOUT dimensions (WAV,
                     # audio-only MP4 mislabeled as image): fall back
                     # like the decode-failure tier instead of max(None)
@@ -295,10 +530,18 @@ def resize_images(df: DataFrame, max_dim: int = 224,
                     resized = True
                 else:
                     tw, th, resized = w, h, False
-                stub = (RESIZE_STUB_MAGIC + struct.pack(">II", tw, th)
-                        + hashlib.sha256(payload).digest())
+                if pixels is not None:
+                    if resized:
+                        out_payload = encode_png(
+                            area_resample(pixels, tw, th))
+                    else:
+                        out_payload, status = payload, "passthrough"
+                else:
+                    out_payload = (RESIZE_STUB_MAGIC
+                                   + struct.pack(">II", tw, th)
+                                   + hashlib.sha256(payload).digest())
                 out.append((row.media_id, w, h, tw, th, resized,
-                            status, stub))
+                            status, out_payload))
             yield pd.DataFrame(
                 out, columns=[f.name for f in MEDIA_RESIZE_SCHEMA])
 

@@ -329,3 +329,199 @@ def test_resize_images_dimensionless_decode_falls_back(spark):
     fw, fh = fake_decode(wav)
     assert (r.src_width, r.src_height) == (fw, fh)
     assert r.resize_status == "fake-dims"
+
+
+# --- r11: real PNG/BMP pixel decode + true area resample ------------
+
+
+def _spec_png(img, filters):
+    """Build a PNG from a (h, w, 3) uint8 array INDEPENDENTLY of
+    encode_png: forward-apply the given per-row filter types exactly as
+    PNG spec §9 defines them, deflate, and assemble CRC'd chunks — so
+    the decoder is tested against the spec, not against our encoder."""
+    import struct
+    import zlib
+
+    h, w, ch = img.shape
+    raw = bytearray()
+    prev = [0] * (w * ch)
+    for y, ftype in zip(range(h), filters):
+        cur = [int(v) for v in img[y].reshape(-1)]
+        raw.append(ftype)
+        for x in range(w * ch):
+            left = cur[x - ch] if x >= ch else 0
+            up = prev[x]
+            upleft = prev[x - ch] if x >= ch else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = left
+            elif ftype == 2:
+                pred = up
+            elif ftype == 3:
+                pred = (left + up) // 2
+            else:                       # paeth
+                p = left + up - upleft
+                pa, pb, pc = (abs(p - left), abs(p - up),
+                              abs(p - upleft))
+                pred = left if (pa <= pb and pa <= pc) \
+                    else (up if pb <= pc else upleft)
+            raw.append((cur[x] - pred) & 0xFF)
+        prev = cur
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+def test_png_pixel_decode_all_five_filter_types():
+    import numpy as np
+
+    from big_data_crypto_sentiment_spark.operators.multimodal import (
+        decode_png_pixels,
+    )
+    rng = np.arange(5 * 3 * 3, dtype=np.int64)
+    img = ((rng * 37 + 11) % 256).astype(np.uint8).reshape(5, 3, 3)
+    payload = _spec_png(img, filters=[0, 1, 2, 3, 4])
+    got = decode_png_pixels(payload)
+    assert got.shape == (5, 3, 3)
+    assert (got == img).all()
+
+
+def test_png_decode_rejects_corruption_and_gates_unsupported():
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from big_data_crypto_sentiment_spark.operators.multimodal import (
+        decode_png_pixels,
+    )
+    img = np.zeros((2, 2, 3), dtype=np.uint8)
+    good = _spec_png(img, [0, 0])
+    # flip one IDAT byte -> CRC mismatch -> ValueError (corrupt)
+    bad = bytearray(good)
+    idat_at = good.index(b"IDAT") + 4
+    bad[idat_at] ^= 0xFF
+    with _pytest.raises(ValueError):
+        decode_png_pixels(bytes(bad))
+    # palette PNG (colour type 3) -> NotImplementedError (header tier)
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data)))
+    pal = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00\x00\x00\x00"))
+           + chunk(b"IEND", b""))
+    with _pytest.raises(NotImplementedError):
+        decode_png_pixels(pal)
+
+
+def test_png_encode_decode_roundtrip_bit_exact():
+    import numpy as np
+
+    from big_data_crypto_sentiment_spark.operators.multimodal import (
+        decode_png_pixels,
+        encode_png,
+    )
+    for ch in (1, 2, 3, 4):
+        rng = np.arange(4 * 5 * ch, dtype=np.int64)
+        img = ((rng * 97 + 3) % 256).astype(np.uint8).reshape(4, 5, ch)
+        back = decode_png_pixels(encode_png(img))
+        assert back.shape == img.shape and (back == img).all()
+
+
+def test_bmp_pixel_decode_bottom_up_bgr_and_padding():
+    import struct
+
+    import numpy as np
+
+    from big_data_crypto_sentiment_spark.operators.multimodal import (
+        decode_bmp_pixels,
+    )
+    # 2x2 24-bit: rows stored bottom-up, 6 data bytes padded to 8,
+    # channel order BGR on disk
+    top = [(255, 0, 0), (0, 255, 0)]       # RGB we expect back
+    bottom = [(0, 0, 255), (10, 20, 30)]
+    def row(px):
+        return b"".join(bytes((b, g, r)) for (r, g, b) in px) + b"\x00\x00"
+    pixel_data = row(bottom) + row(top)    # bottom-up
+    header = (b"BM" + struct.pack("<IHHI", 54 + len(pixel_data), 0, 0, 54)
+              + struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0,
+                            len(pixel_data), 2835, 2835, 0, 0))
+    img = decode_bmp_pixels(header + pixel_data)
+    assert img.shape == (2, 2, 3)
+    assert [tuple(img[0, x]) for x in range(2)] == top
+    assert [tuple(img[1, x]) for x in range(2)] == bottom
+    expect = np.array([top, bottom], dtype=np.uint8)
+    assert (img == expect).all()
+
+
+def test_area_resample_closed_form_values():
+    import numpy as np
+
+    from big_data_crypto_sentiment_spark.operators.multimodal import (
+        area_resample,
+    )
+    # 2x2 checkerboard -> 1x1: exact mean 127.5, half-up -> 128
+    board = np.array([[[0], [255]], [[255], [0]]], dtype=np.uint8)
+    assert area_resample(board, 1, 1)[0, 0, 0] == 128
+    # 4x4 quadrants -> 2x2: each output IS its quadrant mean, exactly
+    q = np.zeros((4, 4, 1), dtype=np.uint8)
+    q[:2, :2], q[:2, 2:], q[2:, :2], q[2:, 2:] = 10, 20, 30, 40
+    out = area_resample(q, 2, 2)
+    assert [[out[0,0,0], out[0,1,0]], [out[1,0,0], out[1,1,0]]] \
+        == [[10, 20], [30, 40]]
+    # non-integer ratio 3 -> 2: cell 0 covers [0, 1.5) so its value is
+    # (x0 + 0.5*x1) / 1.5 — pin one fractional-coverage case end to end
+    tri = np.array([[[0], [90], [240]]], dtype=np.uint8)
+    out = area_resample(tri, 2, 1)
+    assert out[0, 0, 0] == 30      # (0 + 45) / 1.5
+    assert out[0, 1, 0] == 190     # (45 + 240) / 1.5
+
+
+def test_resize_images_real_resample_emits_real_png(spark):
+    import numpy as np
+
+    from big_data_crypto_sentiment_spark.operators.multimodal import (
+        area_resample,
+        decode_png_pixels,
+        encode_png,
+        resize_images,
+    )
+    from big_data_crypto_sentiment_spark.schemas import MEDIA_SCHEMA
+    q = np.zeros((4, 4, 3), dtype=np.uint8)
+    q[:2, :2], q[:2, 2:], q[2:, :2], q[2:, 2:] = 10, 20, 30, 40
+    src = encode_png(q)
+    rows = [(1, "image", src, "image/png", None, None, None)]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    # shrink: real resample, output is a REAL decodable PNG
+    (r,) = resize_images(df, max_dim=2, use_real_codec=True).collect()
+    assert r.resize_status == "resampled" and r.resized
+    assert (r.src_width, r.src_height, r.width, r.height) == (4, 4, 2, 2)
+    back = decode_png_pixels(bytes(r.payload))
+    assert (back == area_resample(q, 2, 2)).all()
+    assert back[0, 0, 0] == 10 and back[1, 1, 0] == 40
+
+    # already fits: payload passes through untouched
+    (p,) = resize_images(df, max_dim=224, use_real_codec=True).collect()
+    assert p.resize_status == "passthrough" and not p.resized
+    assert bytes(p.payload) == src
+
+    # entropy-coded formats keep the documented marker-stub tier
+    jpg_rows = [(2, "image", _jpeg(1024, 768), "image/jpeg",
+                 None, None, None)]
+    jdf = spark.createDataFrame(jpg_rows, MEDIA_SCHEMA)
+    (j,) = resize_images(jdf, use_real_codec=True).collect()
+    from big_data_crypto_sentiment_spark.operators.multimodal import (
+        RESIZE_STUB_MAGIC,
+    )
+    assert j.resize_status == "decoded-dims"
+    assert bytes(j.payload).startswith(RESIZE_STUB_MAGIC)
