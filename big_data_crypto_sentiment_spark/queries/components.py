@@ -126,13 +126,27 @@ def _is_star_forest(edges: DataFrame) -> bool:
 
 def connected_components(edges: DataFrame, nodes: DataFrame,
                          max_iter: int = 30,
-                         _stats: dict | None = None) -> DataFrame:
+                         _stats: dict | None = None,
+                         probe_from: int = 2) -> DataFrame:
     """(node, component) for every node, component = min node id reachable.
 
     edges: two-column DataFrame of undirected pairs (any column names);
     nodes: one-column DataFrame of node ids (defines singletons too).
     max_iter bounds the large+small alternation rounds (O(log n) needed);
     _stats, if passed, receives {"rounds": n} for convergence tests.
+
+    probe_from: first round eligible for the convergence probe. The
+    probe SCHEDULE never affects correctness — a converged edge set is
+    a fixpoint of both star ops, so overshooting just runs identity
+    rounds inside the next probe's job — it only trades probe jobs
+    against potential identity rounds. The default probes every round
+    from 2 (round 1 can't converge a non-star input). A caller that
+    KNOWS its graph needs >= k rounds (e.g. the pair graph contains
+    chains long enough) passes probe_from=k and skips the
+    can't-succeed probes; at fixture scale each skipped probe is a
+    whole scheduled job (~1.2-1.5 s of fixed stage latency — the r10
+    verdict's cc_slice_components floor), while the unprobed rounds'
+    lazy checkpoints all materialize inside the one probe that runs.
     """
     a, b = edges.columns[0], edges.columns[1]
     e = (edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
@@ -144,12 +158,7 @@ def connected_components(edges: DataFrame, nodes: DataFrame,
             rounds += 1
             e = _small_star(_large_star(e, dedup=False)) \
                 .localCheckpoint(eager=False)
-            # skip the round-1 probe: a non-empty non-star input needs
-            # >= 2 rounds, so probing after round 1 spends an action +
-            # shuffle that can only say "not yet" (the unprobed round's
-            # lazy checkpoint simply materializes inside round 2's
-            # probe — no stage runs twice)
-            if rounds >= 2 and _is_star_forest(e):
+            if rounds >= probe_from and _is_star_forest(e):
                 break
     if _stats is not None:
         _stats["rounds"] = rounds
@@ -164,17 +173,19 @@ def connected_components(edges: DataFrame, nodes: DataFrame,
 
 
 def dedup_components(docs: DataFrame, threshold: float,
-                     shingled: DataFrame | None = None) -> DataFrame:
+                     shingled: DataFrame | None = None,
+                     probe_from: int = 2) -> DataFrame:
     """Cluster the near-dup pair graph of `docs`; one row per doc with its
     component id, canonical flag (keep min doc_id per cluster — the
     standard deterministic tie-break), and cluster size. `shingled`
     optionally reuses a pre-shingled (doc_id, shingles) frame for pair
-    generation (see _jaccard_pairs)."""
+    generation (see _jaccard_pairs); probe_from passes through to
+    connected_components' convergence-probe schedule."""
     eligible = (docs.filter(F.size(_words()) >= SHINGLE_WORDS)
                     .select("doc_id"))
     pairs = _jaccard_pairs(docs, threshold, shingled=shingled) \
         .select("doc_a", "doc_b")
-    cc = connected_components(pairs, eligible)
+    cc = connected_components(pairs, eligible, probe_from=probe_from)
     sizes = cc.groupBy("component").agg(F.count("*").alias("component_size"))
     return (cc.join(sizes, "component")
               .select(F.col("node").alias("doc_id"),
@@ -210,8 +221,17 @@ def _slice_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         sh_all = _SHINGLE_CACHE.get(key)
         shingled = (sh_all.join(d.select("doc_id"), "doc_id")
                     if sh_all is not None else None)
+        # probe_from=3: measured fixpoints are 3 rounds at sf0.1 (the
+        # bench SF — its round-2 probe could only say "not yet" and
+        # each probe is a whole scheduled job, the r10 verdict's
+        # cc_slice floor) and 2 rounds at sf0.001/0.01, where the
+        # traded cost is one identity round riding INSIDE the single
+        # probe job on a few-hundred-edge set — far cheaper than the
+        # probe job it replaces. Correctness is schedule-independent
+        # (identity rounds at the fixpoint).
         _CC_CACHE[key] = dedup_components(d, SLICE_JACCARD_THRESHOLD,
-                                          shingled=shingled)
+                                          shingled=shingled,
+                                          probe_from=3)
     return _CC_CACHE[key]
 
 

@@ -18,10 +18,14 @@ Scale notes (the whole point of this family):
   * NO all-pairs crossJoin anywhere. Pair generation always goes through
     an equality key (shingle, or (band, band_hash)) so Spark plans a
     shuffled hash join whose fan-out is bounded by bucket sizes, not N².
-  * MinHash signatures are computed entirely with array expressions
-    (transform/array_min over the shingle array) — zero shuffles, zero
-    Python, whole-stage codegen end to end; the only shuffles are the
-    candidate-pair self-join and the distinct.
+  * MinHash signatures: shingle hashing (md5 → h1/h2) is JVM array
+    expressions; the 32-permutation min-fold is Arrow-vectorized numpy
+    (one segmented min over the whole batch per permutation — r11,
+    replacing 32 transform+array_min passes per row after BENCH_SCALE
+    showed that fold dominating the family's wall). Still zero
+    shuffles; the only shuffles are the candidate-pair self-join and
+    the distinct. band_table_expr keeps the pure-expression twin and
+    test_dedup.py pins them bit-for-bit equal.
   * Exact-verification joins carry the shingle arrays with the pair rows
     (two hash joins on doc_id) instead of collecting anything.
 """
@@ -285,11 +289,86 @@ def shingled_docs(docs: DataFrame) -> DataFrame:
                 .select("doc_id", _shingles().alias("shingles")))
 
 
+def _minhash_sig_udf():
+    """Arrow-vectorized signature fold: (array<long> h1s, array<long>
+    h2s) → array<long> of the NUM_HASHES minhash values, numerically
+    IDENTICAL to the SQL fold in minhash_signature_cols (int64-exact:
+    h1 < 2^60, j·h2 < 2^36, sums < 2^61).
+
+    Why a pandas UDF in a family whose mantra is "zero Python": the
+    expression form evaluates 32 separate transform+array_min passes
+    per row — 32 array allocations per document — and BENCH_SCALE
+    showed that per-row signature math dominating minhash_lsh's wall
+    (4.92× at 10× rows, the family closest to linear). Here the whole
+    Arrow batch's shingle hashes flatten into ONE int64 matrix and each
+    permutation is one vectorized mod + segmented min
+    (np.minimum.reduceat) over every document at once. Built lazily
+    (module-import @pandas_udf fails under this pyspark)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    def sig(h1s, h2s):
+        import pandas as pd
+        lens = np.fromiter((len(v) for v in h1s), dtype=np.int64,
+                           count=len(h1s))
+        if len(lens) == 0:
+            return pd.Series([], dtype=object)
+        if (lens == 0).any():
+            # shingled_docs filters to >= SHINGLE_WORDS words, so an
+            # empty array means a caller skipped that contract —
+            # reduceat would silently misattribute a neighbor's min
+            raise ValueError(
+                "minhash signature over an empty shingle array")
+        flat1 = np.concatenate([np.asarray(v, dtype=np.int64)
+                                for v in h1s])
+        flat2 = np.concatenate([np.asarray(v, dtype=np.int64)
+                                for v in h2s])
+        starts = np.empty(len(lens), dtype=np.int64)
+        starts[0] = 0
+        np.cumsum(lens[:-1], out=starts[1:])
+        mins = np.empty((len(lens), NUM_HASHES), dtype=np.int64)
+        for j in range(NUM_HASHES):
+            km = (flat1 + j * flat2) % HASH_P
+            mins[:, j] = np.minimum.reduceat(km, starts)
+        return pd.Series(list(mins))
+
+    return pandas_udf(sig, "array<long>")
+
+
 def band_table(sh: DataFrame) -> DataFrame:
     """(doc_id, band, bh): the LSH band index of a shingled frame —
     THE mergeable/maintainable artifact of the MinHash family (at
     100 TB this table is what you materialize once per corpus and
-    append to per ingest batch; see incremental_minhash_verdicts)."""
+    append to per ingest batch; see incremental_minhash_verdicts).
+
+    Signature math: md5 → (h1, h2) stays JVM-side (one codegen pass
+    per shingle), the 32-permutation min-fold runs Arrow-batched in
+    numpy (_minhash_sig_udf — bit-for-bit equal to the SQL fold,
+    pinned by test_dedup.py), and the band keys are the same
+    md5(concat_ws) over the signature values, so the DuckDB oracle
+    reproduces every byte unchanged."""
+    hs = _hash_pairs()
+    sig = sh.select(
+        "doc_id",
+        _minhash_sig_udf()(
+            F.transform(hs, lambda x: x["h1"]),
+            F.transform(hs, lambda x: x["h2"])).alias("sig"))
+    bh = [F.md5(F.concat_ws(",", *[
+        F.col("sig").getItem(b * ROWS_PER_BAND + r).cast("string")
+        for r in range(ROWS_PER_BAND)])) for b in range(BANDS)]
+    return sig.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"), bh[b].alias("bh"))
+            for b in range(BANDS)
+        ])).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bh")
+
+
+def band_table_expr(sh: DataFrame) -> DataFrame:
+    """The pure-expression twin of band_table (32 transform+array_min
+    passes, zero Python) — kept as the parity reference for the
+    vectorized fold and for plans that must stay UDF-free."""
     sig = (sh.withColumn("hs", _hash_pairs())
              .select("doc_id", "shingles", *minhash_signature_cols()))
     return sig.select(

@@ -241,3 +241,25 @@ def test_source_matrix_fp_keys_on_word_prefix(spark, monkeypatch):
     assert rows == {("srcA", "srcA"): 1, ("srcA", "srcB"): 1}
     # the exact-key matrix sees NO duplicate groups in the same data
     assert D.q_dedup_source_matrix(spark, "ignored").count() == 0
+
+
+def test_vectorized_band_table_matches_expression_twin(spark):
+    """r11: the Arrow/numpy signature fold must reproduce the pure
+    expression fold bit-for-bit (same md5→KM integer math), on the
+    real fixture corpus — every (doc_id, band, bh) row identical."""
+    from big_data_crypto_sentiment_spark.queries.dedup import (
+        band_table,
+        band_table_expr,
+        shingled_docs,
+    )
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "text")
+    sh = shingled_docs(d).persist()
+    try:
+        fast = sorted((r.doc_id, r.band, r.bh)
+                      for r in band_table(sh).collect())
+        ref = sorted((r.doc_id, r.band, r.bh)
+                     for r in band_table_expr(sh).collect())
+        assert fast == ref and len(fast) > 0
+    finally:
+        sh.unpersist()

@@ -47,7 +47,7 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 FIX = os.path.join(ROOT, ".scale_fixture")
 BASE_DOCS = 5_000          # = the sf0.1 documents row count
 BASE_VECS = 2_000          # = the sf0.1 embeddings row count
-SCALES = {"x1": 1, "x10": 10}
+SCALES = {"x1": 1, "x10": 10, "x30": 30}
 SEED = 42
 DUP_EVERY = 50             # every 50th doc is a 90% near-copy (2%)
 EMB_DIM = 64
@@ -155,6 +155,16 @@ def run(spark, sf_dir: str, work: str) -> dict[str, float]:
         return out
 
     r = {}
+    # the tokenize+shingle scan is timed as ITS OWN entry (r10 verdict
+    # #3): it populates the session shingle cache, so the minhash_lsh
+    # entry below isolates signature + band join + exact verify — the
+    # engine cost under test — from the shared corpus-scan leaf every
+    # family would pay once at 100 TB
+    from big_data_crypto_sentiment_spark.queries.dedup import (
+        _shingled_documents,
+    )
+    timed("shingle_scan",
+          lambda: _noop(_shingled_documents(spark, sf_dir)))
     r["minhash_lsh_pairs"] = timed(
         "minhash_lsh",
         lambda: q_dedup_minhash_lsh(spark, sf_dir).count())
@@ -216,6 +226,12 @@ def main() -> int:
         "wall_ratio": {f: (round(res["x10"][f] / res["x1"][f], 2)
                            if res["x1"][f] > 0 else None)
                        for f in families},
+        # second scale point for the TREND (r10 verdict #3): at 30x
+        # rows a family whose x10 ratio was fixed-overhead-flattered
+        # shows its true slope
+        "wall_ratio_x30": {f: (round(res["x30"][f] / res["x1"][f], 2)
+                               if res["x1"][f] > 0 else None)
+                           for f in families},
         "loadavg_start": load0,
         "loadavg": [round(x, 2) for x in os.getloadavg()],
     }
