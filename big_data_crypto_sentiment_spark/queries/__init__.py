@@ -72,28 +72,8 @@ DEFERRALS: dict[str, dict] = {
                                       "_source_matrix core earns its driver hash through the fp companion"),
     # r7 window rotation (VERDICT r6 #4): long-green members handed
     # their slots to stale-evidence deferrals; surviving rows below
-    "ts_spearman":        dict(since=7, family="corr family via ts_lag_sweep_corr in-window; ts_corr's deferred pair shares the integer-frozen covariance core",
-                               extra="driver-green r2-r6; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "ts_resample_ffill":  dict(since=7, family="resample family via ts_seasonal_anomaly in-window (same hourly-bucket core); spine/ffill via ts_interpolate in-window",
-                               extra="driver-green r2-r6; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "ts_sessionize":      dict(since=7, family="session family via event_debounce + event_transitions in-window (same lag-gap window core)",
-                               extra="driver-green r2-r6; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "sim_topk_cosine":    dict(since=7, family="embedding family via embed_mean_pool in-window (same integer-frozen cosine core); embed_prototype_prune's deferred pair",
-                               extra="driver-green r2-r6; brute-force baseline also exercised by test_similarity.py recall bounds"),
-    "src_tweets_normalize": dict(since=7, family="source family via src_avro_roundtrip in-window; tweets-JSON reader/parse/fallback chain shared with deferred src_tweets_volume",
-                                 extra="driver-green r2-r6; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "summary_stats":      dict(since=7, family="profiling family via moment_profile + value_quantile_bins in-window",
-                               extra="driver-green r2-r6; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "ml_forecast_metrics": dict(since=7, family="ml family via ml_sentiment in-window (same per-symbol eval math)",
-                                extra="driver-green r2-r6; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "orders_by_nation":   dict(since=7, family="broadcast-dim join family via flagship full-outer in-window; point-in-time join via scd2_point_in_time in-window",
-                               extra="driver-green r2-r6; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "table_diff":         dict(since=7, family="diff/upsert family via rotated-in scd2_merge_incremental in-window (same keyed latest-wins merge); drift via ks_drift_events' deferred pair; anti/semi-join shape via rotated-in retention_after_deletes in-window",
-                               extra="driver-green r4-r6; 3-SF check.py + per-round sf0.001 auto-verify"),
     # r8 window rotation (VERDICT r7 #7 + ADVICE): stale-evidence pairs
     # rotated back in; these surviving rows handed over their slots
-    "filter_time_range":  dict(since=8, family="pushdown-scan family via warehouse_prune_day + zorder_key_lineitem in-window; PushedFilters pinned by tests/test_plan_guards.py",
-                               extra="driver-green r2-r7; 3-SF check.py + per-round sf0.001 auto-verify"),
     "ctfidf_source_terms": dict(since=8, family="text family via source_scorecard in-window; token histograms via bigram_logprob in-window",
                                 extra="driver-green r6-r7; 3-SF check.py + per-round sf0.001 auto-verify"),
     "js_divergence_sources": dict(since=8, family="text-distribution family via bigram_logprob in-window (same token-histogram core)",
@@ -114,10 +94,6 @@ DEFERRALS: dict[str, dict] = {
                                extra="driver-green r2-r7; 3-SF check.py + per-round sf0.001 auto-verify"),
     "ts_bucket_counts":   dict(since=8, family="resample family via ts_seasonal_anomaly in-window; lag features via event_transitions in-window",
                                extra="driver-green r2-r7; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "kv_flatten":         dict(since=8, family="reshape family via sft_mask_spans/tokens_to_ids in-window",
-                               extra="driver-green r2-r4 + refreshed r7; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "union_event_slices": dict(since=8, family="plain UNION ALL of two pushed-down slices; scan/pushdown families via warehouse_prune_day + zorder_key_lineitem in-window",
-                               extra="driver-green r2-r4 + refreshed r7; 3-SF check.py + per-round sf0.001 auto-verify"),
     "text_dup_rate":      dict(since=8, family="dup family via source_scorecard's fingerprint dup-rate in-window (same normalized-hash agg)",
                                extra="driver-green r2-r4 + refreshed r7; 3-SF check.py + per-round sf0.001 auto-verify"),
     "ks_drift_events":    dict(since=8, family="drift family via mad_outlier_events + moment_profile in-window (same exact rank/window machinery)",
@@ -289,6 +265,42 @@ DEFERRALS: dict[str, dict] = {
     # (first driver-checked r9) hands over its slot
     "media_resize":       dict(since=10, family="binary/mapInPandas codec family via media_features' deferred pair (same header-codec core); real-codec parity pinned in test_sinks_multimodal.py",
                                extra="driver-green r9 (first check); 3-SF check.py + per-round sf0.001 auto-verify"),
+    # r11 evidence-freshness rotation (VERDICT r10 #6): the next-oldest
+    # tranche (last driver hash r2-r7: ts_spearman, ts_resample_ffill,
+    # ts_sessionize, sim_topk_cosine, src_tweets_normalize,
+    # summary_stats, ml_forecast_metrics, orders_by_nation, table_diff,
+    # filter_time_range, kv_flatten, union_event_slices) rotates back
+    # IN, and the NEW sim_ivf_topk_frozen pair (VERDICT r10 #5) takes
+    # its first slot. The 13 members below — the 12 pairs freshly
+    # re-hashed in the r10 window plus dedup_source_matrix_fp (first
+    # hash r10) — hand over their slots; every family keeps an
+    # in-window representative.
+    "log_return":         dict(since=11, family="timeseries family via ts_seasonal_anomaly + ts_interpolate + rotated-in ts_resample_ffill/ts_sessionize in-window (same per-symbol ordered window)",
+                               extra="driver-green r3-r6 + r10; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "text_fingerprint":   dict(since=11, family="text family via source_scorecard in-window (same normalized rolling-hash scan)",
+                               extra="driver-green r4-r6 + r10; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "src_warehouse_fallback": dict(since=11, family="source family via src_avro_roundtrip + rotated-in src_tweets_normalize in-window (same fallback-tier scan)",
+                                   extra="driver-green r5-r6 + r10; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "dedup_simhash":      dict(since=11, family="dedup family via dedup_canonical + split_by_cluster in-window (same token-scan core)",
+                               extra="driver-green r4-r6 + r10; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "mixture_downsample": dict(since=11, family="sampling family via sample_stratified + sample_weighted_ak + sample_length_weighted in-window (same portable-md5 threshold filter)",
+                               extra="driver-green r5-r6 + r10; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "ml_lexicon_sentiment": dict(since=11, family="ml family via ml_sentiment + rotated-in ml_forecast_metrics in-window (same broadcast-lexicon scoring)",
+                                 extra="driver-green r4-r6 + r10; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "sim_tfidf_topk":     dict(since=11, family="retrieval family via sim_bm25_topk in-window (same inverted-index core)",
+                               extra="driver-green r5-r6 + r10; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "text_c4_filter":     dict(since=11, family="text rule-filter family via source_scorecard in-window (same single-scan flag plan)",
+                               extra="driver-green r5-r6 + r10; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "unpivot_order_measures": dict(since=11, family="reshape family via sft_mask_spans + tokens_to_ids + rotated-in kv_flatten in-window (same array build/explode core)",
+                                   extra="driver-green r3-r6 + r10; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "chunk_overlap":      dict(since=11, family="packing family via tokens_to_ids + sft_mask_spans in-window (same per-shard offset windows)",
+                               extra="driver-green r4-r6 + r10; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "dedup_ngram_jaccard": dict(since=11, family="pair-dedup family via dedup_canonical + split_by_cluster in-window (both consume the same shingle-keyed pair core through the CC fixpoint)",
+                                extra="driver-green r3-r6 + r10; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "group_collect_training": dict(since=11, family="group-collect family via sft_mask_spans in-window (same sorted collect_list core)",
+                                   extra="driver-green r3-r6 + r10; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "dedup_source_matrix_fp": dict(since=11, family="matrix core shared with always-deferred dedup_source_matrix; dedup family via dedup_canonical + split_by_cluster in-window; property-pinned vs brute force (test_r10_properties.py)",
+                                   extra="driver-green r10 (first check); 3-SF check.py + per-round sf0.001 auto-verify"),
 }
 _DEFER_FROM_WINDOW = tuple(DEFERRALS)
 

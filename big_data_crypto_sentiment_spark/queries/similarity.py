@@ -677,6 +677,45 @@ def q_sim_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     label_prototype_centroids(e))  # O(input): unsorted
 
 
+def q_sim_ivf_topk_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k through the PRODUCTION path (ivf_topk →
+    _assign_clusters → ivf_topk_assigned — the exact operators
+    jobs/ann_index.py queries the stored index with), made fully
+    oracle-able by removing the one non-SQL piece, the KMeans fit
+    (r10 verdict #5, the sim_ann_lsh treatment):
+
+      * centroids are the integer-frozen per-label mean prototypes
+        (label_prototype_centroids — the proven sim_semdedup source),
+        collected as a bounded O(labels·dim) driver artifact exactly
+        like the stored index's load_centroids;
+      * corpus and query embeddings are frozen to integer 1e-6 units
+        (as DOUBLE-typed integers, |x8| < 2²⁰), so the float
+        assignment UDF's distances (< 2⁴⁶) and the sequential-fold
+        cosine's dot products are EXACT in float64 — summation order
+        can't matter, ties in both the cell argsort and the rank
+        window break by cid/vec_id identically on both engines.
+
+    Same plan shape as the rows-only q_sim_ivf_topk: map-side
+    assignment (centroids ride the UDF closure), one broadcast
+    equality join on cid, one top-k window."""
+    e = table(spark, sf_dir, "embeddings") \
+        .select("vec_id", "label", "embedding")
+    x8d = F.transform(F.col("embedding"),
+                      lambda x: F.round(x.cast("double") * PROTO_SCALE))
+    fe = (e.filter(F.size("embedding") >= 1)
+           .select("vec_id", x8d.alias("fe")))
+    by_cid: dict[int, dict[int, float]] = {}
+    for r in label_prototype_centroids(e).collect():
+        by_cid.setdefault(int(r.cid), {})[int(r.dim)] = float(r.c)
+    centroids = [(cid, [dims[d] for d in range(len(dims))])
+                 for cid, dims in sorted(by_cid.items())]
+    corpus = fe.select("vec_id", F.col("fe").alias("embedding"))
+    queries = (fe.filter(F.col("vec_id") < N_QUERY)
+                 .select(F.col("vec_id").alias("query_id"),
+                         F.col("fe").alias("qe")))
+    return ivf_topk(queries, corpus, centroids, TOP_K)
+
+
 def q_sim_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The paper-faithful scale form: data-derived k-means clusters
     (k grows with N via semdedup_k_for) instead of label prototypes.
@@ -695,6 +734,7 @@ QUERIES = {
     "sim_ann_lsh": q_sim_ann_lsh,
     "sim_near_dup_pairs": q_sim_near_dup_pairs,  # rows-only: hash planes
     "sim_ivf_topk": q_sim_ivf_topk,              # rows-only: KMeans fit
+    "sim_ivf_topk_frozen": q_sim_ivf_topk_frozen,
     "embed_quantize": q_embed_quantize,
     "sim_semdedup": q_sim_semdedup,
     "sim_semdedup_kmeans": q_sim_semdedup_kmeans,  # rows-only: KMeans fit
@@ -895,6 +935,70 @@ WITH planes(tbl, p, w) AS (
   FROM cand
   JOIN embeddings q ON q.vec_id = cand.query_id
   JOIN embeddings c ON c.vec_id = cand.vec_id
+), ranked AS (
+  SELECT query_id, vec_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cos, rank FROM ranked WHERE rank <= {TOP_K}
+"""
+
+# sim_ivf_topk_frozen oracle: the semdedup assignment CTEs (integer-
+# frozen vectors, label-prototype centroids, exact BIGINT distance
+# argmin) feeding the ann_lsh ranking tail. Corpus vectors live in
+# their ONE nearest cell (rn = 1), queries probe their IVF_PROBES
+# nearest cells; a (query, vec) pair can match at most once (one cell
+# per corpus vec), mirroring ivf_topk's no-distinct reasoning. All
+# dot products / norms are exact integers in float64, so the
+# sequential-fold cosine is bit-identical across engines.
+ORACLE["sim_ivf_topk_frozen"] = f"""
+WITH fr AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+           x -> CAST(ROUND(CAST(x AS DOUBLE) * {PROTO_SCALE}) AS BIGINT))
+           AS x8
+  FROM embeddings WHERE len(embedding) >= 1
+), ex AS (
+  SELECT vec_id, label, i - 1 AS dim, x8[i] AS v
+  FROM fr, unnest(generate_series(1, len(x8))) AS t(i)
+), cents AS (
+  SELECT label AS cid, dim,
+         CAST(ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+  FROM ex GROUP BY label, dim
+), vn2 AS (
+  SELECT vec_id, CAST(SUM(v * v) AS BIGINT) AS vn2 FROM ex GROUP BY vec_id
+), cn2 AS (
+  SELECT cid, CAST(SUM(c * c) AS BIGINT) AS cn2 FROM cents GROUP BY cid
+), dots AS (
+  SELECT e.vec_id, c.cid, CAST(SUM(e.v * c.c) AS BIGINT) AS dot
+  FROM ex e JOIN cents c ON e.dim = c.dim
+  GROUP BY e.vec_id, c.cid
+), ranked_cells AS (
+  SELECT d.vec_id, d.cid,
+         ROW_NUMBER() OVER (PARTITION BY d.vec_id
+                            ORDER BY v.vn2 - 2 * d.dot + n.cn2, d.cid)
+           AS rn
+  FROM dots d JOIN vn2 v USING (vec_id) JOIN cn2 n USING (cid)
+), corpus_cell AS (
+  SELECT vec_id, cid FROM ranked_cells WHERE rn = 1
+), query_cells AS (
+  SELECT vec_id AS query_id, cid FROM ranked_cells
+  WHERE rn <= {IVF_PROBES} AND vec_id < {N_QUERY}
+), scored AS (
+  SELECT q.query_id, c.vec_id,
+         CAST(CAST(list_sum(list_transform(list_zip(fq.x8, fc.x8),
+                                           x -> x[1] * x[2])) AS BIGINT)
+              AS DOUBLE)
+           / (SQRT(CAST(vq.vn2 AS DOUBLE)) * SQRT(CAST(vc.vn2 AS DOUBLE)))
+           AS cos
+  FROM query_cells q
+  JOIN corpus_cell c USING (cid)
+  JOIN fr fq ON fq.vec_id = q.query_id
+  JOIN fr fc ON fc.vec_id = c.vec_id
+  JOIN vn2 vq ON vq.vec_id = q.query_id
+  JOIN vn2 vc ON vc.vec_id = c.vec_id
+  WHERE c.vec_id != q.query_id
 ), ranked AS (
   SELECT query_id, vec_id, cos,
          ROW_NUMBER() OVER (PARTITION BY query_id
