@@ -290,10 +290,11 @@ def shingled_docs(docs: DataFrame) -> DataFrame:
 
 
 def _minhash_sig_udf():
-    """Arrow-vectorized signature fold: (array<long> h1s, array<long>
-    h2s) → array<long> of the NUM_HASHES minhash values, numerically
-    IDENTICAL to the SQL fold in minhash_signature_cols (int64-exact:
-    h1 < 2^60, j·h2 < 2^36, sums < 2^61).
+    """Arrow-vectorized signature fold: one interleaved array<long>
+    [h1₀, h2₀, h1₁, h2₁, …] → array<long> of the NUM_HASHES minhash
+    values, numerically IDENTICAL to the SQL fold in
+    minhash_signature_cols (int64-exact: h1 < 2^60, j·h2 < 2^36,
+    sums < 2^61).
 
     Why a pandas UDF in a family whose mantra is "zero Python": the
     expression form evaluates 32 separate transform+array_min passes
@@ -302,15 +303,22 @@ def _minhash_sig_udf():
     (4.92× at 10× rows, the family closest to linear). Here the whole
     Arrow batch's shingle hashes flatten into ONE int64 matrix and each
     permutation is one vectorized mod + segmented min
-    (np.minimum.reduceat) over every document at once. Built lazily
+    (np.minimum.reduceat) over every document at once.
+
+    Why ONE interleaved argument: two separate h1s/h2s arguments made
+    Catalyst inline the shared md5 transform into both expression
+    trees (CollapseProject has no array CSE), hashing every shingle
+    TWICE — visible as two full md5 subtrees in the r11 plan. The
+    flatten(transform(hexes, x -> array(h1(x), h2(x)))) form computes
+    md5 once per shingle inside a single lambda scope. Built lazily
     (module-import @pandas_udf fails under this pyspark)."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
-    def sig(h1s, h2s):
+    def sig(hp):
         import pandas as pd
-        lens = np.fromiter((len(v) for v in h1s), dtype=np.int64,
-                           count=len(h1s))
+        lens = np.fromiter((len(v) >> 1 for v in hp), dtype=np.int64,
+                           count=len(hp))
         if len(lens) == 0:
             return pd.Series([], dtype=object)
         if (lens == 0).any():
@@ -319,10 +327,9 @@ def _minhash_sig_udf():
             # reduceat would silently misattribute a neighbor's min
             raise ValueError(
                 "minhash signature over an empty shingle array")
-        flat1 = np.concatenate([np.asarray(v, dtype=np.int64)
-                                for v in h1s])
-        flat2 = np.concatenate([np.asarray(v, dtype=np.int64)
-                                for v in h2s])
+        flat = np.concatenate([np.asarray(v, dtype=np.int64)
+                               for v in hp])
+        flat1, flat2 = flat[0::2], flat[1::2]
         starts = np.empty(len(lens), dtype=np.int64)
         starts[0] = 0
         np.cumsum(lens[:-1], out=starts[1:])
@@ -341,18 +348,18 @@ def band_table(sh: DataFrame) -> DataFrame:
     100 TB this table is what you materialize once per corpus and
     append to per ingest batch; see incremental_minhash_verdicts).
 
-    Signature math: md5 → (h1, h2) stays JVM-side (one codegen pass
-    per shingle), the 32-permutation min-fold runs Arrow-batched in
-    numpy (_minhash_sig_udf — bit-for-bit equal to the SQL fold,
-    pinned by test_dedup.py), and the band keys are the same
-    md5(concat_ws) over the signature values, so the DuckDB oracle
-    reproduces every byte unchanged."""
-    hs = _hash_pairs()
-    sig = sh.select(
-        "doc_id",
-        _minhash_sig_udf()(
-            F.transform(hs, lambda x: x["h1"]),
-            F.transform(hs, lambda x: x["h2"])).alias("sig"))
+    Signature math: md5 → (h1, h2) stays JVM-side (ONE md5 per shingle
+    — the pair is built inside a single lambda scope and interleaved,
+    because separate h1/h2 argument trees get the md5 inlined twice),
+    the 32-permutation min-fold runs Arrow-batched in numpy
+    (_minhash_sig_udf — bit-for-bit equal to the SQL fold, pinned by
+    test_dedup.py), and the band keys are the same md5(concat_ws) over
+    the signature values, so the DuckDB oracle reproduces every byte
+    unchanged."""
+    hexes = F.transform(F.col("shingles"), F.md5)
+    hp = F.flatten(F.transform(hexes,
+                               lambda x: F.array(_h1(x), _h2(x))))
+    sig = sh.select("doc_id", _minhash_sig_udf()(hp).alias("sig"))
     bh = [F.md5(F.concat_ws(",", *[
         F.col("sig").getItem(b * ROWS_PER_BAND + r).cast("string")
         for r in range(ROWS_PER_BAND)])) for b in range(BANDS)]
