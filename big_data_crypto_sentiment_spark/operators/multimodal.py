@@ -14,12 +14,13 @@ clearly-marked deterministic fake, so pipelines still exercise end to
 end.
 
 Pixel decode (r11): PNG (8-bit grey/grey-alpha/RGB/RGBA,
-non-interlaced — stdlib zlib inflate + spec per-row unfiltering) and
-uncompressed 24/32-bit BMP decode to REAL pixel arrays, resize runs a
-TRUE closed-form area-average resample, and resized output re-encodes
-as a spec-correct PNG (encode_png, CRC'd chunks). Only formats whose
-pixels need an entropy decoder (JPEG/GIF frames) remain header-only
-with the deterministic marker payload.
+non-interlaced — stdlib zlib inflate + spec per-row unfiltering),
+uncompressed 24/32-bit BMP, and GIF first frames (spec-appendix-F LZW
++ color-table mapping + interlace undo) decode to REAL pixel arrays,
+resize runs a TRUE closed-form area-average resample, and resized
+output re-encodes as a spec-correct PNG (encode_png, CRC'd chunks).
+Only JPEG — whose pixels need a Huffman entropy decoder — remains
+header-only with the deterministic marker payload.
 
 Scale notes: mapInPandas streams Arrow batches — payload bytes never
 materialize as a full-partition list; batch size is bounded by
@@ -337,15 +338,135 @@ def decode_bmp_pixels(payload: bytes):
     return np.ascontiguousarray(img[:, :, order])
 
 
+def _gif_lzw_decode(data: bytes, min_code_size: int,
+                    n_pixels: int) -> list[int]:
+    """GIF-variant LZW (spec appendix F): LSB-first bit packing,
+    variable code width from min_code_size+1 up to 12 bits, clear code
+    2^mcs resets the table, end-of-information terminates. Returns the
+    decoded index stream (exactly n_pixels entries)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out: list[int] = []
+    bitpos = 0
+    nbits = len(data) * 8
+
+    def reset():
+        return ({i: [i] for i in range(clear)}, clear + 2,
+                min_code_size + 1)
+
+    table, next_code, width = reset()
+    prev: list[int] | None = None
+    while bitpos + width <= nbits and len(out) < n_pixels:
+        byte0 = bitpos >> 3
+        chunk = int.from_bytes(data[byte0:byte0 + 3], "little")
+        code = (chunk >> (bitpos & 7)) & ((1 << width) - 1)
+        bitpos += width
+        if code == clear:
+            table, next_code, width = reset()
+            prev = None
+            continue
+        if code == end:
+            break
+        if code in table:
+            entry = table[code]
+        elif code == next_code and prev is not None:
+            entry = prev + [prev[0]]          # the KwKwK case
+        else:
+            raise ValueError("GIF LZW code out of range")
+        out.extend(entry)
+        if prev is not None:
+            table[next_code] = prev + [entry[0]]
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    if len(out) < n_pixels:
+        raise ValueError("GIF LZW stream ended early")
+    return out[:n_pixels]
+
+
+def decode_gif_pixels(payload: bytes):
+    """REAL GIF pixel decode (first frame), stdlib-only: logical
+    screen + color tables at their spec offsets, the image's LZW-coded
+    index stream inflated by _gif_lzw_decode, indices mapped through
+    the active (local-over-global) color table, Adam-style 4-pass
+    interlace undone. Returns (height, width, 3) uint8 RGB.
+    Unsupported structure (no color table) raises NotImplementedError;
+    truncated/corrupt data raises ValueError."""
+    import numpy as np
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise NotImplementedError("not a GIF")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF header")
+    packed = payload[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload, np.uint8, 3 * n, pos) \
+            .reshape(n, 3)
+        pos += 3 * n
+    while pos < len(payload):
+        b0 = payload[pos]
+        if b0 == 0x21:                        # extension: skip blocks
+            pos += 2
+            while pos < len(payload) and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b0 == 0x2C:                      # image descriptor
+            if pos + 10 > len(payload):
+                raise ValueError("truncated GIF image descriptor")
+            w = int.from_bytes(payload[pos + 5:pos + 7], "little")
+            h = int.from_bytes(payload[pos + 7:pos + 9], "little")
+            ipack = payload[pos + 9]
+            pos += 10
+            ct = gct
+            if ipack & 0x80:                  # local color table
+                n = 2 << (ipack & 0x07)
+                ct = np.frombuffer(payload, np.uint8, 3 * n, pos) \
+                    .reshape(n, 3)
+                pos += 3 * n
+            if ct is None:
+                raise NotImplementedError("GIF without a color table")
+            mcs = payload[pos]
+            pos += 1
+            parts = []
+            while pos < len(payload) and payload[pos] != 0:
+                ln = payload[pos]
+                parts.append(payload[pos + 1:pos + 1 + ln])
+                pos += 1 + ln
+            idx = np.array(
+                _gif_lzw_decode(b"".join(parts), mcs, w * h),
+                dtype=np.int64).reshape(h, w)
+            if idx.max() >= len(ct):
+                raise ValueError("GIF index outside color table")
+            img = ct[idx]
+            if ipack & 0x40:                  # undo 4-pass interlace
+                order = ([*range(0, h, 8)] + [*range(4, h, 8)]
+                         + [*range(2, h, 4)] + [*range(1, h, 2)])
+                out = np.empty_like(img)
+                out[order] = img
+                img = out
+            return np.ascontiguousarray(img)
+        elif b0 == 0x3B:
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{b0:02x}")
+    raise ValueError("GIF without an image block")
+
+
 def decode_image_pixels(payload: bytes):
-    """Magic-dispatched full pixel decode: PNG and BMP are real;
+    """Magic-dispatched full pixel decode: PNG, BMP and GIF are real;
     everything else raises NotImplementedError so callers drop to the
-    header-metadata tier (JPEG/GIF pixels need an entropy decoder —
+    header-metadata tier (JPEG pixels need a Huffman entropy decoder —
     the documented remaining stub)."""
     if payload.startswith(b"\x89PNG\r\n\x1a\n"):
         return decode_png_pixels(payload)
     if payload[:2] == b"BM":
         return decode_bmp_pixels(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif_pixels(payload)
     raise NotImplementedError(
         f"no pixel decoder for magic {payload[:4]!r}")
 
@@ -475,17 +596,18 @@ def resize_images(df: DataFrame, max_dim: int = 224,
     """Image-resize over MEDIA_SCHEMA rows (mapInPandas), tiered:
 
     * ``resampled`` — the payload pixel-decodes (PNG via stdlib zlib
-      inflate + per-row unfilter, uncompressed 24/32-bit BMP) AND needs
-      shrinking: a TRUE area-average resample (closed-form separable
-      box filter) runs and the output payload is a real, decodable PNG
-      at the target dimensions. r10 verdict #2 — the resample is no
-      longer a stub for these formats.
+      inflate + per-row unfilter, uncompressed 24/32-bit BMP, GIF
+      first frame via LZW) AND needs shrinking: a TRUE area-average
+      resample (closed-form separable box filter) runs and the output
+      payload is a real, decodable PNG at the target dimensions. r10
+      verdict #2 — the resample is no longer a stub for these formats.
     * ``passthrough`` — pixel-decodes but already fits max_dim: the
       original payload rides through untouched.
-    * ``decoded-dims`` — only the container HEADER decodes (JPEG/GIF
-      pixels need an entropy decoder — the documented remaining stub,
-      plus structurally-damaged PNG/BMP): real dims, deterministic
-      ``RSZ1 ‖ big-endian (w, h) ‖ sha256(source)`` marker payload.
+    * ``decoded-dims`` — only the container HEADER decodes (JPEG
+      pixels need a Huffman entropy decoder — the documented remaining
+      stub, plus structurally-damaged PNG/BMP/GIF): real dims,
+      deterministic ``RSZ1 ‖ big-endian (w, h) ‖ sha256(source)``
+      marker payload.
     * ``fake-dims`` — unknown magic (or a dimensionless container
       mislabeled as image): hash-derived pseudo-dims + marker payload.
 

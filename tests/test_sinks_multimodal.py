@@ -525,3 +525,147 @@ def test_resize_images_real_resample_emits_real_png(spark):
     )
     assert j.resize_status == "decoded-dims"
     assert bytes(j.payload).startswith(RESIZE_STUB_MAGIC)
+
+
+# --- r11 stretch: real GIF pixel decode (LZW) ------------------------
+
+
+def _lzw_encode(indices, mcs):
+    """Spec-forward GIF LZW encoder, written independently of the
+    decoder: dictionary of index strings, clear code first, variable
+    code width LSB-first."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    table = {(i,): i for i in range(1 << mcs)}
+    next_code, width = end + 1, mcs + 1
+    codes = [(clear, width)]
+    buf = ()
+    for sym in indices:
+        cand = buf + (sym,)
+        if cand in table:
+            buf = cand
+            continue
+        codes.append((table[buf], width))
+        table[cand] = next_code
+        next_code += 1
+        if next_code == (1 << width) + 1 and width < 12:
+            # the decoder's insertions lag the encoder's by one code
+            # (it can only insert after READING the next code), so the
+            # encoder grows the width one table entry LATER than the
+            # decoder's next_code == 2^width rule
+            width += 1
+        buf = (sym,)
+    if buf:
+        codes.append((table[buf], width))
+    codes.append((end, width))
+    out, acc, nacc = bytearray(), 0, 0
+    for code, w in codes:
+        acc |= code << nacc
+        nacc += w
+        while nacc >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+    if nacc:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif(w, h, indices, palette, interlace=False, mcs=2):
+    import struct
+    gct_bits = 1  # 4-entry global color table
+    pal = bytearray()
+    for r, g, b in palette:
+        pal += bytes((r, g, b))
+    while len(pal) < 3 * (2 << gct_bits):
+        pal += b"\x00\x00\x00"
+    lzw = _lzw_encode(indices, mcs)
+    blocks = bytearray()
+    for i in range(0, len(lzw), 255):
+        part = lzw[i:i + 255]
+        blocks += bytes((len(part),)) + part
+    return (b"GIF89a" + struct.pack("<HH", w, h)
+            + bytes((0x80 | gct_bits, 0, 0)) + bytes(pal)
+            + b"\x2C" + struct.pack("<HHHH", 0, 0, w, h)
+            + bytes((0x40 if interlace else 0,))
+            + bytes((mcs,)) + bytes(blocks) + b"\x00" + b"\x3B")
+
+
+PALETTE = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (9, 8, 7)]
+
+
+def test_gif_pixel_decode_lzw_and_palette():
+    import numpy as np
+
+    from big_data_crypto_sentiment_spark.operators.multimodal import (
+        decode_gif_pixels,
+    )
+    # 4x3 image with repetition so LZW actually builds dictionary
+    # entries (and one KwKwK-triggering run of equal symbols)
+    idx = [0, 1, 2, 3,
+           0, 1, 2, 3,
+           2, 2, 2, 2]
+    img = decode_gif_pixels(_gif(4, 3, idx, PALETTE))
+    assert img.shape == (3, 4, 3)
+    want = np.array([[PALETTE[i] for i in idx[r*4:(r+1)*4]]
+                     for r in range(3)], dtype=np.uint8)
+    assert (img == want).all()
+
+
+def test_gif_interlaced_rows_are_reordered():
+    import numpy as np
+
+    from big_data_crypto_sentiment_spark.operators.multimodal import (
+        decode_gif_pixels,
+    )
+    h = 10
+    # one color per DISPLAY row; stored order is the 4-pass schedule
+    display_rows = list(range(0, h, 8)) + list(range(4, h, 8)) \
+        + list(range(2, h, 4)) + list(range(1, h, 2))
+    idx = []
+    for dr in display_rows:
+        idx += [dr % 4, dr % 4]          # 2-wide rows
+    img = decode_gif_pixels(_gif(2, h, idx, PALETTE, interlace=True))
+    for r in range(h):
+        assert tuple(img[r, 0]) == PALETTE[r % 4], r
+
+
+def test_gif_corruption_and_resize_tiering():
+    import pytest as _pytest
+
+    from big_data_crypto_sentiment_spark.operators.multimodal import (
+        decode_gif_pixels,
+    )
+    good = _gif(4, 3, [0] * 12, PALETTE)
+    with _pytest.raises(ValueError):       # truncated LZW stream
+        decode_gif_pixels(good[:-6])
+    # no color table -> NotImplementedError (header tier)
+    import struct
+    no_ct = (b"GIF89a" + struct.pack("<HH", 2, 2) + bytes((0, 0, 0))
+             + b"\x2C" + struct.pack("<HHHH", 0, 0, 2, 2) + b"\x00"
+             + b"\x02\x01\x44\x00\x3B")
+    with _pytest.raises(NotImplementedError):
+        decode_gif_pixels(no_ct)
+
+
+def test_resize_images_resamples_real_gif(spark):
+    from big_data_crypto_sentiment_spark.operators.multimodal import (
+        decode_png_pixels,
+        resize_images,
+    )
+    from big_data_crypto_sentiment_spark.schemas import MEDIA_SCHEMA
+    # 4x4 quadrants via palette indices -> 2x2 exact quadrant colors
+    idx = [0, 0, 1, 1,
+           0, 0, 1, 1,
+           2, 2, 3, 3,
+           2, 2, 3, 3]
+    gif = _gif(4, 4, idx, PALETTE)
+    df = spark.createDataFrame(
+        [(1, "image", gif, "image/gif", None, None, None)], MEDIA_SCHEMA)
+    (r,) = resize_images(df, max_dim=2, use_real_codec=True).collect()
+    assert r.resize_status == "resampled"
+    back = decode_png_pixels(bytes(r.payload))
+    assert back.shape == (2, 2, 3)
+    assert tuple(back[0, 0]) == PALETTE[0]
+    assert tuple(back[0, 1]) == PALETTE[1]
+    assert tuple(back[1, 0]) == PALETTE[2]
+    assert tuple(back[1, 1]) == PALETTE[3]
