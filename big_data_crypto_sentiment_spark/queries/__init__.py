@@ -301,6 +301,13 @@ DEFERRALS: dict[str, dict] = {
                                    extra="driver-green r3-r6 + r10; 3-SF check.py + per-round sf0.001 auto-verify"),
     "dedup_source_matrix_fp": dict(since=11, family="matrix core shared with always-deferred dedup_source_matrix; dedup family via dedup_canonical + split_by_cluster in-window; property-pinned vs brute force (test_r10_properties.py)",
                                    extra="driver-green r10 (first check); 3-SF check.py + per-round sf0.001 auto-verify"),
+    # late-r11: sim_near_dup_pairs GAINED its DuckDB twin (the
+    # sim_ann_lsh plane-literal recipe over the 8-bit plane set; the
+    # sign-margin pin now covers the superset) — it takes a window
+    # slot immediately so its first driver hash lands this round;
+    # sample_weighted_ak (driver-green r10) hands over its slot
+    "sample_weighted_ak": dict(since=11, family="sampling family via sample_stratified + sample_length_weighted + rotated-in mixture_downsample's deferred pair (same portable-md5 weighted threshold)",
+                               extra="driver-green r6-r10; 3-SF check.py + per-round sf0.001 auto-verify"),
 }
 _DEFER_FROM_WINDOW = tuple(DEFERRALS)
 

@@ -212,8 +212,31 @@ def embedding_near_dup_pairs(corpus: DataFrame, threshold: float = NEAR_DUP_THRE
 
 
 def q_sim_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered form emits EVERY bucket-mate candidate with its exact
+    cosine and the >= NEAR_DUP_THRESHOLD verdict as a flag, instead of
+    post-filtering: the fixture embeddings deliberately contain no
+    pairs above 0.9 (max pairwise cosine 0.60 at sf0.1 — COVERAGE.md
+    round-5 note), so the filtered form would hash two empty frames at
+    every SF and prove nothing. The flag form hash-checks the full
+    candidate generation + scoring + threshold semantics on real rows;
+    embedding_near_dup_pairs keeps the filtered operator shape (pytest
+    carries its planted-dup evidence)."""
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    return embedding_near_dup_pairs(e)
+    cb = lsh_buckets(e, "embedding", N_TABLES, NEAR_DUP_BITS)
+    a = cb.select(F.col("vec_id").alias("vec_a"), "tbl", "bucket")
+    b = cb.select(F.col("vec_id").alias("vec_b"), "tbl", "bucket")
+    pairs = (a.join(b, ["tbl", "bucket"])
+              .filter(F.col("vec_a") < F.col("vec_b"))
+              .select("vec_a", "vec_b").distinct())
+    ea = e.select(F.col("vec_id").alias("vec_a"),
+                  F.col("embedding").alias("ea"))
+    eb = e.select(F.col("vec_id").alias("vec_b"),
+                  F.col("embedding").alias("eb"))
+    cos = cosine(F.col("ea"), F.col("eb"))
+    return (pairs.join(ea, "vec_a").join(eb, "vec_b")
+                 .select("vec_a", "vec_b", cos.alias("cos"),
+                         (cos >= NEAR_DUP_THRESHOLD).cast("int")
+                         .alias("is_near_dup")))
 
 
 # --- IVF (inverted-file) ANN: KMeans centroids + nearest-cluster probe ---
@@ -732,7 +755,7 @@ QUERIES = {
     "embed_prototype_prune": q_embed_prototype_prune,
     "embed_pca": q_embed_pca,                    # rows-only: eigensolve
     "sim_ann_lsh": q_sim_ann_lsh,
-    "sim_near_dup_pairs": q_sim_near_dup_pairs,  # rows-only: hash planes
+    "sim_near_dup_pairs": q_sim_near_dup_pairs,
     "sim_ivf_topk": q_sim_ivf_topk,              # rows-only: KMeans fit
     "sim_ivf_topk_frozen": q_sim_ivf_topk_frozen,
     "embed_quantize": q_embed_quantize,
@@ -882,13 +905,14 @@ SELECT query_id, vec_id, cos, rank FROM ranked WHERE rank <= {TOP_K}
 }
 
 
-def _sql_lsh_planes() -> str:
-    """The 32 sha256-derived ±1 hyperplanes as a VALUES relation —
+def _sql_lsh_planes(bits: int = BITS_PER_TABLE) -> str:
+    """The sha256-derived ±1 hyperplanes as a VALUES relation —
     the SAME literals the Spark plan embeds, so both engines bucket
-    with identical geometry."""
+    with identical geometry. bits selects the plane set: 4/table for
+    sim_ann_lsh, NEAR_DUP_BITS for sim_near_dup_pairs."""
     rows = []
     for t in range(N_TABLES):
-        for p in range(BITS_PER_TABLE):
+        for p in range(bits):
             w = ", ".join(str(x) for x in _plane_weights(t, p, EMBED_DIM))
             rows.append(f"({t}, {p}, [{w}]::DOUBLE[])")
     return ",\n    ".join(rows)
@@ -1006,4 +1030,44 @@ WITH fr AS (
   FROM scored
 )
 SELECT query_id, vec_id, cos, rank FROM ranked WHERE rank <= {TOP_K}
+"""
+
+# sim_near_dup_pairs oracle (r11): the sim_ann_lsh recipe over the
+# 8-bit-per-table plane set — bucket by sign(dot) against the same
+# sha256-derived literals, self-join bucket-mates, dedup pairs on bare
+# ids, exact sequential-fold cosine >= threshold. The sign-margin pin
+# in tests/test_similarity.py covers this wider plane set too (it pins
+# the (t, p<8) superset), so cross-engine bucket agreement carries the
+# same evidence as the ann twin.
+ORACLE["sim_near_dup_pairs"] = f"""
+WITH planes(tbl, p, w) AS (
+  VALUES
+    {_sql_lsh_planes(NEAR_DUP_BITS)}
+), cb AS (
+  SELECT e.vec_id, pl.tbl,
+         CAST(SUM(CASE WHEN list_sum(list_transform(
+                list_zip(e.embedding, pl.w),
+                x -> CAST(x[1] AS DOUBLE) * x[2])) > 0
+              THEN (1 << pl.p) ELSE 0 END) AS INT) AS bucket
+  FROM embeddings e CROSS JOIN planes pl
+  GROUP BY e.vec_id, pl.tbl
+), pairs AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM cb a JOIN cb b USING (tbl, bucket)
+  WHERE a.vec_id < b.vec_id
+), scored AS (
+  SELECT p.vec_a, p.vec_b,
+         list_sum(list_transform(list_zip(ea.embedding, eb.embedding),
+                  x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(ea.embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(eb.embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+  FROM pairs p
+  JOIN embeddings ea ON ea.vec_id = p.vec_a
+  JOIN embeddings eb ON eb.vec_id = p.vec_b
+)
+SELECT vec_a, vec_b, cos,
+       CAST(cos >= {NEAR_DUP_THRESHOLD} AS INT) AS is_near_dup
+FROM scored
 """

@@ -289,7 +289,13 @@ def test_lsh_projection_sign_margin_guards_oracle_parity():
         N_TABLES,
         _weight_matrix,
     )
-    W = _weight_matrix(N_TABLES, BITS_PER_TABLE, EMBED_DIM)
+    from big_data_crypto_sentiment_spark.queries.similarity import (
+        NEAR_DUP_BITS,
+    )
+    # both plane sets ride DuckDB twins now: (t, p<4) for sim_ann_lsh,
+    # (t, p<8) for sim_near_dup_pairs — pin the wider set (a superset)
+    W = _weight_matrix(N_TABLES, max(BITS_PER_TABLE, NEAR_DUP_BITS),
+                       EMBED_DIM)
     for sf in ("sf0.001", "sf0.01", "sf0.1"):
         con = duckdb.connect()
         X = np.array(con.execute(
