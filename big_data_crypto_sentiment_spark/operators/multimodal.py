@@ -456,17 +456,292 @@ def decode_gif_pixels(payload: bytes):
     raise ValueError("GIF without an image block")
 
 
+def _zigzag_order() -> list[int]:
+    """Natural-index order of the 64 zigzag positions, generated by
+    the diagonal walk instead of a typed-in table."""
+    order, r, c, up = [], 0, 0, True
+    for _ in range(64):
+        order.append(r * 8 + c)
+        if up:
+            if c == 7:
+                r, up = r + 1, False
+            elif r == 0:
+                c, up = c + 1, False
+            else:
+                r, c = r - 1, c + 1
+        else:
+            if r == 7:
+                c, up = c + 1, True
+            elif c == 0:
+                r, up = r + 1, True
+            else:
+                r, c = r + 1, c - 1
+    return order
+
+
+def _huff_table(counts: list[int], symbols: list[int]) -> dict:
+    """(code_length, code) -> symbol from a DHT's canonical spec."""
+    table, code, i = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[(length, code)] = symbols[i]
+            code += 1
+            i += 1
+        code <<= 1
+    return table
+
+
+class _JpegBits:
+    """MSB-first bit reader over de-stuffed entropy segments."""
+
+    def __init__(self, segments: list[bytes]):
+        self.segments = segments
+        self.seg = 0
+        self.pos = 0
+        self.bit = 0
+
+    def next_segment(self) -> None:           # restart-marker boundary
+        if self.seg + 1 >= len(self.segments):
+            raise ValueError("JPEG restart marker missing")
+        self.seg += 1
+        self.pos = 0
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        d = self.segments[self.seg]
+        if self.pos >= len(d):
+            raise ValueError("JPEG bitstream exhausted")
+        b = (d[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit, self.pos = 0, self.pos + 1
+        return b
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def read_huff(self, table: dict) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            if (length, code) in table:
+                return table[(length, code)]
+        raise ValueError("JPEG Huffman code not in table")
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    return v - (1 << s) + 1 if v < (1 << (s - 1)) else v
+
+
+def decode_jpeg_pixels(payload: bytes):
+    """REAL baseline JPEG decode, stdlib+numpy only (r11 — the last
+    multimodal stub retired): segment parse (DQT/DHT/SOF0/DRI/SOS),
+    canonical Huffman entropy decode of the byte-stuffed MCU stream
+    (restart markers reset the DC predictors), dequantize, de-zigzag,
+    orthonormal 8×8 IDCT, nearest-neighbor chroma upsampling for
+    subsampled components, BT.601 YCbCr→RGB. Returns (height, width,
+    3) uint8 RGB, or (h, w, 1) for single-component greyscale.
+    Progressive (SOF2) / arithmetic / 12-bit raise NotImplementedError
+    (the header tier still reports their dimensions); structural
+    damage raises ValueError.
+
+    Scale note: the bit-serial Huffman loop is the no-dependency
+    correctness path (same contract as decode_png_pixels' filter loop);
+    batch shape, tiering and resample around it are format-agnostic."""
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise NotImplementedError("not a JPEG")
+    zz = _zigzag_order()
+    qt: dict[int, "np.ndarray"] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    frame = None
+    restart_interval = 0
+    pos, n = 2, len(payload)
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        marker = payload[pos + 1]
+        if marker == 0xD9:                     # EOI
+            break
+        seglen = int.from_bytes(payload[pos + 2:pos + 4], "big")
+        body = payload[pos + 4:pos + 2 + seglen]
+        if marker == 0xDB:                     # DQT
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                i += 1
+                vals = np.zeros(64, dtype=np.int64)
+                for k in range(64):
+                    if pq:
+                        vals[zz[k]] = int.from_bytes(
+                            body[i:i + 2], "big")
+                        i += 2
+                    else:
+                        vals[zz[k]] = body[i]
+                        i += 1
+                qt[tq] = vals.reshape(8, 8)
+        elif marker == 0xC4:                   # DHT
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                counts = list(body[i + 1:i + 17])
+                nsym = sum(counts)
+                syms = list(body[i + 17:i + 17 + nsym])
+                (huff_ac if tc else huff_dc)[th] = _huff_table(
+                    counts, syms)
+                i += 17 + nsym
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline/ext seq)
+            prec = body[0]
+            if prec != 8:
+                raise NotImplementedError(f"JPEG precision {prec}")
+            h = int.from_bytes(body[1:3], "big")
+            w = int.from_bytes(body[3:5], "big")
+            ncomp = body[5]
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = body[6 + 3 * c:9 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
+                              "tq": tq})
+            frame = {"w": w, "h": h, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG SOF{marker - 0xC0} (non-baseline)")
+        elif marker == 0xCC:
+            raise NotImplementedError("JPEG arithmetic coding")
+        elif marker == 0xDD:                   # DRI
+            restart_interval = int.from_bytes(body[0:2], "big")
+        elif marker == 0xDA:                   # SOS: entropy data follows
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = body[0]
+            scan = []
+            for c in range(ns):
+                cs, tds = body[1 + 2 * c], body[2 + 2 * c]
+                comp = next(x for x in frame["comps"] if x["id"] == cs)
+                scan.append({**comp, "td": tds >> 4, "ta": tds & 0x0F})
+            data_start = pos + 2 + seglen
+            return _jpeg_decode_scan(payload, data_start, frame, scan,
+                                     qt, huff_dc, huff_ac,
+                                     restart_interval)
+        pos += 2 + seglen
+    raise ValueError("JPEG without SOS/EOI")
+
+
+def _jpeg_decode_scan(payload: bytes, pos: int, frame, scan, qt,
+                      huff_dc, huff_ac, restart_interval: int):
+    import numpy as np
+
+    # split the entropy stream at restart markers, de-stuffing FF00
+    segments, cur = [], bytearray()
+    n = len(payload)
+    while pos < n:
+        b = payload[pos]
+        if b == 0xFF and pos + 1 < n:
+            m = payload[pos + 1]
+            if m == 0x00:
+                cur.append(0xFF)
+                pos += 2
+                continue
+            if 0xD0 <= m <= 0xD7:              # RSTn
+                segments.append(bytes(cur))
+                cur = bytearray()
+                pos += 2
+                continue
+            break                              # next real marker (EOI)
+        cur.append(b)
+        pos += 1
+    segments.append(bytes(cur))
+    bits = _JpegBits(segments)
+
+    w, h = frame["w"], frame["h"]
+    hmax = max(c["h"] for c in scan)
+    vmax = max(c["v"] for c in scan)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = {c["id"]: np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8),
+                                dtype=np.float64) for c in scan}
+    # orthonormal DCT-II matrix; spatial = C.T @ F @ C
+    k = np.arange(8)[:, None]
+    nn = np.arange(8)[None, :]
+    C = np.cos((2 * nn + 1) * k * np.pi / 16) \
+        * np.where(k == 0, np.sqrt(1 / 8), np.sqrt(2 / 8))
+    zz = _zigzag_order()
+    pred = {c["id"]: 0 for c in scan}
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count \
+                    and mcu_count % restart_interval == 0:
+                bits.next_segment()
+                pred = {c["id"]: 0 for c in scan}
+            for c in scan:
+                dc_t, ac_t = huff_dc[c["td"]], huff_ac[c["ta"]]
+                q = qt[c["tq"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        coef = np.zeros(64, dtype=np.int64)
+                        s = bits.read_huff(dc_t)
+                        diff = _jpeg_extend(bits.read_bits(s), s) \
+                            if s else 0
+                        pred[c["id"]] += diff
+                        coef[0] = pred[c["id"]]
+                        ki = 1
+                        while ki < 64:
+                            rs = bits.read_huff(ac_t)
+                            r, sz = rs >> 4, rs & 0x0F
+                            if sz == 0:
+                                if r == 15:    # ZRL
+                                    ki += 16
+                                    continue
+                                break          # EOB
+                            ki += r
+                            if ki > 63:
+                                raise ValueError("JPEG AC run overflow")
+                            coef[ki] = _jpeg_extend(
+                                bits.read_bits(sz), sz)
+                            ki += 1
+                        blk = np.zeros((8, 8), dtype=np.float64)
+                        blk.reshape(-1)[zz] = coef * q.reshape(-1)[zz]
+                        spatial = C.T @ blk @ C + 128.0
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        planes[c["id"]][y0:y0 + 8, x0:x0 + 8] = spatial
+            mcu_count += 1
+
+    out = []
+    for c in scan:
+        p = np.repeat(np.repeat(planes[c["id"]], vmax // c["v"],
+                                axis=0), hmax // c["h"], axis=1)
+        out.append(p[:h, :w])
+    if len(out) == 1:
+        g = np.clip(np.round(out[0]), 0, 255).astype(np.uint8)
+        return g[:, :, None]
+    y, cb, cr = out[0], out[1] - 128.0, out[2] - 128.0
+    rgb = np.stack([y + 1.402 * cr,
+                    y - 0.344136 * cb - 0.714136 * cr,
+                    y + 1.772 * cb], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
 def decode_image_pixels(payload: bytes):
-    """Magic-dispatched full pixel decode: PNG, BMP and GIF are real;
-    everything else raises NotImplementedError so callers drop to the
-    header-metadata tier (JPEG pixels need a Huffman entropy decoder —
-    the documented remaining stub)."""
+    """Magic-dispatched full pixel decode: PNG, BMP, GIF and baseline
+    JPEG are all real; anything else (and non-baseline JPEG modes)
+    raises NotImplementedError so callers drop to the header-metadata
+    tier."""
     if payload.startswith(b"\x89PNG\r\n\x1a\n"):
         return decode_png_pixels(payload)
     if payload[:2] == b"BM":
         return decode_bmp_pixels(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif_pixels(payload)
+    if payload[:2] == b"\xff\xd8":
+        return decode_jpeg_pixels(payload)
     raise NotImplementedError(
         f"no pixel decoder for magic {payload[:4]!r}")
 

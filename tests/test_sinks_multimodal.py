@@ -669,3 +669,321 @@ def test_resize_images_resamples_real_gif(spark):
     assert tuple(back[0, 1]) == PALETTE[1]
     assert tuple(back[1, 0]) == PALETTE[2]
     assert tuple(back[1, 1]) == PALETTE[3]
+
+
+# --- r11 stretch: real baseline JPEG decode (Huffman + IDCT) ---------
+
+
+def _dct_matrix():
+    import numpy as np
+    k = np.arange(8)[:, None]
+    n = np.arange(8)[None, :]
+    return np.cos((2 * n + 1) * k * np.pi / 16) \
+        * np.where(k == 0, np.sqrt(1 / 8), np.sqrt(2 / 8))
+
+
+def _fixed_len_huff(symbols):
+    """Canonical table giving every used symbol one fixed length L
+    (2^L > nsym so the all-ones code is never assigned)."""
+    syms = sorted(set(symbols))
+    L = max(2, (len(syms) + 1 - 1).bit_length())
+    while (1 << L) <= len(syms):
+        L += 1
+    counts = [0] * 16
+    counts[L - 1] = len(syms)
+    codes = {s: (L, i) for i, s in enumerate(syms)}
+    return counts, syms, codes
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, val, nbits):
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((val >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)      # byte stuffing
+                self.acc, self.n = 0, 0
+
+    def align_ones(self):
+        while self.n:
+            self.put(1, 1)
+
+
+def _jpeg_encode(img, q=16, subsample=False, restart_interval=0):
+    """Independent baseline JPEG encoder (test-side reference):
+    YCbCr convert, optional 4:2:0 chroma mean-downsample, FDCT with a
+    flat quantization table, per-component-class fixed-length canonical
+    Huffman tables, byte-stuffed interleaved MCU stream with optional
+    restart markers. Returns (payload, reference_rgb) where
+    reference_rgb reconstructs EXACTLY what a correct decoder must
+    output (dequant -> IDCT -> upsample -> color-convert)."""
+    import struct
+
+    import numpy as np
+
+    C = _dct_matrix()
+    h, w = img.shape[:2]
+    r, g, b = (img[:, :, i].astype(np.float64) for i in range(3))
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    if subsample:
+        comps = [("Y", y, 2, 2), ("Cb", _mean2(cb), 1, 1),
+                 ("Cr", _mean2(cr), 1, 1)]
+    else:
+        comps = [("Y", y, 1, 1), ("Cb", cb, 1, 1), ("Cr", cr, 1, 1)]
+    hmax = max(c[2] for c in comps)
+    vmax = max(c[3] for c in comps)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    qtab = np.full((8, 8), q, dtype=np.int64)
+
+    # pad planes to MCU grid (edge replicate) and quantize blockwise
+    quantized = {}
+    for name, plane, ch, cv in comps:
+        ph, pw = mcuy * cv * 8, mcux * ch * 8
+        pl = np.zeros((ph, pw))
+        sh, sw = plane.shape
+        pl[:sh, :sw] = plane
+        pl[sh:, :sw] = plane[-1:, :]
+        pl[:, sw:] = pl[:, sw - 1:sw]
+        blocks = {}
+        for by in range(ph // 8):
+            for bx in range(pw // 8):
+                f = pl[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] - 128.0
+                F = C @ f @ C.T
+                blocks[(by, bx)] = np.round(F / qtab).astype(np.int64)
+        quantized[name] = blocks
+
+    # reference reconstruction (what the decoder must produce)
+    recon = {}
+    for name, plane, ch, cv in comps:
+        ph, pw = mcuy * cv * 8, mcux * ch * 8
+        out = np.zeros((ph, pw))
+        for (by, bx), blk in quantized[name].items():
+            out[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = \
+                C.T @ (blk * qtab).astype(np.float64) @ C + 128.0
+        out = np.repeat(np.repeat(out, vmax // cv, axis=0),
+                        hmax // ch, axis=1)
+        recon[name] = out[:h, :w]
+    yr, cbr, crr = recon["Y"], recon["Cb"] - 128.0, recon["Cr"] - 128.0
+    ref = np.stack([yr + 1.402 * crr,
+                    yr - 0.344136 * cbr - 0.714136 * crr,
+                    yr + 1.772 * cbr], axis=2)
+    ref = np.clip(np.round(ref), 0, 255).astype(np.uint8)
+
+    # symbol streams (interleaved MCU order) to size the Huffman tables
+    zz_nat = _zigzag_nat()
+    def block_symbols(blk, pred):
+        dc = int(blk.reshape(-1)[0]) - pred
+        s = abs(dc).bit_length()
+        dcv = dc if dc >= 0 else dc + (1 << s) - 1
+        acs = []
+        seq = [int(blk.reshape(-1)[i]) for i in zz_nat[1:]]
+        run = 0
+        last_nz = -1
+        for i, v in enumerate(seq):
+            if v:
+                last_nz = i
+        for i, v in enumerate(seq):
+            if i > last_nz:
+                break
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                acs.append((0xF0, 0, 0))
+                run -= 16
+            sz = abs(v).bit_length()
+            vv = v if v >= 0 else v + (1 << sz) - 1
+            acs.append(((run << 4) | sz, vv, sz))
+            run = 0
+        if last_nz < len(seq) - 1:
+            # EOB only when trailing zeros exist: a block whose final
+            # AC (zigzag 63) is nonzero ends WITHOUT an EOB — the
+            # decoder exits at ki=64 and never reads one
+            acs.append((0x00, 0, 0))
+        return (s, dcv), acs, int(blk.reshape(-1)[0])
+
+    order = []
+    preds = {nm: 0 for nm, *_ in comps}
+    mcu = 0
+    stream = []                                # (kind, payload)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                stream.append(("RST", (mcu // restart_interval - 1) % 8))
+                preds = {nm: 0 for nm, *_ in comps}
+            for name, plane, ch, cv in comps:
+                for by in range(cv):
+                    for bx in range(ch):
+                        blk = quantized[name][(my * cv + by,
+                                               mx * ch + bx)]
+                        (s, dcv), acs, dc_abs = block_symbols(
+                            blk, preds[name])
+                        preds[name] = dc_abs
+                        stream.append(("BLK", (s, dcv, acs)))
+            mcu += 1
+
+    dc_syms = [p[0] for k, p in stream if k == "BLK"]
+    ac_syms = [a[0] for k, p in stream if k == "BLK" for a in p[2]]
+    dcc, dcs, dccodes = _fixed_len_huff(dc_syms)
+    acc_, acs_, accodes = _fixed_len_huff(ac_syms)
+
+    bw = _BitWriter()
+    data = bytearray()
+    for kind, p in stream:
+        if kind == "RST":
+            bw.align_ones()
+            data += bw.out
+            bw = _BitWriter()
+            data += bytes((0xFF, 0xD0 + p))
+            continue
+        s, dcv, acs = p
+        L, code = dccodes[s]
+        bw.put(code, L)
+        if s:
+            bw.put(dcv, s)
+        for sym, vv, sz in acs:
+            L, code = accodes[sym]
+            bw.put(code, L)
+            if sz:
+                bw.put(vv, sz)
+    bw.align_ones()
+    data += bw.out
+
+    def seg(marker, body):
+        return bytes((0xFF, marker)) + struct.pack(">H", 2 + len(body)) \
+            + body
+
+    dqt = bytes([0x00]) + bytes(int(qtab.reshape(-1)[i])
+                                for i in zz_nat)
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([3])
+    for i, (name, plane, ch, cv) in enumerate(comps):
+        sof += bytes([i + 1, (ch << 4) | cv, 0])
+    dht = bytes([0x00]) + bytes(dcc) + bytes(dcs) \
+        + bytes([0x10]) + bytes(acc_) + bytes(acs_)
+    sos = bytes([3]) + b"".join(bytes([i + 1, 0x00]) for i in range(3)) \
+        + bytes([0, 63, 0])
+    payload = b"\xff\xd8" + seg(0xDB, dqt) + seg(0xC0, sof) \
+        + seg(0xC4, dht)
+    if restart_interval:
+        payload += seg(0xDD, struct.pack(">H", restart_interval))
+    payload += seg(0xDA, sos) + bytes(data) + b"\xff\xd9"
+    return payload, ref
+
+
+def _mean2(p):
+    import numpy as np
+    h, w = p.shape
+    ph, pw = (h + 1) // 2 * 2, (w + 1) // 2 * 2
+    pp = np.zeros((ph, pw))
+    pp[:h, :w] = p
+    pp[h:, :w] = p[-1:, :]
+    pp[:, w:] = pp[:, w - 1:w]
+    return pp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+
+
+def _zigzag_nat():
+    from big_data_crypto_sentiment_spark.operators.multimodal import (
+        _zigzag_order,
+    )
+    return _zigzag_order()
+
+
+def _test_image(h, w, seed=3):
+    import numpy as np
+    rng = np.arange(h * w * 3, dtype=np.int64)
+    return ((rng * 31 + seed) % 256).astype(np.uint8).reshape(h, w, 3)
+
+
+def test_jpeg_decode_matches_reference_reconstruction():
+    import numpy as np
+
+    from big_data_crypto_sentiment_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+    )
+    img = _test_image(16, 8)
+    payload, ref = _jpeg_encode(img, q=16)
+    got = decode_jpeg_pixels(payload)
+    assert got.shape == (16, 8, 3)
+    # identical float pipeline on both sides -> at most boundary-
+    # rounding ULP differences
+    assert int(np.abs(got.astype(int) - ref.astype(int)).max()) <= 1
+    # and with a flat q=1 table the roundtrip is near-lossless vs the
+    # ORIGINAL pixels (pure DCT rounding error)
+    smooth = np.tile(np.linspace(40, 200, 8).astype(np.uint8),
+                     (8, 1))[:, :, None].repeat(3, axis=2)
+    p2, _ = _jpeg_encode(smooth, q=1)
+    got2 = decode_jpeg_pixels(p2)
+    assert int(np.abs(got2.astype(int) - smooth.astype(int)).max()) <= 3
+
+
+def test_jpeg_420_subsampling_and_restart_markers():
+    import numpy as np
+
+    from big_data_crypto_sentiment_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+    )
+    img = _test_image(16, 16, seed=11)
+    p420, ref = _jpeg_encode(img, q=16, subsample=True)
+    got = decode_jpeg_pixels(p420)
+    assert got.shape == (16, 16, 3)
+    assert int(np.abs(got.astype(int) - ref.astype(int)).max()) <= 1
+
+    # restart markers: byte-aligned RSTn every MCU, DC predictors
+    # reset — decode must equal the no-restart encoding's decode
+    img2 = _test_image(8, 32, seed=7)
+    pa, _ = _jpeg_encode(img2, q=16)
+    pb, _ = _jpeg_encode(img2, q=16, restart_interval=1)
+    assert pa != pb
+    a = decode_jpeg_pixels(pa)
+    b = decode_jpeg_pixels(pb)
+    assert (a == b).all()
+
+
+def test_jpeg_gates_and_corruption():
+    import pytest as _pytest
+
+    from big_data_crypto_sentiment_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+    )
+
+    img = _test_image(16, 16, seed=5)
+    payload, _ = _jpeg_encode(img, q=16)
+    # progressive SOF2 -> NotImplementedError (header tier)
+    prog = payload.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with _pytest.raises(NotImplementedError):
+        decode_jpeg_pixels(prog)
+    # truncated entropy stream -> ValueError
+    with _pytest.raises(ValueError):
+        decode_jpeg_pixels(payload[:len(payload) - 40])
+
+
+def test_jpeg_resize_end_to_end(spark):
+    import numpy as np
+
+    from big_data_crypto_sentiment_spark.operators.multimodal import (
+        area_resample,
+        decode_jpeg_pixels,
+        decode_png_pixels,
+        resize_images,
+    )
+    from big_data_crypto_sentiment_spark.schemas import MEDIA_SCHEMA
+    img = _test_image(16, 16, seed=5)
+    payload, ref = _jpeg_encode(img, q=16)
+    df = spark.createDataFrame(
+        [(1, "image", payload, "image/jpeg", None, None, None)],
+        MEDIA_SCHEMA)
+    (r,) = resize_images(df, max_dim=8, use_real_codec=True).collect()
+    assert r.resize_status == "resampled" and r.resized
+    assert (r.src_width, r.src_height, r.width, r.height) == (16, 16, 8, 8)
+    back = decode_png_pixels(bytes(r.payload))
+    want = area_resample(decode_jpeg_pixels(payload), 8, 8)
+    assert (back == want).all()
