@@ -257,12 +257,19 @@ def decode_png_pixels(payload: bytes):
             f"PNG depth={depth} colour={colour} interlace={interlace} "
             "outside the stdlib decode path (palette/16-bit/Adam7)")
     ch = {0: 1, 2: 3, 4: 2, 6: 4}[colour]
+    if width * height > _MAX_PIXELS:
+        raise ValueError(
+            f"PNG dimensions {width}x{height} over the decode cap")
+    stride = width * ch
+    expected = height * (1 + stride)
     try:
-        raw = zlib.decompress(b"".join(idat))
+        # bounded inflate: a decompression bomb must raise, not OOM
+        # the executor — cap at the exact expected plus one probe byte
+        d = zlib.decompressobj()
+        raw = d.decompress(b"".join(idat), expected + 1)
     except zlib.error as e:
         raise ValueError(f"PNG IDAT inflate failed: {e}") from e
-    stride = width * ch
-    if len(raw) != height * (1 + stride):
+    if len(raw) != expected:       # oversize inflates to expected+1
         raise ValueError("PNG inflated length mismatch")
     out = np.empty((height, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
@@ -419,6 +426,9 @@ def decode_gif_pixels(payload: bytes):
                 raise ValueError("truncated GIF image descriptor")
             w = int.from_bytes(payload[pos + 5:pos + 7], "little")
             h = int.from_bytes(payload[pos + 7:pos + 9], "little")
+            if w * h > _MAX_PIXELS:
+                raise ValueError(
+                    f"GIF dimensions {w}x{h} over the decode cap")
             ipack = payload[pos + 9]
             pos += 10
             ct = gct
@@ -454,6 +464,14 @@ def decode_gif_pixels(payload: bytes):
         else:
             raise ValueError(f"unknown GIF block 0x{b0:02x}")
     raise ValueError("GIF without an image block")
+
+
+# adversarial-bytes ceiling for the pure-Python pixel decoders: a
+# malicious header claiming absurd dimensions must raise (falling to
+# the deterministic fallback tier), never allocate executor memory
+# proportional to attacker-chosen numbers (64 MPix ≈ 256 MB of float64
+# plane per component — already generous for the no-dependency path)
+_MAX_PIXELS = 1 << 26
 
 
 def _zigzag_order() -> list[int]:
@@ -601,12 +619,20 @@ def decode_jpeg_pixels(payload: bytes):
                 raise NotImplementedError(f"JPEG precision {prec}")
             h = int.from_bytes(body[1:3], "big")
             w = int.from_bytes(body[3:5], "big")
+            if w * h > _MAX_PIXELS or w == 0 or h == 0:
+                raise ValueError(
+                    f"JPEG dimensions {w}x{h} outside the decode cap")
             ncomp = body[5]
+            if ncomp not in (1, 3):
+                raise NotImplementedError(
+                    f"JPEG with {ncomp} components")
             comps = []
             for c in range(ncomp):
                 cid, hv, tq = body[6 + 3 * c:9 + 3 * c]
-                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
-                              "tq": tq})
+                hs, vs = hv >> 4, hv & 0x0F
+                if not (1 <= hs <= 4 and 1 <= vs <= 4):
+                    raise ValueError("JPEG sampling factors out of range")
+                comps.append({"id": cid, "h": hs, "v": vs, "tq": tq})
             frame = {"w": w, "h": h, "comps": comps}
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
@@ -625,6 +651,11 @@ def decode_jpeg_pixels(payload: bytes):
                 cs, tds = body[1 + 2 * c], body[2 + 2 * c]
                 comp = next(x for x in frame["comps"] if x["id"] == cs)
                 scan.append({**comp, "td": tds >> 4, "ta": tds & 0x0F})
+            for c in scan:                 # missing tables = corrupt,
+                if c["tq"] not in qt:      # not a crashed Python task
+                    raise ValueError("JPEG quant table missing")
+                if c["td"] not in huff_dc or c["ta"] not in huff_ac:
+                    raise ValueError("JPEG Huffman table missing")
             data_start = pos + 2 + seglen
             return _jpeg_decode_scan(payload, data_start, frame, scan,
                                      qt, huff_dc, huff_ac,

@@ -987,3 +987,66 @@ def test_jpeg_resize_end_to_end(spark):
     back = decode_png_pixels(bytes(r.payload))
     want = area_resample(decode_jpeg_pixels(payload), 8, 8)
     assert (back == want).all()
+
+
+def test_pixel_decoders_reject_adversarial_headers():
+    """Untrusted bytes inside an executor: absurd claimed dimensions
+    and decompression bombs must raise (falling to the marker-stub
+    tier), never allocate attacker-chosen memory."""
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from big_data_crypto_sentiment_spark.operators.multimodal import (
+        decode_gif_pixels,
+        decode_jpeg_pixels,
+        decode_png_pixels,
+    )
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data)))
+
+    # PNG claiming 60000x60000 (3.6 GPix): capped before any inflate
+    huge = (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 60000, 60000,
+                                         8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 64))
+            + chunk(b"IEND", b""))
+    with _pytest.raises(ValueError):
+        decode_png_pixels(huge)
+
+    # PNG bomb: tiny claimed dims, oversize inflated stream — bounded
+    # decompress stops at expected+1 and reports a length mismatch
+    bomb = (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0,
+                                         0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(b"\x00" * (1 << 20)))
+            + chunk(b"IEND", b""))
+    with _pytest.raises(ValueError):
+        decode_png_pixels(bomb)
+
+    # JPEG claiming 60000x60000 / zero dims / bad sampling factors
+    img = _test_image(8, 8)
+    payload, _ = _jpeg_encode(img, q=16)
+    sof_at = payload.index(b"\xff\xc0")
+    big = bytearray(payload)
+    big[sof_at + 5:sof_at + 9] = struct.pack(">HH", 60000, 60000)
+    with _pytest.raises(ValueError):
+        decode_jpeg_pixels(bytes(big))
+    zero = bytearray(payload)
+    zero[sof_at + 5:sof_at + 9] = struct.pack(">HH", 0, 8)
+    with _pytest.raises(ValueError):
+        decode_jpeg_pixels(bytes(zero))
+    badhv = bytearray(payload)
+    badhv[sof_at + 11] = 0x00          # comp 1 sampling factors 0/0
+    with _pytest.raises(ValueError):
+        decode_jpeg_pixels(bytes(badhv))
+
+    # GIF claiming huge image-descriptor dims
+    g = bytearray(_gif(4, 3, [0] * 12, PALETTE))
+    desc = g.index(0x2C)
+    g[desc + 5:desc + 9] = struct.pack("<HH", 60000, 60000)
+    with _pytest.raises(ValueError):
+        decode_gif_pixels(bytes(g))
