@@ -143,3 +143,25 @@ def test_verdict_epoch_records_centroid_generation(spark, tmp_path):
     marker = os.path.join(vdir, "epoch=0", CENTROID_GEN_MARKER)
     with open(marker) as f:
         assert f.read() == os.path.basename(full)
+
+
+def test_area_resample_conserves_mass_and_constants():
+    """Properties that hold for ANY dims: a constant image resamples
+    to exactly that constant (box weights sum to 1), and total mass is
+    conserved (sum(out)·(s/t) per axis == sum(in)) — checked across a
+    sweep of source/target shapes including non-divisible ratios."""
+    import numpy as np
+
+    from big_data_crypto_sentiment_spark.operators.multimodal import (
+        _area_reduce,
+        area_resample,
+    )
+    rng_vals = np.arange(97 * 61, dtype=np.int64) * 37 % 256
+    for (sh, sw, th, tw) in [(8, 8, 3, 5), (10, 7, 7, 10), (97, 61, 9, 4),
+                             (5, 5, 5, 5), (16, 16, 1, 1), (3, 2, 2, 3)]:
+        img = rng_vals[:sh * sw].astype(np.uint8).reshape(sh, sw, 1)
+        const = np.full((sh, sw, 1), 137, dtype=np.uint8)
+        assert (area_resample(const, tw, th) == 137).all(), (sh, sw)
+        red = _area_reduce(_area_reduce(img, th, 0), tw, 1)
+        mass_out = red.sum() * (sh / th) * (sw / tw)
+        assert abs(mass_out - img.astype(np.float64).sum()) < 1e-6
