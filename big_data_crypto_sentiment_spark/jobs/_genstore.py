@@ -39,27 +39,53 @@ def run_id_for_checkpoint(checkpoint: str) -> str:
     checkpoint — a reset destroys it, so the fresh checkpoint gets a
     fresh run id and its epoch 0 can never look like the old run's.
 
-    Creation is O_EXCL-exclusive so two racing drivers converge on one
-    winner's id (Structured Streaming forbids two actives on one
-    checkpoint anyway — this just keeps the file single-writer-safe).
+    Creation publishes the marker ATOMICALLY WITH ITS CONTENT: the id
+    is written to a private temp file first, then hard-linked to the
+    marker name — link() fails with FileExistsError when a winner got
+    there first, and a marker that exists is by construction complete,
+    so the loser's re-read can never observe the r11 ADVICE window
+    (open('x') created the name before write() filled it, and a crash
+    or early concurrent read yielded an EMPTY run id → generation keys
+    like 'gen_b_-0' colliding across resets). An empty marker can now
+    only be a remnant of that retired scheme's crash window; with no
+    live concurrent writer possible (Structured Streaming forbids two
+    actives on one checkpoint), it is repaired in place by one more
+    atomic publish.
     """
     os.makedirs(checkpoint, exist_ok=True)
     marker = os.path.join(checkpoint, RUN_ID_FILE)
+    rid = _read_run_id(marker)
+    if rid:
+        return rid
+    new = uuid.uuid4().hex[:8]
+    tmp = marker + "." + new
+    with open(tmp, "w") as f:
+        f.write(new)
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, marker)        # atomic create-if-absent, full content
+        return new
+    except FileExistsError:
+        rid = _read_run_id(marker)
+        if rid:
+            return rid
+        # exists-but-empty: legacy crash remnant, single-writer repair
+        os.replace(tmp, marker)
+        tmp = None
+        return new
+    finally:
+        if tmp is not None:
+            os.unlink(tmp)
+
+
+def _read_run_id(marker: str) -> str | None:
     try:
         with open(marker) as f:
             rid = f.read().strip()
-        if rid:
-            return rid
+        return rid or None
     except FileNotFoundError:
-        pass
-    rid = uuid.uuid4().hex[:8]
-    try:
-        with open(marker, "x") as f:
-            f.write(rid)
-        return rid
-    except FileExistsError:
-        with open(marker) as f:
-            return f.read().strip()
+        return None
 
 
 def tombstone(index_dir: str, gen_basename: str) -> None:

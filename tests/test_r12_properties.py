@@ -1,0 +1,165 @@
+"""Pins for the four r11 ADVICE findings closed in r12.
+
+1. (medium) zero-dimension PNG/BMP payloads must raise ValueError in
+   the pixel decoders — previously a width=0, height>max_dim PNG
+   decoded to shape (h, 0, 1) and crashed area_resample with an
+   IndexError the resize tiering doesn't catch, failing the whole
+   Spark task on one adversarial row.
+2. (medium) a non-interleaved multi-scan baseline JPEG (first SOS
+   covering fewer components than the frame declares) must raise
+   NotImplementedError — previously the Y scan alone was silently
+   committed as a 1-channel "resampled" image.
+3. (low) the multimodal module/tier docs must state baseline JPEG is
+   fully decoded (checked here so they can't silently regress).
+4. (low) _genstore.run_id_for_checkpoint must never return an empty
+   run id: the marker is now published atomically WITH its content
+   (temp-file + hard link), and a legacy empty marker is repaired.
+"""
+
+import os
+import struct
+import zlib
+
+import pytest
+
+from big_data_crypto_sentiment_spark.jobs._genstore import (
+    RUN_ID_FILE,
+    run_id_for_checkpoint,
+)
+from big_data_crypto_sentiment_spark.operators.multimodal import (
+    decode_bmp_pixels,
+    decode_gif_pixels,
+    decode_jpeg_pixels,
+    decode_png_pixels,
+)
+
+
+def _png_chunk(ctype, data):
+    return (struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data)))
+
+
+def _zero_width_png(h=300):
+    """CRC-valid PNG claiming width=0 (spec-invalid) — the exact
+    ADVICE repro shape: height over max_dim so the old decode produced
+    (h, 0, 1) and area_resample raised IndexError."""
+    return (b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 0, h, 8, 0,
+                                              0, 0, 0))
+            + _png_chunk(b"IDAT", zlib.compress(b"\x00" * h))
+            + _png_chunk(b"IEND", b""))
+
+
+def _zero_width_bmp(h=5):
+    hdr = bytearray(54)
+    hdr[0:2] = b"BM"
+    hdr[10:14] = (54).to_bytes(4, "little")
+    hdr[14:18] = (40).to_bytes(4, "little")
+    hdr[18:22] = (0).to_bytes(4, "little", signed=True)   # width 0
+    hdr[22:26] = h.to_bytes(4, "little", signed=True)
+    hdr[26:28] = (1).to_bytes(2, "little")
+    hdr[28:30] = (24).to_bytes(2, "little")
+    return bytes(hdr)
+
+
+def test_zero_dimension_images_raise_valueerror():
+    with pytest.raises(ValueError):
+        decode_png_pixels(_zero_width_png())
+    with pytest.raises(ValueError):
+        decode_bmp_pixels(_zero_width_bmp())
+    # GIF gets the same gate (image descriptor claiming 0xN)
+    from tests.test_sinks_multimodal import _gif, PALETTE
+    g = bytearray(_gif(4, 3, [0] * 12, PALETTE))
+    desc = g.index(0x2C)
+    g[desc + 5:desc + 9] = struct.pack("<HH", 0, 3)
+    with pytest.raises(ValueError):
+        decode_gif_pixels(bytes(g))
+
+
+def test_zero_width_png_falls_to_decoded_dims_tier_not_task_failure(
+        spark):
+    """End-to-end through resize_images(use_real_codec=True): one
+    adversarial zero-width row must land in the decoded-dims marker
+    tier, never fail the Spark task (the ADVICE reproduction)."""
+    from big_data_crypto_sentiment_spark.operators.multimodal import (
+        RESIZE_STUB_MAGIC,
+        resize_images,
+    )
+    from big_data_crypto_sentiment_spark.schemas import MEDIA_SCHEMA
+    rows = [(1, "image", _zero_width_png(), "image/png", None, None,
+             None),
+            (2, "image", _zero_width_bmp(), "image/bmp", None, None,
+             None)]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r.media_id: r
+           for r in resize_images(df, use_real_codec=True).collect()}
+    assert out[1].resize_status == "decoded-dims"
+    assert out[2].resize_status == "decoded-dims"
+    assert (out[1].src_width, out[1].src_height) == (0, 300)
+    assert bytes(out[1].payload).startswith(RESIZE_STUB_MAGIC)
+
+
+def _single_scan_jpeg():
+    """Take a spec-built interleaved 3-component baseline JPEG and
+    rewrite its SOS to cover ONLY component 1 — the non-interleaved
+    multi-scan shape the single-pass decoder must refuse."""
+    from tests.test_sinks_multimodal import _jpeg_encode, _test_image
+    payload, _ = _jpeg_encode(_test_image(8, 8), q=16)
+    sos_at = payload.index(b"\xff\xda")
+    seglen = int.from_bytes(payload[sos_at + 2:sos_at + 4], "big")
+    new_body = bytes([1, 0x01, 0x00, 0, 63, 0])
+    new_seg = (b"\xff\xda" + struct.pack(">H", 2 + len(new_body))
+               + new_body)
+    return payload[:sos_at] + new_seg + payload[sos_at + 2 + seglen:]
+
+
+def test_jpeg_non_interleaved_multiscan_raises_not_silent_grey():
+    with pytest.raises(NotImplementedError):
+        decode_jpeg_pixels(_single_scan_jpeg())
+
+
+def test_jpeg_scan_with_unknown_component_raises_valueerror():
+    from tests.test_sinks_multimodal import _jpeg_encode, _test_image
+    payload, _ = _jpeg_encode(_test_image(8, 8), q=16)
+    sos_at = payload.index(b"\xff\xda")
+    bad = bytearray(payload)
+    bad[sos_at + 5] = 9                       # scan comp id 9: no match
+    with pytest.raises(ValueError):
+        decode_jpeg_pixels(bytes(bad))
+
+
+def test_multimodal_docs_state_baseline_jpeg_is_decoded():
+    """ADVICE (low): the module header and resize tier docs said JPEG
+    'remains header-only' while the dispatcher ran the real decoder.
+    Pin the re-synced statements so docs and behavior can't diverge
+    silently again."""
+    from big_data_crypto_sentiment_spark.operators import multimodal
+    assert "baseline JPEG" in multimodal.__doc__
+    assert "remains header-only" not in multimodal.__doc__
+    tier_doc = multimodal.resize_images.__doc__
+    assert "baseline JPEG" in tier_doc
+    assert "documented remaining stub" not in tier_doc
+
+
+def test_run_id_never_empty_and_marker_atomic(tmp_path):
+    cp = str(tmp_path / "cp")
+    rid = run_id_for_checkpoint(cp)
+    assert rid and rid == run_id_for_checkpoint(cp)
+    # marker content is complete the moment the file exists
+    with open(os.path.join(cp, RUN_ID_FILE)) as f:
+        assert f.read().strip() == rid
+    # no temp droppings left behind
+    assert [p for p in os.listdir(cp)
+            if p.startswith(RUN_ID_FILE)] == [RUN_ID_FILE]
+
+    # legacy crash remnant: marker exists but is EMPTY (the retired
+    # open('x')-then-write scheme's window) — must be repaired to a
+    # fresh non-empty id, not returned as "" (gen keys 'gen_b_-0')
+    cp2 = str(tmp_path / "cp2")
+    os.makedirs(cp2)
+    open(os.path.join(cp2, RUN_ID_FILE), "w").close()
+    rid2 = run_id_for_checkpoint(cp2)
+    assert rid2
+    assert rid2 == run_id_for_checkpoint(cp2)
+    with open(os.path.join(cp2, RUN_ID_FILE)) as f:
+        assert f.read().strip() == rid2
