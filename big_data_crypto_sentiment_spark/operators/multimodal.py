@@ -25,6 +25,15 @@ PNG (encode_png, CRC'd chunks). Only the non-baseline JPEG modes
 exotic BMP compressions stay header-only, each behind a loud
 NotImplementedError tier.
 
+Video frames (r12): animated GIFs decode frame by frame with spec
+disposal/transparency coalescing against the logical screen
+(decode_gif_frames), MJPEG streams split into per-image spans and run
+the real baseline-JPEG decoder (decode_video_frames), and
+sample_frame_pixels ships evenly-sampled frames as real PNGs through
+mapInPandas. True video codecs (MP4/H.264...) are the one remaining
+loud tier — their container metadata (duration, track dims) still
+decodes, so the stubbed-codec tier carries REAL frame timestamps.
+
 Scale notes: mapInPandas streams Arrow batches — payload bytes never
 materialize as a full-partition list; batch size is bounded by
 spark.sql.execution.arrow.maxRecordsPerBatch. Feature extraction adds
@@ -899,6 +908,100 @@ def _jpeg_decode_scan(payload: bytes, pos: int, frame, scan, qt,
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
 
+def _jpeg_frame_spans(payload: bytes) -> list[tuple[int, int]]:
+    """Split an MJPEG stream (back-to-back baseline JPEG images — the
+    common 'motion JPEG' container-less form) into per-frame byte
+    spans by SEGMENT-STRUCTURE walk, never by raw FFD9 search: EOI
+    bytes occur freely inside segment payloads (EXIF etc.), so each
+    frame is walked marker to marker, entropy data skipped with
+    stuffing/RST awareness, until its own EOI. Raises ValueError on
+    desync or truncation (one corrupt frame condemns the stream — the
+    caller's tiering handles it)."""
+    spans: list[tuple[int, int]] = []
+    n = len(payload)
+    pos = 0
+    while pos < n:
+        if payload[pos:pos + 2] != b"\xff\xd8":
+            raise ValueError("MJPEG stream desync (expected SOI)")
+        start = pos
+        pos += 2
+        while True:
+            if pos + 2 > n:
+                raise ValueError("truncated JPEG frame in MJPEG stream")
+            if payload[pos] != 0xFF:
+                raise ValueError("JPEG marker desync")
+            m = payload[pos + 1]
+            if m == 0xFF:                      # fill byte
+                pos += 1
+                continue
+            if m == 0xD9:                      # EOI: frame ends
+                pos += 2
+                break
+            if m == 0x01 or 0xD0 <= m <= 0xD8:  # standalone markers
+                pos += 2
+                continue
+            if pos + 4 > n:
+                raise ValueError("truncated JPEG segment header")
+            seglen = int.from_bytes(payload[pos + 2:pos + 4], "big")
+            pos += 2 + seglen
+            if m == 0xDA:                      # entropy data follows
+                while pos < n:
+                    if payload[pos] == 0xFF and pos + 1 < n:
+                        m2 = payload[pos + 1]
+                        if m2 == 0x00 or 0xD0 <= m2 <= 0xD7:
+                            pos += 2
+                            continue
+                        break                  # a real marker
+                    pos += 1
+        spans.append((start, pos))
+    if not spans:
+        raise ValueError("empty MJPEG stream")
+    return spans
+
+
+def decode_video_frames(payload: bytes, n_frames: int = 4):
+    """REAL video-frame decode for the codec-free stream forms (r11
+    verdict #2 — the last sample_frames stub retired for these):
+
+      * animated GIF — decode_gif_frames composes every stored frame
+        (disposal + transparency against the logical screen), frame
+        timestamps from the cumulative GCE delays;
+      * MJPEG — the stream splits into per-image spans
+        (_jpeg_frame_spans) and each sampled span runs the real
+        baseline-JPEG decoder; raw MJPEG carries no timing, so
+        timestamps are None.
+
+    Returns (frames, ts_ms): up to n_frames evenly-spaced
+    (h, w, 3|1) uint8 arrays and their per-frame timestamps
+    (None where the format has none). True video codecs (MP4/H.264
+    and friends) raise NotImplementedError — the documented loud
+    tier; structural damage raises ValueError."""
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        frames, delays = decode_gif_frames(payload)
+        ts, t = [], 0
+        for d in delays:
+            ts.append(t)
+            t += d
+        pick = _even_indices(len(frames), n_frames)
+        return [frames[i] for i in pick], [ts[i] for i in pick]
+    if payload[:2] == b"\xff\xd8":
+        spans = _jpeg_frame_spans(payload)
+        pick = _even_indices(len(spans), n_frames)
+        out = [decode_jpeg_pixels(payload[spans[i][0]:spans[i][1]])
+               for i in pick]
+        return out, [None] * len(out)
+    raise NotImplementedError(
+        f"no frame decoder for magic {payload[:4]!r} "
+        "(true video codecs are the documented loud tier)")
+
+
+def _even_indices(total: int, k: int) -> list[int]:
+    """Up to k evenly-spaced distinct indices over range(total)."""
+    if total <= k:
+        return list(range(total))
+    return [i * total // k for i in range(k)]
+
+
 def decode_image_pixels(payload: bytes):
     """Magic-dispatched full pixel decode: PNG, BMP, GIF and baseline
     JPEG are all real; anything else (and non-baseline JPEG modes)
@@ -1119,7 +1222,9 @@ def resize_images(df: DataFrame, max_dim: int = 224,
 
 def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
     """Video frame-sampling plumbing: evenly-spaced frame offsets from
-    duration metadata (the decode of each frame is the stubbed step)."""
+    duration metadata. Pure column math (no payload decode) — the
+    cheap planning pass a 100-TB pipeline runs before committing to
+    pixel work; sample_frame_pixels is the real-decode companion."""
     import pyspark.sql.functions as F
     idx = F.sequence(F.lit(0), F.lit(n_frames - 1))
     return (df.filter(F.col("kind") == "video")
@@ -1129,3 +1234,82 @@ def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
                           lambda i: (F.col("duration_ms") * i
                                      / F.lit(n_frames)).cast("long"))
                        .alias("frame_offsets_ms")))
+
+
+FRAME_SAMPLE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("frame_ts_ms", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("frame_status", T.StringType()),
+    T.StructField("frame_png", T.BinaryType()),
+])
+
+FRAME_STUB_MAGIC = b"FRM1"
+
+
+def sample_frame_pixels(df: DataFrame, n_frames: int = 4,
+                        max_dim: int | None = None) -> DataFrame:
+    """REAL frame sampling over MEDIA_SCHEMA video rows (mapInPandas,
+    one output row per sampled frame), tiered like resize_images:
+
+    * ``decoded`` — the payload is an animated GIF or an MJPEG
+      stream: up to n_frames evenly-spaced frames pixel-decode for
+      real (GIF disposal/transparency coalescing; per-span baseline
+      JPEG), optionally area-resample down to max_dim, and each
+      frame ships as a REAL, decodable PNG.
+    * ``stubbed-codec`` — a true video codec (MP4/H.264...): frame
+      TIMESTAMPS are real (evenly spaced over the container's mvhd
+      duration — the sample_frames math), the pixel payload is the
+      deterministic ``FRM1 ‖ u32 frame_idx ‖ sha256(source)`` marker.
+    * ``corrupt`` — recognized magic, damaged structure: one row,
+      everything null but the status.
+
+    Scale shape: identical to extract_media_features — Arrow batches
+    stream through mapInPandas, per-row cost is bounded by the frame
+    cap, nothing shuffles."""
+    import struct
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in FRAME_SAMPLE_SCHEMA]
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                payload = bytes(row.payload) \
+                    if row.payload is not None else b""
+                try:
+                    frames, ts = decode_video_frames(payload, n_frames)
+                    for i, (img, t) in enumerate(zip(frames, ts)):
+                        if max_dim is not None \
+                                and max(img.shape[:2]) > max_dim:
+                            h, w = img.shape[:2]
+                            m = max(w, h)
+                            img = area_resample(
+                                img, max(1, w * max_dim // m),
+                                max(1, h * max_dim // m))
+                        h, w = img.shape[:2]
+                        out.append((row.media_id, i, t, w, h,
+                                    "decoded", encode_png(img)))
+                except NotImplementedError:
+                    # true-codec tier: real timestamps from container
+                    # metadata, deterministic marker payloads
+                    try:
+                        dur = decode_media(payload,
+                                           row.kind)["duration_ms"]
+                    except (NotImplementedError, ValueError):
+                        dur = None
+                    sha = hashlib.sha256(payload).digest()
+                    for i in range(n_frames):
+                        t = (dur * i // n_frames) if dur else None
+                        out.append((row.media_id, i, t, None, None,
+                                    "stubbed-codec",
+                                    FRAME_STUB_MAGIC
+                                    + struct.pack(">I", i) + sha))
+                except ValueError:
+                    out.append((row.media_id, None, None, None, None,
+                                "corrupt", None))
+            yield pd.DataFrame(out, columns=cols)
+
+    return (df.filter("kind = 'video'")
+              .mapInPandas(sample, FRAME_SAMPLE_SCHEMA))
