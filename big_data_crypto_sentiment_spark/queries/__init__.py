@@ -74,32 +74,6 @@ DEFERRALS: dict[str, dict] = {
     # their slots to stale-evidence deferrals; surviving rows below
     # r8 window rotation (VERDICT r7 #7 + ADVICE): stale-evidence pairs
     # rotated back in; these surviving rows handed over their slots
-    "ctfidf_source_terms": dict(since=8, family="text family via source_scorecard in-window; token histograms via bigram_logprob in-window",
-                                extra="driver-green r6-r7; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "js_divergence_sources": dict(since=8, family="text-distribution family via bigram_logprob in-window (same token-histogram core)",
-                                  extra="driver-green r6-r7; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "dsir_select":        dict(since=8, family="sampling family via sample_stratified/sample_length_weighted in-window (same hash-threshold filter)",
-                               extra="driver-green r6-r7; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "decontam_overlap":   dict(since=8, family="cleaning family via bigram_logprob in-window (same broadcast-gram join core)",
-                               extra="driver-green r6-r7; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "repetition_filter":  dict(since=8, family="cleaning family via bigram_logprob in-window; rank-window shape via top_docs_per_source in-window",
-                               extra="driver-green r6-r7; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "pii_redact":         dict(since=8, family="regex-rewrite path via source_scorecard's regexp normalization in-window; cleaning family via bigram_logprob in-window",
-                               extra="driver-green r6-r7; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "boilerplate_strip":  dict(since=8, family="cleaning family via bigram_logprob in-window (same per-line explode/agg shape)",
-                               extra="driver-green r6-r7; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "src_csv_prices_decimal": dict(since=8, family="CSV reader/parse chain shared with deferred src_csv_prices; source family via src_avro_roundtrip in-window; decimal discipline via ta_twap in-window",
-                                   extra="driver-green r6-r7; double/decimal parity pytest (test_sources.py)"),
-    "ts_corr":            dict(since=8, family="corr family via ts_lag_sweep_corr in-window (same integer-frozen covariance core)",
-                               extra="driver-green r2-r7; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "ts_bucket_counts":   dict(since=8, family="resample family via ts_seasonal_anomaly in-window; lag features via event_transitions in-window",
-                               extra="driver-green r2-r7; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "text_dup_rate":      dict(since=8, family="dup family via source_scorecard's fingerprint dup-rate in-window (same normalized-hash agg)",
-                               extra="driver-green r2-r4 + refreshed r7; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "ks_drift_events":    dict(since=8, family="drift family via mad_outlier_events + moment_profile in-window (same exact rank/window machinery)",
-                               extra="driver-green r6-r7; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "embed_prototype_prune": dict(since=8, family="embedding family via embed_mean_pool in-window (same integer-frozen cosine/centroid core)",
-                                  extra="driver-green r6-r7; 3-SF check.py + per-round sf0.001 auto-verify"),
     # r9 window rotation (VERDICT r8 #1), first tranche: the nineteen
     # never-driver-checked pairs — the whole behavior family, the SCD2
     # five, both incremental rollups, dq_suite, link_customer_batch,
@@ -308,6 +282,45 @@ DEFERRALS: dict[str, dict] = {
     # sample_weighted_ak (driver-green r10) hands over its slot
     "sample_weighted_ak": dict(since=11, family="sampling family via sample_stratified + sample_length_weighted + rotated-in mixture_downsample's deferred pair (same portable-md5 weighted threshold)",
                                extra="driver-green r6-r10; 3-SF check.py + per-round sf0.001 auto-verify"),
+    # r12 evidence-freshness rotation (VERDICT r11 #5): the next-oldest
+    # tranche (driver evidence r5-r8: ctfidf_source_terms,
+    # js_divergence_sources, dsir_select, decontam_overlap,
+    # repetition_filter, pii_redact, boilerplate_strip,
+    # src_csv_prices_decimal, ts_corr, ts_bucket_counts, text_dup_rate,
+    # ks_drift_events, plus same-age embed_prototype_prune) rotates
+    # back IN, and the NEW embed_pca_frozen pair (VERDICT r11 #3) takes
+    # its first slot. The 14 members below — the 12 pairs freshly
+    # re-hashed in the r11 window plus the two r11 first-hash pairs
+    # (sim_ivf_topk_frozen, sim_near_dup_pairs) — hand over their
+    # slots; every family keeps an in-window representative.
+    "ts_spearman":        dict(since=12, family="corr family via rotated-in ts_corr in-window (same integer-frozen covariance core); rank machinery via mad_outlier_events in-window",
+                               extra="driver-green r2-r7 + r11; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "ts_resample_ffill":  dict(since=12, family="resample family via rotated-in ts_bucket_counts + ts_interpolate in-window (same spine/ffill window core)",
+                               extra="driver-green r2-r7 + r11; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "ts_sessionize":      dict(since=12, family="gap/session family via event_debounce + event_transitions in-window (same lag-gap window core)",
+                               extra="driver-green r2-r7 + r11; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "sim_topk_cosine":    dict(since=12, family="similarity family via sim_ann_lsh + embed_mean_pool in-window (same sequential-fold cosine); frozen-basis math via new embed_pca_frozen in-window",
+                               extra="driver-green r2-r7 + r11; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "src_tweets_normalize": dict(since=12, family="source family via src_avro_roundtrip + rotated-in src_csv_prices_decimal in-window (same reader/parse + coercion chain)",
+                                 extra="driver-green r2-r7 + r11; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "summary_stats":      dict(since=12, family="profiling family via moment_profile + value_quantile_bins in-window (same exact stats core)",
+                               extra="driver-green r2-r7 + r11; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "ml_forecast_metrics": dict(since=12, family="ml family via ml_sentiment in-window (same exact-decimal metric aggregation)",
+                                extra="driver-green r2-r7 + r11; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "orders_by_nation":   dict(since=12, family="TPC-H join-agg family via zorder_key_lineitem + warehouse_prune_day in-window (same broadcast-dim join plan)",
+                               extra="driver-green r2-r7 + r11; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "table_diff":         dict(since=12, family="diff/anti-join family via retention_after_deletes in-window (same keyed anti-join core)",
+                               extra="driver-green r2-r7 + r11; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "filter_time_range":  dict(since=12, family="pushdown-scan family via warehouse_prune_day in-window (PushedFilters pinned in PLANS.md); the filter surface is exercised by every in-window oracle",
+                               extra="driver-green r2-r7 + r11; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "kv_flatten":         dict(since=12, family="reshape family via sft_mask_spans + tokens_to_ids in-window (same array/map explode core)",
+                               extra="driver-green r2-r7 + r11; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "union_event_slices": dict(since=12, family="union/set family via retention_after_deletes in-window (same unioned-slice passthrough)",
+                               extra="driver-green r2-r7 + r11; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "sim_ivf_topk_frozen": dict(since=12, family="frozen-artifact similarity family via new embed_pca_frozen + sim_ann_lsh in-window (same integer-frozen fold + literal-artifact plan); the centroid-assignment CTEs are deferred sim_semdedup's oracle-proven core",
+                                extra="driver-green r11 (first check); 3-SF check.py + per-round sf0.001 auto-verify"),
+    "sim_near_dup_pairs": dict(since=12, family="LSH-pair family via sim_ann_lsh in-window (same sha256-plane buckets, superset plane set); pair-dedup family via dedup_canonical + split_by_cluster in-window",
+                               extra="driver-green r11 (first check); 3-SF check.py + per-round sf0.001 auto-verify"),
 }
 _DEFER_FROM_WINDOW = tuple(DEFERRALS)
 

@@ -385,6 +385,86 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 PCA_K = 8
 
 
+# --- frozen PCA basis (r11 verdict #3): the 8 leading components of
+#     one embed_pca fit on the sf0.001 fixture, frozen to integer
+#     1e-6 units and embedded as literals — the model-as-artifact
+#     shape of load_centroids, applied to PCA. A production pipeline
+#     fits PCA once on a sample and applies the frozen basis
+#     everywhere; freezing makes the projection SQL-expressible:
+#     with vectors frozen to the same units (|x8| < 2^19, |c| < 2^19,
+#     64-dim dot < 2^44) every dot product is EXACT in both int64 and
+#     float64, and the single closing IEEE division by 1e12 is
+#     bit-identical across engines. Provenance is pinned by pytest
+#     (test_r12_properties: each frozen row matches a fresh sf0.001
+#     refit up to sign, |cos| >= 0.999). ---
+PCA_FROZEN_COMPONENTS: list[list[int]] = [
+    [148827, 58049, -43575, 173283, -8858, -235811, -169725, -158988,
+     -64539, 236562, -225757, -47035, -62054, -114844, -221933, -66996,
+     104745, -16621, 115888, -124432, 49509, -41750, 189275, 39086,
+     -92673, 215611, -45146, -235885, -58647, -35038, -13611, 10175,
+     37786, -105016, 294643, -18753, 86303, 507, -23426, -28956, -84420,
+     -63847, -113910, -75813, 80885, 221800, 73610, -302326, -87312,
+     136750, -135253, -71733, 61038, -21305, 24159, 125777, 50157,
+     -103313, 61740, -14282, -29864, -3813, 248260, 90805],
+    [102896, -95621, -262899, 101436, -99003, 224674, 90603, 57530,
+     216372, 58801, -64242, -66690, -67549, 6205, 102223, -41200,
+     -142717, 25986, -179735, 227338, -290206, -77507, 207200, -260447,
+     79141, -8759, 6199, 13173, -81458, -92662, -82984, -41385, -160376,
+     -137816, -8605, 233877, 27140, -103004, -27482, 30349, -117316,
+     262572, -75843, -35223, -73179, 147198, 140622, -29035, -161961,
+     -54222, -57642, -93610, 24913, -33224, -161597, 85150, -115977,
+     -49242, 65286, 92396, 27411, -128169, 77787, -197421],
+    [-180579, 54678, 112845, -268147, -67549, -75063, 6651, -419742,
+     26286, 141982, 25518, -117622, -38795, 107819, 76472, 26251,
+     -186603, 112782, 80114, -48293, 162171, -41611, 60168, -89937,
+     -27432, -19030, -40942, -191327, -193692, 132489, -28524, -43075,
+     -78503, 134027, 139924, -6923, -102896, -192251, -28247, -85875,
+     61587, 33975, 25198, 57620, -117842, -125082, 25340, -196158,
+     190976, -51809, -6280, 8239, 16423, -119924, -161275, -107853,
+     -158605, 148863, 42718, 204529, -32673, -168317, -97082, -216311],
+    [57164, 72558, -98267, -69506, 52800, -145177, 86679, 28525, -89407,
+     -204885, 13753, -94574, 107820, -28155, 24807, 87082, 53741,
+     -197311, 7770, 27634, 32933, 210912, -54025, -223283, 230053,
+     -56121, -78636, -174980, 31649, -13996, -96178, -213126, -29445,
+     -82852, 90083, -62919, 213610, 142439, -255353, 107678, 111401,
+     -185145, -4024, 120656, 71984, -576, -96436, 61090, 54915, -30728,
+     -114267, -299050, 284023, 14907, -243433, -57381, 14686, -129446,
+     127933, 11140, -111850, 88269, -113628, -129495],
+    [-24615, -77387, 195559, 74242, -90159, -126627, -333921, 11642,
+     99644, 93603, 101030, -14660, 52066, -41866, 145660, -5293, -66113,
+     164589, 131507, 142715, 27486, -71986, 54215, 137289, 210611, 91694,
+     88660, 56554, 28297, 78725, -110885, -75907, 143432, -22496, -8771,
+     271791, 20910, -138924, -217211, -66653, -40463, 256258, 83412,
+     -136252, 186298, -227484, -196943, -27030, -4172, 80622, -18110,
+     -77631, 62138, 20208, -160851, 11387, 63536, -114909, 14928,
+     -316353, 35656, 124232, -103369, -6053],
+    [40916, -86580, -123553, 189733, -141381, 63882, 49058, -144354,
+     72889, -39539, 50892, 21920, 168009, 147089, -20668, 68589, -67489,
+     -36966, 29558, -193503, 139397, -39691, 184707, 20566, -39994,
+     -4111, -252733, 8801, 389130, -177986, 6515, 85058, 52126, -128222,
+     -1407, -177758, -89439, 49431, -103957, 43929, -249904, 252992,
+     -36757, 165688, 101274, -81643, 1761, -166293, 12535, -73187,
+     -25771, -108440, -134337, 573, 1389, -161143, 160483, 110430,
+     -44739, 125467, -3457, 149897, -240078, -6201],
+    [-236786, -139074, -207463, 28129, 43306, -86474, -141034, 11840,
+     -149898, -27648, 90577, 80814, -45527, -4844, 81087, 75807, 266002,
+     -120295, -136637, 37331, 47147, -96966, -18504, -92783, -102528,
+     254577, -152130, -96415, -84120, 125411, -120378, 51346, -253823,
+     161203, 120497, -72017, 133884, 138168, 214877, 26292, 123250,
+     324864, 142942, -34552, 129227, 83866, -107050, 45792, -33060,
+     -17171, -34113, 114483, -21898, 31890, -137390, 125472, 8060, 50256,
+     -258899, -11314, -29051, 49446, -157529, -46513],
+    [40843, 160593, 86847, 60839, -179554, 25518, -8330, 24134, -221405,
+     -135065, 67650, -48287, -169748, -430747, -80642, 5771, 53366,
+     -10465, -28721, 135718, 26538, 259061, 132080, 58714, 91240, -54685,
+     97063, 19760, 49482, 106743, 61663, -188347, -48730, -109865, 61405,
+     -158910, -94693, 78250, 26215, -124807, 31793, 232666, -105172,
+     18063, -98166, 110088, -240776, -80827, 29173, -97993, 175881,
+     -57551, -227769, -137603, -27196, -14915, 23608, 187171, 64846,
+     -7902, 224721, -54128, 37948, -93359],
+]
+
+
 def embed_pca(embeddings: DataFrame, k: int = PCA_K,
               emb_col: str = "embedding"):
     """(fitted PCAModel, projected DataFrame (vec_id, pca array<double>),
@@ -402,12 +482,42 @@ def embed_pca(embeddings: DataFrame, k: int = PCA_K,
 
 
 def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The eigensolve path (MLlib fit per call) — library surface +
+    pytest evidence; the REGISTERED pair is q_embed_pca_frozen (r11
+    verdict #3 graduation)."""
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     _, proj, _ = embed_pca(e)
     return proj.select(
         "vec_id",
         F.array_join(F.transform("pca", lambda x: x.cast("string")), ",")
          .alias("pca_csv"))  # O(input): unsorted; list->string (hash rule)
+
+
+def q_embed_pca_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection under the FROZEN component basis (r11 verdict #3,
+    the sim_ivf_topk_frozen treatment): vectors freeze to integer 1e-6
+    units, each output coordinate is one exact integer dot against a
+    PCA_FROZEN_COMPONENTS literal row (a per-row sequential fold — no
+    shuffle, no explode, no join; the basis rides the expression tree
+    like a broadcast model artifact), and the single closing division
+    by 1e12 is bit-identical IEEE in both engines. Wide output
+    (vec_id, p0..p7) keeps arrays out of the driver's hash
+    canonicalizer. 100-TB shape: pure map-side column math — the scan
+    is the plan."""
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    x8 = F.transform(F.col("embedding"),
+                     lambda x: F.round(x.cast("double") * PROTO_SCALE)
+                                .cast("bigint"))
+    fe = (e.filter(F.size("embedding") >= 1)
+           .select("vec_id", x8.alias("x8")))
+    projs = []
+    for k, comp in enumerate(PCA_FROZEN_COMPONENTS):
+        lit = F.array(*[F.lit(int(c)).cast("bigint") for c in comp])
+        dot = F.aggregate(F.zip_with("x8", lit, lambda a, b: a * b),
+                          F.lit(0).cast("bigint"),
+                          lambda acc, x: acc + x)
+        projs.append((dot.cast("double") / F.lit(1e12)).alias(f"p{k}"))
+    return fe.select("vec_id", *projs)  # O(input): unsorted
 
 
 # --- prototype-distance pruning (Sorscher et al. 2022, "Beyond neural
@@ -753,7 +863,9 @@ QUERIES = {
     "embed_mean_pool": q_embed_mean_pool,
     "sim_topk_cosine": q_sim_topk_cosine,
     "embed_prototype_prune": q_embed_prototype_prune,
-    "embed_pca": q_embed_pca,                    # rows-only: eigensolve
+    "embed_pca_frozen": q_embed_pca_frozen,      # the graduated pair;
+    # the eigensolve path (q_embed_pca / embed_pca) stays a library
+    # surface with its contracts pinned in pytest
     "sim_ann_lsh": q_sim_ann_lsh,
     "sim_near_dup_pairs": q_sim_near_dup_pairs,
     "sim_ivf_topk": q_sim_ivf_topk,              # rows-only: KMeans fit
@@ -1030,6 +1142,38 @@ WITH fr AS (
   FROM scored
 )
 SELECT query_id, vec_id, cos, rank FROM ranked WHERE rank <= {TOP_K}
+"""
+
+def _sql_pca_proj() -> str:
+    """The frozen PCA basis rendered as DuckDB BIGINT[] literals — the
+    SAME integers the Spark plan embeds, one exact fold per component
+    (the _sql_lsh_planes discipline applied to the PCA artifact)."""
+    cols = []
+    for k, comp in enumerate(PCA_FROZEN_COMPONENTS):
+        arr = "[" + ", ".join(str(int(c)) for c in comp) + "]::BIGINT[]"
+        cols.append(
+            f"CAST(CAST(list_sum(list_transform(list_zip(x8,\n"
+            f"           {arr}),\n"
+            f"           p -> p[1] * p[2])) AS BIGINT) AS DOUBLE)"
+            f" / 1e12 AS p{k}")
+    return ",\n       ".join(cols)
+
+
+# embed_pca_frozen oracle: integer-frozen vectors (the semdedup freeze)
+# dotted against the frozen component literals — every sum is exact in
+# BIGINT and in float64, the one division per cell is a single IEEE op,
+# so the doubles hash bit-identically across engines.
+ORACLE["embed_pca_frozen"] = f"""
+WITH x AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           v -> CAST(ROUND(CAST(v AS DOUBLE) * {PROTO_SCALE}) AS BIGINT))
+           AS x8
+  FROM embeddings WHERE len(embedding) >= 1
+)
+SELECT vec_id,
+       {_sql_pca_proj()}
+FROM x
 """
 
 # sim_near_dup_pairs oracle (r11): the sim_ann_lsh recipe over the

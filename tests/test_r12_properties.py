@@ -163,3 +163,60 @@ def test_run_id_never_empty_and_marker_atomic(tmp_path):
     assert rid2 == run_id_for_checkpoint(cp2)
     with open(os.path.join(cp2, RUN_ID_FILE)) as f:
         assert f.read().strip() == rid2
+
+
+def test_frozen_pca_basis_matches_a_fresh_fit(spark):
+    """Provenance pin for PCA_FROZEN_COMPONENTS (r11 verdict #3): the
+    frozen literals are one embed_pca fit on sf0.001, frozen to 1e-6
+    integer units. A fresh fit must reproduce each component up to
+    sign (eigenvector sign is arbitrary): |cos| >= 0.999. Guards both
+    against literal rot (fixture regenerated, literals stale) and
+    against the constant being edited into something that is no longer
+    PCA."""
+    import numpy as np
+
+    from big_data_crypto_sentiment_spark.queries._util import table
+    from big_data_crypto_sentiment_spark.queries.similarity import (
+        PCA_FROZEN_COMPONENTS,
+        embed_pca,
+    )
+    e = table(spark, "/root/testdata/sf0.001", "embeddings") \
+        .select("vec_id", "embedding")
+    model, _, _ = embed_pca(e)
+    refit = model.pc.toArray().T                     # (k, d)
+    frozen = np.array(PCA_FROZEN_COMPONENTS, dtype=np.float64) / 1e6
+    assert frozen.shape == refit.shape == (8, 64)
+    for k in range(8):
+        cos = abs(float(frozen[k] @ refit[k])
+                  / (np.linalg.norm(frozen[k])
+                     * np.linalg.norm(refit[k])))
+        assert cos >= 0.999, (k, cos)
+    # magnitude headroom the exactness argument rests on:
+    # |c| < 2^19 per component entry
+    assert np.abs(np.array(PCA_FROZEN_COMPONENTS)).max() < (1 << 19)
+
+
+def test_embed_pca_frozen_projection_is_exact_integer_math(spark):
+    """The registered projection equals a numpy integer matmul of the
+    frozen vectors against the frozen basis, divided by 1e12 — no
+    float-accumulation slack anywhere."""
+    import numpy as np
+
+    from big_data_crypto_sentiment_spark.queries.similarity import (
+        PCA_FROZEN_COMPONENTS,
+        q_embed_pca_frozen,
+    )
+    rows = q_embed_pca_frozen(spark, "/root/testdata/sf0.001") \
+        .orderBy("vec_id").limit(20).collect()
+    import duckdb
+    emb = dict(duckdb.sql(
+        "SELECT vec_id, embedding FROM "
+        "'/root/testdata/sf0.001/embeddings.parquet' "
+        "ORDER BY vec_id LIMIT 20").fetchall())
+    comp = np.array(PCA_FROZEN_COMPONENTS, dtype=np.int64)
+    for r in rows:
+        x8 = np.round(np.array(emb[r.vec_id], dtype=np.float64)
+                      * 1e6).astype(np.int64)
+        want = (comp @ x8).astype(np.float64) / 1e12
+        got = np.array([getattr(r, f"p{k}") for k in range(8)])
+        assert (got == want).all(), r.vec_id   # bit-exact, not approx
