@@ -20,10 +20,11 @@ per-row unfiltering), uncompressed 24/32-bit BMP, GIF frames
 baseline JPEG (canonical Huffman entropy decode, dequant, 8×8 IDCT,
 YCbCr→RGB) all decode to REAL pixel arrays; resize runs a TRUE
 closed-form area-average resample and re-encodes as a spec-correct
-PNG (encode_png, CRC'd chunks). Only the non-baseline JPEG modes
-(progressive / arithmetic / 12-bit), palette/16-bit/Adam7 PNG, and
-exotic BMP compressions stay header-only, each behind a loud
-NotImplementedError tier.
+PNG (encode_png, CRC'd chunks). Progressive (SOF2) JPEG decodes for
+real too as of r12 (spectral selection + successive approximation,
+T.81 §G.2). Only arithmetic-coded / 12-bit / hierarchical JPEG,
+palette/16-bit/Adam7 PNG, and exotic BMP compressions stay
+header-only, each behind a loud NotImplementedError tier.
 
 Video frames (r12): animated GIFs decode frame by frame with spec
 disposal/transparency coalescing against the logical screen
@@ -631,7 +632,11 @@ def _zigzag_order() -> list[int]:
 
 
 def _huff_table(counts: list[int], symbols: list[int]) -> dict:
-    """(code_length, code) -> symbol from a DHT's canonical spec."""
+    """(code_length, code) -> symbol from a DHT's canonical spec.
+    A DHT whose counts promise more symbols than the segment carries
+    is corrupt (truncation) — ValueError, never an executor crash."""
+    if sum(counts) > len(symbols):
+        raise ValueError("JPEG DHT truncated")
     table, code, i = {}, 0, 0
     for length in range(1, 17):
         for _ in range(counts[length - 1]):
@@ -688,16 +693,24 @@ def _jpeg_extend(v: int, s: int) -> int:
 
 
 def decode_jpeg_pixels(payload: bytes):
-    """REAL baseline JPEG decode, stdlib+numpy only (r11 — the last
-    multimodal stub retired): segment parse (DQT/DHT/SOF0/DRI/SOS),
-    canonical Huffman entropy decode of the byte-stuffed MCU stream
-    (restart markers reset the DC predictors), dequantize, de-zigzag,
-    orthonormal 8×8 IDCT, nearest-neighbor chroma upsampling for
-    subsampled components, BT.601 YCbCr→RGB. Returns (height, width,
-    3) uint8 RGB, or (h, w, 1) for single-component greyscale.
-    Progressive (SOF2) / arithmetic / 12-bit raise NotImplementedError
-    (the header tier still reports their dimensions); structural
-    damage raises ValueError.
+    """REAL JPEG decode, stdlib+numpy only: segment parse
+    (DQT/DHT/SOF/DRI/SOS), canonical Huffman entropy decode of the
+    byte-stuffed MCU stream (restart markers reset the DC predictors),
+    dequantize, de-zigzag, orthonormal 8×8 IDCT, nearest-neighbor
+    chroma upsampling for subsampled components, BT.601 YCbCr→RGB.
+    Returns (height, width, 3) uint8 RGB, or (h, w, 1) for
+    single-component greyscale.
+
+    Baseline/extended-sequential (SOF0/SOF1) decode in one
+    interleaved pass (r11). PROGRESSIVE (SOF2) decodes for real as of
+    r12: every scan — spectral selection bands, successive-
+    approximation first and refinement passes (T.81 §G.2, the
+    libjpeg-compatible EOB-run + correction-bit semantics), DC and AC,
+    interleaved and non-interleaved — accumulates into a per-component
+    coefficient store, finalized by ONE dequant+IDCT at EOI.
+    Arithmetic coding / 12-bit / hierarchical stay
+    NotImplementedError (the header tier still reports their
+    dimensions); structural damage raises ValueError.
 
     Scale note: the bit-serial Huffman loop is the no-dependency
     correctness path (same contract as decode_png_pixels' filter loop);
@@ -711,6 +724,9 @@ def decode_jpeg_pixels(payload: bytes):
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
     frame = None
+    progressive = False
+    coefs: dict | None = None
+    n_scans = 0
     restart_interval = 0
     pos, n = 2, len(payload)
     while pos + 4 <= n:
@@ -746,28 +762,12 @@ def decode_jpeg_pixels(payload: bytes):
                 (huff_ac if tc else huff_dc)[th] = _huff_table(
                     counts, syms)
                 i += 17 + nsym
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline/ext seq)
-            prec = body[0]
-            if prec != 8:
-                raise NotImplementedError(f"JPEG precision {prec}")
-            h = int.from_bytes(body[1:3], "big")
-            w = int.from_bytes(body[3:5], "big")
-            if w * h > _MAX_PIXELS or w == 0 or h == 0:
-                raise ValueError(
-                    f"JPEG dimensions {w}x{h} outside the decode cap")
-            ncomp = body[5]
-            if ncomp not in (1, 3):
-                raise NotImplementedError(
-                    f"JPEG with {ncomp} components")
-            comps = []
-            for c in range(ncomp):
-                cid, hv, tq = body[6 + 3 * c:9 + 3 * c]
-                hs, vs = hv >> 4, hv & 0x0F
-                if not (1 <= hs <= 4 and 1 <= vs <= 4):
-                    raise ValueError("JPEG sampling factors out of range")
-                comps.append({"id": cid, "h": hs, "v": vs, "tq": tq})
-            frame = {"w": w, "h": h, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker in (0xC0, 0xC1, 0xC2):     # SOF0/1 baseline, SOF2
+            frame = _jpeg_parse_sof(body)      # progressive (r12)
+            progressive = marker == 0xC2
+            if progressive:
+                coefs = _jpeg_alloc_coefs(frame)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"JPEG SOF{marker - 0xC0} (non-baseline)")
@@ -778,8 +778,10 @@ def decode_jpeg_pixels(payload: bytes):
         elif marker == 0xDA:                   # SOS: entropy data follows
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
+            if not body or len(body) < 4 + 2 * body[0]:
+                raise ValueError("truncated JPEG SOS header")
             ns = body[0]
-            if ns != len(frame["comps"]):
+            if not progressive and ns != len(frame["comps"]):
                 # a first SOS covering fewer components than the frame
                 # declares means a NON-INTERLEAVED multi-scan baseline
                 # JPEG (three sequential single-component scans). The
@@ -802,21 +804,60 @@ def decode_jpeg_pixels(payload: bytes):
             for c in scan:                 # missing tables = corrupt,
                 if c["tq"] not in qt:      # not a crashed Python task
                     raise ValueError("JPEG quant table missing")
-                if c["td"] not in huff_dc or c["ta"] not in huff_ac:
-                    raise ValueError("JPEG Huffman table missing")
             data_start = pos + 2 + seglen
-            return _jpeg_decode_scan(payload, data_start, frame, scan,
-                                     qt, huff_dc, huff_ac,
-                                     restart_interval)
+            if not progressive:
+                for c in scan:
+                    if c["td"] not in huff_dc or c["ta"] not in huff_ac:
+                        raise ValueError("JPEG Huffman table missing")
+                return _jpeg_decode_scan(payload, data_start, frame,
+                                         scan, qt, huff_dc, huff_ac,
+                                         restart_interval)
+            # progressive: this scan refines the coefficient store,
+            # then the marker walk continues (tables may be redefined
+            # between scans; EOI finalizes)
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            pos = _jpeg_progressive_scan(
+                payload, data_start, frame, scan, coefs,
+                ss, se, ahal >> 4, ahal & 0x0F,
+                huff_dc, huff_ac, restart_interval)
+            n_scans += 1
+            continue
         pos += 2 + seglen
+    if progressive and n_scans:
+        return _jpeg_finalize_progressive(frame, coefs, qt)
     raise ValueError("JPEG without SOS/EOI")
 
 
-def _jpeg_decode_scan(payload: bytes, pos: int, frame, scan, qt,
-                      huff_dc, huff_ac, restart_interval: int):
-    import numpy as np
+def _jpeg_parse_sof(body: bytes) -> dict:
+    """Frame header shared by SOF0/1 (baseline) and SOF2 (progressive):
+    precision/dimension gates + per-component sampling factors."""
+    prec = body[0]
+    if prec != 8:
+        raise NotImplementedError(f"JPEG precision {prec}")
+    h = int.from_bytes(body[1:3], "big")
+    w = int.from_bytes(body[3:5], "big")
+    if w * h > _MAX_PIXELS or w == 0 or h == 0:
+        raise ValueError(
+            f"JPEG dimensions {w}x{h} outside the decode cap")
+    ncomp = body[5]
+    if ncomp not in (1, 3):
+        raise NotImplementedError(f"JPEG with {ncomp} components")
+    comps = []
+    for c in range(ncomp):
+        cid, hv, tq = body[6 + 3 * c:9 + 3 * c]
+        hs, vs = hv >> 4, hv & 0x0F
+        if not (1 <= hs <= 4 and 1 <= vs <= 4):
+            raise ValueError("JPEG sampling factors out of range")
+        comps.append({"id": cid, "h": hs, "v": vs, "tq": tq})
+    return {"w": w, "h": h, "comps": comps}
 
-    # split the entropy stream at restart markers, de-stuffing FF00
+
+def _jpeg_entropy_segments(payload: bytes,
+                           pos: int) -> tuple[list[bytes], int]:
+    """De-stuff one scan's entropy data (FF00 → FF) and split it at
+    restart markers; returns (segments, position of the next real
+    marker)."""
     segments, cur = [], bytearray()
     n = len(payload)
     while pos < n:
@@ -832,10 +873,252 @@ def _jpeg_decode_scan(payload: bytes, pos: int, frame, scan, qt,
                 cur = bytearray()
                 pos += 2
                 continue
-            break                              # next real marker (EOI)
+            break                              # next real marker
         cur.append(b)
         pos += 1
     segments.append(bytes(cur))
+    return segments, pos
+
+
+def _jpeg_grid(frame) -> tuple[int, int, int, int]:
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    mcux = -(-frame["w"] // (8 * hmax))
+    mcuy = -(-frame["h"] // (8 * vmax))
+    return hmax, vmax, mcux, mcuy
+
+
+def _jpeg_alloc_coefs(frame) -> dict:
+    """Per-component quantized-coefficient store for progressive
+    accumulation: (blocks_v, blocks_h, 64) int32, ZIGZAG-indexed along
+    the last axis (scans address spectral position k directly), padded
+    to the MCU grid so interleaved DC scans index without bounds
+    math."""
+    import numpy as np
+
+    _, _, mcux, mcuy = _jpeg_grid(frame)
+    return {c["id"]: np.zeros((mcuy * c["v"], mcux * c["h"], 64),
+                              dtype=np.int32)
+            for c in frame["comps"]}
+
+
+def _jpeg_nonint_blocks(frame, c) -> tuple[int, int]:
+    """Block grid of ONE component in a non-interleaved scan (T.81
+    A.2.2): the component's own ceil-divided dimensions, NOT padded to
+    MCU multiples."""
+    hmax, vmax, _, _ = _jpeg_grid(frame)
+    cw = -(-frame["w"] * c["h"] // hmax)
+    ch = -(-frame["h"] * c["v"] // vmax)
+    return -(-cw // 8), -(-ch // 8)
+
+
+def _jpeg_ac_first(blk, bits, ac_t, ss: int, se: int, al: int,
+                   eobrun: int) -> int:
+    """One block of a successive-approximation FIRST AC pass (T.81
+    G.2): EOBn codes carry a run of all-zero-band blocks; decoded
+    values land shifted left by the scan's point transform."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = bits.read_huff(ac_t)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:                        # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += bits.read_bits(r)
+            return eobrun
+        k += r
+        if k > se:
+            raise ValueError("JPEG AC run overflow")
+        blk[k] = _jpeg_extend(bits.read_bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _jpeg_ac_refine(blk, bits, ac_t, ss: int, se: int, al: int,
+                    eobrun: int) -> int:
+    """One block of an AC REFINEMENT pass (T.81 G.2 / the libjpeg
+    correction-bit semantics): already-nonzero coefficients absorb one
+    correction bit each as the band is traversed; zero-history runs
+    count only zero positions; newly-significant coefficients enter as
+    ±1 at the scan's bit position; EOB runs keep paying correction
+    bits for the blocks they skip."""
+    p1 = 1 << al
+    m1 = -(1 << al)
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = bits.read_huff(ac_t)
+            r, s = rs >> 4, rs & 0x0F
+            newval = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += bits.read_bits(r)
+                    break
+                # r == 15 (ZRL): sixteen zero-history positions pass
+            else:
+                if s != 1:
+                    raise ValueError("JPEG AC refinement size > 1")
+                newval = p1 if bits.read_bit() else m1
+            while k <= se:
+                if blk[k] != 0:
+                    if bits.read_bit() and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] >= 0 else m1
+                else:
+                    r -= 1
+                    if r < 0:
+                        break
+                k += 1
+            if newval:
+                if k > se:
+                    raise ValueError("JPEG AC refinement overflow")
+                blk[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if blk[k] != 0:
+                if bits.read_bit() and (blk[k] & p1) == 0:
+                    blk[k] += p1 if blk[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _jpeg_progressive_scan(payload: bytes, pos: int, frame, scan,
+                           coefs: dict, ss: int, se: int, ah: int,
+                           al: int, huff_dc, huff_ac,
+                           restart_interval: int) -> int:
+    """Decode ONE progressive scan into the coefficient store; returns
+    the payload position of the next marker. Restart markers reset the
+    bit reader, DC predictors and the EOB run."""
+    if not (0 <= ss <= se <= 63) or al > 13:
+        raise ValueError("JPEG progressive scan header out of range")
+    segments, end = _jpeg_entropy_segments(payload, pos)
+    bits = _JpegBits(segments)
+    if ss == 0:                                # DC scan
+        if se != 0:
+            raise ValueError("JPEG DC scan with Se != 0")
+        if ah == 0:
+            for c in scan:
+                if c["td"] not in huff_dc:
+                    raise ValueError("JPEG Huffman table missing")
+        preds = {c["id"]: 0 for c in scan}
+
+        def dc_block(c, blk):
+            if ah == 0:
+                s = bits.read_huff(huff_dc[c["td"]])
+                diff = _jpeg_extend(bits.read_bits(s), s) if s else 0
+                preds[c["id"]] += diff
+                blk[0] = preds[c["id"]] << al
+            elif bits.read_bit():
+                blk[0] |= 1 << al
+
+        if len(scan) > 1:                      # interleaved MCU order
+            _, _, mcux, mcuy = _jpeg_grid(frame)
+            mcu = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if restart_interval and mcu \
+                            and mcu % restart_interval == 0:
+                        bits.next_segment()
+                        preds = {c["id"]: 0 for c in scan}
+                    for c in scan:
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                dc_block(c, coefs[c["id"]][
+                                    my * c["v"] + by, mx * c["h"] + bx])
+                    mcu += 1
+        else:                                  # single-component order
+            c = scan[0]
+            wb, hb = _jpeg_nonint_blocks(frame, c)
+            i = 0
+            for by in range(hb):
+                for bx in range(wb):
+                    if restart_interval and i \
+                            and i % restart_interval == 0:
+                        bits.next_segment()
+                        preds = {c["id"]: 0 for c in scan}
+                    dc_block(c, coefs[c["id"]][by, bx])
+                    i += 1
+    else:                                      # AC scan
+        if len(scan) != 1:
+            raise ValueError(
+                "JPEG progressive AC scan must be non-interleaved")
+        c = scan[0]
+        if c["ta"] not in huff_ac:
+            raise ValueError("JPEG Huffman table missing")
+        ac_t = huff_ac[c["ta"]]
+        wb, hb = _jpeg_nonint_blocks(frame, c)
+        eobrun = 0
+        i = 0
+        for by in range(hb):
+            for bx in range(wb):
+                if restart_interval and i \
+                        and i % restart_interval == 0:
+                    bits.next_segment()
+                    eobrun = 0
+                blk = coefs[c["id"]][by, bx]
+                if ah == 0:
+                    eobrun = _jpeg_ac_first(blk, bits, ac_t, ss, se,
+                                            al, eobrun)
+                else:
+                    eobrun = _jpeg_ac_refine(blk, bits, ac_t, ss, se,
+                                             al, eobrun)
+                i += 1
+    return end
+
+
+def _jpeg_finalize_progressive(frame, coefs: dict, qt: dict):
+    """One dequant + vectorized IDCT + upsample + color convert over
+    the accumulated coefficient store — the same math as the baseline
+    tail, batched with einsum instead of per-block matmuls."""
+    import numpy as np
+
+    for c in frame["comps"]:
+        if c["tq"] not in qt:
+            raise ValueError("JPEG quant table missing")
+    hmax, vmax, _, _ = _jpeg_grid(frame)
+    w, h = frame["w"], frame["h"]
+    zz = np.array(_zigzag_order())
+    k = np.arange(8)[:, None]
+    nn = np.arange(8)[None, :]
+    C = np.cos((2 * nn + 1) * k * np.pi / 16) \
+        * np.where(k == 0, np.sqrt(1 / 8), np.sqrt(2 / 8))
+    out = []
+    for c in frame["comps"]:
+        arr = coefs[c["id"]]                   # (nbv, nbh, 64) zigzag
+        q = qt[c["tq"]].reshape(-1).astype(np.float64)
+        nbv, nbh = arr.shape[:2]
+        nat = np.zeros((nbv, nbh, 64), dtype=np.float64)
+        nat[:, :, zz] = arr * q[zz]            # de-zigzag + dequant
+        blocks = nat.reshape(nbv, nbh, 8, 8)
+        spatial = np.einsum("ij,vhjk,kl->vhil", C.T, blocks, C) + 128.0
+        plane = spatial.transpose(0, 2, 1, 3).reshape(nbv * 8, nbh * 8)
+        p = np.repeat(np.repeat(plane, vmax // c["v"], axis=0),
+                      hmax // c["h"], axis=1)
+        out.append(p[:h, :w])
+    if len(out) == 1:
+        g = np.clip(np.round(out[0]), 0, 255).astype(np.uint8)
+        return g[:, :, None]
+    y, cb, cr = out[0], out[1] - 128.0, out[2] - 128.0
+    rgb = np.stack([y + 1.402 * cr,
+                    y - 0.344136 * cb - 0.714136 * cr,
+                    y + 1.772 * cb], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _jpeg_decode_scan(payload: bytes, pos: int, frame, scan, qt,
+                      huff_dc, huff_ac, restart_interval: int):
+    import numpy as np
+
+    # split the entropy stream at restart markers, de-stuffing FF00
+    segments, _ = _jpeg_entropy_segments(payload, pos)
     bits = _JpegBits(segments)
 
     w, h = frame["w"], frame["h"]
@@ -1146,17 +1429,17 @@ def resize_images(df: DataFrame, max_dim: int = 224,
     * ``resampled`` — the payload pixel-decodes (PNG via stdlib zlib
       inflate + per-row unfilter, uncompressed 24/32-bit BMP, GIF
       first frame via LZW, baseline JPEG via the r11 Huffman+IDCT
-      decoder) AND needs shrinking: a TRUE area-average resample
+      decoder, progressive JPEG via the r12 coefficient-accumulation
+      scans) AND needs shrinking: a TRUE area-average resample
       (closed-form separable box filter) runs and the output payload
       is a real, decodable PNG at the target dimensions — note a
       resampled JPEG therefore comes back PNG-encoded.
     * ``passthrough`` — pixel-decodes but already fits max_dim: the
       original payload rides through untouched.
-    * ``decoded-dims`` — only the container HEADER decodes (the
-      non-baseline JPEG modes: progressive / arithmetic / 12-bit,
-      plus structurally-damaged PNG/BMP/GIF): real dims,
-      deterministic ``RSZ1 ‖ big-endian (w, h) ‖ sha256(source)``
-      marker payload.
+    * ``decoded-dims`` — only the container HEADER decodes
+      (arithmetic-coded / 12-bit JPEG, plus structurally-damaged
+      PNG/BMP/GIF/JPEG): real dims, deterministic
+      ``RSZ1 ‖ big-endian (w, h) ‖ sha256(source)`` marker payload.
     * ``fake-dims`` — unknown magic (or a dimensionless container
       mislabeled as image): hash-derived pseudo-dims + marker payload.
 

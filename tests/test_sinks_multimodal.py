@@ -716,16 +716,12 @@ class _BitWriter:
             self.put(1, 1)
 
 
-def _jpeg_encode(img, q=16, subsample=False, restart_interval=0):
-    """Independent baseline JPEG encoder (test-side reference):
-    YCbCr convert, optional 4:2:0 chroma mean-downsample, FDCT with a
-    flat quantization table, per-component-class fixed-length canonical
-    Huffman tables, byte-stuffed interleaved MCU stream with optional
-    restart markers. Returns (payload, reference_rgb) where
-    reference_rgb reconstructs EXACTLY what a correct decoder must
-    output (dequant -> IDCT -> upsample -> color-convert)."""
-    import struct
-
+def _quantize_ref(img, q=16, subsample=False):
+    """Shared front half of the test-side JPEG encoders: YCbCr
+    convert, optional 4:2:0 mean-downsample, FDCT + flat-table
+    quantize, and the reference reconstruction a correct decoder must
+    output. Returns (comps, quantized, ref, mcux, mcuy, qtab,
+    hmax, vmax)."""
     import numpy as np
 
     C = _dct_matrix()
@@ -777,6 +773,22 @@ def _jpeg_encode(img, q=16, subsample=False, restart_interval=0):
                     yr - 0.344136 * cbr - 0.714136 * crr,
                     yr + 1.772 * cbr], axis=2)
     ref = np.clip(np.round(ref), 0, 255).astype(np.uint8)
+    return comps, quantized, ref, mcux, mcuy, qtab, hmax, vmax
+
+
+def _jpeg_encode(img, q=16, subsample=False, restart_interval=0):
+    """Independent baseline JPEG encoder (test-side reference):
+    YCbCr convert, optional 4:2:0 chroma mean-downsample, FDCT with a
+    flat quantization table, per-component-class fixed-length canonical
+    Huffman tables, byte-stuffed interleaved MCU stream with optional
+    restart markers. Returns (payload, reference_rgb) where
+    reference_rgb reconstructs EXACTLY what a correct decoder must
+    output (dequant -> IDCT -> upsample -> color-convert)."""
+    import struct
+
+    h, w = img.shape[:2]
+    comps, quantized, ref, mcux, mcuy, qtab, hmax, vmax = \
+        _quantize_ref(img, q, subsample)
 
     # symbol streams (interleaved MCU order) to size the Huffman tables
     zz_nat = _zigzag_nat()
@@ -957,10 +969,17 @@ def test_jpeg_gates_and_corruption():
 
     img = _test_image(16, 16, seed=5)
     payload, _ = _jpeg_encode(img, q=16)
-    # progressive SOF2 -> NotImplementedError (header tier)
+    # a baseline payload RELABELED SOF2: progressive decodes for real
+    # as of r12, so this hack is now a structurally-invalid progressive
+    # file (its single scan claims the DC band with Se=63) -> ValueError
+    # (real progressive coverage: tests/test_jpeg_progressive.py)
     prog = payload.replace(b"\xff\xc0", b"\xff\xc2", 1)
-    with _pytest.raises(NotImplementedError):
+    with _pytest.raises(ValueError):
         decode_jpeg_pixels(prog)
+    # arithmetic-coded (SOF9) stays the loud NotImplementedError tier
+    arith = payload.replace(b"\xff\xc0", b"\xff\xc9", 1)
+    with _pytest.raises(NotImplementedError):
+        decode_jpeg_pixels(arith)
     # truncated entropy stream -> ValueError
     with _pytest.raises(ValueError):
         decode_jpeg_pixels(payload[:len(payload) - 40])
