@@ -321,6 +321,13 @@ DEFERRALS: dict[str, dict] = {
                                 extra="driver-green r11 (first check); 3-SF check.py + per-round sf0.001 auto-verify"),
     "sim_near_dup_pairs": dict(since=12, family="LSH-pair family via sim_ann_lsh in-window (same sha256-plane buckets, superset plane set); pair-dedup family via dedup_canonical + split_by_cluster in-window",
                                extra="driver-green r11 (first check); 3-SF check.py + per-round sf0.001 auto-verify"),
+    # late-r12: media_frames is NEW (the r12 sample_frame_pixels
+    # operator's hash-checkable stubbed-codec slice) — it takes a
+    # window slot immediately so its first driver hash lands this
+    # round; cohort_retention (driver-green r10-r11) hands over its
+    # slot
+    "cohort_retention":   dict(since=12, family="cohort/behavior family via funnel_conversion + event_transitions + rollup_merge_incremental in-window (same cohort-week window chain); the pct projection twin cohort_retention_pct is deferred alongside",
+                               extra="driver-green r9-r11; 3-SF check.py + per-round sf0.001 auto-verify"),
 }
 _DEFER_FROM_WINDOW = tuple(DEFERRALS)
 

@@ -46,8 +46,31 @@ def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("resized").cast("int").alias("resized"))
 
 
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing (r12 sample_frame_pixels), the
+    hash-checkable slice: the fixture's pseudo-video payloads are text
+    bytes — no real container — so every row rides the stubbed-codec
+    tier: n_frames output rows per video with deterministic
+    index/status and null timestamps (text can't carry an mvhd
+    duration). What the driver hash pins is the mapInPandas row
+    EXPLOSION and the tier dispatch; the FRM1 marker payload (binary)
+    stays out of the projection — its sha determinism is pytest-pinned
+    (test_video_frames.py). Rows whose text accidentally spells a GIF
+    magic are excluded on BOTH sides (none exist at any SF — the
+    filter makes the pair correct by construction, not by fixture
+    luck; 0xFF/0xD8 JPEG magic can't occur in UTF-8 text at all)."""
+    from ..operators.multimodal import sample_frame_pixels
+    m = media_from_documents(spark, sf_dir).filter(
+        ~F.col("payload").substr(1, 6).cast("string")
+         .isin("GIF87a", "GIF89a"))
+    return sample_frame_pixels(m, n_frames=4).select(
+        "media_id", "frame_idx", "frame_ts_ms", "width", "height",
+        "frame_status")
+
+
 QUERIES = {"media_features": q_media_features,
-           "media_resize": q_media_resize}
+           "media_resize": q_media_resize,
+           "media_frames": q_media_frames}
 
 # hex-pair → int without casts DuckDB lacks: positional lookup in the
 # hex alphabet (strpos is 1-based)
@@ -55,6 +78,18 @@ _HEXVAL = ("((strpos('0123456789abcdef', substr(sha, {a}, 1)) - 1) * 16"
            " + strpos('0123456789abcdef', substr(sha, {b}, 1)) - 1)")
 
 ORACLE = {
+    "media_frames": """
+WITH v AS (
+  SELECT doc_id AS media_id FROM documents
+  WHERE doc_id % 3 = 2
+    AND substr(text, 1, 6) NOT IN ('GIF87a', 'GIF89a')
+)
+SELECT media_id, CAST(i AS INT) AS frame_idx,
+       CAST(NULL AS BIGINT) AS frame_ts_ms,
+       CAST(NULL AS INT) AS width, CAST(NULL AS INT) AS height,
+       'stubbed-codec' AS frame_status
+FROM v, unnest(generate_series(0, 3)) AS t(i)
+""",
     "media_features": f"""
 WITH m AS (
   SELECT doc_id AS media_id,
