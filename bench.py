@@ -266,9 +266,7 @@ def main() -> int:
     for k, v in _calibration_probes(spark).items():
         timings[f"calibration:{k}_end"] = v
 
-    total = round(sum(t for k, t in timings.items()
-                      if t >= 0 and not k.startswith("calibration:")),
-                  2)
+    total = compute_total(timings)
 
     # The driver keeps only a finite stdout tail (~2000 chars), and the
     # full ~150-entry map no longer fits even fully compacted (r7's
@@ -302,6 +300,15 @@ def main() -> int:
     print(summary_line(timings, total, _sf_label(SF_DIR),
                        full_name=full_name, loadavg_start=loadavg_start))
     return 0
+
+
+def compute_total(timings: dict[str, float]) -> float:
+    """Sum of successful query+artifact walls. calibration:* probes
+    are EXCLUDED — they measure the host, not the repo, and including
+    them would shift `value` against every pre-r12 artifact."""
+    return round(sum(t for k, t in timings.items()
+                     if t >= 0 and not k.startswith("calibration:")),
+                 2)
 
 
 def _loadavg():

@@ -1286,10 +1286,10 @@ def _even_indices(total: int, k: int) -> list[int]:
 
 
 def decode_image_pixels(payload: bytes):
-    """Magic-dispatched full pixel decode: PNG, BMP, GIF and baseline
-    JPEG are all real; anything else (and non-baseline JPEG modes)
-    raises NotImplementedError so callers drop to the header-metadata
-    tier."""
+    """Magic-dispatched full pixel decode: PNG, BMP, GIF, baseline
+    JPEG and (r12) progressive JPEG are all real; anything else (and
+    the arithmetic/12-bit JPEG modes) raises NotImplementedError so
+    callers drop to the header-metadata tier."""
     if payload.startswith(b"\x89PNG\r\n\x1a\n"):
         return decode_png_pixels(payload)
     if payload[:2] == b"BM":

@@ -111,3 +111,12 @@ def test_bench_compare_divides_out_host_factor(tmp_path):
     assert [x[1] for x in regs2] == ["b"]
     # pre-probe artifact: factor is None, compare falls back to raw
     assert bc.calibration_factor({"a": 1.0}, {"a": 2.0}) is None
+
+
+def test_total_excludes_calibration_probes():
+    sys.path.insert(0, "/root/repo")
+    from bench import compute_total
+    t = {"q1": 1.5, "q2": 2.0, "broken": -1.0,
+         "calibration:jvm_hashagg": 0.9,
+         "calibration:numpy_matmul_end": 0.5}
+    assert compute_total(t) == 3.5

@@ -160,6 +160,13 @@ HEADLINE = [
      "r10: large/small-star rounds — per-u minima ride Window over "
      "the one (u) exchange (no groupBy+join-back), single explode "
      "emits move+parent edges, one distinct per round"),
+    ("embed_pca_frozen",
+     "r12: frozen-basis PCA projection — the 8x64 integer eigenbasis "
+     "rides the expression tree as literals (model-as-artifact), one "
+     "zero-shuffle map pass: the scan IS the plan"),
+    ("media_frames",
+     "r12: frame sampling — one MapInPandas Arrow crossing fanning "
+     "each video row out to n_frames rows, no shuffle anywhere"),
 ]
 
 _ADDR = re.compile(r"#\d+L?")
