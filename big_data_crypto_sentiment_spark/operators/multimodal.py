@@ -20,10 +20,12 @@ per-row unfiltering), uncompressed 24/32-bit BMP, GIF frames
 baseline JPEG (canonical Huffman entropy decode, dequant, 8×8 IDCT,
 YCbCr→RGB) all decode to REAL pixel arrays; resize runs a TRUE
 closed-form area-average resample and re-encodes as a spec-correct
-PNG (encode_png, CRC'd chunks). Progressive (SOF2) JPEG decodes for
-real too as of r12 (spectral selection + successive approximation,
-T.81 §G.2). Only arithmetic-coded / 12-bit / hierarchical JPEG,
-palette/16-bit/Adam7 PNG, and exotic BMP compressions stay
+PNG (encode_png, CRC'd chunks). r12 widens the decode surface:
+progressive (SOF2) JPEG (spectral selection + successive
+approximation, T.81 §G.2), palette PNG at depths 1/2/4/8 with tRNS
+alpha, and Adam7 interlacing all decode for real, and WebP / TIFF /
+FLAC gain header-metadata decodes. Only arithmetic-coded / 12-bit /
+hierarchical JPEG, 16-bit PNG, and exotic BMP compressions stay
 header-only, each behind a loud NotImplementedError tier.
 
 Video frames (r12): animated GIFs decode frame by frame with spec
@@ -81,6 +83,12 @@ def decode_media(payload: bytes, kind: str) -> dict:
            structure only, no entropy decoding.
       MP4  ISO-BMFF box walk: mvhd timescale/duration,
            tkhd 16.16-fixed presentation width/height.
+      WEBP RIFF chunk walk (r12): VP8X canvas / VP8 keyframe /
+           VP8L signature dims — all three stored forms.
+      TIFF IFD walk (r12): ImageWidth/ImageLength entries, both
+           byte orders, SHORT or LONG inline values.
+      FLAC STREAMINFO (r12): 20-bit sample rate + 36-bit total
+           samples from the mandatory first metadata block.
     Raises ValueError for a recognized magic with a truncated or
     malformed header ("corrupt"), NotImplementedError for anything
     else — callers fall back to the deterministic fake for those."""
@@ -117,12 +125,115 @@ def decode_media(payload: bytes, kind: str) -> dict:
             raise ValueError("WAV missing fmt/data chunk")
         return {"width": None, "height": None,
                 "duration_ms": data_size * 1000 // byte_rate}
+    if payload[:4] == b"fLaC":
+        return _decode_flac(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        return _decode_webp(payload)
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        return _decode_tiff(payload)
     if payload[:2] == b"\xff\xd8":
         return _decode_jpeg(payload)
     if len(payload) >= 12 and payload[4:8] == b"ftyp":
         return _decode_mp4(payload)
     raise NotImplementedError(
         f"no {kind} codec for magic {payload[:4]!r} in this environment")
+
+
+def _decode_flac(payload: bytes) -> dict:
+    """FLAC duration (r12): the spec-mandatory STREAMINFO metadata
+    block directly follows the fLaC magic; its last 8 bytes pack
+    sample_rate(20) ‖ channels-1(3) ‖ bps-1(5) ‖ total_samples(36),
+    big-endian. duration = total_samples / sample_rate. A zero sample
+    rate is spec-invalid; total_samples == 0 means 'unknown' and is
+    reported as a None duration (the container IS valid)."""
+    if len(payload) < 8 + 34:
+        raise ValueError("truncated FLAC STREAMINFO")
+    if payload[4] & 0x7F != 0:
+        raise ValueError("FLAC without leading STREAMINFO block")
+    body = payload[8:8 + 34]
+    u64 = int.from_bytes(body[10:18], "big")
+    sr = u64 >> 44
+    total = u64 & ((1 << 36) - 1)
+    if sr == 0:
+        raise ValueError("FLAC with zero sample rate")
+    return {"width": None, "height": None,
+            "duration_ms": total * 1000 // sr if total else None}
+
+
+def _decode_webp(payload: bytes) -> dict:
+    """WebP dimensions (r12) by RIFF chunk walk — all three stored
+    forms per the published container/bitstream specs:
+      VP8X extended header: 24-bit little-endian canvas width-1 /
+           height-1 at bytes 4/7 of the chunk;
+      VP8  lossy: the keyframe start code 9D 01 2A, then 14-bit
+           little-endian width/height;
+      VP8L lossless: signature 0x2F, then width-1 in bits 0-13 and
+           height-1 in bits 14-27 of the next 32 little-endian bits.
+    Structure walk only — no VP8 entropy data is touched."""
+    pos, n = 12, len(payload)
+    while pos + 8 <= n:
+        cid = payload[pos:pos + 4]
+        csz = int.from_bytes(payload[pos + 4:pos + 8], "little")
+        body = payload[pos + 8:pos + 8 + csz]
+        if len(body) != csz:
+            raise ValueError("truncated WebP chunk")
+        if cid == b"VP8X":
+            if csz < 10:
+                raise ValueError("truncated VP8X header")
+            w = int.from_bytes(body[4:7], "little") + 1
+            h = int.from_bytes(body[7:10], "little") + 1
+            return {"width": w, "height": h, "duration_ms": None}
+        if cid == b"VP8 ":
+            if csz < 10 or body[3:6] != b"\x9d\x01\x2a":
+                raise ValueError("VP8 keyframe start code missing")
+            w = int.from_bytes(body[6:8], "little") & 0x3FFF
+            h = int.from_bytes(body[8:10], "little") & 0x3FFF
+            return {"width": w, "height": h, "duration_ms": None}
+        if cid == b"VP8L":
+            if csz < 5 or body[0] != 0x2F:
+                raise ValueError("VP8L signature missing")
+            b32 = int.from_bytes(body[1:5], "little")
+            return {"width": (b32 & 0x3FFF) + 1,
+                    "height": ((b32 >> 14) & 0x3FFF) + 1,
+                    "duration_ms": None}
+        pos += 8 + csz + (csz & 1)             # RIFF word alignment
+    raise ValueError("WebP without a VP8/VP8L/VP8X chunk")
+
+
+def _decode_tiff(payload: bytes) -> dict:
+    """TIFF dimensions (r12) by IFD walk: endianness from the byte-
+    order mark, first IFD at the offset in the header, ImageWidth
+    (tag 256) / ImageLength (257) read as SHORT or LONG from the
+    left-justified inline value field. Covers EXIF-style TIFFs too
+    (same structure). Strip/tile payloads are never touched."""
+    if len(payload) < 8:
+        raise ValueError("truncated TIFF header")
+    bo = "little" if payload[:2] == b"II" else "big"
+    ifd = int.from_bytes(payload[4:8], bo)
+    if ifd + 2 > len(payload):
+        raise ValueError("TIFF IFD offset out of range")
+    nent = int.from_bytes(payload[ifd:ifd + 2], bo)
+    if ifd + 2 + 12 * nent > len(payload):
+        raise ValueError("truncated TIFF IFD")
+    width = height = None
+    for i in range(nent):
+        e = ifd + 2 + 12 * i
+        tag = int.from_bytes(payload[e:e + 2], bo)
+        typ = int.from_bytes(payload[e + 2:e + 4], bo)
+        if tag in (256, 257):
+            if typ == 3:                       # SHORT, left-justified
+                val = int.from_bytes(payload[e + 8:e + 10], bo)
+            elif typ == 4:                     # LONG
+                val = int.from_bytes(payload[e + 8:e + 12], bo)
+            else:
+                raise ValueError(f"TIFF dim tag with type {typ}")
+            if tag == 256:
+                width = val
+            else:
+                height = val
+    if width is None or height is None:
+        raise ValueError("TIFF without ImageWidth/ImageLength")
+    return {"width": width, "height": height, "duration_ms": None}
 
 
 def _decode_jpeg(payload: bytes) -> dict:
@@ -216,16 +327,101 @@ def _decode_mp4(payload: bytes) -> dict:
     return {"width": width, "height": height, "duration_ms": dur_ms}
 
 
+# Adam7 interlace passes: (x0, y0, dx, dy) — each pass is its own
+# independently-filtered sub-image (PNG spec §8.2)
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def _png_unfilter(raw: bytes, pos: int, width: int, height: int,
+                  bpp_bits: int):
+    """Unfilter one (sub)image: `height` scanlines of
+    ceil(width·bpp_bits/8) bytes, each prefixed by its filter-type
+    byte (none / sub / up / average / paeth exactly as PNG spec §9
+    defines them, modular-256). The filter's left-neighbor unit is
+    max(1, bpp_bits//8) BYTES (sub-byte depths filter bytewise).
+    Returns (rows (height, stride) uint8, new pos)."""
+    import numpy as np
+
+    stride = (width * bpp_bits + 7) // 8
+    fb = max(1, bpp_bits // 8)
+    out = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        ftype = raw[pos]
+        row = np.frombuffer(raw, np.uint8, stride, pos + 1).copy()
+        if ftype == 0:
+            pass
+        elif ftype == 2:                      # up: fully vectorized
+            row += prev                       # uint8 wrap == mod 256
+        elif ftype == 1:                      # sub
+            for x in range(fb, stride):
+                row[x] = (int(row[x]) + int(row[x - fb])) & 0xFF
+        elif ftype == 3:                      # average
+            for x in range(stride):
+                left = int(row[x - fb]) if x >= fb else 0
+                row[x] = (int(row[x])
+                          + (left + int(prev[x])) // 2) & 0xFF
+        elif ftype == 4:                      # paeth
+            for x in range(stride):
+                a = int(row[x - fb]) if x >= fb else 0
+                b = int(prev[x])
+                c = int(prev[x - fb]) if x >= fb else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) \
+                    else (b if pb <= pc else c)
+                row[x] = (int(row[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"PNG filter type {ftype}")
+        out[y] = row
+        prev = row
+        pos += 1 + stride
+    return out, pos
+
+
+def _png_rows_to_pixels(rows, width: int, height: int, depth: int,
+                        colour: int, plte, trns):
+    """Unfiltered scanline bytes → (height, width, out_ch) uint8:
+    direct reshape for the 8-bit colour types, MSB-first bit unpack +
+    palette (and optional tRNS alpha) lookup for colour type 3."""
+    import numpy as np
+
+    if colour != 3:
+        ch = {0: 1, 2: 3, 4: 2, 6: 4}[colour]
+        return rows[:, :width * ch].reshape(height, width, ch)
+    if depth == 8:
+        idx = rows[:, :width].astype(np.int64)
+    else:
+        bits = np.unpackbits(rows, axis=1)[:, :width * depth] \
+            .reshape(height, width, depth)
+        weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.int64)
+        idx = (bits.astype(np.int64) * weights).sum(axis=2)
+    if plte is None:
+        raise ValueError("palette PNG without a PLTE chunk")
+    if idx.max() >= len(plte):
+        raise ValueError("PNG palette index out of range")
+    rgb = plte[idx]
+    if trns is not None:
+        alpha = np.full(len(plte), 255, dtype=np.uint8)
+        alpha[:len(trns)] = np.frombuffer(trns, np.uint8)
+        return np.concatenate([rgb, alpha[idx][:, :, None]], axis=2)
+    return rgb
+
+
 def decode_png_pixels(payload: bytes):
-    """REAL PNG pixel decode, stdlib-only (r10 verdict #2): zlib
-    inflates the IDAT stream, then per-row unfiltering (none / sub /
-    up / average / paeth exactly as PNG spec §9 defines them, modular
-    256 arithmetic). Returns a (height, width, channels) uint8 numpy
-    array for 8-bit greyscale / grey+alpha / RGB / RGBA non-interlaced
-    images. Palette (colour type 3), 16-bit channels, and Adam7
-    interlacing raise NotImplementedError (callers fall back to the
-    header-metadata tier); structural damage — bad chunk CRC, missing
-    IDAT, inflated length mismatch — raises ValueError.
+    """REAL PNG pixel decode, stdlib-only: zlib inflates the IDAT
+    stream (bounded — a decompression bomb raises), per-scanline
+    unfiltering, then pixel assembly. Covers 8-bit greyscale /
+    grey+alpha / RGB / RGBA, palette (colour type 3) at depths
+    1/2/4/8 with optional tRNS alpha (r12), and Adam7 interlacing for
+    all of those (r12 — each pass unfilters independently and
+    scatters into the canvas). Returns (height, width, channels)
+    uint8 with channels ∈ {1, 2, 3, 4}. 16-bit channels stay
+    NotImplementedError (callers fall back to the header-metadata
+    tier); colour-key tRNS on non-palette images is ignored (the
+    pixels themselves are exact). Structural damage — bad chunk CRC,
+    missing IDAT/PLTE, inflated length mismatch — raises ValueError.
 
     Scale note: this is the no-dependency correctness path. The sub /
     average / paeth filters are sequential along a scanline by
@@ -243,6 +439,8 @@ def decode_png_pixels(payload: bytes):
     pos, n = 8, len(payload)
     ihdr = None
     idat = []
+    plte = None
+    trns = None
     while pos + 8 <= n:
         clen = int.from_bytes(payload[pos:pos + 4], "big")
         ctype = payload[pos + 4:pos + 8]
@@ -255,6 +453,12 @@ def decode_png_pixels(payload: bytes):
             raise ValueError(f"PNG chunk CRC mismatch in {ctype!r}")
         if ctype == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            if len(data) % 3 or not data:
+                raise ValueError("PNG PLTE length not a multiple of 3")
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS":
+            trns = data
         elif ctype == b"IDAT":
             idat.append(data)
         elif ctype == b"IEND":
@@ -265,22 +469,35 @@ def decode_png_pixels(payload: bytes):
     width, height, depth, colour, comp, filt, interlace = ihdr
     if comp != 0 or filt != 0:
         raise ValueError("PNG with nonstandard compression/filter")
-    if depth != 8 or colour not in (0, 2, 4, 6) or interlace != 0:
+    ok = (colour in (0, 2, 4, 6) and depth == 8) \
+        or (colour == 3 and depth in (1, 2, 4, 8))
+    if not ok or interlace not in (0, 1):
         raise NotImplementedError(
             f"PNG depth={depth} colour={colour} interlace={interlace} "
-            "outside the stdlib decode path (palette/16-bit/Adam7)")
+            "outside the stdlib decode path (16-bit channels)")
     if width == 0 or height == 0:
         # spec-invalid (PNG §11.2.2: zero dimensions are an error), and
         # a zero-size axis would crash area_resample with an exception
         # type the resize tiering doesn't catch (r11 ADVICE, medium) —
         # gate here exactly like the JPEG decoder does
         raise ValueError(f"PNG with zero dimension {width}x{height}")
-    ch = {0: 1, 2: 3, 4: 2, 6: 4}[colour]
     if width * height > _MAX_PIXELS:
         raise ValueError(
             f"PNG dimensions {width}x{height} over the decode cap")
-    stride = width * ch
-    expected = height * (1 + stride)
+    samples = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[colour]
+    bpp_bits = depth * samples
+
+    if interlace == 0:
+        passes = [(0, 0, 1, 1, width, height)]
+    else:
+        passes = []
+        for x0, y0, dx, dy in _ADAM7:
+            wp = (width - x0 + dx - 1) // dx
+            hp = (height - y0 + dy - 1) // dy
+            if wp > 0 and hp > 0:              # empty passes carry no
+                passes.append((x0, y0, dx, dy, wp, hp))  # bytes at all
+    expected = sum(hp * (1 + (wp * bpp_bits + 7) // 8)
+                   for *_, wp, hp in passes)
     try:
         # bounded inflate: a decompression bomb must raise, not OOM
         # the executor — cap at the exact expected plus one probe byte
@@ -290,40 +507,22 @@ def decode_png_pixels(payload: bytes):
         raise ValueError(f"PNG IDAT inflate failed: {e}") from e
     if len(raw) != expected:       # oversize inflates to expected+1
         raise ValueError("PNG inflated length mismatch")
-    out = np.empty((height, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.uint8)
+
+    if interlace == 0:
+        rows, _ = _png_unfilter(raw, 0, width, height, bpp_bits)
+        return np.ascontiguousarray(
+            _png_rows_to_pixels(rows, width, height, depth, colour,
+                                plte, trns))
+    out_ch = {0: 1, 2: 3, 4: 2, 6: 4}.get(colour) \
+        or (4 if trns is not None else 3)
+    full = np.zeros((height, width, out_ch), dtype=np.uint8)
     pos = 0
-    for y in range(height):
-        ftype = raw[pos]
-        row = np.frombuffer(raw, np.uint8, stride, pos + 1).copy()
-        if ftype == 0:
-            pass
-        elif ftype == 2:                      # up: fully vectorized
-            row += prev                       # uint8 wrap == mod 256
-        elif ftype == 1:                      # sub
-            for x in range(ch, stride):
-                row[x] = (int(row[x]) + int(row[x - ch])) & 0xFF
-        elif ftype == 3:                      # average
-            for x in range(stride):
-                left = int(row[x - ch]) if x >= ch else 0
-                row[x] = (int(row[x])
-                          + (left + int(prev[x])) // 2) & 0xFF
-        elif ftype == 4:                      # paeth
-            for x in range(stride):
-                a = int(row[x - ch]) if x >= ch else 0
-                b = int(prev[x])
-                c = int(prev[x - ch]) if x >= ch else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) \
-                    else (b if pb <= pc else c)
-                row[x] = (int(row[x]) + pred) & 0xFF
-        else:
-            raise ValueError(f"PNG filter type {ftype}")
-        out[y] = row
-        prev = row
-        pos += 1 + stride
-    return out.reshape(height, width, ch)
+    for x0, y0, dx, dy, wp, hp in passes:
+        rows, pos = _png_unfilter(raw, pos, wp, hp, bpp_bits)
+        px = _png_rows_to_pixels(rows, wp, hp, depth, colour, plte,
+                                 trns)
+        full[y0::dy, x0::dx] = px
+    return full
 
 
 def decode_bmp_pixels(payload: bytes):
@@ -1437,9 +1636,10 @@ def resize_images(df: DataFrame, max_dim: int = 224,
     * ``passthrough`` — pixel-decodes but already fits max_dim: the
       original payload rides through untouched.
     * ``decoded-dims`` — only the container HEADER decodes
-      (arithmetic-coded / 12-bit JPEG, plus structurally-damaged
-      PNG/BMP/GIF/JPEG): real dims, deterministic
-      ``RSZ1 ‖ big-endian (w, h) ‖ sha256(source)`` marker payload.
+      (arithmetic-coded / 12-bit JPEG, 16-bit PNG, WebP/TIFF, plus
+      structurally-damaged PNG/BMP/GIF/JPEG): real dims,
+      deterministic ``RSZ1 ‖ big-endian (w, h) ‖ sha256(source)``
+      marker payload.
     * ``fake-dims`` — unknown magic (or a dimensionless container
       mislabeled as image): hash-derived pseudo-dims + marker payload.
 

@@ -411,7 +411,8 @@ def test_png_decode_rejects_corruption_and_gates_unsupported():
     bad[idat_at] ^= 0xFF
     with _pytest.raises(ValueError):
         decode_png_pixels(bytes(bad))
-    # palette PNG (colour type 3) -> NotImplementedError (header tier)
+    # palette PNG decodes for real as of r12 — but one WITHOUT a PLTE
+    # chunk is structurally invalid -> ValueError (corrupt tier)
     def chunk(ctype, data):
         return (struct.pack(">I", len(data)) + ctype + data
                 + struct.pack(">I", zlib.crc32(ctype + data)))
@@ -419,8 +420,16 @@ def test_png_decode_rejects_corruption_and_gates_unsupported():
            + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
            + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00\x00\x00\x00"))
            + chunk(b"IEND", b""))
-    with _pytest.raises(NotImplementedError):
+    with _pytest.raises(ValueError):
         decode_png_pixels(pal)
+    # 16-bit channels remain the gated header tier
+    deep = (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 2,
+                                         0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 26))
+            + chunk(b"IEND", b""))
+    with _pytest.raises(NotImplementedError):
+        decode_png_pixels(deep)
 
 
 def test_png_encode_decode_roundtrip_bit_exact():
