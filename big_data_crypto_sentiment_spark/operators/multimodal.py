@@ -22,11 +22,13 @@ YCbCr→RGB) all decode to REAL pixel arrays; resize runs a TRUE
 closed-form area-average resample and re-encodes as a spec-correct
 PNG (encode_png, CRC'd chunks). r12 widens the decode surface:
 progressive (SOF2) JPEG (spectral selection + successive
-approximation, T.81 §G.2), palette PNG at depths 1/2/4/8 with tRNS
-alpha, and Adam7 interlacing all decode for real, and WebP / TIFF /
-FLAC gain header-metadata decodes. Only arithmetic-coded / 12-bit /
-hierarchical JPEG, 16-bit PNG, and exotic BMP compressions stay
-header-only, each behind a loud NotImplementedError tier.
+approximation, T.81 §G.2), the FULL legal PNG matrix (palette at
+depths 1/2/4/8 with tRNS alpha, sub-8-bit and 16-bit greyscale,
+16-bit truecolour, Adam7 interlacing for everything), BMP
+palette-indexed 1/4/8-bit and BI_RLE8, and WebP / TIFF / FLAC
+header-metadata decodes. Only arithmetic-coded / 12-bit /
+hierarchical JPEG, BMP BI_RLE4/BI_BITFIELDS, and true video codecs
+stay behind loud NotImplementedError tiers.
 
 Video frames (r12): animated GIFs decode frame by frame with spec
 disposal/transparency coalescing against the logical screen
@@ -380,23 +382,44 @@ def _png_unfilter(raw: bytes, pos: int, width: int, height: int,
     return out, pos
 
 
+def _png_unpack_sub8(rows, width: int, height: int, depth: int):
+    """MSB-first sub-byte sample unpack: (height, width) int64."""
+    import numpy as np
+
+    bits = np.unpackbits(rows, axis=1)[:, :width * depth] \
+        .reshape(height, width, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.int64)
+    return (bits.astype(np.int64) * weights).sum(axis=2)
+
+
 def _png_rows_to_pixels(rows, width: int, height: int, depth: int,
                         colour: int, plte, trns):
     """Unfiltered scanline bytes → (height, width, out_ch) uint8:
-    direct reshape for the 8-bit colour types, MSB-first bit unpack +
-    palette (and optional tRNS alpha) lookup for colour type 3."""
+    direct reshape for the 8-bit colour types; big-endian high byte
+    for 16-bit samples (the standard 16→8 strip); MSB-first bit
+    unpack + max-value rescale for sub-8-bit greyscale; MSB-first bit
+    unpack + palette (and optional tRNS alpha) lookup for colour
+    type 3."""
     import numpy as np
 
     if colour != 3:
         ch = {0: 1, 2: 3, 4: 2, 6: 4}[colour]
-        return rows[:, :width * ch].reshape(height, width, ch)
+        if depth == 8:
+            return rows[:, :width * ch].reshape(height, width, ch)
+        if depth == 16:
+            # big-endian sample pairs: the HIGH byte is every even
+            # offset — identical to v >> 8
+            return rows[:, :width * ch * 2].reshape(
+                height, width, ch, 2)[:, :, :, 0]
+        # sub-8-bit greyscale (colour 0 only per spec): scale to the
+        # full 8-bit range (255 / (2^depth - 1) is exact for 1/2/4)
+        g = _png_unpack_sub8(rows, width, height, depth)
+        return (g * (255 // ((1 << depth) - 1))) \
+            .astype(np.uint8)[:, :, None]
     if depth == 8:
         idx = rows[:, :width].astype(np.int64)
     else:
-        bits = np.unpackbits(rows, axis=1)[:, :width * depth] \
-            .reshape(height, width, depth)
-        weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.int64)
-        idx = (bits.astype(np.int64) * weights).sum(axis=2)
+        idx = _png_unpack_sub8(rows, width, height, depth)
     if plte is None:
         raise ValueError("palette PNG without a PLTE chunk")
     if idx.max() >= len(plte):
@@ -412,16 +435,17 @@ def _png_rows_to_pixels(rows, width: int, height: int, depth: int,
 def decode_png_pixels(payload: bytes):
     """REAL PNG pixel decode, stdlib-only: zlib inflates the IDAT
     stream (bounded — a decompression bomb raises), per-scanline
-    unfiltering, then pixel assembly. Covers 8-bit greyscale /
-    grey+alpha / RGB / RGBA, palette (colour type 3) at depths
-    1/2/4/8 with optional tRNS alpha (r12), and Adam7 interlacing for
-    all of those (r12 — each pass unfilters independently and
-    scatters into the canvas). Returns (height, width, channels)
-    uint8 with channels ∈ {1, 2, 3, 4}. 16-bit channels stay
-    NotImplementedError (callers fall back to the header-metadata
-    tier); colour-key tRNS on non-palette images is ignored (the
-    pixels themselves are exact). Structural damage — bad chunk CRC,
-    missing IDAT/PLTE, inflated length mismatch — raises ValueError.
+    unfiltering, then pixel assembly. Covers the FULL spec matrix as
+    of r12: greyscale at depths 1/2/4/8/16 (sub-byte samples rescale
+    to 8-bit, 16-bit samples strip to their high byte), grey+alpha /
+    RGB / RGBA at 8/16, palette (colour type 3) at 1/2/4/8 with
+    optional tRNS alpha, and Adam7 interlacing for all of those (each
+    pass unfilters independently and scatters into the canvas).
+    Returns (height, width, channels) uint8 with channels ∈
+    {1, 2, 3, 4}. Colour-key tRNS on non-palette images is ignored
+    (the pixels themselves are exact). Structural damage — bad chunk
+    CRC, missing IDAT/PLTE, inflated length mismatch, an illegal
+    depth/colour combination — raises ValueError.
 
     Scale note: this is the no-dependency correctness path. The sub /
     average / paeth filters are sequential along a scanline by
@@ -469,12 +493,15 @@ def decode_png_pixels(payload: bytes):
     width, height, depth, colour, comp, filt, interlace = ihdr
     if comp != 0 or filt != 0:
         raise ValueError("PNG with nonstandard compression/filter")
-    ok = (colour in (0, 2, 4, 6) and depth == 8) \
+    # the FULL spec matrix decodes as of r12 (PNG §11.2.2's legal
+    # depth/colour combinations); anything outside it is spec-invalid
+    ok = (colour in (2, 4, 6) and depth in (8, 16)) \
+        or (colour == 0 and depth in (1, 2, 4, 8, 16)) \
         or (colour == 3 and depth in (1, 2, 4, 8))
     if not ok or interlace not in (0, 1):
-        raise NotImplementedError(
+        raise ValueError(
             f"PNG depth={depth} colour={colour} interlace={interlace} "
-            "outside the stdlib decode path (16-bit channels)")
+            "is not a legal spec combination")
     if width == 0 or height == 0:
         # spec-invalid (PNG §11.2.2: zero dimensions are an error), and
         # a zero-size axis would crash area_resample with an exception
@@ -525,12 +552,66 @@ def decode_png_pixels(payload: bytes):
     return full
 
 
+def _bmp_palette(payload: bytes, bits: int):
+    """Color table after the BITMAPINFOHEADER: biClrUsed entries
+    (0 → 2^bits), 4 bytes each, stored BGRx → returned (n, 3) RGB."""
+    import numpy as np
+
+    bi_size = int.from_bytes(payload[14:18], "little")
+    n = int.from_bytes(payload[46:50], "little") or (1 << bits)
+    at = 14 + bi_size
+    if at + 4 * n > len(payload):
+        raise ValueError("truncated BMP color table")
+    tbl = np.frombuffer(payload, np.uint8, 4 * n, at).reshape(n, 4)
+    return np.ascontiguousarray(tbl[:, [2, 1, 0]])
+
+
+def _bmp_rle8(payload: bytes, data_off: int, width: int,
+              height: int):
+    """BI_RLE8 decode (the spec's encoded / absolute / escape modes)
+    into a bottom-up (height, width) index raster."""
+    import numpy as np
+
+    idx = np.zeros((height, width), dtype=np.int64)
+    x = y = 0
+    p, n = data_off, len(payload)
+    while p + 2 <= n:
+        c, v = payload[p], payload[p + 1]
+        p += 2
+        if c > 0:                              # encoded run
+            if y >= height or x + c > width:
+                raise ValueError("BMP RLE8 run outside the bitmap")
+            idx[y, x:x + c] = v
+            x += c
+        elif v == 0:                           # end of line
+            x, y = 0, y + 1
+        elif v == 1:                           # end of bitmap
+            return idx
+        elif v == 2:                           # delta
+            if p + 2 > n:
+                raise ValueError("truncated BMP RLE8 delta")
+            x += payload[p]
+            y += payload[p + 1]
+            p += 2
+        else:                                  # absolute mode: v bytes
+            if p + v > n:
+                raise ValueError("truncated BMP RLE8 literals")
+            if y >= height or x + v > width:
+                raise ValueError("BMP RLE8 literals outside the bitmap")
+            idx[y, x:x + v] = np.frombuffer(payload, np.uint8, v, p)
+            x += v
+            p += v + (v & 1)                   # word-aligned
+    raise ValueError("BMP RLE8 without an end-of-bitmap code")
+
+
 def decode_bmp_pixels(payload: bytes):
-    """REAL BMP pixel decode (uncompressed BI_RGB, 24/32-bit
-    BITMAPINFOHEADER): rows are 4-byte aligned, bottom-up unless the
-    height is negative, channel order BGR(A) → returned RGB(A).
-    Returns (height, width, channels) uint8. Other bit depths or
-    compressions raise NotImplementedError; truncated pixel data
+    """REAL BMP pixel decode (BITMAPINFOHEADER family): uncompressed
+    24/32-bit BGR(A), palette-indexed 1/4/8-bit (MSB-first packing,
+    color table after the header — r12), and BI_RLE8 run-length
+    8-bit (r12). Rows are 4-byte aligned, bottom-up unless the height
+    is negative (RLE is always bottom-up per spec). Returns (height,
+    width, channels) uint8 RGB(A). 16-bit (BI_BITFIELDS) and RLE4
+    stay NotImplementedError; truncated or out-of-bounds pixel data
     raises ValueError."""
     import numpy as np
 
@@ -543,16 +624,49 @@ def decode_bmp_pixels(payload: bytes):
     h = int.from_bytes(payload[22:26], "little", signed=True)
     bits = int.from_bytes(payload[28:30], "little")
     compression = int.from_bytes(payload[30:34], "little")
-    if compression != 0 or bits not in (24, 32):
+    supported = (compression == 0 and bits in (1, 4, 8, 24, 32)) \
+        or (compression == 1 and bits == 8)
+    if not supported:
         raise NotImplementedError(
             f"BMP bits={bits} compression={compression} outside the "
             "stdlib decode path")
-    ch = bits // 8
     width, height = abs(w), abs(h)
     if width == 0 or height == 0:
         # same zero-dimension gate as PNG/JPEG (r11 ADVICE): spec-
         # invalid, and downstream resample can't take a zero-size axis
         raise ValueError(f"BMP with zero dimension {width}x{height}")
+    if width * height > _MAX_PIXELS:
+        raise ValueError(
+            f"BMP dimensions {width}x{height} over the decode cap")
+
+    if compression == 1:                       # RLE8: palette indexed
+        pal = _bmp_palette(payload, bits)
+        idx = _bmp_rle8(payload, data_off, width, height)
+        if idx.max() >= len(pal):
+            raise ValueError("BMP palette index out of range")
+        return np.ascontiguousarray(pal[idx][::-1])  # bottom-up
+
+    if bits in (1, 4, 8):                      # uncompressed palette
+        pal = _bmp_palette(payload, bits)
+        row_bytes = ((width * bits + 31) // 32) * 4
+        need = data_off + row_bytes * height
+        if len(payload) < need:
+            raise ValueError("truncated BMP pixel data")
+        rows = np.frombuffer(payload, np.uint8, row_bytes * height,
+                             data_off).reshape(height, row_bytes)
+        if bits == 8:
+            idx = rows[:, :width].astype(np.int64)
+        else:
+            b = np.unpackbits(rows, axis=1)[:, :width * bits] \
+                .reshape(height, width, bits)
+            wts = (1 << np.arange(bits - 1, -1, -1)).astype(np.int64)
+            idx = (b.astype(np.int64) * wts).sum(axis=2)
+        if idx.max() >= len(pal):
+            raise ValueError("BMP palette index out of range")
+        img = pal[idx]
+        return np.ascontiguousarray(img[::-1] if h > 0 else img)
+
+    ch = bits // 8
     row_bytes = (width * ch + 3) & ~3
     need = data_off + row_bytes * height
     if len(payload) < need:
@@ -1636,8 +1750,8 @@ def resize_images(df: DataFrame, max_dim: int = 224,
     * ``passthrough`` — pixel-decodes but already fits max_dim: the
       original payload rides through untouched.
     * ``decoded-dims`` — only the container HEADER decodes
-      (arithmetic-coded / 12-bit JPEG, 16-bit PNG, WebP/TIFF, plus
-      structurally-damaged PNG/BMP/GIF/JPEG): real dims,
+      (arithmetic-coded / 12-bit JPEG, RLE4/bitfields BMP, WebP/TIFF,
+      plus structurally-damaged PNG/BMP/GIF/JPEG): real dims,
       deterministic ``RSZ1 ‖ big-endian (w, h) ‖ sha256(source)``
       marker payload.
     * ``fake-dims`` — unknown magic (or a dimensionless container

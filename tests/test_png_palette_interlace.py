@@ -132,14 +132,49 @@ def test_adam7_interlaced_rgb_png():
     assert (got == img).all()
 
 
-def test_16bit_png_still_gated():
+def test_16bit_png_decodes_high_bytes():
+    """16-bit RGB: big-endian sample pairs strip to the high byte
+    (libpng's strip_16)."""
+    rng = np.random.default_rng(3)
+    img16 = rng.integers(0, 1 << 16, size=(3, 4, 3)).astype(">u2")
+    raw = b"".join(b"\x00" + img16[y].tobytes() for y in range(3))
     payload = (b"\x89PNG\r\n\x1a\n"
-               + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 2,
+               + _chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 3, 16, 2,
                                              0, 0, 0))
-               + _chunk(b"IDAT", zlib.compress(b"\x00" * 26))
+               + _chunk(b"IDAT", zlib.compress(raw))
                + _chunk(b"IEND", b""))
-    with pytest.raises(NotImplementedError):
-        decode_png_pixels(payload)
+    got = decode_png_pixels(payload)
+    assert got.shape == (3, 4, 3)
+    assert (got == (img16 >> 8).astype(np.uint8)).all()
+
+
+def test_sub8_greyscale_png_rescales_to_full_range():
+    """Depth-2 greyscale: samples 0..3 map to 0/85/170/255."""
+    g = np.array([[0, 1, 2, 3, 3], [3, 2, 1, 0, 0],
+                  [1, 1, 2, 2, 0]])
+    raw = b"".join(b"\x00" + _pack_row(row, 2) for row in g)
+    payload = (b"\x89PNG\r\n\x1a\n"
+               + _chunk(b"IHDR", struct.pack(">IIBBBBB", 5, 3, 2, 0,
+                                             0, 0, 0))
+               + _chunk(b"IDAT", zlib.compress(raw))
+               + _chunk(b"IEND", b""))
+    got = decode_png_pixels(payload)
+    assert got.shape == (3, 5, 1)
+    assert (got[:, :, 0] == g * 85).all()
+
+
+def test_illegal_depth_colour_combo_is_corrupt():
+    # depth 2 truecolour and depth 16 palette are not legal spec
+    # combinations -> ValueError (corrupt), never a wrong decode
+    for depth, colour in ((2, 2), (16, 3)):
+        payload = (b"\x89PNG\r\n\x1a\n"
+                   + _chunk(b"IHDR",
+                            struct.pack(">IIBBBBB", 2, 2, depth,
+                                        colour, 0, 0, 0))
+                   + _chunk(b"IDAT", zlib.compress(b"\x00" * 16))
+                   + _chunk(b"IEND", b""))
+        with pytest.raises(ValueError):
+            decode_png_pixels(payload)
 
 
 def _webp(chunks):
@@ -235,3 +270,87 @@ def test_flac_streaminfo_duration():
         decode_media(flac(0, 1000), "audio")       # zero sample rate
     with pytest.raises(ValueError):
         decode_media(b"fLaC\x80" + b"\x00" * 10, "audio")  # truncated
+
+
+def _bmp(width, height, bits, rows_bytes, palette=None,
+         compression=0, pixel_bytes=None, clr_used=None):
+    """Spec-forward BITMAPINFOHEADER builder. rows_bytes = raw pixel
+    area (already aligned) for uncompressed; pixel_bytes overrides it
+    for RLE streams. biClrUsed declares the stored palette size
+    (0 would mean the full 2^bits table)."""
+    pal = b""
+    if palette is not None:
+        pal = b"".join(bytes((b, g, r, 0)) for r, g, b in palette)
+        if clr_used is None:
+            clr_used = len(palette)
+    clr_used = clr_used or 0
+    data = pixel_bytes if pixel_bytes is not None else rows_bytes
+    data_off = 14 + 40 + len(pal)
+    hdr = (b"BM" + struct.pack("<IHHI", data_off + len(data), 0, 0,
+                               data_off)
+           + struct.pack("<IiiHHIIiiII", 40, width, height, 1, bits,
+                         compression, len(data), 0, 0, clr_used, 0))
+    return hdr + pal + data
+
+
+def test_bmp_8bit_palette_bottom_up():
+    from big_data_crypto_sentiment_spark.operators.multimodal import (
+        decode_bmp_pixels,
+    )
+    # 3x2, row stride 4 (3 + 1 pad); file rows bottom-up
+    rows = bytes([3, 4, 5, 0]) + bytes([0, 1, 2, 0])  # bottom, top
+    p = _bmp(3, 2, 8, rows, palette=PAL)
+    got = decode_bmp_pixels(p)
+    want = np.array(PAL, np.uint8)[np.array([[0, 1, 2], [3, 4, 5]])]
+    assert (got == want).all()
+    # out-of-range index -> corrupt
+    bad = _bmp(3, 2, 8, rows, palette=PAL[:4])
+    with pytest.raises(ValueError):
+        decode_bmp_pixels(bad)
+
+
+def test_bmp_4bit_and_1bit_palette():
+    from big_data_crypto_sentiment_spark.operators.multimodal import (
+        decode_bmp_pixels,
+    )
+    # 4-bit, 3x1: indices 7,0,2 -> nibbles 70 20, padded to 4 bytes
+    p4 = _bmp(3, 1, 4, bytes([0x70, 0x20, 0, 0]), palette=PAL)
+    got = decode_bmp_pixels(p4)
+    assert (got[0] == np.array(PAL, np.uint8)[[7, 0, 2]]).all()
+    # 1-bit, 10x1: bits 1010101010 -> 0xAA 0x80, padded
+    p1 = _bmp(10, 1, 1, bytes([0xAA, 0x80, 0, 0]), palette=PAL[:2])
+    got = decode_bmp_pixels(p1)
+    want = np.array(PAL[:2], np.uint8)[[1, 0] * 5]
+    assert (got[0] == want).all()
+
+
+def test_bmp_rle8_runs_absolute_delta_eol():
+    from big_data_crypto_sentiment_spark.operators.multimodal import (
+        decode_bmp_pixels,
+    )
+    # 6x3 canvas. Bottom row: run of 4 index 1, then 2 index 2, EOL.
+    # Middle row: absolute mode 3 literals [3,4,5] (padded), delta
+    # (+2,+1) -> skips to top row x=5, run 1 of index 6, EOB.
+    rle = (bytes([4, 1, 2, 2, 0, 0])            # runs + EOL
+           + bytes([0, 3, 3, 4, 5, 0])          # absolute 3 + pad
+           + bytes([0, 2, 2, 1])                # delta +2 x, +1 y
+           + bytes([1, 6])                      # run 1 of idx 6
+           + bytes([0, 1]))                     # end of bitmap
+    p = _bmp(6, 3, 8, b"", palette=PAL, compression=1,
+             pixel_bytes=rle)
+    got = decode_bmp_pixels(p)
+    pal = np.array(PAL, np.uint8)
+    # file y=0 is the BOTTOM row; undisturbed cells are index 0
+    assert (got[2] == pal[[1, 1, 1, 1, 2, 2]]).all()      # bottom
+    assert (got[1] == pal[[3, 4, 5, 0, 0, 0]]).all()      # middle
+    assert (got[0] == pal[[0, 0, 0, 0, 0, 6]]).all()      # top
+    # RLE4 stays gated
+    p4 = _bmp(4, 1, 4, b"", palette=PAL, compression=2,
+              pixel_bytes=bytes([0, 1]))
+    with pytest.raises(NotImplementedError):
+        decode_bmp_pixels(p4)
+    # truncated RLE stream (no EOB) -> corrupt
+    p_bad = _bmp(6, 3, 8, b"", palette=PAL, compression=1,
+                 pixel_bytes=bytes([4, 1]))
+    with pytest.raises(ValueError):
+        decode_bmp_pixels(p_bad)

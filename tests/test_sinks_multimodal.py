@@ -422,13 +422,15 @@ def test_png_decode_rejects_corruption_and_gates_unsupported():
            + chunk(b"IEND", b""))
     with _pytest.raises(ValueError):
         decode_png_pixels(pal)
-    # 16-bit channels remain the gated header tier
+    # an illegal depth/colour combination (depth 2 truecolour) is
+    # spec-invalid -> ValueError (the full LEGAL matrix decodes as of
+    # r12 — see test_png_palette_interlace.py)
     deep = (b"\x89PNG\r\n\x1a\n"
-            + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 2,
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 2, 2,
                                          0, 0, 0))
             + chunk(b"IDAT", zlib.compress(b"\x00" * 26))
             + chunk(b"IEND", b""))
-    with _pytest.raises(NotImplementedError):
+    with _pytest.raises(ValueError):
         decode_png_pixels(deep)
 
 
