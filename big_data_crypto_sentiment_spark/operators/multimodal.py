@@ -32,12 +32,14 @@ stay behind loud NotImplementedError tiers.
 
 Video frames (r12): animated GIFs decode frame by frame with spec
 disposal/transparency coalescing against the logical screen
-(decode_gif_frames), MJPEG streams split into per-image spans and run
-the real baseline-JPEG decoder (decode_video_frames), and
+(decode_gif_frames), MJPEG — bare streams AND inside AVI (real
+per-frame timestamps from the avih interval) — splits into per-image
+spans through the real JPEG decoder (decode_video_frames), and
 sample_frame_pixels ships evenly-sampled frames as real PNGs through
 mapInPandas. True video codecs (MP4/H.264...) are the one remaining
-loud tier — their container metadata (duration, track dims) still
-decodes, so the stubbed-codec tier carries REAL frame timestamps.
+loud tier — their container metadata (duration, track dims; AVI avih
+included) still decodes, so the stubbed-codec tier carries REAL frame
+timestamps.
 
 Scale notes: mapInPandas streams Arrow batches — payload bytes never
 materialize as a full-partition list; batch size is bounded by
@@ -129,6 +131,8 @@ def decode_media(payload: bytes, kind: str) -> dict:
                 "duration_ms": data_size * 1000 // byte_rate}
     if payload[:4] == b"fLaC":
         return _decode_flac(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        return _decode_avi(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
         return _decode_webp(payload)
     if payload[:4] in (b"II*\x00", b"MM\x00*"):
@@ -139,6 +143,41 @@ def decode_media(payload: bytes, kind: str) -> dict:
         return _decode_mp4(payload)
     raise NotImplementedError(
         f"no {kind} codec for magic {payload[:4]!r} in this environment")
+
+
+def _decode_avi(payload: bytes) -> dict:
+    """AVI metadata (r12): the hdrl LIST's avih main header carries
+    dwMicroSecPerFrame (offset 0), dwTotalFrames (16) and the frame
+    dwWidth/dwHeight (32/36) — duration = frames × interval. RIFF
+    structure walk only."""
+    pos, n = 12, len(payload)
+    stack = [(pos, n)]
+    while stack:
+        lo, hi = stack.pop()
+        pos = lo
+        while pos + 8 <= hi:
+            cid = payload[pos:pos + 4]
+            csz = int.from_bytes(payload[pos + 4:pos + 8], "little")
+            body = pos + 8
+            if body + csz > hi:
+                raise ValueError("truncated AVI chunk")
+            if cid == b"LIST" and payload[body:body + 4] == b"hdrl":
+                stack.append((body + 4, body + csz))
+            elif cid == b"avih":
+                if csz < 40:
+                    raise ValueError("truncated avih")
+                usec = int.from_bytes(payload[body:body + 4], "little")
+                frames = int.from_bytes(payload[body + 16:body + 20],
+                                        "little")
+                w = int.from_bytes(payload[body + 32:body + 36],
+                                   "little")
+                h = int.from_bytes(payload[body + 36:body + 40],
+                                   "little")
+                dur = frames * usec // 1000 if usec and frames else None
+                return {"width": w or None, "height": h or None,
+                        "duration_ms": dur}
+            pos = body + csz + (csz & 1)
+    raise ValueError("AVI without an avih header")
 
 
 def _decode_flac(payload: bytes) -> dict:
@@ -1555,6 +1594,52 @@ def _jpeg_frame_spans(payload: bytes) -> list[tuple[int, int]]:
     return spans
 
 
+def _avi_mjpeg_frames(payload: bytes):
+    """MJPEG-in-AVI (the common container form): RIFF walk to the
+    `hdrl` LIST's `avih` header (dwMicroSecPerFrame at its first
+    dword) and the `movi` LIST's `##dc`/`##db` video chunks, each a
+    complete JPEG image. Returns (spans, frame_interval_ms). Only
+    JPEG-compressed video chunks are accepted — a chunk without an
+    SOI is some other codec and raises NotImplementedError (the loud
+    true-codec tier); structural damage raises ValueError."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise NotImplementedError("not an AVI")
+    usec_per_frame = None
+    spans: list[tuple[int, int]] = []
+    n = len(payload)
+
+    def walk(lo: int, hi: int):
+        nonlocal usec_per_frame
+        pos = lo
+        while pos + 8 <= hi:
+            cid = payload[pos:pos + 4]
+            csz = int.from_bytes(payload[pos + 4:pos + 8], "little")
+            body = pos + 8
+            if body + csz > hi:
+                raise ValueError("truncated AVI chunk")
+            if cid == b"LIST":
+                ltype = payload[body:body + 4]
+                if ltype in (b"hdrl", b"movi", b"rec "):
+                    walk(body + 4, body + csz)
+            elif cid == b"avih":
+                if csz < 4:
+                    raise ValueError("truncated avih")
+                usec_per_frame = int.from_bytes(
+                    payload[body:body + 4], "little")
+            elif len(cid) == 4 and cid[2:4] in (b"dc", b"db"):
+                if csz >= 2 and payload[body:body + 2] != b"\xff\xd8":
+                    raise NotImplementedError(
+                        "AVI video chunk is not MJPEG")
+                spans.append((body, body + csz))
+            pos = body + csz + (csz & 1)       # word alignment
+
+    walk(12, n)
+    if not spans:
+        raise ValueError("AVI without video chunks")
+    ms = (usec_per_frame // 1000) if usec_per_frame else None
+    return spans, ms
+
+
 def decode_video_frames(payload: bytes, n_frames: int = 4):
     """REAL video-frame decode for the codec-free stream forms (r11
     verdict #2 — the last sample_frames stub retired for these):
@@ -1562,9 +1647,12 @@ def decode_video_frames(payload: bytes, n_frames: int = 4):
       * animated GIF — decode_gif_frames composes every stored frame
         (disposal + transparency against the logical screen), frame
         timestamps from the cumulative GCE delays;
-      * MJPEG — the stream splits into per-image spans
+      * MJPEG-in-AVI — the RIFF walk finds the movi video chunks
+        (each one a complete JPEG) and the avih frame interval, so
+        sampled frames carry REAL timestamps;
+      * bare MJPEG — the stream splits into per-image spans
         (_jpeg_frame_spans) and each sampled span runs the real
-        baseline-JPEG decoder; raw MJPEG carries no timing, so
+        JPEG decoder; a raw stream carries no timing, so
         timestamps are None.
 
     Returns (frames, ts_ms): up to n_frames evenly-spaced
@@ -1580,6 +1668,13 @@ def decode_video_frames(payload: bytes, n_frames: int = 4):
             t += d
         pick = _even_indices(len(frames), n_frames)
         return [frames[i] for i in pick], [ts[i] for i in pick]
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        spans, interval = _avi_mjpeg_frames(payload)
+        pick = _even_indices(len(spans), n_frames)
+        out = [decode_jpeg_pixels(payload[spans[i][0]:spans[i][1]])
+               for i in pick]
+        ts = [i * interval if interval else None for i in pick]
+        return out, ts
     if payload[:2] == b"\xff\xd8":
         spans = _jpeg_frame_spans(payload)
         pick = _even_indices(len(spans), n_frames)
