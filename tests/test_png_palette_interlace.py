@@ -354,3 +354,35 @@ def test_bmp_rle8_runs_absolute_delta_eol():
                  pixel_bytes=bytes([4, 1]))
     with pytest.raises(ValueError):
         decode_bmp_pixels(p_bad)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(h=st.integers(1, 12), w=st.integers(1, 12),
+       depth=st.sampled_from([1, 2, 4, 8]),
+       interlace=st.booleans(), seed=st.integers(0, 2**31))
+def test_palette_png_roundtrip_property(h, w, depth, interlace, seed):
+    """Any palette raster at any legal depth, interlaced or not,
+    decodes back to exactly its palette-mapped pixels."""
+    rng = np.random.default_rng(seed)
+    n_colors = min(len(PAL), 1 << depth)
+    idx = rng.integers(0, n_colors, size=(h, w))
+    got = decode_png_pixels(_palette_png(idx, PAL, depth,
+                                         interlace=interlace))
+    assert (got == np.array(PAL, np.uint8)[idx]).all()
+
+
+@settings(max_examples=20, deadline=None)
+@given(h=st.integers(1, 10), w=st.integers(1, 10),
+       ch=st.sampled_from([1, 2, 3, 4]), seed=st.integers(0, 2**31))
+def test_encode_decode_roundtrip_property(h, w, ch, seed):
+    from big_data_crypto_sentiment_spark.operators.multimodal import (
+        encode_png,
+    )
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, ch)).astype(np.uint8)
+    back = decode_png_pixels(encode_png(img))
+    assert back.shape == img.shape and (back == img).all()
