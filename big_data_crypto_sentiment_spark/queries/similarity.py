@@ -673,10 +673,11 @@ def semdedup_kmeans(spark: SparkSession, vecs: DataFrame,
                     k: int | None = None,
                     threshold: float = SEMDEDUP_THRESHOLD,
                     seed: int = 42,
-                    sample_ppm: int | None = None) -> DataFrame:
+                    sample_ppm: int | None = None,
+                    two_level: bool | None = None) -> DataFrame:
     """SemDeDup with k-means centroids — the SCALE path (the paper's
     own clustering front-end), composing fit_ivf_centroids →
-    freeze_kmeans_centroids → semdedup. The label-prototype front-end
+    assignment → the shared pair stage. The label-prototype front-end
     (q_sim_semdedup) stays the exactness witness: identical core, a
     SQL-derivable centroid table, full DuckDB hash-check. This form is
     rows-only by nature of the iterative KMeans fit.
@@ -685,13 +686,126 @@ def semdedup_kmeans(spark: SparkSession, vecs: DataFrame,
     corpus so expected cluster size — and with it the intra-cluster
     pair fan-out — stays bounded. The count is one bounded driver
     scalar; at 100 TB pass sample_ppm so the KMeans fit itself runs on
-    a representative hash-sample instead of the full corpus."""
+    a representative hash-sample instead of the full corpus.
+
+    two_level (default: auto at k >= TWO_LEVEL_MIN_K) switches the
+    assignment from the exhaustive O(N·k·d) broadcast join — which the
+    k ∝ N rule makes quadratic in N — to the two-level routed
+    O(N·√k·d) form (semdedup_assign_routed). Nothing currently in the
+    registry or scale bench crosses the auto threshold, so recorded
+    series are unchanged; the path is pinned by pytest equality
+    against the exhaustive assignment on separated clusters."""
     if k is None:
         k = semdedup_k_for(vecs.count())
     cents = fit_ivf_centroids(vecs, emb_col=emb_col, k=k, seed=seed,
                               sample_ppm=sample_ppm, id_col=id_col)
-    return semdedup(_freeze_vectors(vecs, id_col, emb_col),
+    if two_level is None:
+        two_level = k >= TWO_LEVEL_MIN_K
+    frozen = _freeze_vectors(vecs, id_col, emb_col)
+    if two_level:
+        assigned = semdedup_assign_routed(spark, frozen, cents)
+        return _semdedup_pairs(frozen, assigned, threshold)
+    return semdedup(frozen,
                     freeze_kmeans_centroids(spark, cents), threshold)
+
+
+# Exhaustive centroid assignment does N·k·d multiply-adds; under the
+# paper's k ∝ N rule that term is quadratic in N. Past this k the
+# scale path routes two-level (O(N·√k·d)) — below it the exhaustive
+# form is cheaper than the routing join it would replace.
+TWO_LEVEL_MIN_K = 256
+
+
+def _group_centroids(centroids, kc: int, seed: int = 42):
+    """Driver-side Lloyd over the k FINE centroids (k is bounded by
+    SEMDEDUP_MAX_K, so this is trivial numpy work — never touches the
+    corpus): returns (group centers (kc, d) float64, per-fine group
+    ids). Deterministic: seeded init, fixed 15 iterations."""
+    import numpy as np
+
+    X = np.array([c for _, c in centroids], dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    centers = X[rng.choice(len(X), size=kc, replace=False)].copy()
+    g = np.zeros(len(X), dtype=np.int64)
+    for _ in range(15):
+        d2 = ((X[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        g = d2.argmin(axis=1)
+        for j in range(kc):
+            m = X[g == j]
+            if len(m):
+                centers[j] = m.mean(axis=0)
+    return centers, g
+
+
+def semdedup_assign_routed(spark: SparkSession, frozen: DataFrame,
+                           centroids, kc: int | None = None) -> DataFrame:
+    """Two-level centroid assignment (the IVF idea applied to
+    SemDeDup's own assignment): the k fine centroids are grouped into
+    kc ≈ √k coarse groups DRIVER-SIDE (k is a bounded model artifact),
+    each vector routes to its nearest coarse group (N·kc·d), then
+    argmins over ONLY that group's fine centroids (N·(k/kc)·d
+    expected) — O(N·√k·d) total where the exhaustive join is O(N·k·d),
+    the term that goes quadratic under k ∝ N. Costs one extra keyed
+    join of the exploded frame (N·d rows) to attach the route — a
+    bargain against (k−√k)·d multiply-adds per vector at scale.
+
+    Returns (vec_id, cid, vn2, cos_c) — the same integer-exact math
+    as the exhaustive path, so wherever routing picks the same cid the
+    output is BIT-IDENTICAL. Approximation: near a coarse-group
+    boundary the true nearest fine centroid can sit in the
+    unprobed neighboring group (the standard IVF recall trade);
+    SemDeDup tolerates it — a boundary vector lands in the adjacent
+    cluster and pairs there instead."""
+    import numpy as np
+
+    from pyspark.sql import Window
+    k = len(centroids)
+    if kc is None:
+        kc = max(2, int(np.ceil(np.sqrt(k))))
+    centers, g = _group_centroids(centroids, kc)
+    coarse = spark.createDataFrame(
+        [(int(j), d, int(round(v * PROTO_SCALE)))
+         for j, vec in enumerate(centers) for d, v in enumerate(vec)],
+        "gid int, dim int, gc bigint")
+    fine = spark.createDataFrame(
+        [(int(g[i]), int(cid), d, int(round(v * PROTO_SCALE)))
+         for i, (cid, vec) in enumerate(centroids)
+         for d, v in enumerate(vec)],
+        "gid int, cid int, dim int, c bigint")
+
+    ex = frozen.select("vec_id",
+                       F.posexplode_outer("x8").alias("dim", "v"))
+    gn2 = coarse.groupBy("gid").agg(F.sum(F.col("gc") * F.col("gc"))
+                                     .alias("gn2"))
+    wg = Window.partitionBy("vec_id").orderBy("dist2", "gid")
+    routed = (ex.join(F.broadcast(coarse), "dim")
+                .groupBy("vec_id", "gid")
+                .agg(F.sum(F.col("v") * F.col("gc")).alias("dot"),
+                     F.sum(F.col("v") * F.col("v")).alias("vn2"))
+                .join(F.broadcast(gn2), "gid")
+                .withColumn("dist2", F.col("vn2") - 2 * F.col("dot")
+                            + F.col("gn2"))
+                .withColumn("_rn", F.row_number().over(wg))
+                .filter(F.col("_rn") == 1)
+                .select("vec_id", "gid"))
+    cn2 = fine.groupBy("cid").agg(F.sum(F.col("c") * F.col("c"))
+                                   .alias("cn2"))
+    wc = Window.partitionBy("vec_id").orderBy("dist2", "cid")
+    return (ex.join(routed, "vec_id")
+              .join(F.broadcast(fine), ["gid", "dim"])
+              .groupBy("vec_id", "cid")
+              .agg(F.sum(F.col("v") * F.col("c")).alias("dot"),
+                   F.sum(F.col("v") * F.col("v")).alias("vn2"))
+              .join(F.broadcast(cn2), "cid")
+              .withColumn("dist2", F.col("vn2") - 2 * F.col("dot")
+                          + F.col("cn2"))
+              .withColumn("_rn", F.row_number().over(wc))
+              .filter(F.col("_rn") == 1)
+              .select("vec_id", "cid", "vn2",
+                      (F.col("dot").cast("double")
+                       / (F.sqrt(F.col("vn2").cast("double"))
+                          * F.sqrt(F.col("cn2").cast("double"))))
+                      .alias("cos_c")))
 
 
 def freeze_kmeans_centroids(spark: SparkSession, centroids) -> DataFrame:
@@ -765,6 +879,15 @@ def semdedup(frozen: DataFrame, cents: DataFrame,
                              / (F.sqrt(F.col("vn2").cast("double"))
                                 * F.sqrt(F.col("cn2").cast("double"))))
                             .alias("cos_c")))
+    return _semdedup_pairs(frozen, assigned, threshold)
+
+
+def _semdedup_pairs(frozen: DataFrame, assigned: DataFrame,
+                    threshold: float) -> DataFrame:
+    """The cluster-local pair stage shared by every assignment
+    front-end (exhaustive, label-prototype, two-level routed):
+    intra-cluster pair cosines, the paper's keep-low-centroid-
+    similarity drop rule, and the keep-flag projection."""
     # `en` feeds the a-side, the b-side AND the final output — without
     # lineage truncation Spark recomputes the whole
     # explode→join→agg→window subtree once per reference. A non-eager

@@ -220,3 +220,76 @@ def test_embed_pca_frozen_projection_is_exact_integer_math(spark):
         want = (comp @ x8).astype(np.float64) / 1e12
         got = np.array([getattr(r, f"p{k}") for k in range(8)])
         assert (got == want).all(), r.vec_id   # bit-exact, not approx
+
+
+def test_two_level_semdedup_matches_exhaustive_on_separated_clusters(
+        spark):
+    """semdedup_assign_routed (O(N·√k·d) two-level routing — the fix
+    for the exhaustive assignment's N·k·d term going quadratic under
+    the k ∝ N rule) must agree with the exhaustive path wherever
+    routing picks the same centroid. On well-separated clusters it
+    picks the same centroid EVERYWHERE, so the full SemDeDup outputs
+    are identical row for row."""
+    import numpy as np
+
+    from big_data_crypto_sentiment_spark.queries.similarity import (
+        _freeze_vectors,
+        _semdedup_pairs,
+        freeze_kmeans_centroids,
+        semdedup,
+        semdedup_assign_routed,
+    )
+    rng = np.random.default_rng(7)
+    k, n_per, d = 12, 25, 16
+    centers = rng.normal(size=(k, d)) * 50        # far apart
+    rows = []
+    vid = 0
+    for c in range(k):
+        for _ in range(n_per):
+            v = centers[c] + 0.05 * rng.normal(size=d)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    vecs = spark.createDataFrame(rows,
+                                 "vec_id long, embedding array<float>")
+    cents_list = [(c, [float(x) for x in centers[c]]) for c in range(k)]
+    frozen = _freeze_vectors(vecs)
+    exhaustive = semdedup(frozen,
+                          freeze_kmeans_centroids(spark, cents_list))
+    routed_assigned = semdedup_assign_routed(spark, frozen, cents_list,
+                                             kc=4)
+    routed = _semdedup_pairs(frozen, routed_assigned, 0.35)
+    a = {r.vec_id: (r.cid, r.cos_to_centroid, r.is_kept)
+         for r in exhaustive.collect()}
+    b = {r.vec_id: (r.cid, r.cos_to_centroid, r.is_kept)
+         for r in routed.collect()}
+    assert a == b and len(a) == k * n_per
+    # the dedup did real work (planted tight clusters -> drops)
+    assert sum(1 for _, _, kept in a.values() if not kept) > 0
+
+
+def test_semdedup_kmeans_auto_threshold_wiring(spark):
+    """Below TWO_LEVEL_MIN_K the default path stays exhaustive (the
+    recorded bench series depends on it); explicit two_level=True
+    forces routing and still returns the same schema."""
+    from big_data_crypto_sentiment_spark.queries._util import table
+    from big_data_crypto_sentiment_spark.queries.similarity import (
+        TWO_LEVEL_MIN_K,
+        semdedup_k_for,
+        semdedup_kmeans,
+    )
+    # every size the RECORDED series actually runs semdedup_kmeans at
+    # stays below the auto threshold (sf0.1's 2k embeddings; the
+    # x10 curate funnel's 20k) — so the r10-r12 bench numbers compare
+    # like for like; the x30 corpus would cross it but the funnel
+    # deliberately doesn't run there (BASELINE.md §r12)
+    assert semdedup_k_for(2_000) < TWO_LEVEL_MIN_K
+    assert semdedup_k_for(20_000) < TWO_LEVEL_MIN_K
+    # ... and the rule reaches the threshold where routing should kick
+    # in (k = N/100 ≥ 256 from N = 25,600 embedded docs)
+    assert semdedup_k_for(TWO_LEVEL_MIN_K * 100) >= TWO_LEVEL_MIN_K
+    e = table(spark, "/root/testdata/sf0.001", "embeddings") \
+        .select("vec_id", "embedding")
+    out = semdedup_kmeans(spark, e, k=8, two_level=True)
+    assert out.columns == ["vec_id", "cid", "cos_to_centroid",
+                           "is_kept"]
+    assert out.count() == e.count()
