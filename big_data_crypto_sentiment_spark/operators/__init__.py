@@ -2,6 +2,7 @@
 indicators, and multimodal binary plumbing."""
 
 from .multimodal import (  # noqa: F401
+    extract_audio_features,
     extract_media_features,
     sample_frame_pixels,
     sample_frames,

@@ -1774,6 +1774,134 @@ def area_resample(img, tw: int, th: int):
     return np.floor(out + 0.5).astype(np.uint8)
 
 
+def decode_wav_samples(payload: bytes):
+    """REAL WAV PCM decode (r12): RIFF/WAVE chunk walk to the fmt +
+    data chunks, then the raw samples as an (n_frames, channels)
+    int16 numpy array (8-bit unsigned PCM recenters to int16 range;
+    16-bit little-endian passes through). Returns (samples,
+    sample_rate). Non-PCM formats (float, ADPCM, mu-law...) raise
+    NotImplementedError — callers fall back to the duration-metadata
+    tier; structural damage raises ValueError."""
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError("not a WAV")
+    pos, n = 12, len(payload)
+    fmt = None
+    data = None
+    while pos + 8 <= n:
+        cid = payload[pos:pos + 4]
+        csz = int.from_bytes(payload[pos + 4:pos + 8], "little")
+        body = payload[pos + 8:pos + 8 + csz]
+        if len(body) != csz:
+            raise ValueError("truncated WAV chunk")
+        if cid == b"fmt ":
+            if csz < 16:
+                raise ValueError("truncated WAV fmt chunk")
+            fmt = {
+                "tag": int.from_bytes(body[0:2], "little"),
+                "channels": int.from_bytes(body[2:4], "little"),
+                "rate": int.from_bytes(body[4:8], "little"),
+                "bits": int.from_bytes(body[14:16], "little"),
+            }
+        elif cid == b"data":
+            data = body
+        pos += 8 + csz + (csz & 1)
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    if fmt["tag"] != 1 or fmt["bits"] not in (8, 16):
+        raise NotImplementedError(
+            f"WAV format tag {fmt['tag']} / {fmt['bits']}-bit outside "
+            "the PCM decode path")
+    ch = fmt["channels"]
+    if ch == 0 or fmt["rate"] == 0:
+        raise ValueError("WAV with zero channels/sample rate")
+    if fmt["bits"] == 16:
+        usable = len(data) // (2 * ch) * (2 * ch)
+        s = np.frombuffer(data, "<i2", usable // 2).reshape(-1, ch)
+    else:                                      # 8-bit PCM is unsigned
+        usable = len(data) // ch * ch
+        u = np.frombuffer(data, np.uint8, usable).reshape(-1, ch)
+        s = ((u.astype(np.int16) - 128) << 8)
+    if len(s) * ch > _MAX_PIXELS:              # same adversarial cap
+        raise ValueError("WAV sample count over the decode cap")
+    return s, fmt["rate"]
+
+
+AUDIO_FEATURE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("channels", T.IntegerType()),
+    T.StructField("n_frames", T.LongType()),
+    T.StructField("duration_ms", T.LongType()),
+    T.StructField("rms", T.DoubleType()),
+    T.StructField("peak", T.DoubleType()),
+    T.StructField("zero_crossing_rate", T.DoubleType()),
+    T.StructField("audio_status", T.StringType()),
+])
+
+
+def extract_audio_features(df: DataFrame) -> DataFrame:
+    """Audio feature extraction over MEDIA_SCHEMA rows (mapInPandas),
+    tiered like the image operators:
+
+    * ``decoded`` — WAV PCM payloads decode for real: RMS and peak as
+      fractions of full scale (rounded to 6dp), mean zero-crossing
+      rate across channels, exact frame/duration math.
+    * ``metadata`` — the container only yields duration (FLAC, or a
+      non-PCM WAV): real duration_ms, null signal stats.
+    * ``fake`` / ``corrupt`` — unknown magic gets the deterministic
+      hash stub (sha-derived pseudo duration, so tests can golden it);
+      recognized-but-damaged bytes get the corrupt row.
+
+    Scale shape: identical to extract_media_features — Arrow batches,
+    per-row cost bounded by the sample cap, no shuffle."""
+    import numpy as np
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in AUDIO_FEATURE_SCHEMA]
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                payload = bytes(row.payload) \
+                    if row.payload is not None else b""
+                try:
+                    s, rate = decode_wav_samples(payload)
+                    x = s.astype(np.float64) / 32768.0
+                    nf = len(s)
+                    rms = float(np.sqrt((x * x).mean())) if nf else 0.0
+                    peak = float(np.abs(x).max()) if nf else 0.0
+                    zc = (float(np.mean((np.signbit(x[1:])
+                                         != np.signbit(x[:-1]))
+                                        .mean(axis=1)))
+                          if nf > 1 else 0.0)
+                    out.append((row.media_id, rate, s.shape[1], nf,
+                                nf * 1000 // rate, round(rms, 6),
+                                round(peak, 6), round(zc, 6),
+                                "decoded"))
+                except NotImplementedError:
+                    try:
+                        dur = decode_media(payload,
+                                           row.kind)["duration_ms"]
+                        out.append((row.media_id, None, None, None,
+                                    dur, None, None, None, "metadata"))
+                    except NotImplementedError:
+                        w, h = fake_decode(payload)
+                        out.append((row.media_id, None, None, None,
+                                    (w * 256 + h), None, None, None,
+                                    "fake"))
+                    except ValueError:
+                        out.append((row.media_id, None, None, None,
+                                    None, None, None, None, "corrupt"))
+                except ValueError:
+                    out.append((row.media_id, None, None, None, None,
+                                None, None, None, "corrupt"))
+            yield pd.DataFrame(out, columns=cols)
+
+    return (df.filter("kind = 'audio'")
+              .mapInPandas(extract, AUDIO_FEATURE_SCHEMA))
+
+
 def fake_decode(payload: bytes) -> tuple[int, int]:
     """Deterministic stand-in: pseudo-dimensions from the content hash
     (stable across runs/partitionings, so tests can golden it)."""

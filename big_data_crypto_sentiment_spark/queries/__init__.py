@@ -328,6 +328,12 @@ DEFERRALS: dict[str, dict] = {
     # slot
     "cohort_retention":   dict(since=12, family="cohort/behavior family via funnel_conversion + event_transitions + rollup_merge_incremental in-window (same cohort-week window chain); the pct projection twin cohort_retention_pct is deferred alongside",
                                extra="driver-green r9-r11; 3-SF check.py + per-round sf0.001 auto-verify"),
+    # born-deferred (late-r12): audio_features gained its oracle twin
+    # after the r12 window was set (media_frames took this round's new
+    # multimodal slot); it rotates in for its first driver hash with
+    # the r13 tranche
+    "audio_features":     dict(since=12, family="media/mapInPandas family via media_features + media_frames in-window (same Arrow-batched binary codec core and sha-stub math)",
+                               extra="born-deferred late-r12; 3-SF check.py (my run) + per-round sf0.001 auto-verify; real WAV-PCM signal math pinned in test_audio_features.py"),
 }
 _DEFER_FROM_WINDOW = tuple(DEFERRALS)
 

@@ -68,9 +68,31 @@ def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frame_status")
 
 
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-feature plumbing (r12 extract_audio_features), the
+    hash-checkable slice: the fixture's pseudo-audio payloads are text
+    bytes — no real container — so every row rides the fake tier
+    (sha-derived deterministic pseudo-duration, null signal stats),
+    pinning the mapInPandas tier dispatch and the stub math under the
+    driver hash. Real WAV-PCM signal math (RMS/peak/zero-crossings on
+    synthesized waveforms) is pinned by pytest
+    (test_audio_features.py). Rows whose text accidentally spells a
+    recognized container magic are excluded on BOTH sides (none exist
+    at any SF — correct by construction, not fixture luck)."""
+    from ..operators.multimodal import extract_audio_features
+    t6 = F.col("payload").substr(1, 6).cast("string")
+    m = media_from_documents(spark, sf_dir).filter(
+        ~t6.isin("GIF87a", "GIF89a")
+        & (t6.substr(1, 2) != "BM")
+        & (t6.substr(1, 4) != "RIFF") & (t6.substr(1, 4) != "fLaC")
+        & (F.col("payload").substr(5, 4).cast("string") != "ftyp"))
+    return extract_audio_features(m)
+
+
 QUERIES = {"media_features": q_media_features,
            "media_resize": q_media_resize,
-           "media_frames": q_media_frames}
+           "media_frames": q_media_frames,
+           "audio_features": q_audio_features}
 
 # hex-pair → int without casts DuckDB lacks: positional lookup in the
 # hex alphabet (strpos is 1-based)
@@ -78,6 +100,29 @@ _HEXVAL = ("((strpos('0123456789abcdef', substr(sha, {a}, 1)) - 1) * 16"
            " + strpos('0123456789abcdef', substr(sha, {b}, 1)) - 1)")
 
 ORACLE = {
+    "audio_features": f"""
+WITH f AS (
+  SELECT doc_id AS media_id, lower(sha256(text)) AS sha
+  FROM documents
+  WHERE doc_id % 3 = 1
+    AND substr(text, 1, 6) NOT IN ('GIF87a', 'GIF89a')
+    AND substr(text, 1, 2) != 'BM'
+    AND substr(text, 1, 4) NOT IN ('RIFF', 'fLaC')
+    AND substr(text, 5, 4) != 'ftyp'
+)
+SELECT media_id,
+       CAST(NULL AS INT) AS sample_rate,
+       CAST(NULL AS INT) AS channels,
+       CAST(NULL AS BIGINT) AS n_frames,
+       CAST((16 + {_HEXVAL.format(a=1, b=2)} % 240) * 256
+            + (16 + {_HEXVAL.format(a=3, b=4)} % 240) AS BIGINT)
+         AS duration_ms,
+       CAST(NULL AS DOUBLE) AS rms,
+       CAST(NULL AS DOUBLE) AS peak,
+       CAST(NULL AS DOUBLE) AS zero_crossing_rate,
+       'fake' AS audio_status
+FROM f
+""",
     "media_frames": """
 WITH v AS (
   SELECT doc_id AS media_id FROM documents
