@@ -88,11 +88,11 @@ DEFERRALS: dict[str, dict] = {
                                 extra="driver-green r2-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
     "left_join_fillna":   dict(since=9, family="outer-join+coalesce family via flagship_windowed_join's full-outer in-window",
                                extra="driver-green r2-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "top_users":          dict(since=9, family="top-k family via tokens_to_ids' vocab build + sample_weighted_ak in-window (same TakeOrderedAndProject plan)",
+    "top_users":          dict(since=9, family="top-k family via tokens_to_ids' rank vocabulary + top_docs_per_source in-window (same TakeOrderedAndProject plan)",
                                extra="driver-green r2-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
     "json_props":         dict(since=9, family="map-parse/typed-projection family via the from_json chain shared with deferred src_tweets_volume; source family via src_avro_roundtrip in-window",
                                extra="driver-green r2-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "ts_trailing_hour":   dict(since=9, family="range-frame window family via ts_lag_sweep_corr in-window",
+    "ts_trailing_hour":   dict(since=9, family="range-frame window family via ts_seasonal_anomaly + ts_interpolate in-window (same per-symbol ordered window); the integer-frozen covariance twin ts_lag_sweep_corr is deferred alongside",
                                extra="driver-green r2-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
     "text_top_duplicated": dict(since=9, family="dup family via source_scorecard's fingerprint dup-rate in-window (same normalized-hash agg)",
                                 extra="driver-green r6-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
@@ -100,7 +100,7 @@ DEFERRALS: dict[str, dict] = {
                                extra="driver-green r8; 3-SF check.py + per-round sf0.001 auto-verify"),
     "vocab_novelty_by_source": dict(since=9, family="vocab family via tokens_to_ids + bigram_logprob in-window (same token-histogram core)",
                                     extra="driver-green r8; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "dedup_minhash_incremental": dict(since=9, family="MinHash family via dedup_minhash_lsh in-window (same signature/band core); on-disk lifecycle via test_dedup_index.py",
+    "dedup_minhash_incremental": dict(since=9, family="dedup family via dedup_canonical + split_by_cluster in-window (the band-pair core feeds the same CC fixpoint); the signature/band twin dedup_minhash_lsh is deferred alongside; on-disk lifecycle via test_dedup_index.py",
                                       extra="driver-green r8; 3-SF check.py + per-round sf0.001 auto-verify"),
     "dedup_fuzzy_terms":  dict(since=9, family="SymSpell delete-sig blocking via rotated-in link_customer_batch in-window (same join core)",
                                extra="driver-green r2-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
@@ -124,7 +124,7 @@ DEFERRALS: dict[str, dict] = {
                                extra="driver-green r6-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
     "pivot_user_events":  dict(since=9, family="reshape family via sft_mask_spans/tokens_to_ids in-window; unpivot twin deferred alongside",
                                extra="driver-green r2-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "dedup_span_stats":   dict(since=9, family="positional-gram family via dedup_minhash_lsh in-window (same shingle-scan core); gaps-and-islands window via scd2/behavior rows in-window",
+    "dedup_span_stats":   dict(since=9, family="dedup family via dedup_canonical + split_by_cluster in-window; the shingle-scan sibling dedup_minhash_lsh is deferred alongside; gaps-and-islands window via scd2/behavior rows in-window",
                                extra="driver-green r6-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
     "ml_ar1_train":       dict(since=9, family="ml family via ml_sentiment in-window; AR/ARMA fit math pinned by test_ml.py (YW/HR parity)",
                                extra="driver-green r2-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
@@ -167,7 +167,7 @@ DEFERRALS: dict[str, dict] = {
                                extra="driver-green r7-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
     "src_tweets_volume":  dict(since=9, family="source family via src_avro_roundtrip in-window; tweets-JSON reader/parse chain shared with deferred src_tweets_normalize",
                                extra="driver-green r2-r3 + r7-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "src_csv_prices":     dict(since=9, family="source family via src_avro_roundtrip in-window; CSV reader/parse chain shared with deferred src_csv_prices_decimal",
+    "src_csv_prices":     dict(since=9, family="source family via src_avro_roundtrip + rotated-in src_csv_prices_decimal in-window (same CSV reader/parse chain)",
                                extra="driver-green r2-r5 + r8; 3-SF check.py + per-round sf0.001 auto-verify"),
     "ta_sma_vwap":        dict(since=9, family="TA family via ta_ema_rsi_macd + ta_twap in-window (same per-symbol window + agg shape)",
                                extra="driver-green r3-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
@@ -177,7 +177,7 @@ DEFERRALS: dict[str, dict] = {
                                  extra="driver-green r3 + r7-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
     "dedup_components":   dict(since=9, family="CC family via dedup_canonical + split_by_cluster in-window (both consume the same large-star/small-star fixpoint)",
                                extra="driver-green r4-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "sample_and_split":   dict(since=9, family="sampling family via sample_stratified + sample_weighted_ak in-window (same portable-md5 bucket)",
+    "sample_and_split":   dict(since=9, family="sampling family via sample_stratified + sample_length_weighted + rotated-in dsir_select in-window (same portable-md5 bucket)",
                                extra="driver-green r4-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
     "sample_temperature": dict(since=9, family="mixture/temperature family via sample_length_weighted + sample_stratified in-window (same hash-threshold filter)",
                                extra="driver-green r6-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
@@ -185,7 +185,7 @@ DEFERRALS: dict[str, dict] = {
                                extra="driver-green r4-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
     "unigram_logprob":    dict(since=9, family="LM-quality family via bigram_logprob in-window (same integer-nat architecture, strictly richer plan)",
                                extra="driver-green r5-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "sim_tfidf_zipf_topk": dict(since=9, family="retrieval family via sim_bm25_topk + rotated-in sim_tfidf_topk in-window (same inverted-index core)",
+    "sim_tfidf_zipf_topk": dict(since=9, family="retrieval family via sim_bm25_topk in-window (same inverted-index core); the worst-case-config twin sim_tfidf_topk is deferred alongside",
                                 extra="driver-green r6-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
     # late-r9 rotation: the two NEW r9 pairs (text_langid_ngram,
     # media_resize) take window slots immediately so their first driver
@@ -193,7 +193,7 @@ DEFERRALS: dict[str, dict] = {
     # in EVERY round r2-r8 — hand over their slots
     "dedup_minhash_lsh":  dict(since=9, family="dedup family via dedup_canonical + split_by_cluster in-window; the banded-signature core also feeds dedup_minhash_incremental (driver-green r8)",
                                extra="driver-green r2-r8 (every round); 3-SF check.py + per-round sf0.001 auto-verify"),
-    "ts_lag_sweep_corr":  dict(since=9, family="timeseries family via ts_seasonal_anomaly + ts_interpolate + ts_cube in-window; integer-frozen covariance core shared with deferred ts_corr/ts_spearman",
+    "ts_lag_sweep_corr":  dict(since=9, family="timeseries family via ts_seasonal_anomaly + ts_interpolate + ts_cube in-window; integer-frozen covariance core via rotated-in ts_corr in-window (ts_spearman is deferred alongside)",
                                extra="driver-green r2-r8 (every round); 3-SF check.py + per-round sf0.001 auto-verify"),
     # r10 evidence-freshness rotation (VERDICT r9 #8): the never-checked
     # backlog is burned down, so the window slots now cycle by evidence
@@ -205,11 +205,11 @@ DEFERRALS: dict[str, dict] = {
     # the new dedup_source_matrix_fp takes its first slot. The 13
     # r9-green members below hand over theirs; every family keeps an
     # in-window representative.
-    "type_cooccurrence":  dict(since=10, family="behavior family via event_transitions + funnel_conversion + cohort_retention in-window (same per-user window chain)",
+    "type_cooccurrence":  dict(since=10, family="behavior family via event_transitions + funnel_conversion in-window (same per-user window chain)",
                                extra="driver-green r9 (first check); 3-SF check.py + per-round sf0.001 auto-verify"),
-    "type_share_daily":   dict(since=10, family="behavior family via funnel_conversion + cohort_retention in-window (same day-bucket share plan)",
+    "type_share_daily":   dict(since=10, family="behavior family via funnel_conversion in-window (same day-bucket share plan); cohort_retention is deferred alongside",
                                extra="driver-green r9 (first check); 3-SF check.py + per-round sf0.001 auto-verify"),
-    "cohort_retention_pct": dict(since=10, family="cohort family via cohort_retention in-window (same cohort-week matrix, pct projection on top)",
+    "cohort_retention_pct": dict(since=10, family="cohort family: the base cohort_retention matrix is deferred alongside (driver-green r9-r11); behavior family via funnel_conversion + event_transitions in-window",
                                  extra="driver-green r9 (first check); 3-SF check.py + per-round sf0.001 auto-verify"),
     "funnel_steps":       dict(since=10, family="funnel family via funnel_conversion in-window (same ordered-step windows)",
                                extra="driver-green r9 (first check); 3-SF check.py + per-round sf0.001 auto-verify"),
@@ -225,11 +225,11 @@ DEFERRALS: dict[str, dict] = {
                                extra="driver-green r9 (first check); 3-SF check.py + per-round sf0.001 auto-verify"),
     "text_langid_ngram":  dict(since=10, family="text family via source_scorecard + top_docs_per_source in-window; rotated-in text_c4_filter shares the per-row flag plan",
                                extra="driver-green r9 (first check); Cavnar-Trenkle profile math pinned by pytest; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "sim_rrf_hybrid":     dict(since=10, family="retrieval family via sim_bm25_topk + rotated-in sim_tfidf_topk in-window (same inverted index)",
+    "sim_rrf_hybrid":     dict(since=10, family="retrieval family via sim_bm25_topk in-window (same inverted index); sim_tfidf_topk is deferred alongside",
                                extra="driver-green r9; 3-SF check.py + per-round sf0.001 auto-verify"),
     "embed_quantize":     dict(since=10, family="embedding family via embed_mean_pool in-window (same integer-frozen vector math)",
                                extra="driver-green r7-r9; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "shuffle_shards":     dict(since=10, family="sampling family via sample_stratified + sample_length_weighted + sample_weighted_ak + rotated-in mixture_downsample in-window (same portable-md5 bucket)",
+    "shuffle_shards":     dict(since=10, family="sampling family via sample_stratified + sample_length_weighted + rotated-in dsir_select in-window (same portable-md5 bucket)",
                                extra="driver-green r9; 3-SF check.py + per-round sf0.001 auto-verify"),
     # late-r10: sim_ann_lsh GAINED its DuckDB twin (the sha256 planes
     # are engine-portable literals; margin pinned in
@@ -249,23 +249,23 @@ DEFERRALS: dict[str, dict] = {
     # re-hashed in the r10 window plus dedup_source_matrix_fp (first
     # hash r10) — hand over their slots; every family keeps an
     # in-window representative.
-    "log_return":         dict(since=11, family="timeseries family via ts_seasonal_anomaly + ts_interpolate + rotated-in ts_resample_ffill/ts_sessionize in-window (same per-symbol ordered window)",
+    "log_return":         dict(since=11, family="timeseries family via ts_seasonal_anomaly + ts_interpolate in-window (same per-symbol ordered window)",
                                extra="driver-green r3-r6 + r10; 3-SF check.py + per-round sf0.001 auto-verify"),
     "text_fingerprint":   dict(since=11, family="text family via source_scorecard in-window (same normalized rolling-hash scan)",
                                extra="driver-green r4-r6 + r10; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "src_warehouse_fallback": dict(since=11, family="source family via src_avro_roundtrip + rotated-in src_tweets_normalize in-window (same fallback-tier scan)",
+    "src_warehouse_fallback": dict(since=11, family="source family via src_avro_roundtrip + rotated-in src_csv_prices_decimal in-window (same fallback-tier scan discipline)",
                                    extra="driver-green r5-r6 + r10; 3-SF check.py + per-round sf0.001 auto-verify"),
     "dedup_simhash":      dict(since=11, family="dedup family via dedup_canonical + split_by_cluster in-window (same token-scan core)",
                                extra="driver-green r4-r6 + r10; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "mixture_downsample": dict(since=11, family="sampling family via sample_stratified + sample_weighted_ak + sample_length_weighted in-window (same portable-md5 threshold filter)",
+    "mixture_downsample": dict(since=11, family="sampling family via sample_stratified + sample_length_weighted + rotated-in dsir_select in-window (same portable-md5 threshold filter)",
                                extra="driver-green r5-r6 + r10; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "ml_lexicon_sentiment": dict(since=11, family="ml family via ml_sentiment + rotated-in ml_forecast_metrics in-window (same broadcast-lexicon scoring)",
+    "ml_lexicon_sentiment": dict(since=11, family="ml family via ml_sentiment in-window (same broadcast-lexicon scoring); ml_forecast_metrics is deferred alongside",
                                  extra="driver-green r4-r6 + r10; 3-SF check.py + per-round sf0.001 auto-verify"),
     "sim_tfidf_topk":     dict(since=11, family="retrieval family via sim_bm25_topk in-window (same inverted-index core)",
                                extra="driver-green r5-r6 + r10; 3-SF check.py + per-round sf0.001 auto-verify"),
     "text_c4_filter":     dict(since=11, family="text rule-filter family via source_scorecard in-window (same single-scan flag plan)",
                                extra="driver-green r5-r6 + r10; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "unpivot_order_measures": dict(since=11, family="reshape family via sft_mask_spans + tokens_to_ids + rotated-in kv_flatten in-window (same array build/explode core)",
+    "unpivot_order_measures": dict(since=11, family="reshape family via sft_mask_spans + tokens_to_ids in-window (same array build/explode core); kv_flatten is deferred alongside",
                                    extra="driver-green r3-r6 + r10; 3-SF check.py + per-round sf0.001 auto-verify"),
     "chunk_overlap":      dict(since=11, family="packing family via tokens_to_ids + sft_mask_spans in-window (same per-shard offset windows)",
                                extra="driver-green r4-r6 + r10; 3-SF check.py + per-round sf0.001 auto-verify"),
@@ -332,7 +332,7 @@ DEFERRALS: dict[str, dict] = {
     # after the r12 window was set (media_frames took this round's new
     # multimodal slot); it rotates in for its first driver hash with
     # the r13 tranche
-    "audio_features":     dict(since=12, family="media/mapInPandas family via media_features + media_frames in-window (same Arrow-batched binary codec core and sha-stub math)",
+    "audio_features":     dict(since=12, family="media/mapInPandas family via media_frames in-window (same Arrow-batched binary codec core and sha-stub math); media_features/media_resize deferred alongside with their own evidence",
                                extra="born-deferred late-r12; 3-SF check.py (my run) + per-round sf0.001 auto-verify; real WAV-PCM signal math pinned in test_audio_features.py"),
 }
 _DEFER_FROM_WINDOW = tuple(DEFERRALS)

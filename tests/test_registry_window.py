@@ -52,3 +52,36 @@ def test_coverage_ledger_counts_match_registry():
     # every deferred entry is rendered (one table row per name)
     for name in DEFERRALS:
         assert f"| {name} |" in body, name
+
+
+def test_deferral_family_anchors_are_actually_in_window():
+    """DEFERRALS family lines justify each deferral by naming an
+    in-window representative ("... via X + Y in-window ..."). Those
+    claims are prose, and rotations kept silently invalidating them
+    (r12 audit found anchors stale since r9). This pin parses the
+    dominant idiom and fails the moment a named anchor leaves the
+    window, so the strings must be refreshed WITH each rotation."""
+    import re
+
+    from big_data_crypto_sentiment_spark.queries import (
+        DEFERRALS,
+        all_oracle_sql,
+        all_queries,
+    )
+    names = list(all_queries())
+    window = set(names[:50])
+    registry = set(names)
+    bad = []
+    for name, meta in DEFERRALS.items():
+        fam = meta["family"]
+        for m in re.finditer(r"via ([^;()]*?) in-window", fam):
+            for tok in re.split(r"[^a-z0-9_]+", m.group(1)):
+                if tok in registry and tok not in window:
+                    bad.append((name, tok))
+        # the inverse claim must hold too: "deferred X" means X is
+        # NOT in the window
+        for m in re.finditer(r"deferred ([a-z0-9_]+)", fam):
+            tok = m.group(1)
+            if tok in registry and tok in window:
+                bad.append((name, f"{tok} claimed deferred but windowed"))
+    assert bad == [], bad
