@@ -651,6 +651,10 @@ SEMDEDUP_ROWS_PER_CLUSTER = 100  # target expected cluster size: the
 SEMDEDUP_MAX_K = 4096  # centroid table stays a broadcastable
                        # O(k·dim) artifact under this cap
 
+# ... and past this many rows the KMeans FIT input auto-samples down
+# to the cap (k-means assignment cost per iteration scales with the
+# fit input; centroid quality needs only a representative sample)
+SEMDEDUP_FIT_CAP = 100_000
 
 def semdedup_k_for(n_rows: int,
                    rows_per_cluster: int = SEMDEDUP_ROWS_PER_CLUSTER,
@@ -674,7 +678,8 @@ def semdedup_kmeans(spark: SparkSession, vecs: DataFrame,
                     threshold: float = SEMDEDUP_THRESHOLD,
                     seed: int = 42,
                     sample_ppm: int | None = None,
-                    two_level: bool | None = None) -> DataFrame:
+                    two_level: bool | None = None,
+                    fit_cap: int = SEMDEDUP_FIT_CAP) -> DataFrame:
     """SemDeDup with k-means centroids — the SCALE path (the paper's
     own clustering front-end), composing fit_ivf_centroids →
     assignment → the shared pair stage. The label-prototype front-end
@@ -691,12 +696,19 @@ def semdedup_kmeans(spark: SparkSession, vecs: DataFrame,
     two_level (default: auto at k >= TWO_LEVEL_MIN_K) switches the
     assignment from the exhaustive O(N·k·d) broadcast join — which the
     k ∝ N rule makes quadratic in N — to the two-level routed
-    O(N·√k·d) form (semdedup_assign_routed). Nothing currently in the
-    registry or scale bench crosses the auto threshold, so recorded
-    series are unchanged; the path is pinned by pytest equality
-    against the exhaustive assignment on separated clusters."""
+    O(N·√k·d) form (semdedup_assign_routed). Past fit_cap rows the
+    KMeans FIT input auto-samples to the cap (the per-iteration
+    assignment over the full corpus is what k-means pays for N; a
+    representative hash-sample fixes centroid quality at a constant
+    cost — the curate funnel inherits this automatically). Nothing
+    currently in the registry or scale bench crosses either auto
+    threshold, so recorded series are unchanged; both paths are
+    pinned by pytest."""
+    n = vecs.count()                      # one bounded driver scalar
     if k is None:
-        k = semdedup_k_for(vecs.count())
+        k = semdedup_k_for(n)
+    if sample_ppm is None and n > fit_cap:
+        sample_ppm = max(1, 1_000_000 * fit_cap // n)
     cents = fit_ivf_centroids(vecs, emb_col=emb_col, k=k, seed=seed,
                               sample_ppm=sample_ppm, id_col=id_col)
     if two_level is None:

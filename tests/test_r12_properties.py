@@ -293,3 +293,28 @@ def test_semdedup_kmeans_auto_threshold_wiring(spark):
     assert out.columns == ["vec_id", "cid", "cos_to_centroid",
                            "is_kept"]
     assert out.count() == e.count()
+
+
+def test_semdedup_fit_cap_samples_the_kmeans_input(spark):
+    """Past fit_cap rows the KMeans fit runs on a hash-sample while
+    the ASSIGNMENT still covers every row — output cardinality and
+    schema are unchanged and drops still happen on planted dups."""
+    import numpy as np
+
+    from big_data_crypto_sentiment_spark.queries.similarity import (
+        SEMDEDUP_FIT_CAP,
+        semdedup_kmeans,
+    )
+    rng = np.random.default_rng(3)
+    centers = rng.normal(size=(4, 8)) * 30
+    rows = []
+    for i in range(400):
+        v = centers[i % 4] + 0.05 * rng.normal(size=8)
+        rows.append((i, [float(x) for x in v]))
+    vecs = spark.createDataFrame(rows,
+                                 "vec_id long, embedding array<float>")
+    out = semdedup_kmeans(spark, vecs, k=4, fit_cap=100).collect()
+    assert len(out) == 400
+    assert sum(1 for r in out if not r.is_kept) > 0
+    # nothing the recorded series runs crosses the default cap
+    assert SEMDEDUP_FIT_CAP >= 100_000
