@@ -316,9 +316,13 @@ def _decode_mp4(payload: bytes) -> dict:
     no codec payload is touched."""
     dur_ms = width = height = None
 
-    def walk(lo: int, hi: int):
-        nonlocal dur_ms, width, height
-        pos = lo
+    # explicit work stack, not recursion: a crafted payload of deeply
+    # nested moov/trak boxes (8 bytes per level) must raise/complete
+    # like any other walk, never blow the interpreter stack — a
+    # RecursionError would escape the callers' ValueError tiering
+    stack = [(0, len(payload))]
+    while stack:
+        pos, hi = stack.pop()
         while pos + 8 <= hi:
             size = int.from_bytes(payload[pos:pos + 4], "big")
             btype = payload[pos + 4:pos + 8]
@@ -329,7 +333,13 @@ def _decode_mp4(payload: bytes) -> dict:
             if size < 8 or pos + size > hi:
                 raise ValueError("malformed MP4 box")
             if btype in (b"moov", b"trak"):
-                walk(body, pos + size)
+                # descend first, resume this level after — exactly the
+                # pre-order document walk the recursion performed
+                # ("first track with real dimensions wins" depends on
+                # tkhd visit order)
+                stack.append((pos + size, hi))
+                stack.append((body, pos + size))
+                break
             elif btype == b"mvhd" and body + 4 <= hi:
                 v = payload[body]
                 if v == 1 and body + 32 <= hi:
@@ -346,8 +356,8 @@ def _decode_mp4(payload: bytes) -> dict:
                     raise ValueError("truncated mvhd")
                 if ts:
                     dur_ms = dur * 1000 // ts
-            elif btype == b"tkhd":
-                v = payload[body]
+            elif btype == b"tkhd" and body < hi:  # size-8 empty body
+                v = payload[body]                 # would IndexError
                 end = body + (96 if v == 1 else 84)
                 if end <= hi:
                     w = int.from_bytes(payload[end - 8:end - 4],
@@ -361,8 +371,6 @@ def _decode_mp4(payload: bytes) -> dict:
                                          and w and h):
                         width, height = w, h
             pos += size
-
-    walk(0, len(payload))
     if dur_ms is None and width is None:
         raise ValueError("MP4 without moov metadata")
     return {"width": width, "height": height, "duration_ms": dur_ms}
@@ -515,6 +523,10 @@ def decode_png_pixels(payload: bytes):
         if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
             raise ValueError(f"PNG chunk CRC mismatch in {ctype!r}")
         if ctype == b"IHDR":
+            # spec: IHDR data is exactly 13 bytes; a CRC-valid chunk of
+            # any other length is corrupt, not a struct.error task crash
+            if len(data) != 13:
+                raise ValueError("PNG IHDR length is not 13")
             ihdr = struct.unpack(">IIBBBBB", data)
         elif ctype == b"PLTE":
             if len(data) % 3 or not data:
@@ -725,7 +737,16 @@ def _gif_lzw_decode(data: bytes, min_code_size: int,
     """GIF-variant LZW (spec appendix F): LSB-first bit packing,
     variable code width from min_code_size+1 up to 12 bits, clear code
     2^mcs resets the table, end-of-information terminates. Returns the
-    decoded index stream (exactly n_pixels entries)."""
+    decoded index stream (exactly n_pixels entries).
+
+    LZW codes cap at 12 bits, so a minimum code size over 11 is
+    structurally impossible — and must raise BEFORE `1 << mcs` sizes
+    the initial table (a crafted mcs byte of 46 would otherwise hang
+    the executor building a 2^46-entry dict: adversarial CPU/memory,
+    not just a wrong answer)."""
+    if not 1 <= min_code_size <= 11:
+        raise ValueError(
+            f"GIF LZW minimum code size {min_code_size} out of range")
     clear = 1 << min_code_size
     end = clear + 1
     out: list[int] = []
@@ -845,6 +866,8 @@ def _gif_parse(payload: bytes, max_frames: int | None = None,
                 pos += 3 * n
             if ct is None:
                 raise NotImplementedError("GIF without a color table")
+            if pos >= len(payload):
+                raise ValueError("GIF truncated before LZW code size")
             mcs = payload[pos]
             pos += 1
             parts = []
@@ -985,9 +1008,10 @@ def _zigzag_order() -> list[int]:
 
 def _huff_table(counts: list[int], symbols: list[int]) -> dict:
     """(code_length, code) -> symbol from a DHT's canonical spec.
-    A DHT whose counts promise more symbols than the segment carries
-    is corrupt (truncation) — ValueError, never an executor crash."""
-    if sum(counts) > len(symbols):
+    A DHT whose counts promise more symbols than the segment carries,
+    or whose 16-entry counts field is itself cut short, is corrupt
+    (truncation) — ValueError, never an executor crash."""
+    if len(counts) < 16 or sum(counts) > len(symbols):
         raise ValueError("JPEG DHT truncated")
     table, code, i = {}, 0, 0
     for length in range(1, 17):
@@ -1094,6 +1118,8 @@ def decode_jpeg_pixels(payload: bytes):
             while i < len(body):
                 pq, tq = body[i] >> 4, body[i] & 0x0F
                 i += 1
+                if i + 64 * (2 if pq else 1) > len(body):
+                    raise ValueError("JPEG DQT truncated")
                 vals = np.zeros(64, dtype=np.int64)
                 for k in range(64):
                     if pq:
@@ -1183,7 +1209,11 @@ def decode_jpeg_pixels(payload: bytes):
 
 def _jpeg_parse_sof(body: bytes) -> dict:
     """Frame header shared by SOF0/1 (baseline) and SOF2 (progressive):
-    precision/dimension gates + per-component sampling factors."""
+    precision/dimension gates + per-component sampling factors. A body
+    shorter than its fixed layout is corrupt — ValueError, never an
+    IndexError task crash."""
+    if len(body) < 6 or len(body) < 6 + 3 * body[5]:
+        raise ValueError("truncated JPEG SOF body")
     prec = body[0]
     if prec != 8:
         raise NotImplementedError(f"JPEG precision {prec}")
@@ -1365,8 +1395,21 @@ def _jpeg_progressive_scan(payload: bytes, pos: int, frame, scan,
         def dc_block(c, blk):
             if ah == 0:
                 s = bits.read_huff(huff_dc[c["td"]])
+                if s > 15:
+                    # a corrupt DHT can map a code to ANY symbol byte;
+                    # a DC magnitude category over 15 is spec-impossible
+                    # and read_bits(s) would build a Python int too big
+                    # for the coefficient array (OverflowError escapes
+                    # the callers' ValueError tiering)
+                    raise ValueError(
+                        "JPEG DC magnitude category out of range")
                 diff = _jpeg_extend(bits.read_bits(s), s) if s else 0
                 preds[c["id"]] += diff
+                if abs(preds[c["id"]]) > 1 << 17:
+                    # legal DC values fit 15 bits; a corrupt stream
+                    # accumulating past this would overflow the int32
+                    # coefficient store once shifted by al (≤13)
+                    raise ValueError("JPEG DC predictor out of range")
                 blk[0] = preds[c["id"]] << al
             elif bits.read_bit():
                 blk[0] |= 1 << al
@@ -1501,6 +1544,12 @@ def _jpeg_decode_scan(payload: bytes, pos: int, frame, scan, qt,
                     for bx in range(c["h"]):
                         coef = np.zeros(64, dtype=np.int64)
                         s = bits.read_huff(dc_t)
+                        if s > 15:
+                            # spec-impossible DC category from a corrupt
+                            # DHT — read_bits(s) would overflow int64
+                            raise ValueError(
+                                "JPEG DC magnitude category out of "
+                                "range")
                         diff = _jpeg_extend(bits.read_bits(s), s) \
                             if s else 0
                         pred[c["id"]] += diff
@@ -1608,19 +1657,26 @@ def _avi_mjpeg_frames(payload: bytes):
     spans: list[tuple[int, int]] = []
     n = len(payload)
 
-    def walk(lo: int, hi: int):
-        nonlocal usec_per_frame
-        pos = lo
+    # explicit continuation stack, not recursion (a crafted chain of
+    # nested `rec ` LISTs must not raise RecursionError past the
+    # callers' ValueError/NotImplementedError tiering); descend-first
+    # + resume-after preserves the document order the frame spans need
+    stack = [(12, n)]
+    while stack:
+        pos, hi = stack.pop()
         while pos + 8 <= hi:
             cid = payload[pos:pos + 4]
             csz = int.from_bytes(payload[pos + 4:pos + 8], "little")
             body = pos + 8
             if body + csz > hi:
                 raise ValueError("truncated AVI chunk")
+            nxt = body + csz + (csz & 1)       # word alignment
             if cid == b"LIST":
                 ltype = payload[body:body + 4]
                 if ltype in (b"hdrl", b"movi", b"rec "):
-                    walk(body + 4, body + csz)
+                    stack.append((nxt, hi))
+                    stack.append((body + 4, body + csz))
+                    break
             elif cid == b"avih":
                 if csz < 4:
                     raise ValueError("truncated avih")
@@ -1631,9 +1687,7 @@ def _avi_mjpeg_frames(payload: bytes):
                     raise NotImplementedError(
                         "AVI video chunk is not MJPEG")
                 spans.append((body, body + csz))
-            pos = body + csz + (csz & 1)       # word alignment
-
-    walk(12, n)
+            pos = nxt
     if not spans:
         raise ValueError("AVI without video chunks")
     ms = (usec_per_frame // 1000) if usec_per_frame else None
