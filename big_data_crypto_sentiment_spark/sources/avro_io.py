@@ -67,6 +67,15 @@ class _Reader:
     def read_long(self) -> int:
         shift, u = 0, 0
         while True:
+            if self.pos >= len(self.buf):
+                # truncated mid-varint: same loud ValueError as read(),
+                # never an IndexError with a less useful message
+                raise ValueError("truncated avro data")
+            if shift > 63:
+                # spec: a zigzag long fits 10 varint bytes; a crafted
+                # run of continuation bytes must not build an
+                # arbitrarily large Python int
+                raise ValueError("avro varint longer than 10 bytes")
             b = self.buf[self.pos]
             self.pos += 1
             u |= (b & 0x7F) << shift
@@ -77,6 +86,27 @@ class _Reader:
 
     def read_bytes(self) -> bytes:
         return self.read(self.read_long())
+
+
+def _block_count(r: _Reader) -> int:
+    """One array/map block count (negative count = block byte-size
+    follows, per spec), bounded against the remaining buffer: items
+    whose encoding is zero bytes (empty records, `null`-typed fields)
+    would otherwise let a crafted count of 2^60 hang the executor
+    appending that many values — adversarial CPU/memory with no
+    truncation error ever reached. Real encoders write counts that
+    are at most the serialized bytes; the 8x + 1024 margin keeps any
+    legitimate degenerate block decodable."""
+    n = r.read_long()
+    if n < 0:  # negative count: block byte-size follows
+        n = -n
+        r.read_long()
+    remaining = len(r.buf) - r.pos
+    if n > 8 * remaining + 1024:
+        raise ValueError(
+            f"avro block count {n} implausible for {remaining} "
+            "remaining bytes")
+    return n
 
 
 def _union_null_branch(schema: list):
@@ -100,28 +130,29 @@ def _decode(schema, r: _Reader):
         if t == "array":
             out = []
             while True:
-                n = r.read_long()
+                n = _block_count(r)
                 if n == 0:
                     return out
-                if n < 0:  # negative count: block byte-size follows
-                    n = -n
-                    r.read_long()
                 out.extend(_decode(schema["items"], r) for _ in range(n))
         if t == "map":
             out = {}
             while True:
-                n = r.read_long()
+                n = _block_count(r)
                 if n == 0:
                     return out
-                if n < 0:
-                    n = -n
-                    r.read_long()
                 for _ in range(n):
                     out[r.read_bytes().decode()] = _decode(schema["values"], r)
         if t == "fixed":
             return r.read(schema["size"])
         if t == "enum":
-            return schema["symbols"][r.read_long()]
+            i = r.read_long()
+            symbols = schema["symbols"]
+            if not 0 <= i < len(symbols):
+                # unvalidated, a NEGATIVE index would silently wrap via
+                # Python list indexing and return the WRONG symbol (a
+                # corruption, not a crash); out-of-range raises loudly
+                raise ValueError(f"avro enum index {i} out of range")
+            return symbols[i]
         return _decode(t, r)  # {"type": "string"} primitive wrapper
     if schema == "null":
         return None
@@ -263,6 +294,13 @@ def decode_container(content: bytes) -> tuple[dict, list[dict]]:
             block = zlib.decompress(block, -15)
         elif codec != "null":
             raise NotImplementedError(f"unsupported codec {codec!r}")
+        if not 0 <= n_rec <= 8 * len(block) + 1024:
+            # records encoding to zero bytes (empty-record schemas)
+            # would let a crafted count hang the executor; the same
+            # plausibility bound as _block_count
+            raise ValueError(
+                f"avro block record count {n_rec} implausible for "
+                f"{len(block)}-byte block")
         br = _Reader(block)
         records.extend(_decode(schema, br) for _ in range(n_rec))
         if r.read(16) != sync:

@@ -207,6 +207,68 @@ def test_jpeg_dc_category_over_15_is_valueerror():
         decode_jpeg_pixels(payload)
 
 
+def test_avro_reader_adversarial_bytes_raise_valueerror():
+    """The pure-Python Avro OCF reader fails LOUDLY by contract, but
+    the failure must be a bounded ValueError, never an executor hang
+    or a silently wrong value:
+
+    * truncated varint → ValueError (was IndexError);
+    * a run of >10 continuation bytes → ValueError (a crafted stream
+      of 0x80 bytes must not build an arbitrarily large Python int);
+    * enum index out of range → ValueError (a NEGATIVE index used to
+      wrap via Python list indexing and return the WRONG symbol);
+    * array/map block counts and container record counts are bounded
+      against the remaining bytes (items encoding to ZERO bytes —
+      `null` items, empty records — would otherwise let a count of
+      2^60 hang the executor appending that many values)."""
+    import json
+
+    from big_data_crypto_sentiment_spark.sources import avro_io as A
+
+    r = A._Reader(b"\x80\x80")                 # truncated mid-varint
+    with pytest.raises(ValueError, match="truncated"):
+        r.read_long()
+
+    r = A._Reader(b"\x80" * 20 + b"\x01")      # over-long varint
+    with pytest.raises(ValueError, match="varint"):
+        r.read_long()
+
+    enum_schema = {"type": "enum", "name": "E", "symbols": ["X", "Y"]}
+    with pytest.raises(ValueError, match="enum index"):
+        A._decode(enum_schema, A._Reader(A._zigzag_encode(-1)))
+    with pytest.raises(ValueError, match="enum index"):
+        A._decode(enum_schema, A._Reader(A._zigzag_encode(2)))
+
+    with pytest.raises(ValueError, match="block count"):
+        A._decode({"type": "array", "items": "null"},
+                  A._Reader(A._zigzag_encode(1 << 60)))
+
+    empty = json.dumps(
+        {"type": "record", "name": "r", "fields": []}).encode()
+    out = bytearray(A.MAGIC)
+    out += A._zigzag_encode(1)
+    out += A._zigzag_encode(len(b"avro.schema")) + b"avro.schema"
+    out += A._zigzag_encode(len(empty)) + empty
+    out += A._zigzag_encode(0)
+    out += A.SYNC
+    out += A._zigzag_encode(1 << 40)           # record-count bomb,
+    out += A._zigzag_encode(0)                 # zero-byte block
+    out += A.SYNC
+    with pytest.raises(ValueError, match="record count"):
+        A.decode_container(bytes(out))
+
+
+def test_avro_legitimate_blocks_still_decode():
+    # zero-byte items in PLAUSIBLE counts keep working: a 100-null
+    # array and a small empty-record block sit well under the bound
+    from big_data_crypto_sentiment_spark.sources import avro_io as A
+
+    buf = A._zigzag_encode(100) + A._zigzag_encode(0)
+    vals = A._decode({"type": "array", "items": "null"},
+                     A._Reader(buf))
+    assert vals == [None] * 100
+
+
 def test_mutation_fuzz_smoke_only_contract_exceptions_escape():
     """Seeded bounded fuzz: byte-mutated valid payloads through every
     decode entry point — only ValueError/NotImplementedError (or a
