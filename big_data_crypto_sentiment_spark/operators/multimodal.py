@@ -41,6 +41,13 @@ loud tier — their container metadata (duration, track dims; AVI avih
 included) still decodes, so the stubbed-codec tier carries REAL frame
 timestamps.
 
+Audio (r12): WAV PCM (8/16-bit) and FLAC both decode to REAL sample
+arrays — decode_flac_samples runs the full stream decode (CRC-8
+frame headers, constant/verbatim/fixed/LPC subframes,
+partitioned-Rice residuals, wasted bits, left-/right-/mid-side
+stereo decorrelation); non-PCM WAV and metadata-only FLAC fall to
+the duration tier.
+
 Scale notes: mapInPandas streams Arrow batches — payload bytes never
 materialize as a full-partition list; batch size is bounded by
 spark.sql.execution.arrow.maxRecordsPerBatch. Feature extraction adds
@@ -1882,6 +1889,329 @@ def decode_wav_samples(payload: bytes):
     return s, fmt["rate"]
 
 
+class _FlacBits:
+    """MSB-first bit reader over one buffer; exhaustion raises
+    ValueError (the loud-corruption contract every decoder here
+    follows). Byte-aligned reads fall back to slicing for speed."""
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos          # byte position
+        self.bit = 0            # bit offset within the current byte
+
+    def read_bit(self) -> int:
+        if self.pos >= len(self.data):
+            raise ValueError("FLAC bitstream exhausted")
+        b = (self.data[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit, self.pos = 0, self.pos + 1
+        return b
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        # byte-aligned fast path for whole bytes
+        while n >= 8 and self.bit == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("FLAC bitstream exhausted")
+            v = (v << 8) | self.data[self.pos]
+            self.pos += 1
+            n -= 8
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def read_signed(self, n: int) -> int:
+        v = self.read_bits(n)
+        return v - (1 << n) if v >> (n - 1) else v
+
+    def read_unary(self) -> int:
+        q = 0
+        while self.read_bit() == 0:
+            q += 1
+            if q > 1 << 20:
+                # a crafted all-zero run must not spin unboundedly —
+                # no legal rice quotient comes near this
+                raise ValueError("FLAC unary run out of range")
+        return q
+
+    def align(self) -> None:
+        if self.bit:
+            self.bit, self.pos = 0, self.pos + 1
+
+
+def _crc8(data: bytes) -> int:
+    """CRC-8 poly 0x07 (the FLAC frame-header CRC)."""
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 \
+                else (crc << 1) & 0xFF
+    return crc
+
+
+# frame-header code tables (FLAC format spec §9.1)
+_FLAC_BLOCK_SIZES = {1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608,
+                     8: 256, 9: 512, 10: 1024, 11: 2048, 12: 4096,
+                     13: 8192, 14: 16384, 15: 32768}
+_FLAC_RATES = {1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000,
+               6: 22050, 7: 24000, 8: 32000, 9: 44100, 10: 48000,
+               11: 96000}
+_FLAC_BITS = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
+# fixed-predictor restore coefficients by order (spec §9.2.2)
+_FLAC_FIXED = {0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1],
+               4: [4, -6, 4, -1]}
+
+
+def _flac_utf8_number(bits: _FlacBits) -> int:
+    """The frame header's UTF-8-style coded frame/sample number
+    (spec §9.1.5): 1-7 bytes, same prefix scheme as UTF-8 but
+    extended to 36 bits."""
+    b0 = bits.read_bits(8)
+    if b0 < 0x80:
+        return b0
+    n = 0
+    while b0 & (0x80 >> n):
+        n += 1
+    if n < 2 or n > 7:
+        raise ValueError("FLAC frame number coding invalid")
+    v = b0 & (0x7F >> n)
+    for _ in range(n - 1):
+        c = bits.read_bits(8)
+        if c & 0xC0 != 0x80:
+            raise ValueError("FLAC frame number continuation invalid")
+        v = (v << 6) | (c & 0x3F)
+    return v
+
+
+def _flac_residuals(bits: _FlacBits, block_size: int,
+                    order: int) -> list[int]:
+    """Partitioned-Rice residual section (spec §9.2.7): 2-bit coding
+    method (4- or 5-bit rice parameters), 4-bit partition order, then
+    2^po partitions — rice-coded (unary quotient ‖ k-bit remainder,
+    zigzag) or, at the escape parameter, raw two's-complement at an
+    explicit bit width."""
+    method = bits.read_bits(2)
+    if method > 1:
+        raise ValueError("FLAC residual coding method reserved")
+    pbits = 4 if method == 0 else 5
+    escape = (1 << pbits) - 1
+    po = bits.read_bits(4)
+    nparts = 1 << po
+    if block_size % nparts:
+        # spec: the block size must divide evenly into 2^po partitions
+        # (the first partition's warmup shortfall is checked below)
+        raise ValueError("FLAC partition order invalid for block size")
+    out: list[int] = []
+    for p in range(nparts):
+        count = (block_size >> po) - (order if p == 0 else 0)
+        if count < 0:
+            raise ValueError("FLAC partition shorter than warmup")
+        param = bits.read_bits(pbits)
+        if param == escape:
+            raw = bits.read_bits(5)
+            if raw == 0:
+                out.extend([0] * count)
+            else:
+                out.extend(bits.read_signed(raw) for _ in range(count))
+        else:
+            for _ in range(count):
+                q = bits.read_unary()
+                u = (q << param) | bits.read_bits(param)
+                out.append((u >> 1) ^ -(u & 1))
+    return out
+
+
+def _flac_subframe(bits: _FlacBits, block_size: int,
+                   bps: int) -> list[int]:
+    """One subframe (spec §9.2): constant / verbatim / fixed(0-4) /
+    LPC(1-32), each with optional wasted-bits shift."""
+    if bits.read_bit() != 0:
+        raise ValueError("FLAC subframe padding bit set")
+    ftype = bits.read_bits(6)
+    wasted = 0
+    if bits.read_bit():
+        wasted = 1 + bits.read_unary()
+    eff = bps - wasted
+    if eff <= 0:
+        raise ValueError("FLAC wasted bits exceed sample size")
+    if ftype == 0:                             # CONSTANT
+        x = [bits.read_signed(eff)] * block_size
+    elif ftype == 1:                           # VERBATIM
+        x = [bits.read_signed(eff) for _ in range(block_size)]
+    elif 8 <= ftype <= 12:                     # FIXED order 0-4
+        order = ftype - 8
+        if order > block_size:
+            raise ValueError("FLAC predictor order exceeds block")
+        x = [bits.read_signed(eff) for _ in range(order)]
+        res = _flac_residuals(bits, block_size, order)
+        coefs = _FLAC_FIXED[order]
+        for r in res:
+            pred = sum(c * x[-j - 1] for j, c in enumerate(coefs))
+            x.append(r + pred)
+    elif ftype >= 32:                          # LPC order 1-32
+        order = ftype - 31
+        if order > block_size:
+            raise ValueError("FLAC predictor order exceeds block")
+        x = [bits.read_signed(eff) for _ in range(order)]
+        prec = bits.read_bits(4) + 1
+        if prec == 16:
+            raise ValueError("FLAC LPC precision code reserved")
+        shift = bits.read_signed(5)
+        if shift < 0:
+            raise ValueError("FLAC negative LPC shift")
+        coefs = [bits.read_signed(prec) for _ in range(order)]
+        res = _flac_residuals(bits, block_size, order)
+        for r in res:
+            pred = sum(c * x[-j - 1]
+                       for j, c in enumerate(coefs)) >> shift
+            x.append(r + pred)
+    else:
+        raise ValueError(f"FLAC subframe type {ftype} reserved")
+    if wasted:
+        x = [v << wasted for v in x]
+    return x
+
+
+def decode_flac_samples(payload: bytes):
+    """REAL FLAC decode, stdlib+numpy only (the WAV treatment applied
+    to FLAC — the audio 'metadata' tier retired for the common form):
+    STREAMINFO + metadata-block skip, then every frame — CRC-8-checked
+    headers, UTF-8-coded frame numbers, constant / verbatim /
+    fixed(0-4) / LPC(1-32) subframes, partitioned-Rice residuals with
+    escape partitions, wasted-bits shift, and left-side / right-side /
+    mid-side stereo decorrelation. Returns (samples (n_frames,
+    channels) int32 numpy array, sample_rate, bits_per_sample).
+
+    Raises ValueError for structural damage (bad sync, CRC mismatch,
+    reserved codes, truncation — the loud-corruption contract) and
+    NotImplementedError for non-FLAC magic. Adversarial bytes are
+    bounded: total decoded samples cap at the shared _MAX_PIXELS
+    budget, unary runs and varints are length-gated.
+
+    Scale note: like decode_png_pixels' filter loop and the JPEG
+    Huffman loop, the bit-serial rice decode is the no-dependency
+    correctness path; batch shape and tiering around it are
+    format-agnostic, so a deployment with native audio libs swaps this
+    one function."""
+    import numpy as np
+
+    if payload[:4] != b"fLaC":
+        raise NotImplementedError("not a FLAC stream")
+    if len(payload) < 8 + 34:
+        raise ValueError("truncated FLAC STREAMINFO")
+    if payload[4] & 0x7F != 0:
+        raise ValueError("FLAC without leading STREAMINFO block")
+    si = payload[8:8 + 34]
+    u64 = int.from_bytes(si[10:18], "big")
+    rate = u64 >> 44
+    nch = ((u64 >> 41) & 0x07) + 1
+    bps = ((u64 >> 36) & 0x1F) + 1
+    total = u64 & ((1 << 36) - 1)
+    if rate == 0:
+        raise ValueError("FLAC with zero sample rate")
+    if bps not in (8, 12, 16, 20, 24, 32):
+        raise ValueError(f"FLAC sample size {bps} unsupported")
+    # skip metadata blocks (STREAMINFO first, then any others)
+    pos = 4
+    while True:
+        if pos + 4 > len(payload):
+            raise ValueError("truncated FLAC metadata")
+        hdr = payload[pos]
+        size = int.from_bytes(payload[pos + 1:pos + 4], "big")
+        pos += 4 + size
+        if pos > len(payload):
+            raise ValueError("truncated FLAC metadata block")
+        if hdr & 0x80:
+            break
+    chans: list[list[int]] = [[] for _ in range(nch)]
+    while pos < len(payload):
+        frame_start = pos
+        bits = _FlacBits(payload, pos)
+        sync = bits.read_bits(15)
+        if sync != 0b111111111111100:
+            raise ValueError("FLAC frame sync lost")
+        bits.read_bit()                        # blocking strategy
+        bs_code = bits.read_bits(4)
+        sr_code = bits.read_bits(4)
+        ch_code = bits.read_bits(4)
+        ss_code = bits.read_bits(3)
+        if bits.read_bit() != 0:
+            raise ValueError("FLAC frame reserved bit set")
+        _flac_utf8_number(bits)
+        if bs_code == 0:
+            raise ValueError("FLAC block size code reserved")
+        elif bs_code == 6:
+            block_size = bits.read_bits(8) + 1
+        elif bs_code == 7:
+            block_size = bits.read_bits(16) + 1
+        else:
+            block_size = _FLAC_BLOCK_SIZES[bs_code]
+        if sr_code == 12:
+            bits.read_bits(8)
+        elif sr_code in (13, 14):
+            bits.read_bits(16)
+        elif sr_code == 15:
+            raise ValueError("FLAC sample rate code invalid")
+        fbps = _FLAC_BITS.get(ss_code, bps) if ss_code else bps
+        if ss_code == 3:
+            raise ValueError("FLAC sample size code reserved")
+        crc_end = bits.pos + (1 if bits.bit else 0)
+        if _crc8(payload[frame_start:crc_end]) != bits.read_bits(8):
+            raise ValueError("FLAC frame header CRC mismatch")
+        if ch_code < 8:
+            fch = ch_code + 1
+            if fch != nch:
+                raise ValueError("FLAC frame channel count mismatch")
+            sub = [
+                _flac_subframe(bits, block_size, fbps)
+                for _ in range(fch)]
+        elif ch_code in (8, 9, 10):            # stereo decorrelation
+            if nch != 2:
+                raise ValueError("FLAC stereo frame in non-stereo "
+                                 "stream")
+            # the DIFFERENCE channel carries one extra bit
+            if ch_code == 8:                   # left-side
+                left = _flac_subframe(bits, block_size, fbps)
+                side = _flac_subframe(bits, block_size, fbps + 1)
+                sub = [left, [l - s for l, s in zip(left, side)]]
+            elif ch_code == 9:                 # right-side
+                side = _flac_subframe(bits, block_size, fbps + 1)
+                right = _flac_subframe(bits, block_size, fbps)
+                sub = [[r + s for r, s in zip(right, side)], right]
+            else:                              # mid-side
+                mid = _flac_subframe(bits, block_size, fbps)
+                side = _flac_subframe(bits, block_size, fbps + 1)
+                sub = [[], []]
+                for m, s in zip(mid, side):
+                    m = (m << 1) | (s & 1)
+                    sub[0].append((m + s) >> 1)
+                    sub[1].append((m - s) >> 1)
+        else:
+            raise ValueError("FLAC channel assignment reserved")
+        bits.align()
+        bits.read_bits(16)                     # frame CRC-16 (present;
+        pos = bits.pos                         # contents not rechecked)
+        for c in range(nch):
+            chans[c].extend(sub[c])
+        if len(chans[0]) * nch > _MAX_PIXELS:
+            raise ValueError("FLAC sample count over the decode cap")
+    if not chans[0]:
+        # a metadata-only stream (STREAMINFO, no frames) isn't sample-
+        # decodable but its header is intact: NotImplementedError so
+        # extract_audio_features falls to the metadata tier (real
+        # duration) instead of marking the row corrupt
+        raise NotImplementedError("FLAC stream without audio frames")
+    if total and len(chans[0]) > total:
+        # trailing padding frames beyond STREAMINFO's declared total
+        chans = [c[:total] for c in chans]
+    s = np.array(chans, dtype=np.int64).T
+    if np.abs(s).max() >= 1 << 31:
+        raise ValueError("FLAC sample magnitude out of range")
+    return s.astype(np.int32), rate, bps
+
+
 AUDIO_FEATURE_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType()),
     T.StructField("sample_rate", T.IntegerType()),
@@ -1899,11 +2229,12 @@ def extract_audio_features(df: DataFrame) -> DataFrame:
     """Audio feature extraction over MEDIA_SCHEMA rows (mapInPandas),
     tiered like the image operators:
 
-    * ``decoded`` — WAV PCM payloads decode for real: RMS and peak as
-      fractions of full scale (rounded to 6dp), mean zero-crossing
-      rate across channels, exact frame/duration math.
-    * ``metadata`` — the container only yields duration (FLAC, or a
-      non-PCM WAV): real duration_ms, null signal stats.
+    * ``decoded`` — WAV PCM and (r12) FLAC payloads decode for real:
+      RMS and peak as fractions of full scale (rounded to 6dp), mean
+      zero-crossing rate across channels, exact frame/duration math.
+    * ``metadata`` — the container only yields duration (a non-PCM
+      WAV, or a FLAC shape outside the decode path): real
+      duration_ms, null signal stats.
     * ``fake`` / ``corrupt`` — unknown magic gets the deterministic
       hash stub (sha-derived pseudo duration, so tests can golden it);
       recognized-but-damaged bytes get the corrupt row.
@@ -1911,6 +2242,17 @@ def extract_audio_features(df: DataFrame) -> DataFrame:
     Scale shape: identical to extract_media_features — Arrow batches,
     per-row cost bounded by the sample cap, no shuffle."""
     import numpy as np
+
+    def decode_samples(payload: bytes):
+        """(samples, rate, full-scale divisor) from whichever real
+        decoder claims the magic — WAV PCM (already int16-ranged) or
+        FLAC (scaled by its own bits-per-sample)."""
+        try:
+            s, rate = decode_wav_samples(payload)
+            return s, rate, 32768.0
+        except NotImplementedError:
+            s, rate, bps = decode_flac_samples(payload)
+            return s, rate, float(1 << (bps - 1))
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in AUDIO_FEATURE_SCHEMA]
@@ -1920,8 +2262,8 @@ def extract_audio_features(df: DataFrame) -> DataFrame:
                 payload = bytes(row.payload) \
                     if row.payload is not None else b""
                 try:
-                    s, rate = decode_wav_samples(payload)
-                    x = s.astype(np.float64) / 32768.0
+                    s, rate, scale = decode_samples(payload)
+                    x = s.astype(np.float64) / scale
                     nf = len(s)
                     rms = float(np.sqrt((x * x).mean())) if nf else 0.0
                     peak = float(np.abs(x).max()) if nf else 0.0
