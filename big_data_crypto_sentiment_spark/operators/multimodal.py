@@ -22,13 +22,16 @@ YCbCr→RGB) all decode to REAL pixel arrays; resize runs a TRUE
 closed-form area-average resample and re-encodes as a spec-correct
 PNG (encode_png, CRC'd chunks). r12 widens the decode surface:
 progressive (SOF2) JPEG (spectral selection + successive
-approximation, T.81 §G.2), the FULL legal PNG matrix (palette at
-depths 1/2/4/8 with tRNS alpha, sub-8-bit and 16-bit greyscale,
-16-bit truecolour, Adam7 interlacing for everything), BMP
-palette-indexed 1/4/8-bit and BI_RLE8, and WebP / TIFF / FLAC
-header-metadata decodes. Only arithmetic-coded / 12-bit /
-hierarchical JPEG, BMP BI_RLE4/BI_BITFIELDS, and true video codecs
-stay behind loud NotImplementedError tiers.
+approximation, T.81 §G.2), non-interleaved multi-scan baseline JPEG
+(sequential single-component scans, late r12), the FULL legal PNG
+matrix (palette at depths 1/2/4/8 with tRNS alpha, sub-8-bit and
+16-bit greyscale, 16-bit truecolour, Adam7 interlacing for
+everything), the FULL BMP matrix (palette 1/4/8-bit, BI_RLE8,
+BI_RLE4, plain 16-bit 555 and BI_BITFIELDS 16/32-bit masks — late
+r12), and WebP / TIFF / FLAC header-metadata decodes. Only
+arithmetic-coded / 12-bit / hierarchical / partially-interleaved
+JPEG and true video codecs stay behind loud NotImplementedError
+tiers.
 
 Video frames (r12): animated GIFs decode frame by frame with spec
 disposal/transparency coalescing against the logical screen
@@ -662,28 +665,115 @@ def _bmp_rle8(payload: bytes, data_off: int, width: int,
     raise ValueError("BMP RLE8 without an end-of-bitmap code")
 
 
+def _bmp_rle4(payload: bytes, data_off: int, width: int,
+              height: int):
+    """BI_RLE4 decode (r12 — the RLE8 modes with nibble-packed
+    indices: an encoded run ALTERNATES the byte's two nibbles, an
+    absolute run packs them two per byte, word-aligned) into a
+    bottom-up (height, width) index raster."""
+    import numpy as np
+
+    idx = np.zeros((height, width), dtype=np.int64)
+    x = y = 0
+    p, n = data_off, len(payload)
+    while p + 2 <= n:
+        c, v = payload[p], payload[p + 1]
+        p += 2
+        if c > 0:                              # encoded run, alternating
+            if y >= height or x + c > width:
+                raise ValueError("BMP RLE4 run outside the bitmap")
+            hi, lo = v >> 4, v & 0x0F
+            for i in range(c):
+                idx[y, x + i] = hi if i % 2 == 0 else lo
+            x += c
+        elif v == 0:                           # end of line
+            x, y = 0, y + 1
+        elif v == 1:                           # end of bitmap
+            return idx
+        elif v == 2:                           # delta
+            if p + 2 > n:
+                raise ValueError("truncated BMP RLE4 delta")
+            x += payload[p]
+            y += payload[p + 1]
+            p += 2
+        else:                                  # absolute: v nibbles
+            nbytes = (v + 1) // 2
+            if p + nbytes > n:
+                raise ValueError("truncated BMP RLE4 literals")
+            if y >= height or x + v > width:
+                raise ValueError("BMP RLE4 literals outside the bitmap")
+            for i in range(v):
+                b = payload[p + i // 2]
+                idx[y, x + i] = (b >> 4) if i % 2 == 0 else (b & 0x0F)
+            x += v
+            p += nbytes + (nbytes & 1)         # word-aligned
+    raise ValueError("BMP RLE4 without an end-of-bitmap code")
+
+
+def _bmp_masked(payload: bytes, data_off: int, width: int, height: int,
+                h_signed: int, bits: int, masks):
+    """16/32-bit masked BMP decode (r12): each channel extracted by
+    its bit mask and rescaled to 8 bits (255·v / mask_max — exact
+    integer math). `masks` is (r, g, b[, a]); a zero alpha mask means
+    no alpha channel."""
+    import numpy as np
+
+    bytespp = bits // 8
+    row_bytes = (width * bytespp + 3) & ~3
+    need = data_off + row_bytes * height
+    if len(payload) < need:
+        raise ValueError("truncated BMP pixel data")
+    rows = np.frombuffer(payload, np.uint8, row_bytes * height,
+                         data_off).reshape(height, row_bytes)
+    px = rows[:, :width * bytespp].reshape(height, width, bytespp)
+    vals = np.zeros((height, width), dtype=np.int64)
+    for i in range(bytespp):                   # little-endian assemble
+        vals |= px[:, :, i].astype(np.int64) << (8 * i)
+    chans = []
+    for m in masks:
+        if m == 0:
+            continue
+        if m >= 1 << bits:
+            raise ValueError("BMP bitfield mask wider than the pixel")
+        shift = (m & -m).bit_length() - 1
+        span = (m >> shift)
+        if span & (span + 1):
+            raise ValueError("BMP bitfield mask is not contiguous")
+        c = (vals & m) >> shift
+        chans.append((c * 255 // span).astype(np.uint8))
+    if len(chans) < 3:
+        raise ValueError("BMP bitfields missing a color mask")
+    img = np.stack(chans, axis=2)
+    return np.ascontiguousarray(img[::-1] if h_signed > 0 else img)
+
+
 def decode_bmp_pixels(payload: bytes):
     """REAL BMP pixel decode (BITMAPINFOHEADER family): uncompressed
     24/32-bit BGR(A), palette-indexed 1/4/8-bit (MSB-first packing,
-    color table after the header — r12), and BI_RLE8 run-length
-    8-bit (r12). Rows are 4-byte aligned, bottom-up unless the height
-    is negative (RLE is always bottom-up per spec). Returns (height,
-    width, channels) uint8 RGB(A). 16-bit (BI_BITFIELDS) and RLE4
-    stay NotImplementedError; truncated or out-of-bounds pixel data
-    raises ValueError."""
+    color table after the header — r12), BI_RLE8 run-length 8-bit
+    (r12), BI_RLE4 nibble run-length (late r12), plain 16-bit 555,
+    and BI_BITFIELDS 16/32-bit with arbitrary contiguous masks (late
+    r12 — masks at their fixed post-header offset, V4/V5 alpha mask
+    honored). Rows are 4-byte aligned, bottom-up unless the height is
+    negative (RLE is always bottom-up per spec). Returns (height,
+    width, channels) uint8 RGB(A). Truncated or out-of-bounds pixel
+    data raises ValueError."""
     import numpy as np
 
     if payload[:2] != b"BM":
         raise NotImplementedError("not a BMP")
     if len(payload) < 54:
         raise ValueError("truncated BMP header")
+    bi_size = int.from_bytes(payload[14:18], "little")
     data_off = int.from_bytes(payload[10:14], "little")
     w = int.from_bytes(payload[18:22], "little", signed=True)
     h = int.from_bytes(payload[22:26], "little", signed=True)
     bits = int.from_bytes(payload[28:30], "little")
     compression = int.from_bytes(payload[30:34], "little")
-    supported = (compression == 0 and bits in (1, 4, 8, 24, 32)) \
-        or (compression == 1 and bits == 8)
+    supported = (compression == 0 and bits in (1, 4, 8, 16, 24, 32)) \
+        or (compression == 1 and bits == 8) \
+        or (compression == 2 and bits == 4) \
+        or (compression == 3 and bits in (16, 32))
     if not supported:
         raise NotImplementedError(
             f"BMP bits={bits} compression={compression} outside the "
@@ -697,9 +787,26 @@ def decode_bmp_pixels(payload: bytes):
         raise ValueError(
             f"BMP dimensions {width}x{height} over the decode cap")
 
-    if compression == 1:                       # RLE8: palette indexed
+    if compression == 3:                       # BI_BITFIELDS
+        # masks sit right after BITMAPINFOHEADER (file offset 54) —
+        # the same fixed position where V4/V5 headers embed them,
+        # which also carry a fourth (alpha) mask
+        if len(payload) < 66:
+            raise ValueError("truncated BMP bitfield masks")
+        masks = [int.from_bytes(payload[54 + 4 * i:58 + 4 * i],
+                                "little") for i in range(3)]
+        if bi_size >= 108 and len(payload) >= 70:
+            masks.append(int.from_bytes(payload[66:70], "little"))
+        return _bmp_masked(payload, data_off, width, height, h, bits,
+                           masks)
+    if compression == 0 and bits == 16:        # default 555
+        return _bmp_masked(payload, data_off, width, height, h, bits,
+                           (0x7C00, 0x03E0, 0x001F))
+
+    if compression in (1, 2):                  # RLE: palette indexed
         pal = _bmp_palette(payload, bits)
-        idx = _bmp_rle8(payload, data_off, width, height)
+        rle = _bmp_rle8 if compression == 1 else _bmp_rle4
+        idx = rle(payload, data_off, width, height)
         if idx.max() >= len(pal):
             raise ValueError("BMP palette index out of range")
         return np.ascontiguousarray(pal[idx][::-1])  # bottom-up
@@ -1110,6 +1217,7 @@ def decode_jpeg_pixels(payload: bytes):
     progressive = False
     coefs: dict | None = None
     n_scans = 0
+    seen_comps: set[int] = set()       # non-interleaved baseline scans
     restart_interval = 0
     pos, n = 2, len(payload)
     while pos + 4 <= n:
@@ -1166,17 +1274,18 @@ def decode_jpeg_pixels(payload: bytes):
             if not body or len(body) < 4 + 2 * body[0]:
                 raise ValueError("truncated JPEG SOS header")
             ns = body[0]
-            if not progressive and ns != len(frame["comps"]):
-                # a first SOS covering fewer components than the frame
-                # declares means a NON-INTERLEAVED multi-scan baseline
-                # JPEG (three sequential single-component scans). The
-                # single-pass interleaved decoder below would silently
-                # commit the Y scan alone as "the image" (r11 ADVICE,
-                # medium) — raise so these fall to the decoded-dims
-                # tier like every other unsupported structure.
+            if ns == 0 or ns > len(frame["comps"]):
+                raise ValueError(
+                    f"JPEG SOS component count {ns} invalid for "
+                    f"{len(frame['comps'])}-component frame")
+            if not progressive and 1 < ns < len(frame["comps"]):
+                # a partially-interleaved sequential scan (2 of 3
+                # components in one MCU-ordered scan) is legal but
+                # vanishingly rare — keep it a loud tier rather than
+                # risk a silently-wrong MCU layout (r11 ADVICE lineage)
                 raise NotImplementedError(
-                    f"JPEG non-interleaved multi-scan (SOS covers {ns} "
-                    f"of {len(frame['comps'])} frame components)")
+                    f"JPEG partially-interleaved scan ({ns} of "
+                    f"{len(frame['comps'])} frame components)")
             scan = []
             for c in range(ns):
                 cs, tds = body[1 + 2 * c], body[2 + 2 * c]
@@ -1194,9 +1303,28 @@ def decode_jpeg_pixels(payload: bytes):
                 for c in scan:
                     if c["td"] not in huff_dc or c["ta"] not in huff_ac:
                         raise ValueError("JPEG Huffman table missing")
-                return _jpeg_decode_scan(payload, data_start, frame,
-                                         scan, qt, huff_dc, huff_ac,
-                                         restart_interval)
+                if ns == len(frame["comps"]):
+                    return _jpeg_decode_scan(payload, data_start, frame,
+                                             scan, qt, huff_dc, huff_ac,
+                                             restart_interval)
+                # NON-INTERLEAVED multi-scan baseline (r12, was a loud
+                # tier since the r11 ADVICE fix): sequential
+                # single-component scans accumulate full DC+AC
+                # coefficients into the progressive store — each
+                # component in ITS OWN ceil-divided block grid (T.81
+                # A.2.2) — and EOI finalizes through the shared
+                # dequant+IDCT tail. The r11 bug (committing the Y
+                # scan alone as "the image") is structurally
+                # impossible here: finalize requires every frame
+                # component to have been scanned.
+                if coefs is None:
+                    coefs = _jpeg_alloc_coefs(frame)
+                pos = _jpeg_sequential_scan(
+                    payload, data_start, frame, scan[0], coefs,
+                    huff_dc, huff_ac, restart_interval)
+                seen_comps.add(scan[0]["id"])
+                n_scans += 1
+                continue
             # progressive: this scan refines the coefficient store,
             # then the marker walk continues (tables may be redefined
             # between scans; EOI finalizes)
@@ -1211,7 +1339,60 @@ def decode_jpeg_pixels(payload: bytes):
         pos += 2 + seglen
     if progressive and n_scans:
         return _jpeg_finalize_progressive(frame, coefs, qt)
+    if seen_comps:
+        if seen_comps != {c["id"] for c in frame["comps"]}:
+            raise ValueError(
+                "JPEG non-interleaved stream is missing component "
+                "scans")
+        return _jpeg_finalize_progressive(frame, coefs, qt)
     raise ValueError("JPEG without SOS/EOI")
+
+
+def _jpeg_sequential_scan(payload: bytes, pos: int, frame, c,
+                          coefs: dict, huff_dc, huff_ac,
+                          restart_interval: int) -> int:
+    """ONE single-component scan of a non-interleaved multi-scan
+    BASELINE JPEG: full DC+AC per block (unlike a progressive scan,
+    every coefficient arrives in this one pass), blocks in the
+    component's own ceil-divided grid, restart markers resetting the
+    DC predictor. Returns the payload position of the next marker."""
+    segments, end = _jpeg_entropy_segments(payload, pos)
+    bits = _JpegBits(segments)
+    dc_t, ac_t = huff_dc[c["td"]], huff_ac[c["ta"]]
+    wb, hb = _jpeg_nonint_blocks(frame, c)
+    pred = 0
+    i = 0
+    for by in range(hb):
+        for bx in range(wb):
+            if restart_interval and i and i % restart_interval == 0:
+                bits.next_segment()
+                pred = 0
+            blk = coefs[c["id"]][by, bx]
+            s = bits.read_huff(dc_t)
+            if s > 15:
+                raise ValueError(
+                    "JPEG DC magnitude category out of range")
+            diff = _jpeg_extend(bits.read_bits(s), s) if s else 0
+            pred += diff
+            if abs(pred) > 1 << 17:
+                raise ValueError("JPEG DC predictor out of range")
+            blk[0] = pred
+            ki = 1
+            while ki < 64:
+                rs = bits.read_huff(ac_t)
+                r, sz = rs >> 4, rs & 0x0F
+                if sz == 0:
+                    if r == 15:                # ZRL
+                        ki += 16
+                        continue
+                    break                      # EOB
+                ki += r
+                if ki > 63:
+                    raise ValueError("JPEG AC run overflow")
+                blk[ki] = _jpeg_extend(bits.read_bits(sz), sz)
+                ki += 1
+            i += 1
+    return end
 
 
 def _jpeg_parse_sof(body: bytes) -> dict:
@@ -2359,17 +2540,19 @@ def resize_images(df: DataFrame, max_dim: int = 224,
     """Image-resize over MEDIA_SCHEMA rows (mapInPandas), tiered:
 
     * ``resampled`` — the payload pixel-decodes (PNG via stdlib zlib
-      inflate + per-row unfilter, uncompressed 24/32-bit BMP, GIF
-      first frame via LZW, baseline JPEG via the r11 Huffman+IDCT
-      decoder, progressive JPEG via the r12 coefficient-accumulation
-      scans) AND needs shrinking: a TRUE area-average resample
+      inflate + per-row unfilter, the full BMP matrix incl. RLE and
+      bitfield masks, GIF first frame via LZW, baseline JPEG via the
+      r11 Huffman+IDCT decoder — interleaved AND sequential
+      multi-scan, progressive JPEG via the r12
+      coefficient-accumulation scans) AND needs shrinking: a TRUE
+      area-average resample
       (closed-form separable box filter) runs and the output payload
       is a real, decodable PNG at the target dimensions — note a
       resampled JPEG therefore comes back PNG-encoded.
     * ``passthrough`` — pixel-decodes but already fits max_dim: the
       original payload rides through untouched.
     * ``decoded-dims`` — only the container HEADER decodes
-      (arithmetic-coded / 12-bit JPEG, RLE4/bitfields BMP, WebP/TIFF,
+      (arithmetic-coded / 12-bit JPEG, WebP/TIFF,
       plus structurally-damaged PNG/BMP/GIF/JPEG): real dims,
       deterministic ``RSZ1 ‖ big-endian (w, h) ‖ sha256(source)``
       marker payload.

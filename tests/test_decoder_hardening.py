@@ -174,6 +174,27 @@ def test_avi_frame_spans_stay_in_document_order_across_rec_lists():
     assert [avi[a:b] for a, b in spans] == frames
 
 
+def test_jpeg_sos_component_count_gated():
+    # ns=0 (scan[0] would IndexError) and ns > frame components (the
+    # sequential single-component path would misread the stream) are
+    # both spec-invalid — ValueError at the header, found by mutation
+    # fuzz on a non-interleaved seed
+    def seg(marker, body):
+        return marker + struct.pack(">H", 2 + len(body)) + body
+
+    dqt = seg(b"\xff\xdb", bytes([0]) + bytes([1] * 64))
+    dht_dc = seg(b"\xff\xc4", bytes([0x00, 1] + [0] * 15 + [0]))
+    dht_ac = seg(b"\xff\xc4", bytes([0x10, 1] + [0] * 15 + [0]))
+    sof = seg(b"\xff\xc0", bytes([8]) + struct.pack(">HH", 8, 8)
+              + bytes([1, 1, 0x11, 0]))
+    for sos_body in (bytes([0, 0, 63, 0]),
+                     bytes([2, 1, 0x00, 1, 0x00, 0, 63, 0])):
+        payload = (b"\xff\xd8" + dqt + dht_dc + dht_ac + sof
+                   + seg(b"\xff\xda", sos_body) + b"\x00\xff\xd9")
+        with pytest.raises(ValueError, match="component count"):
+            decode_jpeg_pixels(payload)
+
+
 def test_gif_lzw_code_size_over_11_is_valueerror():
     # LZW codes cap at 12 bits, so mcs > 11 is structurally impossible;
     # a crafted mcs byte of 46 used to hang the executor building a

@@ -344,11 +344,12 @@ def test_bmp_rle8_runs_absolute_delta_eol():
     assert (got[2] == pal[[1, 1, 1, 1, 2, 2]]).all()      # bottom
     assert (got[1] == pal[[3, 4, 5, 0, 0, 0]]).all()      # middle
     assert (got[0] == pal[[0, 0, 0, 0, 0, 6]]).all()      # top
-    # RLE4 stays gated
+    # RLE4 decodes as of late r12: a 0x00 0x01 stream is an immediate
+    # end-of-bitmap -> an all-background raster, not a gate
     p4 = _bmp(4, 1, 4, b"", palette=PAL, compression=2,
               pixel_bytes=bytes([0, 1]))
-    with pytest.raises(NotImplementedError):
-        decode_bmp_pixels(p4)
+    assert (decode_bmp_pixels(p4)
+            == np.array(PAL, np.uint8)[0]).all()
     # truncated RLE stream (no EOB) -> corrupt
     p_bad = _bmp(6, 3, 8, b"", palette=PAL, compression=1,
                  pixel_bytes=bytes([4, 1]))
@@ -386,3 +387,90 @@ def test_encode_decode_roundtrip_property(h, w, ch, seed):
     img = rng.integers(0, 256, size=(h, w, ch)).astype(np.uint8)
     back = decode_png_pixels(encode_png(img))
     assert back.shape == img.shape and (back == img).all()
+
+
+def test_bmp_rle4_runs_absolute_delta_eol():
+    from big_data_crypto_sentiment_spark.operators.multimodal import (
+        decode_bmp_pixels,
+    )
+    # 6x2 canvas, 4-bit RLE. Bottom row: encoded run of 5 with nibble
+    # pair (1,2) -> 1,2,1,2,1; then EOL. Top row: absolute 3 literals
+    # [3,4,5] (two bytes 0x34 0x50, word-padded), delta (+1,0), run 2
+    # of (6,7) -> 6,7 at x=4..5, EOB.
+    rle = (bytes([5, 0x12, 0, 0])               # run 5 alternating + EOL
+           + bytes([0, 3, 0x34, 0x50])          # absolute 3 literals
+           + bytes([0, 2, 1, 0])                # delta +1 x
+           + bytes([2, 0x67])                   # run 2 alternating
+           + bytes([0, 1]))                     # end of bitmap
+    p = _bmp(6, 2, 4, b"", palette=PAL, compression=2,
+             pixel_bytes=rle)
+    got = decode_bmp_pixels(p)
+    pal = np.array(PAL, np.uint8)
+    assert (got[1] == pal[[1, 2, 1, 2, 1, 0]]).all()      # bottom
+    assert (got[0] == pal[[3, 4, 5, 0, 6, 7]]).all()      # top
+
+
+def test_bmp_16bit_555_default_masks():
+    from big_data_crypto_sentiment_spark.operators.multimodal import (
+        decode_bmp_pixels,
+    )
+    # 2x1 plain 16-bit (compression 0): 555 masks. Pixel values:
+    # pure red (31<<10) and mid green (16<<5)
+    px = struct.pack("<HH", 31 << 10, 16 << 5)
+    p = _bmp(2, 1, 16, px)                      # stride 4, no pad
+    got = decode_bmp_pixels(p)
+    assert got.shape == (1, 2, 3)
+    assert (got[0, 0] == [255, 0, 0]).all()
+    assert (got[0, 1] == [0, 16 * 255 // 31, 0]).all()
+
+
+def test_bmp_bitfields_565_and_argb32():
+    from big_data_crypto_sentiment_spark.operators.multimodal import (
+        decode_bmp_pixels,
+    )
+    # 16-bit BI_BITFIELDS with 565 masks: masks sit at file offset 54,
+    # data follows
+    masks = struct.pack("<III", 0xF800, 0x07E0, 0x001F)
+    px = struct.pack("<HH", 0xF800, 0x07E0)     # red, green
+    data_off = 14 + 40 + 12
+    hdr = (b"BM" + struct.pack("<IHHI", data_off + len(px), 0, 0,
+                               data_off)
+           + struct.pack("<IiiHHIIiiII", 40, 2, 1, 1, 16, 3,
+                         len(px), 0, 0, 0, 0))
+    got = decode_bmp_pixels(hdr + masks + px)
+    assert (got[0, 0] == [255, 0, 0]).all()
+    assert (got[0, 1] == [0, 255, 0]).all()
+
+    # 32-bit V4-header BITFIELDS with an alpha mask: biSize=108 means
+    # the four masks live at the same offsets (54..70) inside the
+    # header; build the 108-byte header with masks embedded
+    v4_extra = (struct.pack("<IIII", 0x00FF0000, 0x0000FF00,
+                            0x000000FF, 0xFF000000)
+                + b"\x00" * (108 - 40 - 16))
+    px32 = struct.pack("<II", 0x80FF00FF,      # A=0x80, R=FF, B=FF
+                       0xFF00FF00)             # A=FF, G=FF
+    data_off = 14 + 108
+    hdr = (b"BM" + struct.pack("<IHHI", data_off + len(px32), 0, 0,
+                               data_off)
+           + struct.pack("<IiiHHIIiiII", 108, 2, 1, 1, 32, 3,
+                         len(px32), 0, 0, 0, 0))
+    got = decode_bmp_pixels(hdr + v4_extra + px32)
+    assert got.shape == (1, 2, 4)
+    assert (got[0, 0] == [255, 0, 255, 0x80]).all()  # red+blue, A=0x80
+    assert (got[0, 1] == [0, 255, 0, 255]).all()
+
+
+def test_bmp_bitfields_malformed_masks_raise():
+    from big_data_crypto_sentiment_spark.operators.multimodal import (
+        decode_bmp_pixels,
+    )
+    # non-contiguous mask -> corrupt, not silently wrong scaling
+    masks = struct.pack("<III", 0b101 << 10, 0x07E0, 0x001F)
+    px = struct.pack("<HH", 0, 0)
+    data_off = 14 + 40 + 12
+    hdr = (b"BM" + struct.pack("<IHHI", data_off + len(px), 0, 0,
+                               data_off)
+           + struct.pack("<IiiHHIIiiII", 40, 2, 1, 1, 16, 3,
+                         len(px), 0, 0, 0, 0))
+    with pytest.raises(ValueError, match="contiguous"):
+        decode_bmp_pixels(hdr + masks + px)

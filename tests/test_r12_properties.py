@@ -6,9 +6,14 @@
    IndexError the resize tiering doesn't catch, failing the whole
    Spark task on one adversarial row.
 2. (medium) a non-interleaved multi-scan baseline JPEG (first SOS
-   covering fewer components than the frame declares) must raise
-   NotImplementedError — previously the Y scan alone was silently
-   committed as a 1-channel "resampled" image.
+   covering fewer components than the frame declares) must never be
+   silently committed as the Y scan alone. Originally closed by a
+   loud NotImplementedError; late-r12 the shape DECODES FOR REAL
+   (sequential per-component scans accumulate into the progressive
+   coefficient store, finalize requires every component scanned), so
+   the pin now asserts the real decode matches the interleaved twin
+   and that an INCOMPLETE stream (Y scan only, no Cb/Cr) still raises
+   loudly instead of producing a grey image.
 3. (low) the multimodal module/tier docs must state baseline JPEG is
    fully decoded (checked here so they can't silently regress).
 4. (low) _genstore.run_id_for_checkpoint must never return an empty
@@ -99,23 +104,134 @@ def test_zero_width_png_falls_to_decoded_dims_tier_not_task_failure(
     assert bytes(out[1].payload).startswith(RESIZE_STUB_MAGIC)
 
 
-def _single_scan_jpeg():
-    """Take a spec-built interleaved 3-component baseline JPEG and
-    rewrite its SOS to cover ONLY component 1 — the non-interleaved
-    multi-scan shape the single-pass decoder must refuse."""
-    from tests.test_sinks_multimodal import _jpeg_encode, _test_image
-    payload, _ = _jpeg_encode(_test_image(8, 8), q=16)
-    sos_at = payload.index(b"\xff\xda")
-    seglen = int.from_bytes(payload[sos_at + 2:sos_at + 4], "big")
-    new_body = bytes([1, 0x01, 0x00, 0, 63, 0])
-    new_seg = (b"\xff\xda" + struct.pack(">H", 2 + len(new_body))
-               + new_body)
-    return payload[:sos_at] + new_seg + payload[sos_at + 2 + seglen:]
+def _encode_noninterleaved(img, q=16, subsample=False):
+    """Independent NON-INTERLEAVED baseline encoder (test-side
+    reference): same front half as the interleaved twin
+    (_quantize_ref), then one single-component SOS per component,
+    blocks in each component's own ceil-divided grid (T.81 A.2.2 —
+    NOT the MCU-padded grid), shared fixed-length Huffman tables.
+    Returns (payload, reference_rgb)."""
+    from tests.test_sinks_multimodal import (
+        _BitWriter,
+        _fixed_len_huff,
+        _quantize_ref,
+        _zigzag_nat,
+    )
+    h, w = img.shape[:2]
+    comps, quantized, ref, mcux, mcuy, qtab, hmax, vmax = \
+        _quantize_ref(img, q, subsample)
+    zz_nat = _zigzag_nat()
+
+    def block_symbols(blk, pred):
+        dc = int(blk.reshape(-1)[0]) - pred
+        s = abs(dc).bit_length()
+        dcv = dc if dc >= 0 else dc + (1 << s) - 1
+        seq = [int(blk.reshape(-1)[i]) for i in zz_nat[1:]]
+        last_nz = -1
+        for i, v in enumerate(seq):
+            if v:
+                last_nz = i
+        acs, run = [], 0
+        for i, v in enumerate(seq):
+            if i > last_nz:
+                break
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                acs.append((0xF0, 0, 0))
+                run -= 16
+            sz = abs(v).bit_length()
+            vv = v if v >= 0 else v + (1 << sz) - 1
+            acs.append(((run << 4) | sz, vv, sz))
+            run = 0
+        if last_nz < len(seq) - 1:
+            acs.append((0x00, 0, 0))
+        return (s, dcv), acs, int(blk.reshape(-1)[0])
+
+    # per-component symbol streams in the NON-INTERLEAVED grid
+    scans = []
+    for name, plane, ch, cv in comps:
+        cw = -(-w * ch // hmax)
+        chh = -(-h * cv // vmax)
+        wb, hb = -(-cw // 8), -(-chh // 8)
+        pred, blocks = 0, []
+        for by in range(hb):
+            for bx in range(wb):
+                (s, dcv), acs, dc_abs = block_symbols(
+                    quantized[name][(by, bx)], pred)
+                pred = dc_abs
+                blocks.append((s, dcv, acs))
+        scans.append(blocks)
+
+    dc_syms = [b[0] for sc in scans for b in sc]
+    ac_syms = [a[0] for sc in scans for b in sc for a in b[2]]
+    dcc, dcs, dccodes = _fixed_len_huff(dc_syms)
+    acc_, acs_, accodes = _fixed_len_huff(ac_syms)
+
+    def seg(marker, body):
+        return bytes((0xFF, marker)) \
+            + struct.pack(">H", 2 + len(body)) + body
+
+    dqt = bytes([0x00]) + bytes(int(qtab.reshape(-1)[i])
+                                for i in zz_nat)
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([3])
+    for i, (name, plane, ch, cv) in enumerate(comps):
+        sof += bytes([i + 1, (ch << 4) | cv, 0])
+    dht = bytes([0x00]) + bytes(dcc) + bytes(dcs) \
+        + bytes([0x10]) + bytes(acc_) + bytes(acs_)
+    payload = b"\xff\xd8" + seg(0xDB, dqt) + seg(0xC0, sof) \
+        + seg(0xC4, dht)
+    for i, blocks in enumerate(scans):
+        bw = _BitWriter()
+        for s, dcv, acs in blocks:
+            L, code = dccodes[s]
+            bw.put(code, L)
+            if s:
+                bw.put(dcv, s)
+            for sym, vv, sz in acs:
+                L, code = accodes[sym]
+                bw.put(code, L)
+                if sz:
+                    bw.put(vv, sz)
+        bw.align_ones()
+        sos = bytes([1, i + 1, 0x00, 0, 63, 0])
+        payload += seg(0xDA, sos) + bytes(bw.out)
+    return payload + b"\xff\xd9", ref
 
 
-def test_jpeg_non_interleaved_multiscan_raises_not_silent_grey():
-    with pytest.raises(NotImplementedError):
-        decode_jpeg_pixels(_single_scan_jpeg())
+def test_jpeg_non_interleaved_multiscan_decodes_for_real():
+    import numpy as np
+
+    from tests.test_sinks_multimodal import _test_image
+    img = _test_image(10, 14)
+    payload, ref = _encode_noninterleaved(img, q=16)
+    out = decode_jpeg_pixels(payload)
+    assert out.shape == ref.shape
+    assert int(np.abs(out.astype(int) - ref.astype(int)).max()) <= 1
+
+
+def test_jpeg_non_interleaved_subsampled_decodes_for_real():
+    import numpy as np
+
+    from tests.test_sinks_multimodal import _test_image
+    img = _test_image(18, 20)          # nonint grid != padded MCU grid
+    payload, ref = _encode_noninterleaved(img, q=16, subsample=True)
+    out = decode_jpeg_pixels(payload)
+    assert out.shape == ref.shape
+    assert int(np.abs(out.astype(int) - ref.astype(int)).max()) <= 1
+
+
+def test_jpeg_incomplete_multiscan_raises_not_silent_grey():
+    # only the Y scan present (Cb/Cr scans stripped): finalize must
+    # refuse — never commit a grey Y-only image as "the picture"
+    from tests.test_sinks_multimodal import _test_image
+    payload, _ = _encode_noninterleaved(_test_image(8, 8), q=16)
+    first_sos = payload.index(b"\xff\xda")
+    second_sos = payload.index(b"\xff\xda", first_sos + 2)
+    truncated = payload[:second_sos] + b"\xff\xd9"
+    with pytest.raises(ValueError, match="missing component"):
+        decode_jpeg_pixels(truncated)
 
 
 def test_jpeg_scan_with_unknown_component_raises_valueerror():

@@ -141,7 +141,7 @@ def ensure_fixture() -> dict[str, str]:
             os.makedirs(d, exist_ok=True)
             _gen_documents(BASE_DOCS * mult, docs)
             _gen_embeddings(BASE_VECS * mult, embs)
-        if tag in ("x1", "x10"):
+        if tag in ("x1", "x10", "x30"):
             # curate-funnel variant: stopword-dressed text (see
             # _gen_documents), embeddings hard-linked — the funnel's
             # SemDeDup stage reads the same vectors
@@ -317,11 +317,14 @@ def run(spark, sf_dir: str, work: str) -> dict[str, float]:
     # end-to-end composed pipeline (r11 verdict #7): every other entry
     # is a single family, but a 100-TB user runs jobs/curate.py as ONE
     # job (quality -> exact dedup -> decontam -> repetition -> span
-    # dedup -> SemDeDup -> LM cut -> split -> partitioned write). Timed
-    # at x1/x10 only (the x30 SemDeDup k-means fit would dominate the
-    # whole scale run); funnel-accounting invariants asserted so a
+    # dedup -> SemDeDup -> LM cut -> split -> partitioned write).
+    # x30 joined in r12: the SemDeDup fit that used to dominate is now
+    # bounded by SEMDEDUP_FIT_CAP (the fit input auto-samples) and the
+    # k ∝ N assignment routes two-level past TWO_LEVEL_MIN_K, so the
+    # funnel's own scale point doubles as end-to-end evidence for both
+    # new scale paths. Funnel-accounting invariants asserted so a
     # silently-degenerate funnel can't record a flattering wall.
-    if os.path.basename(sf_dir) in ("x1", "x10"):
+    if os.path.basename(sf_dir) in ("x1", "x10", "x30"):
         from big_data_crypto_sentiment_spark.jobs.curate import (
             run_curation,
         )
@@ -391,7 +394,7 @@ def main() -> int:
                        for f in families},
         # second scale point for the TREND (r10 verdict #3): at 30x
         # rows a family whose x10 ratio was fixed-overhead-flattered
-        # shows its true slope (curate_funnel runs at x1/x10 only)
+        # shows its true slope
         "wall_ratio_x30": {f: (round(res["x30"][f] / res["x1"][f], 2)
                                if res["x1"][f] > 0 and f in res["x30"]
                                else None)
