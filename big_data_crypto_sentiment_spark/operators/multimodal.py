@@ -28,10 +28,12 @@ matrix (palette at depths 1/2/4/8 with tRNS alpha, sub-8-bit and
 16-bit greyscale, 16-bit truecolour, Adam7 interlacing for
 everything), the FULL BMP matrix (palette 1/4/8-bit, BI_RLE8,
 BI_RLE4, plain 16-bit 555 and BI_BITFIELDS 16/32-bit masks — late
-r12), and WebP / TIFF / FLAC header-metadata decodes. Only
-arithmetic-coded / 12-bit / hierarchical / partially-interleaved
-JPEG and true video codecs stay behind loud NotImplementedError
-tiers.
+r12), baseline TIFF (none/LZW/PackBits strips, grey/RGB/palette,
+horizontal predictor — late r12), and WebP / FLAC header-metadata
+decodes. Only arithmetic-coded / 12-bit / hierarchical /
+partially-interleaved JPEG, WebP's VP8/VP8L bitstreams, tiled or
+non-8-bit TIFF, and true video codecs stay behind loud
+NotImplementedError tiers.
 
 Video frames (r12): animated GIFs decode frame by frame with spec
 disposal/transparency coalescing against the logical screen
@@ -44,12 +46,13 @@ loud tier — their container metadata (duration, track dims; AVI avih
 included) still decodes, so the stubbed-codec tier carries REAL frame
 timestamps.
 
-Audio (r12): WAV PCM (8/16-bit) and FLAC both decode to REAL sample
+Audio (r12): WAV PCM (8/16-bit), G.711 mu-law/A-law WAV (standard
+256-entry expansions — late r12) and FLAC all decode to REAL sample
 arrays — decode_flac_samples runs the full stream decode (CRC-8
 frame headers, constant/verbatim/fixed/LPC subframes,
 partitioned-Rice residuals, wasted bits, left-/right-/mid-side
-stereo decorrelation); non-PCM WAV and metadata-only FLAC fall to
-the duration tier.
+stereo decorrelation); float/ADPCM WAV and metadata-only FLAC fall
+to the duration tier.
 
 Scale notes: mapInPandas streams Arrow batches — payload bytes never
 materialize as a full-partition list; batch size is bounded by
@@ -844,6 +847,205 @@ def decode_bmp_pixels(payload: bytes):
     # BGR(A) -> RGB(A)
     order = [2, 1, 0] + ([3] if ch == 4 else [])
     return np.ascontiguousarray(img[:, :, order])
+
+
+def _tiff_lzw_decode(data: bytes, expected: int) -> bytes:
+    """TIFF-variant LZW (TIFF6 §13): MSB-first bit packing (the
+    opposite of GIF), 9-bit codes growing to 12, clear code 256, EOI
+    257, and the spec's EARLY-CHANGE width bump (the width grows when
+    the next free code reaches 2^w - 1, one code earlier than GIF).
+    Returns exactly `expected` bytes; truncation/oversize raises."""
+    clear, eoi = 256, 257
+    out = bytearray()
+    bitpos, nbits = 0, len(data) * 8
+    width = 9
+    table: dict[int, bytes] = {}
+    next_code = 258
+    prev: bytes | None = None
+    while bitpos + width <= nbits and len(out) < expected:
+        byte0 = bitpos >> 3
+        chunk = int.from_bytes(data[byte0:byte0 + 3], "big")
+        shift = 24 - (bitpos & 7) - width
+        code = (chunk >> shift) & ((1 << width) - 1)
+        bitpos += width
+        if code == clear:
+            table = {}
+            next_code, width, prev = 258, 9, None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code > 255:
+                raise ValueError("TIFF LZW first code not a literal")
+            entry = bytes([code])
+        else:
+            if code < 256:
+                entry = bytes([code])
+            elif code in table:
+                entry = table[code]
+            elif code == next_code:
+                entry = prev + prev[:1]        # the KwKwK case
+            else:
+                raise ValueError("TIFF LZW code out of range")
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            if next_code == (1 << width) - 1 and width < 12:
+                width += 1                     # early change
+        out += entry
+        prev = entry
+    if len(out) < expected:
+        raise ValueError("TIFF LZW stream ended early")
+    return bytes(out[:expected])
+
+
+def _packbits_decode(data: bytes, expected: int) -> bytes:
+    """PackBits RLE (TIFF6 §9): n in 0..127 copies n+1 literals,
+    n in -127..-1 repeats the next byte 1-n times, -128 is a no-op."""
+    out = bytearray()
+    p, n = 0, len(data)
+    while p < n and len(out) < expected:
+        c = data[p]
+        p += 1
+        if c < 128:                            # literal run
+            if p + c + 1 > n:
+                raise ValueError("PackBits literal run truncated")
+            out += data[p:p + c + 1]
+            p += c + 1
+        elif c == 128:                         # no-op
+            continue
+        else:                                  # repeat run
+            if p >= n:
+                raise ValueError("PackBits repeat truncated")
+            out += bytes([data[p]]) * (257 - c)
+            p += 1
+    if len(out) < expected:
+        raise ValueError("PackBits stream ended early")
+    return bytes(out[:expected])
+
+
+def _tiff_ifd_values(payload: bytes, bo: str, e: int):
+    """One IFD entry -> (tag, list of int values). BYTE/SHORT/LONG
+    only (what the baseline-TIFF tags need); values inline when they
+    fit the 4-byte field, at the pointed offset otherwise."""
+    tag = int.from_bytes(payload[e:e + 2], bo)
+    typ = int.from_bytes(payload[e + 2:e + 4], bo)
+    cnt = int.from_bytes(payload[e + 4:e + 8], bo)
+    size = {1: 1, 3: 2, 4: 4}.get(typ)
+    if size is None:
+        return tag, None                       # caller decides if fatal
+    if cnt > 1 << 24:
+        raise ValueError("TIFF entry count out of range")
+    total = size * cnt
+    if total <= 4:
+        at = e + 8
+    else:
+        at = int.from_bytes(payload[e + 8:e + 12], bo)
+    if at + total > len(payload):
+        raise ValueError("TIFF entry values out of range")
+    return tag, [int.from_bytes(payload[at + size * i:
+                                        at + size * (i + 1)], bo)
+                 for i in range(cnt)]
+
+
+def decode_tiff_pixels(payload: bytes):
+    """REAL baseline-TIFF pixel decode (late r12), stdlib+numpy: IFD
+    walk, strip assembly, compression 1 (none) / 5 (LZW, with the
+    horizontal-differencing predictor) / 32773 (PackBits), photometric
+    0/1 greyscale (WhiteIsZero inverts), 2 RGB(A), 3 palette (16-bit
+    ColorMap scaled to 8). 8-bit samples only — tiled TIFFs, other
+    depths and exotic photometrics stay the loud header-metadata tier.
+    Returns (height, width, channels) uint8."""
+    import numpy as np
+
+    if payload[:4] not in (b"II*\x00", b"MM\x00*"):
+        raise NotImplementedError("not a TIFF")
+    bo = "little" if payload[:2] == b"II" else "big"
+    if len(payload) < 8:
+        raise ValueError("truncated TIFF header")
+    ifd = int.from_bytes(payload[4:8], bo)
+    if ifd + 2 > len(payload):
+        raise ValueError("TIFF IFD offset out of range")
+    nent = int.from_bytes(payload[ifd:ifd + 2], bo)
+    if ifd + 2 + 12 * nent > len(payload):
+        raise ValueError("truncated TIFF IFD")
+    tags: dict[int, list[int]] = {}
+    for i in range(nent):
+        tag, vals = _tiff_ifd_values(payload, bo, ifd + 2 + 12 * i)
+        if vals is not None:
+            tags[tag] = vals
+    try:
+        width = tags[256][0]
+        height = tags[257][0]
+        offsets = tags[273]
+        counts = tags[279]
+    except KeyError as e:
+        raise ValueError(f"TIFF missing required tag {e}") from e
+    if width == 0 or height == 0:
+        raise ValueError(f"TIFF with zero dimension {width}x{height}")
+    if width * height > _MAX_PIXELS:
+        raise ValueError(
+            f"TIFF dimensions {width}x{height} over the decode cap")
+    comp = tags.get(259, [1])[0]
+    photo = tags.get(262, [1])[0]
+    spp = tags.get(277, [1])[0]
+    bps = tags.get(258, [1] * spp)
+    rps = tags.get(278, [height])[0] or height
+    if rps > (1 << 31):
+        rps = height                           # 0xFFFFFFFF = one strip
+    predictor = tags.get(317, [1])[0]
+    if comp not in (1, 5, 32773):
+        raise NotImplementedError(f"TIFF compression {comp}")
+    if photo not in (0, 1, 2, 3):
+        raise NotImplementedError(f"TIFF photometric {photo}")
+    if any(b != 8 for b in bps) or spp not in (1, 3, 4):
+        raise NotImplementedError(
+            f"TIFF bits={bps} samples={spp} outside the 8-bit path")
+    if predictor not in (1, 2):
+        raise NotImplementedError(f"TIFF predictor {predictor}")
+    if len(offsets) != len(counts):
+        raise ValueError("TIFF strip offsets/counts mismatch")
+    stride = width * spp
+    rows = []
+    for si, (off, cnt) in enumerate(zip(offsets, counts)):
+        if off + cnt > len(payload):
+            raise ValueError("TIFF strip out of range")
+        nrows = min(rps, height - si * rps)
+        if nrows <= 0:
+            raise ValueError("TIFF has more strips than rows")
+        raw = payload[off:off + cnt]
+        if comp == 5:
+            raw = _tiff_lzw_decode(raw, stride * nrows)
+        elif comp == 32773:
+            raw = _packbits_decode(raw, stride * nrows)
+        elif len(raw) < stride * nrows:
+            raise ValueError("TIFF strip shorter than its rows")
+        strip = np.frombuffer(raw, np.uint8,
+                              stride * nrows).reshape(nrows, stride)
+        if predictor == 2:                     # horizontal differencing
+            strip = np.cumsum(
+                strip.reshape(nrows, width, spp).astype(np.int64),
+                axis=1).astype(np.uint8).reshape(nrows, stride)
+        rows.append(strip)
+    img = np.concatenate(rows)[:height]
+    if len(img) < height:
+        raise ValueError("TIFF strips cover fewer rows than declared")
+    img = img.reshape(height, width, spp)
+    if photo == 3:
+        if spp != 1 or 320 not in tags:
+            raise ValueError("TIFF palette image without a ColorMap")
+        cmap = tags[320]
+        ncolors = len(cmap) // 3
+        if ncolors == 0 or len(cmap) % 3:
+            raise ValueError("TIFF ColorMap length invalid")
+        idx = img[:, :, 0].astype(np.int64)
+        if idx.max() >= ncolors:
+            raise ValueError("TIFF palette index out of range")
+        cm = (np.array(cmap, dtype=np.int64)
+              .reshape(3, ncolors).T >> 8).astype(np.uint8)
+        return np.ascontiguousarray(cm[idx])
+    if photo == 0:                             # WhiteIsZero
+        img = 255 - img
+    return np.ascontiguousarray(img)
 
 
 def _gif_lzw_decode(data: bytes, min_code_size: int,
@@ -1936,10 +2138,11 @@ def _even_indices(total: int, k: int) -> list[int]:
 
 
 def decode_image_pixels(payload: bytes):
-    """Magic-dispatched full pixel decode: PNG, BMP, GIF, baseline
-    JPEG and (r12) progressive JPEG are all real; anything else (and
-    the arithmetic/12-bit JPEG modes) raises NotImplementedError so
-    callers drop to the header-metadata tier."""
+    """Magic-dispatched full pixel decode: PNG, BMP, GIF, baseline /
+    progressive / sequential-multi-scan JPEG (r12) and baseline TIFF
+    (late r12) are all real; anything else (and the arithmetic/12-bit
+    JPEG modes) raises NotImplementedError so callers drop to the
+    header-metadata tier."""
     if payload.startswith(b"\x89PNG\r\n\x1a\n"):
         return decode_png_pixels(payload)
     if payload[:2] == b"BM":
@@ -1948,6 +2151,8 @@ def decode_image_pixels(payload: bytes):
         return decode_gif_pixels(payload)
     if payload[:2] == b"\xff\xd8":
         return decode_jpeg_pixels(payload)
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        return decode_tiff_pixels(payload)
     raise NotImplementedError(
         f"no pixel decoder for magic {payload[:4]!r}")
 
@@ -2016,14 +2221,119 @@ def area_resample(img, tw: int, th: int):
     return np.floor(out + 0.5).astype(np.uint8)
 
 
+def _g711_mulaw_table():
+    """G.711 mu-law byte -> 16-bit linear (the standard expansion:
+    code 0x00 decodes to -32124, 0xFF to 0)."""
+    import numpy as np
+
+    out = np.empty(256, dtype=np.int16)
+    for code in range(256):
+        u = ~code & 0xFF
+        t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+        out[code] = (0x84 - t) if u & 0x80 else (t - 0x84)
+    return out
+
+
+def _g711_alaw_table():
+    """G.711 A-law byte -> 16-bit linear (code 0x55 decodes to -8,
+    0xD5 to +8)."""
+    import numpy as np
+
+    out = np.empty(256, dtype=np.int16)
+    for code in range(256):
+        a = code ^ 0x55
+        t = (a & 0x0F) << 4
+        seg = (a & 0x70) >> 4
+        if seg == 0:
+            t += 8
+        elif seg == 1:
+            t += 0x108
+        else:
+            t = (t + 0x108) << (seg - 1)
+        out[code] = t if a & 0x80 else -t
+    return out
+
+
+_IMA_INDEX_ADJ = (-1, -1, -1, -1, 2, 4, 6, 8)
+
+# the IMA/DVI ADPCM 89-entry step-size table (spec constant — the
+# published values, NOT a clean geometric recurrence)
+_IMA_STEP_TABLE = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767)
+
+
+def _ima_step_table():
+    return _IMA_STEP_TABLE
+
+
+def _ima_adpcm_decode(data: bytes, ch: int, block_align: int):
+    """IMA ADPCM (WAV format tag 0x11): per-channel 4-byte block
+    headers (predictor int16 + step index + reserved), then nibble
+    groups of 4 bytes per channel interleaved. Returns (n, ch) int16
+    numpy array. The per-sample predictor update is the spec's
+    shift-add expansion (exact integer math, no float)."""
+    import numpy as np
+
+    steps = _ima_step_table()
+    if block_align < 4 * ch or block_align % 4:
+        raise ValueError("IMA ADPCM block align invalid")
+    chans: list[list[int]] = [[] for _ in range(ch)]
+    for base in range(0, len(data) - block_align + 1, block_align):
+        block = data[base:base + block_align]
+        preds, idxs = [], []
+        for c in range(ch):
+            p = int.from_bytes(block[4 * c:4 * c + 2], "little",
+                               signed=True)
+            ix = block[4 * c + 2]
+            if ix > 88:
+                raise ValueError("IMA ADPCM step index out of range")
+            preds.append(p)
+            idxs.append(ix)
+            chans[c].append(p)                 # header carries sample 0
+        pos = 4 * ch
+        while pos + 4 * ch <= block_align:
+            for c in range(ch):
+                for b in block[pos + 4 * c:pos + 4 * c + 4]:
+                    for nib in (b & 0x0F, b >> 4):
+                        step = steps[idxs[c]]
+                        diff = step >> 3
+                        if nib & 1:
+                            diff += step >> 2
+                        if nib & 2:
+                            diff += step >> 1
+                        if nib & 4:
+                            diff += step
+                        if nib & 8:
+                            diff = -diff
+                        preds[c] = max(-32768,
+                                       min(32767, preds[c] + diff))
+                        idxs[c] = max(0, min(88, idxs[c]
+                                             + _IMA_INDEX_ADJ[nib & 7]))
+                        chans[c].append(preds[c])
+            pos += 4 * ch
+    if not chans[0]:
+        raise ValueError("IMA ADPCM data shorter than one block")
+    return np.array(chans, dtype=np.int16).T
+
+
 def decode_wav_samples(payload: bytes):
-    """REAL WAV PCM decode (r12): RIFF/WAVE chunk walk to the fmt +
-    data chunks, then the raw samples as an (n_frames, channels)
-    int16 numpy array (8-bit unsigned PCM recenters to int16 range;
-    16-bit little-endian passes through). Returns (samples,
-    sample_rate). Non-PCM formats (float, ADPCM, mu-law...) raise
-    NotImplementedError — callers fall back to the duration-metadata
-    tier; structural damage raises ValueError."""
+    """REAL WAV decode (r12): RIFF/WAVE chunk walk to the fmt + data
+    chunks, then the raw samples as an (n_frames, channels) int16
+    numpy array — linear PCM (8-bit unsigned recenters to int16
+    range; 16-bit little-endian passes through), the G.711 telephony
+    codings (late r12: mu-law tag 7 / A-law tag 6 through their
+    standard 256-entry tables), and IMA/DVI ADPCM (late r12: tag
+    0x11, block headers + nibble predictor updates in exact integer
+    math). Returns (samples, sample_rate). Other formats (float,
+    MS-ADPCM...) raise NotImplementedError — callers fall back to the
+    duration-metadata tier; structural damage raises ValueError."""
     import numpy as np
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
@@ -2044,6 +2354,7 @@ def decode_wav_samples(payload: bytes):
                 "tag": int.from_bytes(body[0:2], "little"),
                 "channels": int.from_bytes(body[2:4], "little"),
                 "rate": int.from_bytes(body[4:8], "little"),
+                "block_align": int.from_bytes(body[12:14], "little"),
                 "bits": int.from_bytes(body[14:16], "little"),
             }
         elif cid == b"data":
@@ -2051,14 +2362,25 @@ def decode_wav_samples(payload: bytes):
         pos += 8 + csz + (csz & 1)
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
-    if fmt["tag"] != 1 or fmt["bits"] not in (8, 16):
+    supported = (fmt["tag"] == 1 and fmt["bits"] in (8, 16)) \
+        or (fmt["tag"] in (6, 7) and fmt["bits"] == 8) \
+        or (fmt["tag"] == 0x11 and fmt["bits"] == 4)
+    if not supported:
         raise NotImplementedError(
             f"WAV format tag {fmt['tag']} / {fmt['bits']}-bit outside "
-            "the PCM decode path")
+            "the PCM/G.711/IMA decode path")
     ch = fmt["channels"]
     if ch == 0 or fmt["rate"] == 0:
         raise ValueError("WAV with zero channels/sample rate")
-    if fmt["bits"] == 16:
+    if fmt["tag"] == 0x11:                     # IMA/DVI ADPCM
+        s = _ima_adpcm_decode(data, ch, fmt["block_align"])
+    elif fmt["tag"] in (6, 7):                 # G.711 A-law / mu-law
+        table = _g711_alaw_table() if fmt["tag"] == 6 \
+            else _g711_mulaw_table()
+        usable = len(data) // ch * ch
+        codes = np.frombuffer(data, np.uint8, usable).reshape(-1, ch)
+        s = table[codes]
+    elif fmt["bits"] == 16:
         usable = len(data) // (2 * ch) * (2 * ch)
         s = np.frombuffer(data, "<i2", usable // 2).reshape(-1, ch)
     else:                                      # 8-bit PCM is unsigned
@@ -2544,15 +2866,15 @@ def resize_images(df: DataFrame, max_dim: int = 224,
       bitfield masks, GIF first frame via LZW, baseline JPEG via the
       r11 Huffman+IDCT decoder — interleaved AND sequential
       multi-scan, progressive JPEG via the r12
-      coefficient-accumulation scans) AND needs shrinking: a TRUE
-      area-average resample
+      coefficient-accumulation scans, baseline TIFF strips) AND
+      needs shrinking: a TRUE area-average resample
       (closed-form separable box filter) runs and the output payload
       is a real, decodable PNG at the target dimensions — note a
       resampled JPEG therefore comes back PNG-encoded.
     * ``passthrough`` — pixel-decodes but already fits max_dim: the
       original payload rides through untouched.
     * ``decoded-dims`` — only the container HEADER decodes
-      (arithmetic-coded / 12-bit JPEG, WebP/TIFF,
+      (arithmetic-coded / 12-bit JPEG, WebP, tiled/deep TIFF,
       plus structurally-damaged PNG/BMP/GIF/JPEG): real dims,
       deterministic ``RSZ1 ‖ big-endian (w, h) ‖ sha256(source)``
       marker payload.

@@ -1,0 +1,373 @@
+"""Pins for the late-r12 decoders: baseline-TIFF pixel decode
+(uncompressed / PackBits / LZW strips, grey / RGB / palette,
+horizontal-differencing predictor, both byte orders) against an
+independent spec-built writer, and G.711 mu-law / A-law WAV expansion
+against the standard's known code points.
+"""
+
+import struct
+
+import numpy as np
+import pytest
+
+from big_data_crypto_sentiment_spark.operators.multimodal import (
+    decode_image_pixels,
+    decode_tiff_pixels,
+    decode_wav_samples,
+)
+
+
+# --- independent TIFF writer -------------------------------------
+def _entry(bo, tag, typ, vals, heap, heap_base):
+    size = {1: 1, 3: 2, 4: 4}[typ]
+    fmt = {1: "B", 3: "H", 4: "I"}[typ]
+    packed = b"".join(struct.pack(bo + fmt, v) for v in vals)
+    e = struct.pack(bo + "HHI", tag, typ, len(vals))
+    if len(packed) <= 4:
+        return e + packed.ljust(4, b"\x00"), heap
+    off = heap_base + len(heap)
+    return e + struct.pack(bo + "I", off), heap + packed
+
+
+def _tiff(width, height, strips, bo="<", compression=1, photo=1,
+          spp=1, extra_tags=()):
+    """One-IFD TIFF: header, IFD, value heap, strip data."""
+    rps = -(-height // len(strips))
+    tags = [(256, 4, [width]), (257, 4, [height]),
+            (258, 3, [8] * spp), (259, 3, [compression]),
+            (262, 3, [photo]), (277, 3, [spp]), (278, 4, [rps])]
+    tags += list(extra_tags)
+    n = len(tags) + 2                     # + offsets/counts below
+    ifd_at = 8
+    heap_base = ifd_at + 2 + 12 * n + 4
+    # strip data goes after the heap; two passes to fix offsets
+    for _pass in range(2):
+        heap = b""
+        entries = []
+        data_at = None
+        offs, cnts = [], []
+        at = heap_base
+        # reserve heap for any >4-byte tag values first
+        probe_heap = b""
+        for tag, typ, vals in sorted(tags + [
+                (273, 4, [0] * len(strips)),
+                (279, 4, [len(s) for s in strips])]):
+            size = {1: 1, 3: 2, 4: 4}[typ]
+            if size * len(vals) > 4:
+                probe_heap += b"\x00" * (size * len(vals))
+        data_at = heap_base + len(probe_heap)
+        off = data_at
+        for s in strips:
+            offs.append(off)
+            cnts.append(len(s))
+            off += len(s)
+        all_tags = sorted(tags + [(273, 4, offs), (279, 4, cnts)])
+        for tag, typ, vals in all_tags:
+            e, heap = _entry(bo, tag, typ, vals, heap, heap_base)
+            entries.append(e)
+    hdr = (b"II*\x00" if bo == "<" else b"MM\x00*") \
+        + struct.pack(bo + "I", ifd_at)
+    ifd = struct.pack(bo + "H", n) + b"".join(entries) \
+        + struct.pack(bo + "I", 0)
+    assert heap_base == ifd_at + len(ifd)
+    return hdr + ifd + heap.ljust(len(probe_heap), b"\x00") \
+        + b"".join(strips)
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        run = 1
+        while (i + run < len(data) and run < 128
+               and data[i + run] == data[i]):
+            run += 1
+        if run >= 2:
+            out += bytes([257 - run, data[i]])
+            i += run
+        else:
+            j = i + 1
+            while (j < len(data) and j - i < 128
+                   and not (j + 1 < len(data)
+                            and data[j] == data[j + 1])):
+                j += 1
+            out += bytes([j - i - 1]) + data[i:j]
+            i = j
+    return bytes(out)
+
+
+class _MsbWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code, width):
+        self.acc = (self.acc << width) | code
+        self.n += width
+        while self.n >= 8:
+            self.n -= 8
+            self.buf.append((self.acc >> self.n) & 0xFF)
+
+    def done(self):
+        if self.n:
+            self.buf.append((self.acc << (8 - self.n)) & 0xFF)
+        return bytes(self.buf)
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """libtiff-convention LZW: MSB-first, clear at start, EARLY
+    CHANGE (width bumps when the next free code passes 2^w - 1)."""
+    w = _MsbWriter()
+    width = 9
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    w.put(256, width)                     # clear
+    cur = b""
+    for b in data:
+        wc = cur + bytes([b])
+        if wc in table:
+            cur = wc
+            continue
+        w.put(table[cur], width)
+        table[wc] = next_code
+        next_code += 1
+        if next_code > (1 << width) - 1 and width < 12:
+            width += 1
+        cur = bytes([b])
+    if cur:
+        w.put(table[cur], width)
+    w.put(257, width)                     # EOI
+    return w.done()
+
+
+def test_tiff_uncompressed_grey_both_byte_orders():
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, size=(5, 7)).astype(np.uint8)
+    for bo in ("<", ">"):
+        p = _tiff(7, 5, [img.tobytes()], bo=bo)
+        got = decode_tiff_pixels(p)
+        assert got.shape == (5, 7, 1)
+        assert (got[:, :, 0] == img).all()
+        assert (decode_image_pixels(p) == got).all()
+
+
+def test_tiff_white_is_zero_inverts():
+    img = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    p = _tiff(4, 3, [img.tobytes()], photo=0)
+    assert (decode_tiff_pixels(p)[:, :, 0] == 255 - img).all()
+
+
+def test_tiff_rgb_multi_strip():
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, size=(6, 4, 3)).astype(np.uint8)
+    strips = [img[:3].tobytes(), img[3:].tobytes()]
+    p = _tiff(4, 6, strips, photo=2, spp=3)
+    assert (decode_tiff_pixels(p) == img).all()
+
+
+def test_tiff_packbits_roundtrip():
+    img = np.repeat(np.arange(8, dtype=np.uint8) * 30, 5) \
+        .reshape(4, 10)
+    raw = img.tobytes()
+    p = _tiff(10, 4, [_packbits_encode(raw)], compression=32773)
+    assert (decode_tiff_pixels(p)[:, :, 0] == img).all()
+
+
+def test_tiff_lzw_roundtrip_grey_and_rgb():
+    rng = np.random.default_rng(2)
+    # enough data to push the code width past 9 bits and exercise
+    # real dictionary hits (repeating structure)
+    base = rng.integers(0, 8, size=(40, 50)).astype(np.uint8) * 16
+    p = _tiff(50, 40, [_tiff_lzw_encode(base.tobytes())],
+              compression=5)
+    assert (decode_tiff_pixels(p)[:, :, 0] == base).all()
+
+    img = rng.integers(0, 256, size=(9, 6, 3)).astype(np.uint8)
+    p = _tiff(6, 9, [_tiff_lzw_encode(img.tobytes())],
+              compression=5, photo=2, spp=3)
+    assert (decode_tiff_pixels(p) == img).all()
+
+
+def test_tiff_lzw_with_horizontal_predictor():
+    rng = np.random.default_rng(3)
+    img = np.cumsum(rng.integers(0, 4, size=(5, 12, 3)), axis=1) \
+        .astype(np.uint8)
+    diffed = np.empty_like(img, dtype=np.int64)
+    diffed[:, 0] = img[:, 0]
+    diffed[:, 1:] = (img[:, 1:].astype(np.int64)
+                     - img[:, :-1].astype(np.int64))
+    raw = (diffed & 0xFF).astype(np.uint8).tobytes()
+    p = _tiff(12, 5, [_tiff_lzw_encode(raw)], compression=5,
+              photo=2, spp=3, extra_tags=[(317, 3, [2])])
+    assert (decode_tiff_pixels(p) == img).all()
+
+
+def test_tiff_palette_colormap():
+    idx = np.array([[0, 1], [2, 3]], dtype=np.uint8)
+    # ColorMap: 3 planes of 4 16-bit values (R, G, B)
+    cmap = ([0, 65535, 32768, 256] + [256, 0, 65535, 32768]
+            + [32768, 256, 0, 65535])
+    p = _tiff(2, 2, [idx.tobytes()], photo=3,
+              extra_tags=[(320, 3, cmap)])
+    got = decode_tiff_pixels(p)
+    want_r = np.array([[0, 255], [128, 1]], np.uint8)
+    assert (got[:, :, 0] == want_r).all()
+    assert got[0, 0].tolist() == [0, 1, 128]
+
+
+def test_tiff_corruption_raises_valueerror():
+    img = np.zeros((3, 3), np.uint8)
+    good = _tiff(3, 3, [img.tobytes()])
+    with pytest.raises(ValueError):           # strip out of range
+        decode_tiff_pixels(good[:-4])
+    with pytest.raises(ValueError):           # palette without map
+        decode_tiff_pixels(_tiff(3, 3, [img.tobytes()], photo=3))
+    with pytest.raises(NotImplementedError):  # exotic compression
+        decode_tiff_pixels(_tiff(3, 3, [img.tobytes()],
+                                 compression=7))
+
+
+# --- G.711 -------------------------------------------------------
+def _wav_g711(codes: bytes, tag: int, rate=8000, ch=1) -> bytes:
+    fmt = struct.pack("<HHIIHH", tag, ch, rate, rate * ch, ch, 8)
+    return (b"RIFF" + struct.pack("<I", 28 + 8 + len(codes)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16) + fmt
+            + b"data" + struct.pack("<I", len(codes)) + codes)
+
+
+def test_mulaw_known_code_points():
+    s, rate = decode_wav_samples(_wav_g711(bytes([0x00, 0xFF, 0x7F]),
+                                           tag=7))
+    assert rate == 8000
+    # G.711 mu-law: 0x00 is the negative extreme, 0xFF/0x7F are zero
+    assert s[:, 0].tolist() == [-32124, 0, 0]
+
+
+def test_alaw_known_code_points():
+    s, _ = decode_wav_samples(_wav_g711(bytes([0x55, 0xD5, 0x2A]),
+                                        tag=6))
+    # A-law: 0x55 -> -8, 0xD5 -> +8, 0x2A -> the negative extreme
+    assert s[0, 0] == -8 and s[1, 0] == 8
+    assert s[2, 0] == -32256
+
+
+def test_g711_mulaw_alaw_symmetry_and_range():
+    s_mu, _ = decode_wav_samples(_wav_g711(bytes(range(256)), tag=7))
+    s_a, _ = decode_wav_samples(_wav_g711(bytes(range(256)), tag=6))
+    for s in (s_mu[:, 0], s_a[:, 0]):
+        v = s.astype(np.int64)
+        assert int(np.abs(v).max()) <= 32256
+        # each code's complement-sign twin decodes to the negation
+    mu = s_mu[:, 0].astype(np.int64)
+    assert all(mu[c] == -mu[c ^ 0x80] for c in range(256))
+    al = s_a[:, 0].astype(np.int64)
+    assert all(al[c] == -al[c ^ 0x80] for c in range(256))
+
+
+def test_g711_stereo_shapes_and_features_scale():
+    codes = bytes([0x00, 0xFF] * 10)          # L extreme, R silence
+    s, _ = decode_wav_samples(_wav_g711(codes, tag=7, ch=2))
+    assert s.shape == (10, 2)
+    assert (s[:, 0] == -32124).all() and (s[:, 1] == 0).all()
+
+
+# --- IMA ADPCM ----------------------------------------------------
+_STEPS = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767)
+_ADJ = (-1, -1, -1, -1, 2, 4, 6, 8)
+
+
+def _ima_encode_mono(samples, block_align=256):
+    """Canonical IMA ADPCM compressor (test-side reference): 4-byte
+    block header (sample 0 + step index), then low-nibble-first
+    4-bit codes."""
+    out = bytearray()
+    per_block = 1 + (block_align - 4) * 2
+    i = 0
+    idx = 0
+    while i < len(samples):
+        blk = samples[i:i + per_block]
+        i += per_block
+        pred = int(blk[0])
+        out += struct.pack("<hBB", pred, idx, 0)
+        nibs = []
+        for s in blk[1:]:
+            step = _STEPS[idx]
+            diff = int(s) - pred
+            nib = 0
+            if diff < 0:
+                nib = 8
+                diff = -diff
+            if diff >= step:
+                nib |= 4
+                diff -= step
+            if diff >= step >> 1:
+                nib |= 2
+                diff -= step >> 1
+            if diff >= step >> 2:
+                nib |= 1
+            # decoder-mirror update
+            d = step >> 3
+            if nib & 1:
+                d += step >> 2
+            if nib & 2:
+                d += step >> 1
+            if nib & 4:
+                d += step
+            if nib & 8:
+                d = -d
+            pred = max(-32768, min(32767, pred + d))
+            idx = max(0, min(88, idx + _ADJ[nib & 7]))
+            nibs.append(nib)
+        while len(nibs) < (block_align - 4) * 2:
+            nibs.append(0)                     # pad the final block
+        for j in range(0, len(nibs), 2):
+            out.append(nibs[j] | (nibs[j + 1] << 4))
+    return bytes(out)
+
+
+def _wav_ima(data: bytes, block_align, rate=8000, ch=1) -> bytes:
+    fmt = struct.pack("<HHIIHH", 0x11, ch, rate,
+                      rate * block_align // 256, block_align, 4)
+    return (b"RIFF" + struct.pack("<I", 28 + 8 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+def test_ima_adpcm_tracks_a_sine():
+    t = np.arange(505)
+    sine = np.round(12000 * np.sin(2 * np.pi * 13 * t / 505)) \
+        .astype(np.int16)
+    data = _ima_encode_mono(sine, block_align=256)
+    s, rate = decode_wav_samples(_wav_ima(data, 256))
+    got = s[:len(sine), 0].astype(np.int64)
+    # ADPCM is lossy with slope-overload during the startup ramp (the
+    # step index climbs from 0 against a steep sine); once adapted
+    # (~sample 50) the decoder tracks the encoder's own prediction and
+    # error is bounded by the quantizer step
+    err = np.abs(got - sine.astype(np.int64))
+    assert int(err[50:].max()) <= 1024
+    assert float(np.corrcoef(got, sine)[0, 1]) > 0.995
+
+
+def test_ima_adpcm_exact_hand_block():
+    # header: sample0 = 100, index 0 (step 7); nibbles 0x1 then 0x8
+    # nib 1: diff = 7>>3 + 7>>2 = 0+1 -> pred 101, idx -1 -> 0
+    # nib 8: diff = -(7>>3) = 0 -> pred 101
+    blk = struct.pack("<hBB", 100, 0, 0) + bytes([0x81]) + bytes(3)
+    s, _ = decode_wav_samples(_wav_ima(blk, 8))
+    assert s[:3, 0].tolist() == [100, 101, 101]
+
+
+def test_ima_adpcm_bad_index_is_corrupt():
+    blk = struct.pack("<hBB", 0, 99, 0) + bytes(4)
+    with pytest.raises(ValueError, match="step index"):
+        decode_wav_samples(_wav_ima(blk, 8))
