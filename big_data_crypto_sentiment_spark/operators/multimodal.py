@@ -29,11 +29,13 @@ matrix (palette at depths 1/2/4/8 with tRNS alpha, sub-8-bit and
 everything), the FULL BMP matrix (palette 1/4/8-bit, BI_RLE8,
 BI_RLE4, plain 16-bit 555 and BI_BITFIELDS 16/32-bit masks — late
 r12), baseline TIFF (none/LZW/PackBits strips, grey/RGB/palette,
-horizontal predictor — late r12), and WebP / FLAC header-metadata
-decodes. Only arithmetic-coded / 12-bit / hierarchical /
-partially-interleaved JPEG, WebP's VP8/VP8L bitstreams, tiled or
-non-8-bit TIFF, and true video codecs stay behind loud
-NotImplementedError tiers.
+horizontal predictor — late r12), WebP LOSSLESS (the full VP8L
+bitstream per RFC 9649: prefix codes, meta-prefix groups, color
+cache, LZ77 with the proximity distance map, and all four inverse
+transforms — late r12), and FLAC header-metadata decode. Only
+arithmetic-coded / 12-bit / hierarchical / partially-interleaved
+JPEG, WebP's LOSSY VP8 bitstream, tiled or non-8-bit TIFF, and true
+video codecs stay behind loud NotImplementedError tiers.
 
 Video frames (r12): animated GIFs decode frame by frame with spec
 disposal/transparency coalescing against the logical screen
@@ -847,6 +849,439 @@ def decode_bmp_pixels(payload: bytes):
     # BGR(A) -> RGB(A)
     order = [2, 1, 0] + ([3] if ch == 4 else [])
     return np.ascontiguousarray(img[:, :, order])
+
+
+# --- WebP lossless (VP8L, RFC 9649) ------------------------------
+class _Vp8lBits:
+    """LSB-first bit reader (VP8L packs values little-endian within
+    bytes, DEFLATE-style); canonical prefix codes are still read MSB
+    of the code first, one bit at a time. Exhaustion raises ValueError
+    (the loud-corruption contract)."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.bitpos = 0
+        self.nbits = len(data) * 8
+
+    def read(self, n: int) -> int:
+        if self.bitpos + n > self.nbits:
+            raise ValueError("VP8L bitstream exhausted")
+        byte0 = self.bitpos >> 3
+        nbytes = (self.bitpos & 7) + n + 7 >> 3
+        chunk = int.from_bytes(
+            self.data[byte0:byte0 + nbytes], "little")
+        v = (chunk >> (self.bitpos & 7)) & ((1 << n) - 1)
+        self.bitpos += n
+        return v
+
+    def read_huff(self, table) -> int:
+        lengths_codes, single = table
+        if single is not None:                 # 0-bit tree
+            return single
+        code = 0
+        for length in range(1, 16):
+            code = (code << 1) | self.read(1)
+            if (length, code) in lengths_codes:
+                return lengths_codes[(length, code)]
+        raise ValueError("VP8L prefix code not in table")
+
+
+def _vp8l_canonical(lengths: list[int]):
+    """DEFLATE-canonical prefix table from code lengths: codes
+    assigned in (length, symbol) order. Returns ({(len, code): sym},
+    single_symbol_or_None); a single-symbol tree reads zero bits."""
+    used = [(ln, sym) for sym, ln in enumerate(lengths) if ln > 0]
+    if not used:
+        raise ValueError("VP8L empty prefix code")
+    if len(used) == 1:
+        return {}, used[0][1]
+    # Kraft check: an over- or under-subscribed code is corrupt
+    if sum(1 << (15 - ln) for ln, _ in used) != 1 << 15:
+        raise ValueError("VP8L prefix code lengths not canonical")
+    table = {}
+    code = 0
+    prev_len = used[0][0] if used else 1
+    for i, (ln, sym) in enumerate(sorted(used)):
+        if i:
+            code = (code + 1) << (ln - prev_len)
+        prev_len = ln
+        table[(ln, code)] = sym
+    return table, None
+
+
+_VP8L_CLC_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11,
+                   12, 13, 14, 15)
+
+
+def _vp8l_read_code(bits: _Vp8lBits, alphabet: int):
+    """One prefix code: the 1-2-symbol 'simple' form, or code lengths
+    coded by the 19-symbol code-length code with 16/17/18 repeats."""
+    if bits.read(1):                           # simple form
+        num_symbols = bits.read(1) + 1
+        first8 = bits.read(1)
+        s0 = bits.read(8 if first8 else 1)
+        syms = [s0]
+        if num_symbols == 2:
+            syms.append(bits.read(8))
+        if any(s >= alphabet for s in syms):
+            raise ValueError("VP8L simple code symbol out of range")
+        lengths = [0] * alphabet
+        for s in syms:
+            lengths[s] = 1
+        if num_symbols == 1:
+            return {}, s0
+        return _vp8l_canonical(lengths)
+    num_codes = bits.read(4) + 4
+    if num_codes > 19:
+        raise ValueError("VP8L code-length-code count out of range")
+    clc = [0] * 19
+    for i in range(num_codes):
+        clc[_VP8L_CLC_ORDER[i]] = bits.read(3)
+    clc_table = _vp8l_canonical(clc)
+    if bits.read(1):                           # limited max_symbol
+        length_nbits = 2 + 2 * bits.read(3)
+        max_symbol = 2 + bits.read(length_nbits)
+    else:
+        max_symbol = alphabet
+    lengths = [0] * alphabet
+    sym = 0
+    prev = 8
+    while sym < alphabet:
+        if max_symbol <= 0:
+            break
+        max_symbol -= 1
+        code_len = bits.read_huff(clc_table)
+        if code_len < 16:
+            lengths[sym] = code_len
+            sym += 1
+            if code_len:
+                prev = code_len
+        else:
+            if code_len == 16:
+                repeat, val = bits.read(2) + 3, prev
+            elif code_len == 17:
+                repeat, val = bits.read(3) + 3, 0
+            else:
+                repeat, val = bits.read(7) + 11, 0
+            if sym + repeat > alphabet:
+                raise ValueError("VP8L code-length repeat overflow")
+            for _ in range(repeat):
+                lengths[sym] = val
+                sym += 1
+    return _vp8l_canonical(lengths)
+
+
+def _vp8l_prefix_value(bits: _Vp8lBits, code: int) -> int:
+    """LZ77 length/distance prefix decoding: codes 0-3 are literal
+    values 1-4; above that, (2 + (code&1)) << extra + extra bits."""
+    if code < 4:
+        return code + 1
+    extra = (code - 2) >> 1
+    offset = (2 + (code & 1)) << extra
+    return offset + bits.read(extra) + 1
+
+
+# the spec's 120-entry distance-to-neighborhood map (RFC 9649 §5.2.2:
+# (dx, dy) pairs ordered by proximity); codes above 120 are scan-line
+# distances offset by 120
+_VP8L_DIST_MAP = (
+    (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+    (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+    (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+    (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
+    (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+    (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
+    (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0),
+    (1, 6), (-1, 6), (6, 1), (-6, 1), (2, 6), (-2, 6), (6, 2), (-6, 2),
+    (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
+    (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5), (7, 1), (-7, 1),
+    (4, 6), (-4, 6), (6, 4), (-6, 4), (2, 7), (-2, 7), (7, 2), (-7, 2),
+    (3, 7), (-3, 7), (7, 3), (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5),
+    (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6),
+    (-6, 6), (8, 3), (5, 7), (-5, 7), (7, 5), (-7, 5), (8, 4), (6, 7),
+    (-6, 7), (7, 6), (-7, 6), (8, 5), (7, 7), (-7, 7), (8, 6), (8, 7))
+
+
+def _vp8l_entropy_image(bits: _Vp8lBits, w: int, h: int,
+                        is_main: bool):
+    """One entropy-coded ARGB image (the shared machinery for the main
+    image, transform subimages and the meta-prefix image): optional
+    color cache, optional meta-prefix groups (main image only), 5
+    prefix codes per group, row-major literal / backward-reference /
+    cache-hit decoding. Returns a list of (a, r, g, b) tuples."""
+    cache_bits = 0
+    if bits.read(1):                           # color cache
+        cache_bits = bits.read(4)
+        if not 1 <= cache_bits <= 11:
+            raise ValueError("VP8L color cache bits out of range")
+    meta = None
+    meta_bits = 0
+    n_groups = 1
+    if is_main and bits.read(1):               # meta prefix codes
+        meta_bits = bits.read(3) + 2
+        mw = -(-w // (1 << meta_bits))
+        mh = -(-h // (1 << meta_bits))
+        meta_px = _vp8l_entropy_image(bits, mw, mh, False)
+        meta = [((p[1] << 8) | p[2]) for p in meta_px]
+        n_groups = max(meta) + 1
+        if n_groups > 1 << 16:
+            raise ValueError("VP8L meta group count out of range")
+    green_alpha = 256 + 24 + (1 << cache_bits if cache_bits else 0)
+    groups = []
+    for _ in range(n_groups):
+        groups.append((
+            _vp8l_read_code(bits, green_alpha),   # green+len+cache
+            _vp8l_read_code(bits, 256),           # red
+            _vp8l_read_code(bits, 256),           # blue
+            _vp8l_read_code(bits, 256),           # alpha
+            _vp8l_read_code(bits, 40)))           # distance
+    cache = [(0, 0, 0, 0)] * (1 << cache_bits) if cache_bits else None
+    mw = -(-w // (1 << meta_bits)) if meta is not None else 0
+
+    def cache_put(px):
+        argb = (px[0] << 24) | (px[1] << 16) | (px[2] << 8) | px[3]
+        key = (0x1E35A7BD * argb & 0xFFFFFFFF) >> (32 - cache_bits)
+        cache[key] = px
+
+    out: list = []
+    total = w * h
+    while len(out) < total:
+        pos = len(out)
+        if meta is not None:
+            x, y = pos % w, pos // w
+            g = groups[meta[(y >> meta_bits) * mw + (x >> meta_bits)]]
+        else:
+            g = groups[0]
+        sym = bits.read_huff(g[0])
+        if sym < 256:                          # literal
+            red = bits.read_huff(g[1])
+            blue = bits.read_huff(g[2])
+            alpha = bits.read_huff(g[3])
+            px = (alpha, red, sym, blue)
+            out.append(px)
+            if cache is not None:
+                cache_put(px)
+        elif sym < 256 + 24:                   # backward reference
+            length = _vp8l_prefix_value(bits, sym - 256)
+            dist_code = _vp8l_prefix_value(bits, bits.read_huff(g[4]))
+            if dist_code <= 120:
+                dx, dy = _VP8L_DIST_MAP[dist_code - 1]
+                dist = dy * w + dx
+                if dist < 1:
+                    dist = 1
+            else:
+                dist = dist_code - 120
+            if dist > pos or length > total - pos:
+                raise ValueError("VP8L backward reference out of range")
+            for i in range(length):
+                px = out[pos - dist + i]
+                out.append(px)
+                if cache is not None:
+                    cache_put(px)
+        else:                                  # color cache hit
+            if cache is None:
+                raise ValueError("VP8L cache hit without a cache")
+            out.append(cache[sym - 256 - 24])
+    return out
+
+
+def _vp8l_avg2(a, b):
+    return tuple((x + y) >> 1 for x, y in zip(a, b))
+
+
+def _vp8l_predict(mode: int, L, T, TL, TR):
+    if mode == 0:
+        return (255, 0, 0, 0)
+    if mode == 1:
+        return L
+    if mode == 2:
+        return T
+    if mode == 3:
+        return TR
+    if mode == 4:
+        return TL
+    if mode == 5:
+        return _vp8l_avg2(_vp8l_avg2(L, TR), T)
+    if mode == 6:
+        return _vp8l_avg2(L, TL)
+    if mode == 7:
+        return _vp8l_avg2(L, T)
+    if mode == 8:
+        return _vp8l_avg2(TL, T)
+    if mode == 9:
+        return _vp8l_avg2(T, TR)
+    if mode == 10:
+        return _vp8l_avg2(_vp8l_avg2(L, TL), _vp8l_avg2(T, TR))
+    if mode == 11:                             # Select
+        p = tuple(lv + tv - tlv for lv, tv, tlv in zip(L, T, TL))
+        p_l = sum(abs(pc - lc) for pc, lc in zip(p, L))
+        p_t = sum(abs(pc - tc) for pc, tc in zip(p, T))
+        return L if p_l < p_t else T
+    if mode == 12:                             # ClampAddSubtractFull
+        return tuple(min(255, max(0, lv + tv - tlv))
+                     for lv, tv, tlv in zip(L, T, TL))
+    if mode == 13:                             # ClampAddSubtractHalf
+        ave = _vp8l_avg2(L, T)
+        def half(av, c):
+            d = av - c
+            q = abs(d) >> 1
+            return min(255, max(0, av + (-q if d < 0 else q)))
+        return tuple(half(av, c) for av, c in zip(ave, TL))
+    raise ValueError(f"VP8L predictor mode {mode}")
+
+
+def decode_webp_pixels(payload: bytes):
+    """REAL WebP LOSSLESS (VP8L) pixel decode (late r12), stdlib-only
+    per RFC 9649: LSB-first bitstream, canonical prefix codes (simple
+    and code-length-coded forms with 16/17/18 repeats), optional
+    meta-prefix groups and color cache, LZ77 backward references
+    through the 120-entry proximity distance map, and all four inverse
+    transforms — predictor (14 modes, spec border rules incl. the
+    last-column top-right wrap to the current row's first pixel),
+    cross-color (signed (t*c)>>5 deltas), subtract-green, and
+    color-indexing with sub-byte pixel bundling. Returns (h, w, 4)
+    uint8 RGBA. Lossy VP8 stays the loud header-metadata tier;
+    structural damage raises ValueError."""
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise NotImplementedError("not a WebP")
+    pos, n = 12, len(payload)
+    body = None
+    while pos + 8 <= n:
+        cid = payload[pos:pos + 4]
+        csz = int.from_bytes(payload[pos + 4:pos + 8], "little")
+        if cid == b"VP8L":
+            body = payload[pos + 8:pos + 8 + csz]
+            if len(body) != csz:
+                raise ValueError("truncated VP8L chunk")
+            break
+        if cid in (b"VP8 ", b"VP8X"):
+            raise NotImplementedError(
+                "WebP lossy/extended bitstreams stay header-only")
+        pos += 8 + csz + (csz & 1)
+    if body is None:
+        raise ValueError("WebP without an image chunk")
+    if not body or body[0] != 0x2F:
+        raise ValueError("VP8L signature missing")
+    bits = _Vp8lBits(body[1:])
+    w = bits.read(14) + 1
+    h = bits.read(14) + 1
+    bits.read(1)                               # alpha hint
+    if bits.read(3) != 0:
+        raise ValueError("VP8L version not 0")
+    if w * h > _MAX_PIXELS:
+        raise ValueError(
+            f"VP8L dimensions {w}x{h} over the decode cap")
+
+    transforms = []                            # (type, payload...)
+    seen = set()
+    cur_w = w
+    while bits.read(1):
+        ttype = bits.read(2)
+        if ttype in seen:
+            raise ValueError("VP8L transform repeated")
+        seen.add(ttype)
+        if ttype in (0, 1):                    # predictor / color
+            size_bits = bits.read(3) + 2
+            bw = -(-cur_w // (1 << size_bits))
+            bh = -(-h // (1 << size_bits))
+            sub = _vp8l_entropy_image(bits, bw, bh, False)
+            transforms.append((ttype, size_bits, bw, sub))
+        elif ttype == 2:                       # subtract green
+            transforms.append((2,))
+        else:                                  # color indexing
+            psize = bits.read(8) + 1
+            pal_px = _vp8l_entropy_image(bits, psize, 1, False)
+            palette = []
+            prev = (0, 0, 0, 0)
+            for p in pal_px:                   # delta-coded entries
+                cur = tuple((a + b) & 0xFF for a, b in zip(prev, p))
+                palette.append(cur)
+                prev = cur
+            if psize <= 2:
+                width_bits = 3
+            elif psize <= 4:
+                width_bits = 2
+            elif psize <= 16:
+                width_bits = 1
+            else:
+                width_bits = 0
+            transforms.append((3, palette, width_bits, cur_w))
+            cur_w = -(-cur_w // (1 << width_bits))
+    if any(t[0] == 3 for t in transforms) \
+            and any(t[0] in (0, 1) for t in transforms):
+        raise NotImplementedError(
+            "VP8L palette combined with spatial transforms")
+
+    px = _vp8l_entropy_image(bits, cur_w, h, True)
+    img = [[px[y * cur_w + x] for x in range(cur_w)]
+           for y in range(h)]
+
+    for t in reversed(transforms):
+        if t[0] == 3:                          # color indexing
+            _, palette, width_bits, orig_w = t
+            out = []
+            xmask = (1 << width_bits) - 1
+            ibits = 8 >> width_bits
+            imask = (1 << ibits) - 1
+            for y in range(h):
+                row = []
+                for x in range(orig_w):
+                    packed = img[y][x >> width_bits][2]  # green
+                    idx = (packed >> (ibits * (x & xmask))) & imask
+                    if idx >= len(palette):
+                        raise ValueError(
+                            "VP8L palette index out of range")
+                    row.append(palette[idx])
+                out.append(row)
+            img = out
+        elif t[0] == 2:                        # add green back
+            for y in range(h):
+                img[y] = [(a, (r + g) & 0xFF, g, (b + g) & 0xFF)
+                          for a, r, g, b in img[y]]
+        elif t[0] == 1:                        # cross-color inverse
+            _, size_bits, bw, sub = t
+            def s8(v):
+                return v - 256 if v >= 128 else v
+            for y in range(h):
+                for x in range(len(img[y])):
+                    el = sub[(y >> size_bits) * bw + (x >> size_bits)]
+                    g2r, g2b, r2b = s8(el[3]), s8(el[2]), s8(el[1])
+                    a, r, g, b = img[y][x]
+                    gs = g - 256 if g >= 128 else g
+                    r = (r + ((g2r * gs) >> 5)) & 0xFF
+                    rs = r - 256 if r >= 128 else r
+                    b = (b + ((g2b * gs) >> 5)
+                         + ((r2b * rs) >> 5)) & 0xFF
+                    img[y][x] = (a, r, g, b)
+        else:                                  # predictor inverse
+            _, size_bits, bw, sub = t
+            for y in range(h):
+                for x in range(len(img[y])):
+                    if x == 0 and y == 0:
+                        pred = (255, 0, 0, 0)
+                    elif y == 0:
+                        pred = img[0][x - 1]   # first row: L
+                    elif x == 0:
+                        pred = img[y - 1][0]   # first column: T
+                    else:
+                        mode = sub[(y >> size_bits) * bw
+                                   + (x >> size_bits)][2]
+                        L = img[y][x - 1]
+                        T = img[y - 1][x]
+                        TL = img[y - 1][x - 1]
+                        # last column: TR wraps to the current row's
+                        # first pixel (the spec's 1-D addressing rule)
+                        TR = img[y - 1][x + 1] if x + 1 < len(img[y]) \
+                            else img[y][0]
+                        pred = _vp8l_predict(mode, L, T, TL, TR)
+                    img[y][x] = tuple(
+                        (v + p) & 0xFF for v, p in zip(img[y][x],
+                                                       pred))
+
+    arr = np.array(img, dtype=np.uint8)        # (h, w, 4) ARGB
+    return np.ascontiguousarray(arr[:, :, [1, 2, 3, 0]])  # RGBA
 
 
 def _tiff_lzw_decode(data: bytes, expected: int) -> bytes:
@@ -2153,6 +2588,8 @@ def decode_image_pixels(payload: bytes):
         return decode_jpeg_pixels(payload)
     if payload[:4] in (b"II*\x00", b"MM\x00*"):
         return decode_tiff_pixels(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        return decode_webp_pixels(payload)
     raise NotImplementedError(
         f"no pixel decoder for magic {payload[:4]!r}")
 
@@ -2866,16 +3303,16 @@ def resize_images(df: DataFrame, max_dim: int = 224,
       bitfield masks, GIF first frame via LZW, baseline JPEG via the
       r11 Huffman+IDCT decoder — interleaved AND sequential
       multi-scan, progressive JPEG via the r12
-      coefficient-accumulation scans, baseline TIFF strips) AND
-      needs shrinking: a TRUE area-average resample
+      coefficient-accumulation scans, baseline TIFF strips, lossless
+      VP8L WebP) AND needs shrinking: a TRUE area-average resample
       (closed-form separable box filter) runs and the output payload
       is a real, decodable PNG at the target dimensions — note a
       resampled JPEG therefore comes back PNG-encoded.
     * ``passthrough`` — pixel-decodes but already fits max_dim: the
       original payload rides through untouched.
     * ``decoded-dims`` — only the container HEADER decodes
-      (arithmetic-coded / 12-bit JPEG, WebP, tiled/deep TIFF,
-      plus structurally-damaged PNG/BMP/GIF/JPEG): real dims,
+      (arithmetic-coded / 12-bit JPEG, lossy-VP8 WebP, tiled/deep
+      TIFF, plus structurally-damaged PNG/BMP/GIF/JPEG): real dims,
       deterministic ``RSZ1 ‖ big-endian (w, h) ‖ sha256(source)``
       marker payload.
     * ``fake-dims`` — unknown magic (or a dimensionless container
