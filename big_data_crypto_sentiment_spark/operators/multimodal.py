@@ -49,8 +49,8 @@ included) still decodes, so the stubbed-codec tier carries REAL frame
 timestamps.
 
 Audio (r12): WAV PCM (8/16-bit), G.711 mu-law/A-law WAV (standard
-256-entry expansions — late r12) and FLAC all decode to REAL sample
-arrays — decode_flac_samples runs the full stream decode (CRC-8
+256-entry expansions — late r12), IMA and MS ADPCM (late r12) and
+FLAC all decode to REAL sample arrays — decode_flac_samples runs the full stream decode (CRC-8
 frame headers, constant/verbatim/fixed/LPC subframes,
 partitioned-Rice residuals, wasted bits, left-/right-/mid-side
 stereo decorrelation); float/ADPCM WAV and metadata-only FLAC fall
@@ -2760,17 +2760,78 @@ def _ima_adpcm_decode(data: bytes, ch: int, block_align: int):
     return np.array(chans, dtype=np.int16).T
 
 
+# MS-ADPCM spec constants: the 7 built-in predictor coefficient
+# pairs (Q8) and the adaptation table indexed by the 4-bit code
+_MS_COEFS = ((256, 0), (512, -256), (0, 0), (192, 64), (240, 0),
+             (460, -208), (392, -232))
+_MS_ADAPT = (230, 230, 230, 230, 307, 409, 512, 614,
+             768, 614, 512, 409, 307, 230, 230, 230)
+
+
+def _ms_adpcm_decode(data: bytes, ch: int, block_align: int):
+    """MS-ADPCM (WAV format tag 2): per-block header (predictor
+    index, initial delta, two warmup samples per channel), then
+    4-bit codes — high nibble first, channels interleaved per nibble.
+    Exact integer math per the Microsoft spec. Returns (n, ch)
+    int16."""
+    import numpy as np
+
+    hdr = 7 * ch
+    if block_align < hdr:
+        raise ValueError("MS-ADPCM block align invalid")
+    chans: list[list[int]] = [[] for _ in range(ch)]
+    for base in range(0, len(data) - block_align + 1, block_align):
+        blk = data[base:base + block_align]
+        pred_i, delta, s1, s2 = [], [], [], []
+        for c in range(ch):
+            p = blk[c]
+            if p >= len(_MS_COEFS):
+                raise ValueError("MS-ADPCM predictor out of range")
+            pred_i.append(p)
+        for c in range(ch):
+            delta.append(int.from_bytes(
+                blk[ch + 2 * c:ch + 2 * c + 2], "little", signed=True))
+        for c in range(ch):
+            s1.append(int.from_bytes(
+                blk[3 * ch + 2 * c:3 * ch + 2 * c + 2], "little",
+                signed=True))
+        for c in range(ch):
+            s2.append(int.from_bytes(
+                blk[5 * ch + 2 * c:5 * ch + 2 * c + 2], "little",
+                signed=True))
+        for c in range(ch):
+            chans[c].append(s2[c])             # warmup order: s2, s1
+            chans[c].append(s1[c])
+        nib_i = 0
+        for b in blk[hdr:]:
+            for nib in (b >> 4, b & 0x0F):
+                c = nib_i % ch
+                nib_i += 1
+                c1, c2 = _MS_COEFS[pred_i[c]]
+                pred = (s1[c] * c1 + s2[c] * c2) >> 8
+                signed = nib - 16 if nib >= 8 else nib
+                samp = max(-32768, min(32767,
+                                       pred + signed * delta[c]))
+                s2[c], s1[c] = s1[c], samp
+                delta[c] = max(16, (_MS_ADAPT[nib] * delta[c]) >> 8)
+                chans[c].append(samp)
+    if not chans[0]:
+        raise ValueError("MS-ADPCM data shorter than one block")
+    return np.array(chans, dtype=np.int16).T
+
+
 def decode_wav_samples(payload: bytes):
     """REAL WAV decode (r12): RIFF/WAVE chunk walk to the fmt + data
     chunks, then the raw samples as an (n_frames, channels) int16
     numpy array — linear PCM (8-bit unsigned recenters to int16
     range; 16-bit little-endian passes through), the G.711 telephony
     codings (late r12: mu-law tag 7 / A-law tag 6 through their
-    standard 256-entry tables), and IMA/DVI ADPCM (late r12: tag
-    0x11, block headers + nibble predictor updates in exact integer
-    math). Returns (samples, sample_rate). Other formats (float,
-    MS-ADPCM...) raise NotImplementedError — callers fall back to the
-    duration-metadata tier; structural damage raises ValueError."""
+    standard 256-entry tables), and both common ADPCM forms (late
+    r12: IMA/DVI tag 0x11 and MS-ADPCM tag 2 — block headers +
+    nibble predictor updates in exact integer math). Returns
+    (samples, sample_rate). Other formats (float PCM...) raise
+    NotImplementedError — callers fall back to the duration-metadata
+    tier; structural damage raises ValueError."""
     import numpy as np
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
@@ -2801,15 +2862,17 @@ def decode_wav_samples(payload: bytes):
         raise ValueError("WAV missing fmt/data chunk")
     supported = (fmt["tag"] == 1 and fmt["bits"] in (8, 16)) \
         or (fmt["tag"] in (6, 7) and fmt["bits"] == 8) \
-        or (fmt["tag"] == 0x11 and fmt["bits"] == 4)
+        or (fmt["tag"] in (2, 0x11) and fmt["bits"] == 4)
     if not supported:
         raise NotImplementedError(
             f"WAV format tag {fmt['tag']} / {fmt['bits']}-bit outside "
-            "the PCM/G.711/IMA decode path")
+            "the PCM/G.711/ADPCM decode path")
     ch = fmt["channels"]
     if ch == 0 or fmt["rate"] == 0:
         raise ValueError("WAV with zero channels/sample rate")
-    if fmt["tag"] == 0x11:                     # IMA/DVI ADPCM
+    if fmt["tag"] == 2:                        # MS-ADPCM
+        s = _ms_adpcm_decode(data, ch, fmt["block_align"])
+    elif fmt["tag"] == 0x11:                   # IMA/DVI ADPCM
         s = _ima_adpcm_decode(data, ch, fmt["block_align"])
     elif fmt["tag"] in (6, 7):                 # G.711 A-law / mu-law
         table = _g711_alaw_table() if fmt["tag"] == 6 \

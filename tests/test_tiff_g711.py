@@ -371,3 +371,85 @@ def test_ima_adpcm_bad_index_is_corrupt():
     blk = struct.pack("<hBB", 0, 99, 0) + bytes(4)
     with pytest.raises(ValueError, match="step index"):
         decode_wav_samples(_wav_ima(blk, 8))
+
+
+# --- MS-ADPCM ------------------------------------------------------
+_MS_COEFS = ((256, 0), (512, -256), (0, 0), (192, 64), (240, 0),
+             (460, -208), (392, -232))
+_MS_ADAPT = (230, 230, 230, 230, 307, 409, 512, 614,
+             768, 614, 512, 409, 307, 230, 230, 230)
+
+
+def _ms_encode_mono(samples, block_align=256, pred=0,
+                    init_delta=128):
+    """Canonical MS-ADPCM compressor (test-side reference): per-block
+    header (predictor, delta, s1, s2), then high-nibble-first codes,
+    mirroring the decoder's exact update path."""
+    out = bytearray()
+    per_block = 2 + (block_align - 7) * 2
+    i = 0
+    while i < len(samples):
+        blk = [int(v) for v in samples[i:i + per_block]]
+        i += per_block
+        while len(blk) < 2:
+            blk.append(0)
+        s2, s1 = blk[0], blk[1]
+        delta = init_delta
+        out += bytes([pred])
+        out += struct.pack("<h", delta)
+        out += struct.pack("<h", s1)
+        out += struct.pack("<h", s2)
+        nibs = []
+        c1, c2 = _MS_COEFS[pred]
+        for s in blk[2:]:
+            p = (s1 * c1 + s2 * c2) >> 8
+            err = s - p
+            code = max(-8, min(7, int(round(err / delta))))
+            nib = code + 16 if code < 0 else code
+            samp = max(-32768, min(32767, p + code * delta))
+            s2, s1 = s1, samp
+            delta = max(16, (_MS_ADAPT[nib] * delta) >> 8)
+            nibs.append(nib)
+        while len(nibs) < (block_align - 7) * 2:
+            nibs.append(0)
+        for j in range(0, len(nibs), 2):
+            out.append((nibs[j] << 4) | nibs[j + 1])
+    return bytes(out)
+
+
+def _wav_ms(data: bytes, block_align, rate=8000, ch=1) -> bytes:
+    fmt = struct.pack("<HHIIHH", 2, ch, rate,
+                      rate * block_align // 256, block_align, 4)
+    return (b"RIFF" + struct.pack("<I", 28 + 8 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+def test_ms_adpcm_tracks_a_sine():
+    t = np.arange(500)
+    sine = np.round(9000 * np.sin(2 * np.pi * 7 * t / 500)) \
+        .astype(np.int16)
+    data = _ms_encode_mono(sine, block_align=256)
+    s, rate = decode_wav_samples(_wav_ms(data, 256))
+    got = s[:len(sine), 0].astype(np.int64)
+    err = np.abs(got - sine.astype(np.int64))
+    # the decoder must track the encoder's own prediction chain; the
+    # residual is bounded by the adaptive quantizer once settled
+    assert int(err[20:].max()) <= 2048
+    assert float(np.corrcoef(got, sine)[0, 1]) > 0.995
+
+
+def test_ms_adpcm_exact_hand_block():
+    # predictor 0 (c1=256, c2=0): pred = s1; warmup s2=10, s1=20.
+    # nibble +1 -> 20 + 1*64 = 84, delta -> max(16, 230*64>>8)=57
+    # nibble 15 (=-1) -> pred 84 -> 84 - 57 = 27
+    blk = (bytes([0]) + struct.pack("<h", 64) + struct.pack("<h", 20)
+           + struct.pack("<h", 10) + bytes([0x1F]))
+    s, _ = decode_wav_samples(_wav_ms(blk, 8))
+    assert s[:4, 0].tolist() == [10, 20, 84, 27]
+
+
+def test_ms_adpcm_bad_predictor_is_corrupt():
+    blk = bytes([9]) + bytes(7)
+    with pytest.raises(ValueError, match="predictor"):
+        decode_wav_samples(_wav_ms(blk, 8))
