@@ -1293,6 +1293,12 @@ def _tiff_lzw_decode(data: bytes, expected: int) -> bytes:
     clear, eoi = 256, 257
     out = bytearray()
     bitpos, nbits = 0, len(data) * 8
+    # Pad so the 3-byte chunk read below is always full-width: near
+    # the buffer end data[byte0:byte0+3] would silently shorten and
+    # misalign the 24-bit shift for EOI-less streams whose final
+    # codes sit in the last two bytes. nbits keeps the REAL length,
+    # so no phantom codes are read from the padding.
+    data = data + b"\x00\x00"
     width = 9
     table: dict[int, bytes] = {}
     next_code = 258
@@ -1366,7 +1372,10 @@ def _tiff_ifd_values(payload: bytes, bo: str, e: int):
     typ = int.from_bytes(payload[e + 2:e + 4], bo)
     cnt = int.from_bytes(payload[e + 4:e + 8], bo)
     size = {1: 1, 3: 2, 4: 4}.get(typ)
-    if size is None:
+    if size is None or cnt == 0:
+        # count=0 would hand callers an empty list whose [0] access
+        # escapes the ValueError/NotImplementedError tier contract as
+        # IndexError — treat it like an absent tag instead.
         return tag, None                       # caller decides if fatal
     if cnt > 1 << 24:
         raise ValueError("TIFF entry count out of range")

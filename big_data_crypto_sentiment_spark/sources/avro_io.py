@@ -88,21 +88,30 @@ class _Reader:
         return self.read(self.read_long())
 
 
+# Absolute per-block item budget for arrays/maps whose items encode to
+# zero bytes — large enough for any real block, small enough that a
+# crafted 2^60 count still dies loudly instead of hanging the executor.
+_MAX_BLOCK_ITEMS = 1 << 20
+
+
 def _block_count(r: _Reader) -> int:
     """One array/map block count (negative count = block byte-size
     follows, per spec), bounded against the remaining buffer: items
     whose encoding is zero bytes (empty records, `null`-typed fields)
     would otherwise let a crafted count of 2^60 hang the executor
     appending that many values — adversarial CPU/memory with no
-    truncation error ever reached. Real encoders write counts that
-    are at most the serialized bytes; the 8x + 1024 margin keeps any
-    legitimate degenerate block decodable."""
+    truncation error ever reached. Items with a non-empty encoding
+    can never outnumber 8x the remaining bytes; zero-byte item
+    encodings (items type `null`, empty records) are legal at ANY
+    count, so they get an absolute per-block item budget instead of
+    the byte-ratio bound (total appended work stays bounded because
+    each further block costs at least one count varint)."""
     n = r.read_long()
     if n < 0:  # negative count: block byte-size follows
         n = -n
         r.read_long()
     remaining = len(r.buf) - r.pos
-    if n > 8 * remaining + 1024:
+    if n > max(8 * remaining + 1024, _MAX_BLOCK_ITEMS):
         raise ValueError(
             f"avro block count {n} implausible for {remaining} "
             "remaining bytes")

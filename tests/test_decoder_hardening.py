@@ -331,3 +331,21 @@ def test_mutation_fuzz_smoke_only_contract_exceptions_escape():
                 fn(p)
             except OK_TYPES:
                 pass
+
+
+def test_avro_zero_byte_items_beyond_1024_are_legal():
+    """Arrays/maps whose items encode to ZERO bytes (`null` items,
+    empty records) are legal at counts far above the byte-ratio
+    bound's old 1024 margin — a 5000-null array in a tiny buffer must
+    decode; only counts past the absolute per-block item budget die."""
+    from big_data_crypto_sentiment_spark.sources import avro_io as A
+
+    buf = A._zigzag_encode(5000) + A._zigzag_encode(0)
+    vals = A._decode({"type": "array", "items": "null"},
+                     A._Reader(buf))
+    assert vals == [None] * 5000
+
+    bomb = A._zigzag_encode(A._MAX_BLOCK_ITEMS + 1) \
+        + A._zigzag_encode(0)
+    with pytest.raises(ValueError, match="block count"):
+        A._decode({"type": "array", "items": "null"}, A._Reader(bomb))

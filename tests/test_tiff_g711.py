@@ -453,3 +453,49 @@ def test_ms_adpcm_bad_predictor_is_corrupt():
     blk = bytes([9]) + bytes(7)
     with pytest.raises(ValueError, match="predictor"):
         decode_wav_samples(_wav_ms(blk, 8))
+
+
+# --- r13 ADVICE regressions --------------------------------------
+def _zero_ifd_count(payload: bytes, target_tag: int) -> bytes:
+    """Rewrite one IFD entry's count field to 0 (little-endian one-IFD
+    TIFFs from _tiff)."""
+    buf = bytearray(payload)
+    nent = int.from_bytes(buf[8:10], "little")
+    for i in range(nent):
+        e = 10 + 12 * i
+        if int.from_bytes(buf[e:e + 2], "little") == target_tag:
+            buf[e + 4:e + 8] = (0).to_bytes(4, "little")
+            return bytes(buf)
+    raise AssertionError(f"tag {target_tag} not in fixture")
+
+
+def test_tiff_count_zero_entry_is_missing_tag_not_indexerror():
+    """count=0 IFD entries must map to the absent-tag path: a
+    required tag (width) with count 0 raises the missing-tag
+    ValueError, and an optional tag (compression) with count 0 falls
+    back to its default and still decodes — never IndexError."""
+    img = np.arange(9, dtype=np.uint8).reshape(3, 3)
+    good = _tiff(3, 3, [img.tobytes()])
+    with pytest.raises(ValueError, match="missing required tag"):
+        decode_tiff_pixels(_zero_ifd_count(good, 256))
+    got = decode_tiff_pixels(_zero_ifd_count(good, 259))
+    assert (got[:, :, 0] == img).all()
+
+
+def test_tiff_lzw_eoi_less_stream_final_codes_in_last_two_bytes():
+    """An EOI-less LZW stream whose final code sits inside the last
+    two bytes decodes exactly: the 3-byte chunk read must not
+    silently shorten (and misalign the shift) near the buffer end."""
+    from big_data_crypto_sentiment_spark.operators.multimodal import (
+        _tiff_lzw_decode,
+    )
+
+    w = _MsbWriter()
+    w.put(256, 9)                         # clear
+    for b in b"ABC":                      # 3 literals, NO EOI
+        w.put(b, 9)
+    stream = w.done()
+    # 4 codes x 9 bits = 36 bits -> 5 bytes; final code's 3-byte
+    # read starts at byte 3 with only 2 real bytes left
+    assert len(stream) == 5
+    assert _tiff_lzw_decode(stream, 3) == b"ABC"
