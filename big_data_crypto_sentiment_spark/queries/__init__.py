@@ -80,15 +80,7 @@ DEFERRALS: dict[str, dict] = {
     # zorder_key_lineitem and ts_cube — rotated INTO the driver window;
     # these members, every one driver-green in the r8 window, handed
     # over their slots.
-    "flagship_speed_layer": dict(since=9, family="flagship family via flagship_windowed_join in-window (identical windowed-join plan, speed-layer config)",
-                                 extra="driver-green r2-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "revenue_by_nation_q5": dict(since=9, family="TPC-H lineitem family via zorder_key_lineitem in-window; 5-dim AQE broadcast plan pinned in PLANS.md; decimal-exact agg via ta_twap in-window",
-                                 extra="driver-green r2-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "promo_revenue_share": dict(since=9, family="TPC-H lineitem family via zorder_key_lineitem in-window (same pushed-down scan); decimal-exact agg via ta_twap in-window",
-                                extra="driver-green r2-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
     "left_join_fillna":   dict(since=9, family="outer-join+coalesce family via flagship_windowed_join's full-outer in-window",
-                               extra="driver-green r2-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "top_users":          dict(since=9, family="top-k family via tokens_to_ids' rank vocabulary + top_docs_per_source in-window (same TakeOrderedAndProject plan)",
                                extra="driver-green r2-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
     "json_props":         dict(since=9, family="map-parse/typed-projection family via the from_json chain shared with deferred src_tweets_volume; source family via src_avro_roundtrip in-window",
                                extra="driver-green r2-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
@@ -102,20 +94,6 @@ DEFERRALS: dict[str, dict] = {
                                     extra="driver-green r8; 3-SF check.py + per-round sf0.001 auto-verify"),
     "dedup_minhash_incremental": dict(since=9, family="dedup family via dedup_canonical + split_by_cluster in-window (the band-pair core feeds the same CC fixpoint); the signature/band twin dedup_minhash_lsh is deferred alongside; on-disk lifecycle via test_dedup_index.py",
                                       extra="driver-green r8; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "dedup_fuzzy_terms":  dict(since=9, family="SymSpell delete-sig blocking via rotated-in link_customer_batch in-window (same join core)",
-                               extra="driver-green r2-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "media_features":     dict(since=9, family="binary/mapInPandas codec family — real-codec parity pinned in test_sinks_multimodal.py",
-                               extra="driver-green r6-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "interval_join_events": dict(since=9, family="interval/as-of family via scd2_point_in_time + scd2_snapshot_at in-window (same range-condition semantics)",
-                                 extra="driver-green r4-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "graph_pagerank":     dict(since=9, family="graph family: integer-exact power iteration vs recursive-CTE twin, re-verified per round; convergence pinned in test_components.py",
-                               extra="driver-green r8 (first check); 3-SF check.py + per-round sf0.001 auto-verify"),
-    "graph_triangles":    dict(since=9, family="graph family via graph_pagerank's deferred pair (same edge derivation); degree-ordered wedge join",
-                               extra="driver-green r8 (first check); 3-SF check.py + per-round sf0.001 auto-verify"),
-    "graph_degree_profile": dict(since=9, family="graph family via graph_pagerank's deferred pair (trivially simpler plan over the same edges)",
-                                 extra="driver-green r8 (first check); 3-SF check.py + per-round sf0.001 auto-verify"),
-    "upsert_latest":      dict(since=9, family="upsert family via rotated-in scd2_merge_incremental in-window (same keyed latest-wins merge)",
-                               extra="driver-green r2-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
     "binned_features":    dict(since=9, family="reshape family via sft_mask_spans/tokens_to_ids in-window; bucketed aggregates via rollup_merge_incremental in-window",
                                extra="driver-green r6-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
     "text_features":      dict(since=9, family="text family via source_scorecard in-window (same single-scan string features)",
@@ -143,13 +121,11 @@ DEFERRALS: dict[str, dict] = {
     # dedup_minhash_lsh) later handed their slots to the NEW r9 pairs
     # — see their late-r9 entries at the bottom of this dict for the
     # updated family coverage.
-    "pricing_summary":    dict(since=9, family="TPC-H lineitem-agg family via zorder_key_lineitem in-window (same pushed-down lineitem scan); decimal-exact agg discipline via ta_twap in-window",
-                               extra="driver-green r1-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
     "data_profile":       dict(since=9, family="profiling family via moment_profile + value_quantile_bins in-window (same exact stats core)",
                                extra="driver-green r3-r5 + r8; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "key_skew_profile":   dict(since=9, family="skew/profiling family via value_histogram + moment_profile in-window (same groupBy-count core)",
+    "key_skew_profile":   dict(since=9, family="skew/profiling family via moment_profile + value_quantile_bins in-window (same groupBy-count core)",
                                extra="driver-green r4-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "ts_session_stats":   dict(since=9, family="gap/session family via event_debounce + event_transitions in-window (same lag-gap window core)",
+    "ts_session_stats":   dict(since=9, family="gap/session family via event_transitions in-window (same lag-gap window core)",
                                extra="driver-green r2-r3 + r7-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
     "ts_rollup":          dict(since=9, family="hourly-rollup family via ts_seasonal_anomaly in-window (same exact-decimal hourly baseline); incremental path via rollup_merge_incremental in-window",
                                extra="driver-green r2-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
@@ -193,7 +169,7 @@ DEFERRALS: dict[str, dict] = {
     # in EVERY round r2-r8 — hand over their slots
     "dedup_minhash_lsh":  dict(since=9, family="dedup family via dedup_canonical + split_by_cluster in-window; the banded-signature core also feeds dedup_minhash_incremental (driver-green r8)",
                                extra="driver-green r2-r8 (every round); 3-SF check.py + per-round sf0.001 auto-verify"),
-    "ts_lag_sweep_corr":  dict(since=9, family="timeseries family via ts_seasonal_anomaly + ts_interpolate + ts_cube in-window; integer-frozen covariance core via rotated-in ts_corr in-window (ts_spearman is deferred alongside)",
+    "ts_lag_sweep_corr":  dict(since=9, family="timeseries family via ts_seasonal_anomaly + ts_interpolate in-window; integer-frozen covariance core via rotated-in ts_corr in-window (ts_spearman is deferred alongside)",
                                extra="driver-green r2-r8 (every round); 3-SF check.py + per-round sf0.001 auto-verify"),
     # r10 evidence-freshness rotation (VERDICT r9 #8): the never-checked
     # backlog is burned down, so the window slots now cycle by evidence
@@ -221,7 +197,7 @@ DEFERRALS: dict[str, dict] = {
                                  extra="driver-green r9 (first check); 3-SF check.py + per-round sf0.001 auto-verify"),
     "ts_trailing_distinct": dict(since=10, family="trailing-window family via ts_seasonal_anomaly + ts_interpolate in-window; rank machinery via mad_outlier_events in-window",
                                  extra="driver-green r9 (first check); 3-SF check.py + per-round sf0.001 auto-verify"),
-    "dq_suite":           dict(since=10, family="quality family via mad_outlier_events + value_histogram + value_quantile_bins + moment_profile in-window (same conditional-agg single pass)",
+    "dq_suite":           dict(since=10, family="quality family via mad_outlier_events + value_quantile_bins + moment_profile in-window (same conditional-agg single pass)",
                                extra="driver-green r9 (first check); 3-SF check.py + per-round sf0.001 auto-verify"),
     "text_langid_ngram":  dict(since=10, family="text family via source_scorecard + top_docs_per_source in-window; rotated-in text_c4_filter shares the per-row flag plan",
                                extra="driver-green r9 (first check); Cavnar-Trenkle profile math pinned by pytest; 3-SF check.py + per-round sf0.001 auto-verify"),
@@ -295,9 +271,9 @@ DEFERRALS: dict[str, dict] = {
     # slots; every family keeps an in-window representative.
     "ts_spearman":        dict(since=12, family="corr family via rotated-in ts_corr in-window (same integer-frozen covariance core); rank machinery via mad_outlier_events in-window",
                                extra="driver-green r2-r7 + r11; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "ts_resample_ffill":  dict(since=12, family="resample family via rotated-in ts_bucket_counts + ts_interpolate in-window (same spine/ffill window core)",
+    "ts_resample_ffill":  dict(since=12, family="resample family via ts_interpolate + ts_seasonal_anomaly in-window (same spine/ffill window core)",
                                extra="driver-green r2-r7 + r11; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "ts_sessionize":      dict(since=12, family="gap/session family via event_debounce + event_transitions in-window (same lag-gap window core)",
+    "ts_sessionize":      dict(since=12, family="gap/session family via event_transitions in-window (same lag-gap window core)",
                                extra="driver-green r2-r7 + r11; 3-SF check.py + per-round sf0.001 auto-verify"),
     "sim_topk_cosine":    dict(since=12, family="similarity family via sim_ann_lsh + embed_mean_pool in-window (same sequential-fold cosine); frozen-basis math via new embed_pca_frozen in-window",
                                extra="driver-green r2-r7 + r11; 3-SF check.py + per-round sf0.001 auto-verify"),
@@ -307,11 +283,11 @@ DEFERRALS: dict[str, dict] = {
                                extra="driver-green r2-r7 + r11; 3-SF check.py + per-round sf0.001 auto-verify"),
     "ml_forecast_metrics": dict(since=12, family="ml family via ml_sentiment in-window (same exact-decimal metric aggregation)",
                                 extra="driver-green r2-r7 + r11; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "orders_by_nation":   dict(since=12, family="TPC-H join-agg family via zorder_key_lineitem + warehouse_prune_day in-window (same broadcast-dim join plan)",
+    "orders_by_nation":   dict(since=12, family="TPC-H join-agg family via revenue_by_nation_q5 + pricing_summary in-window (same broadcast-dim join plan)",
                                extra="driver-green r2-r7 + r11; 3-SF check.py + per-round sf0.001 auto-verify"),
     "table_diff":         dict(since=12, family="diff/anti-join family via retention_after_deletes in-window (same keyed anti-join core)",
                                extra="driver-green r2-r7 + r11; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "filter_time_range":  dict(since=12, family="pushdown-scan family via warehouse_prune_day in-window (PushedFilters pinned in PLANS.md); the filter surface is exercised by every in-window oracle",
+    "filter_time_range":  dict(since=12, family="pushdown-scan family via pricing_summary in-window (PushedFilters pinned in PLANS.md); the filter surface is exercised by every in-window oracle",
                                extra="driver-green r2-r7 + r11; 3-SF check.py + per-round sf0.001 auto-verify"),
     "kv_flatten":         dict(since=12, family="reshape family via sft_mask_spans + tokens_to_ids in-window (same array/map explode core)",
                                extra="driver-green r2-r7 + r11; 3-SF check.py + per-round sf0.001 auto-verify"),
@@ -332,8 +308,55 @@ DEFERRALS: dict[str, dict] = {
     # after the r12 window was set (media_frames took this round's new
     # multimodal slot); it rotates in for its first driver hash with
     # the r13 tranche
-    "audio_features":     dict(since=12, family="media/mapInPandas family via media_frames in-window (same Arrow-batched binary codec core and sha-stub math); media_features/media_resize deferred alongside with their own evidence",
-                               extra="born-deferred late-r12; 3-SF check.py (my run) + per-round sf0.001 auto-verify; real WAV-PCM signal math pinned in test_audio_features.py"),
+    # r13 window rotation (VERDICT r12 #3): the born-deferred
+    # audio_features plus the twelve stalest r8-era pairs (TPC-H trio,
+    # graph trio, flagship speed layer, media_features,
+    # dedup_fuzzy_terms, interval_join_events, upsert_latest,
+    # top_users) rotated INTO the driver window for fresh hashes; the
+    # members below — every one driver-green r9-r12 — handed over
+    # their slots, alongside the three slots taken by the NEW r13
+    # graduations (approx_quantiles, cms_heavy_hitters,
+    # ml_tfidf_terms_frozen).
+    "link_customer_batch": dict(since=13, family="linkage family via dedup_fuzzy_terms in-window (same SymSpell delete-signature blocking join core)",
+                                extra="driver-green r9-r12; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "zorder_key_lineitem": dict(since=13, family="TPC-H lineitem family via revenue_by_nation_q5 + pricing_summary in-window (same pushed-down lineitem scan); interleave-bits layout math pinned in test_zorder.py",
+                                extra="driver-green r9-r12; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "warehouse_prune_day": dict(since=13, family="pushdown/partition-prune family via pricing_summary in-window (same pushed-filter scan discipline); PushedFilters pinned in PLANS.md + test_partition_prune.py",
+                                extra="driver-green r9-r12; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "ks_drift_events":    dict(since=13, family="drift family via mad_outlier_events + moment_profile in-window (same conditional-agg scan; js_divergence_sources deferred alongside)",
+                               extra="driver-green r9-r12; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "js_divergence_sources": dict(since=13, family="distribution-divergence family via source_scorecard in-window (same per-source token aggregation; ks_drift_events deferred alongside)",
+                                  extra="driver-green r9-r12; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "ctfidf_source_terms": dict(since=13, family="text family via source_scorecard in-window (same per-source token histogram core)",
+                                extra="driver-green r9-r12; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "text_dup_rate":      dict(since=13, family="dup family via source_scorecard's fingerprint dup-rate in-window (same normalized-hash agg)",
+                               extra="driver-green r9-r12; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "embed_prototype_prune": dict(since=13, family="embedding family via embed_mean_pool + embed_pca_frozen in-window (same integer-frozen vector math)",
+                                  extra="driver-green r9-r12; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "decontam_overlap":   dict(since=13, family="shingle/broadcast-gram family via dedup_canonical + split_by_cluster in-window (same shingle-scan core)",
+                               extra="driver-green r9-r12; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "repetition_filter":  dict(since=13, family="text rule-filter family via source_scorecard in-window (same single-scan flag plan)",
+                               extra="driver-green r9-r12; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "pii_redact":         dict(since=13, family="text family via source_scorecard in-window (same single-scan regexp normalization)",
+                               extra="driver-green r9-r12; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "boilerplate_strip":  dict(since=13, family="text family via source_scorecard in-window (same single-scan line-level transform)",
+                               extra="driver-green r9-r12; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "ts_cube":            dict(since=13, family="rollup family via ts_seasonal_anomaly + ts_interpolate in-window (same hourly-bucket exact-decimal agg)",
+                               extra="driver-green r9-r12; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "ts_bucket_counts":   dict(since=13, family="bucket-count family via ts_seasonal_anomaly in-window (same hourly time-bucket agg and lag window)",
+                               extra="driver-green r9-r12; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "value_histogram":    dict(since=13, family="profiling family via moment_profile + value_quantile_bins in-window (same exact stats core)",
+                               extra="driver-green r9-r12; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "event_debounce":     dict(since=13, family="gap/session family via event_transitions in-window (same lag-gap window core)",
+                               extra="driver-green r9-r12; 3-SF check.py + per-round sf0.001 auto-verify"),
+    # born-deferred (r13): the two HLL sketch entries graduated to
+    # oracle pairs (bounded-error-assertion recipe) after the r13
+    # window was set; they rotate in for first driver hashes with the
+    # r14 tranche
+    "approx_distinct_users": dict(since=13, family="sketch-assertion family via approx_quantiles + cms_heavy_hitters in-window (same bounded-error-flag recipe over the same events scan)",
+                                  extra="born-deferred r13; 3-SF check.py + per-round sf0.001 auto-verify; HLL relative-error property pinned in tests/test_approx.py"),
+    "hll_mergeable_distinct": dict(since=13, family="sketch-assertion family via approx_quantiles + cms_heavy_hitters in-window (same bounded-error-flag recipe); mergeable-union shape pinned in tests/test_approx.py",
+                                   extra="born-deferred r13; 3-SF check.py + per-round sf0.001 auto-verify"),
 }
 _DEFER_FROM_WINDOW = tuple(DEFERRALS)
 

@@ -21,34 +21,96 @@ from pyspark.sql import functions as F
 from ._util import table
 
 
+# relative-error margin for the HLL bounded-error assertions: both
+# sketches run at rsd ≈ 0.05 (HLL++ default / lgConfigK=12), so a
+# 5-sigma 25% band makes the flag a contract pin, not a coin flip
+HLL_REL_BOUND = 0.25
+
+
 def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ distinct estimate next to the exact count, graduated to an
+    oracle pair (r13, the approx_quantiles recipe): the exact count
+    hashes exactly, and the engine-specific estimate becomes a
+    bounded-relative-error ASSERTION (|approx−exact| ≤ 25%·exact at
+    the default 5% rsd) that DuckDB asserts as literal 1 — sketch
+    drift outside the published error contract reads as a hash
+    mismatch."""
     ev = table(spark, sf_dir, "events")
-    return (ev.groupBy("event_type")
-              .agg(F.approx_count_distinct("user_id").alias("approx_users"),
-                   F.countDistinct("user_id").alias("exact_users")))
+    g = (ev.groupBy("event_type")
+           .agg(F.approx_count_distinct("user_id").alias("approx"),
+                F.countDistinct("user_id").alias("exact_users")))
+    ok = (F.abs(F.col("approx") - F.col("exact_users"))
+          <= F.lit(HLL_REL_BOUND) * F.col("exact_users"))
+    return g.select("event_type", "exact_users",
+                    ok.cast("int").alias("approx_in_bound"))
 
 
 def q_hll_mergeable_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-day sketches → union → global estimate, next to the exact
-    count: the pre-aggregate-then-merge shape."""
+    count: the pre-aggregate-then-merge shape (what makes incremental
+    distinct-counting possible at 100 TB — per-partition sketches
+    union without re-touching raw data). Graduated r13: the merged
+    Datasketches estimate becomes a bounded-error assertion against
+    the exact global distinct, both exact columns hash exactly, and
+    sum_daily_exact ≥ true distinct rides as a second structural
+    invariant DuckDB recomputes."""
     ev = table(spark, sf_dir, "events")
-    daily = (ev.groupBy(F.date_trunc("day", "ts").alias("day"))
-               .agg(F.hll_sketch_agg("user_id").alias("sketch"),
-                    F.countDistinct("user_id").alias("daily_exact")))
-    return daily.agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sketch"))
+    # rollup(day) yields the per-day rows AND the global total row in
+    # ONE scan — no second pass, no 1×1 join the planner would turn
+    # into a nested loop. The day rows carry the daily sketches (the
+    # mergeable shape), the null-day row carries the exact global
+    # distinct the assertion compares against.
+    lv = (ev.rollup(F.date_trunc("day", "ts").alias("day"))
+            .agg(F.hll_sketch_agg("user_id").alias("sk"),
+                 F.countDistinct("user_id").alias("ex")))
+    is_day = F.col("day").isNotNull()
+    merged = lv.agg(
+        F.hll_sketch_estimate(
+            F.hll_union_agg(F.when(is_day, F.col("sk"))))
          .alias("merged_estimate"),
-        F.sum("daily_exact").alias("sum_daily_exact"),  # > true distinct
-        F.count("*").alias("n_days"))
+        F.sum(F.when(is_day, F.col("ex"))).alias("sum_daily_exact"),
+        F.count(F.when(is_day, 1)).alias("n_days"),
+        F.max(F.when(~is_day, F.col("ex"))).alias("exact_global"))
+    ok = (F.abs(F.col("merged_estimate") - F.col("exact_global"))
+          <= F.lit(HLL_REL_BOUND) * F.col("exact_global"))
+    return merged.select(
+        "n_days", "sum_daily_exact", "exact_global",
+        ok.cast("int").alias("merged_in_bound"),
+        (F.col("sum_daily_exact") >= F.col("exact_global"))
+        .cast("int").alias("daily_sum_ge_global"))
 
 
 def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approx median next to the exact one, graduated to an oracle
+    pair (r12 verdict #1): the exact median is emitted cent-exact
+    (2×median in cents is always an integer — the midpoint of two
+    cent values — so ROUND(m*200) recovers it from the interpolated
+    double identically in both engines), and the sketch estimate
+    becomes a BOUNDED-ERROR ASSERTION the hash pins: with
+    accuracy=10000 the GK-style sketch guarantees rank error
+    ≤ n/10000, and the exact 0.495/0.505 quantiles bound every value
+    in that rank window once a group has ≥206 rows (smallest fixture
+    group ~1.5k at sf0.001). DuckDB asserts the flag as literal TRUE —
+    if percentile_approx ever drifted outside its published contract,
+    the value-hash goes red."""
     li = table(spark, sf_dir, "lineitem")
-    return (li.groupBy("l_returnflag")
-              .agg(F.percentile_approx("l_extendedprice", 0.5, 10000)
-                    .alias("approx_median"),
-                   F.expr("percentile(l_extendedprice, 0.5)")
-                    .alias("exact_median")))
+    price = F.col("l_extendedprice").cast("double")
+    g = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.5)")
+         .alias("m"),
+        F.expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.495)")
+         .alias("lo"),
+        F.expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.505)")
+         .alias("hi"),
+        F.percentile_approx(price, 0.5, 10000).alias("approx"),
+        F.count("*").alias("n_rows"))
+    in_bound = (F.col("approx") >= F.col("lo")) \
+        & (F.col("approx") <= F.col("hi"))
+    return g.select(
+        "l_returnflag",
+        F.round(F.col("m") * 200).cast("long").alias("median_x200"),
+        "n_rows",
+        in_bound.cast("int").alias("approx_in_bound"))
 
 
 def cms_estimates(df: DataFrame, key_col: str, probe_keys: list[int],
@@ -70,21 +132,55 @@ def cms_estimates(df: DataFrame, key_col: str, probe_keys: list[int],
     return {k: sk.estimateCount(int(k)) for k in probe_keys}
 
 
+CMS_DEPTH = 4
+CMS_WIDTH = 2048
+
+
+def _cms_bucket(plane_col, key_col):
+    """Engine-portable CMS plane hash: md5 over 'plane:key', 60-bit
+    prefix mod width — the sim_ann_lsh literal-plane recipe applied to
+    frequency sketching (exact integer math in both engines)."""
+    hx = F.md5(F.concat(plane_col.cast("string"), F.lit(":"),
+                        key_col.cast("string")))
+    return F.conv(F.substring(hx, 1, 15), 16, 10) \
+            .cast("long") % CMS_WIDTH
+
+
 def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy hitters (top users by event count) with exact counts next
     to their count-min-sketch estimates — the streaming-friendly
-    frequency shape (the pytest pins the never-underestimates and
-    eps·N-bound properties). The candidate set here is an exact bounded
-    top-k (TakeOrderedAndProject); a pure one-pass pipeline would keep
-    a candidate heap beside the sketch instead."""
-    ev = table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    frequency shape, graduated to an oracle pair (r12 verdict #1) by
+    building the sketch from ENGINE-PORTABLE md5-derived planes
+    instead of the JVM CountMinSketch blob (which stays available as
+    `cms_estimates` with its own pytest evidence; the
+    never-underestimates property est = min_planes(bucket count)
+    ≥ true holds identically here). Plan shape at 100 TB: the plane
+    expansion is map-side (literal 4-element explode), the bucket
+    counts partial-aggregate into a BOUNDED table (depth×width =
+    8192 rows — the sketch itself, mergeable by construction), the
+    candidate set is an exact bounded top-k (TakeOrderedAndProject),
+    and the probe join broadcasts 40 rows against the sketch."""
+    ev = (table(spark, sf_dir, "events")
+          .filter(F.col("user_id").isNotNull()).select("user_id"))
+    plane = F.explode(F.array(
+        *[F.lit(p) for p in range(CMS_DEPTH)])).alias("plane")
+    counts = (ev.select("user_id", plane)
+                .select("plane",
+                        _cms_bucket(F.col("plane"), F.col("user_id"))
+                        .alias("bucket"))
+                .groupBy("plane", "bucket")
+                .agg(F.count("*").alias("c")))
     top = (ev.groupBy("user_id").agg(F.count("*").alias("exact_n"))
-             .orderBy(F.desc("exact_n"), "user_id").limit(10).collect())
-    est = cms_estimates(ev, "user_id", [r.user_id for r in top])
-    return spark.createDataFrame(
-        [(r.user_id, r.exact_n, est[r.user_id],
-          est[r.user_id] - r.exact_n) for r in top],
-        "user_id long, exact_n long, cms_n long, overestimate long")
+             .orderBy(F.desc("exact_n"), "user_id").limit(10))
+    probe = top.select("user_id", "exact_n", plane).select(
+        "user_id", "exact_n", "plane",
+        _cms_bucket(F.col("plane"), F.col("user_id")).alias("bucket"))
+    return (counts.join(F.broadcast(probe), ["plane", "bucket"])
+                  .groupBy("user_id", "exact_n")
+                  .agg(F.min("c").alias("cms_n"))
+                  .select("user_id", "exact_n", "cms_n",
+                          (F.col("cms_n") - F.col("exact_n"))
+                          .alias("overestimate")))
 
 
 # --- Misra–Gries batch twin (VERDICT r6 #7): the streaming heavy
@@ -155,11 +251,88 @@ def q_hh_mg_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
-    "approx_distinct_users": q_approx_distinct_users,    # rows-only: sketch
-    "hll_mergeable_distinct": q_hll_mergeable_distinct,  # rows-only: sketch
-    "approx_quantiles": q_approx_quantiles,              # rows-only: sketch
-    "cms_heavy_hitters": q_cms_heavy_hitters,            # rows-only: sketch
+    "approx_distinct_users": q_approx_distinct_users,    # graduated r13
+    #   (born-deferred): exact count + HLL bounded-error assertion
+    "hll_mergeable_distinct": q_hll_mergeable_distinct,  # graduated r13
+    #   (born-deferred): merge-then-estimate vs exact global
+    "approx_quantiles": q_approx_quantiles,        # graduated r13: exact
+    #   median cent-exact + sketch bounded-error assertion under hash
+    "cms_heavy_hitters": q_cms_heavy_hitters,      # graduated r13:
+    #   portable md5-plane sketch, engine-exact
     "hh_mg_vs_exact": q_hh_mg_vs_exact,  # rows-only: sequential MG fold
 }
 
-ORACLE = {}
+
+def _sql_hex2int(col: str) -> str:
+    from .dedup import _sql_hex2int as h
+    return h(col)
+
+
+def _sql_cms_bucket(plane_expr: str, key_expr: str) -> str:
+    hx = (f"substring(md5(CAST(({plane_expr}) AS VARCHAR) || ':' || "
+          f"CAST(({key_expr}) AS VARCHAR)), 1, 15)")
+    return f"({_sql_hex2int(hx)} % {CMS_WIDTH})"
+
+
+ORACLE = {
+    "approx_distinct_users": """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS exact_users,
+       1 AS approx_in_bound
+FROM events
+GROUP BY event_type
+""",
+    "hll_mergeable_distinct": """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day,
+         COUNT(DISTINCT user_id) AS daily_exact
+  FROM events GROUP BY 1
+)
+SELECT (SELECT COUNT(*) FROM daily) AS n_days,
+       (SELECT CAST(SUM(daily_exact) AS BIGINT) FROM daily)
+         AS sum_daily_exact,
+       COUNT(DISTINCT user_id) AS exact_global,
+       1 AS merged_in_bound,
+       1 AS daily_sum_ge_global
+FROM events
+""",
+    # exact median recovered cent-exactly via ROUND(m*200); the
+    # sketch's bounded-error flag is asserted as literal 1 — a drift
+    # outside percentile_approx's rank-error contract reads as a hash
+    # mismatch, which is the point of the pair
+    "approx_quantiles": """
+SELECT l_returnflag,
+       CAST(ROUND(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5)
+                  * 200) AS BIGINT) AS median_x200,
+       COUNT(*) AS n_rows,
+       1 AS approx_in_bound
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    "cms_heavy_hitters": f"""
+WITH ev AS (
+  SELECT user_id FROM events WHERE user_id IS NOT NULL
+), planes(plane) AS (
+  VALUES {", ".join(f"({p})" for p in range(CMS_DEPTH))}
+), counts AS (
+  SELECT plane,
+         {_sql_cms_bucket("plane", "user_id")} AS bucket,
+         COUNT(*) AS c
+  FROM ev CROSS JOIN planes
+  GROUP BY 1, 2
+), top AS (
+  SELECT user_id, COUNT(*) AS exact_n
+  FROM ev GROUP BY user_id
+  ORDER BY exact_n DESC, user_id LIMIT 10
+), probe AS (
+  SELECT t.user_id, t.exact_n, p.plane,
+         {_sql_cms_bucket("p.plane", "t.user_id")} AS bucket
+  FROM top t CROSS JOIN planes p
+)
+SELECT pr.user_id, pr.exact_n,
+       MIN(c.c) AS cms_n,
+       MIN(c.c) - pr.exact_n AS overestimate
+FROM probe pr JOIN counts c USING (plane, bucket)
+GROUP BY pr.user_id, pr.exact_n
+""",
+}

@@ -596,6 +596,65 @@ def q_ml_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "term string, coef double, sign string")
 
 
+# --- M6 frozen-artifact graduation (r12 verdict #1): the fitted
+#     vocab+idf freeze to literals (the embed_pca_frozen /
+#     sim_ivf_topk_frozen treatment) and the ridge solve drops to its
+#     DIAGONAL closed form — β_j = (idf_j·Σtf_j·y)/(idf_j²·Σtf_j²+λ),
+#     exact ridge under orthogonal features and the standard per-term
+#     relevance score otherwise — so DuckDB can replay every value:
+#     tf via regexp_count (cross-engine parity proven by the lexicon
+#     pairs), y = n_pos − n_neg (integer label), all sums exact
+#     BIGINT, ONE double division per term, round(8). Plan shape at
+#     100 TB: a single documents scan, 2·|vocab| partially-aggregated
+#     sums into one row, a bounded literal-array explode — no
+#     shuffle beyond the 1-row agg, no fit, no collect. ---
+TFIDF_FROZEN_VOCAB: tuple[tuple[str, int], ...] = (
+    # (term, idf frozen at 1e-3 units) — artifact literals, like
+    # PCA_FROZEN_COMPONENTS; distinct idf values exercise the
+    # weighting in the ranking
+    ("fast", 1811), ("big", 2473), ("slow", 1954), ("small", 2107),
+    ("table", 1320), ("join", 1205), ("merge", 1688), ("window", 1522),
+    ("hash", 2031), ("stream", 1777), ("query", 1444), ("filter", 1639),
+    ("vector", 2866), ("column", 1903), ("batch", 1561), ("data", 1098),
+)
+TFIDF_FROZEN_LAMBDA_E6 = 1_000_000  # λ=1.0 at the 1e-3 idf scale
+
+
+def q_ml_tfidf_terms_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (table(spark, sf_dir, "documents")
+         .filter(F.col("text").isNotNull()).select("text"))
+    n_pos, n_neg, _ = lexicon_polarity()
+    cols = [(n_pos - n_neg).cast("long").alias("y")]
+    for i, (t, _) in enumerate(TFIDF_FROZEN_VOCAB):
+        cols.append(F.regexp_count(F.col("text"), F.lit(rf"\b{t}\b"))
+                     .cast("long").alias(f"tf{i}"))
+    base = d.select(*cols)
+    aggs = []
+    for i in range(len(TFIDF_FROZEN_VOCAB)):
+        tf = F.col(f"tf{i}")
+        aggs.append(F.sum(tf * F.col("y")).alias(f"xy{i}"))
+        aggs.append(F.sum(tf * tf).alias(f"xx{i}"))
+    one = base.agg(*aggs)
+    structs = [
+        F.struct(F.lit(t).alias("term"),
+                 F.lit(idf3).cast("long").alias("idf3"),
+                 F.col(f"xy{i}").alias("s_xy"),
+                 F.col(f"xx{i}").alias("s_xx"))
+        for i, (t, idf3) in enumerate(TFIDF_FROZEN_VOCAB)]
+    rows = (one.select(F.explode(F.array(*structs)).alias("r"))
+               .select("r.*"))
+    num = (F.col("idf3") * F.col("s_xy") * 1000).cast("double")
+    den = (F.col("idf3") * F.col("idf3") * F.col("s_xx")
+           + F.lit(TFIDF_FROZEN_LAMBDA_E6)).cast("double")
+    coef = F.round(num / den, 8)
+    sign = (F.when(F.col("s_xy") > 0, "pos")
+             .when(F.col("s_xy") < 0, "neg").otherwise("zero"))
+    return (rows.select("term", "idf3", "s_xy", "s_xx",
+                        coef.alias("coef"), sign.alias("sign"))
+                .orderBy(F.abs(F.col("coef")).desc(), "term")
+                .limit(10))
+
+
 # --- M6 temporal CV: expanding-window TimeSeriesSplit(5) analog
 #     (eda/Data_Minions_EDA_Milestone4.ipynb cell 15) — per-fold MAE of
 #     the TF-IDF+Ridge fit, trained strictly on earlier documents and
@@ -672,6 +731,8 @@ QUERIES = {
     "ml_arma_cv": q_ml_arma_cv,  # rows-only: HR lstsq per expanding fold
     "ml_sentiment_model": q_ml_sentiment_model,        # rows-only: MLlib fit
     "ml_tfidf_top_terms": q_ml_tfidf_top_terms,        # rows-only: MLlib fit
+    "ml_tfidf_terms_frozen": q_ml_tfidf_terms_frozen,  # graduated r13:
+    #   frozen vocab+idf, diagonal-ridge closed form, engine-exact
     "ml_tfidf_ridge_cv": q_ml_tfidf_ridge_cv,          # rows-only: MLlib fits × folds
     "ml_doc_topics": q_ml_doc_topics,                  # rows-only: LDA inference
     "ml_ridge_perm_importance": q_ml_ridge_perm_importance,  # rows-only: MLlib fit
@@ -697,7 +758,49 @@ b AS (
 )
 """
 
+def _sql_tfidf_frozen() -> str:
+    """DuckDB twin of q_ml_tfidf_terms_frozen, generated from the same
+    frozen literals so the two can never drift apart."""
+    pos = " + ".join(
+        f"len(regexp_extract_all(text, '\\b{w}\\b'))" for w in POS_WORDS)
+    neg = " + ".join(
+        f"len(regexp_extract_all(text, '\\b{w}\\b'))" for w in NEG_WORDS)
+    tfs = ",\n         ".join(
+        f"len(regexp_extract_all(text, '\\b{t}\\b')) AS tf{i}"
+        for i, (t, _) in enumerate(TFIDF_FROZEN_VOCAB))
+    sums = ",\n         ".join(
+        f"CAST(SUM(tf{i} * y) AS BIGINT) AS xy{i},\n"
+        f"         CAST(SUM(tf{i} * tf{i}) AS BIGINT) AS xx{i}"
+        for i in range(len(TFIDF_FROZEN_VOCAB)))
+    terms = "\n  UNION ALL ".join(
+        f"SELECT '{t}' AS term, CAST({idf3} AS BIGINT) AS idf3, "
+        f"xy{i} AS s_xy, xx{i} AS s_xx FROM s"
+        for i, (t, idf3) in enumerate(TFIDF_FROZEN_VOCAB))
+    return f"""
+WITH base AS (
+  SELECT ({pos}) - ({neg}) AS y,
+         {tfs}
+  FROM documents WHERE text IS NOT NULL
+), s AS (
+  SELECT {sums}
+  FROM base
+), terms AS (
+  {terms}
+)
+SELECT term, idf3, s_xy, s_xx,
+       ROUND(CAST(idf3 * s_xy * 1000 AS DOUBLE)
+             / CAST(idf3 * idf3 * s_xx
+                    + {TFIDF_FROZEN_LAMBDA_E6} AS DOUBLE), 8) AS coef,
+       CASE WHEN s_xy > 0 THEN 'pos'
+            WHEN s_xy < 0 THEN 'neg' ELSE 'zero' END AS sign
+FROM terms
+ORDER BY abs(coef) DESC, term
+LIMIT 10
+"""
+
+
 ORACLE = {
+    "ml_tfidf_terms_frozen": _sql_tfidf_frozen(),
     "ml_sentiment": """
 WITH raw AS (
   SELECT event_id, event_type, value,
