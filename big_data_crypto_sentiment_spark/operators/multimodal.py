@@ -65,6 +65,7 @@ columns without shuffling; only a later groupBy/join would.
 from __future__ import annotations
 
 import hashlib
+import math
 from typing import Iterator
 
 import pandas as pd
@@ -3275,18 +3276,33 @@ def extract_audio_features(df: DataFrame) -> DataFrame:
                     if row.payload is not None else b""
                 try:
                     s, rate, scale = decode_samples(payload)
-                    x = s.astype(np.float64) / scale
-                    nf = len(s)
-                    rms = float(np.sqrt((x * x).mean())) if nf else 0.0
-                    peak = float(np.abs(x).max()) if nf else 0.0
-                    zc = (float(np.mean((np.signbit(x[1:])
-                                         != np.signbit(x[:-1]))
-                                        .mean(axis=1)))
-                          if nf > 1 else 0.0)
-                    out.append((row.media_id, rate, s.shape[1], nf,
-                                nf * 1000 // rate, round(rms, 6),
-                                round(peak, 6), round(zc, 6),
-                                "decoded"))
+                    # integer-exact accumulation (r13): the sums are
+                    # exact BIGINTs — invariant to summation order and
+                    # partitioning, and replayable by a SQL twin —
+                    # with ONE IEEE division/sqrt at the end (same
+                    # result as the float path to the rounded 6dp,
+                    # but engine- and order-deterministic by
+                    # construction)
+                    s64 = s.astype(np.int64)
+                    nf, nch = s.shape
+                    iscale = int(scale)
+                    ss = int((s64 * s64).sum())
+                    maxabs = int(np.abs(s64).max()) if nf else 0
+                    rms = (math.sqrt(ss / (iscale * iscale * nf * nch))
+                           if nf else 0.0)
+                    peak = maxabs / iscale if nf else 0.0
+                    neg = s64 < 0
+                    zc = (int((neg[1:] != neg[:-1]).sum())
+                          / (nch * (nf - 1)) if nf > 1 else 0.0)
+                    # explicit half-UP 6dp (floor(v·1e6+0.5)/1e6):
+                    # Python round() is banker's, SQL ROUND is
+                    # half-away — exact binary fractions like
+                    # maxabs/2^15 DO land on 6dp ties, so the tie
+                    # rule must be pinned for the oracle twin
+                    r6 = (lambda v: math.floor(v * 1e6 + 0.5) / 1e6)
+                    out.append((row.media_id, rate, nch, nf,
+                                nf * 1000 // rate, r6(rms),
+                                r6(peak), r6(zc), "decoded"))
                 except NotImplementedError:
                     try:
                         dur = decode_media(payload,
@@ -3472,6 +3488,10 @@ FRAME_SAMPLE_SCHEMA = T.StructType([
     T.StructField("frame_ts_ms", T.LongType()),
     T.StructField("width", T.IntegerType()),
     T.StructField("height", T.IntegerType()),
+    # exact integer sum of every decoded channel value (r13): a
+    # pixel-content witness the driver hash can pin and a SQL twin
+    # can replay — null on the non-decoded tiers
+    T.StructField("pixel_sum", T.LongType()),
     T.StructField("frame_status", T.StringType()),
     T.StructField("frame_png", T.BinaryType()),
 ])
@@ -3501,6 +3521,8 @@ def sample_frame_pixels(df: DataFrame, n_frames: int = 4,
     cap, nothing shuffles."""
     import struct
 
+    import numpy as np
+
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in FRAME_SAMPLE_SCHEMA]
         for pdf in batches:
@@ -3519,7 +3541,8 @@ def sample_frame_pixels(df: DataFrame, n_frames: int = 4,
                                 img, max(1, w * max_dim // m),
                                 max(1, h * max_dim // m))
                         h, w = img.shape[:2]
-                        out.append((row.media_id, i, t, w, h,
+                        psum = int(img.astype(np.int64).sum())
+                        out.append((row.media_id, i, t, w, h, psum,
                                     "decoded", encode_png(img)))
                 except NotImplementedError:
                     # true-codec tier: real timestamps from container
@@ -3533,12 +3556,12 @@ def sample_frame_pixels(df: DataFrame, n_frames: int = 4,
                     for i in range(n_frames):
                         t = (dur * i // n_frames) if dur else None
                         out.append((row.media_id, i, t, None, None,
-                                    "stubbed-codec",
+                                    None, "stubbed-codec",
                                     FRAME_STUB_MAGIC
                                     + struct.pack(">I", i) + sha))
                 except ValueError:
                     out.append((row.media_id, None, None, None, None,
-                                "corrupt", None))
+                                None, "corrupt", None))
             yield pd.DataFrame(out, columns=cols)
 
     return (df.filter("kind = 'video'")
