@@ -19,10 +19,17 @@ the bytes unrecoverable. `derive_fixture_keys` is the TEST-ONLY
 deterministic path (md5 of a salted user id) so ciphertexts are
 reproducible across engines/processes — anyone with the source can
 re-derive those keys, so it provides ZERO forgetting guarantee and
-must never leave a test. GCM mode would add a random IV per row
-(Spark supports it) at the cost of nondeterministic ciphertext; the
-fixture uses ECB only so ciphertexts are comparable in tests — switch
-`MODE` to 'GCM' in production.
+must never leave a test.
+
+Modes: `MODE` ('ECB') is the deterministic TEST default — values fit
+one AES block and ciphertexts are comparable across engines/processes.
+`PROD_MODE` ('GCM') is the shipped production path (pass
+`mode=PROD_MODE` or set it as the default in a deployment):
+authenticated encryption with a random 12-byte IV per row, prepended
+to the ciphertext by Spark's aes_encrypt and parsed back by
+aes_decrypt — nondeterministic ciphertext by design, tamper-evident
+on decrypt. Both modes are roundtrip- and shred-tested
+(tests/test_crypto_shred.py).
 """
 
 from __future__ import annotations
@@ -32,7 +39,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-MODE = "ECB"  # deterministic for tests; use 'GCM' in production
+MODE = "ECB"        # deterministic test default (see module docstring)
+PROD_MODE = "GCM"   # authenticated, random-IV production mode
 KEY_SALT = "spark-shred-v1/"
 
 
@@ -70,12 +78,15 @@ def derive_fixture_keys(users: DataFrame, key: str = "user_id") -> DataFrame:
 
 def encrypt_payload(df: DataFrame, keys: DataFrame,
                     key: str = "user_id",
-                    payload: str = "props") -> DataFrame:
+                    payload: str = "props",
+                    mode: str = MODE) -> DataFrame:
     """Replace `payload` with its per-user AES ciphertext (binary).
     Rows with no key table entry (or NULL payload) keep NULL — at scale
-    the key table broadcasts (one small row per user)."""
+    the key table broadcasts (one small row per user). mode=PROD_MODE
+    (GCM) gives authenticated encryption with a fresh random IV per
+    row (Spark prepends it to the ciphertext)."""
     enc = F.expr(f"aes_encrypt(CAST({payload} AS BINARY), enc_key, "
-                 f"'{MODE}')")
+                 f"'{mode}')")
     return (df.join(F.broadcast(keys), key, "left")
               .withColumn(payload,
                           F.when(F.col("enc_key").isNotNull()
@@ -85,10 +96,13 @@ def encrypt_payload(df: DataFrame, keys: DataFrame,
 
 def decrypt_payload(df: DataFrame, keys: DataFrame,
                     key: str = "user_id",
-                    payload: str = "props") -> DataFrame:
+                    payload: str = "props",
+                    mode: str = MODE) -> DataFrame:
     """Recover plaintext where a key still exists; forgotten users
-    (no key row) decrypt to NULL."""
-    dec = F.expr(f"CAST(aes_decrypt({payload}, enc_key, '{MODE}') "
+    (no key row) decrypt to NULL. mode must match the encrypt-side
+    mode; GCM additionally authenticates (tampered ciphertext raises
+    instead of yielding garbage)."""
+    dec = F.expr(f"CAST(aes_decrypt({payload}, enc_key, '{mode}') "
                  f"AS STRING)")
     return (df.join(F.broadcast(keys), key, "left")
               .withColumn(payload,

@@ -28,6 +28,8 @@ reference's collect_list-into-one-task trainer should have used.
 
 from __future__ import annotations
 
+import math
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -528,6 +530,205 @@ def q_ml_arma_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return arma_cv(_shared_grid(spark, sf_dir))
 
 
+# --- M3 full auto-ARIMA analog (r12 verdict #5): the reference calls
+#     pm.auto_arima(seasonal=False, stepwise=True, max_p=5, max_q=5,
+#     d=None) (analytical_module/arima.py:250-260). The grid searches
+#     above cover exhaustive (p,q) selection; this adds the two
+#     missing pieces with public math only:
+#       * d=None → differencing-order selection by the KPSS level-
+#         stationarity test (Kwiatkowski et al. 1992): difference
+#         until the statistic clears the 5% critical value, d ≤ 2 —
+#         pmdarima's default d-selection test;
+#       * stepwise=True → the Hyndman–Khandakar (2008) stepwise walk:
+#         four standard starting orders, then greedy moves to the
+#         best AIC neighbor until no neighbor improves — visiting a
+#         fraction of the 36-point grid.
+#     Fits are the same Hannan–Rissanen closed form, with ONE shared
+#     stage-1 innovation sequence and a COMMON residual window so
+#     AICs are comparable across orders. Rows-only (iterative
+#     numpy-in-applyInPandas); d/stepwise recovery pinned in
+#     tests/test_ml.py. ---
+KPSS_CRIT_5PCT = 0.463
+MAX_DIFF = 2
+_STEPWISE_STARTS = ((2, 2), (0, 0), (1, 0), (0, 1))
+
+
+def _kpss_stat(x) -> float:
+    """KPSS level-stationarity statistic: eta = Σ S_t² / (n²·lrv),
+    long-run variance via the Bartlett window with the standard
+    4·(n/100)^0.25 lag truncation."""
+    import numpy as np
+    n = len(x)
+    e = x - x.mean()
+    s = np.cumsum(e)
+    lags = int(4 * (n / 100.0) ** 0.25)
+    lrv = float((e * e).sum() / n)
+    g0 = lrv
+    for k in range(1, min(lags, n - 1) + 1):
+        w = 1.0 - k / (lags + 1.0)
+        lrv += 2.0 * w * float((e[:-k] * e[k:]).sum() / n)
+    if lrv <= 0:
+        lrv = g0 if g0 > 0 else 1e-300
+    return float((s * s).sum() / (n * n * lrv))
+
+
+def _select_d(x, max_d: int = MAX_DIFF) -> int:
+    """Smallest d ≤ max_d whose d-times-differenced series passes the
+    KPSS 5% level-stationarity test (the auto_arima d=None rule)."""
+    import numpy as np
+    for d in range(max_d + 1):
+        y = np.diff(x, n=d) if d else x
+        if len(y) < 8:
+            return d
+        if _kpss_stat(y) < KPSS_CRIT_5PCT:
+            return d
+    return max_d
+
+
+def _stepwise_arma(y, max_order: int = MAX_ARMA_ORDER):
+    """Hyndman–Khandakar stepwise (p,q) walk over Hannan–Rissanen fits
+    of a DEMEANED series y. Stage 1 runs ONCE (one long-AR innovation
+    sequence shared by every candidate) and every candidate's AIC is
+    computed over the SAME residual window t ≥ m+max_order, so AICs
+    are comparable. Returns (p, q, phi, theta, resid, aic, n_fits) —
+    resid aligned to y (NaN outside the window) for forecast seeding."""
+    import numpy as np
+    n = len(y)
+    m = min(max(2 * max_order, 10), max(n // 4, 1))
+    r = np.array([(y[: n - k] * y[k:]).sum() / n for k in range(m + 1)])
+    R = np.array([[r[abs(i - j)] for j in range(m)] for i in range(m)])
+    phi_long = np.linalg.solve(R, r[1: m + 1])
+    e = np.full(n, np.nan)
+    idx = np.arange(m, n)
+    lag_mat = np.column_stack([y[idx - k] for k in range(1, m + 1)])
+    e[idx] = y[idx] - lag_mat @ phi_long
+    start = m + max_order
+    t = np.arange(start, n)
+    nt = len(t)
+    if nt < 4:
+        raise ValueError("series too short for the stepwise window")
+    cache: dict[tuple, tuple] = {}
+
+    def fit(p: int, q: int):
+        if (p, q) in cache:
+            return cache[(p, q)]
+        if p == 0 and q == 0:
+            resid_t = y[t]
+            beta = np.array([])
+        else:
+            cols = [y[t - k] for k in range(1, p + 1)]
+            cols += [e[t - k] for k in range(1, q + 1)]
+            X = np.column_stack(cols)
+            beta, *_ = np.linalg.lstsq(X, y[t], rcond=None)
+            resid_t = y[t] - X @ beta
+        sse = float((resid_t * resid_t).sum())
+        k = p + q + 1
+        aic = nt * math.log(max(sse / nt, 1e-300)) + 2 * k
+        if not np.all(np.isfinite(beta)):
+            aic = math.inf
+        cache[(p, q)] = (aic, beta[:p], beta[p:], resid_t)
+        return cache[(p, q)]
+
+    best_pq = min(_STEPWISE_STARTS, key=lambda pq: fit(*pq)[0])
+    moves = ((1, 0), (-1, 0), (0, 1), (0, -1), (1, 1), (-1, -1))
+    while True:
+        cands = [(best_pq[0] + dp, best_pq[1] + dq)
+                 for dp, dq in moves
+                 if 0 <= best_pq[0] + dp <= max_order
+                 and 0 <= best_pq[1] + dq <= max_order]
+        nxt = min(cands, key=lambda pq: fit(*pq)[0])
+        if fit(*nxt)[0] < fit(*best_pq)[0]:
+            best_pq = nxt
+        else:
+            break
+    p, q = best_pq
+    aic, phi, theta, resid_t = fit(p, q)
+    resid = np.full(n, np.nan)
+    resid[t] = resid_t
+    return p, q, phi, theta, resid, aic, len(cache)
+
+
+def _integrate_forecast(train, fc_diff, d: int):
+    """Undo d rounds of differencing: cumulative-sum the differenced
+    forecast back up through the last observed levels."""
+    import numpy as np
+    fc = np.asarray(fc_diff, dtype=float)
+    for k in range(d, 0, -1):
+        last = float(np.diff(train, n=k - 1)[-1]) if k > 1 \
+            else float(train[-1])
+        fc = last + np.cumsum(fc)
+    return fc
+
+
+_AUTO_ARIMA_SCHEMA = T.StructType([
+    T.StructField("event_type", T.StringType()),
+    T.StructField("n_train", T.LongType()),
+    T.StructField("chosen_d", T.IntegerType()),
+    T.StructField("chosen_p", T.IntegerType()),
+    T.StructField("chosen_q", T.IntegerType()),
+    T.StructField("n_fits", T.IntegerType()),
+    T.StructField("aic", T.DoubleType()),
+    T.StructField("phi", T.StringType()),
+    T.StructField("theta", T.StringType()),
+    T.StructField("mae", T.DoubleType()),
+    T.StructField("mse", T.DoubleType()),
+    T.StructField("mape", T.DoubleType()),
+])
+
+
+def _auto_arima_train(pdf: pd.DataFrame) -> pd.DataFrame:
+    import numpy as np
+    sym = pdf["event_type"].iloc[0]
+    x = pdf.sort_values("bucket")["value_ffill"].astype(float).to_numpy()
+    x = x[~pd.isna(x)]
+    null_row = {
+        "event_type": sym, "n_train": len(x), "chosen_d": None,
+        "chosen_p": None, "chosen_q": None, "n_fits": None, "aic": None,
+        "phi": None, "theta": None, "mae": None, "mse": None,
+        "mape": None}
+    if len(x) <= MIN_TRAIN + HOLDOUT:
+        return pd.DataFrame([null_row])
+    train, hold = x[:-HOLDOUT], x[-HOLDOUT:]
+    try:
+        d = _select_d(train)
+        y = np.diff(train, n=d) if d else train.copy()
+        mu = float(y.mean())
+        p, q, phi, theta, resid, aic, n_fits = _stepwise_arma(y - mu)
+        fc_diff = _arma_forecast(y, phi, theta, resid, mu, HOLDOUT)
+        fc = _integrate_forecast(train, fc_diff, d)
+    except Exception:
+        null_row["n_train"] = int(len(train))
+        return pd.DataFrame([null_row])
+    err = hold - fc
+    if not np.all(np.isfinite(err)):
+        null_row["n_train"] = int(len(train))
+        return pd.DataFrame([null_row])
+    join6 = lambda v: ",".join(str(round(float(c), 6)) for c in v)
+    mape = float((np.abs(err)
+                  / np.clip(np.abs(hold), MAPE_CLIP, None)).mean())
+    return pd.DataFrame([{
+        "event_type": sym, "n_train": int(len(train)),
+        "chosen_d": int(d), "chosen_p": int(p), "chosen_q": int(q),
+        "n_fits": int(n_fits), "aic": round(float(aic), 6),
+        "phi": join6(phi) or None, "theta": join6(theta) or None,
+        "mae": round(float(np.abs(err).mean()), 6),
+        "mse": round(float((err ** 2).mean()), 6),
+        "mape": round(mape, 6),
+    }])
+
+
+def auto_arima_train(grid: DataFrame) -> DataFrame:
+    """KPSS-differenced, AIC-stepwise ARIMA(p,d,q) training over any
+    (event_type, bucket, value_ffill) grid — same one-shuffle
+    applyInPandas shape as ar_train/arma_train."""
+    return grid.groupBy("event_type").applyInPandas(
+        _auto_arima_train, _AUTO_ARIMA_SCHEMA)
+
+
+def q_ml_auto_arima(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return auto_arima_train(_shared_grid(spark, sf_dir))
+
+
 # --- M1 upstream: text → 3-class sentiment probabilities + scoring math
 #     (dataflow/stream_join.py:231-346 — the HF model in DoFn.setup()
 #     becomes a fitted MLlib PipelineModel, a broadcast set of JVM
@@ -729,6 +930,8 @@ QUERIES = {
     "ml_ar_train": q_ml_ar_train,                      # rows-only: YW solve
     "ml_arma_train": q_ml_arma_train,                  # rows-only: HR lstsq
     "ml_arma_cv": q_ml_arma_cv,  # rows-only: HR lstsq per expanding fold
+    "ml_auto_arima": q_ml_auto_arima,  # rows-only: KPSS d + AIC stepwise
+    #   (the full auto_arima(d=None, stepwise) analog, r13)
     "ml_sentiment_model": q_ml_sentiment_model,        # rows-only: MLlib fit
     "ml_tfidf_top_terms": q_ml_tfidf_top_terms,        # rows-only: MLlib fit
     "ml_tfidf_terms_frozen": q_ml_tfidf_terms_frozen,  # graduated r13:

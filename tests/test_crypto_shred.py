@@ -86,3 +86,62 @@ def test_generate_keys_random_roundtrip_and_shred(spark):
     dec = {r.event_id: r.props
            for r in decrypt_payload(enc, keys2).collect()}
     assert dec == {1: None, 2: None, 3: "gamma", 4: None}
+
+
+def test_gcm_mode_roundtrip_shred_and_random_iv(spark):
+    """The shipped production mode (r12 verdict #6): GCM roundtrips,
+    forgotten users decrypt to NULL, ciphertext is nondeterministic
+    (random IV per row — two encrypts of the same plaintext differ),
+    and a 16-byte key still yields IV(12) + ct + tag(16) framing."""
+    from big_data_crypto_sentiment_spark.operators.crypto_shred import (
+        PROD_MODE,
+    )
+    facts = _facts(spark)
+    keys = derive_fixture_keys(facts)
+    enc = encrypt_payload(facts, keys, mode=PROD_MODE)
+    rows = {r.event_id: r.props for r in enc.collect()}
+    assert rows[4] is None
+    # IV(12) + ciphertext(len(pt)) + tag(16)
+    assert len(bytes(rows[1])) == 12 + len(b"alpha") + 16
+    # nondeterministic by design: a second evaluation mints fresh IVs
+    rows2 = {r.event_id: r.props
+             for r in encrypt_payload(facts, keys,
+                                      mode=PROD_MODE).collect()}
+    assert bytes(rows[1]) != bytes(rows2[1])
+
+    # decrypt must use a MATERIALIZED ciphertext (re-evaluating the
+    # nondeterministic encrypt plan would change the bytes mid-query)
+    mat = spark.createDataFrame(
+        [(k, {1: 10, 2: 10, 3: 20, 4: 30}[k],
+          bytes(v) if v is not None else None)
+         for k, v in rows.items()],
+        "event_id long, user_id long, props binary")
+    dec = {r.event_id: r.props
+           for r in decrypt_payload(mat, keys, mode=PROD_MODE).collect()}
+    assert dec == {1: "alpha", 2: "beta", 3: "gamma", 4: None}
+
+    forget = spark.createDataFrame([(10,)], "user_id long")
+    dec2 = {r.event_id: r.props
+            for r in decrypt_payload(mat, shred_users(keys, forget),
+                                     mode=PROD_MODE).collect()}
+    assert dec2 == {1: None, 2: None, 3: "gamma", 4: None}
+
+
+def test_gcm_tampered_ciphertext_fails_loudly(spark):
+    """GCM authenticates: flipping one ciphertext byte makes decrypt
+    raise instead of returning garbage (the tamper-evidence ECB cannot
+    give)."""
+    import pytest
+
+    facts = _facts(spark)
+    keys = derive_fixture_keys(facts)
+    from big_data_crypto_sentiment_spark.operators.crypto_shred import (
+        PROD_MODE,
+    )
+    ct = bytes({r.event_id: r.props for r in encrypt_payload(
+        facts, keys, mode=PROD_MODE).collect()}[1])
+    bad = ct[:-1] + bytes([ct[-1] ^ 0x01])
+    mat = spark.createDataFrame([(1, 10, bad)],
+                                "event_id long, user_id long, props binary")
+    with pytest.raises(Exception, match="(?i)aes|tag|invalid|crypto"):
+        decrypt_payload(mat, keys, mode=PROD_MODE).collect()

@@ -225,3 +225,85 @@ def test_arma_cv_all_gated_short_series_has_no_mean_row():
     out = _arma_cv(_grid([1.0, 2.0] * 10))
     assert out["gated"].all()
     assert "mean" not in set(out["fold"])
+
+
+# --- r13: auto-ARIMA analog (KPSS d-selection + AIC stepwise walk) ---
+def _ar1(n, phi, sigma, seed):
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    x = np.zeros(n)
+    for i in range(1, n):
+        x[i] = phi * x[i - 1] + rng.normal(0, sigma)
+    return x
+
+
+def test_kpss_d_selection_recovers_integration_order():
+    import numpy as np
+    from big_data_crypto_sentiment_spark.queries.ml import _select_d
+    stat = _ar1(400, 0.5, 1.0, 1)
+    assert _select_d(stat) == 0
+    walk = np.cumsum(_ar1(400, 0.3, 1.0, 2))          # I(1)
+    assert _select_d(walk) == 1
+    walk2 = np.cumsum(np.cumsum(_ar1(400, 0.2, 1.0, 3)))  # I(2)
+    assert _select_d(walk2) == 2
+
+
+def test_stepwise_walk_finds_ar_order_and_prunes_grid():
+    import numpy as np
+    from big_data_crypto_sentiment_spark.queries.ml import _stepwise_arma
+    x = _ar1(600, 0.8, 1.0, 4)
+    p, q, phi, theta, resid, aic, n_fits = _stepwise_arma(x - x.mean())
+    # AR(1) signal: the AIC walk lands on a small order dominated by
+    # the first AR lag, and visits a fraction of the 36-point grid
+    assert p >= 1
+    assert abs(phi[0] - 0.8) < 0.15
+    assert n_fits < 20
+    assert np.isfinite(aic)
+
+
+def test_auto_arima_forecasts_integrated_series(spark):
+    """End-to-end: an I(1) series through the applyInPandas trainer —
+    d recovered, forecast integrated back to the level scale (a naive
+    unintegrated forecast of a random walk far from 0 would miss by
+    the full level magnitude)."""
+    import numpy as np
+    import pandas as pd
+    from big_data_crypto_sentiment_spark.queries.ml import (
+        HOLDOUT,
+        auto_arima_train,
+    )
+    n = 300
+    # white-noise increments: an unambiguous I(1) (autocorrelated
+    # increments sit near KPSS's designed 5% false-reject band and can
+    # legitimately over-difference — the direct _select_d pin covers
+    # the statistical recovery; this test pins the PLUMBING)
+    rng = np.random.default_rng(5)
+    level = 1000.0 + np.cumsum(rng.normal(0, 1.0, n))
+    pdf = pd.DataFrame({
+        "event_type": ["walk"] * n,
+        "bucket": pd.date_range("2024-01-01", periods=n, freq="h"),
+        "value_ffill": level,
+    })
+    out = auto_arima_train(spark.createDataFrame(pdf)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.chosen_d == 1
+    assert r.n_fits is not None and r.n_fits < 20
+    # forecast stays on the level scale: MAE within a few innovation
+    # sigmas, nowhere near the ~1000 a non-integrated forecast gives
+    assert r.mae is not None and r.mae < 20
+    assert r.mse is not None and r.aic is not None
+
+
+def test_integrate_forecast_inverts_diff():
+    import numpy as np
+    from big_data_crypto_sentiment_spark.queries.ml import (
+        _integrate_forecast,
+    )
+    rng = np.random.default_rng(6)
+    full = np.cumsum(np.cumsum(rng.normal(0, 1, 60)))
+    for d in (0, 1, 2):
+        train, future = full[:50], full[50:]
+        fc_diff = np.diff(full, n=d)[50 - d:] if d else future
+        got = _integrate_forecast(train, fc_diff, d)
+        assert np.allclose(got, future), d
