@@ -32,10 +32,14 @@ r12), baseline TIFF (none/LZW/PackBits strips, grey/RGB/palette,
 horizontal predictor — late r12), WebP LOSSLESS (the full VP8L
 bitstream per RFC 9649: prefix codes, meta-prefix groups, color
 cache, LZ77 with the proximity distance map, and all four inverse
-transforms — late r12), and FLAC header-metadata decode. Only
+transforms — late r12), and FLAC header-metadata decode. WebP's
+LOSSY VP8 / extended VP8X bitstreams decode through the SYSTEM
+libwebp via a gated ctypes binding (r13 — the RFC 6386 entropy
+tables are spec constants a from-scratch build cannot re-derive, see
+_libwebp; without the library they stay the loud header tier). Only
 arithmetic-coded / 12-bit / hierarchical / partially-interleaved
-JPEG, WebP's LOSSY VP8 bitstream, tiled or non-8-bit TIFF, and true
-video codecs stay behind loud NotImplementedError tiers.
+JPEG, tiled or non-8-bit TIFF, and true video codecs stay behind
+loud NotImplementedError tiers unconditionally.
 
 Video frames (r12): animated GIFs decode frame by frame with spec
 disposal/transparency coalescing against the logical screen
@@ -1131,18 +1135,88 @@ def _vp8l_predict(mode: int, L, T, TL, TR):
     raise ValueError(f"VP8L predictor mode {mode}")
 
 
+# --- lossy-WebP decode via the SYSTEM libwebp (r13, r12 verdict #4):
+#     the RFC 6386 VP8 entropy tables (1056-entry default coefficient
+#     probabilities, 900-entry keyframe B-mode probabilities, 128-entry
+#     quant lookups) are spec CONSTANTS that cannot be re-derived from
+#     first principles, so a from-scratch decoder built without them
+#     would decode only its own encoder's streams while silently
+#     corrupting real ones — strictly worse than the loud tier. The
+#     honest engineering path is the public libwebp C API through
+#     ctypes, gated behind a runtime probe: when libwebp.so is absent
+#     the lossy tier stays the documented NotImplementedError
+#     (header-metadata dims), bit-for-bit the pre-r13 behavior. VP8L
+#     stays on the from-scratch pure-Python decoder (libwebp now also
+#     serves as its independent cross-validation oracle in
+#     tests/test_webp_lossy.py). ---
+_LIBWEBP = None          # None = unprobed, False = unavailable
+
+
+def _libwebp():
+    """ctypes handle to the system libwebp, probed once per process;
+    None when the library is not installed (the loud-tier fallback)."""
+    global _LIBWEBP
+    if _LIBWEBP is None:
+        import ctypes
+        try:
+            lib = ctypes.CDLL("libwebp.so.7")
+            c_int, c_p = ctypes.c_int, ctypes.POINTER(ctypes.c_int)
+            lib.WebPGetInfo.restype = c_int
+            lib.WebPGetInfo.argtypes = [ctypes.c_char_p,
+                                        ctypes.c_size_t, c_p, c_p]
+            lib.WebPDecodeRGBA.restype = ctypes.c_void_p
+            lib.WebPDecodeRGBA.argtypes = [ctypes.c_char_p,
+                                           ctypes.c_size_t, c_p, c_p]
+            lib.WebPFree.argtypes = [ctypes.c_void_p]
+            _LIBWEBP = lib
+        except (OSError, AttributeError):
+            _LIBWEBP = False
+    return _LIBWEBP or None
+
+
+def _libwebp_decode_rgba(payload: bytes):
+    """(h, w, 4) uint8 RGBA via WebPDecodeRGBA, with the shared
+    adversarial-dims cap enforced BEFORE the pixel allocation."""
+    import ctypes
+
+    import numpy as np
+    lib = _libwebp()
+    if lib is None:
+        raise NotImplementedError(
+            "WebP lossy bitstream: libwebp unavailable, header tier")
+    w, h = ctypes.c_int(), ctypes.c_int()
+    if not lib.WebPGetInfo(payload, len(payload),
+                           ctypes.byref(w), ctypes.byref(h)):
+        raise ValueError("WebP lossy bitstream rejected by libwebp")
+    if w.value <= 0 or h.value <= 0 or w.value * h.value > _MAX_PIXELS:
+        raise ValueError(
+            f"WebP dimensions {w.value}x{h.value} over the decode cap")
+    ptr = lib.WebPDecodeRGBA(payload, len(payload),
+                             ctypes.byref(w), ctypes.byref(h))
+    if not ptr:
+        raise ValueError("WebP lossy decode failed (corrupt stream)")
+    try:
+        buf = ctypes.string_at(ptr, w.value * h.value * 4)
+    finally:
+        lib.WebPFree(ptr)
+    return (np.frombuffer(buf, np.uint8)
+              .reshape(h.value, w.value, 4).copy())
+
+
 def decode_webp_pixels(payload: bytes):
-    """REAL WebP LOSSLESS (VP8L) pixel decode (late r12), stdlib-only
-    per RFC 9649: LSB-first bitstream, canonical prefix codes (simple
-    and code-length-coded forms with 16/17/18 repeats), optional
-    meta-prefix groups and color cache, LZ77 backward references
-    through the 120-entry proximity distance map, and all four inverse
-    transforms — predictor (14 modes, spec border rules incl. the
-    last-column top-right wrap to the current row's first pixel),
-    cross-color (signed (t*c)>>5 deltas), subtract-green, and
-    color-indexing with sub-byte pixel bundling. Returns (h, w, 4)
-    uint8 RGBA. Lossy VP8 stays the loud header-metadata tier;
-    structural damage raises ValueError."""
+    """REAL WebP pixel decode. LOSSLESS (VP8L, late r12) is
+    stdlib-only per RFC 9649: LSB-first bitstream, canonical prefix
+    codes (simple and code-length-coded forms with 16/17/18 repeats),
+    optional meta-prefix groups and color cache, LZ77 backward
+    references through the 120-entry proximity distance map, and all
+    four inverse transforms — predictor (14 modes, spec border rules
+    incl. the last-column top-right wrap to the current row's first
+    pixel), cross-color (signed (t*c)>>5 deltas), subtract-green, and
+    color-indexing with sub-byte pixel bundling. LOSSY (VP8) and
+    extended (VP8X) bitstreams (r13) decode through the system
+    libwebp via ctypes when present — see _libwebp's rationale — and
+    stay the loud header-metadata tier otherwise. Returns (h, w, 4)
+    uint8 RGBA; structural damage raises ValueError."""
     import numpy as np
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
@@ -1158,8 +1232,9 @@ def decode_webp_pixels(payload: bytes):
                 raise ValueError("truncated VP8L chunk")
             break
         if cid in (b"VP8 ", b"VP8X"):
-            raise NotImplementedError(
-                "WebP lossy/extended bitstreams stay header-only")
+            # lossy/extended: the gated libwebp path (whole-file API);
+            # NotImplementedError (header tier) when the lib is absent
+            return _libwebp_decode_rgba(payload)
         pos += 8 + csz + (csz & 1)
     if body is None:
         raise ValueError("WebP without an image chunk")

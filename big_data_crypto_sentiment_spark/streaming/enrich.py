@@ -58,6 +58,73 @@ def enrich_with_sentiment(df: DataFrame,
                          make_lexicon_score_udf()(F.col(text_col)))
 
 
+# --- T7, heavyweight-model form (r12 verdict #8): the reference loads
+#     a transformer pipeline once per worker in DoFn.setup()
+#     (dataflow/stream_join.py:231-346). The Spark-native shape for
+#     that is pyspark.ml.functions.predict_batch_udf — make_predict_fn
+#     runs ONCE per executor task (the setup() analog; a real
+#     deployment loads its ONNX/torch weights there), then every Arrow
+#     batch is scored as one numpy call. Here the model is a stub-
+#     weights 2-layer MLP over embedding vectors: deterministic
+#     seed-minted weights shipped via a SparkContext broadcast (the
+#     S17 model-artifact discipline — no hub download, public shape
+#     end-to-end). Works identically on batch and streaming frames
+#     (parity pinned in tests/test_enrich_publish.py). ---
+MODEL_SCORE_BATCH = 256
+
+
+def stub_sentiment_weights(dim: int, hidden: int = 8,
+                           n_classes: int = 3, seed: int = 7):
+    """Deterministic 2-layer MLP weights (the broadcastable stand-in
+    for a real model artifact)."""
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    return (rng.standard_normal((dim, hidden)) / np.sqrt(dim),
+            rng.standard_normal(hidden) * 0.1,
+            rng.standard_normal((hidden, n_classes)) / np.sqrt(hidden),
+            rng.standard_normal(n_classes) * 0.1)
+
+
+def make_model_score_udf(weights_bc, dim: int):
+    """predict_batch_udf over a broadcast weights tuple: returns
+    P(pos) − P(neg) of the stub MLP's softmax for each embedding."""
+    from pyspark.ml.functions import predict_batch_udf
+    from pyspark.sql.types import DoubleType
+
+    def make_predict_fn():
+        import numpy as np
+        w1, b1, w2, b2 = weights_bc.value   # per-task setup() analog
+
+        def predict(inputs: "np.ndarray") -> "np.ndarray":
+            h = np.maximum(inputs @ w1 + b1, 0.0)
+            logits = h @ w2 + b2
+            e = np.exp(logits - logits.max(axis=1, keepdims=True))
+            p = e / e.sum(axis=1, keepdims=True)
+            return (p[:, -1] - p[:, 0]).astype(np.float64)
+
+        return predict
+
+    return predict_batch_udf(make_predict_fn,
+                             return_type=DoubleType(),
+                             batch_size=MODEL_SCORE_BATCH,
+                             input_tensor_shapes=[[dim]])
+
+
+def enrich_with_model_score(df: DataFrame, dim: int,
+                            emb_col: str = "embedding",
+                            weights=None) -> DataFrame:
+    """Attach the stub-model score to each row (batch or streaming).
+    Pass `weights` to reuse an existing artifact tuple; otherwise the
+    deterministic stub weights are minted and broadcast here."""
+    sc = df.sparkSession.sparkContext
+    bc = sc.broadcast(weights if weights is not None
+                      else stub_sentiment_weights(dim))
+    udf = make_model_score_udf(bc, dim)
+    return df.withColumn(
+        "model_score",
+        udf(F.transform(F.col(emb_col), lambda x: x.cast("float"))))
+
+
 def join_static_dim(stream: DataFrame, dim: DataFrame,
                     on: str, how: str = "left") -> DataFrame:
     """Stream-static enrichment join: each micro-batch joins against the

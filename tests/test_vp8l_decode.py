@@ -514,11 +514,19 @@ def test_vp8l_corruption_raises():
     bad[at] = 0x00
     with pytest.raises(ValueError, match="signature"):
         decode_webp_pixels(bytes(bad))
-    # lossy VP8 stays loud
+    # a VP8L body mislabeled as lossy VP8 stays loud either way:
+    # with the system libwebp present (r13) it is rejected as a
+    # corrupt lossy stream (ValueError); without it the lossy tier
+    # is the documented NotImplementedError
+    from big_data_crypto_sentiment_spark.operators.multimodal import (
+        _libwebp,
+    )
     lossy = bytearray(good)
     i = lossy.index(b"VP8L")
     lossy[i:i + 4] = b"VP8 "
-    with pytest.raises(NotImplementedError):
+    expected = ValueError if _libwebp() is not None \
+        else NotImplementedError
+    with pytest.raises(expected):
         decode_webp_pixels(bytes(lossy))
 
 
