@@ -36,10 +36,11 @@ transforms — late r12), and FLAC header-metadata decode. WebP's
 LOSSY VP8 / extended VP8X bitstreams decode through the SYSTEM
 libwebp via a gated ctypes binding (r13 — the RFC 6386 entropy
 tables are spec constants a from-scratch build cannot re-derive, see
-_libwebp; without the library they stay the loud header tier). Only
-arithmetic-coded / 12-bit / hierarchical / partially-interleaved
-JPEG, tiled or non-8-bit TIFF, and true video codecs stay behind
-loud NotImplementedError tiers unconditionally.
+_libwebp; without the library they stay the loud header tier).
+Tiled 8-bit TIFF decodes for real (r13, TIFF6 §15 edge-padded tile
+grids). Only arithmetic-coded / 12-bit / hierarchical /
+partially-interleaved JPEG, non-8-bit TIFF, and true video codecs
+stay behind loud NotImplementedError tiers unconditionally.
 
 Video frames (r12): animated GIFs decode frame by frame with spec
 disposal/transparency coalescing against the logical screen
@@ -1468,12 +1469,14 @@ def _tiff_ifd_values(payload: bytes, bo: str, e: int):
 
 
 def decode_tiff_pixels(payload: bytes):
-    """REAL baseline-TIFF pixel decode (late r12), stdlib+numpy: IFD
-    walk, strip assembly, compression 1 (none) / 5 (LZW, with the
-    horizontal-differencing predictor) / 32773 (PackBits), photometric
-    0/1 greyscale (WhiteIsZero inverts), 2 RGB(A), 3 palette (16-bit
-    ColorMap scaled to 8). 8-bit samples only — tiled TIFFs, other
-    depths and exotic photometrics stay the loud header-metadata tier.
+    """REAL baseline-TIFF pixel decode (late r12, tiles r13),
+    stdlib+numpy: IFD walk, strip OR tile assembly (TIFF6 §15 —
+    fixed-size edge-padded tiles, left-to-right top-to-bottom),
+    compression 1 (none) / 5 (LZW, with the horizontal-differencing
+    predictor) / 32773 (PackBits), photometric 0/1 greyscale
+    (WhiteIsZero inverts), 2 RGB(A), 3 palette (16-bit ColorMap
+    scaled to 8). 8-bit samples only — other depths and exotic
+    photometrics stay the loud header-metadata tier.
     Returns (height, width, channels) uint8."""
     import numpy as np
 
@@ -1493,11 +1496,16 @@ def decode_tiff_pixels(payload: bytes):
         tag, vals = _tiff_ifd_values(payload, bo, ifd + 2 + 12 * i)
         if vals is not None:
             tags[tag] = vals
+    tiled = 322 in tags or 324 in tags
     try:
         width = tags[256][0]
         height = tags[257][0]
-        offsets = tags[273]
-        counts = tags[279]
+        if tiled:
+            offsets = tags[324]
+            counts = tags[325]
+        else:
+            offsets = tags[273]
+            counts = tags[279]
     except KeyError as e:
         raise ValueError(f"TIFF missing required tag {e}") from e
     if width == 0 or height == 0:
@@ -1523,33 +1531,74 @@ def decode_tiff_pixels(payload: bytes):
     if predictor not in (1, 2):
         raise NotImplementedError(f"TIFF predictor {predictor}")
     if len(offsets) != len(counts):
-        raise ValueError("TIFF strip offsets/counts mismatch")
-    stride = width * spp
-    rows = []
-    for si, (off, cnt) in enumerate(zip(offsets, counts)):
-        if off + cnt > len(payload):
-            raise ValueError("TIFF strip out of range")
-        nrows = min(rps, height - si * rps)
-        if nrows <= 0:
-            raise ValueError("TIFF has more strips than rows")
-        raw = payload[off:off + cnt]
+        raise ValueError("TIFF strip/tile offsets/counts mismatch")
+
+    def _decompress(raw: bytes, n: int, what: str) -> bytes:
         if comp == 5:
-            raw = _tiff_lzw_decode(raw, stride * nrows)
-        elif comp == 32773:
-            raw = _packbits_decode(raw, stride * nrows)
-        elif len(raw) < stride * nrows:
-            raise ValueError("TIFF strip shorter than its rows")
-        strip = np.frombuffer(raw, np.uint8,
-                              stride * nrows).reshape(nrows, stride)
-        if predictor == 2:                     # horizontal differencing
-            strip = np.cumsum(
-                strip.reshape(nrows, width, spp).astype(np.int64),
-                axis=1).astype(np.uint8).reshape(nrows, stride)
-        rows.append(strip)
-    img = np.concatenate(rows)[:height]
-    if len(img) < height:
-        raise ValueError("TIFF strips cover fewer rows than declared")
-    img = img.reshape(height, width, spp)
+            return _tiff_lzw_decode(raw, n)
+        if comp == 32773:
+            return _packbits_decode(raw, n)
+        if len(raw) < n:
+            raise ValueError(f"TIFF {what} shorter than its rows")
+        return raw
+
+    if tiled:
+        # TIFF6 §15: the image is a grid of fixed-size tiles, each
+        # compressed independently and PADDED to full tile size at the
+        # right/bottom edges; tile order is left-to-right,
+        # top-to-bottom. The predictor (when set) runs per tile row.
+        tw_ = tags.get(322, [0])[0]
+        tl_ = tags.get(323, [0])[0]
+        if tw_ == 0 or tl_ == 0:
+            # covers absent 322/323 too (a tiled file without tile
+            # dims is structurally corrupt, not a KeyError escape)
+            raise ValueError("TIFF with zero tile dimension")
+        if tw_ * tl_ > _MAX_PIXELS:
+            raise ValueError("TIFF tile dimensions over the decode cap")
+        across = -(-width // tw_)
+        down = -(-height // tl_)
+        if len(offsets) != across * down:
+            raise ValueError("TIFF tile count does not match the grid")
+        tstride = tw_ * spp
+        canvas = np.zeros((height, width, spp), np.uint8)
+        for ti, (off, cnt) in enumerate(zip(offsets, counts)):
+            if off + cnt > len(payload):
+                raise ValueError("TIFF tile out of range")
+            raw = _decompress(payload[off:off + cnt],
+                              tstride * tl_, "tile")
+            tile = np.frombuffer(raw, np.uint8, tstride * tl_) \
+                .reshape(tl_, tw_, spp)
+            if predictor == 2:
+                tile = np.cumsum(tile.astype(np.int64),
+                                 axis=1).astype(np.uint8)
+            ty, tx = divmod(ti, across)
+            y0, x0 = ty * tl_, tx * tw_
+            h_ = min(tl_, height - y0)
+            w_ = min(tw_, width - x0)
+            canvas[y0:y0 + h_, x0:x0 + w_] = tile[:h_, :w_]
+        img = canvas
+    else:
+        stride = width * spp
+        rows = []
+        for si, (off, cnt) in enumerate(zip(offsets, counts)):
+            if off + cnt > len(payload):
+                raise ValueError("TIFF strip out of range")
+            nrows = min(rps, height - si * rps)
+            if nrows <= 0:
+                raise ValueError("TIFF has more strips than rows")
+            raw = _decompress(payload[off:off + cnt],
+                              stride * nrows, "strip")
+            strip = np.frombuffer(raw, np.uint8,
+                                  stride * nrows).reshape(nrows, stride)
+            if predictor == 2:                 # horizontal differencing
+                strip = np.cumsum(
+                    strip.reshape(nrows, width, spp).astype(np.int64),
+                    axis=1).astype(np.uint8).reshape(nrows, stride)
+            rows.append(strip)
+        img = np.concatenate(rows)[:height]
+        if len(img) < height:
+            raise ValueError("TIFF strips cover fewer rows than declared")
+        img = img.reshape(height, width, spp)
     if photo == 3:
         if spp != 1 or 320 not in tags:
             raise ValueError("TIFF palette image without a ColorMap")

@@ -499,3 +499,111 @@ def test_tiff_lzw_eoi_less_stream_final_codes_in_last_two_bytes():
     # read starts at byte 3 with only 2 real bytes left
     assert len(stream) == 5
     assert _tiff_lzw_decode(stream, 3) == b"ABC"
+
+
+# --- r13: tiled TIFF (TIFF6 §15) ---------------------------------
+def _tiff_tiled(width, height, tile_w, tile_h, tiles, bo="<",
+                compression=1, photo=1, spp=1, extra_tags=()):
+    """One-IFD TILED TIFF from pre-encoded tile byte strings (row-major
+    tile grid; caller pads edge tiles to full size per spec)."""
+    tags = [(256, 4, [width]), (257, 4, [height]),
+            (258, 3, [8] * spp), (259, 3, [compression]),
+            (262, 3, [photo]), (277, 3, [spp]),
+            (322, 4, [tile_w]), (323, 4, [tile_h])]
+    tags += list(extra_tags)
+    n = len(tags) + 2
+    ifd_at = 8
+    heap_base = ifd_at + 2 + 12 * n + 4
+    probe_heap = b""
+    for tag, typ, vals in sorted(tags + [(324, 4, [0] * len(tiles)),
+                                         (325, 4, [len(t) for t in tiles])]):
+        size = {1: 1, 3: 2, 4: 4}[typ]
+        if size * len(vals) > 4:
+            probe_heap += b"\x00" * (size * len(vals))
+    data_at = heap_base + len(probe_heap)
+    offs, off = [], data_at
+    for t in tiles:
+        offs.append(off)
+        off += len(t)
+    heap = b""
+    entries = []
+    for tag, typ, vals in sorted(tags + [(324, 4, offs),
+                                         (325, 4, [len(t) for t in tiles])]):
+        e, heap = _entry(bo, tag, typ, vals, heap, heap_base)
+        entries.append(e)
+    hdr = (b"II*\x00" if bo == "<" else b"MM\x00*") \
+        + struct.pack(bo + "I", ifd_at)
+    ifd = struct.pack(bo + "H", n) + b"".join(entries) \
+        + struct.pack(bo + "I", 0)
+    assert heap_base == ifd_at + len(ifd)
+    return hdr + ifd + heap.ljust(len(probe_heap), b"\x00") \
+        + b"".join(tiles)
+
+
+def _tile_grid(img, tile_h, tile_w):
+    """Spec-padded row-major tiles of an (h, w[, c]) array."""
+    import numpy as np
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    out = []
+    for y0 in range(0, h, tile_h):
+        for x0 in range(0, w, tile_w):
+            t = np.zeros((tile_h, tile_w, c), np.uint8)
+            blk = img[y0:y0 + tile_h, x0:x0 + tile_w]
+            t[:blk.shape[0], :blk.shape[1]] = blk
+            out.append(t)
+    return out
+
+
+def test_tiff_tiled_grey_uncompressed_with_edge_padding():
+    rng = np.random.default_rng(10)
+    img = rng.integers(0, 256, size=(10, 13)).astype(np.uint8)
+    tiles = [t.tobytes() for t in _tile_grid(img, 4, 5)]
+    p = _tiff_tiled(13, 10, 5, 4, tiles)
+    assert (decode_tiff_pixels(p)[:, :, 0] == img).all()
+
+
+def test_tiff_tiled_rgb_lzw_with_predictor():
+    rng = np.random.default_rng(11)
+    img = np.cumsum(rng.integers(0, 4, size=(9, 11, 3)), axis=1) \
+        .astype(np.uint8)
+    tiles = []
+    for t in _tile_grid(img, 4, 6):
+        diffed = np.empty_like(t, dtype=np.int64)
+        diffed[:, 0] = t[:, 0]
+        diffed[:, 1:] = (t[:, 1:].astype(np.int64)
+                         - t[:, :-1].astype(np.int64))
+        tiles.append(_tiff_lzw_encode(
+            (diffed & 0xFF).astype(np.uint8).tobytes()))
+    p = _tiff_tiled(11, 9, 6, 4, tiles, compression=5, photo=2,
+                    spp=3, extra_tags=[(317, 3, [2])])
+    assert (decode_tiff_pixels(p) == img).all()
+
+
+def test_tiff_tiled_packbits_palette():
+    idx = np.arange(12, dtype=np.uint8).reshape(3, 4) % 4
+    cmap = ([0, 65535, 32768, 256] + [256, 0, 65535, 32768]
+            + [32768, 256, 0, 65535])
+    tiles = [_packbits_encode(t.tobytes())
+             for t in _tile_grid(idx, 2, 2)]
+    p = _tiff_tiled(4, 3, 2, 2, tiles, compression=32773, photo=3,
+                    extra_tags=[(320, 3, cmap)])
+    got = decode_tiff_pixels(p)
+    exp = (np.array(cmap, dtype=np.int64).reshape(3, 4).T
+           >> 8).astype(np.uint8)[idx]
+    assert (got == exp).all()
+
+
+def test_tiff_tiled_corruption_raises():
+    img = np.zeros((4, 4), np.uint8)
+    tiles = [t.tobytes() for t in _tile_grid(img, 4, 4)]
+    good = _tiff_tiled(4, 4, 4, 4, tiles)
+    with pytest.raises(ValueError):            # tile data out of range
+        decode_tiff_pixels(good[:-3])
+    with pytest.raises(ValueError, match="grid"):
+        decode_tiff_pixels(_tiff_tiled(9, 9, 4, 4, tiles))
+    with pytest.raises(ValueError, match="zero tile"):
+        decode_tiff_pixels(_zero_ifd_count(
+            _tiff_tiled(4, 4, 4, 4, tiles), 322)
+            .replace(b"II*\x00", b"II*\x00"))
