@@ -167,6 +167,21 @@ HEADLINE = [
     ("media_frames",
      "r12: frame sampling — one MapInPandas Arrow crossing fanning "
      "each video row out to n_frames rows, no shuffle anywhere"),
+    ("cms_heavy_hitters",
+     "r13: portable count-min — plane explode is map-side, bucket "
+     "counts partial-combine into the BOUNDED depth*width sketch, "
+     "probe side is a broadcast TakeOrderedAndProject top-k"),
+    ("approx_quantiles",
+     "r13: exact + sketch percentiles in ONE hash agg over one scan; "
+     "the bounded-error assertion is pure projection math"),
+    ("hll_mergeable_distinct",
+     "r13: rollup(day) Expand emits daily + global levels into one "
+     "agg pass — the mergeable-sketch shape with NO second scan and "
+     "no 1x1 join"),
+    ("ml_tfidf_terms_frozen",
+     "r13: frozen vocab+idf — 2*|V| partial-combined sums in one "
+     "documents scan, literal-array explode of the 1-row agg; no fit, "
+     "no collect, no shuffle beyond the single-row agg"),
 ]
 
 _ADDR = re.compile(r"#\d+L?")
