@@ -95,20 +95,19 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     the value-hash goes red."""
     li = table(spark, sf_dir, "lineitem")
     price = F.col("l_extendedprice").cast("double")
+    # ONE array-percentile aggregate: all three exact quantiles come
+    # out of a single per-group sort buffer (three scalar percentile
+    # aggs each paid their own — measured 2.2x the r12 entry)
     g = li.groupBy("l_returnflag").agg(
-        F.expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.5)")
-         .alias("m"),
-        F.expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.495)")
-         .alias("lo"),
-        F.expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.505)")
-         .alias("hi"),
+        F.expr("percentile(CAST(l_extendedprice AS DOUBLE), "
+               "array(0.495D, 0.5D, 0.505D))").alias("pcts"),
         F.percentile_approx(price, 0.5, 10000).alias("approx"),
         F.count("*").alias("n_rows"))
-    in_bound = (F.col("approx") >= F.col("lo")) \
-        & (F.col("approx") <= F.col("hi"))
+    lo, m, hi = (F.col("pcts")[i] for i in range(3))
+    in_bound = (F.col("approx") >= lo) & (F.col("approx") <= hi)
     return g.select(
         "l_returnflag",
-        F.round(F.col("m") * 200).cast("long").alias("median_x200"),
+        F.round(m * 200).cast("long").alias("median_x200"),
         "n_rows",
         in_bound.cast("int").alias("approx_in_bound"))
 
@@ -136,14 +135,13 @@ CMS_DEPTH = 4
 CMS_WIDTH = 2048
 
 
-def _cms_bucket(plane_col, key_col):
-    """Engine-portable CMS plane hash: md5 over 'plane:key', 60-bit
-    prefix mod width — the sim_ann_lsh literal-plane recipe applied to
-    frequency sketching (exact integer math in both engines)."""
-    hx = F.md5(F.concat(plane_col.cast("string"), F.lit(":"),
-                        key_col.cast("string")))
-    return F.conv(F.substring(hx, 1, 15), 16, 10) \
-            .cast("long") % CMS_WIDTH
+def _cms_bucket(plane_col, hx_col):
+    """Engine-portable CMS plane hash over a PRECOMPUTED md5 hex
+    digest: plane p reads its own disjoint 8-hex (32-bit) slice of
+    the digest, mod width — ONE md5 per input row feeds all depth
+    planes (a per-(row,plane) md5 measured 2x the whole entry)."""
+    sl = F.expr(f"substring({hx_col}, {plane_col} * 8 + 1, 8)")
+    return F.conv(sl, 16, 10).cast("long") % CMS_WIDTH
 
 
 def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -164,17 +162,19 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
           .filter(F.col("user_id").isNotNull()).select("user_id"))
     plane = F.explode(F.array(
         *[F.lit(p) for p in range(CMS_DEPTH)])).alias("plane")
-    counts = (ev.select("user_id", plane)
+    hx = F.md5(F.col("user_id").cast("string")).alias("hx")
+    counts = (ev.select(hx)                    # ONE md5 per row
+                .select("hx", plane)
                 .select("plane",
-                        _cms_bucket(F.col("plane"), F.col("user_id"))
-                        .alias("bucket"))
+                        _cms_bucket("plane", "hx").alias("bucket"))
                 .groupBy("plane", "bucket")
                 .agg(F.count("*").alias("c")))
     top = (ev.groupBy("user_id").agg(F.count("*").alias("exact_n"))
              .orderBy(F.desc("exact_n"), "user_id").limit(10))
-    probe = top.select("user_id", "exact_n", plane).select(
-        "user_id", "exact_n", "plane",
-        _cms_bucket(F.col("plane"), F.col("user_id")).alias("bucket"))
+    probe = (top.select("user_id", "exact_n", hx)
+                .select("user_id", "exact_n", "hx", plane)
+                .select("user_id", "exact_n", "plane",
+                        _cms_bucket("plane", "hx").alias("bucket")))
     return (counts.join(F.broadcast(probe), ["plane", "bucket"])
                   .groupBy("user_id", "exact_n")
                   .agg(F.min("c").alias("cms_n"))
@@ -263,15 +263,16 @@ QUERIES = {
 }
 
 
-def _sql_hex2int(col: str) -> str:
-    from .dedup import _sql_hex2int as h
-    return h(col)
-
-
-def _sql_cms_bucket(plane_expr: str, key_expr: str) -> str:
-    hx = (f"substring(md5(CAST(({plane_expr}) AS VARCHAR) || ':' || "
-          f"CAST(({key_expr}) AS VARCHAR)), 1, 15)")
-    return f"({_sql_hex2int(hx)} % {CMS_WIDTH})"
+def _sql_cms_bucket(plane_expr: str, hx_expr: str) -> str:
+    """Plane p's bucket from its disjoint 8-hex slice of a
+    precomputed md5 digest — positional hex arithmetic (exact in
+    BIGINT: max 16^8) mirroring the Spark conv() path."""
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', "
+        f"substring({hx_expr}, ({plane_expr}) * 8 + {i}, 1)) - 1)"
+        f" * {16 ** (8 - i)}"
+        for i in range(1, 9))
+    return f"(({terms}) % {CMS_WIDTH})"
 
 
 ORACLE = {
@@ -311,22 +312,23 @@ GROUP BY l_returnflag
 """,
     "cms_heavy_hitters": f"""
 WITH ev AS (
-  SELECT user_id FROM events WHERE user_id IS NOT NULL
+  SELECT user_id, md5(CAST(user_id AS VARCHAR)) AS hx
+  FROM events WHERE user_id IS NOT NULL
 ), planes(plane) AS (
   VALUES {", ".join(f"({p})" for p in range(CMS_DEPTH))}
 ), counts AS (
   SELECT plane,
-         {_sql_cms_bucket("plane", "user_id")} AS bucket,
+         {_sql_cms_bucket("plane", "hx")} AS bucket,
          COUNT(*) AS c
   FROM ev CROSS JOIN planes
   GROUP BY 1, 2
 ), top AS (
-  SELECT user_id, COUNT(*) AS exact_n
-  FROM ev GROUP BY user_id
+  SELECT user_id, hx, COUNT(*) AS exact_n
+  FROM ev GROUP BY user_id, hx
   ORDER BY exact_n DESC, user_id LIMIT 10
 ), probe AS (
   SELECT t.user_id, t.exact_n, p.plane,
-         {_sql_cms_bucket("p.plane", "t.user_id")} AS bucket
+         {_sql_cms_bucket("p.plane", "t.hx")} AS bucket
   FROM top t CROSS JOIN planes p
 )
 SELECT pr.user_id, pr.exact_n,
