@@ -37,10 +37,12 @@ LOSSY VP8 / extended VP8X bitstreams decode through the SYSTEM
 libwebp via a gated ctypes binding (r13 — the RFC 6386 entropy
 tables are spec constants a from-scratch build cannot re-derive, see
 _libwebp; without the library they stay the loud header tier).
-Tiled 8-bit TIFF decodes for real (r13, TIFF6 §15 edge-padded tile
-grids). Only arithmetic-coded / 12-bit / hierarchical /
-partially-interleaved JPEG, non-8-bit TIFF, and true video codecs
-stay behind loud NotImplementedError tiers unconditionally.
+Tiled and 16-bit-sample TIFFs decode for real (r13 — TIFF6 §15
+edge-padded tile grids; 16-bit at full depth, emitted as the high
+byte). Only arithmetic-coded / 12-bit / hierarchical /
+partially-interleaved JPEG, sub-8-bit/mixed-depth TIFF, and true
+video codecs stay behind loud NotImplementedError tiers
+unconditionally.
 
 Video frames (r12): animated GIFs decode frame by frame with spec
 disposal/transparency coalescing against the logical screen
@@ -1475,8 +1477,10 @@ def decode_tiff_pixels(payload: bytes):
     compression 1 (none) / 5 (LZW, with the horizontal-differencing
     predictor) / 32773 (PackBits), photometric 0/1 greyscale
     (WhiteIsZero inverts), 2 RGB(A), 3 palette (16-bit ColorMap
-    scaled to 8). 8-bit samples only — other depths and exotic
-    photometrics stay the loud header-metadata tier.
+    scaled to 8), and 8- OR 16-bit samples (r13 — 16-bit decodes at
+    full depth, predictor wrapping per sample, and emits the high
+    byte). Sub-8-bit depths, mixed depths and exotic photometrics
+    stay the loud header-metadata tier.
     Returns (height, width, channels) uint8."""
     import numpy as np
 
@@ -1525,11 +1529,31 @@ def decode_tiff_pixels(payload: bytes):
         raise NotImplementedError(f"TIFF compression {comp}")
     if photo not in (0, 1, 2, 3):
         raise NotImplementedError(f"TIFF photometric {photo}")
-    if any(b != 8 for b in bps) or spp not in (1, 3, 4):
+    bits16 = all(b == 16 for b in bps)
+    if not (bits16 or all(b == 8 for b in bps)) or spp not in (1, 3, 4):
         raise NotImplementedError(
-            f"TIFF bits={bps} samples={spp} outside the 8-bit path")
+            f"TIFF bits={bps} samples={spp} outside the 8/16-bit path")
+    if bits16 and photo == 3:
+        raise NotImplementedError("TIFF 16-bit palette")
     if predictor not in (1, 2):
         raise NotImplementedError(f"TIFF predictor {predictor}")
+    # 16-bit samples (r13): decoded at full depth (file byte order,
+    # horizontal differencing wraps per 16-bit sample), emitted as the
+    # high byte — the same 16→8 convention the ColorMap path uses
+    bpsz = 2 if bits16 else 1
+    dt = np.dtype(("<u2" if bo == "little" else ">u2")
+                  if bits16 else "u1")
+    wrap = 0xFFFF if bits16 else 0xFF
+
+    def _block_u8(raw: bytes, nrows: int, ncols: int) -> "np.ndarray":
+        """Decoded bytes of one strip/tile → (nrows, ncols, spp) uint8
+        (predictor undone at the sample depth, 16-bit scaled to 8)."""
+        n = nrows * ncols * spp
+        a = np.frombuffer(raw, dt, n).astype(np.int64) \
+              .reshape(nrows, ncols, spp)
+        if predictor == 2:
+            a = np.cumsum(a, axis=1) & wrap
+        return (a >> 8 if bits16 else a).astype(np.uint8)
     if len(offsets) != len(counts):
         raise ValueError("TIFF strip/tile offsets/counts mismatch")
 
@@ -1559,18 +1583,13 @@ def decode_tiff_pixels(payload: bytes):
         down = -(-height // tl_)
         if len(offsets) != across * down:
             raise ValueError("TIFF tile count does not match the grid")
-        tstride = tw_ * spp
         canvas = np.zeros((height, width, spp), np.uint8)
         for ti, (off, cnt) in enumerate(zip(offsets, counts)):
             if off + cnt > len(payload):
                 raise ValueError("TIFF tile out of range")
             raw = _decompress(payload[off:off + cnt],
-                              tstride * tl_, "tile")
-            tile = np.frombuffer(raw, np.uint8, tstride * tl_) \
-                .reshape(tl_, tw_, spp)
-            if predictor == 2:
-                tile = np.cumsum(tile.astype(np.int64),
-                                 axis=1).astype(np.uint8)
+                              tw_ * tl_ * spp * bpsz, "tile")
+            tile = _block_u8(raw, tl_, tw_)
             ty, tx = divmod(ti, across)
             y0, x0 = ty * tl_, tx * tw_
             h_ = min(tl_, height - y0)
@@ -1578,7 +1597,6 @@ def decode_tiff_pixels(payload: bytes):
             canvas[y0:y0 + h_, x0:x0 + w_] = tile[:h_, :w_]
         img = canvas
     else:
-        stride = width * spp
         rows = []
         for si, (off, cnt) in enumerate(zip(offsets, counts)):
             if off + cnt > len(payload):
@@ -1587,18 +1605,11 @@ def decode_tiff_pixels(payload: bytes):
             if nrows <= 0:
                 raise ValueError("TIFF has more strips than rows")
             raw = _decompress(payload[off:off + cnt],
-                              stride * nrows, "strip")
-            strip = np.frombuffer(raw, np.uint8,
-                                  stride * nrows).reshape(nrows, stride)
-            if predictor == 2:                 # horizontal differencing
-                strip = np.cumsum(
-                    strip.reshape(nrows, width, spp).astype(np.int64),
-                    axis=1).astype(np.uint8).reshape(nrows, stride)
-            rows.append(strip)
+                              width * spp * nrows * bpsz, "strip")
+            rows.append(_block_u8(raw, nrows, width))
         img = np.concatenate(rows)[:height]
         if len(img) < height:
             raise ValueError("TIFF strips cover fewer rows than declared")
-        img = img.reshape(height, width, spp)
     if photo == 3:
         if spp != 1 or 320 not in tags:
             raise ValueError("TIFF palette image without a ColorMap")
