@@ -37,12 +37,13 @@ LOSSY VP8 / extended VP8X bitstreams decode through the SYSTEM
 libwebp via a gated ctypes binding (r13 — the RFC 6386 entropy
 tables are spec constants a from-scratch build cannot re-derive, see
 _libwebp; without the library they stay the loud header tier).
-Tiled and 16-bit-sample TIFFs decode for real (r13 — TIFF6 §15
-edge-padded tile grids; 16-bit at full depth, emitted as the high
-byte). Only arithmetic-coded / 12-bit / hierarchical /
-partially-interleaved JPEG, sub-8-bit/mixed-depth TIFF, and true
-video codecs stay behind loud NotImplementedError tiers
-unconditionally.
+Tiled and 16-bit-sample TIFFs decode for real, and 12-bit JPEG
+(baseline AND progressive) decodes at full depth emitting the high 8
+bits (all r13 — the TIFF6 §15 tile grid with edge padding; 16-bit
+TIFF/12-bit JPEG share the high-byte emit convention). Only
+arithmetic-coded / hierarchical / partially-interleaved JPEG,
+sub-8-bit/mixed-depth TIFF, and true video codecs stay behind loud
+NotImplementedError tiers unconditionally.
 
 Video frames (r12): animated GIFs decode frame by frame with spec
 disposal/transparency coalescing against the logical screen
@@ -1986,8 +1987,9 @@ def decode_jpeg_pixels(payload: bytes):
     libjpeg-compatible EOB-run + correction-bit semantics), DC and AC,
     interleaved and non-interleaved — accumulates into a per-component
     coefficient store, finalized by ONE dequant+IDCT at EOI.
-    Arithmetic coding / 12-bit / hierarchical stay
-    NotImplementedError (the header tier still reports their
+    12-bit precision decodes at full depth (level shift 2048, clip
+    4095, high-byte emit — r13); arithmetic coding / hierarchical
+    stay NotImplementedError (the header tier still reports their
     dimensions); structural damage raises ValueError.
 
     Scale note: the bit-serial Huffman loop is the no-dependency
@@ -2191,7 +2193,7 @@ def _jpeg_parse_sof(body: bytes) -> dict:
     if len(body) < 6 or len(body) < 6 + 3 * body[5]:
         raise ValueError("truncated JPEG SOF body")
     prec = body[0]
-    if prec != 8:
+    if prec not in (8, 12):
         raise NotImplementedError(f"JPEG precision {prec}")
     h = int.from_bytes(body[1:3], "big")
     w = int.from_bytes(body[3:5], "big")
@@ -2208,7 +2210,27 @@ def _jpeg_parse_sof(body: bytes) -> dict:
         if not (1 <= hs <= 4 and 1 <= vs <= 4):
             raise ValueError("JPEG sampling factors out of range")
         comps.append({"id": cid, "h": hs, "v": vs, "tq": tq})
-    return {"w": w, "h": h, "comps": comps}
+    return {"w": w, "h": h, "prec": prec, "comps": comps}
+
+
+def _jpeg_to_uint8(out: list, prec: int):
+    """Reconstructed component planes → uint8 image. 12-bit samples
+    (r13) decode at full depth — level shift 2^(prec-1), clip to
+    2^prec − 1 — and emit the high 8 bits (the TIFF 16→8
+    convention)."""
+    import numpy as np
+    half = float(1 << (prec - 1))
+    maxv = (1 << prec) - 1
+    shift = prec - 8
+    if len(out) == 1:
+        g = np.clip(np.round(out[0]), 0, maxv).astype(np.int32)
+        return (g >> shift).astype(np.uint8)[:, :, None]
+    y, cb, cr = out[0], out[1] - half, out[2] - half
+    rgb = np.stack([y + 1.402 * cr,
+                    y - 0.344136 * cb - 0.714136 * cr,
+                    y + 1.772 * cb], axis=2)
+    return (np.clip(np.round(rgb), 0, maxv)
+              .astype(np.int32) >> shift).astype(np.uint8)
 
 
 def _jpeg_entropy_segments(payload: bytes,
@@ -2469,19 +2491,13 @@ def _jpeg_finalize_progressive(frame, coefs: dict, qt: dict):
         nat = np.zeros((nbv, nbh, 64), dtype=np.float64)
         nat[:, :, zz] = arr * q[zz]            # de-zigzag + dequant
         blocks = nat.reshape(nbv, nbh, 8, 8)
-        spatial = np.einsum("ij,vhjk,kl->vhil", C.T, blocks, C) + 128.0
+        spatial = np.einsum("ij,vhjk,kl->vhil", C.T, blocks, C) \
+            + float(1 << (frame.get("prec", 8) - 1))
         plane = spatial.transpose(0, 2, 1, 3).reshape(nbv * 8, nbh * 8)
         p = np.repeat(np.repeat(plane, vmax // c["v"], axis=0),
                       hmax // c["h"], axis=1)
         out.append(p[:h, :w])
-    if len(out) == 1:
-        g = np.clip(np.round(out[0]), 0, 255).astype(np.uint8)
-        return g[:, :, None]
-    y, cb, cr = out[0], out[1] - 128.0, out[2] - 128.0
-    rgb = np.stack([y + 1.402 * cr,
-                    y - 0.344136 * cb - 0.714136 * cr,
-                    y + 1.772 * cb], axis=2)
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return _jpeg_to_uint8(out, frame.get("prec", 8))
 
 
 def _jpeg_decode_scan(payload: bytes, pos: int, frame, scan, qt,
@@ -2547,7 +2563,8 @@ def _jpeg_decode_scan(payload: bytes, pos: int, frame, scan, qt,
                             ki += 1
                         blk = np.zeros((8, 8), dtype=np.float64)
                         blk.reshape(-1)[zz] = coef * q.reshape(-1)[zz]
-                        spatial = C.T @ blk @ C + 128.0
+                        spatial = C.T @ blk @ C \
+                            + float(1 << (frame.get("prec", 8) - 1))
                         y0 = (my * c["v"] + by) * 8
                         x0 = (mx * c["h"] + bx) * 8
                         planes[c["id"]][y0:y0 + 8, x0:x0 + 8] = spatial
@@ -2558,14 +2575,7 @@ def _jpeg_decode_scan(payload: bytes, pos: int, frame, scan, qt,
         p = np.repeat(np.repeat(planes[c["id"]], vmax // c["v"],
                                 axis=0), hmax // c["h"], axis=1)
         out.append(p[:h, :w])
-    if len(out) == 1:
-        g = np.clip(np.round(out[0]), 0, 255).astype(np.uint8)
-        return g[:, :, None]
-    y, cb, cr = out[0], out[1] - 128.0, out[2] - 128.0
-    rgb = np.stack([y + 1.402 * cr,
-                    y - 0.344136 * cb - 0.714136 * cr,
-                    y + 1.772 * cb], axis=2)
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return _jpeg_to_uint8(out, frame.get("prec", 8))
 
 
 def _jpeg_frame_spans(payload: bytes) -> list[tuple[int, int]]:
@@ -2725,9 +2735,10 @@ def _even_indices(total: int, k: int) -> list[int]:
 
 def decode_image_pixels(payload: bytes):
     """Magic-dispatched full pixel decode: PNG, BMP, GIF, baseline /
-    progressive / sequential-multi-scan JPEG (r12) and baseline TIFF
-    (late r12) are all real; anything else (and the arithmetic/12-bit
-    JPEG modes) raises NotImplementedError so callers drop to the
+    progressive / sequential-multi-scan JPEG at 8- or 12-bit
+    precision (r12, 12-bit r13), and strip/tiled 8/16-bit TIFF are
+    all real; anything else (and the arithmetic/hierarchical JPEG
+    modes) raises NotImplementedError so callers drop to the
     header-metadata tier."""
     if payload.startswith(b"\x89PNG\r\n\x1a\n"):
         return decode_png_pixels(payload)
