@@ -40,10 +40,11 @@ _libwebp; without the library they stay the loud header tier).
 Tiled and 16-bit-sample TIFFs decode for real, and 12-bit JPEG
 (baseline AND progressive) decodes at full depth emitting the high 8
 bits (all r13 — the TIFF6 §15 tile grid with edge padding; 16-bit
-TIFF/12-bit JPEG share the high-byte emit convention). Only
-arithmetic-coded / hierarchical / partially-interleaved JPEG,
-sub-8-bit/mixed-depth TIFF, and true video codecs stay behind loud
-NotImplementedError tiers unconditionally.
+TIFF/12-bit JPEG share the high-byte emit convention), and
+partially-interleaved sequential scans (T.81 A.2.3 subsets) decode
+through the multi-scan coefficient store. Only arithmetic-coded /
+hierarchical JPEG, sub-8-bit/mixed-depth TIFF, and true video codecs
+stay behind loud NotImplementedError tiers unconditionally.
 
 Video frames (r12): animated GIFs decode frame by frame with spec
 disposal/transparency coalescing against the logical screen
@@ -2068,14 +2069,6 @@ def decode_jpeg_pixels(payload: bytes):
                 raise ValueError(
                     f"JPEG SOS component count {ns} invalid for "
                     f"{len(frame['comps'])}-component frame")
-            if not progressive and 1 < ns < len(frame["comps"]):
-                # a partially-interleaved sequential scan (2 of 3
-                # components in one MCU-ordered scan) is legal but
-                # vanishingly rare — keep it a loud tier rather than
-                # risk a silently-wrong MCU layout (r11 ADVICE lineage)
-                raise NotImplementedError(
-                    f"JPEG partially-interleaved scan ({ns} of "
-                    f"{len(frame['comps'])} frame components)")
             scan = []
             for c in range(ns):
                 cs, tds = body[1 + 2 * c], body[2 + 2 * c]
@@ -2093,26 +2086,37 @@ def decode_jpeg_pixels(payload: bytes):
                 for c in scan:
                     if c["td"] not in huff_dc or c["ta"] not in huff_ac:
                         raise ValueError("JPEG Huffman table missing")
-                if ns == len(frame["comps"]):
+                if ns == len(frame["comps"]) and not seen_comps:
                     return _jpeg_decode_scan(payload, data_start, frame,
                                              scan, qt, huff_dc, huff_ac,
                                              restart_interval)
-                # NON-INTERLEAVED multi-scan baseline (r12, was a loud
-                # tier since the r11 ADVICE fix): sequential
-                # single-component scans accumulate full DC+AC
-                # coefficients into the progressive store — each
-                # component in ITS OWN ceil-divided block grid (T.81
-                # A.2.2) — and EOI finalizes through the shared
-                # dequant+IDCT tail. The r11 bug (committing the Y
-                # scan alone as "the image") is structurally
-                # impossible here: finalize requires every frame
-                # component to have been scanned.
+                # sequential mode scans each component exactly once
+                # (T.81 B.2.3) — a repeat would silently overwrite the
+                # store, so it is structural corruption
+                if any(c["id"] in seen_comps for c in scan):
+                    raise ValueError(
+                        "JPEG sequential scan repeats a component")
+                # MULTI-SCAN baseline (r12; partial interleave r13):
+                # sequential scans accumulate full DC+AC coefficients
+                # into the progressive store — single-component scans
+                # in their OWN ceil-divided block grid (T.81 A.2.2),
+                # partially-interleaved subsets (2 of 3 components)
+                # in the frame MCU grid (A.2.3) — and EOI finalizes
+                # through the shared dequant+IDCT tail. The r11 bug
+                # (committing the Y scan alone as "the image") is
+                # structurally impossible here: finalize requires
+                # every frame component to have been scanned.
                 if coefs is None:
                     coefs = _jpeg_alloc_coefs(frame)
-                pos = _jpeg_sequential_scan(
-                    payload, data_start, frame, scan[0], coefs,
-                    huff_dc, huff_ac, restart_interval)
-                seen_comps.add(scan[0]["id"])
+                if ns == 1:
+                    pos = _jpeg_sequential_scan(
+                        payload, data_start, frame, scan[0], coefs,
+                        huff_dc, huff_ac, restart_interval)
+                else:
+                    pos = _jpeg_sequential_scan_interleaved(
+                        payload, data_start, frame, scan, coefs,
+                        huff_dc, huff_ac, restart_interval)
+                seen_comps.update(c["id"] for c in scan)
                 n_scans += 1
                 continue
             # progressive: this scan refines the coefficient store,
@@ -2157,31 +2161,71 @@ def _jpeg_sequential_scan(payload: bytes, pos: int, frame, c,
             if restart_interval and i and i % restart_interval == 0:
                 bits.next_segment()
                 pred = 0
-            blk = coefs[c["id"]][by, bx]
-            s = bits.read_huff(dc_t)
-            if s > 15:
-                raise ValueError(
-                    "JPEG DC magnitude category out of range")
-            diff = _jpeg_extend(bits.read_bits(s), s) if s else 0
-            pred += diff
-            if abs(pred) > 1 << 17:
-                raise ValueError("JPEG DC predictor out of range")
-            blk[0] = pred
-            ki = 1
-            while ki < 64:
-                rs = bits.read_huff(ac_t)
-                r, sz = rs >> 4, rs & 0x0F
-                if sz == 0:
-                    if r == 15:                # ZRL
-                        ki += 16
-                        continue
-                    break                      # EOB
-                ki += r
-                if ki > 63:
-                    raise ValueError("JPEG AC run overflow")
-                blk[ki] = _jpeg_extend(bits.read_bits(sz), sz)
-                ki += 1
+            pred = _jpeg_read_seq_block(bits, dc_t, ac_t,
+                                        coefs[c["id"]][by, bx], pred)
             i += 1
+    return end
+
+
+def _jpeg_read_seq_block(bits, dc_t, ac_t, blk, pred: int) -> int:
+    """Full DC+AC of one baseline block into a zigzag-indexed slot of
+    the coefficient store; returns the updated DC predictor."""
+    s = bits.read_huff(dc_t)
+    if s > 15:
+        raise ValueError("JPEG DC magnitude category out of range")
+    diff = _jpeg_extend(bits.read_bits(s), s) if s else 0
+    pred += diff
+    if abs(pred) > 1 << 17:
+        raise ValueError("JPEG DC predictor out of range")
+    blk[0] = pred
+    ki = 1
+    while ki < 64:
+        rs = bits.read_huff(ac_t)
+        r, sz = rs >> 4, rs & 0x0F
+        if sz == 0:
+            if r == 15:                        # ZRL
+                ki += 16
+                continue
+            break                              # EOB
+        ki += r
+        if ki > 63:
+            raise ValueError("JPEG AC run overflow")
+        blk[ki] = _jpeg_extend(bits.read_bits(sz), sz)
+        ki += 1
+    return pred
+
+
+def _jpeg_sequential_scan_interleaved(payload: bytes, pos: int, frame,
+                                      scan, coefs: dict, huff_dc,
+                                      huff_ac,
+                                      restart_interval: int) -> int:
+    """ONE MCU-interleaved sequential scan over a SUBSET of the frame
+    components (T.81 §A.2.3 partial interleave — r13, previously a
+    loud tier): the MCU grid comes from the FRAME's max sampling
+    factors, each scan member contributes its h×v blocks per MCU in
+    scan order, full DC+AC per block accumulates into the coefficient
+    store (EOI finalizes once every component has been scanned).
+    Returns the payload position of the next marker."""
+    segments, end = _jpeg_entropy_segments(payload, pos)
+    bits = _JpegBits(segments)
+    _, _, mcux, mcuy = _jpeg_grid(frame)
+    pred = {c["id"]: 0 for c in scan}
+    mcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu \
+                    and mcu % restart_interval == 0:
+                bits.next_segment()
+                pred = {c["id"]: 0 for c in scan}
+            for c in scan:
+                dc_t, ac_t = huff_dc[c["td"]], huff_ac[c["ta"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        blk = coefs[c["id"]][my * c["v"] + by,
+                                             mx * c["h"] + bx]
+                        pred[c["id"]] = _jpeg_read_seq_block(
+                            bits, dc_t, ac_t, blk, pred[c["id"]])
+            mcu += 1
     return end
 
 
