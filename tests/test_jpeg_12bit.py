@@ -228,3 +228,23 @@ def test_precision_gate_still_loud_for_16bit():
     bad[i] = 16
     with pytest.raises(NotImplementedError, match="precision"):
         decode_jpeg_pixels(bytes(bad))
+
+
+def test_12bit_jpeg_resize_tier_is_real(spark):
+    """12-bit JPEGs now ride the real-pixel tiers in resize_images
+    (passthrough when small, resampled when large) instead of
+    decoded-dims."""
+    from big_data_crypto_sentiment_spark.operators.multimodal import (
+        resize_images,
+    )
+    small, _ = _encode12([_grad12(16, 16, 6)])
+    big, _ = _encode12([_grad12(256, 256, 7)])
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(small), None, None, None, None),
+         (2, "image", bytearray(big), None, None, None, None)],
+        "media_id long, kind string, payload binary, mime string,"
+        " width int, height int, duration_ms long")
+    out = {r.media_id: r for r in
+           resize_images(df, max_dim=224, use_real_codec=True).collect()}
+    assert out[1].resize_status == "passthrough"
+    assert out[2].resize_status == "resampled" and out[2].resized

@@ -720,3 +720,26 @@ def test_tiff_mixed_depth_stays_loud():
          + heap.ljust(len(probe_heap), b"\x00") + strips[0])
     with pytest.raises(NotImplementedError, match="outside the 8/16"):
         decode_tiff_pixels(p)
+
+
+def test_tiled_and_16bit_tiff_resize_tier_is_real(spark):
+    """Tiled and 16-bit TIFFs ride the real-pixel resize tiers now."""
+    from big_data_crypto_sentiment_spark.operators.multimodal import (
+        resize_images,
+    )
+    rng = np.random.default_rng(30)
+    big = rng.integers(0, 256, size=(300, 260)).astype(np.uint8)
+    tiles = [t.tobytes() for t in _tile_grid(big, 64, 64)]
+    tiled = _tiff_tiled(260, 300, 64, 64, tiles)
+    img16 = rng.integers(0, 65536, size=(20, 30)).astype(np.uint16)
+    deep = _tiff16(30, 20, [img16.astype("<u2").tobytes()])
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(tiled), None, None, None, None),
+         (2, "image", bytearray(deep), None, None, None, None)],
+        "media_id long, kind string, payload binary, mime string,"
+        " width int, height int, duration_ms long")
+    out = {r.media_id: r for r in
+           resize_images(df, max_dim=224, use_real_codec=True).collect()}
+    assert out[1].resize_status == "resampled" and out[1].resized
+    assert (out[1].src_width, out[1].src_height) == (260, 300)
+    assert out[2].resize_status == "passthrough"
