@@ -310,9 +310,20 @@ def test_mutation_fuzz_smoke_only_contract_exceptions_escape():
                                    16000, 2, 16)
            + b"data" + struct.pack("<I", len(pcm)) + pcm)
     seeds.append(wav)
+    # the r13 driver-hash fixture encoders feed production queries, so
+    # their output shapes join the central corpus: FLAC (verbatim
+    # subframe), animated GIF (4 frames, 256-entry table), WAV twin
+    from big_data_crypto_sentiment_spark.operators import (
+        media_fixtures as MF,
+    )
+    from big_data_crypto_sentiment_spark.operators.multimodal import (
+        decode_flac_samples,
+    )
+    seeds += [MF.flac_bytes(13), MF.gif_animated_bytes(7),
+              MF.wav_pcm_bytes(31)]
     entries = [lambda p: decode_media(p, "image"), decode_image_pixels,
                decode_gif_frames, decode_video_frames,
-               decode_wav_samples]
+               decode_wav_samples, decode_flac_samples]
     for _ in range(400):
         base = bytearray(seeds[rng.randrange(len(seeds))])
         for _ in range(rng.randrange(1, 8)):
