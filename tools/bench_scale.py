@@ -381,6 +381,7 @@ def run(spark, sf_dir: str, work: str) -> dict[str, float]:
 
 def main() -> int:
     dirs = ensure_fixture()
+    from bench import _calibration_probes
     from big_data_crypto_sentiment_spark.session import get_spark
     spark = get_spark("bench_scale",
                       extra_conf={"spark.ui.enabled": "false"})
@@ -395,8 +396,17 @@ def main() -> int:
     # sub-linear (first recording: ivf x10/x1 = 0.74)
     run(spark, dirs["x1"], os.path.join(work, "_warm"))
     load0 = [round(x, 2) for x in os.getloadavg()]
+    # same host-speed probes as bench.py (VERDICT r13 #9): scale legs
+    # get the same cross-round host-factor adjudication the registry
+    # bench has — a leg that drifts between rounds reads against the
+    # probe factor, not a guess (the r13 dedup_index_build x30 anomaly
+    # was exactly an unadjudicated contaminated-host reading)
+    calib = {f"calibration:{k}": v
+             for k, v in _calibration_probes(spark).items()}
     res = {tag: run(spark, d, os.path.join(work, tag))
            for tag, d in dirs.items()}
+    calib.update({f"calibration:{k}_end": v
+                  for k, v in _calibration_probes(spark).items()})
     families = sorted(k for k in res["x1"] if not k.startswith("rows_"))
     out = {
         "base_docs": BASE_DOCS, "base_vecs": BASE_VECS,
@@ -413,6 +423,7 @@ def main() -> int:
                                if res["x1"][f] > 0 and f in res["x30"]
                                else None)
                            for f in families},
+        "calibration": calib,
         "loadavg_start": load0,
         "loadavg": [round(x, 2) for x in os.getloadavg()],
     }
