@@ -230,9 +230,12 @@ def mg_batch_summary(df: DataFrame, key_col: str, order_cols: list[str],
         fold, "shard int, key string, est_count long, n_shard long")
 
 
-def q_hh_mg_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+def mg_vs_exact_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per surviving key: MG estimate vs exact count plus the n/(C+1)
-    error-bound artifact and both guarantee flags."""
+    error-bound artifact and both guarantee flags. The per-key frame is
+    order-DEPENDENT (which keys survive, and their est_count, depend on
+    the fold order) — pytest evidence only; the registered query below
+    is its order-independent projection."""
     ev = (table(spark, sf_dir, "events")
           .filter(F.col("user_id").isNotNull())
           .select("user_id", "ts", "event_id"))
@@ -250,6 +253,63 @@ def q_hh_mg_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # O(C · shards) rows: unsorted
 
 
+def q_hh_mg_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graduated r14 (the cms/approx_quantiles bounded-guarantee
+    recipe): the MG summary itself is a sequential fold whose surviving
+    keys depend on arrival order — un-hashable — but its PUBLISHED
+    GUARANTEES are order-free, so the registered surface is one row per
+    shard holding (a) exact SQL-recomputable stats — n_shard, n_keys,
+    the count of heavy keys (exact·(C+1) > n_shard), max exact count,
+    the floor(n/(C+1)) error bound — and (b) the guarantees as asserted
+    flags DuckDB emits as literal 1: summary size ≤ C, every heavy key
+    survives, every estimate ≤ exact, every underestimate ≤ the bound,
+    and the fold's own n_shard agrees with the exact side. Any MG
+    implementation drift now reads as a value-hash mismatch. Shard
+    assignment is the portable 60-bit-md5 bucket, so both engines
+    compute identical shards."""
+    from .sampling import _hash_bucket
+
+    cap = MG_BATCH_CAPACITY
+    ev = (table(spark, sf_dir, "events")
+          .filter(F.col("user_id").isNotNull())
+          .select("user_id", "ts", "event_id"))
+    mg = mg_batch_summary(ev, "user_id", ["ts", "event_id"])
+    exact = (ev.groupBy(
+                 _hash_bucket(F.col("user_id"), MG_BATCH_SHARDS)
+                 .cast("int").alias("shard"),
+                 F.col("user_id").cast("string").alias("key"))
+               .agg(F.count("*").alias("exact_count")))
+    totals = (exact.groupBy("shard")
+                   .agg(F.sum("exact_count").alias("n_shard_exact")))
+    j = (exact
+         .join(F.broadcast(totals), "shard")
+         .join(mg.select("shard", "key", "est_count",
+                         F.col("n_shard").alias("n_shard_mg")),
+               ["shard", "key"], "left"))
+    heavy = (F.col("exact_count") * (cap + 1) > F.col("n_shard_exact"))
+    survived = F.col("est_count").isNotNull()
+    bound = F.floor(F.col("n_shard_exact") / (cap + 1))
+    flag = lambda bad: F.min(F.when(bad, 0).otherwise(1))  # noqa: E731
+    return (j.groupBy("shard").agg(
+        F.max("n_shard_exact").alias("n_shard"),
+        F.count("*").alias("n_keys"),
+        F.sum(heavy.cast("int")).alias("n_heavy"),
+        F.max("exact_count").alias("max_exact"),
+        F.max(bound).alias("err_bound"),
+        (F.sum(survived.cast("int")) <= cap).cast("int")
+        .alias("mg_size_le_capacity"),
+        flag(heavy & ~survived).alias("all_heavy_survived"),
+        flag(survived & (F.col("est_count") > F.col("exact_count")))
+        .alias("all_est_le_exact"),
+        flag(survived & (F.col("est_count")
+                         < F.col("exact_count") - bound))
+        .alias("all_est_within_bound"),
+        flag(survived & (F.col("n_shard_mg")
+                         != F.col("n_shard_exact")))
+        .alias("n_shard_consistent")))
+    # MG_BATCH_SHARDS rows: one per shard, never empty
+
+
 QUERIES = {
     "approx_distinct_users": q_approx_distinct_users,    # graduated r13
     #   (born-deferred): exact count + HLL bounded-error assertion
@@ -259,8 +319,16 @@ QUERIES = {
     #   median cent-exact + sketch bounded-error assertion under hash
     "cms_heavy_hitters": q_cms_heavy_hitters,      # graduated r13:
     #   portable md5-plane sketch, engine-exact
-    "hh_mg_vs_exact": q_hh_mg_vs_exact,  # rows-only: sequential MG fold
+    "hh_mg_vs_exact": q_hh_mg_vs_exact,  # graduated r14: order-free
+    #   per-shard guarantee surface under hash (per-key fold stays
+    #   pytest evidence via mg_vs_exact_per_key)
 }
+
+
+def _mg_sql_shard() -> str:
+    """DuckDB twin of the Spark side's portable-md5 shard bucket."""
+    from .sampling import _sql_hash_bucket
+    return _sql_hash_bucket("user_id", MG_BATCH_SHARDS)
 
 
 def _sql_cms_bucket(plane_expr: str, hx_expr: str) -> str:
@@ -336,5 +404,34 @@ SELECT pr.user_id, pr.exact_n,
        MIN(c.c) - pr.exact_n AS overestimate
 FROM probe pr JOIN counts c USING (plane, bucket)
 GROUP BY pr.user_id, pr.exact_n
+""",
+    # the MG guarantees asserted as literal 1; every other column is
+    # exact SQL (portable-md5 shard, per-key counts, the n/(C+1) bound)
+    "hh_mg_vs_exact": f"""
+WITH per_key AS (
+  SELECT CAST({_mg_sql_shard()} AS INTEGER) AS shard,
+         CAST(user_id AS VARCHAR) AS key,
+         COUNT(*) AS exact_count
+  FROM events WHERE user_id IS NOT NULL
+  GROUP BY 1, 2
+), tot AS (
+  SELECT shard, CAST(SUM(exact_count) AS BIGINT) AS n_shard
+  FROM per_key GROUP BY 1
+)
+SELECT p.shard,
+       t.n_shard,
+       COUNT(*) AS n_keys,
+       CAST(SUM(CASE WHEN p.exact_count * {MG_BATCH_CAPACITY + 1}
+                          > t.n_shard THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_heavy,
+       MAX(p.exact_count) AS max_exact,
+       t.n_shard // {MG_BATCH_CAPACITY + 1} AS err_bound,
+       1 AS mg_size_le_capacity,
+       1 AS all_heavy_survived,
+       1 AS all_est_le_exact,
+       1 AS all_est_within_bound,
+       1 AS n_shard_consistent
+FROM per_key p JOIN tot t USING (shard)
+GROUP BY 1, 2
 """,
 }

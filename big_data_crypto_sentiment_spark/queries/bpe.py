@@ -424,8 +424,105 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
-    "bpe_merges": q_bpe_merges,  # rows-only: iterative argmax+rewrite
-    "bpe_encode_tokens": q_bpe_encode,  # rows-only: sequential min-rank loop
+    "bpe_merges": q_bpe_merges,  # graduated r14: training loop unrolled
+    #   to 8 SQL rounds (pair-count -> argmax -> replace-apply)
+    "bpe_encode_tokens": q_bpe_encode,  # graduated r14: ranked-merge
+    #   replay via nested replace over the delimited token string
 }
 
-ORACLE: dict[str, str] = {}
+
+# --- DuckDB twins (graduated r14, beyond the frozen-literal recipe
+#     VERDICT r13 #2 proposed: with BPE_MERGES=8 the training loop
+#     itself unrolls to 8 rounds of SQL CTEs, so the oracle RE-TRAINS
+#     from the raw corpus instead of trusting frozen literals — the
+#     merge list stays corpus-dependent and the pair verifies at every
+#     SF).
+#
+#     Representation: a word's symbol sequence is the delimited string
+#     "(c1)(c2)…(</w>)" — fixture text is lowercase alnum + single
+#     spaces (checked r14), so '(' / ')' never collide with content.
+#     Each round: adjacent OVERLAPPING pair counts via parallel
+#     unnest of t[:-1] / t[2:] (exactly _pair_counts' transform),
+#     argmax with the trainer's tie-break (cnt DESC, a||\\x01||b ASC —
+#     byte order, identical to Python tuple compare on ASCII), then
+#     one replace('(a)(b)' -> '(ab)') — left-to-right non-overlapping,
+#     exactly _merge_seq's greedy scan.
+#
+#     Encode replay: the ranked merge list applied in order over the
+#     WHOLE-DOC delimited string (spaces -> (</w>) boundaries). One
+#     left-to-right pass per merge is exhaustive (merging (a,b) can
+#     never create a new (a,b) adjacency: the merged token is longer
+#     than both members), and applying ranked merges in order equals
+#     encode_word's min-rank loop (the classic BPE equivalence —
+#     check.py hash-verifies it on every fixture). Cross-word false
+#     matches are impossible: a trained merge's LEFT member never
+#     contains </w> (nothing follows </w> inside a word, so such pairs
+#     have zero training count), and every word-final token does. ---
+def _sql_bpe_round(k: int) -> str:
+    return f"""
+p{k} AS (
+  SELECT l AS a, r AS b, CAST(SUM(wc) AS BIGINT) AS cnt FROM (
+    SELECT wc, unnest(t[:len(t)-1]) AS l, unnest(t[2:]) AS r
+    FROM (SELECT wc, regexp_extract_all(s, '\\(([^)]*)\\)', 1) AS t
+          FROM s{k - 1})
+  ) GROUP BY 1, 2
+),
+m{k} AS (
+  SELECT {k} AS rank, a, b, a || b AS merged, cnt AS freq
+  FROM p{k} ORDER BY cnt DESC, a || chr(1) || b LIMIT 1
+),
+s{k} AS (
+  SELECT wc, replace(s, '(' || m.a || ')(' || m.b || ')',
+                     '(' || m.a || m.b || ')') AS s
+  FROM s{k - 1}, m{k} m
+)"""
+
+
+_SQL_BPE_TRAIN = f"""
+WITH wcs AS (
+  SELECT word, COUNT(*) AS wc FROM (
+    SELECT unnest(string_split(text, ' ')) AS word
+    FROM documents WHERE text IS NOT NULL
+  ) WHERE word <> ''
+  GROUP BY 1 ORDER BY wc DESC, word LIMIT {BPE_WORD_CAP}
+),
+s0 AS (
+  SELECT wc, regexp_replace(word, '(.)', '(\\1)', 'g') || '(</w>)' AS s
+  FROM wcs
+),""" + ",".join(_sql_bpe_round(k) for k in range(1, BPE_MERGES + 1))
+
+_SQL_BPE_APPLY = "d.s"
+for _k in range(1, BPE_MERGES + 1):
+    _SQL_BPE_APPLY = (
+        f"replace({_SQL_BPE_APPLY}, "
+        f"'(' || m{_k}.a || ')(' || m{_k}.b || ')', "
+        f"'(' || m{_k}.a || m{_k}.b || ')')")
+
+ORACLE: dict[str, str] = {
+    "bpe_merges": _SQL_BPE_TRAIN + """
+SELECT rank, a AS "left", b AS "right", merged, freq FROM (
+""" + " UNION ALL ".join(
+        f"SELECT * FROM m{k}" for k in range(1, BPE_MERGES + 1)) + """
+)
+""",
+    "bpe_encode_tokens": _SQL_BPE_TRAIN + f""",
+d0 AS (
+  SELECT doc_id,
+         replace(regexp_replace(text, '(.)', '(\\1)', 'g'),
+                 '( )', '(</w>)') || '(</w>)' AS s
+  FROM documents WHERE text IS NOT NULL
+),
+enc AS (
+  SELECT d.doc_id, {_SQL_BPE_APPLY} AS s
+  FROM d0 d, {", ".join(f"m{k}" for k in range(1, BPE_MERGES + 1))}
+)
+SELECT doc_id,
+       CAST(length(s) - length(replace(s, '(', '')) AS INTEGER)
+         AS n_tokens,
+       CAST(len(list_filter(regexp_extract_all(s, '\\(([^)]*)\\)', 1),
+                            x -> len(x) > 1 AND x <> '</w>'))
+            AS INTEGER) AS n_merged_tokens,
+       replace(substr(s, 2, length(s) - 2), ')(', chr(31)) AS tokens
+FROM enc
+""",
+}

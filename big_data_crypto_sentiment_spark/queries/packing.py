@@ -186,9 +186,54 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_pack_bins_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only entry (greedy FFD isn't SQL-expressible); O(docs) output,
-    # deliberately unsorted
-    return pack_bins_ffd(table(spark, sf_dir, "documents"))
+    """Graduated r14 (VERDICT r13 #2, the bounded-guarantee recipe):
+    the greedy FFD fold isn't SQL-expressible, but its GUARANTEES are
+    order-free, so the registered surface is one row per pack group
+    with (a) exact SQL-recomputable doc-side stats — n_docs,
+    total_tokens, n_overlong, max_tokens, the capped lower bound
+    lb = ceil(Σ min(tok, budget)/budget), and the first-fit upper
+    bound ub = n_overlong + 1 + floor(T_nonoverlong/(⌊budget/2⌋+1))
+    (every non-overlong bin except at most one is more than half
+    full) — and (b) the FFD invariants as asserted flags DuckDB emits
+    as literal 1: no multi-doc bin exceeds the budget, at most one
+    bin is half-empty, and lb ≤ n_bins ≤ ub. The per-doc assignment
+    frame stays the operator API (pack_bins_ffd) with its own pytest
+    invariants."""
+    budget = TOKEN_BUDGET
+    half_plus = budget // 2 + 1
+    per_doc = pack_bins_ffd(table(spark, sf_dir, "documents"), budget)
+    bins = (per_doc.groupBy("pack_group", "bin_id")
+                   .agg(F.sum("n_tokens").alias("load"),
+                        F.count("*").alias("n_in_bin")))
+    g = bins.groupBy("pack_group").agg(
+        F.count("*").alias("n_bins"),
+        F.sum(F.when((F.col("load") > budget)
+                     & (F.col("n_in_bin") > 1), 1).otherwise(0))
+         .alias("_over_cap_multi"),
+        F.sum(F.when(F.col("load") * 2 <= budget, 1).otherwise(0))
+         .alias("_n_half_empty"))
+    d = per_doc.groupBy("pack_group").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum(F.when(F.col("n_tokens") > budget, 1).otherwise(0))
+         .alias("n_overlong"),
+        F.max("n_tokens").alias("max_tokens"),
+        F.ceil(F.sum(F.least(F.col("n_tokens"), F.lit(budget)))
+               / budget).alias("lb_bins"),
+        F.sum(F.when(F.col("n_tokens") > budget, 0)
+               .otherwise(F.col("n_tokens"))).alias("_t_non"))
+    ub = (F.col("n_overlong") + 1
+          + F.floor(F.col("_t_non") / half_plus)).cast("long")
+    return (d.join(g, "pack_group").select(
+        "pack_group", "n_docs", "total_tokens", "n_overlong",
+        "max_tokens", "lb_bins", ub.alias("ub_bins"),
+        (F.col("_over_cap_multi") == 0).cast("int").alias("capacity_ok"),
+        (F.col("_n_half_empty") <= 1).cast("int")
+        .alias("le_one_half_empty"),
+        (F.col("n_bins") >= F.col("lb_bins")).cast("int")
+        .alias("n_bins_ge_lb"),
+        (F.col("n_bins") <= ub).cast("int").alias("n_bins_le_ub")))
+    # PACK_GROUPS rows: one per populated group
 
 
 # --- SFT chat-template rendering + loss-mask spans: the supervised-
@@ -340,5 +385,33 @@ SELECT pack_group, chunk_id, COUNT(*) AS n_docs,
        CAST(SUM(n_tokens) AS BIGINT) AS span_tokens,
        MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
 FROM a GROUP BY 1, 2 ORDER BY pack_group, chunk_id
+""",
+    # FFD guarantees asserted as literal 1; every other column is
+    # exact doc-side SQL (portable-md5 group, regexp token counts,
+    # the capped lower / first-fit upper bin bounds)
+    "pack_bins_ffd": f"""
+WITH t AS (
+  SELECT {_sql_hash_bucket("doc_id", PACK_GROUPS)} AS pack_group,
+         len(regexp_extract_all(text, '{_PAT_SQL}')) AS n_tokens
+  FROM documents
+)
+SELECT pack_group,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(CASE WHEN n_tokens > {TOKEN_BUDGET} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_overlong,
+       MAX(n_tokens) AS max_tokens,
+       CAST(CEIL(SUM(LEAST(n_tokens, {TOKEN_BUDGET}))
+                 / {TOKEN_BUDGET}.0) AS BIGINT) AS lb_bins,
+       CAST(SUM(CASE WHEN n_tokens > {TOKEN_BUDGET} THEN 1 ELSE 0 END)
+            + 1
+            + FLOOR(SUM(CASE WHEN n_tokens > {TOKEN_BUDGET} THEN 0
+                             ELSE n_tokens END)
+                    / {TOKEN_BUDGET // 2 + 1}.0) AS BIGINT) AS ub_bins,
+       1 AS capacity_ok,
+       1 AS le_one_half_empty,
+       1 AS n_bins_ge_lb,
+       1 AS n_bins_le_ub
+FROM t GROUP BY 1
 """,
 }

@@ -99,16 +99,30 @@ def test_mg_batch_twin_bounds_and_presence(spark):
         MG_BATCH_CAPACITY,
         MG_BATCH_SHARDS,
         mg_batch_summary,
+        mg_vs_exact_per_key,
         q_hh_mg_vs_exact,
     )
     from big_data_crypto_sentiment_spark.queries.sampling import (
         _hash_bucket,
     )
     sf = "/root/testdata/sf0.01"
-    out = q_hh_mg_vs_exact(spark, sf).collect()
+    out = mg_vs_exact_per_key(spark, sf).collect()
     assert out and all(r.le_exact and r.within_bound for r in out)
     assert all(r.err_bound == r.n_shard // (MG_BATCH_CAPACITY + 1)
                for r in out)
+    # graduated registry surface (r14): one row per shard, all
+    # guarantee flags true, exact columns consistent with the per-key
+    # frame it projects
+    shards = q_hh_mg_vs_exact(spark, sf).collect()
+    assert len(shards) == MG_BATCH_SHARDS
+    for r in shards:
+        assert (r.mg_size_le_capacity and r.all_heavy_survived
+                and r.all_est_le_exact and r.all_est_within_bound
+                and r.n_shard_consistent)
+        assert r.err_bound == r.n_shard // (MG_BATCH_CAPACITY + 1)
+        assert 0 <= r.n_heavy <= r.n_keys
+    assert (sum(r.n_shard for r in shards)
+            == sum({r2.shard: r2.n_shard for r2 in out}.values()))
     # presence: the fixture's users are near-uniform (nothing exceeds
     # n/(C+1)), so plant a heavy hitter — 3 skewed keys over 400
     # uniform-ish rows; every key above its shard's bound must survive
