@@ -29,6 +29,8 @@ ALLOW_NESTED_LOOP = {
     "key_skew_profile": "scalar one-row broadcast (global totals)",
     "mixture_downsample": "scalar one-row broadcast (global totals)",
     "zorder_key_lineitem": "scalar one-row broadcast (global min/max stats)",
+    "ml_auto_arima_orders": "scalar one-row broadcast (the global event "
+                            "count that keys the frozen-selection lookup)",
 }
 
 
