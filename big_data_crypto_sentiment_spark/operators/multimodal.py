@@ -42,9 +42,12 @@ Tiled and 16-bit-sample TIFFs decode for real, and 12-bit JPEG
 bits (all r13 — the TIFF6 §15 tile grid with edge padding; 16-bit
 TIFF/12-bit JPEG share the high-byte emit convention), and
 partially-interleaved sequential scans (T.81 A.2.3 subsets) decode
-through the multi-scan coefficient store. Only arithmetic-coded /
-hierarchical JPEG, sub-8-bit/mixed-depth TIFF, and true video codecs
-stay behind loud NotImplementedError tiers unconditionally.
+through the multi-scan coefficient store. Sub-8-bit TIFF (1/2/4-bit
+bilevel/grey/palette, MSB-first packed, byte-aligned rows — the
+scanned-document staple) decodes for real (r14). Only
+arithmetic-coded / hierarchical JPEG, mixed-depth TIFF, and true
+video codecs stay behind loud NotImplementedError tiers
+unconditionally.
 
 Video frames (r12): animated GIFs decode frame by frame with spec
 disposal/transparency coalescing against the logical screen
@@ -1481,8 +1484,10 @@ def decode_tiff_pixels(payload: bytes):
     (WhiteIsZero inverts), 2 RGB(A), 3 palette (16-bit ColorMap
     scaled to 8), and 8- OR 16-bit samples (r13 — 16-bit decodes at
     full depth, predictor wrapping per sample, and emits the high
-    byte). Sub-8-bit depths, mixed depths and exotic photometrics
-    stay the loud header-metadata tier.
+    byte), and 1/2/4-bit samples (r14 — MSB-first packed,
+    byte-aligned rows, max-value greyscale rescale, raw palette
+    indices). Mixed depths, FillOrder 2 and exotic photometrics stay
+    the loud header-metadata tier.
     Returns (height, width, channels) uint8."""
     import numpy as np
 
@@ -1532,13 +1537,30 @@ def decode_tiff_pixels(payload: bytes):
     if photo not in (0, 1, 2, 3):
         raise NotImplementedError(f"TIFF photometric {photo}")
     bits16 = all(b == 16 for b in bps)
-    if not (bits16 or all(b == 8 for b in bps)) or spp not in (1, 3, 4):
+    sub8 = spp == 1 and len(bps) == 1 and bps[0] in (1, 2, 4)
+    if not (bits16 or sub8 or all(b == 8 for b in bps)) \
+            or spp not in (1, 3, 4):
         raise NotImplementedError(
-            f"TIFF bits={bps} samples={spp} outside the 8/16-bit path")
+            f"TIFF bits={bps} samples={spp} outside the "
+            f"1/2/4/8/16-bit path")
     if bits16 and photo == 3:
         raise NotImplementedError("TIFF 16-bit palette")
     if predictor not in (1, 2):
         raise NotImplementedError(f"TIFF predictor {predictor}")
+    # sub-8-bit (r14, VERDICT r13 #6 — bilevel/2/4-bit scans, the
+    # scanned-document staple): rows are byte-aligned (TIFF6 §2,
+    # "Compression": each row begins on a byte boundary), samples
+    # packed MSB-first within the byte (FillOrder 1, the default and
+    # the only one baseline readers must support — FillOrder 2 stays
+    # loud). Greyscale rescales by 255/(2^bits−1) exactly like the
+    # PNG sub-8 path; palette keeps raw indices into the ColorMap.
+    bits = bps[0]
+    if sub8 and tags.get(266, [1])[0] != 1:
+        raise NotImplementedError("TIFF FillOrder 2")
+    if sub8 and predictor == 2:
+        # horizontal differencing below 8 bits is outside TIFF6's
+        # baseline and ambiguous across writers
+        raise NotImplementedError("TIFF sub-8-bit with predictor 2")
     # 16-bit samples (r13): decoded at full depth (file byte order,
     # horizontal differencing wraps per 16-bit sample), emitted as the
     # high byte — the same 16→8 convention the ColorMap path uses
@@ -1547,9 +1569,26 @@ def decode_tiff_pixels(payload: bytes):
                   if bits16 else "u1")
     wrap = 0xFFFF if bits16 else 0xFF
 
+    def _row_bytes(ncols: int) -> int:
+        if sub8:
+            return (ncols * bits + 7) // 8
+        return ncols * spp * bpsz
+
     def _block_u8(raw: bytes, nrows: int, ncols: int) -> "np.ndarray":
         """Decoded bytes of one strip/tile → (nrows, ncols, spp) uint8
-        (predictor undone at the sample depth, 16-bit scaled to 8)."""
+        (predictor undone at the sample depth, 16-bit scaled to 8,
+        sub-8-bit unpacked MSB-first and kept as raw sample values —
+        greyscale rescale happens once on the assembled image)."""
+        if sub8:
+            rb = _row_bytes(ncols)
+            a = np.frombuffer(raw, np.uint8, nrows * rb) \
+                  .reshape(nrows, rb)
+            b_ = np.unpackbits(a, axis=1)
+            if bits > 1:
+                b_ = b_.reshape(nrows, rb * 8 // bits, bits)
+                weights = 1 << np.arange(bits - 1, -1, -1)
+                b_ = (b_ * weights).sum(axis=2)
+            return b_[:, :ncols, None].astype(np.uint8)
         n = nrows * ncols * spp
         a = np.frombuffer(raw, dt, n).astype(np.int64) \
               .reshape(nrows, ncols, spp)
@@ -1590,7 +1629,7 @@ def decode_tiff_pixels(payload: bytes):
             if off + cnt > len(payload):
                 raise ValueError("TIFF tile out of range")
             raw = _decompress(payload[off:off + cnt],
-                              tw_ * tl_ * spp * bpsz, "tile")
+                              _row_bytes(tw_) * tl_, "tile")
             tile = _block_u8(raw, tl_, tw_)
             ty, tx = divmod(ti, across)
             y0, x0 = ty * tl_, tx * tw_
@@ -1607,7 +1646,7 @@ def decode_tiff_pixels(payload: bytes):
             if nrows <= 0:
                 raise ValueError("TIFF has more strips than rows")
             raw = _decompress(payload[off:off + cnt],
-                              width * spp * nrows * bpsz, "strip")
+                              _row_bytes(width) * nrows, "strip")
             rows.append(_block_u8(raw, nrows, width))
         img = np.concatenate(rows)[:height]
         if len(img) < height:
@@ -1625,6 +1664,11 @@ def decode_tiff_pixels(payload: bytes):
         cm = (np.array(cmap, dtype=np.int64)
               .reshape(3, ncolors).T >> 8).astype(np.uint8)
         return np.ascontiguousarray(cm[idx])
+    if sub8:
+        # max-value rescale (the PNG sub-8 convention): 255/(2^b−1)
+        # is exact for 1/2/4 bits (255, 85, 17)
+        img = (img.astype(np.uint16)
+               * (255 // ((1 << bits) - 1))).astype(np.uint8)
     if photo == 0:                             # WhiteIsZero
         img = 255 - img
     return np.ascontiguousarray(img)

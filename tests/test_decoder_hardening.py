@@ -321,6 +321,22 @@ def test_mutation_fuzz_smoke_only_contract_exceptions_escape():
     )
     seeds += [MF.flac_bytes(13), MF.gif_animated_bytes(7),
               MF.wav_pcm_bytes(31)]
+    # r14: the sub-8-bit TIFF tier joins the corpus (1-bit 8x4,
+    # uncompressed, one strip)
+    bil_rows = bytes([0b10110010, 0b01011101, 0b11110000, 0b00001111])
+    n_ent = 9
+    data_at = 8 + 2 + 12 * n_ent + 4
+    ents = b""
+    for tag, typ, val in ((256, 3, 8), (257, 3, 4), (258, 3, 1),
+                          (259, 3, 1), (262, 3, 1), (273, 4, data_at),
+                          (277, 3, 1), (278, 4, 4),
+                          (279, 4, len(bil_rows))):
+        ents += struct.pack("<HHI", tag, typ, 1) \
+            + struct.pack("<" + ("H" if typ == 3 else "I"),
+                          val).ljust(4, b"\x00")
+    seeds.append(b"II*\x00" + struct.pack("<I", 8)
+                 + struct.pack("<H", n_ent) + ents
+                 + struct.pack("<I", 0) + bil_rows)
     entries = [lambda p: decode_media(p, "image"), decode_image_pixels,
                decode_gif_frames, decode_video_frames,
                decode_wav_samples, decode_flac_samples]

@@ -30,11 +30,11 @@ def _entry(bo, tag, typ, vals, heap, heap_base):
 
 
 def _tiff(width, height, strips, bo="<", compression=1, photo=1,
-          spp=1, extra_tags=()):
+          spp=1, extra_tags=(), bits=8):
     """One-IFD TIFF: header, IFD, value heap, strip data."""
     rps = -(-height // len(strips))
     tags = [(256, 4, [width]), (257, 4, [height]),
-            (258, 3, [8] * spp), (259, 3, [compression]),
+            (258, 3, [bits] * spp), (259, 3, [compression]),
             (262, 3, [photo]), (277, 3, [spp]), (278, 4, [rps])]
     tags += list(extra_tags)
     n = len(tags) + 2                     # + offsets/counts below
@@ -226,6 +226,98 @@ def test_tiff_corruption_raises_valueerror():
     with pytest.raises(NotImplementedError):  # exotic compression
         decode_tiff_pixels(_tiff(3, 3, [img.tobytes()],
                                  compression=7))
+
+
+# --- sub-8-bit (r14): 1/2/4-bit samples, MSB-first, byte-aligned
+#     rows — packed by an INDEPENDENT packer, never the decoder's ---
+def _pack_row(vals, bits):
+    out, acc, n = bytearray(), 0, 0
+    for v in vals:
+        acc = (acc << bits) | int(v)
+        n += bits
+        if n == 8:
+            out.append(acc)
+            acc, n = 0, 0
+    if n:
+        out.append(acc << (8 - n))
+    return bytes(out)
+
+
+def _pack_img(img, bits):
+    return b"".join(_pack_row(row, bits) for row in img)
+
+
+def test_tiff_1bit_bilevel_both_polarities_and_row_padding():
+    # width 10: rows pad to 2 bytes, pad bits must be ignored
+    img = (np.arange(50).reshape(5, 10) % 2).astype(np.uint8)
+    raw = _pack_img(img, 1)
+    assert len(raw) == 5 * 2
+    out = decode_tiff_pixels(_tiff(10, 5, [raw], bits=1, photo=1))
+    assert out.shape == (5, 10, 1)
+    assert np.array_equal(out[:, :, 0], img * 255)
+    inv = decode_tiff_pixels(_tiff(10, 5, [raw], bits=1, photo=0))
+    assert np.array_equal(inv[:, :, 0], 255 - img * 255)
+
+
+def test_tiff_2bit_and_4bit_grey_rescale_both_byte_orders():
+    for bits, scale in ((2, 85), (4, 17)):
+        img = (np.arange(21).reshape(3, 7) % (1 << bits)) \
+            .astype(np.uint8)
+        raw = _pack_img(img, bits)
+        for bo in ("<", ">"):
+            out = decode_tiff_pixels(
+                _tiff(7, 3, [raw], bo=bo, bits=bits))
+            assert np.array_equal(out[:, :, 0], img * scale)
+
+
+def test_tiff_4bit_palette_keeps_raw_indices():
+    img = (np.arange(12).reshape(3, 4) % 5).astype(np.uint8)
+    cmap = []
+    for ch in range(3):
+        cmap += [(i * 13 + ch * 7) % 256 * 257 for i in range(16)]
+    out = decode_tiff_pixels(
+        _tiff(4, 3, [_pack_img(img, 4)], bits=4, photo=3,
+              extra_tags=[(320, 3, cmap)]))
+    assert out.shape == (3, 4, 3)
+    for ch in range(3):
+        exp = (img.astype(int) * 13 + ch * 7) % 256
+        assert np.array_equal(out[:, :, ch], exp)
+
+
+def test_tiff_1bit_multistrip_lzw_and_4bit_packbits():
+    img = ((np.arange(128).reshape(16, 8) // 3) % 2).astype(np.uint8)
+    strips = [_tiff_lzw_encode(_pack_img(img[i:i + 4], 1))
+              for i in range(0, 16, 4)]
+    out = decode_tiff_pixels(
+        _tiff(8, 16, strips, bits=1, compression=5))
+    assert np.array_equal(out[:, :, 0], img * 255)
+    img4 = (np.arange(36).reshape(6, 6) % 16).astype(np.uint8)
+    out4 = decode_tiff_pixels(
+        _tiff(6, 6, [_packbits_encode(_pack_img(img4, 4))],
+              bits=4, compression=32773))
+    assert np.array_equal(out4[:, :, 0], img4 * 17)
+
+
+def test_tiff_sub8_loud_tiers_and_corruption():
+    img = (np.arange(16).reshape(4, 4) % 2).astype(np.uint8)
+    raw = _pack_img(img, 1)
+    with pytest.raises(NotImplementedError):  # FillOrder 2
+        decode_tiff_pixels(_tiff(4, 4, [raw], bits=1,
+                                 extra_tags=[(266, 3, [2])]))
+    with pytest.raises(NotImplementedError):  # predictor on sub-8
+        decode_tiff_pixels(_tiff(4, 4, [raw], bits=1,
+                                 extra_tags=[(317, 3, [2])]))
+    with pytest.raises(NotImplementedError):  # 3-bit stays loud
+        decode_tiff_pixels(_tiff(4, 4, [raw], bits=3))
+    with pytest.raises(NotImplementedError):  # sub-8 RGB stays loud
+        decode_tiff_pixels(_tiff(4, 4, [raw * 3], bits=4, spp=3,
+                                 photo=2))
+    with pytest.raises(ValueError):           # strip short of rows
+        decode_tiff_pixels(_tiff(4, 4, [raw[:1]], bits=1))
+    with pytest.raises(ValueError):           # palette idx out of map
+        decode_tiff_pixels(
+            _tiff(4, 4, [_pack_img(img * 3, 4)], bits=4, photo=3,
+                  extra_tags=[(320, 3, [0, 0, 0])]))
 
 
 # --- G.711 -------------------------------------------------------
@@ -718,7 +810,7 @@ def test_tiff_mixed_depth_stays_loud():
          + struct.pack("<H", n) + b"".join(entries)
          + struct.pack("<I", 0)
          + heap.ljust(len(probe_heap), b"\x00") + strips[0])
-    with pytest.raises(NotImplementedError, match="outside the 8/16"):
+    with pytest.raises(NotImplementedError, match="outside the 1/2/4/8/16"):
         decode_tiff_pixels(p)
 
 
