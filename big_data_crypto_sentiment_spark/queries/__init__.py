@@ -29,6 +29,7 @@ from . import (
     components,
     dedup,
     flagship,
+    funnel,
     graph,
     ingestion,
     layout,
@@ -51,7 +52,7 @@ from . import (
 _MODULES = (flagship, relational, timeseries, text, dedup, similarity, ml,
             ingestion, ta, media, reshape, approx, avro_rt, components,
             sampling, packing, cleaning, retrieval, bpe, behavior, scd,
-            linkage, layout, quality, graph)
+            linkage, layout, quality, graph, funnel)
 
 # More oracle-paired queries exist than the driver's fixed 50-entry
 # correctness window can check; the overflow is deliberately deferred to
@@ -80,12 +81,12 @@ DEFERRALS: dict[str, dict] = {
     # zorder_key_lineitem and ts_cube — rotated INTO the driver window;
     # these members, every one driver-green in the r8 window, handed
     # over their slots.
-    "left_join_fillna":   dict(since=9, family="outer-join+coalesce family via flagship_windowed_join's full-outer in-window",
-                               extra="driver-green r2-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "json_props":         dict(since=9, family="map-parse/typed-projection family via the from_json chain shared with deferred src_tweets_volume; source family via src_avro_roundtrip in-window",
-                               extra="driver-green r2-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "ts_trailing_hour":   dict(since=9, family="range-frame window family via ts_seasonal_anomaly + ts_interpolate in-window (same per-symbol ordered window); the integer-frozen covariance twin ts_lag_sweep_corr is deferred alongside",
-                               extra="driver-green r2-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
+    # r14 window rotation (VERDICT r13 #3): the three stalest r9
+    # deferrals with no driver hash since r8 (left_join_fillna,
+    # json_props, ts_trailing_hour) rotate back IN alongside the two
+    # born-deferred r13 sketch pairs and the six r14
+    # graduations/new pairs; the twelve members below — every one
+    # driver-green in the r13 window — hand over their slots.
     "text_top_duplicated": dict(since=9, family="dup family via source_scorecard's fingerprint dup-rate in-window (same normalized-hash agg)",
                                 extra="driver-green r6-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
     "text_gopher_rules":  dict(since=9, family="rule-filter family via source_scorecard in-window (same single-scan flag plan)",
@@ -191,7 +192,7 @@ DEFERRALS: dict[str, dict] = {
                                extra="driver-green r9 (first check); 3-SF check.py + per-round sf0.001 auto-verify"),
     "rollup_backfill_late": dict(since=10, family="incremental-rollup family via rollup_merge_incremental in-window (same keyed merge)",
                                  extra="driver-green r9 (first check); 3-SF check.py + per-round sf0.001 auto-verify"),
-    "scd2_user_state":    dict(since=10, family="SCD2 family via scd2_point_in_time + scd2_merge_incremental + scd2_snapshot_at in-window (same validity-interval build)",
+    "scd2_user_state":    dict(since=10, family="SCD2 family via scd2_point_in_time + scd2_snapshot_at in-window (same validity-interval build; scd2_merge_incremental is deferred alongside)",
                                extra="driver-green r9 (first check); 3-SF check.py + per-round sf0.001 auto-verify"),
     "scd2_state_durations": dict(since=10, family="SCD2 family via scd2_point_in_time + scd2_snapshot_at in-window (same interval arithmetic)",
                                  extra="driver-green r9 (first check); 3-SF check.py + per-round sf0.001 auto-verify"),
@@ -199,7 +200,7 @@ DEFERRALS: dict[str, dict] = {
                                  extra="driver-green r9 (first check); 3-SF check.py + per-round sf0.001 auto-verify"),
     "dq_suite":           dict(since=10, family="quality family via mad_outlier_events + value_quantile_bins + moment_profile in-window (same conditional-agg single pass)",
                                extra="driver-green r9 (first check); 3-SF check.py + per-round sf0.001 auto-verify"),
-    "text_langid_ngram":  dict(since=10, family="text family via source_scorecard + top_docs_per_source in-window; rotated-in text_c4_filter shares the per-row flag plan",
+    "text_langid_ngram":  dict(since=10, family="text family via source_scorecard in-window; rotated-in text_c4_filter shares the per-row flag plan",
                                extra="driver-green r9 (first check); Cavnar-Trenkle profile math pinned by pytest; 3-SF check.py + per-round sf0.001 auto-verify"),
     "sim_rrf_hybrid":     dict(since=10, family="retrieval family via sim_bm25_topk in-window (same inverted index); sim_tfidf_topk is deferred alongside",
                                extra="driver-green r9; 3-SF check.py + per-round sf0.001 auto-verify"),
@@ -349,14 +350,36 @@ DEFERRALS: dict[str, dict] = {
                                extra="driver-green r9-r12; 3-SF check.py + per-round sf0.001 auto-verify"),
     "event_debounce":     dict(since=13, family="gap/session family via event_transitions in-window (same lag-gap window core)",
                                extra="driver-green r9-r12; 3-SF check.py + per-round sf0.001 auto-verify"),
-    # born-deferred (r13): the two HLL sketch entries graduated to
-    # oracle pairs (bounded-error-assertion recipe) after the r13
-    # window was set; they rotate in for first driver hashes with the
-    # r14 tranche
-    "approx_distinct_users": dict(since=13, family="sketch-assertion family via approx_quantiles + cms_heavy_hitters in-window (same bounded-error-flag recipe over the same events scan)",
-                                  extra="born-deferred r13; 3-SF check.py + per-round sf0.001 auto-verify; HLL relative-error property pinned in tests/test_approx.py"),
-    "hll_mergeable_distinct": dict(since=13, family="sketch-assertion family via approx_quantiles + cms_heavy_hitters in-window (same bounded-error-flag recipe); mergeable-union shape pinned in tests/test_approx.py",
-                                   extra="born-deferred r13; 3-SF check.py + per-round sf0.001 auto-verify"),
+    # r14 window rotation, outgoing side: these twelve - every one
+    # driver-green in the r13 window - handed their slots to the r14
+    # incoming tranche (the two born-deferred r13 sketch pairs, the
+    # six r14 graduations/new pairs with ml_auto_arima_orders born
+    # in-window, and the three stalest r9 deferrals left_join_fillna /
+    # json_props / ts_trailing_hour, hash-less since r8).
+    "flagship_speed_layer": dict(since=14, family="flagship/windowed-join family via flagship_windowed_join in-window (same cogroup + full-outer core; the T5 window-END labeling twin of its window-start column)",
+                                 extra="driver-green r2-r13 (every round); streaming parity pinned in tests/test_jobs.py; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "upsert_latest":      dict(since=14, family="latest-by-key family via scd2_point_in_time + scd2_snapshot_at in-window (same latest-row-before-ts semantics)",
+                               extra="driver-green r13 window + r2-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "promo_revenue_share": dict(since=14, family="TPC-H join-agg family via pricing_summary + revenue_by_nation_q5 in-window (same pushed-down lineitem scan + broadcast-dim join)",
+                                extra="driver-green r13 window + r2-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "top_users":          dict(since=14, family="bounded top-k family via cms_heavy_hitters in-window (same exact TakeOrderedAndProject candidate set over the same events scan)",
+                               extra="driver-green r13 window + r2-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "top_docs_per_source": dict(since=14, family="per-source text family via source_scorecard in-window (same per-source agg); bounded top-k via cms_heavy_hitters in-window",
+                                extra="driver-green r13 window + r2-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "media_frames":       dict(since=14, family="multimodal mapInPandas codec family via media_features in-window (same binary-column scan + one Arrow crossing); WAV/FLAC/GIF fixture closed forms pinned in tests/test_media_fixture_decode.py",
+                               extra="driver-green r13 (first hash, real fixture decode); 3-SF check.py + per-round sf0.001 auto-verify"),
+    "audio_features":     dict(since=14, family="multimodal mapInPandas codec family via media_features in-window (same binary-column scan); the WAV-FLAC identical-samples decoder-equivalence certificate is pinned in tests/test_media_fixture_decode.py",
+                               extra="driver-green r13 (first hash, real fixture decode); 3-SF check.py + per-round sf0.001 auto-verify"),
+    "interval_join_events": dict(since=14, family="interval/point-in-time family via scd2_point_in_time in-window (same validity-interval containment join); gap windows via event_transitions in-window",
+                                 extra="driver-green r13 window + r2-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "graph_triangles":    dict(since=14, family="graph family via graph_pagerank in-window (same edge-table build and degree-ordered orientation)",
+                               extra="driver-green r13 window + r4-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "graph_degree_profile": dict(since=14, family="graph family via graph_pagerank in-window (same edge-table build)",
+                                 extra="driver-green r13 window + r4-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "scd2_merge_incremental": dict(since=14, family="SCD2 family via scd2_point_in_time + scd2_snapshot_at in-window (same validity-interval build; the incremental-merge twin of the batch build)",
+                                   extra="driver-green r9-r13; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "ml_tfidf_terms_frozen": dict(since=14, family="frozen-artifact family via embed_pca_frozen + ml_mlp_score_frozen in-window (same literal-artifact integer fold)",
+                                  extra="driver-green r13 (first hash after the r13 graduation); 3-SF check.py + per-round sf0.001 auto-verify"),
 }
 _DEFER_FROM_WINDOW = tuple(DEFERRALS)
 

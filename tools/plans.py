@@ -116,8 +116,9 @@ HEADLINE = [
      "r7: FK dim key set joins without a hard broadcast hint (same "
      "degradation story); one conditional-agg pass per table"),
     ("hh_mg_vs_exact",
-     "Misra-Gries batch twin: one applyInPandas fold per hash shard + "
-     "exact-count join; bound arithmetic rides in the projection"),
+     "r14 graduated: one applyInPandas MG fold per hash shard + exact "
+     "per-key agg, one-row-per-shard totals BROADCAST back; the "
+     "guarantee flags are projection math over the joined frame"),
     ("text_gopher_rules",
      "r8: Gopher rule set — one scan, zero shuffles; line/word rules "
      "are JVM higher-order array ops, thresholds integer crossmuls"),
@@ -182,6 +183,30 @@ HEADLINE = [
      "r13: frozen vocab+idf — 2*|V| partial-combined sums in one "
      "documents scan, literal-array explode of the 1-row agg; no fit, "
      "no collect, no shuffle beyond the single-row agg"),
+    ("ml_mlp_score_frozen",
+     "r14: integer-frozen MLP inference — the quantized weight "
+     "matrices ride the expression tree as BIGINT literals (8 exact "
+     "64-term folds -> GREATEST relu -> 3 exact logit sums) alongside "
+     "ONE ArrowEvalPython crossing for the real predict_batch_udf "
+     "path; zero shuffles — the scan is the plan"),
+    ("bpe_encode_tokens",
+     "r14: corpus tokenize — trained ranks are closure constants "
+     "(model-as-broadcast), known words a broadcast word->tokens "
+     "table, ONE ArrowEvalPython crossing, no shuffle"),
+    ("pack_bins_ffd",
+     "r14 graduated: per-group FFD fold (one FlatMapGroupsInPandas "
+     "over PACK_GROUPS hash groups) -> bounded per-bin agg -> "
+     "PACK_GROUPS-row guarantee surface; doc-side stats "
+     "partial-combine in the same pass shape the SQL twin replays"),
+    ("curate_funnel_stats",
+     "r14: the composed funnel's ONE-row stats agg — every stage is a "
+     "column flag over one corpus scan plus three id-only broadcast "
+     "side-plans (dup keep-set, contaminated ids, span-dup ids)"),
+    ("ml_auto_arima_orders",
+     "r14: selection surface — one applyInPandas fit per symbol over "
+     "the shared resample grid, frozen-lookup literals ride the "
+     "projection; the global-count key is an allow-listed one-row "
+     "broadcast"),
 ]
 
 _ADDR = re.compile(r"#\d+L?")
