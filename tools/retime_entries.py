@@ -16,7 +16,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-RUNS = 3
+RUNS = 5
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
@@ -26,7 +26,7 @@ def main() -> int:
         print("usage: retime_entries.py <query-name> [...]",
               file=sys.stderr)
         return 2
-    from bench import materialize
+    from bench import _calibration_probes, materialize
     from big_data_crypto_sentiment_spark.queries import all_queries
     from big_data_crypto_sentiment_spark.session import get_spark
 
@@ -34,7 +34,8 @@ def main() -> int:
                       extra_conf={"spark.ui.enabled": "false"})
     qs = all_queries()
     out: dict = {"sf_dir": SF_DIR, "runs": RUNS,
-                 "loadavg_start": [round(x, 2) for x in os.getloadavg()]}
+                 "loadavg_start": [round(x, 2) for x in os.getloadavg()],
+                 "calibration": _calibration_probes(spark)}
     for name in names:
         walls = []
         for _ in range(RUNS):
