@@ -44,10 +44,13 @@ TIFF/12-bit JPEG share the high-byte emit convention), and
 partially-interleaved sequential scans (T.81 A.2.3 subsets) decode
 through the multi-scan coefficient store. Sub-8-bit TIFF (1/2/4-bit
 bilevel/grey/palette, MSB-first packed, byte-aligned rows — the
-scanned-document staple) decodes for real (r14). Only
-arithmetic-coded / hierarchical JPEG, mixed-depth TIFF, and true
-video codecs stay behind loud NotImplementedError tiers
-unconditionally.
+scanned-document staple) decodes for real (r14), and so does
+HIERARCHICAL JPEG (T.81 Annex J, late r14): DHP pyramids with EXP
+×2 bilinear reference expansion and differential SOF5/SOF6 frames
+reuse the sequential/progressive scan machinery into per-level
+integer references. Only arithmetic-coded JPEG, lossless JPEG,
+mixed-depth TIFF, and true video codecs stay behind loud
+NotImplementedError tiers unconditionally.
 
 Video frames (r12): animated GIFs decode frame by frame with spec
 disposal/transparency coalescing against the logical screen
@@ -2012,6 +2015,39 @@ class _JpegBits:
         raise ValueError("JPEG Huffman code not in table")
 
 
+def _jpeg_parse_dqt(body: bytes, qt: dict, zz) -> None:
+    """DQT segment → natural-order 8×8 tables keyed by id (shared by
+    the one-shot and hierarchical marker walks)."""
+    import numpy as np
+    i = 0
+    while i < len(body):
+        pq, tq = body[i] >> 4, body[i] & 0x0F
+        i += 1
+        if i + 64 * (2 if pq else 1) > len(body):
+            raise ValueError("JPEG DQT truncated")
+        vals = np.zeros(64, dtype=np.int64)
+        for k in range(64):
+            if pq:
+                vals[zz[k]] = int.from_bytes(body[i:i + 2], "big")
+                i += 2
+            else:
+                vals[zz[k]] = body[i]
+                i += 1
+        qt[tq] = vals.reshape(8, 8)
+
+
+def _jpeg_parse_dht(body: bytes, huff_dc: dict, huff_ac: dict) -> None:
+    """DHT segment → canonical decode tables (shared walks)."""
+    i = 0
+    while i < len(body):
+        tc, th = body[i] >> 4, body[i] & 0x0F
+        counts = list(body[i + 1:i + 17])
+        nsym = sum(counts)
+        syms = list(body[i + 17:i + 17 + nsym])
+        (huff_ac if tc else huff_dc)[th] = _huff_table(counts, syms)
+        i += 17 + nsym
+
+
 def _jpeg_extend(v: int, s: int) -> int:
     return v - (1 << s) + 1 if v < (1 << (s - 1)) else v
 
@@ -2033,9 +2069,11 @@ def decode_jpeg_pixels(payload: bytes):
     interleaved and non-interleaved — accumulates into a per-component
     coefficient store, finalized by ONE dequant+IDCT at EOI.
     12-bit precision decodes at full depth (level shift 2048, clip
-    4095, high-byte emit — r13); arithmetic coding / hierarchical
-    stay NotImplementedError (the header tier still reports their
-    dimensions); structural damage raises ValueError.
+    4095, high-byte emit — r13). HIERARCHICAL (DHP) streams decode
+    for real (late r14) via _jpeg_hierarchical_decode — base frame +
+    EXP-expanded differential refinements; arithmetic coding and
+    lossless modes stay NotImplementedError (the header tier still
+    reports their dimensions); structural damage raises ValueError.
 
     Scale note: the bit-serial Huffman loop is the no-dependency
     correctness path (same contract as decode_png_pixels' filter loop);
@@ -2064,32 +2102,13 @@ def decode_jpeg_pixels(payload: bytes):
         seglen = int.from_bytes(payload[pos + 2:pos + 4], "big")
         body = payload[pos + 4:pos + 2 + seglen]
         if marker == 0xDB:                     # DQT
-            i = 0
-            while i < len(body):
-                pq, tq = body[i] >> 4, body[i] & 0x0F
-                i += 1
-                if i + 64 * (2 if pq else 1) > len(body):
-                    raise ValueError("JPEG DQT truncated")
-                vals = np.zeros(64, dtype=np.int64)
-                for k in range(64):
-                    if pq:
-                        vals[zz[k]] = int.from_bytes(
-                            body[i:i + 2], "big")
-                        i += 2
-                    else:
-                        vals[zz[k]] = body[i]
-                        i += 1
-                qt[tq] = vals.reshape(8, 8)
+            _jpeg_parse_dqt(body, qt, zz)
         elif marker == 0xC4:                   # DHT
-            i = 0
-            while i < len(body):
-                tc, th = body[i] >> 4, body[i] & 0x0F
-                counts = list(body[i + 1:i + 17])
-                nsym = sum(counts)
-                syms = list(body[i + 17:i + 17 + nsym])
-                (huff_ac if tc else huff_dc)[th] = _huff_table(
-                    counts, syms)
-                i += 17 + nsym
+            _jpeg_parse_dht(body, huff_dc, huff_ac)
+        elif marker == 0xDE:                   # DHP: hierarchical mode
+            return _jpeg_hierarchical_decode(
+                payload, pos + 2 + seglen, body, qt, huff_dc, huff_ac,
+                restart_interval)
         elif marker in (0xC0, 0xC1, 0xC2):     # SOF0/1 baseline, SOF2
             frame = _jpeg_parse_sof(body)      # progressive (r12)
             progressive = marker == 0xC2
@@ -2555,10 +2574,13 @@ def _jpeg_progressive_scan(payload: bytes, pos: int, frame, scan,
     return end
 
 
-def _jpeg_finalize_progressive(frame, coefs: dict, qt: dict):
-    """One dequant + vectorized IDCT + upsample + color convert over
-    the accumulated coefficient store — the same math as the baseline
-    tail, batched with einsum instead of per-block matmuls."""
+def _jpeg_component_planes(frame, coefs: dict, qt: dict,
+                           shift: bool = True) -> list:
+    """Accumulated coefficient store → per-component spatial planes at
+    each component's OWN resolution (ceil(w·hᵢ/hmax) × ceil(h·vᵢ/vmax)),
+    dequantized + batched-IDCT'd. `shift=False` omits the level shift —
+    hierarchical DIFFERENTIAL frames decode signed corrections (T.81
+    §J.1.1.3/F: no level shift on differential output)."""
     import numpy as np
 
     for c in frame["comps"]:
@@ -2571,6 +2593,7 @@ def _jpeg_finalize_progressive(frame, coefs: dict, qt: dict):
     nn = np.arange(8)[None, :]
     C = np.cos((2 * nn + 1) * k * np.pi / 16) \
         * np.where(k == 0, np.sqrt(1 / 8), np.sqrt(2 / 8))
+    half = float(1 << (frame.get("prec", 8) - 1)) if shift else 0.0
     out = []
     for c in frame["comps"]:
         arr = coefs[c["id"]]                   # (nbv, nbh, 64) zigzag
@@ -2579,13 +2602,220 @@ def _jpeg_finalize_progressive(frame, coefs: dict, qt: dict):
         nat = np.zeros((nbv, nbh, 64), dtype=np.float64)
         nat[:, :, zz] = arr * q[zz]            # de-zigzag + dequant
         blocks = nat.reshape(nbv, nbh, 8, 8)
-        spatial = np.einsum("ij,vhjk,kl->vhil", C.T, blocks, C) \
-            + float(1 << (frame.get("prec", 8) - 1))
+        spatial = np.einsum("ij,vhjk,kl->vhil", C.T, blocks, C) + half
         plane = spatial.transpose(0, 2, 1, 3).reshape(nbv * 8, nbh * 8)
-        p = np.repeat(np.repeat(plane, vmax // c["v"], axis=0),
+        cw = -(-w * c["h"] // hmax)
+        ch = -(-h * c["v"] // vmax)
+        out.append((c, plane[:ch, :cw]))
+    return out
+
+
+def _jpeg_finalize_progressive(frame, coefs: dict, qt: dict):
+    """One dequant + vectorized IDCT + upsample + color convert over
+    the accumulated coefficient store — the same math as the baseline
+    tail, batched with einsum instead of per-block matmuls."""
+    return _jpeg_assemble(frame,
+                          _jpeg_component_planes(frame, coefs, qt))
+
+
+def _jpeg_assemble(frame, planes: list):
+    """Per-component planes → uint8 image: nearest-neighbor upsample
+    of subsampled components to the frame grid, crop, color convert."""
+    import numpy as np
+    hmax, vmax, _, _ = _jpeg_grid(frame)
+    w, h = frame["w"], frame["h"]
+    out = []
+    for c, plane in planes:
+        p = np.repeat(np.repeat(np.asarray(plane, dtype=np.float64),
+                                vmax // c["v"], axis=0),
                       hmax // c["h"], axis=1)
         out.append(p[:h, :w])
     return _jpeg_to_uint8(out, frame.get("prec", 8))
+
+
+def _jpeg_exp_double(a, eh: int, ev: int):
+    """T.81 §J.1.1.2 reference expansion: ×2 bilinear doubling per
+    flagged axis — even outputs copy the input sample, odd outputs are
+    the rounded-up mean of the neighbors, the last output replicates
+    the edge. Integer-exact (refs are integer sample arrays)."""
+    import numpy as np
+    if eh and a.shape[1]:
+        out = np.empty((a.shape[0], a.shape[1] * 2), a.dtype)
+        out[:, 0::2] = a
+        out[:, 1:-1:2] = (a[:, :-1] + a[:, 1:] + 1) >> 1
+        out[:, -1] = a[:, -1]
+        a = out
+    if ev and a.shape[0]:
+        out = np.empty((a.shape[0] * 2, a.shape[1]), a.dtype)
+        out[0::2] = a
+        out[1:-1:2] = (a[:-1] + a[1:] + 1) >> 1
+        out[-1] = a[-1]
+        a = out
+    return a
+
+
+def _jpeg_hierarchical_decode(payload: bytes, pos: int, dhp_body: bytes,
+                              qt: dict, huff_dc: dict, huff_ac: dict,
+                              restart_interval: int):
+    """Hierarchical JPEG (T.81 Annex J, r14): DHP declares the full
+    image, then a pyramid of FRAMES refines per-component integer
+    reference arrays — the first frame per component non-differential
+    (SOF0/1, level-shifted), later frames DIFFERENTIAL (SOF5
+    sequential / SOF6 progressive: the same Huffman scan machinery
+    into the coefficient store, IDCT WITHOUT level shift, signed
+    correction added to the reference). EXP (DHP→frame ×2 bilinear
+    doubling, §J.1.1.2) upsamples every reference between levels; an
+    expanded reference one sample larger than the next frame (odd
+    dims) is edge-cropped per §J.1.1.2. Each level's reconstruction
+    rounds and clamps to the sample range (the next EXP operates on
+    integer samples). Output assembles from the LAST frame's planes.
+    Lossless (SOF3/7/11/15) and arithmetic (SOF9/10/13/14) variants
+    stay their loud tiers; frames over component subsets are outside
+    this build and loud.
+
+    Documented convention: differential frames reuse the Annex F
+    coding processes unchanged except for the omitted level shift —
+    in particular the per-component DC prediction IS maintained
+    across blocks (reset at scan start and restarts), exactly as in
+    non-differential frames; the independent test encoder pins the
+    same reading."""
+    import numpy as np
+
+    dhp = _jpeg_parse_sof(dhp_body)
+    maxv = (1 << dhp["prec"]) - 1
+    zz = _zigzag_order()
+    refs: dict[int, "np.ndarray"] = {}
+    frame = None
+    coefs: dict | None = None
+    differential = progressive = False
+    frame_scanned = False
+    n = len(payload)
+
+    def _finalize_frame():
+        nonlocal frame, coefs, frame_scanned
+        if frame is None:
+            return
+        if not frame_scanned:
+            raise ValueError("JPEG hierarchical frame without scans")
+        for c, plane in _jpeg_component_planes(
+                frame, coefs, qt, shift=not differential):
+            v = np.round(plane).astype(np.int64)
+            if differential:
+                if c["id"] not in refs:
+                    raise ValueError(
+                        "JPEG differential frame without a reference")
+                r = refs[c["id"]]
+                rh, rw = r.shape
+                vh, vw = v.shape
+                if rh < vh or rw < vw or rh > vh + 1 or rw > vw + 1:
+                    raise ValueError(
+                        "JPEG hierarchical reference/frame dimension "
+                        "mismatch")
+                v = r[:vh, :vw] + v            # §J crop after EXP
+            refs[c["id"]] = np.clip(v, 0, maxv)
+        frame = None
+        coefs = None
+        frame_scanned = False
+
+    last_frame = None
+    while pos + 2 <= n:
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        marker = payload[pos + 1]
+        if marker == 0xD9:                     # EOI
+            break
+        if pos + 4 > n:
+            raise ValueError("truncated JPEG hierarchical stream")
+        seglen = int.from_bytes(payload[pos + 2:pos + 4], "big")
+        body = payload[pos + 4:pos + 2 + seglen]
+        if marker == 0xDB:
+            _jpeg_parse_dqt(body, qt, zz)
+        elif marker == 0xC4:
+            _jpeg_parse_dht(body, huff_dc, huff_ac)
+        elif marker == 0xDD:
+            restart_interval = int.from_bytes(body[0:2], "big")
+        elif marker == 0xDF:                   # EXP
+            _finalize_frame()
+            if len(body) < 1:
+                raise ValueError("truncated JPEG EXP segment")
+            eh, ev = body[0] >> 4, body[0] & 0x0F
+            if eh > 1 or ev > 1:
+                raise ValueError("JPEG EXP factors out of range")
+            for cid in refs:
+                r = _jpeg_exp_double(refs[cid], eh, ev)
+                # attacker-controlled repeated EXP must not allocate
+                # past the decode cap (plus the one-sample odd-dim
+                # slack a legal pyramid can carry per axis)
+                if r.size > 4 * _MAX_PIXELS:
+                    raise ValueError(
+                        "JPEG EXP expansion over the decode cap")
+                refs[cid] = r
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC5, 0xC6):
+            _finalize_frame()
+            frame = _jpeg_parse_sof(body)
+            if frame["prec"] != dhp["prec"]:
+                raise ValueError(
+                    "JPEG hierarchical frame precision differs from "
+                    "DHP")
+            known = {c["id"] for c in dhp["comps"]}
+            if {c["id"] for c in frame["comps"]} != known:
+                raise NotImplementedError(
+                    "JPEG hierarchical frame over a component subset")
+            differential = marker in (0xC5, 0xC6)
+            progressive = marker in (0xC2, 0xC6)
+            coefs = _jpeg_alloc_coefs(frame)
+            last_frame = frame
+        elif marker in (0xC3, 0xC7, 0xCB, 0xCF):
+            raise NotImplementedError("JPEG lossless mode")
+        elif marker in (0xC9, 0xCA, 0xCD, 0xCE, 0xCC):
+            raise NotImplementedError("JPEG arithmetic coding")
+        elif marker == 0xDE:
+            raise ValueError("JPEG repeated DHP marker")
+        elif marker == 0xDA:                   # SOS
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            if not body or len(body) < 4 + 2 * body[0]:
+                raise ValueError("truncated JPEG SOS header")
+            ns = body[0]
+            scan = []
+            for c in range(ns):
+                cs, tds = body[1 + 2 * c], body[2 + 2 * c]
+                matches = [x for x in frame["comps"] if x["id"] == cs]
+                if not matches:
+                    raise ValueError(
+                        f"JPEG scan references unknown component {cs}")
+                scan.append({**matches[0],
+                             "td": tds >> 4, "ta": tds & 0x0F})
+            for c in scan:                 # missing tables = corrupt
+                if c["tq"] not in qt:
+                    raise ValueError("JPEG quant table missing")
+                if not progressive and (c["td"] not in huff_dc
+                                        or c["ta"] not in huff_ac):
+                    raise ValueError("JPEG Huffman table missing")
+            data_start = pos + 2 + seglen
+            if progressive:
+                ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+                ahal = body[3 + 2 * ns]
+                pos = _jpeg_progressive_scan(
+                    payload, data_start, frame, scan, coefs,
+                    ss, se, ahal >> 4, ahal & 0x0F,
+                    huff_dc, huff_ac, restart_interval)
+            elif ns == 1:
+                pos = _jpeg_sequential_scan(
+                    payload, data_start, frame, scan[0], coefs,
+                    huff_dc, huff_ac, restart_interval)
+            else:
+                pos = _jpeg_sequential_scan_interleaved(
+                    payload, data_start, frame, scan, coefs,
+                    huff_dc, huff_ac, restart_interval)
+            frame_scanned = True
+            continue
+        pos += 2 + seglen
+    _finalize_frame()
+    if last_frame is None or not refs:
+        raise ValueError("JPEG hierarchical stream without frames")
+    planes = [(c, refs[c["id"]]) for c in last_frame["comps"]]
+    return _jpeg_assemble(last_frame, planes)
 
 
 def _jpeg_decode_scan(payload: bytes, pos: int, frame, scan, qt,

@@ -337,6 +337,16 @@ def test_mutation_fuzz_smoke_only_contract_exceptions_escape():
     seeds.append(b"II*\x00" + struct.pack("<I", 8)
                  + struct.pack("<H", n_ent) + ents
                  + struct.pack("<I", 0) + bil_rows)
+    # late r14: a hierarchical JPEG (DHP + base + EXP + SOF5 diff)
+    # joins the corpus via the independent test encoder
+    import importlib.util
+    import os as _os
+    _spec = importlib.util.spec_from_file_location(
+        "_t_hier", _os.path.join(_os.path.dirname(__file__),
+                                 "test_jpeg_hierarchical.py"))
+    _hier = importlib.util.module_from_spec(_spec)
+    _spec.loader.exec_module(_hier)
+    seeds.append(_hier._hier_grey(_hier._smooth(16, 16, 9))[0])
     entries = [lambda p: decode_media(p, "image"), decode_image_pixels,
                decode_gif_frames, decode_video_frames,
                decode_wav_samples, decode_flac_samples]
