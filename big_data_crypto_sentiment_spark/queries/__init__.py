@@ -380,6 +380,19 @@ DEFERRALS: dict[str, dict] = {
                                    extra="driver-green r9-r13; 3-SF check.py + per-round sf0.001 auto-verify"),
     "ml_tfidf_terms_frozen": dict(since=14, family="frozen-artifact family via embed_pca_frozen + ml_mlp_score_frozen in-window (same literal-artifact integer fold)",
                                   extra="driver-green r13 (first hash after the r13 graduation); 3-SF check.py + per-round sf0.001 auto-verify"),
+    # born-deferred (late r14): the four applyInPandas fit surfaces
+    # graduated via the frozen-fit recipe (self-checking live-vs-
+    # frozen literals keyed by the recomputed event count) after the
+    # r14 window was set; they rotate in for first driver hashes with
+    # the r15 tranche
+    "ml_ar_train": dict(since=14, family="frozen-fit family via ml_auto_arima_orders + ml_mlp_score_frozen in-window (same frozen-expected lookup recipe); ml family via ml_sentiment in-window; YW fit math pinned in tests/test_ml.py",
+                        extra="born-deferred late r14 (graduated from rows-only: frozen-fit literals, self-checking); 3-SF check.py + per-round sf0.001 auto-verify"),
+    "ml_arma_train": dict(since=14, family="frozen-fit family via ml_auto_arima_orders + ml_mlp_score_frozen in-window (same recipe); HR two-stage parity pinned in tests/test_ml.py",
+                          extra="born-deferred late r14 (graduated from rows-only: frozen-fit literals, self-checking); 3-SF check.py + per-round sf0.001 auto-verify"),
+    "ml_arma_cv": dict(since=14, family="frozen-fit family via ml_auto_arima_orders in-window (same recipe); no-future-leakage fold contract pinned in tests/test_ml.py",
+                       extra="born-deferred late r14 (graduated from rows-only: frozen-fit literals, self-checking); 3-SF check.py + per-round sf0.001 auto-verify"),
+    "ml_auto_arima": dict(since=14, family="frozen-fit family via ml_auto_arima_orders in-window (the same selection surface's fit columns under the same lookup); KPSS/stepwise recovery pinned in tests/test_ml.py",
+                          extra="born-deferred late r14 (graduated from rows-only: frozen-fit literals, self-checking); 3-SF check.py + per-round sf0.001 auto-verify"),
 }
 _DEFER_FROM_WINDOW = tuple(DEFERRALS)
 
