@@ -48,7 +48,9 @@ scanned-document staple) decodes for real (r14), and so does
 HIERARCHICAL JPEG (T.81 Annex J, late r14): DHP pyramids with EXP
 ×2 bilinear reference expansion and differential SOF5/SOF6 frames
 reuse the sequential/progressive scan machinery into per-level
-integer references. Only arithmetic-coded JPEG, lossless JPEG,
+integer references. LOSSLESS JPEG (SOF3, late r14) decodes exactly:
+all seven Annex H spatial predictors, the point transform, 8-16-bit
+precision, modulo-2^16 reconstruction. Only arithmetic-coded JPEG,
 mixed-depth TIFF, and true video codecs stay behind loud
 NotImplementedError tiers unconditionally.
 
@@ -2071,9 +2073,12 @@ def decode_jpeg_pixels(payload: bytes):
     12-bit precision decodes at full depth (level shift 2048, clip
     4095, high-byte emit — r13). HIERARCHICAL (DHP) streams decode
     for real (late r14) via _jpeg_hierarchical_decode — base frame +
-    EXP-expanded differential refinements; arithmetic coding and
-    lossless modes stay NotImplementedError (the header tier still
-    reports their dimensions); structural damage raises ValueError.
+    EXP-expanded differential refinements — and so does LOSSLESS
+    (SOF3, late r14) via _jpeg_lossless_scan (all seven Annex H
+    predictors, point transform, 8-16-bit precision, exact
+    reconstruction); arithmetic coding stays NotImplementedError (the
+    header tier still reports its dimensions); structural damage
+    raises ValueError.
 
     Scale note: the bit-serial Huffman loop is the no-dependency
     correctness path (same contract as decode_png_pixels' filter loop);
@@ -2088,6 +2093,7 @@ def decode_jpeg_pixels(payload: bytes):
     huff_ac: dict[int, dict] = {}
     frame = None
     progressive = False
+    lossless = False
     coefs: dict | None = None
     n_scans = 0
     seen_comps: set[int] = set()       # non-interleaved baseline scans
@@ -2114,7 +2120,10 @@ def decode_jpeg_pixels(payload: bytes):
             progressive = marker == 0xC2
             if progressive:
                 coefs = _jpeg_alloc_coefs(frame)
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker == 0xC3:                   # SOF3 lossless (r14)
+            frame = _jpeg_parse_sof_lossless(body)
+            lossless = True
+        elif marker in (0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"JPEG SOF{marker - 0xC0} (non-baseline)")
@@ -2141,10 +2150,22 @@ def decode_jpeg_pixels(payload: bytes):
                         f"JPEG scan references unknown component {cs}")
                 scan.append({**matches[0],
                              "td": tds >> 4, "ta": tds & 0x0F})
+            data_start = pos + 2 + seglen
+            if lossless:
+                if len(scan) != len(frame["comps"]):
+                    raise NotImplementedError(
+                        "JPEG lossless non-interleaved scans")
+                for c in scan:
+                    if c["td"] not in huff_dc:
+                        raise ValueError("JPEG Huffman table missing")
+                pred_sel = body[1 + 2 * ns]
+                pt = body[3 + 2 * ns] & 0x0F
+                return _jpeg_lossless_scan(
+                    payload, data_start, frame, scan, pred_sel, pt,
+                    huff_dc, restart_interval)
             for c in scan:                 # missing tables = corrupt,
                 if c["tq"] not in qt:      # not a crashed Python task
                     raise ValueError("JPEG quant table missing")
-            data_start = pos + 2 + seglen
             if not progressive:
                 for c in scan:
                     if c["td"] not in huff_dc or c["ta"] not in huff_ac:
@@ -2292,15 +2313,16 @@ def _jpeg_sequential_scan_interleaved(payload: bytes, pos: int, frame,
     return end
 
 
-def _jpeg_parse_sof(body: bytes) -> dict:
-    """Frame header shared by SOF0/1 (baseline) and SOF2 (progressive):
+def _jpeg_parse_sof(body: bytes, allowed_prec=(8, 12)) -> dict:
+    """Frame header shared by SOF0/1 (baseline), SOF2 (progressive)
+    and — with the wider precision gate — SOF3 (lossless):
     precision/dimension gates + per-component sampling factors. A body
     shorter than its fixed layout is corrupt — ValueError, never an
     IndexError task crash."""
     if len(body) < 6 or len(body) < 6 + 3 * body[5]:
         raise ValueError("truncated JPEG SOF body")
     prec = body[0]
-    if prec not in (8, 12):
+    if prec not in allowed_prec:
         raise NotImplementedError(f"JPEG precision {prec}")
     h = int.from_bytes(body[1:3], "big")
     w = int.from_bytes(body[3:5], "big")
@@ -2318,6 +2340,80 @@ def _jpeg_parse_sof(body: bytes) -> dict:
             raise ValueError("JPEG sampling factors out of range")
         comps.append({"id": cid, "h": hs, "v": vs, "tq": tq})
     return {"w": w, "h": h, "prec": prec, "comps": comps}
+
+
+def _jpeg_parse_sof_lossless(body: bytes) -> dict:
+    """SOF3 frame header: lossless precision spans 8..16 bits (2..7-
+    bit lossless stays the loud tier — the high-byte emit convention
+    needs P ≥ 8); no quantization applies."""
+    return _jpeg_parse_sof(body, allowed_prec=tuple(range(8, 17)))
+
+
+def _jpeg_lossless_scan(payload: bytes, pos: int, frame, scan,
+                        pred_sel: int, pt: int, huff_dc,
+                        restart_interval: int):
+    """LOSSLESS JPEG scan (T.81 Annex H, r14): per sample, a
+    DC-table-coded magnitude category (SSSS 0-16; 16 means the
+    difference is exactly 32768) + extend bits give the prediction
+    difference; the prediction is one of the seven spatial predictors
+    selected by Ss, with the spec's boundary rules — the very first
+    sample predicts 2^(P-Pt-1), the rest of line one predicts Ra, the
+    first sample of every later line predicts Rb — and reconstruction
+    is modulo 2^16 in the point-transformed domain, shifted left by
+    Pt on output. Interleaved full-component scans at 1×1 sampling;
+    subsampled/non-interleaved lossless and restart-marker streams
+    stay loud tiers."""
+    import numpy as np
+
+    if restart_interval:
+        raise NotImplementedError("JPEG lossless with restart markers")
+    if not (1 <= pred_sel <= 7):
+        raise ValueError(
+            f"JPEG lossless predictor {pred_sel} out of range")
+    if any(c["h"] != 1 or c["v"] != 1 for c in frame["comps"]):
+        raise NotImplementedError("JPEG lossless with subsampling")
+    prec = frame.get("prec", 8)
+    if pt >= prec:
+        raise ValueError("JPEG lossless point transform out of range")
+    w, h = frame["w"], frame["h"]
+    segments, _ = _jpeg_entropy_segments(payload, pos)
+    bits = _JpegBits(segments)
+    default = 1 << (prec - pt - 1)
+    planes = [np.zeros((h, w), dtype=np.int64) for _ in scan]
+    tabs = [huff_dc[c["td"]] for c in scan]
+    for y in range(h):
+        for x in range(w):
+            for ci in range(len(scan)):
+                p = planes[ci]
+                s = bits.read_huff(tabs[ci])
+                if s > 16:
+                    raise ValueError(
+                        "JPEG lossless magnitude category out of "
+                        "range")
+                if s == 16:
+                    diff = 32768
+                elif s:
+                    diff = _jpeg_extend(bits.read_bits(s), s)
+                else:
+                    diff = 0
+                if y == 0 and x == 0:
+                    pred = default
+                elif y == 0:
+                    pred = int(p[0, x - 1])
+                elif x == 0:
+                    pred = int(p[y - 1, 0])
+                else:
+                    ra = int(p[y, x - 1])
+                    rb = int(p[y - 1, x])
+                    rc = int(p[y - 1, x - 1])
+                    pred = (ra, rb, rc, ra + rb - rc,
+                            ra + ((rb - rc) >> 1),
+                            rb + ((ra - rc) >> 1),
+                            (ra + rb) >> 1)[pred_sel - 1]
+                p[y, x] = (pred + diff) & 0xFFFF
+    out = [(c, (planes[ci] << pt).astype(np.float64))
+           for ci, c in enumerate(scan)]
+    return _jpeg_assemble(frame, out)
 
 
 def _jpeg_to_uint8(out: list, prec: int):

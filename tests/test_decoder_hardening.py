@@ -347,6 +347,13 @@ def test_mutation_fuzz_smoke_only_contract_exceptions_escape():
     _hier = importlib.util.module_from_spec(_spec)
     _spec.loader.exec_module(_hier)
     seeds.append(_hier._hier_grey(_hier._smooth(16, 16, 9))[0])
+    # late r14: a lossless (SOF3) JPEG joins the corpus too
+    _spec2 = importlib.util.spec_from_file_location(
+        "_t_ll", _os.path.join(_os.path.dirname(__file__),
+                               "test_jpeg_lossless.py"))
+    _ll = importlib.util.module_from_spec(_spec2)
+    _spec2.loader.exec_module(_ll)
+    seeds.append(_ll._encode_lossless([_ll._img(8, 8, 3)], sel=4)[0])
     entries = [lambda p: decode_media(p, "image"), decode_image_pixels,
                decode_gif_frames, decode_video_frames,
                decode_wav_samples, decode_flac_samples]
