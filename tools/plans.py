@@ -207,6 +207,11 @@ HEADLINE = [
      "the shared resample grid, frozen-lookup literals ride the "
      "projection; the global-count key is an allow-listed one-row "
      "broadcast"),
+    ("ml_auto_arima",
+     "late r14 frozen-fit graduation: the live per-symbol "
+     "applyInPandas fit (one shuffle on event_type) with the "
+     "parquet-stats event count as a literal lookup key — no join, "
+     "no broadcast; the oracle side is a pure VALUES lookup"),
 ]
 
 _ADDR = re.compile(r"#\d+L?")
