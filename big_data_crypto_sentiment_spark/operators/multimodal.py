@@ -2785,6 +2785,7 @@ def _jpeg_hierarchical_decode(payload: bytes, pos: int, dhp_body: bytes,
     coefs: dict | None = None
     differential = progressive = False
     frame_scanned = False
+    scanned_ids: set[int] = set()
     n = len(payload)
 
     def _finalize_frame():
@@ -2793,6 +2794,11 @@ def _jpeg_hierarchical_decode(payload: bytes, pos: int, dhp_body: bytes,
             return
         if not frame_scanned:
             raise ValueError("JPEG hierarchical frame without scans")
+        if scanned_ids != {c["id"] for c in frame["comps"]}:
+            # a partially-scanned frame would silently finalize
+            # zero-coefficient planes for the unscanned components
+            raise ValueError(
+                "JPEG hierarchical frame is missing component scans")
         for c, plane in _jpeg_component_planes(
                 frame, coefs, qt, shift=not differential):
             v = np.round(plane).astype(np.int64)
@@ -2812,6 +2818,7 @@ def _jpeg_hierarchical_decode(payload: bytes, pos: int, dhp_body: bytes,
         frame = None
         coefs = None
         frame_scanned = False
+        scanned_ids.clear()
 
     last_frame = None
     while pos + 2 <= n:
@@ -2905,6 +2912,7 @@ def _jpeg_hierarchical_decode(payload: bytes, pos: int, dhp_body: bytes,
                     payload, data_start, frame, scan, coefs,
                     huff_dc, huff_ac, restart_interval)
             frame_scanned = True
+            scanned_ids.update(c["id"] for c in scan)
             continue
         pos += 2 + seglen
     _finalize_frame()

@@ -380,3 +380,27 @@ def test_hierarchical_resize_tier_is_real(spark):
     assert out[1].resize_status == "passthrough"
     assert out[2].resize_status == "resampled" and out[2].resized
     assert (out[2].src_width, out[2].src_height) == (300, 260)
+
+
+def test_hierarchical_partial_component_scan_is_corrupt():
+    """A color frame whose SOS covers only one component must die
+    loudly instead of finalizing zero planes for the others."""
+    h, w = 16, 16
+    planes = [_smooth(h, w, 30 + i)[::2, ::2] for i in range(3)]
+    c0s = [_fdct(p - 128) for p in planes]
+    full = _frame(0xC0, c0s, 8, 8)
+    # rebuild the frame with a single-component SOS over component 1
+    sof = _sof(0xC0, 8, 8, 3)
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    wtr = _W()
+    pred = 0
+    for by in range(c0s[0].shape[0]):
+        for bx in range(c0s[0].shape[1]):
+            pred = _emit_block(wtr, c0s[0][by, bx].reshape(-1)[_ZZ],
+                               pred)
+    partial = sof + _seg(0xDA, sos) + wtr.done()
+    stream = (b"\xff\xd8" + _tables() + _dhp(h, w, 3) + partial
+              + b"\xff\xd9")
+    with pytest.raises(ValueError, match="missing component scans"):
+        decode_jpeg_pixels(stream)
+    assert full  # the complete frame above remains a valid building block
