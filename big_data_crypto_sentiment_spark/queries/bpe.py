@@ -459,6 +459,11 @@ QUERIES = {
 #     contains </w> (nothing follows </w> inside a word, so such pairs
 #     have zero training count), and every word-final token does. ---
 def _sql_bpe_round(k: int) -> str:
+    # mm{k} is the 1-row-ALWAYS twin of the argmax: when the pair
+    # table exhausts before BPE_MERGES rounds (reference_bpe's early
+    # break), m{k} is empty and a bare cross join would empty every
+    # downstream row — the sentinel chr(2) pair never occurs in
+    # content, so the replace becomes a no-op instead
     return f"""
 p{k} AS (
   SELECT l AS a, r AS b, CAST(SUM(wc) AS BIGINT) AS cnt FROM (
@@ -471,10 +476,14 @@ m{k} AS (
   SELECT {k} AS rank, a, b, a || b AS merged, cnt AS freq
   FROM p{k} ORDER BY cnt DESC, a || chr(1) || b LIMIT 1
 ),
+mm{k} AS (
+  SELECT COALESCE(MAX(a), chr(2)) AS a, COALESCE(MAX(b), chr(2)) AS b
+  FROM m{k}
+),
 s{k} AS (
   SELECT wc, replace(s, '(' || m.a || ')(' || m.b || ')',
                      '(' || m.a || m.b || ')') AS s
-  FROM s{k - 1}, m{k} m
+  FROM s{k - 1}, mm{k} m
 )"""
 
 
@@ -491,12 +500,14 @@ s0 AS (
   FROM wcs
 ),""" + ",".join(_sql_bpe_round(k) for k in range(1, BPE_MERGES + 1))
 
+# the encode replay applies the SENTINEL-GUARDED mm{k} rows so a
+# short-of-8-merges corpus replays as no-ops, not an empty cross join
 _SQL_BPE_APPLY = "d.s"
 for _k in range(1, BPE_MERGES + 1):
     _SQL_BPE_APPLY = (
         f"replace({_SQL_BPE_APPLY}, "
-        f"'(' || m{_k}.a || ')(' || m{_k}.b || ')', "
-        f"'(' || m{_k}.a || m{_k}.b || ')')")
+        f"'(' || mm{_k}.a || ')(' || mm{_k}.b || ')', "
+        f"'(' || mm{_k}.a || mm{_k}.b || ')')")
 
 ORACLE: dict[str, str] = {
     "bpe_merges": _SQL_BPE_TRAIN + """
@@ -514,7 +525,7 @@ d0 AS (
 ),
 enc AS (
   SELECT d.doc_id, {_SQL_BPE_APPLY} AS s
-  FROM d0 d, {", ".join(f"m{k}" for k in range(1, BPE_MERGES + 1))}
+  FROM d0 d, {", ".join(f"mm{k}" for k in range(1, BPE_MERGES + 1))}
 )
 SELECT doc_id,
        CAST(length(s) - length(replace(s, '(', '')) AS INTEGER)
