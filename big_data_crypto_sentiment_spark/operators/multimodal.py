@@ -46,9 +46,10 @@ through the multi-scan coefficient store. Sub-8-bit TIFF (1/2/4-bit
 bilevel/grey/palette, MSB-first packed, byte-aligned rows — the
 scanned-document staple) decodes for real (r14), and so does
 HIERARCHICAL JPEG (T.81 Annex J, late r14): DHP pyramids with EXP
-×2 bilinear reference expansion and differential SOF5/SOF6 frames
-reuse the sequential/progressive scan machinery into per-level
-integer references. LOSSLESS JPEG (SOF3, late r14) decodes exactly:
+×2 bilinear reference expansion and differential SOF5 frames
+reuse the sequential scan machinery into per-level integer
+references (SOF6 differential progressive stays loud until an
+independent encoder pins it). LOSSLESS JPEG (SOF3, late r14) decodes exactly:
 all seven Annex H spatial predictors, the point transform, 8-16-bit
 precision, modulo-2^16 reconstruction. Only arithmetic-coded JPEG,
 mixed-depth TIFF, and true video codecs stay behind loud
@@ -2757,9 +2758,10 @@ def _jpeg_hierarchical_decode(payload: bytes, pos: int, dhp_body: bytes,
     image, then a pyramid of FRAMES refines per-component integer
     reference arrays — the first frame per component non-differential
     (SOF0/1, level-shifted), later frames DIFFERENTIAL (SOF5
-    sequential / SOF6 progressive: the same Huffman scan machinery
-    into the coefficient store, IDCT WITHOUT level shift, signed
-    correction added to the reference). EXP (DHP→frame ×2 bilinear
+    sequential: the same Huffman scan machinery into the coefficient
+    store, IDCT WITHOUT level shift, signed correction added to the
+    reference; SOF6 differential progressive stays loud until an
+    independent encoder pins it). EXP (DHP→frame ×2 bilinear
     doubling, §J.1.1.2) upsamples every reference between levels; an
     expanded reference one sample larger than the next frame (odd
     dims) is edge-cropped per §J.1.1.2. Each level's reconstruction
@@ -2853,7 +2855,14 @@ def _jpeg_hierarchical_decode(payload: bytes, pos: int, dhp_body: bytes,
                     raise ValueError(
                         "JPEG EXP expansion over the decode cap")
                 refs[cid] = r
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC5, 0xC6):
+        elif marker == 0xC6:
+            # differential PROGRESSIVE frames are outside the tested
+            # surface — the scan machinery would accept them, but an
+            # advertised-yet-unexercised path is a silent-wrong risk,
+            # so they stay loud until an independent encoder pins them
+            raise NotImplementedError(
+                "JPEG hierarchical differential progressive frame")
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC5):
             _finalize_frame()
             frame = _jpeg_parse_sof(body)
             if frame["prec"] != dhp["prec"]:
@@ -2864,8 +2873,8 @@ def _jpeg_hierarchical_decode(payload: bytes, pos: int, dhp_body: bytes,
             if {c["id"] for c in frame["comps"]} != known:
                 raise NotImplementedError(
                     "JPEG hierarchical frame over a component subset")
-            differential = marker in (0xC5, 0xC6)
-            progressive = marker in (0xC2, 0xC6)
+            differential = marker == 0xC5
+            progressive = marker == 0xC2
             coefs = _jpeg_alloc_coefs(frame)
             last_frame = frame
         elif marker in (0xC3, 0xC7, 0xCB, 0xCF):

@@ -404,3 +404,14 @@ def test_hierarchical_partial_component_scan_is_corrupt():
     with pytest.raises(ValueError, match="missing component scans"):
         decode_jpeg_pixels(stream)
     assert full  # the complete frame above remains a valid building block
+
+
+def test_hierarchical_differential_progressive_stays_loud():
+    """SOF6 frames would ride untested machinery — they must be a
+    loud tier, not a silent maybe-wrong decode."""
+    full = _smooth(16, 16, 8)
+    c0 = _fdct(full[::2, ::2] - 128)
+    head = (b"\xff\xd8" + _tables() + _dhp(16, 16, 1)
+            + _frame(0xC0, [c0], 8, 8) + _seg(0xDF, bytes([0x11])))
+    with pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg_pixels(head + _sof(0xC6, 16, 16, 1) + b"\xff\xd9")
