@@ -393,6 +393,8 @@ DEFERRALS: dict[str, dict] = {
                        extra="born-deferred late r14 (graduated from rows-only: frozen-fit literals, self-checking); 3-SF check.py + per-round sf0.001 auto-verify"),
     "ml_auto_arima": dict(since=14, family="frozen-fit family via ml_auto_arima_orders in-window (the same selection surface's fit columns under the same lookup); KPSS/stepwise recovery pinned in tests/test_ml.py",
                           extra="born-deferred late r14 (graduated from rows-only: frozen-fit literals, self-checking); 3-SF check.py + per-round sf0.001 auto-verify"),
+    "sim_ivf_recall_contract": dict(since=14, family="similarity family via sim_ann_lsh + embed_mean_pool in-window (same sequential-fold cosine core); contract-flag family via approx_quantiles + cms_heavy_hitters in-window (same assert-the-published-bound recipe)",
+                                    extra="born-deferred late r14 (new pair: exact top-k hashes + the LIVE MLlib IVF fit's recall as a structural smoke flag); 3-SF check.py + per-round sf0.001 auto-verify"),
 }
 _DEFER_FROM_WINDOW = tuple(DEFERRALS)
 
