@@ -26,6 +26,8 @@ SF_DIR = "/root/testdata/sf0.001"
 # query -> reason the nested loop is safe at scale
 ALLOW_NESTED_LOOP = {
     "sim_topk_cosine": "documented brute-force baseline, broadcast Q",
+    "sim_ivf_recall_contract": "the same brute-force exact side "
+                               "(broadcast Q) feeding the recall flag",
     "key_skew_profile": "scalar one-row broadcast (global totals)",
     "mixture_downsample": "scalar one-row broadcast (global totals)",
     "zorder_key_lineitem": "scalar one-row broadcast (global min/max stats)",
