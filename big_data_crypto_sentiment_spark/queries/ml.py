@@ -1245,9 +1245,15 @@ def q_ml_mlp_score_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..streaming.enrich import enrich_with_model_score
     w1, b1, w2, b2 = _mlp_frozen_ints()
+    # slice to EXACTLY the model width: predict_batch_udf's tensor
+    # validation hard-fails on ragged batches (an over-length vector
+    # would kill the task, not read as a contract error), and
+    # zip_with against the 64-literal arrays null-pads past the
+    # weights — both engines score the first MLP_DIM coordinates
     e = (table(spark, sf_dir, "embeddings")
          .filter(F.size("embedding") >= MLP_DIM)
-         .select("vec_id", "embedding"))
+         .select("vec_id",
+                 F.slice("embedding", 1, MLP_DIM).alias("embedding")))
     # real inference path over the dequantized artifact
     weights = (w1 / MLP_W_SCALE, b1 / MLP_H_SCALE,
                w2 / MLP_W_SCALE, b2 / MLP_L_SCALE)
@@ -1311,7 +1317,7 @@ def _sql_mlp_frozen() -> str:
     return f"""
 WITH x AS (
   SELECT vec_id,
-         list_transform(embedding,
+         list_transform(embedding[1:{MLP_DIM}],
            v -> CAST(ROUND(CAST(v AS DOUBLE) * {MLP_X_SCALE}) AS BIGINT))
            AS x6
   FROM embeddings WHERE len(embedding) >= {MLP_DIM}
