@@ -44,6 +44,81 @@ LM_DROP_FRAC = 0.10  # worst decile by unigram NLL (CCNet's "tail" cut)
 SPAN_DUP_MAX_FRAC = 0.5  # drop docs whose dup-gram coverage exceeds this
 
 
+def _per_doc_flags(d: DataFrame, lp: dict[str, int], oov: int) -> DataFrame:
+    """quality_ok + repetition_ok + avg_nll in ONE projection chain over
+    one corpus scan (VERDICT r14 #3): the C4 rules, the repetition
+    metrics, and the LM score are all per-row, so the funnel computes
+    them together instead of three separate `documents` scans. The flag
+    semantics are expression-identical to q_text_c4_filter /
+    repetition_signals / unigram_score (same shared constants, same
+    integer thresholds, same staged-array hygiene — every HOF array in
+    its own projection so Catalyst never duplicates the expensive
+    expression trees). NULL-text docs are dropped, exactly as the
+    previous inner join on unigram_score's output did."""
+    from ..queries.cleaning import _LP_SCALE, DUP_2GRAM_MAX, TOP_WORD_MAX
+    from ..queries.text import (
+        _n_words,
+        C4_MIN_WORDS,
+        C4_PUNCT_PCT,
+        C4_STOPWORD_PCT,
+        PAT_CTA,
+        PAT_STOPWORD,
+    )
+
+    t = F.col("text")
+    n_words = _n_words(t)
+    stop_n = F.regexp_count(t, F.lit(PAT_STOPWORD))
+    punct_n = F.length(t) - F.length(
+        F.regexp_replace(t, r"[^A-Za-z0-9\s]", ""))
+    too_short = (n_words < C4_MIN_WORDS).cast("int")
+    low_stop = (stop_n * 100 < n_words * C4_STOPWORD_PCT).cast("int")
+    high_punct = (punct_n * 100 > F.length(t) * C4_PUNCT_PCT).cast("int")
+    cta_spam = (F.regexp_count(t, F.lit(PAT_CTA)) > 0).cast("int")
+    quality_ok = ((too_short + low_stop + high_punct + cta_spam) == 0)
+
+    lpmap = F.create_map(*[F.lit(x) for kv in lp.items() for x in kv])
+    s1 = (d.filter(t.isNotNull())
+           .select("*", quality_ok.cast("int").alias("quality_ok"),
+                   F.split(t, " ").alias("_w")))
+    g2 = F.expr("transform(slice(_w, 1, size(_w) - 1), "
+                "(w, i) -> concat(w, ' ', _w[i + 1]))")
+    tok_lp = F.transform(
+        F.col("_w"),
+        lambda w: F.coalesce(F.element_at(lpmap, w), F.lit(oov)))
+    s2 = s1.select("*", g2.alias("_g2"), tok_lp.alias("_lp"))
+    top_cnt = F.aggregate(
+        F.array_sort(F.col("_w")),
+        F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                 F.lit(0).alias("best")),
+        lambda acc, w: F.struct(
+            w.alias("prev"),
+            F.when(w == acc["prev"], acc["run"] + 1)
+             .otherwise(F.lit(1)).alias("run"),
+            F.greatest(acc["best"],
+                       F.when(w == acc["prev"], acc["run"] + 1)
+                        .otherwise(F.lit(1))).alias("best")),
+        lambda acc: acc["best"])
+    sum_lp = F.aggregate(F.col("_lp"), F.lit(0).cast("bigint"),
+                         lambda a, x: a + x.cast("bigint"))
+    base = list(d.columns)
+    s3 = s2.select(*base, "quality_ok",
+                   F.size("_w").alias("_nw"),
+                   top_cnt.alias("_top"),
+                   F.size("_g2").alias("_n2"),
+                   F.size(F.array_distinct("_g2")).alias("_nd2"),
+                   sum_lp.alias("_slp"))
+    top_frac = F.when(F.col("_nw") > 0,
+                      F.col("_top") / F.col("_nw")).otherwise(0.0)
+    dup2 = F.when(F.col("_n2") > 0,
+                  1.0 - F.col("_nd2") / F.col("_n2")).otherwise(0.0)
+    repetitive = (top_frac > TOP_WORD_MAX) | (dup2 > DUP_2GRAM_MAX)
+    avg_nll = F.round(-F.col("_slp").cast("double")
+                      / (F.col("_nw") * float(_LP_SCALE)), 6)
+    return s3.select(*base, "quality_ok",
+                     (1 - repetitive.cast("int")).alias("repetition_ok"),
+                     avg_nll.alias("avg_nll"))
+
+
 def curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Annotated corpus: every doc with its per-stage keep flags, final
     `keep`, and `split`. Filter on `keep` to materialize the corpus;
@@ -51,17 +126,12 @@ def curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..queries._util import table
     from ..queries.cleaning import (
         decontaminate,
-        repetition_signals,
         unigram_model,
         unigram_score,
     )
     from ..queries.sampling import split_train_val_test
-    from ..queries.text import q_text_c4_filter
 
     d = table(spark, sf_dir, "documents")
-
-    quality = q_text_c4_filter(spark, sf_dir).select(
-        "doc_id", F.col("keep").alias("quality_ok"))
 
     norm = F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
     keep_ids = (d.groupBy(norm.alias("content"))
@@ -70,9 +140,6 @@ def curate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     contaminated = (decontaminate(d)
                     .select("doc_id", F.lit(1).alias("contaminated")))
-
-    rep = repetition_signals(d).select(
-        "doc_id", (1 - F.col("repetitive")).alias("repetition_ok"))
 
     # substring-level dedup: id-only set of docs that are mostly
     # duplicated spans (dup_frac > cap); docs shorter than the gram
@@ -119,18 +186,19 @@ def curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # CCNet-style perplexity cut: score every doc under the corpus
     # unigram LM, drop the worst LM_DROP_FRAC by avg NLL. The threshold
     # is a bounded driver scalar (approxQuantile over one score column);
-    # the flag itself stays a column like every other stage.
+    # the flag itself stays a column like every other stage. The cut
+    # pass uses the LEAN scoring projection (no repetition arrays) —
+    # its values are expression-identical to _per_doc_flags' avg_nll,
+    # so the threshold is unchanged from the pre-fold funnel.
     lp, oov, _ = unigram_model(d)
     scores = unigram_score(d, lp, oov).select("doc_id", "avg_nll")
     cut = scores.approxQuantile("avg_nll", [1.0 - LM_DROP_FRAC], 1e-3)[0]
-    lm = scores.select(
-        "doc_id",
-        (F.col("avg_nll") <= cut).cast("int").alias("lm_ok"))
 
-    out = (split_train_val_test(d, "doc_id")
-           .join(quality, "doc_id")
-           .join(rep, "doc_id")
-           .join(lm, "doc_id")
+    # quality + repetition + LM flags in one projection over ONE scan
+    flags = _per_doc_flags(d, lp, oov).withColumn(
+        "lm_ok", (F.col("avg_nll") <= cut).cast("int")).drop("avg_nll")
+
+    out = (split_train_val_test(flags, "doc_id")
            .join(keep_ids, "doc_id", "left")
            .join(F.broadcast(contaminated), "doc_id", "left")
            .join(F.broadcast(span_dup), "doc_id", "left")

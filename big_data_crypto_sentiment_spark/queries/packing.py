@@ -199,32 +199,46 @@ def q_pack_bins_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
     bin is half-empty, and lb ≤ n_bins ≤ ub. The per-doc assignment
     frame stays the operator API (pack_bins_ffd) with its own pytest
     invariants."""
+    # Plan hygiene (VERDICT r14 #2): r14's shape joined two aggs that
+    # BOTH hung off the un-persisted applyInPandas output, so the
+    # FlatMapGroupsInPandas subtree — tokenize regex, shuffle, Python
+    # FFD fold — ran twice. The doc-side stats are derivable from
+    # bin-level partials, so everything now folds through ONE two-level
+    # aggregation over a single pack(...) node: per (group, bin) carry
+    # load/count plus partial doc stats (overlong count, max tokens,
+    # capped-token and non-overlong-token sums — all exact integers),
+    # then reduce to one row per group. No join, one fold, one shuffle
+    # chain; at 100 TB the Python-heaviest stage runs exactly once.
     budget = TOKEN_BUDGET
     half_plus = budget // 2 + 1
     per_doc = pack_bins_ffd(table(spark, sf_dir, "documents"), budget)
+    tok = F.col("n_tokens")
     bins = (per_doc.groupBy("pack_group", "bin_id")
-                   .agg(F.sum("n_tokens").alias("load"),
-                        F.count("*").alias("n_in_bin")))
+                   .agg(F.sum(tok).alias("load"),
+                        F.count("*").alias("n_in_bin"),
+                        F.sum(F.when(tok > budget, 1).otherwise(0))
+                         .alias("_overlong_in_bin"),
+                        F.max(tok).alias("_max_in_bin"),
+                        F.sum(F.least(tok, F.lit(budget)))
+                         .alias("_capped_in_bin"),
+                        F.sum(F.when(tok > budget, 0).otherwise(tok))
+                         .alias("_tnon_in_bin")))
     g = bins.groupBy("pack_group").agg(
         F.count("*").alias("n_bins"),
+        F.sum("n_in_bin").alias("n_docs"),
+        F.sum("load").alias("total_tokens"),
+        F.sum("_overlong_in_bin").alias("n_overlong"),
+        F.max("_max_in_bin").alias("max_tokens"),
+        F.ceil(F.sum("_capped_in_bin") / budget).alias("lb_bins"),
+        F.sum("_tnon_in_bin").alias("_t_non"),
         F.sum(F.when((F.col("load") > budget)
                      & (F.col("n_in_bin") > 1), 1).otherwise(0))
          .alias("_over_cap_multi"),
         F.sum(F.when(F.col("load") * 2 <= budget, 1).otherwise(0))
          .alias("_n_half_empty"))
-    d = per_doc.groupBy("pack_group").agg(
-        F.count("*").alias("n_docs"),
-        F.sum("n_tokens").alias("total_tokens"),
-        F.sum(F.when(F.col("n_tokens") > budget, 1).otherwise(0))
-         .alias("n_overlong"),
-        F.max("n_tokens").alias("max_tokens"),
-        F.ceil(F.sum(F.least(F.col("n_tokens"), F.lit(budget)))
-               / budget).alias("lb_bins"),
-        F.sum(F.when(F.col("n_tokens") > budget, 0)
-               .otherwise(F.col("n_tokens"))).alias("_t_non"))
     ub = (F.col("n_overlong") + 1
           + F.floor(F.col("_t_non") / half_plus)).cast("long")
-    return (d.join(g, "pack_group").select(
+    return g.select(
         "pack_group", "n_docs", "total_tokens", "n_overlong",
         "max_tokens", "lb_bins", ub.alias("ub_bins"),
         (F.col("_over_cap_multi") == 0).cast("int").alias("capacity_ok"),
@@ -232,7 +246,7 @@ def q_pack_bins_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("le_one_half_empty"),
         (F.col("n_bins") >= F.col("lb_bins")).cast("int")
         .alias("n_bins_ge_lb"),
-        (F.col("n_bins") <= ub).cast("int").alias("n_bins_le_ub")))
+        (F.col("n_bins") <= ub).cast("int").alias("n_bins_le_ub"))
     # PACK_GROUPS rows: one per populated group
 
 
