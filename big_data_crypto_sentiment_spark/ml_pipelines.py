@@ -171,7 +171,8 @@ def temporal_cv_tfidf_ridge(docs: DataFrame, ts_col: str,
                             text_col: str = "text",
                             label_col: str = "label",
                             n_folds: int = CV_FOLDS,
-                            reg: float = RIDGE_REG) -> list[tuple]:
+                            reg: float = RIDGE_REG,
+                            cuts: list | None = None) -> list[tuple]:
     """M6 fidelity: per-fold MAE of the TF-IDF+Ridge pipeline under
     expanding-window temporal CV. Returns
     [(fold, n_train, n_test, train_end, mae)] for folds 1..n_folds —
@@ -181,13 +182,20 @@ def temporal_cv_tfidf_ridge(docs: DataFrame, ts_col: str,
     The labeled corpus is persisted ONCE for the whole loop: every fold
     re-reads an expanding slice of the same rows, and without the cache
     the (often regex-heavy) label lineage would recompute ~4× per fold
-    (pipeline stage fits + transform + counts)."""
+    (pipeline stage fits + transform + counts).
+
+    `cuts` overrides the percentile boundaries with explicit fold cut
+    values (n_folds+1 of them, same <= / > discipline) — the r15
+    graduated registry entry passes exact integer RANK-BLOCK boundaries
+    so both engines agree bit-for-bit on fold membership (interpolated
+    percentiles differ by 1 ulp between Spark and DuckDB)."""
     from pyspark.ml.evaluation import RegressionEvaluator
     own = docs.storageLevel == StorageLevel.NONE
     if own:
         docs.persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        cuts = temporal_cv_boundaries(docs, ts_col, n_folds)
+        if cuts is None:
+            cuts = temporal_cv_boundaries(docs, ts_col, n_folds)
 
         def run_fold(i: int) -> tuple:
             ev = RegressionEvaluator(labelCol=label_col,

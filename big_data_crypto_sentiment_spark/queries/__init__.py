@@ -93,17 +93,15 @@ DEFERRALS: dict[str, dict] = {
                                extra="driver-green r8; 3-SF check.py + per-round sf0.001 auto-verify"),
     "vocab_novelty_by_source": dict(since=9, family="vocab family via tokens_to_ids + bigram_logprob in-window (same token-histogram core)",
                                     extra="driver-green r8; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "dedup_minhash_incremental": dict(since=9, family="dedup family via dedup_canonical + split_by_cluster in-window (the band-pair core feeds the same CC fixpoint); the signature/band twin dedup_minhash_lsh is deferred alongside; on-disk lifecycle via test_dedup_index.py",
+    "dedup_minhash_incremental": dict(since=9, family="dedup family via dedup_canonical + split_by_cluster + dedup_minhash_lsh in-window (the band-pair core feeds the same CC fixpoint; the signature/band twin rotated in r15); on-disk lifecycle via test_dedup_index.py",
                                       extra="driver-green r8; 3-SF check.py + per-round sf0.001 auto-verify"),
     "binned_features":    dict(since=9, family="reshape family via sft_mask_spans/tokens_to_ids in-window; bucketed aggregates via rollup_merge_incremental in-window",
                                extra="driver-green r6-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "text_features":      dict(since=9, family="text family via source_scorecard in-window (same single-scan string features)",
-                               extra="driver-green r2-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
     "winsorize_events":   dict(since=9, family="robust-numeric/rank-window family via rotated-in mad_outlier_events + value_quantile_bins in-window (same exact rank machinery)",
                                extra="driver-green r6-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
     "pivot_user_events":  dict(since=9, family="reshape family via sft_mask_spans/tokens_to_ids in-window; unpivot twin deferred alongside",
                                extra="driver-green r2-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "dedup_span_stats":   dict(since=9, family="dedup family via dedup_canonical + split_by_cluster in-window; the shingle-scan sibling dedup_minhash_lsh is deferred alongside; gaps-and-islands window via scd2/behavior rows in-window",
+    "dedup_span_stats":   dict(since=9, family="dedup family via dedup_canonical + split_by_cluster + dedup_minhash_lsh in-window (the shingle-scan sibling rotated in r15); gaps-and-islands window via scd2/behavior rows in-window",
                                extra="driver-green r6-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
     "ml_ar1_train":       dict(since=9, family="ml family via ml_sentiment in-window; AR/ARMA fit math pinned by test_ml.py (YW/HR parity)",
                                extra="driver-green r2-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
@@ -130,7 +128,7 @@ DEFERRALS: dict[str, dict] = {
                                extra="driver-green r2-r3 + r7-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
     "ts_rollup":          dict(since=9, family="hourly-rollup family via ts_seasonal_anomaly in-window (same exact-decimal hourly baseline); incremental path via rollup_merge_incremental in-window",
                                extra="driver-green r2-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "ts_window_calcs":    dict(since=9, family="window-calc family via ta_ema_rsi_macd + ta_twap in-window (same per-symbol ordered window); lag/lead via event_transitions in-window",
+    "ts_window_calcs":    dict(since=9, family="window-calc family via ta_ema_rsi_macd in-window (same per-symbol ordered window; ta_twap is deferred alongside); lag/lead via event_transitions in-window",
                                extra="driver-green r3-r5 + r8; 3-SF check.py + per-round sf0.001 auto-verify"),
     "text_rlike_filter":  dict(since=9, family="content-filter family via source_scorecard in-window (same single-scan text predicates and regexp normalization)",
                                extra="driver-green r2-r4 + r8; 3-SF check.py + per-round sf0.001 auto-verify"),
@@ -146,7 +144,7 @@ DEFERRALS: dict[str, dict] = {
                                extra="driver-green r2-r3 + r7-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
     "src_csv_prices":     dict(since=9, family="source family via src_avro_roundtrip + rotated-in src_csv_prices_decimal in-window (same CSV reader/parse chain)",
                                extra="driver-green r2-r5 + r8; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "ta_sma_vwap":        dict(since=9, family="TA family via ta_ema_rsi_macd + ta_twap in-window (same per-symbol window + agg shape)",
+    "ta_sma_vwap":        dict(since=9, family="TA family via ta_ema_rsi_macd in-window (same per-symbol window + agg shape; ta_twap is deferred alongside)",
                                extra="driver-green r3-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
     "asof_price_at_tweet": dict(since=9, family="as-of/point-in-time family via scd2_point_in_time + scd2_snapshot_at in-window (same latest-before-ts join semantics)",
                                 extra="driver-green r3-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
@@ -168,10 +166,6 @@ DEFERRALS: dict[str, dict] = {
     # media_resize) take window slots immediately so their first driver
     # hash-check lands this round; the two anchors below — driver-green
     # in EVERY round r2-r8 — hand over their slots
-    "dedup_minhash_lsh":  dict(since=9, family="dedup family via dedup_canonical + split_by_cluster in-window; the banded-signature core also feeds dedup_minhash_incremental (driver-green r8)",
-                               extra="driver-green r2-r8 (every round); 3-SF check.py + per-round sf0.001 auto-verify"),
-    "ts_lag_sweep_corr":  dict(since=9, family="timeseries family via ts_seasonal_anomaly + ts_interpolate in-window; integer-frozen covariance core via rotated-in ts_corr in-window (ts_spearman is deferred alongside)",
-                               extra="driver-green r2-r8 (every round); 3-SF check.py + per-round sf0.001 auto-verify"),
     # r10 evidence-freshness rotation (VERDICT r9 #8): the never-checked
     # backlog is burned down, so the window slots now cycle by evidence
     # AGE. The 12 OLDEST pairs (last driver hash r3-r6: log_return,
@@ -270,7 +264,7 @@ DEFERRALS: dict[str, dict] = {
     # re-hashed in the r11 window plus the two r11 first-hash pairs
     # (sim_ivf_topk_frozen, sim_near_dup_pairs) — hand over their
     # slots; every family keeps an in-window representative.
-    "ts_spearman":        dict(since=12, family="corr family via rotated-in ts_corr in-window (same integer-frozen covariance core); rank machinery via mad_outlier_events in-window",
+    "ts_spearman":        dict(since=12, family="corr family via rotated-in ts_lag_sweep_corr in-window (same integer-frozen covariance core; the pairwise twin ts_corr is deferred alongside); rank machinery via mad_outlier_events in-window",
                                extra="driver-green r2-r7 + r11; 3-SF check.py + per-round sf0.001 auto-verify"),
     "ts_resample_ffill":  dict(since=12, family="resample family via ts_interpolate + ts_seasonal_anomaly in-window (same spine/ffill window core)",
                                extra="driver-green r2-r7 + r11; 3-SF check.py + per-round sf0.001 auto-verify"),
@@ -318,7 +312,7 @@ DEFERRALS: dict[str, dict] = {
     # their slots, alongside the three slots taken by the NEW r13
     # graduations (approx_quantiles, cms_heavy_hitters,
     # ml_tfidf_terms_frozen).
-    "link_customer_batch": dict(since=13, family="linkage family via dedup_fuzzy_terms in-window (same SymSpell delete-signature blocking join core)",
+    "link_customer_batch": dict(since=13, family="linkage family: the SymSpell delete-signature blocking core's twin dedup_fuzzy_terms is deferred alongside (driver-green r9-r14); dedup family via dedup_canonical + split_by_cluster in-window",
                                 extra="driver-green r9-r12; 3-SF check.py + per-round sf0.001 auto-verify"),
     "zorder_key_lineitem": dict(since=13, family="TPC-H lineitem family via revenue_by_nation_q5 + pricing_summary in-window (same pushed-down lineitem scan); interleave-bits layout math pinned in test_zorder.py",
                                 extra="driver-green r9-r12; 3-SF check.py + per-round sf0.001 auto-verify"),
@@ -385,16 +379,39 @@ DEFERRALS: dict[str, dict] = {
     # frozen literals keyed by the recomputed event count) after the
     # r14 window was set; they rotate in for first driver hashes with
     # the r15 tranche
-    "ml_ar_train": dict(since=14, family="frozen-fit family via ml_auto_arima_orders + ml_mlp_score_frozen in-window (same frozen-expected lookup recipe); ml family via ml_sentiment in-window; YW fit math pinned in tests/test_ml.py",
-                        extra="born-deferred late r14 (graduated from rows-only: frozen-fit literals, self-checking); 3-SF check.py + per-round sf0.001 auto-verify"),
-    "ml_arma_train": dict(since=14, family="frozen-fit family via ml_auto_arima_orders + ml_mlp_score_frozen in-window (same recipe); HR two-stage parity pinned in tests/test_ml.py",
-                          extra="born-deferred late r14 (graduated from rows-only: frozen-fit literals, self-checking); 3-SF check.py + per-round sf0.001 auto-verify"),
-    "ml_arma_cv": dict(since=14, family="frozen-fit family via ml_auto_arima_orders in-window (same recipe); no-future-leakage fold contract pinned in tests/test_ml.py",
-                       extra="born-deferred late r14 (graduated from rows-only: frozen-fit literals, self-checking); 3-SF check.py + per-round sf0.001 auto-verify"),
-    "ml_auto_arima": dict(since=14, family="frozen-fit family via ml_auto_arima_orders in-window (the same selection surface's fit columns under the same lookup); KPSS/stepwise recovery pinned in tests/test_ml.py",
-                          extra="born-deferred late r14 (graduated from rows-only: frozen-fit literals, self-checking); 3-SF check.py + per-round sf0.001 auto-verify"),
-    "sim_ivf_recall_contract": dict(since=14, family="similarity family via sim_ann_lsh + embed_mean_pool in-window (same sequential-fold cosine core); contract-flag family via approx_quantiles + cms_heavy_hitters in-window (same assert-the-published-bound recipe)",
-                                    extra="born-deferred late r14 (new pair: exact top-k hashes + the LIVE MLlib IVF fit's recall as a structural smoke flag); 3-SF check.py + per-round sf0.001 auto-verify"),
+    # r15 window rotation (VERDICT r14 #5 + #1/#8): first driver hashes
+    # for the five born-deferred r14 pairs (ml_ar_train, ml_arma_train,
+    # ml_arma_cv, ml_auto_arima, sim_ivf_recall_contract), the three
+    # stalest r9 deferrals (dedup_minhash_lsh, ts_lag_sweep_corr,
+    # text_features — hash-less since r8), and the four r15 graduations
+    # (sim_ivf_topk, sim_semdedup_kmeans, ml_sentiment_model,
+    # ml_tfidf_ridge_cv — live-MLlib fits now under contract-flag
+    # oracle pairs). The twelve members below — every one driver-green
+    # in the r14 window — hand over their slots.
+    "left_join_fillna": dict(since=15, family="join-fillna family via flagship_windowed_join in-window (same full-outer/left join + coalesce-fill core over the co-partitioned windowed aggs)",
+                             extra="driver-green r14 + r2-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "json_props": dict(since=15, family="per-row parse/projection family via text_features in-window (same single-scan typed projection; the payload map-parse twin kv_flatten is deferred alongside)",
+                       extra="driver-green r14 + r2-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "ts_trailing_hour": dict(since=15, family="trailing-window family via ts_seasonal_anomaly + ts_interpolate in-window (same per-symbol event-time window machinery)",
+                             extra="driver-green r14 + r2-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "approx_distinct_users": dict(since=15, family="sketch family via cms_heavy_hitters in-window (same mergeable-sketch + exact-recompute contract shape); the HLL-register twin hll_mergeable_distinct is deferred alongside",
+                                  extra="driver-green r14 + r9-r13; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "hll_mergeable_distinct": dict(since=15, family="sketch family via cms_heavy_hitters in-window (same assert-the-published-bound recipe); the scalar twin approx_distinct_users is deferred alongside",
+                                   extra="driver-green r14 (first hash, born-deferred r13); 3-SF check.py + per-round sf0.001 auto-verify"),
+    "approx_quantiles": dict(since=15, family="sketch family via cms_heavy_hitters in-window (same bounded-driver-artifact + contract-flag shape)",
+                             extra="driver-green r14 + r9-r13; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "hh_mg_vs_exact": dict(since=15, family="heavy-hitter family via cms_heavy_hitters in-window (same exact TakeOrderedAndProject candidate set over the same events scan); MG guarantee arms pinned by the planted-heavy pytest suite",
+                           extra="driver-green r14 (first hash, graduated r14); 3-SF check.py + per-round sf0.001 auto-verify"),
+    "bpe_merges": dict(since=15, family="vocab/token family via tokens_to_ids + bigram_logprob in-window (same explode/agg vocabulary core); the encode-replay twin bpe_encode_tokens is deferred alongside; the SQL-retrain oracle property suite runs per-pytest",
+                       extra="driver-green r14 (first hash, graduated r14); 3-SF check.py + per-round sf0.001 auto-verify"),
+    "bpe_encode_tokens": dict(since=15, family="vocab/token family via tokens_to_ids in-window (same per-doc token transform); the merge-table twin bpe_merges is deferred alongside; the SQL-retrain oracle property suite runs per-pytest",
+                              extra="driver-green r14 (first hash, graduated r14); 3-SF check.py + per-round sf0.001 auto-verify"),
+    "dedup_fuzzy_terms": dict(since=15, family="dedup family via dedup_canonical + split_by_cluster + dedup_minhash_lsh in-window; the SymSpell blocking core's linkage twin link_customer_batch is deferred alongside",
+                              extra="driver-green r14 + r9-r13; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "ts_corr": dict(since=15, family="corr family via rotated-in ts_lag_sweep_corr in-window (same integer-frozen covariance core); ts_spearman is deferred alongside",
+                    extra="driver-green r14 + r9-r13; 3-SF check.py + per-round sf0.001 auto-verify"),
+    "ta_twap": dict(since=15, family="TA family via ta_ema_rsi_macd in-window (same per-symbol ordered window + agg shape); ta_sma_vwap is deferred alongside",
+                    extra="driver-green r14 + r13; 3-SF check.py + per-round sf0.001 auto-verify"),
 }
 _DEFER_FROM_WINDOW = tuple(DEFERRALS)
 

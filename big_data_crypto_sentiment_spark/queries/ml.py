@@ -1009,7 +1009,21 @@ JOIN expected x
 #     (dataflow/stream_join.py:231-346 — the HF model in DoFn.setup()
 #     becomes a fitted MLlib PipelineModel, a broadcast set of JVM
 #     transformers applied per partition; rows-only: iterative LR fit) ---
-def q_ml_sentiment_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+# Live-vs-teacher agreement floor (r15 graduation): the distilled
+# TF-IDF logistic student agrees with its lexicon teacher on
+# 91.8-94.6% of docs across the three SFs (measured; the pytest pin
+# is > 80%). The 85% floor leaves ~7pp of fit-nondeterminism margin
+# (L-BFGS over partitioning-dependent float treeAggregate sums)
+# while still firing on any real distillation break.
+SENT_AGREE_MIN_PCT = 85
+
+
+def score_sentiment_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc live-student scores — the library surface (pinned by
+    tests/test_ml_pipelines.py; the M1 column math downstream of the
+    probability vector is identical to the oracle-checked
+    q_ml_sentiment, stream_join.py:327-344). Returns one row per doc
+    with the teacher's exact lexicon label riding along."""
     from pyspark.ml.functions import vector_to_array
     from ..ml_pipelines import fit_sentiment_pipeline
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -1020,9 +1034,13 @@ def q_ml_sentiment_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     label = (F.when(polarity > 0.05, 2.0)
               .when(polarity < -0.05, 0.0)
               .otherwise(1.0).alias("label"))
-    model = fit_sentiment_pipeline(docs.select("doc_id", "text", label))
-    probs = (model.transform(docs)
-             .select("doc_id",
+    teacher = (F.when(polarity > 0.05, "POSITIVE")
+                .when(polarity < -0.05, "NEGATIVE")
+                .otherwise("NEUTRAL").alias("teacher_label"))
+    labeled = docs.select("doc_id", "text", label, teacher)
+    model = fit_sentiment_pipeline(labeled)
+    probs = (model.transform(labeled)
+             .select("doc_id", "teacher_label",
                      vector_to_array("probability").alias("p")))
     pneg, pneu, ppos = (F.col("p")[i] for i in range(3))
     # downstream column math identical to the oracle-checked M1 query
@@ -1035,7 +1053,7 @@ def q_ml_sentiment_model(spark: SparkSession, sf_dir: str) -> DataFrame:
               .when(pneu >= pneg, "NEUTRAL")
               .otherwise("NEGATIVE"))
     return probs.select(
-        "doc_id",
+        "doc_id", "teacher_label",
         F.round(pneg, 6).alias("p_neg"),
         F.round(pneu, 6).alias("p_neu"),
         F.round(ppos, 6).alias("p_pos"),
@@ -1044,6 +1062,34 @@ def q_ml_sentiment_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         label.alias("sentiment_label"),
         F.when(score > 0, "buy").otherwise("sell").alias("action_signal"),
     )
+
+
+def q_ml_sentiment_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graduated r15 (VERDICT r14 #1, the sim_ivf_recall_contract
+    recipe): the live LogisticRegression's per-doc probabilities are
+    engine-specific, so the registered surface hashes the TEACHER
+    side's exact evidence — total docs and per-class lexicon-label
+    counts, pure column math DuckDB recomputes — and rides the live
+    student as an asserted distillation-agreement flag
+    (student label == teacher label on ≥ SENT_AGREE_MIN_PCT of docs).
+    The per-doc scored frame stays the library surface
+    (score_sentiment_model), pinned by tests/test_ml_pipelines.py."""
+    scored = score_sentiment_model(spark, sf_dir)
+    g = scored.agg(
+        F.count("*").alias("n_docs"),
+        F.sum((F.col("teacher_label") == "POSITIVE").cast("long"))
+         .alias("n_teacher_positive"),
+        F.sum((F.col("teacher_label") == "NEUTRAL").cast("long"))
+         .alias("n_teacher_neutral"),
+        F.sum((F.col("teacher_label") == "NEGATIVE").cast("long"))
+         .alias("n_teacher_negative"),
+        F.sum((F.col("sentiment_label") == F.col("teacher_label"))
+              .cast("long")).alias("_agree"))
+    ok = (F.col("_agree") * 100 >= F.col("n_docs") * SENT_AGREE_MIN_PCT)
+    return g.select("n_docs", "n_teacher_positive", "n_teacher_neutral",
+                    "n_teacher_negative",
+                    ok.cast("int").alias("student_agree_ge_min"))
+    # 1 row
 
 
 # The lexicon-labeled corpus (a regex-heavy scan joined back to the
@@ -1139,16 +1185,156 @@ def q_ml_tfidf_terms_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     ingest-order surrogate (the documents fixture carries no event
 #     time). Rows-only: iterative MLlib fits; the no-future-leakage
 #     fold contract is pinned in tests/test_ml_pipelines.py. ---
+# Live-CV contract margins (r15 graduation, measured at all 3 SFs):
+# the live TF-IDF+Ridge fold MAE beats the train-mean constant
+# predictor by 25-40% on every fold, and beats the 16-term frozen
+# diagonal-ridge twin everywhere too (the full-vocab exact ridge is
+# strictly the richer model). Both asserted per fold.
+CV_FOLDS_REG = 5
+
+
+def _exact_rank_values(df: DataFrame, col: str, ranks: list[int],
+                       bucket: int = 1 << 16) -> dict[int, int]:
+    """Exact k-th smallest integer values (1-based ranks) WITHOUT a
+    global sort (the repo's scale guard forbids Window.orderBy): one
+    bucket-count aggregate over value ranges, a bounded cumulative
+    histogram walk on the driver, then a local sort of only the one
+    ≤bucket-wide value range each target rank lands in."""
+    c = F.col(col)
+    counts = sorted(
+        (r["_b"], r["n"]) for r in
+        df.groupBy((c - (c % bucket)).alias("_b"))
+          .agg(F.count("*").alias("n")).collect())
+    out: dict[int, int] = {}
+    pending = sorted(set(ranks))
+    acc = 0
+    for b, nb in counts:
+        here = [r for r in pending if acc < r <= acc + nb]
+        if here:
+            vals = sorted(
+                x[0] for x in
+                df.filter((c >= b) & (c < b + bucket))
+                  .select(col).collect())
+            for r in here:
+                out[r] = vals[r - acc - 1]
+            pending = [r for r in pending if r not in here]
+        acc += nb
+    if pending:
+        raise ValueError(f"ranks {pending} beyond row count {acc}")
+    return out
+
+
+def _cv_rank_cuts(docs: DataFrame, ts_col: str,
+                  n_folds: int = CV_FOLDS_REG) -> list[int]:
+    """Exact integer rank-block fold boundaries: cut_f = the doc id at
+    rank n·f/(n_folds+1) (floor) in ts_col order — NTILE-style equal
+    blocks, bit-identical on both engines (interpolated percentiles
+    differ by 1 ulp Spark-vs-DuckDB and can flip a boundary row).
+    Exact ranks come from the bucketed histogram walk above (no global
+    sort); a 100 TB run would swap this CV-split artifact for approx
+    boundaries — fold balance needs no exactness, only the <= / >
+    discipline, but the REGISTERED pair does."""
+    n = docs.count()
+    ranks = [n * (i + 1) // (n_folds + 1) for i in range(n_folds + 1)]
+    got = _exact_rank_values(docs.select(ts_col), ts_col, ranks)
+    return [got[r] for r in ranks]
+
+
 def q_ml_tfidf_ridge_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graduated r15 (VERDICT r14 #8, the frozen-fit recipe per fold):
+    the per-fold MLlib ridge fit is partitioning-dependent, so the
+    registered surface hashes the EXACT per-fold evidence — rank-block
+    boundaries, train/test counts, the 16-term frozen diagonal-ridge
+    twin's MAE (integer sums -> Spark-rounded coefficients -> fixed-
+    association prediction folds, the ml_tfidf_terms_frozen
+    discipline), and the train-mean constant predictor's MAE (exact
+    integer cross-multiplication) — and rides the live fits as
+    asserted per-fold flags: live MAE <= constant-baseline MAE and
+    live MAE <= frozen-twin MAE. Labels are the lexicon polarity
+    scaled to exact 1e-6 integers (y6 = round(polarity*1e6), exactly
+    1e6x the live label). The live fold list itself stays the library
+    surface (temporal_cv_tfidf_ridge), pinned by the no-future-leakage
+    pytest contract."""
     from ..ml_pipelines import temporal_cv_tfidf_ridge
-    folds = temporal_cv_tfidf_ridge(_labeled_docs(spark, sf_dir), "doc_id")
-    rows = [(str(f), n_tr, n_te, end, round(mae, 6))
-            for f, n_tr, n_te, end, mae in folds]
-    rows.append(("mean", sum(r[1] for r in rows), sum(r[2] for r in rows),
-                 None, round(sum(r[4] for r in rows) / len(rows), 6)))
-    return spark.createDataFrame(
-        rows, "fold string, n_train long, n_test long, "
-              "train_end double, mae double")
+    docs = _labeled_docs(spark, sf_dir)
+    cuts = _cv_rank_cuts(docs, "doc_id")
+    lives = {f: mae for f, _, _, _, mae in
+             temporal_cv_tfidf_ridge(docs, "doc_id", cuts=cuts)}
+
+    t = F.col("text")
+    _, _, pol = lexicon_polarity()
+    cols = [F.col("doc_id"), F.round(pol * 1e6).cast("long").alias("y6")]
+    for j, (term, _) in enumerate(TFIDF_FROZEN_VOCAB):
+        cols.append(F.regexp_count(t, F.lit(rf"\b{term}\b"))
+                     .cast("long").alias(f"tf{j}"))
+    base = docs.select(*cols)
+
+    # pass 1: every fold's train sums in ONE conditional aggregate
+    aggs = []
+    for f in range(1, CV_FOLDS_REG + 1):
+        tr = F.col("doc_id") <= cuts[f - 1]
+        aggs += [F.sum(F.when(tr, F.col(f"tf{j}") * F.col("y6"))
+                        .otherwise(F.lit(0))).alias(f"xy{j}_{f}")
+                 for j in range(len(TFIDF_FROZEN_VOCAB))]
+        aggs += [F.sum(F.when(tr, F.col(f"tf{j}") * F.col(f"tf{j}"))
+                        .otherwise(F.lit(0))).alias(f"xx{j}_{f}")
+                 for j in range(len(TFIDF_FROZEN_VOCAB))]
+        aggs += [F.sum(tr.cast("long")).alias(f"ntr_{f}"),
+                 F.sum(F.when(tr, F.col("y6")).otherwise(F.lit(0)))
+                  .alias(f"sy_{f}")]
+    srow = base.agg(*aggs)
+    # Spark-side rounding for the coefficients (the proven
+    # ml_tfidf_terms_frozen discipline — both engines round the same
+    # exact-integer ratio the same way)
+    coef_exprs = []
+    for f in range(1, CV_FOLDS_REG + 1):
+        for j, (_, idf3) in enumerate(TFIDF_FROZEN_VOCAB):
+            num = (F.lit(idf3) * F.col(f"xy{j}_{f}") * 1000).cast("double")
+            den = (F.lit(idf3 * idf3) * F.col(f"xx{j}_{f}")
+                   + F.lit(TFIDF_FROZEN_LAMBDA_E6)).cast("double")
+            coef_exprs.append(F.round(num / den, 8).alias(f"c{j}_{f}"))
+    s = srow.select("*", *coef_exprs).first()
+
+    # pass 2: every fold's test error sums in ONE conditional aggregate
+    aggs2 = []
+    for f in range(1, CV_FOLDS_REG + 1):
+        te = ((F.col("doc_id") > cuts[f - 1])
+              & (F.col("doc_id") <= cuts[f]))
+        pred = F.lit(0.0)
+        for j, (_, idf3) in enumerate(TFIDF_FROZEN_VOCAB):
+            pred = pred + F.lit(s[f"c{j}_{f}"]) * (F.col(f"tf{j}")
+                                                   * F.lit(idf3))
+        pred = pred * F.lit(0.001)
+        errf = F.round(F.abs(F.col("y6") - pred)).cast("long")
+        errc = F.abs(F.col("y6") * F.lit(s[f"ntr_{f}"])
+                     - F.lit(s[f"sy_{f}"]))
+        aggs2 += [F.sum(te.cast("long")).alias(f"nte_{f}"),
+                  F.sum(F.when(te, errf).otherwise(F.lit(0)))
+                   .alias(f"sef_{f}"),
+                  F.sum(F.when(te, errc).otherwise(F.lit(0)))
+                   .alias(f"sec_{f}")]
+    erow = base.agg(*aggs2)
+
+    structs = []
+    for f in range(1, CV_FOLDS_REG + 1):
+        nte = F.col(f"nte_{f}")
+        mae_frozen = F.round(F.col(f"sef_{f}") / (nte * F.lit(1e6)), 6)
+        mae_const = F.round(
+            F.col(f"sec_{f}") / (nte * F.lit(s[f"ntr_{f}"]) * F.lit(1e6)),
+            6)
+        live = F.lit(float(lives[f]))
+        structs.append(F.struct(
+            F.lit(f).cast("long").alias("fold"),
+            F.lit(s[f"ntr_{f}"]).cast("long").alias("n_train"),
+            nte.cast("long").alias("n_test"),
+            F.lit(int(cuts[f - 1])).cast("long").alias("train_end_id"),
+            mae_frozen.alias("mae_frozen"),
+            mae_const.alias("mae_const"),
+            (live <= mae_const).cast("int").alias("live_mae_le_const"),
+            (live <= mae_frozen).cast("int").alias("live_mae_le_frozen")))
+    return (erow.select(F.explode(F.array(*structs)).alias("r"))
+                .select("r.*"))
+    # CV_FOLDS_REG rows
 
 
 # --- Topic discovery (LDA) over documents: per-doc dominant topic +
@@ -1348,11 +1534,13 @@ QUERIES = {
     "ml_auto_arima_orders": q_ml_auto_arima_orders,  # graduated r14:
     #   the deterministic selection surface under the frozen-expected
     #   lookup oracle (n_train recomputed from the grid SQL)
-    "ml_sentiment_model": q_ml_sentiment_model,        # rows-only: MLlib fit
+    "ml_sentiment_model": q_ml_sentiment_model,        # graduated r15:
+    #   exact teacher-class counts + live distillation-agreement flag
     "ml_tfidf_top_terms": q_ml_tfidf_top_terms,        # rows-only: MLlib fit
     "ml_tfidf_terms_frozen": q_ml_tfidf_terms_frozen,  # graduated r13:
     #   frozen vocab+idf, diagonal-ridge closed form, engine-exact
-    "ml_tfidf_ridge_cv": q_ml_tfidf_ridge_cv,          # rows-only: MLlib fits × folds
+    "ml_tfidf_ridge_cv": q_ml_tfidf_ridge_cv,          # graduated r15:
+    #   exact rank-block folds + frozen/const MAEs, live fits as flags
     "ml_doc_topics": q_ml_doc_topics,                  # rows-only: LDA inference
     "ml_ridge_perm_importance": q_ml_ridge_perm_importance,  # rows-only: MLlib fit
 }
@@ -1418,8 +1606,106 @@ LIMIT 10
 """
 
 
+def _sql_tfidf_cv() -> str:
+    """DuckDB twin of q_ml_tfidf_ridge_cv's exact side, generated from
+    the same frozen literals and fold arithmetic so the two can never
+    drift: rank-block fold membership (integer n·f//6 boundaries over
+    ROW_NUMBER by doc_id), per-fold integer train sums, Spark-rounding-
+    compatible coefficients, the fixed-association prediction fold, and
+    explicit CAST(... AS DOUBLE) everywhere a Spark long meets a double
+    (DuckDB decimal literals would otherwise change the arithmetic).
+    The live-fit flags are asserted as literal 1."""
+    nf = CV_FOLDS_REG
+    pos = " + ".join(
+        f"len(regexp_extract_all(text, '\\b{w}\\b'))" for w in POS_WORDS)
+    neg = " + ".join(
+        f"len(regexp_extract_all(text, '\\b{w}\\b'))" for w in NEG_WORDS)
+    tfs = ",\n         ".join(
+        f"len(regexp_extract_all(text, '\\b{t}\\b')) AS tf{j}"
+        for j, (t, _) in enumerate(TFIDF_FROZEN_VOCAB))
+    tf_names = ", ".join(f"tf{j}" for j in range(len(TFIDF_FROZEN_VOCAB)))
+    s_parts = []
+    for f in range(1, nf + 1):
+        tr = f"rn <= (n * {f}) // {nf + 1}"
+        s_parts.append(f"MAX(CASE WHEN rn = (n * {f}) // {nf + 1} "
+                       f"THEN doc_id END) AS cut_{f}")
+        for j in range(len(TFIDF_FROZEN_VOCAB)):
+            s_parts.append(f"CAST(SUM(CASE WHEN {tr} THEN tf{j} * y6 "
+                           f"ELSE 0 END) AS BIGINT) AS xy{j}_{f}")
+            s_parts.append(f"CAST(SUM(CASE WHEN {tr} THEN tf{j} * tf{j} "
+                           f"ELSE 0 END) AS BIGINT) AS xx{j}_{f}")
+        s_parts.append(f"CAST(SUM(CASE WHEN {tr} THEN 1 ELSE 0 END) "
+                       f"AS BIGINT) AS ntr_{f}")
+        s_parts.append(f"CAST(SUM(CASE WHEN {tr} THEN y6 ELSE 0 END) "
+                       f"AS BIGINT) AS sy_{f}")
+    c_parts = []
+    for f in range(1, nf + 1):
+        for j, (_, idf3) in enumerate(TFIDF_FROZEN_VOCAB):
+            c_parts.append(
+                f"ROUND(CAST({idf3} * xy{j}_{f} * 1000 AS DOUBLE) "
+                f"/ CAST({idf3} * {idf3} * xx{j}_{f} "
+                f"+ {TFIDF_FROZEN_LAMBDA_E6} AS DOUBLE), 8) AS c{j}_{f}")
+    e_parts = []
+    for f in range(1, nf + 1):
+        te = (f"rn > (n * {f}) // {nf + 1} "
+              f"AND rn <= (n * {f + 1}) // {nf + 1}")
+        pred = "CAST(0.0 AS DOUBLE)"
+        for j, (_, idf3) in enumerate(TFIDF_FROZEN_VOCAB):
+            pred += f" + c{j}_{f} * (tf{j} * {idf3})"
+        pred = f"({pred}) * CAST(0.001 AS DOUBLE)"
+        e_parts.append(f"CAST(SUM(CASE WHEN {te} THEN 1 ELSE 0 END) "
+                       f"AS BIGINT) AS nte_{f}")
+        e_parts.append(f"CAST(SUM(CASE WHEN {te} THEN "
+                       f"CAST(ROUND(ABS(y6 - {pred})) AS BIGINT) "
+                       f"ELSE 0 END) AS BIGINT) AS sef_{f}")
+        e_parts.append(f"CAST(SUM(CASE WHEN {te} THEN "
+                       f"ABS(y6 * ntr_{f} - sy_{f}) "
+                       f"ELSE 0 END) AS BIGINT) AS sec_{f}")
+    rows = []
+    for f in range(1, nf + 1):
+        rows.append(f"""SELECT {f} AS fold, c.ntr_{f} AS n_train,
+       e.nte_{f} AS n_test, c.cut_{f} AS train_end_id,
+       ROUND(CAST(e.sef_{f} AS DOUBLE)
+             / (CAST(e.nte_{f} AS DOUBLE) * CAST(1000000 AS DOUBLE)), 6)
+         AS mae_frozen,
+       ROUND(CAST(e.sec_{f} AS DOUBLE)
+             / (CAST(e.nte_{f} * c.ntr_{f} AS DOUBLE)
+                * CAST(1000000 AS DOUBLE)), 6) AS mae_const,
+       1 AS live_mae_le_const, 1 AS live_mae_le_frozen
+FROM c CROSS JOIN e""")
+    union = "\nUNION ALL\n".join(rows)
+    sep = ",\n         "
+    s_sql, c_sql, e_sql = sep.join(s_parts), sep.join(c_parts), sep.join(e_parts)
+    return f"""
+WITH lab AS (
+  SELECT doc_id,
+         CAST(ROUND(((({pos}) - ({neg}))
+                     / GREATEST(({pos}) + ({neg}), 1)) * 1000000.0)
+              AS BIGINT) AS y6,
+         {tfs}
+  FROM documents
+), o AS (
+  SELECT doc_id, y6, {tf_names},
+         ROW_NUMBER() OVER (ORDER BY doc_id) AS rn,
+         COUNT(*) OVER () AS n
+  FROM lab
+), s AS (
+  SELECT {s_sql}
+  FROM o
+), c AS (
+  SELECT s.*, {c_sql}
+  FROM s
+), e AS (
+  SELECT {e_sql}
+  FROM o CROSS JOIN c
+)
+{union}
+"""
+
+
 ORACLE = {
     "ml_mlp_score_frozen": _sql_mlp_frozen(),
+    "ml_tfidf_ridge_cv": _sql_tfidf_cv(),
     "ml_tfidf_terms_frozen": _sql_tfidf_frozen(),
     "ml_sentiment": """
 WITH raw AS (
@@ -1445,6 +1731,36 @@ SELECT event_id, event_type,
        CASE WHEN value IS NULL THEN NULL
             WHEN ppos - pneg > 0 THEN 'buy' ELSE 'sell' END AS action_signal
 FROM p
+""",
+    # ml_sentiment_model (graduated r15): exact lexicon-teacher class
+    # counts hash; the live student's distillation agreement is
+    # asserted as literal 1. Same regex literals as
+    # ml_lexicon_sentiment so the teacher math can never drift.
+    "ml_sentiment_model": """
+WITH c AS (
+  SELECT len(regexp_extract_all(text, '\\bfast\\b'))
+           + len(regexp_extract_all(text, '\\bbig\\b')) AS n_pos,
+         len(regexp_extract_all(text, '\\bslow\\b'))
+           + len(regexp_extract_all(text, '\\bsmall\\b')) AS n_neg
+  FROM documents
+), lab AS (
+  SELECT CASE
+           WHEN (n_pos - n_neg) / GREATEST(n_pos + n_neg, 1) > 0.05
+             THEN 'POSITIVE'
+           WHEN (n_pos - n_neg) / GREATEST(n_pos + n_neg, 1) < -0.05
+             THEN 'NEGATIVE'
+           ELSE 'NEUTRAL' END AS t
+  FROM c
+)
+SELECT COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN t = 'POSITIVE' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_teacher_positive,
+       CAST(SUM(CASE WHEN t = 'NEUTRAL' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_teacher_neutral,
+       CAST(SUM(CASE WHEN t = 'NEGATIVE' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_teacher_negative,
+       1 AS student_agree_ge_min
+FROM lab
 """,
     "ml_lexicon_sentiment": """
 WITH c AS (

@@ -60,6 +60,7 @@ def test_sentiment_model_agrees_with_lexicon(spark):
     )
     from big_data_crypto_sentiment_spark.queries.ml import (
         q_ml_lexicon_sentiment, q_ml_sentiment_model,
+        score_sentiment_model,
     )
     from big_data_crypto_sentiment_spark.queries._util import table
     sf = "/root/testdata/sf0.01"
@@ -82,16 +83,23 @@ def test_sentiment_model_agrees_with_lexicon(spark):
                 .select("doc_id", pred.alias("pred")).collect()}
     assert out[1] == "POSITIVE" and out[2] == "NEGATIVE"
 
-    scored = q_ml_sentiment_model(spark, sf)
+    scored = score_sentiment_model(spark, sf).persist()
     agree = (scored.select("doc_id", "sentiment_label")
              .join(q_ml_lexicon_sentiment(spark, sf), "doc_id")
              .select(F.avg((F.col("sentiment_label") == F.col("lexicon_label"))
                            .cast("int")).alias("acc")).first().acc)
     assert agree > 0.8
     # probabilities are a proper distribution (reuse the scored DF — a
-    # second q_ml_sentiment_model call would refit the whole pipeline)
+    # second score_sentiment_model call would refit the whole pipeline)
     row = scored.first()
     assert abs(row.p_neg + row.p_neu + row.p_pos - 1.0) < 1e-4
+    # the graduated registered surface: exact teacher counts + the
+    # live agreement flag asserted (r15)
+    reg = q_ml_sentiment_model(spark, sf).first()
+    assert reg.n_docs == (reg.n_teacher_positive + reg.n_teacher_neutral
+                          + reg.n_teacher_negative)
+    assert reg.student_agree_ge_min == 1
+    scored.unpersist()
 
 
 def test_permutation_is_deterministic(spark):
