@@ -51,7 +51,14 @@ reuse the sequential scan machinery into per-level integer
 references (SOF6 differential progressive stays loud until an
 independent encoder pins it). LOSSLESS JPEG (SOF3, late r14) decodes exactly:
 all seven Annex H spatial predictors, the point transform, 8-16-bit
-precision, modulo-2^16 reconstruction. Only arithmetic-coded JPEG,
+precision, modulo-2^16 reconstruction. ARITHMETIC-coded sequential
+JPEG (SOF9, r15) decodes for real: the T.81 Annex D QM coder (Table
+D.3 state machine, 113 adaptive states + the fixed AC-sign state)
+driving the §F.2.4 DC/AC decision trees, DAC conditioning (L/U
+bounds, AC Kx), restart-interval statistics resets, 8/12-bit —
+pinned by exact equality against an independent Annex D encoder
+(tests/test_jpeg_arith.py). Only PROGRESSIVE/lossless arithmetic
+JPEG (SOF10/13/14, and arithmetic inside hierarchical mode),
 mixed-depth TIFF, and true video codecs stay behind loud
 NotImplementedError tiers unconditionally.
 
@@ -2055,6 +2062,305 @@ def _jpeg_extend(v: int, s: int) -> int:
     return v - (1 << s) + 1 if v < (1 << (s - 1)) else v
 
 
+# --- T.81 arithmetic entropy coding (Annex D coder, Annex F decode
+#     procedures) — the SOF9 extended-sequential tier (r15). Table D.3
+#     is the spec's probability-estimation state machine, transcribed
+#     constants (Qe, NMPS, NLPS, Switch): 113 adaptive states plus the
+#     fixed ~0.5 state at index 113 (AC sign decisions, never adapts).
+#     Structural self-checks in tests/test_jpeg_arith.py pin that all
+#     113 adaptive states are reachable and the coder's measured
+#     bits/symbol tracks binary entropy within the QM coder's known
+#     overhead. ---
+_JPEG_ARITH_TAB = (
+    (0x5A1D, 1, 1, 1), (0x2586, 14, 2, 0), (0x1114, 16, 3, 0),
+    (0x080B, 18, 4, 0), (0x03D8, 20, 5, 0), (0x01DA, 23, 6, 0),
+    (0x00E5, 25, 7, 0), (0x006F, 28, 8, 0), (0x0036, 30, 9, 0),
+    (0x001A, 33, 10, 0), (0x000D, 35, 11, 0), (0x0006, 9, 12, 0),
+    (0x0003, 10, 13, 0), (0x0001, 12, 13, 0), (0x5A7F, 15, 15, 1),
+    (0x3F25, 36, 16, 0), (0x2CF2, 38, 17, 0), (0x207C, 39, 18, 0),
+    (0x17B9, 40, 19, 0), (0x1182, 42, 20, 0), (0x0CEF, 43, 21, 0),
+    (0x09A1, 45, 22, 0), (0x072F, 46, 23, 0), (0x055C, 48, 24, 0),
+    (0x0406, 49, 25, 0), (0x0303, 51, 26, 0), (0x0240, 52, 27, 0),
+    (0x01B1, 54, 28, 0), (0x0144, 56, 29, 0), (0x00F5, 57, 30, 0),
+    (0x00B7, 59, 31, 0), (0x008A, 60, 32, 0), (0x0068, 62, 33, 0),
+    (0x004E, 63, 34, 0), (0x003B, 32, 35, 0), (0x002C, 33, 9, 0),
+    (0x5AE1, 37, 37, 1), (0x484C, 64, 38, 0), (0x3A0D, 65, 39, 0),
+    (0x2EF1, 67, 40, 0), (0x261F, 68, 41, 0), (0x1F33, 69, 42, 0),
+    (0x19A8, 70, 43, 0), (0x1518, 72, 44, 0), (0x1177, 73, 45, 0),
+    (0x0E74, 74, 46, 0), (0x0BFB, 75, 47, 0), (0x09F8, 77, 48, 0),
+    (0x0861, 78, 49, 0), (0x0706, 79, 50, 0), (0x05CD, 48, 51, 0),
+    (0x04DE, 50, 52, 0), (0x040F, 50, 53, 0), (0x0363, 51, 54, 0),
+    (0x02D4, 52, 55, 0), (0x025C, 53, 56, 0), (0x01F8, 54, 57, 0),
+    (0x01A4, 55, 58, 0), (0x0160, 56, 59, 0), (0x0125, 57, 60, 0),
+    (0x00F6, 58, 61, 0), (0x00CB, 59, 62, 0), (0x00AB, 61, 63, 0),
+    (0x008F, 61, 32, 0), (0x5B12, 65, 65, 1), (0x4D04, 80, 66, 0),
+    (0x412C, 81, 67, 0), (0x37D8, 82, 68, 0), (0x2FE8, 83, 69, 0),
+    (0x293C, 84, 70, 0), (0x2379, 86, 71, 0), (0x1EDF, 87, 72, 0),
+    (0x1AA9, 87, 73, 0), (0x174E, 72, 74, 0), (0x1424, 72, 75, 0),
+    (0x119C, 74, 76, 0), (0x0F6B, 74, 77, 0), (0x0D51, 75, 78, 0),
+    (0x0BB6, 77, 79, 0), (0x0A40, 77, 48, 0), (0x5832, 80, 81, 1),
+    (0x4D1C, 88, 82, 0), (0x438E, 89, 83, 0), (0x3BDD, 90, 84, 0),
+    (0x34EE, 91, 85, 0), (0x2EAE, 92, 86, 0), (0x299A, 93, 87, 0),
+    (0x2516, 86, 71, 0), (0x5570, 88, 89, 1), (0x4CA9, 95, 90, 0),
+    (0x44D9, 96, 91, 0), (0x3E22, 97, 92, 0), (0x3824, 99, 93, 0),
+    (0x32B4, 99, 94, 0), (0x2E17, 93, 86, 0), (0x56A8, 95, 96, 1),
+    (0x4F46, 101, 97, 0), (0x47E5, 102, 98, 0), (0x41CF, 103, 99, 0),
+    (0x3C3D, 104, 100, 0), (0x375E, 99, 93, 0), (0x5231, 105, 102, 0),
+    (0x4C0F, 106, 103, 0), (0x4639, 107, 104, 0), (0x415E, 103, 99, 0),
+    (0x5627, 105, 106, 1), (0x50E7, 108, 107, 0), (0x4B85, 109, 103, 0),
+    (0x5597, 110, 109, 0), (0x504F, 111, 107, 0), (0x5A10, 110, 111, 1),
+    (0x5522, 112, 109, 0), (0x59EB, 112, 111, 1),
+    (0x5A1D, 113, 113, 0),
+)
+
+
+class _JpegArithDecoder:
+    """Arithmetic decoder over ONE destuffed entropy segment, derived
+    from the Annex D encoder's interval arithmetic: A mirrors the
+    encoder register renorm-for-renorm (INITENC's A = 0x10000
+    included), R is the streaming 16-bit remainder (code value minus
+    the decoded interval base), and zero bits feed past the segment
+    end (T.81's at-the-marker convention — the encoder's final pad
+    bits are zeros, so a well-formed scan never misdecodes). A
+    statistics bin is one byte: low 7 bits = Table D.3 state index,
+    high bit = current MPS sense. Restart markers get a FRESH decoder
+    and fresh statistics (the scan drivers own that reset)."""
+
+    __slots__ = ("data", "bp", "bit", "r", "a")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.bp = 0
+        self.bit = 0
+        r = 0
+        for _ in range(16):
+            r = (r << 1) | self._next_bit()
+        self.r = r
+        self.a = 0x10000
+
+    def _next_bit(self) -> int:
+        if self.bp >= len(self.data):
+            return 0
+        v = (self.data[self.bp] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.bp += 1
+        return v
+
+    def decode(self, stats: bytearray, i: int) -> int:
+        sv = stats[i]
+        qe, nlps, nmps, sw = _JPEG_ARITH_TAB[sv & 0x7F]
+        mps = sv >> 7
+        self.a -= qe
+        if self.r < self.a:
+            if self.a & 0x8000:
+                return mps                   # plain MPS, no renorm
+            if self.a < qe:                  # MPS_EXCHANGE
+                d = mps ^ 1
+                stats[i] = ((mps ^ sw) << 7) | nlps
+            else:
+                d = mps
+                stats[i] = (mps << 7) | nmps
+        else:
+            self.r -= self.a
+            if self.a < qe:                  # LPS_EXCHANGE
+                d = mps
+                stats[i] = (mps << 7) | nmps
+            else:
+                d = mps ^ 1
+                stats[i] = ((mps ^ sw) << 7) | nlps
+            self.a = qe
+        while not (self.a & 0x8000):
+            self.a <<= 1
+            self.r = (self.r << 1) | self._next_bit()
+        return d
+
+
+_JPEG_ARITH_FIXED = 113  # the non-adaptive ~0.5 state (AC signs)
+
+
+def _jpeg_arith_dc_diff(dec, stats: bytearray, ctx: int,
+                        cond: tuple) -> tuple:
+    """F.2.4.1: decode one DC difference under conditioning (L, U);
+    returns (diff, next context index). Statistics layout (Table
+    F.4 as realized in every public implementation): 5 context groups
+    of 4 bins at 0/4/8/12/16 (S0, SS, SP, SN), the X2..X15 magnitude-
+    category chain at 20, and each category's magnitude-bit bin 14
+    past its category bin."""
+    low, up = cond
+    st = ctx
+    if not dec.decode(stats, st):
+        return 0, 0
+    sign = dec.decode(stats, st + 1)
+    st += 2 + sign
+    m = dec.decode(stats, st)
+    if m:
+        st = 20
+        while dec.decode(stats, st):
+            m <<= 1
+            if m == 0x8000:
+                raise ValueError("JPEG arithmetic DC magnitude overflow")
+            st += 1
+    if m < ((1 << low) >> 1):
+        nctx = 0                             # zero/small diff category
+    elif m > ((1 << up) >> 1):
+        nctx = 12 + 4 * sign                 # large diff category
+    else:
+        nctx = 4 + 4 * sign                  # small diff category
+    v = m
+    st += 14
+    while m >> 1:
+        m >>= 1
+        if dec.decode(stats, st):
+            v |= m
+    v += 1
+    return (-v if sign else v), nctx
+
+
+def _jpeg_arith_read_block(dec, dc_stats: bytearray,
+                           ac_stats: bytearray, fixed: bytearray,
+                           blk, dc_state: list, cond: tuple,
+                           kx: int) -> None:
+    """Full DC+AC of one sequential block (F.2.4.1-F.2.4.3) into a
+    zigzag-indexed slot; dc_state = [last_dc, dc_context], mutated.
+    AC statistics layout: 3 bins per k (SE, S0, magnitude) at
+    3·(k-1), the two X2+ chains at 189 (k ≤ Kx) and 217 (k > Kx),
+    magnitude-bit bins 14 past their category bin."""
+    diff, nctx = _jpeg_arith_dc_diff(dec, dc_stats, dc_state[1], cond)
+    dc_state[0] += diff
+    dc_state[1] = nctx
+    if abs(dc_state[0]) > 1 << 17:
+        raise ValueError("JPEG DC predictor out of range")
+    blk[0] = dc_state[0]
+    k = 1
+    while k <= 63:
+        st = 3 * (k - 1)
+        if dec.decode(ac_stats, st):
+            break                            # EOB
+        while not dec.decode(ac_stats, st + 1):
+            st += 3
+            k += 1
+            if k > 63:
+                raise ValueError("JPEG arithmetic AC run overflow")
+        sign = dec.decode(fixed, 0)
+        st += 2
+        m = dec.decode(ac_stats, st)
+        if m and dec.decode(ac_stats, st):
+            m = 2
+            st = 189 if k <= kx else 217
+            while dec.decode(ac_stats, st):
+                m <<= 1
+                if m == 0x8000:
+                    raise ValueError(
+                        "JPEG arithmetic AC magnitude overflow")
+                st += 1
+        v = m
+        st += 14
+        while m >> 1:
+            m >>= 1
+            if dec.decode(ac_stats, st):
+                v |= m
+        v += 1
+        blk[k] = -v if sign else v
+        k += 1
+
+
+def _jpeg_arith_parse_dac(body: bytes, dc_cond: dict,
+                          ac_cond: dict) -> None:
+    """DAC segment (B.2.4.3): per table, DC conditioning bounds
+    L = low nibble / U = high nibble (0 ≤ L ≤ U ≤ 15) or the AC
+    Kx threshold (1..63)."""
+    i = 0
+    while i + 2 <= len(body):
+        tc, tb = body[i] >> 4, body[i] & 0x0F
+        v = body[i + 1]
+        if tc == 0:
+            low, up = v & 0x0F, v >> 4
+            if low > up:
+                raise ValueError("JPEG DAC DC bounds L > U")
+            dc_cond[tb] = (low, up)
+        elif tc == 1:
+            if not 1 <= v <= 63:
+                raise ValueError("JPEG DAC AC Kx out of range")
+            ac_cond[tb] = v
+        else:
+            raise ValueError("JPEG DAC table class invalid")
+        i += 2
+
+
+def _jpeg_arith_scan(payload: bytes, pos: int, frame, scan,
+                     coefs: dict, dc_cond: dict, ac_cond: dict,
+                     restart_interval: int) -> int:
+    """ONE sequential arithmetic-coded scan (SOF9) — interleaved MCU
+    order for multi-component scans, the component's own ceil-divided
+    grid for single-component scans (the same T.81 A.2.2/A.2.3 grids
+    as the Huffman drivers). Restart markers reset the decoder, every
+    statistics area, the DC predictors AND the DC contexts (F.2.1.3.1).
+    Returns the payload position of the next marker."""
+    segments, end = _jpeg_entropy_segments(payload, pos)
+    if end >= len(payload):
+        # zero-bit feed past a TERMINATING MARKER is spec behavior;
+        # running out of bytes without any marker is truncation, and
+        # zero-feeding through it would return silent-wrong pixels
+        raise ValueError("JPEG arithmetic scan truncated (no marker)")
+    seg_i = 0
+    dec = _JpegArithDecoder(segments[0])
+
+    def fresh_stats():
+        return ({c["td"]: bytearray(64) for c in scan},
+                {c["ta"]: bytearray(256) for c in scan},
+                bytearray([_JPEG_ARITH_FIXED]),
+                {c["id"]: [0, 0] for c in scan})
+
+    dc_stats, ac_stats, fixed, dc_state = fresh_stats()
+    cond = {c["id"]: dc_cond.get(c["td"], (0, 1)) for c in scan}
+    kxs = {c["id"]: ac_cond.get(c["ta"], 5) for c in scan}
+
+    def restart():
+        nonlocal dec, dc_stats, ac_stats, fixed, dc_state, seg_i
+        seg_i += 1
+        if seg_i >= len(segments):
+            raise ValueError("JPEG restart marker missing")
+        dec = _JpegArithDecoder(segments[seg_i])
+        dc_stats, ac_stats, fixed, dc_state = fresh_stats()
+
+    if len(scan) == 1:
+        c = scan[0]
+        wb, hb = _jpeg_nonint_blocks(frame, c)
+        i = 0
+        for by in range(hb):
+            for bx in range(wb):
+                if restart_interval and i \
+                        and i % restart_interval == 0:
+                    restart()
+                _jpeg_arith_read_block(
+                    dec, dc_stats[c["td"]], ac_stats[c["ta"]], fixed,
+                    coefs[c["id"]][by, bx], dc_state[c["id"]],
+                    cond[c["id"]], kxs[c["id"]])
+                i += 1
+        return end
+    _, _, mcux, mcuy = _jpeg_grid(frame)
+    mcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu \
+                    and mcu % restart_interval == 0:
+                restart()
+            for c in scan:
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        _jpeg_arith_read_block(
+                            dec, dc_stats[c["td"]], ac_stats[c["ta"]],
+                            fixed,
+                            coefs[c["id"]][my * c["v"] + by,
+                                           mx * c["h"] + bx],
+                            dc_state[c["id"]], cond[c["id"]],
+                            kxs[c["id"]])
+            mcu += 1
+    return end
+
+
 def decode_jpeg_pixels(payload: bytes):
     """REAL JPEG decode, stdlib+numpy only: segment parse
     (DQT/DHT/SOF/DRI/SOS), canonical Huffman entropy decode of the
@@ -2077,9 +2383,11 @@ def decode_jpeg_pixels(payload: bytes):
     EXP-expanded differential refinements — and so does LOSSLESS
     (SOF3, late r14) via _jpeg_lossless_scan (all seven Annex H
     predictors, point transform, 8-16-bit precision, exact
-    reconstruction); arithmetic coding stays NotImplementedError (the
-    header tier still reports its dimensions); structural damage
-    raises ValueError.
+    reconstruction). ARITHMETIC-coded sequential (SOF9, r15) decodes
+    via _jpeg_arith_scan (Annex D QM coder + §F.2.4 decision trees,
+    DAC conditioning, restart resets); progressive/lossless
+    arithmetic variants stay NotImplementedError (the header tier
+    still reports dimensions); structural damage raises ValueError.
 
     Scale note: the bit-serial Huffman loop is the no-dependency
     correctness path (same contract as decode_png_pixels' filter loop);
@@ -2095,6 +2403,9 @@ def decode_jpeg_pixels(payload: bytes):
     frame = None
     progressive = False
     lossless = False
+    arith = False
+    dc_cond: dict[int, tuple] = {}     # DAC DC conditioning (L, U)
+    ac_cond: dict[int, int] = {}       # DAC AC conditioning Kx
     coefs: dict | None = None
     n_scans = 0
     seen_comps: set[int] = set()       # non-interleaved baseline scans
@@ -2124,12 +2435,16 @@ def decode_jpeg_pixels(payload: bytes):
         elif marker == 0xC3:                   # SOF3 lossless (r14)
             frame = _jpeg_parse_sof_lossless(body)
             lossless = True
+        elif marker == 0xC9:                   # SOF9 arithmetic
+            frame = _jpeg_parse_sof(body)      # sequential (r15)
+            arith = True
+            coefs = _jpeg_alloc_coefs(frame)
         elif marker in (0xC5, 0xC6, 0xC7,
-                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                        0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"JPEG SOF{marker - 0xC0} (non-baseline)")
-        elif marker == 0xCC:
-            raise NotImplementedError("JPEG arithmetic coding")
+        elif marker == 0xCC:                   # DAC conditioning (r15)
+            _jpeg_arith_parse_dac(body, dc_cond, ac_cond)
         elif marker == 0xDD:                   # DRI
             restart_interval = int.from_bytes(body[0:2], "big")
         elif marker == 0xDA:                   # SOS: entropy data follows
@@ -2167,6 +2482,18 @@ def decode_jpeg_pixels(payload: bytes):
             for c in scan:                 # missing tables = corrupt,
                 if c["tq"] not in qt:      # not a crashed Python task
                     raise ValueError("JPEG quant table missing")
+            if arith:                      # SOF9 sequential (r15):
+                # scans accumulate into the coefficient store (same
+                # multi-scan discipline as baseline); EOI finalizes
+                if any(c["id"] in seen_comps for c in scan):
+                    raise ValueError(
+                        "JPEG sequential scan repeats a component")
+                pos = _jpeg_arith_scan(payload, data_start, frame,
+                                       scan, coefs, dc_cond, ac_cond,
+                                       restart_interval)
+                seen_comps.update(c["id"] for c in scan)
+                n_scans += 1
+                continue
             if not progressive:
                 for c in scan:
                     if c["td"] not in huff_dc or c["ta"] not in huff_ac:

@@ -35,7 +35,9 @@ pays its own index build):
   * ann_stream_drain    — same shape for the IVF index (with the
                           pre-admission verdict probe on)
 
-Usage: python tools/bench_scale.py   # writes BENCH_SCALE.json
+Usage: python tools/bench_scale.py [--x100]   # writes BENCH_SCALE.json
+(--x100 adds the minhash_lsh + curate_funnel subset leg at 100x rows
+— VERDICT r14 #7; the full suite stays x1/x10/x30)
 Fixture parquet lands under .scale_fixture/ (gitignored, regenerated on
 demand; delete the dir to force a rebuild).
 """
@@ -141,7 +143,7 @@ def ensure_fixture() -> dict[str, str]:
             os.makedirs(d, exist_ok=True)
             _gen_documents(BASE_DOCS * mult, docs)
             _gen_embeddings(BASE_VECS * mult, embs)
-        if tag in ("x1", "x10", "x30"):
+        if tag in ("x1", "x10", "x30", "x100"):
             # curate-funnel variant: stopword-dressed text (see
             # _gen_documents), embeddings hard-linked — the funnel's
             # SemDeDup stage reads the same vectors
@@ -379,7 +381,53 @@ def run(spark, sf_dir: str, work: str) -> dict[str, float]:
     return t
 
 
+def run_subset(spark, sf_dir: str, work: str) -> dict[str, float]:
+    """The x100 leg (VERDICT r14 #7): ONLY the two families whose x30
+    ratios sit closest to linear — minhash_lsh (3.45x wall at 30x
+    rows, plus its shingle_scan leaf) and the composed curate funnel
+    (18.63x at 30x) — so one decade more of rows pins their slopes
+    without paying the full suite at 500k docs."""
+    from big_data_crypto_sentiment_spark.jobs.curate import run_curation
+    from big_data_crypto_sentiment_spark.queries import (
+        clear_session_caches,
+    )
+    from big_data_crypto_sentiment_spark.queries.dedup import (
+        _shingled_documents,
+        q_dedup_minhash_lsh,
+    )
+
+    clear_session_caches()
+    t: dict[str, float] = {}
+
+    def timed(name, thunk):
+        t0 = time.perf_counter()
+        out = thunk()
+        t[name] = round(time.perf_counter() - t0, 2)
+        return out
+
+    timed("shingle_scan",
+          lambda: _noop(_shingled_documents(spark, sf_dir)))
+    t["rows_minhash_lsh_pairs"] = timed(
+        "minhash_lsh",
+        lambda: q_dedup_minhash_lsh(spark, sf_dir).count())
+    cur_dir = os.path.join(sf_dir, "curate")
+    cur_out = os.path.join(work, "curated")
+    shutil.rmtree(cur_out, ignore_errors=True)
+    stats = timed("curate_funnel",
+                  lambda: run_curation(spark, cur_dir, cur_out))
+    n_docs = spark.read.parquet(
+        os.path.join(cur_dir, "documents.parquet")).count()
+    assert stats["n_docs"] == n_docs, stats
+    assert 0 < stats["n_kept"] < n_docs, stats
+    t["rows_curate_kept"] = stats["n_kept"]
+    clear_session_caches()
+    return t
+
+
 def main() -> int:
+    with_x100 = "--x100" in sys.argv
+    if with_x100:
+        SCALES["x100"] = 100
     dirs = ensure_fixture()
     from bench import _calibration_probes
     from big_data_crypto_sentiment_spark.session import get_spark
@@ -404,7 +452,10 @@ def main() -> int:
     calib = {f"calibration:{k}": v
              for k, v in _calibration_probes(spark).items()}
     res = {tag: run(spark, d, os.path.join(work, tag))
-           for tag, d in dirs.items()}
+           for tag, d in dirs.items() if tag != "x100"}
+    if with_x100:
+        res["x100"] = run_subset(spark, dirs["x100"],
+                                 os.path.join(work, "x100"))
     calib.update({f"calibration:{k}_end": v
                   for k, v in _calibration_probes(spark).items()})
     families = sorted(k for k in res["x1"] if not k.startswith("rows_"))
@@ -423,6 +474,11 @@ def main() -> int:
                                if res["x1"][f] > 0 and f in res["x30"]
                                else None)
                            for f in families},
+        "wall_ratio_x100": ({f: (round(res["x100"][f] / res["x1"][f], 2)
+                                 if res["x1"].get(f, 0) > 0 else None)
+                             for f in sorted(res["x100"])
+                             if not f.startswith("rows_")}
+                            if "x100" in res else None),
         "calibration": calib,
         "loadavg_start": load0,
         "loadavg": [round(x, 2) for x in os.getloadavg()],

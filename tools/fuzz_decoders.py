@@ -48,6 +48,11 @@ def build_seeds() -> list[bytes]:
     seeds.append(ll._encode_lossless([ll._img(8, 8, 3)], sel=4)[0])
     seeds.append(ll._encode_lossless([ll._img(6, 7, 4)],
                                      prec=16, sel=7)[0])
+    ar = _load("test_jpeg_arith.py")
+    seeds.append(ar._encode_arith([ar._img(16, 16, 5)])[0])
+    seeds.append(ar._encode_arith([ar._img(16, 24, s)
+                                   for s in (1, 2, 9)],
+                                  restart=2)[0])
     tg = _load("test_tiff_g711.py")
 
     def pack_img(img, bits):

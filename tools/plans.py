@@ -194,14 +194,14 @@ HEADLINE = [
      "(model-as-broadcast), known words a broadcast word->tokens "
      "table, ONE ArrowEvalPython crossing, no shuffle"),
     ("pack_bins_ffd",
-     "r14 graduated: per-group FFD fold (one FlatMapGroupsInPandas "
-     "over PACK_GROUPS hash groups) -> bounded per-bin agg -> "
-     "PACK_GROUPS-row guarantee surface; doc-side stats "
-     "partial-combine in the same pass shape the SQL twin replays"),
+     "r15: ONE pack() FlatMapGroupsInPandas node — doc-side stats "
+     "fold through bin-level partials in a single two-level agg (the "
+     "r14 shape ran the Python fold twice, once per join branch)"),
     ("curate_funnel_stats",
-     "r14: the composed funnel's ONE-row stats agg — every stage is a "
-     "column flag over one corpus scan plus three id-only broadcast "
-     "side-plans (dup keep-set, contaminated ids, span-dup ids)"),
+     "r15: quality/repetition/LM flags now share ONE projection chain "
+     "over one corpus scan (was three separate scans); side sets "
+     "(dup keep-set, contaminated ids, span-dup ids) stay id-only "
+     "broadcast side-plans"),
     ("ml_auto_arima_orders",
      "r14: selection surface — one applyInPandas fit per symbol over "
      "the shared resample grid, frozen-lookup literals ride the "
