@@ -51,16 +51,19 @@ reuse the sequential scan machinery into per-level integer
 references (SOF6 differential progressive stays loud until an
 independent encoder pins it). LOSSLESS JPEG (SOF3, late r14) decodes exactly:
 all seven Annex H spatial predictors, the point transform, 8-16-bit
-precision, modulo-2^16 reconstruction. ARITHMETIC-coded sequential
-JPEG (SOF9, r15) decodes for real: the T.81 Annex D QM coder (Table
-D.3 state machine, 113 adaptive states + the fixed AC-sign state)
-driving the §F.2.4 DC/AC decision trees, DAC conditioning (L/U
-bounds, AC Kx), restart-interval statistics resets, 8/12-bit —
-pinned by exact equality against an independent Annex D encoder
-(tests/test_jpeg_arith.py). Only PROGRESSIVE/lossless arithmetic
-JPEG (SOF10/13/14, and arithmetic inside hierarchical mode),
-mixed-depth TIFF, and true video codecs stay behind loud
-NotImplementedError tiers unconditionally.
+precision, modulo-2^16 reconstruction. ARITHMETIC-coded JPEG
+(r15) decodes for real — sequential (SOF9) AND progressive (SOF10):
+the T.81 Annex D QM coder (Table D.3 state machine, 113 adaptive
+states + the fixed AC-sign state) driving the §F.2.4 DC/AC decision
+trees and the §G.4 successive-approximation passes (DC-first /
+fixed-bin DC-refine / AC-first / AC-refine with the previous-stage
+EOB index), DAC conditioning (L/U bounds, AC Kx), restart-interval
+statistics resets, 8/12-bit — pinned by exact equality against an
+independent Annex D encoder (tests/test_jpeg_arith.py). Only
+arithmetic LOSSLESS/differential JPEG (SOF11/13/14/15, and
+arithmetic inside hierarchical mode), SOF6, mixed-depth TIFF, and
+true video codecs stay behind loud NotImplementedError tiers
+unconditionally.
 
 Video frames (r12): animated GIFs decode frame by frame with spec
 disposal/transparency coalescing against the logical screen
@@ -2361,6 +2364,170 @@ def _jpeg_arith_scan(payload: bytes, pos: int, frame, scan,
     return end
 
 
+def _jpeg_arith_progressive_scan(payload: bytes, pos: int, frame, scan,
+                                 coefs: dict, ss: int, se: int,
+                                 ah: int, al: int, dc_cond: dict,
+                                 ac_cond: dict,
+                                 restart_interval: int) -> int:
+    """Decode ONE progressive ARITHMETIC scan (SOF10, T.81 §G.4) into
+    the shared coefficient store; returns the payload position of the
+    next marker. Composes the Annex D coder with the progressive
+    successive-approximation semantics: DC first scans run the F.2.4.1
+    tree and store diff << Al; DC refinement is one fixed-bin decision
+    per block (|= 1 << Al); AC first scans run the sequential AC tree
+    over the [Ss, Se] band storing v << Al; AC refinement walks the
+    band with per-k correction (st+2) / newly-nonzero (st+1) decisions
+    against the previous stage's end-of-block index, signs on the
+    fixed bin. Statistics, DC predictors/contexts and the decoder
+    reset at every restart marker (F.2.1.3.1)."""
+    if not (0 <= ss <= se <= 63) or al > 13:
+        raise ValueError("JPEG progressive scan header out of range")
+    segments, end = _jpeg_entropy_segments(payload, pos)
+    if end >= len(payload):
+        raise ValueError("JPEG arithmetic scan truncated (no marker)")
+    seg_i = 0
+    dec = _JpegArithDecoder(segments[0])
+
+    def fresh_stats():
+        return ({c["td"]: bytearray(64) for c in scan},
+                {c["ta"]: bytearray(256) for c in scan},
+                bytearray([_JPEG_ARITH_FIXED]),
+                {c["id"]: [0, 0] for c in scan})
+
+    dc_stats, ac_stats, fixed, dc_state = fresh_stats()
+    cond = {c["id"]: dc_cond.get(c["td"], (0, 1)) for c in scan}
+    kxs = {c["id"]: ac_cond.get(c["ta"], 5) for c in scan}
+
+    def restart():
+        nonlocal dec, dc_stats, ac_stats, fixed, dc_state, seg_i
+        seg_i += 1
+        if seg_i >= len(segments):
+            raise ValueError("JPEG restart marker missing")
+        dec = _JpegArithDecoder(segments[seg_i])
+        dc_stats, ac_stats, fixed, dc_state = fresh_stats()
+
+    if ss == 0:                                # DC scan
+        if se != 0:
+            raise ValueError("JPEG DC scan with Se != 0")
+
+        def dc_block(c, blk):
+            if ah == 0:
+                st = dc_state[c["id"]]
+                diff, nctx = _jpeg_arith_dc_diff(
+                    dec, dc_stats[c["td"]], st[1], cond[c["id"]])
+                st[0] += diff
+                st[1] = nctx
+                if abs(st[0]) > 1 << 17:
+                    raise ValueError("JPEG DC predictor out of range")
+                blk[0] = st[0] << al
+            elif dec.decode(fixed, 0):         # G.4: fixed-bin refine
+                blk[0] |= 1 << al
+
+        if len(scan) > 1:                      # interleaved MCU order
+            _, _, mcux, mcuy = _jpeg_grid(frame)
+            mcu = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if restart_interval and mcu \
+                            and mcu % restart_interval == 0:
+                        restart()
+                    for c in scan:
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                dc_block(c, coefs[c["id"]][
+                                    my * c["v"] + by, mx * c["h"] + bx])
+                    mcu += 1
+        else:
+            c = scan[0]
+            wb, hb = _jpeg_nonint_blocks(frame, c)
+            i = 0
+            for by in range(hb):
+                for bx in range(wb):
+                    if restart_interval and i \
+                            and i % restart_interval == 0:
+                        restart()
+                    dc_block(c, coefs[c["id"]][by, bx])
+                    i += 1
+        return end
+
+    # AC scan: always single-component (T.81 B.2.3)
+    if len(scan) != 1:
+        raise ValueError(
+            "JPEG progressive AC scan must be non-interleaved")
+    c = scan[0]
+    acs = ac_stats[c["ta"]]
+    kx = kxs[c["id"]]
+    wb, hb = _jpeg_nonint_blocks(frame, c)
+    p1 = 1 << al
+    m1 = -1 << al
+    i = 0
+    for by in range(hb):
+        for bx in range(wb):
+            if restart_interval and i and i % restart_interval == 0:
+                restart()
+                acs = ac_stats[c["ta"]]
+            blk = coefs[c["id"]][by, bx]
+            if ah == 0:                        # AC first pass
+                k = ss
+                while k <= se:
+                    st = 3 * (k - 1)
+                    if dec.decode(acs, st):
+                        break                  # EOB
+                    while not dec.decode(acs, st + 1):
+                        st += 3
+                        k += 1
+                        if k > se:
+                            raise ValueError(
+                                "JPEG arithmetic AC run overflow")
+                    sign = dec.decode(fixed, 0)
+                    st += 2
+                    m = dec.decode(acs, st)
+                    if m and dec.decode(acs, st):
+                        m = 2
+                        st = 189 if k <= kx else 217
+                        while dec.decode(acs, st):
+                            m <<= 1
+                            if m == 0x8000:
+                                raise ValueError(
+                                    "JPEG arithmetic AC magnitude "
+                                    "overflow")
+                            st += 1
+                    v = m
+                    st += 14
+                    while m >> 1:
+                        m >>= 1
+                        if dec.decode(acs, st):
+                            v |= m
+                    v += 1
+                    blk[k] = (-v if sign else v) << al
+                    k += 1
+            else:                              # AC refinement pass
+                kex = se
+                while kex > 0 and not blk[kex]:
+                    kex -= 1
+                k = ss
+                while k <= se:
+                    st = 3 * (k - 1)
+                    if k > kex and dec.decode(acs, st):
+                        break                  # EOB
+                    while True:
+                        if blk[k]:             # correction bit
+                            if dec.decode(acs, st + 2):
+                                blk[k] += m1 if blk[k] < 0 else p1
+                            break
+                        if dec.decode(acs, st + 1):   # newly nonzero
+                            blk[k] = m1 if dec.decode(fixed, 0) else p1
+                            break
+                        st += 3
+                        k += 1
+                        if k > se:
+                            raise ValueError(
+                                "JPEG arithmetic AC refine overflow")
+                    k += 1
+            i += 1
+    return end
+
+
 def decode_jpeg_pixels(payload: bytes):
     """REAL JPEG decode, stdlib+numpy only: segment parse
     (DQT/DHT/SOF/DRI/SOS), canonical Huffman entropy decode of the
@@ -2383,11 +2550,13 @@ def decode_jpeg_pixels(payload: bytes):
     EXP-expanded differential refinements — and so does LOSSLESS
     (SOF3, late r14) via _jpeg_lossless_scan (all seven Annex H
     predictors, point transform, 8-16-bit precision, exact
-    reconstruction). ARITHMETIC-coded sequential (SOF9, r15) decodes
-    via _jpeg_arith_scan (Annex D QM coder + §F.2.4 decision trees,
-    DAC conditioning, restart resets); progressive/lossless
-    arithmetic variants stay NotImplementedError (the header tier
-    still reports dimensions); structural damage raises ValueError.
+    reconstruction). ARITHMETIC-coded JPEG (r15) decodes
+    via _jpeg_arith_scan (SOF9 sequential) and
+    _jpeg_arith_progressive_scan (SOF10, §G.4 successive
+    approximation) — Annex D QM coder, §F.2.4 decision trees, DAC
+    conditioning, restart resets; lossless/differential arithmetic
+    variants stay NotImplementedError (the header tier still reports
+    dimensions); structural damage raises ValueError.
 
     Scale note: the bit-serial Huffman loop is the no-dependency
     correctness path (same contract as decode_png_pixels' filter loop);
@@ -2435,12 +2604,13 @@ def decode_jpeg_pixels(payload: bytes):
         elif marker == 0xC3:                   # SOF3 lossless (r14)
             frame = _jpeg_parse_sof_lossless(body)
             lossless = True
-        elif marker == 0xC9:                   # SOF9 arithmetic
-            frame = _jpeg_parse_sof(body)      # sequential (r15)
-            arith = True
+        elif marker in (0xC9, 0xCA):           # SOF9 sequential /
+            frame = _jpeg_parse_sof(body)      # SOF10 progressive
+            arith = True                       # arithmetic (r15)
+            progressive = marker == 0xCA
             coefs = _jpeg_alloc_coefs(frame)
         elif marker in (0xC5, 0xC6, 0xC7,
-                        0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                        0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"JPEG SOF{marker - 0xC0} (non-baseline)")
         elif marker == 0xCC:                   # DAC conditioning (r15)
@@ -2482,9 +2652,18 @@ def decode_jpeg_pixels(payload: bytes):
             for c in scan:                 # missing tables = corrupt,
                 if c["tq"] not in qt:      # not a crashed Python task
                     raise ValueError("JPEG quant table missing")
-            if arith:                      # SOF9 sequential (r15):
-                # scans accumulate into the coefficient store (same
+            if arith:                      # SOF9/SOF10 (r15): scans
+                # accumulate into the coefficient store (same
                 # multi-scan discipline as baseline); EOI finalizes
+                if progressive:
+                    ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+                    ahal = body[3 + 2 * ns]
+                    pos = _jpeg_arith_progressive_scan(
+                        payload, data_start, frame, scan, coefs,
+                        ss, se, ahal >> 4, ahal & 0x0F,
+                        dc_cond, ac_cond, restart_interval)
+                    n_scans += 1
+                    continue
                 if any(c["id"] in seen_comps for c in scan):
                     raise ValueError(
                         "JPEG sequential scan repeats a component")

@@ -1,5 +1,6 @@
-"""SOF9 arithmetic-coded sequential JPEG (T.81 Annex D coder, §F.2.4
-decode procedures) — r15 tier. The encoder here is INDEPENDENT of the
+"""Arithmetic-coded JPEG (T.81 Annex D coder) — r15 tier: SOF9
+sequential (§F.2.4 decode procedures) AND SOF10 progressive (§G.4
+successive approximation). The encoder here is INDEPENDENT of the
 decoder: it drives the Annex D interval arithmetic with an exact
 big-integer code register (carries resolve inside the integer, no
 byte windowing) and re-derives the DC/AC decision trees from the spec
@@ -383,10 +384,15 @@ def test_arith_corruption_is_loud_not_wrong():
     # truncation ahead of EOI: the marker walk must not return pixels
     with pytest.raises((ValueError, NotImplementedError)):
         decode_jpeg_pixels(payload[:len(payload) // 2])
-    # bad DAC values stay loud
+    # a sequential stream relabeled SOF10 is a structurally-invalid
+    # progressive file (its scan claims the DC band with Se=63)
     bad = payload.replace(b"\xff\xc9", b"\xff\xca", 1)
+    with pytest.raises(ValueError):
+        decode_jpeg_pixels(bad)
+    # arithmetic lossless (SOF11) stays the loud tier
+    bad2 = payload.replace(b"\xff\xc9", b"\xff\xcb", 1)
     with pytest.raises(NotImplementedError):
-        decode_jpeg_pixels(bad)               # SOF10 arith progressive
+        decode_jpeg_pixels(bad2)
 
 
 def test_arith_compresses_smooth_content():
@@ -400,3 +406,213 @@ def test_arith_compresses_smooth_content():
     got = decode_jpeg_pixels(payload)
     assert np.array_equal(got, _expected(coefs))
     assert len(payload) < img.size // 4       # < 2 bits/pixel
+
+
+# --- SOF10: progressive arithmetic (T.81 §G.4) ---
+
+def _enc_dc_first(enc, dcs, state, cond, dc, al):
+    v = dc >> al                               # arithmetic shift
+    state[1] = _enc_dc(enc, dcs, state[1], cond, v - state[0])
+    state[0] = v
+
+
+def _enc_ac_first(enc, acs, fixed, zzc, ss, se, al, kx):
+    ke = se
+    while ke >= ss and (abs(int(zzc[ke])) >> al) == 0:
+        ke -= 1
+    k = ss
+    while k <= ke:
+        st = 3 * (k - 1)
+        enc.encode(acs, st, 0)                 # not EOB
+        while (abs(int(zzc[k])) >> al) == 0:
+            enc.encode(acs, st + 1, 0)
+            st += 3
+            k += 1
+        enc.encode(acs, st + 1, 1)
+        coef = int(zzc[k])
+        sign = 1 if coef < 0 else 0
+        enc.encode(fixed, 0, sign)
+        st += 2
+        v = abs(coef) >> al
+        w = v - 1
+        if w == 0:
+            enc.encode(acs, st, 0)
+            m = 0
+        elif w == 1:
+            enc.encode(acs, st, 1)
+            enc.encode(acs, st, 0)
+            m = 1
+        else:
+            enc.encode(acs, st, 1)
+            enc.encode(acs, st, 1)
+            t = w.bit_length() - 1
+            st = 189 if k <= kx else 217
+            for _ in range(t - 1):
+                enc.encode(acs, st, 1)
+                st += 1
+            enc.encode(acs, st, 0)
+            m = 1 << t
+        st += 14
+        mm = m
+        while mm >> 1:
+            mm >>= 1
+            enc.encode(acs, st, 1 if w & mm else 0)
+        k += 1
+    if ke < se:
+        enc.encode(acs, 3 * (k - 1), 1)        # EOB
+
+
+def _enc_ac_refine(enc, acs, fixed, zzc, ss, se, al):
+    kex = se
+    while kex >= ss and (abs(int(zzc[kex])) >> (al + 1)) == 0:
+        kex -= 1
+    ke = se
+    while ke >= ss and (abs(int(zzc[ke])) >> al) == 0:
+        ke -= 1
+    k = ss
+    while k <= ke:
+        st = 3 * (k - 1)
+        if k > kex:
+            enc.encode(acs, st, 0)             # not EOB
+        while True:
+            coef = int(zzc[k])
+            a = abs(coef)
+            if a >> (al + 1):                  # previously nonzero
+                enc.encode(acs, st + 2, (a >> al) & 1)
+                break
+            if a >> al:                        # newly nonzero
+                enc.encode(acs, st + 1, 1)
+                enc.encode(fixed, 0, 1 if coef < 0 else 0)
+                break
+            enc.encode(acs, st + 1, 0)
+            st += 3
+            k += 1
+        k += 1
+    if ke < se:
+        enc.encode(acs, 3 * (k - 1), 1)        # EOB
+
+
+def _encode_arith_progressive(planes, prec=8, restart=0):
+    """SOF10 stream: DC-first (interleaved, Al=1) -> per-component
+    AC-first split bands (Al=1) -> DC refine (fixed bin, Al=0) ->
+    per-component AC refine (Al=0). Complete successive approximation,
+    so the decoded coefficients are EXACT."""
+    ncomp = len(planes)
+    h, w = planes[0].shape
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    sof = bytes([prec]) + struct.pack(">HH", h, w) + bytes([ncomp])
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, 0])
+    out += _seg(0xCA, sof)
+    if restart:
+        out += _seg(0xDD, struct.pack(">H", restart))
+    coefs = [_dct_blocks(p, prec) for p in planes]
+    nby, nbx = coefs[0].shape[:2]
+    zzs = [[[coefs[ci][by, bx].reshape(-1)[_ZZ]
+             for bx in range(nbx)] for by in range(nby)]
+           for ci in range(ncomp)]
+
+    def sos(comps, ss, se, ah, al):
+        body = bytes([len(comps)])
+        for ci in comps:
+            body += bytes([ci + 1, 0x00])
+        body += bytes([ss, se, (ah << 4) | al])
+        return _seg(0xDA, body)
+
+    def dc_scan(ah, al):
+        nonlocal out
+        out += sos(list(range(ncomp)), 0, 0, ah, al)
+        enc = _ArithEnc()
+        dcs = bytearray(64)
+        fixed = bytearray([_JPEG_ARITH_FIXED])
+        states = [[0, 0] for _ in range(ncomp)]
+        mcu, rst = 0, 0
+        entropy = bytearray()
+        for by in range(nby):
+            for bx in range(nbx):
+                if restart and mcu and mcu % restart == 0:
+                    entropy += enc.flush()
+                    entropy += bytes([0xFF, 0xD0 + (rst % 8)])
+                    rst += 1
+                    enc = _ArithEnc()
+                    dcs = bytearray(64)
+                    fixed = bytearray([_JPEG_ARITH_FIXED])
+                    states = [[0, 0] for _ in range(ncomp)]
+                for ci in range(ncomp):
+                    dc = int(zzs[ci][by][bx][0])
+                    if ah == 0:
+                        _enc_dc_first(enc, dcs, states[ci],
+                                      (0, 1), dc, al)
+                    else:
+                        enc.encode(fixed, 0, (dc >> al) & 1)
+                mcu += 1
+        entropy += enc.flush()
+        out += entropy
+
+    def ac_scan(ci, ss, se, ah, al):
+        nonlocal out
+        out += sos([ci], ss, se, ah, al)
+        enc = _ArithEnc()
+        acs = bytearray(256)
+        fixed = bytearray([_JPEG_ARITH_FIXED])
+        i, rst = 0, 0
+        entropy = bytearray()
+        for by in range(nby):
+            for bx in range(nbx):
+                if restart and i and i % restart == 0:
+                    entropy += enc.flush()
+                    entropy += bytes([0xFF, 0xD0 + (rst % 8)])
+                    rst += 1
+                    enc = _ArithEnc()
+                    acs = bytearray(256)
+                    fixed = bytearray([_JPEG_ARITH_FIXED])
+                zzc = zzs[ci][by][bx]
+                if ah == 0:
+                    _enc_ac_first(enc, acs, fixed, zzc, ss, se, al, 5)
+                else:
+                    _enc_ac_refine(enc, acs, fixed, zzc, ss, se, al)
+                i += 1
+        entropy += enc.flush()
+        out += entropy
+
+    dc_scan(0, 1)
+    for ci in range(ncomp):
+        ac_scan(ci, 1, 5, 0, 1)
+        ac_scan(ci, 6, 63, 0, 1)
+    dc_scan(1, 0)
+    for ci in range(ncomp):
+        ac_scan(ci, 1, 63, 1, 0)
+    out += b"\xff\xd9"
+    return bytes(out), coefs
+
+
+def test_arith_progressive_grey_bit_exact():
+    img = _img(24, 32, 4)
+    payload, coefs = _encode_arith_progressive([img])
+    got = decode_jpeg_pixels(payload)
+    assert got.shape == (24, 32, 1)
+    assert np.array_equal(got, _expected(coefs))
+
+
+def test_arith_progressive_color_bit_exact():
+    planes = [_img(16, 16, s) for s in (3, 6, 8)]
+    payload, coefs = _encode_arith_progressive(planes)
+    got = decode_jpeg_pixels(payload)
+    assert np.array_equal(got, _expected(coefs))
+
+
+def test_arith_progressive_restart_markers():
+    img = _img(32, 40, 9)
+    payload, coefs = _encode_arith_progressive([img], restart=2)
+    assert any(bytes([0xFF, 0xD0 + j]) in payload for j in range(8))
+    got = decode_jpeg_pixels(payload)
+    assert np.array_equal(got, _expected(coefs))
+
+
+def test_arith_progressive_structural_gates():
+    img = _img(16, 16, 1)
+    payload, _ = _encode_arith_progressive([img])
+    # truncation ahead of EOI stays loud
+    with pytest.raises((ValueError, NotImplementedError)):
+        decode_jpeg_pixels(payload[:len(payload) // 3])

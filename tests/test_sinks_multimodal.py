@@ -987,12 +987,12 @@ def test_jpeg_gates_and_corruption():
     prog = payload.replace(b"\xff\xc0", b"\xff\xc2", 1)
     with _pytest.raises(ValueError):
         decode_jpeg_pixels(prog)
-    # arithmetic-coded sequential (SOF9) decodes for real as of r15
-    # (tests/test_jpeg_arith.py); the PROGRESSIVE arithmetic tier
-    # (SOF10) stays the loud NotImplementedError tier
-    arith_prog = payload.replace(b"\xff\xc0", b"\xff\xca", 1)
+    # arithmetic-coded JPEG (SOF9 sequential AND SOF10 progressive)
+    # decodes for real as of r15 (tests/test_jpeg_arith.py); the
+    # arithmetic LOSSLESS tier (SOF11) stays loud
+    arith_ll = payload.replace(b"\xff\xc0", b"\xff\xcb", 1)
     with _pytest.raises(NotImplementedError):
-        decode_jpeg_pixels(arith_prog)
+        decode_jpeg_pixels(arith_ll)
     # truncated entropy stream -> ValueError
     with _pytest.raises(ValueError):
         decode_jpeg_pixels(payload[:len(payload) - 40])

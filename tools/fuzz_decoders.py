@@ -53,6 +53,7 @@ def build_seeds() -> list[bytes]:
     seeds.append(ar._encode_arith([ar._img(16, 24, s)
                                    for s in (1, 2, 9)],
                                   restart=2)[0])
+    seeds.append(ar._encode_arith_progressive([ar._img(16, 16, 4)])[0])
     tg = _load("test_tiff_g711.py")
 
     def pack_img(img, bits):
