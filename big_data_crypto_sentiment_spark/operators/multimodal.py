@@ -1502,8 +1502,11 @@ def decode_tiff_pixels(payload: bytes):
     full depth, predictor wrapping per sample, and emits the high
     byte), and 1/2/4-bit samples (r14 — MSB-first packed,
     byte-aligned rows, max-value greyscale rescale, raw palette
-    indices). Mixed depths, FillOrder 2 and exotic photometrics stay
-    the loud header-metadata tier.
+    indices; r15 adds FillOrder 2 for uncompressed sub-8 scans —
+    per-byte bit reversal — and sub-8 horizontal differencing with
+    libtiff's modulo-2^bits accumulate). Mixed depths, compressed
+    FillOrder 2 and exotic photometrics stay the loud
+    header-metadata tier.
     Returns (height, width, channels) uint8."""
     import numpy as np
 
@@ -1571,12 +1574,19 @@ def decode_tiff_pixels(payload: bytes):
     # loud). Greyscale rescales by 255/(2^bits−1) exactly like the
     # PNG sub-8 path; palette keeps raw indices into the ColorMap.
     bits = bps[0]
-    if sub8 and tags.get(266, [1])[0] != 1:
-        raise NotImplementedError("TIFF FillOrder 2")
-    if sub8 and predictor == 2:
-        # horizontal differencing below 8 bits is outside TIFF6's
-        # baseline and ambiguous across writers
-        raise NotImplementedError("TIFF sub-8-bit with predictor 2")
+    fill_order = tags.get(266, [1])[0]
+    if fill_order not in (1, 2):
+        raise ValueError(f"TIFF FillOrder {fill_order} invalid")
+    # FillOrder 2 (r15): bits within each byte stored lowest-first —
+    # decoding is a per-byte bit reversal, then the FillOrder-1 path.
+    # Supported where it occurs in the wild (uncompressed sub-8
+    # bilevel/grey scans); combined with LZW/PackBits or 8/16-bit
+    # samples it stays the loud tier (the compressed bitstream's bit
+    # order is writer-ambiguous there).
+    fill2 = fill_order == 2
+    if fill2 and not (sub8 and comp == 1):
+        raise NotImplementedError(
+            "TIFF FillOrder 2 outside uncompressed sub-8 samples")
     # 16-bit samples (r13): decoded at full depth (file byte order,
     # horizontal differencing wraps per 16-bit sample), emitted as the
     # high byte — the same 16→8 convention the ColorMap path uses
@@ -1584,6 +1594,11 @@ def decode_tiff_pixels(payload: bytes):
     dt = np.dtype(("<u2" if bo == "little" else ">u2")
                   if bits16 else "u1")
     wrap = 0xFFFF if bits16 else 0xFF
+    _rev8 = (np.unpackbits(np.arange(256, dtype=np.uint8)[:, None],
+                           axis=1)[:, ::-1]
+             if fill2 else None)
+    if fill2:
+        _rev8 = np.packbits(_rev8, axis=1).reshape(-1)
 
     def _row_bytes(ncols: int) -> int:
         if sub8:
@@ -1599,11 +1614,22 @@ def decode_tiff_pixels(payload: bytes):
             rb = _row_bytes(ncols)
             a = np.frombuffer(raw, np.uint8, nrows * rb) \
                   .reshape(nrows, rb)
+            if fill2:
+                a = _rev8[a]
             b_ = np.unpackbits(a, axis=1)
             if bits > 1:
                 b_ = b_.reshape(nrows, rb * 8 // bits, bits)
                 weights = 1 << np.arange(bits - 1, -1, -1)
                 b_ = (b_ * weights).sum(axis=2)
+            if predictor == 2:
+                # sub-8 horizontal differencing (r15): accumulate at
+                # the sample depth modulo 2^bits — the libtiff
+                # convention (the de-facto arbiter; TIFF6's own text
+                # only spells out the 8-bit case). Row-end pad samples
+                # are zeros, so the cumsum never leaks into real
+                # columns.
+                b_ = np.cumsum(b_.astype(np.int64), axis=1) \
+                    & ((1 << bits) - 1)
             return b_[:, :ncols, None].astype(np.uint8)
         n = nrows * ncols * spp
         a = np.frombuffer(raw, dt, n).astype(np.int64) \

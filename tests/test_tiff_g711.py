@@ -298,15 +298,56 @@ def test_tiff_1bit_multistrip_lzw_and_4bit_packbits():
     assert np.array_equal(out4[:, :, 0], img4 * 17)
 
 
+def _rev_bytes(data: bytes) -> bytes:
+    return bytes(int(f"{b:08b}"[::-1], 2) for b in data)
+
+
+def test_tiff_sub8_fillorder2_decodes():
+    """r15: FillOrder 2 (bits lowest-first within each byte) on
+    uncompressed sub-8 scans — the fax-style layout — decodes by
+    per-byte bit reversal, bit-exact for bilevel AND 4-bit grey."""
+    img1 = ((np.arange(30).reshape(5, 6) * 7) % 2).astype(np.uint8)
+    raw = b"".join(_rev_bytes(_pack_row(r, 1)) for r in img1)
+    out = decode_tiff_pixels(_tiff(6, 5, [raw], bits=1,
+                                   extra_tags=[(266, 3, [2])]))
+    assert np.array_equal(out[:, :, 0], img1 * 255)
+    img4 = ((np.arange(24).reshape(4, 6) * 5) % 16).astype(np.uint8)
+    raw4 = b"".join(_rev_bytes(_pack_row(r, 4)) for r in img4)
+    out4 = decode_tiff_pixels(_tiff(6, 4, [raw4], bits=4,
+                                    extra_tags=[(266, 3, [2])]))
+    assert np.array_equal(out4[:, :, 0], img4 * 17)
+
+
+def test_tiff_sub8_predictor2_decodes():
+    """r15: horizontal differencing below 8 bits — libtiff's
+    modulo-2^bits accumulate — decodes 2-bit and 4-bit grey exactly."""
+    for bits in (2, 4):
+        mod = 1 << bits
+        img = ((np.arange(35).reshape(5, 7) * 3) % mod).astype(np.uint8)
+        diffed = img.astype(np.int64).copy()
+        diffed[:, 1:] = (img[:, 1:].astype(np.int64)
+                         - img[:, :-1].astype(np.int64)) % mod
+        raw = b"".join(_pack_row(r, bits)
+                       for r in diffed.astype(np.uint8))
+        out = decode_tiff_pixels(_tiff(7, 5, [raw], bits=bits,
+                                       extra_tags=[(317, 3, [2])]))
+        assert np.array_equal(out[:, :, 0],
+                              img * (255 // (mod - 1)))
+
+
 def test_tiff_sub8_loud_tiers_and_corruption():
     img = (np.arange(16).reshape(4, 4) % 2).astype(np.uint8)
     raw = _pack_img(img, 1)
-    with pytest.raises(NotImplementedError):  # FillOrder 2
-        decode_tiff_pixels(_tiff(4, 4, [raw], bits=1,
+    with pytest.raises(NotImplementedError):  # FillOrder 2 + PackBits
+        decode_tiff_pixels(_tiff(4, 4, [_packbits_encode(raw)], bits=1,
+                                 compression=32773,
                                  extra_tags=[(266, 3, [2])]))
-    with pytest.raises(NotImplementedError):  # predictor on sub-8
+    with pytest.raises(NotImplementedError):  # FillOrder 2 + 8-bit
+        decode_tiff_pixels(_tiff(2, 2, [bytes(4)],
+                                 extra_tags=[(266, 3, [2])]))
+    with pytest.raises(ValueError):           # FillOrder 3 invalid
         decode_tiff_pixels(_tiff(4, 4, [raw], bits=1,
-                                 extra_tags=[(317, 3, [2])]))
+                                 extra_tags=[(266, 3, [3])]))
     with pytest.raises(NotImplementedError):  # 3-bit stays loud
         decode_tiff_pixels(_tiff(4, 4, [raw], bits=3))
     with pytest.raises(NotImplementedError):  # sub-8 RGB stays loud

@@ -72,6 +72,8 @@ def build_seeds() -> list[bytes]:
 
     img1 = (np.arange(50).reshape(5, 10) % 2).astype(np.uint8)
     seeds.append(tg._tiff(10, 5, [pack_img(img1, 1)], bits=1))
+    seeds.append(tg._tiff(10, 5, [tg._rev_bytes(pack_img(img1, 1))],
+                          bits=1, extra_tags=[(266, 3, [2])]))
     img4 = (np.arange(36).reshape(6, 6) % 16).astype(np.uint8)
     seeds.append(tg._tiff(6, 6, [tg._packbits_encode(pack_img(img4, 4))],
                           bits=4, compression=32773))
