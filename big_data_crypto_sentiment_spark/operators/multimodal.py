@@ -46,10 +46,10 @@ through the multi-scan coefficient store. Sub-8-bit TIFF (1/2/4-bit
 bilevel/grey/palette, MSB-first packed, byte-aligned rows — the
 scanned-document staple) decodes for real (r14), and so does
 HIERARCHICAL JPEG (T.81 Annex J, late r14): DHP pyramids with EXP
-×2 bilinear reference expansion and differential SOF5 frames
-reuse the sequential scan machinery into per-level integer
-references (SOF6 differential progressive stays loud until an
-independent encoder pins it). LOSSLESS JPEG (SOF3, late r14) decodes exactly:
+×2 bilinear reference expansion; differential frames reuse the scan
+machinery into per-level integer references — SOF5 sequential AND,
+as of r15, SOF6 differential PROGRESSIVE (pinned by the independent
+composed encoder in tests/test_jpeg_sof6.py). LOSSLESS JPEG (SOF3, late r14) decodes exactly:
 all seven Annex H spatial predictors, the point transform, 8-16-bit
 precision, modulo-2^16 reconstruction. ARITHMETIC-coded JPEG
 (r15) decodes for real — sequential (SOF9) AND progressive (SOF10):
@@ -61,9 +61,9 @@ EOB index), DAC conditioning (L/U bounds, AC Kx), restart-interval
 statistics resets, 8/12-bit — pinned by exact equality against an
 independent Annex D encoder (tests/test_jpeg_arith.py). Only
 arithmetic LOSSLESS/differential JPEG (SOF11/13/14/15, and
-arithmetic inside hierarchical mode), SOF6, mixed-depth TIFF, and
-true video codecs stay behind loud NotImplementedError tiers
-unconditionally.
+arithmetic inside hierarchical mode), compressed-FillOrder-2 /
+mixed-depth TIFF, and true video codecs stay behind loud
+NotImplementedError tiers unconditionally.
 
 Video frames (r12): animated GIFs decode frame by frame with spec
 disposal/transparency coalescing against the logical screen
@@ -3290,10 +3290,10 @@ def _jpeg_hierarchical_decode(payload: bytes, pos: int, dhp_body: bytes,
     image, then a pyramid of FRAMES refines per-component integer
     reference arrays — the first frame per component non-differential
     (SOF0/1, level-shifted), later frames DIFFERENTIAL (SOF5
-    sequential: the same Huffman scan machinery into the coefficient
-    store, IDCT WITHOUT level shift, signed correction added to the
-    reference; SOF6 differential progressive stays loud until an
-    independent encoder pins it). EXP (DHP→frame ×2 bilinear
+    sequential or SOF6 progressive, r15: the same Huffman scan
+    machinery into the coefficient store, IDCT WITHOUT level shift,
+    signed correction added to the reference; SOF6 pinned by the
+    independent composed encoder in tests/test_jpeg_sof6.py). EXP (DHP→frame ×2 bilinear
     doubling, §J.1.1.2) upsamples every reference between levels; an
     expanded reference one sample larger than the next frame (odd
     dims) is edge-cropped per §J.1.1.2. Each level's reconstruction
@@ -3387,14 +3387,12 @@ def _jpeg_hierarchical_decode(payload: bytes, pos: int, dhp_body: bytes,
                     raise ValueError(
                         "JPEG EXP expansion over the decode cap")
                 refs[cid] = r
-        elif marker == 0xC6:
-            # differential PROGRESSIVE frames are outside the tested
-            # surface — the scan machinery would accept them, but an
-            # advertised-yet-unexercised path is a silent-wrong risk,
-            # so they stay loud until an independent encoder pins them
-            raise NotImplementedError(
-                "JPEG hierarchical differential progressive frame")
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC5):
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC5, 0xC6):
+            # SOF6 differential progressive joined the tested surface
+            # in r15: its scans reuse the progressive machinery with
+            # the level shift omitted at finalize (the same documented
+            # convention as SOF5 — DC prediction maintained), pinned
+            # by the independent encoder in tests/test_jpeg_sof6.py
             _finalize_frame()
             frame = _jpeg_parse_sof(body)
             if frame["prec"] != dhp["prec"]:
@@ -3405,8 +3403,8 @@ def _jpeg_hierarchical_decode(payload: bytes, pos: int, dhp_body: bytes,
             if {c["id"] for c in frame["comps"]} != known:
                 raise NotImplementedError(
                     "JPEG hierarchical frame over a component subset")
-            differential = marker == 0xC5
-            progressive = marker == 0xC2
+            differential = marker in (0xC5, 0xC6)
+            progressive = marker in (0xC2, 0xC6)
             coefs = _jpeg_alloc_coefs(frame)
             last_frame = frame
         elif marker in (0xC3, 0xC7, 0xCB, 0xCF):

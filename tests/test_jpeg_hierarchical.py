@@ -406,12 +406,13 @@ def test_hierarchical_partial_component_scan_is_corrupt():
     assert full  # the complete frame above remains a valid building block
 
 
-def test_hierarchical_differential_progressive_stays_loud():
-    """SOF6 frames would ride untested machinery — they must be a
-    loud tier, not a silent maybe-wrong decode."""
+def test_hierarchical_differential_progressive_without_scans_loud():
+    """SOF6 decodes for real as of r15 (tests/test_jpeg_sof6.py pins
+    it with an independent encoder); a SOF6 frame WITHOUT scans is
+    structural corruption, same as every other frame kind."""
     full = _smooth(16, 16, 8)
     c0 = _fdct(full[::2, ::2] - 128)
     head = (b"\xff\xd8" + _tables() + _dhp(16, 16, 1)
             + _frame(0xC0, [c0], 8, 8) + _seg(0xDF, bytes([0x11])))
-    with pytest.raises(NotImplementedError, match="progressive"):
+    with pytest.raises(ValueError, match="without scans"):
         decode_jpeg_pixels(head + _sof(0xC6, 16, 16, 1) + b"\xff\xd9")

@@ -48,6 +48,8 @@ def build_seeds() -> list[bytes]:
     seeds.append(ll._encode_lossless([ll._img(8, 8, 3)], sel=4)[0])
     seeds.append(ll._encode_lossless([ll._img(6, 7, 4)],
                                      prec=16, sel=7)[0])
+    s6 = _load("test_jpeg_sof6.py")
+    seeds.append(s6._hier_grey_sof6(s6._smooth(16, 16, 3))[0])
     ar = _load("test_jpeg_arith.py")
     seeds.append(ar._encode_arith([ar._img(16, 16, 5)])[0])
     seeds.append(ar._encode_arith([ar._img(16, 24, s)
