@@ -1269,31 +1269,49 @@ def q_ml_tfidf_ridge_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .cast("long").alias(f"tf{j}"))
     base = docs.select(*cols)
 
-    # pass 1: every fold's train sums in ONE conditional aggregate
-    aggs = []
+    # pass 1: fold train sums are PREFIX sums over the rank blocks, so
+    # aggregate per block (6 groups, 34 aggregates — a fold-conditional
+    # form needs 5x that and its whole-stage codegen dominated the
+    # entry's wall) and prefix-sum the bounded 6-row result on the
+    # driver. Exact integers either way.
+    nv = len(TFIDF_FROZEN_VOCAB)
+    blk = F.when(F.col("doc_id") <= cuts[0], 1)
     for f in range(1, CV_FOLDS_REG + 1):
-        tr = F.col("doc_id") <= cuts[f - 1]
-        aggs += [F.sum(F.when(tr, F.col(f"tf{j}") * F.col("y6"))
-                        .otherwise(F.lit(0))).alias(f"xy{j}_{f}")
-                 for j in range(len(TFIDF_FROZEN_VOCAB))]
-        aggs += [F.sum(F.when(tr, F.col(f"tf{j}") * F.col(f"tf{j}"))
-                        .otherwise(F.lit(0))).alias(f"xx{j}_{f}")
-                 for j in range(len(TFIDF_FROZEN_VOCAB))]
-        aggs += [F.sum(tr.cast("long")).alias(f"ntr_{f}"),
-                 F.sum(F.when(tr, F.col("y6")).otherwise(F.lit(0)))
-                  .alias(f"sy_{f}")]
-    srow = base.agg(*aggs)
+        blk = blk.when(F.col("doc_id") <= cuts[f], f + 1)
+    aggs = []
+    for j in range(nv):
+        aggs += [F.sum(F.col(f"tf{j}") * F.col("y6")).alias(f"xy{j}"),
+                 F.sum(F.col(f"tf{j}") * F.col(f"tf{j}"))
+                  .alias(f"xx{j}")]
+    aggs += [F.count("*").alias("ntr"), F.sum("y6").alias("sy")]
+    brows = {r["_blk"]: r
+             for r in base.groupBy(blk.alias("_blk")).agg(*aggs)
+                          .collect()}
+    s: dict = {}
+    acc = {k: 0 for k in ([f"xy{j}" for j in range(nv)]
+                          + [f"xx{j}" for j in range(nv)]
+                          + ["ntr", "sy"])}
+    for f in range(1, CV_FOLDS_REG + 1):
+        r = brows.get(f)
+        for k in acc:
+            acc[k] += int(r[k]) if r is not None and r[k] is not None \
+                else 0
+            s[f"{k}_{f}"] = acc[k]
     # Spark-side rounding for the coefficients (the proven
     # ml_tfidf_terms_frozen discipline — both engines round the same
-    # exact-integer ratio the same way)
+    # exact-integer ratio the same way), computed in one 1-row job
+    # over the prefix-sum literals
     coef_exprs = []
     for f in range(1, CV_FOLDS_REG + 1):
         for j, (_, idf3) in enumerate(TFIDF_FROZEN_VOCAB):
-            num = (F.lit(idf3) * F.col(f"xy{j}_{f}") * 1000).cast("double")
-            den = (F.lit(idf3 * idf3) * F.col(f"xx{j}_{f}")
+            num = (F.lit(idf3).cast("long")
+                   * F.lit(s[f"xy{j}_{f}"]).cast("long")
+                   * 1000).cast("double")
+            den = (F.lit(idf3 * idf3).cast("long")
+                   * F.lit(s[f"xx{j}_{f}"]).cast("long")
                    + F.lit(TFIDF_FROZEN_LAMBDA_E6)).cast("double")
             coef_exprs.append(F.round(num / den, 8).alias(f"c{j}_{f}"))
-    s = srow.select("*", *coef_exprs).first()
+    s.update(spark.range(1).select(*coef_exprs).first().asDict())
 
     # pass 2: every fold's test error sums in ONE conditional aggregate
     aggs2 = []
