@@ -133,10 +133,17 @@ def curate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
 
+    # keep_ids feeds THREE consumers (the span-dedup base, the
+    # SemDeDup survivor join, and the final flag join) — without
+    # lineage truncation each reference re-runs the corpus scan +
+    # the normalized-content shuffle. A non-eager localCheckpoint
+    # (materialized by the query's own first action, shared by all
+    # readers) computes it once — the _semdedup_pairs discipline.
     norm = F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
     keep_ids = (d.groupBy(norm.alias("content"))
                  .agg(F.min("doc_id").alias("doc_id"))
-                 .select("doc_id", F.lit(1).alias("dedup_keep")))
+                 .select("doc_id", F.lit(1).alias("dedup_keep"))
+                 .localCheckpoint(eager=False))
 
     contaminated = (decontaminate(d)
                     .select("doc_id", F.lit(1).alias("contaminated")))
