@@ -125,8 +125,15 @@ def decontaminate(docs: DataFrame, id_col: str = "doc_id",
         bench = (_gram_rows(benchmark, id_col, text_col, n, F.lit(True))
                  .select("gram").distinct())
     else:
+        # the shared gram scan feeds BOTH the benchmark side and the
+        # corpus side — without lineage truncation each branch re-runs
+        # the tokenize + shingle explode over the whole corpus. A
+        # non-eager localCheckpoint (materialized by the query's own
+        # first action) computes it once — the _semdedup_pairs /
+        # curate keep_ids discipline (r15).
         grams = _gram_rows(docs, id_col, text_col, n,
-                           _is_bench(F.col(id_col)))
+                           _is_bench(F.col(id_col))) \
+            .localCheckpoint(eager=False)
         bench = grams.filter("is_bench").select("gram").distinct()
         corpus = grams.filter(~F.col("is_bench"))
     return (corpus.join(F.broadcast(bench), "gram")
