@@ -1193,18 +1193,25 @@ def q_ml_tfidf_terms_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
 CV_FOLDS_REG = 5
 
 
-def _exact_rank_values(df: DataFrame, col: str, ranks: list[int],
+def _exact_rank_values(df: DataFrame, col: str, ranks,
                        bucket: int = 1 << 16) -> dict[int, int]:
     """Exact k-th smallest integer values (1-based ranks) WITHOUT a
     global sort (the repo's scale guard forbids Window.orderBy): one
     bucket-count aggregate over value ranges, a bounded cumulative
     histogram walk on the driver, then a local sort of only the one
-    ≤bucket-wide value range each target rank lands in."""
+    ≤bucket-wide value range each target rank lands in.
+
+    `ranks` is a list of 1-based ranks, or a callable n -> list of
+    ranks — the callable form derives the targets from the total row
+    count the histogram already paid for, so callers need no separate
+    count() job."""
     c = F.col(col)
     counts = sorted(
         (r["_b"], r["n"]) for r in
         df.groupBy((c - (c % bucket)).alias("_b"))
           .agg(F.count("*").alias("n")).collect())
+    if callable(ranks):
+        ranks = ranks(sum(n for _, n in counts))
     out: dict[int, int] = {}
     pending = sorted(set(ranks))
     acc = 0
@@ -1225,18 +1232,37 @@ def _exact_rank_values(df: DataFrame, col: str, ranks: list[int],
 
 
 def _cv_rank_cuts(docs: DataFrame, ts_col: str,
-                  n_folds: int = CV_FOLDS_REG) -> list[int]:
+                  n_folds: int = CV_FOLDS_REG,
+                  approx: bool = False,
+                  rel_err: float = 1e-3) -> list:
     """Exact integer rank-block fold boundaries: cut_f = the doc id at
     rank n·f/(n_folds+1) (floor) in ts_col order — NTILE-style equal
     blocks, bit-identical on both engines (interpolated percentiles
     differ by 1 ulp Spark-vs-DuckDB and can flip a boundary row).
     Exact ranks come from the bucketed histogram walk above (no global
-    sort); a 100 TB run would swap this CV-split artifact for approx
-    boundaries — fold balance needs no exactness, only the <= / >
-    discipline, but the REGISTERED pair does."""
-    n = docs.count()
-    ranks = [n * (i + 1) // (n_folds + 1) for i in range(n_folds + 1)]
-    got = _exact_rank_values(docs.select(ts_col), ts_col, ranks)
+    sort, no separate count job — the targets derive from the
+    histogram's own total).
+
+    `approx=True` is the 100 TB deployment path the exact form stands
+    in for: GK-sketch approxQuantile boundaries in ONE bounded-memory
+    pass, no per-range value collect. Fold balance needs no exactness
+    — the temporal-CV leakage contract only needs the <= / > boundary
+    discipline, which any monotone cut list satisfies (pinned by
+    tests/test_ml_pipelines.py::test_temporal_cv_approx_cuts). The
+    REGISTERED oracle pair keeps approx=False so both engines agree
+    bit-for-bit on fold membership."""
+    fracs = [(i + 1) / (n_folds + 1) for i in range(n_folds + 1)]
+    if approx:
+        return docs.approxQuantile(ts_col, fracs, rel_err)
+
+    ranks: list[int] = []
+
+    def ranks_of(n: int) -> list[int]:
+        ranks.extend(max(1, n * (i + 1) // (n_folds + 1))
+                     for i in range(n_folds + 1))
+        return ranks
+
+    got = _exact_rank_values(docs.select(ts_col), ts_col, ranks_of)
     return [got[r] for r in ranks]
 
 
@@ -1255,11 +1281,12 @@ def q_ml_tfidf_ridge_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
     1e6x the live label). The live fold list itself stays the library
     surface (temporal_cv_tfidf_ridge), pinned by the no-future-leakage
     pytest contract."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import StorageLevel
+
     from ..ml_pipelines import temporal_cv_tfidf_ridge
     docs = _labeled_docs(spark, sf_dir)
-    cuts = _cv_rank_cuts(docs, "doc_id")
-    lives = {f: mae for f, _, _, _, mae in
-             temporal_cv_tfidf_ridge(docs, "doc_id", cuts=cuts)}
 
     t = F.col("text")
     _, _, pol = lexicon_polarity()
@@ -1267,7 +1294,21 @@ def q_ml_tfidf_ridge_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
     for j, (term, _) in enumerate(TFIDF_FROZEN_VOCAB):
         cols.append(F.regexp_count(t, F.lit(rf"\b{term}\b"))
                      .cast("long").alias(f"tf{j}"))
-    base = docs.select(*cols)
+    # both contract passes scan this 18-column integer projection; the
+    # 16 regexp_counts over text are its dominant cost, so persist it
+    # once (pass 1 reads the cache, pass 2 re-reads it). Independent
+    # work overlaps: the cache materializes in a worker thread WHILE
+    # the fold cuts compute on the main thread, then the live 5-fold
+    # CV (no lineage shared with the contract sides — it re-reads the
+    # persisted labeled corpus) runs concurrently with passes 1+2, so
+    # the entry's wall is max(live CV, contract sides), not their sum.
+    base = docs.select(*cols).persist(StorageLevel.MEMORY_AND_DISK)
+    pool = ThreadPoolExecutor(max_workers=2)
+    warm_fut = pool.submit(base.count)
+    cuts = _cv_rank_cuts(docs, "doc_id")
+    live_fut = pool.submit(temporal_cv_tfidf_ridge, docs, "doc_id",
+                           cuts=cuts)
+    warm_fut.result()
 
     # pass 1: fold train sums are PREFIX sums over the rank blocks, so
     # aggregate per block (6 groups, 34 aggregates — a fold-conditional
@@ -1313,11 +1354,18 @@ def q_ml_tfidf_ridge_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
             coef_exprs.append(F.round(num / den, 8).alias(f"c{j}_{f}"))
     s.update(spark.range(1).select(*coef_exprs).first().asDict())
 
-    # pass 2: every fold's test error sums in ONE conditional aggregate
-    aggs2 = []
+    # pass 2: the test blocks are DISJOINT (block f+1 is exactly fold
+    # f's test rows), so per-block partials need no fold conditionals
+    # at all (VERDICT r15 #4 — the same trick that fixed pass 1): each
+    # row evaluates ONLY its own fold's 16-term prediction through one
+    # CASE chain on the block id (1/5th the per-row arithmetic of the
+    # old 15-conditional global aggregate), and a 6-row groupBy
+    # replaces the conditional sums. The partials are exact integers,
+    # so collecting the bounded block rows and finishing the MAE
+    # rounding in a 1-row Spark job preserves the hash discipline
+    # bit-for-bit.
+    errf_case, errc_case = None, None
     for f in range(1, CV_FOLDS_REG + 1):
-        te = ((F.col("doc_id") > cuts[f - 1])
-              & (F.col("doc_id") <= cuts[f]))
         pred = F.lit(0.0)
         for j, (_, idf3) in enumerate(TFIDF_FROZEN_VOCAB):
             pred = pred + F.lit(s[f"c{j}_{f}"]) * (F.col(f"tf{j}")
@@ -1326,32 +1374,45 @@ def q_ml_tfidf_ridge_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
         errf = F.round(F.abs(F.col("y6") - pred)).cast("long")
         errc = F.abs(F.col("y6") * F.lit(s[f"ntr_{f}"])
                      - F.lit(s[f"sy_{f}"]))
-        aggs2 += [F.sum(te.cast("long")).alias(f"nte_{f}"),
-                  F.sum(F.when(te, errf).otherwise(F.lit(0)))
-                   .alias(f"sef_{f}"),
-                  F.sum(F.when(te, errc).otherwise(F.lit(0)))
-                   .alias(f"sec_{f}")]
-    erow = base.agg(*aggs2)
+        is_f = F.col("_blk") == F.lit(f + 1)
+        errf_case = F.when(is_f, errf) if errf_case is None \
+            else errf_case.when(is_f, errf)
+        errc_case = F.when(is_f, errc) if errc_case is None \
+            else errc_case.when(is_f, errc)
+    blocks = {r["_blk"]: r for r in
+              base.select(blk.alias("_blk"), "doc_id", "y6",
+                          *[f"tf{j}" for j in range(nv)])
+                  .groupBy("_blk")
+                  .agg(F.count("*").alias("nte"),
+                       F.sum(errf_case.otherwise(F.lit(0))).alias("sef"),
+                       F.sum(errc_case.otherwise(F.lit(0))).alias("sec"))
+                  .collect()}
+    base.unpersist()
+    lives = {f: mae for f, _, _, _, mae in live_fut.result()}
+    pool.shutdown()
 
     structs = []
     for f in range(1, CV_FOLDS_REG + 1):
-        nte = F.col(f"nte_{f}")
-        mae_frozen = F.round(F.col(f"sef_{f}") / (nte * F.lit(1e6)), 6)
+        b = blocks[f + 1]
+        nte = F.lit(int(b["nte"])).cast("long")
+        mae_frozen = F.round(F.lit(int(b["sef"])) / (nte * F.lit(1e6)), 6)
         mae_const = F.round(
-            F.col(f"sec_{f}") / (nte * F.lit(s[f"ntr_{f}"]) * F.lit(1e6)),
+            F.lit(int(b["sec"]))
+            / (nte * F.lit(s[f"ntr_{f}"]) * F.lit(1e6)),
             6)
         live = F.lit(float(lives[f]))
         structs.append(F.struct(
             F.lit(f).cast("long").alias("fold"),
             F.lit(s[f"ntr_{f}"]).cast("long").alias("n_train"),
-            nte.cast("long").alias("n_test"),
+            nte.alias("n_test"),
             F.lit(int(cuts[f - 1])).cast("long").alias("train_end_id"),
             mae_frozen.alias("mae_frozen"),
             mae_const.alias("mae_const"),
             (live <= mae_const).cast("int").alias("live_mae_le_const"),
             (live <= mae_frozen).cast("int").alias("live_mae_le_frozen")))
-    return (erow.select(F.explode(F.array(*structs)).alias("r"))
-                .select("r.*"))
+    return (spark.range(1)
+                 .select(F.explode(F.array(*structs)).alias("r"))
+                 .select("r.*"))
     # CV_FOLDS_REG rows
 
 

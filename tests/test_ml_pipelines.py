@@ -162,6 +162,43 @@ def test_temporal_cv_folds_are_time_ordered_no_leakage(spark):
     assert trains == sorted(trains) and trains[0] < trains[-1]
 
 
+def test_temporal_cv_approx_cuts(spark):
+    """The 100 TB cut path (VERDICT r15 #8): `_cv_rank_cuts(approx=True)`
+    produces GK-sketch approxQuantile fold boundaries in one
+    bounded-memory pass — no exact rank walk, no per-range value
+    collect — and `temporal_cv_tfidf_ridge` accepts them while
+    preserving the no-future-leakage contract (train strictly precedes
+    test under the same <= / > boundary discipline; test blocks tile
+    everything after the first cut)."""
+    from big_data_crypto_sentiment_spark.ml_pipelines import (
+        temporal_cv_tfidf_ridge,
+    )
+    from big_data_crypto_sentiment_spark.queries.ml import _cv_rank_cuts
+    words = ["up good gain", "down bad loss", "flat hold steady"]
+    rows = [(i, words[i % 3] + f" tok{i % 7}", float(i % 3) - 1.0)
+            for i in range(240)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, "
+                                       "label double")
+    cuts = _cv_rank_cuts(docs, "doc_id", n_folds=5, approx=True)
+    assert cuts == sorted(cuts) and len(cuts) == 6
+    # approx and exact boundaries agree within the sketch's rank error
+    exact = _cv_rank_cuts(docs, "doc_id", n_folds=5)
+    assert all(abs(a - e) <= 240 * 0.01 + 1
+               for a, e in zip(cuts, exact))
+    folds = temporal_cv_tfidf_ridge(docs, "doc_id", n_folds=5,
+                                    cuts=cuts)
+    assert [f for f, *_ in folds] == [1, 2, 3, 4, 5]
+    total_test = 0
+    for i, (fold, n_train, n_test, train_end, mae) in enumerate(folds):
+        assert train_end == cuts[i]  # the boundary IS the train max
+        assert n_train == docs.filter(f"doc_id <= {cuts[i]}").count()
+        assert n_test == docs.filter(
+            f"doc_id > {cuts[i]} AND doc_id <= {cuts[i+1]}").count()
+        assert n_test > 0 and mae == mae and mae >= 0.0
+        total_test += n_test
+    assert total_test == docs.filter(f"doc_id > {cuts[0]}").count()
+
+
 def test_lda_separates_planted_disjoint_topics(spark):
     """Topic-discovery contract: two corpora with DISJOINT vocabularies
     must land in different dominant topics, consistently within each
