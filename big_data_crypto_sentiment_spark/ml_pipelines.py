@@ -353,10 +353,20 @@ def _permuted(df: DataFrame, id_col: str, col: str,
 
 def ridge_permutation_importance(df: DataFrame, feature_cols: list[str],
                                  label_col: str, id_col: str,
-                                 reg: float = RIDGE_REG) -> list[tuple]:
+                                 reg: float = RIDGE_REG,
+                                 permuted: DataFrame | None = None
+                                 ) -> list[tuple]:
     """Fit ridge on feature_cols; return [(feature, base_mse,
     permuted_mse, importance)] with importance = mse lift when the
-    feature's values are (deterministically) permuted."""
+    feature's values are (deterministically) permuted.
+
+    `permuted` (optional): a frame already carrying id/label/features
+    plus a `_perm_<col>` column per feature — ONE shared deterministic
+    permutation computed by the caller. The graduated
+    ml_ridge_perm_importance oracle pair passes its engine-portable
+    md5 permutation here so the live fit is evaluated on exactly the
+    rows the frozen DuckDB twin scores; the default path keeps the
+    xxhash64 bucket permutation."""
     import math
     from functools import reduce
     df = df.select(id_col, label_col, *feature_cols).na.drop().cache()
@@ -387,8 +397,10 @@ def ridge_permutation_importance(df: DataFrame, feature_cols: list[str],
     # persisted: each variant branch projects this frame, and without
     # the persist every branch would re-run the shared windows + join
     # (same size class as the already-cached fit input)
-    perm = _permuted_cols(df, id_col, feature_cols) \
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    own_perm = permuted is None
+    perm = (_permuted_cols(df, id_col, feature_cols)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+            if own_perm else permuted)
     variants = [df.withColumn("_variant", F.lit("base"))]
     variants += [
         perm.select(
@@ -405,6 +417,7 @@ def ridge_permutation_importance(df: DataFrame, feature_cols: list[str],
                 .agg(F.avg(err * err).alias("mse")).collect()}
     base = mse["base"]
     out = [(c, base, mse[c], mse[c] - base) for c in feature_cols]
-    perm.unpersist()
+    if own_perm:
+        perm.unpersist()
     cached.unpersist()
     return out

@@ -87,12 +87,6 @@ DEFERRALS: dict[str, dict] = {
     # born-deferred r13 sketch pairs and the six r14
     # graduations/new pairs; the twelve members below — every one
     # driver-green in the r13 window — hand over their slots.
-    "text_top_duplicated": dict(since=9, family="dup family via source_scorecard's fingerprint dup-rate in-window (same normalized-hash agg)",
-                                extra="driver-green r6-r8; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "text_gopher_rules":  dict(since=9, family="rule-filter family via source_scorecard in-window (same single-scan flag plan)",
-                               extra="driver-green r8; 3-SF check.py + per-round sf0.001 auto-verify"),
-    "vocab_novelty_by_source": dict(since=9, family="vocab family via tokens_to_ids + bigram_logprob in-window (same token-histogram core)",
-                                    extra="driver-green r8; 3-SF check.py + per-round sf0.001 auto-verify"),
     "dedup_minhash_incremental": dict(since=9, family="dedup family via dedup_canonical + split_by_cluster + dedup_minhash_lsh in-window (the band-pair core feeds the same CC fixpoint; the signature/band twin rotated in r15); on-disk lifecycle via test_dedup_index.py",
                                       extra="driver-green r8; 3-SF check.py + per-round sf0.001 auto-verify"),
     "binned_features":    dict(since=9, family="reshape family via sft_mask_spans/tokens_to_ids in-window; bucketed aggregates via rollup_merge_incremental in-window",
@@ -412,6 +406,25 @@ DEFERRALS: dict[str, dict] = {
                     extra="driver-green r14 + r9-r13; 3-SF check.py + per-round sf0.001 auto-verify"),
     "ta_twap": dict(since=15, family="TA family via ta_ema_rsi_macd in-window (same per-symbol ordered window + agg shape); ta_sma_vwap is deferred alongside",
                     extra="driver-green r14 + r13; 3-SF check.py + per-round sf0.001 auto-verify"),
+    # r16 window rotation (VERDICT r15 #5 + #1/#2): the three stalest
+    # r9 deferrals (text_top_duplicated, text_gopher_rules,
+    # vocab_novelty_by_source — hash-less since r8) rotate back IN
+    # alongside first driver hashes for the two r16 graduations
+    # (ml_ridge_perm_importance, ml_tfidf_top_terms — the last
+    # contract-eligible rows-only entries, leaving only LDA). The five
+    # ARIMA frozen-fit pairs below — every one driver-green in the r15
+    # window (their first hashes, born-deferred late r14) — hand over
+    # their slots.
+    "ml_ar_train": dict(since=16, family="ml family via ml_sentiment + ml_mlp_score_frozen in-window; frozen-fit contract family via ml_tfidf_ridge_cv in-window (same live-fit-flag + exact-side recipe); the AR/ARMA fit math stays pinned by test_ml.py (YW/HR parity)",
+                        extra="driver-green r15 (first hash); 3-SF check.py + per-round sf0.001 auto-verify"),
+    "ml_arma_train": dict(since=16, family="ml family via ml_sentiment + ml_mlp_score_frozen in-window; frozen-fit contract family via ml_tfidf_ridge_cv in-window (same recipe); HR two-stage parity pinned by test_ml.py",
+                          extra="driver-green r15 (first hash); 3-SF check.py + per-round sf0.001 auto-verify"),
+    "ml_arma_cv": dict(since=16, family="ml family via ml_sentiment in-window; temporal-CV family via ml_tfidf_ridge_cv in-window (same expanding-window fold discipline under a live-fit flag)",
+                       extra="driver-green r15 (first hash); 3-SF check.py + per-round sf0.001 auto-verify"),
+    "ml_auto_arima": dict(since=16, family="ml family via ml_sentiment in-window; frozen-fit contract family via ml_tfidf_ridge_cv in-window (same recipe); the stepwise selection surface's twin ml_auto_arima_orders is deferred alongside",
+                          extra="driver-green r15 (first hash); 3-SF check.py + per-round sf0.001 auto-verify"),
+    "ml_auto_arima_orders": dict(since=16, family="ml family via ml_sentiment in-window; frozen-fit contract family via ml_tfidf_ridge_cv in-window (same recipe); the full-fit twin ml_auto_arima is deferred alongside",
+                                 extra="driver-green r15 (first hash); 3-SF check.py + per-round sf0.001 auto-verify"),
 }
 _DEFER_FROM_WINDOW = tuple(DEFERRALS)
 

@@ -1111,12 +1111,107 @@ def _labeled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _LABELED_CACHE[key]
 
 
-# --- M6: TF-IDF + Ridge top terms (MLlib pipeline; rows-only) ---
+# --- M6: TF-IDF + Ridge top terms — GRADUATED r16 (VERDICT r15 #2,
+#     frozen-subset sign/rank evidence). Matches reference Milestone4
+#     cell 15 (eda/Data_Minions_EDA_Milestone4.ipynb): the ±25-term
+#     coefficient view of the TF-IDF+Ridge fit.
+#
+#     The hashed side is the frozen 16-term vocabulary's signed
+#     coefficient RANKING over the live label (y6 = round(polarity·1e6),
+#     the ml_tfidf_ridge_cv discipline): exact BIGINT association sums,
+#     one Spark-ROUND(8)ed division per term, rank by |coef| — all 16
+#     rows, bit-identical on both engines. The live full-vocab MLlib
+#     fit rides as two flags: (1) every-frozen-term containment in the
+#     live ±25 list (floor TFIDF_TT_MIN_IN_TOPK, measured 16/16 at all
+#     three SFs), and (2) the anchor contract — the live fit's top-2
+#     positive coefficients are exactly the lexicon's POS_WORDS and
+#     its bottom-2 are NEG_WORDS, with ≥2× |coef| margin over every
+#     other term AND frozen-sign agreement (measured margin ≥3.5× at
+#     all SFs; live anchor coefs ±0.19..0.23 vs next |coef| ≤0.054).
+#     A ≥N sign-match floor over ALL 16 terms would be dishonest: the
+#     non-anchor coefficients are collinear noise at |coef| < 0.06 and
+#     their multivariate signs measured 5-14/16 against the univariate
+#     frozen signs across SFs — any floor would be vacuous or flaky.
+#     The anchors are where sign agreement is statistically meaningful,
+#     and there it is asserted strictly. Planted arm:
+#     tests/test_r16_contract_planted.py. ---
+TFIDF_TT_K = 25                # the reference's ±25-term view
+TFIDF_TT_MIN_IN_TOPK = 14      # frozen-term containment floor (16 measured)
+TFIDF_TT_ANCHOR_MARGIN = 2.0   # anchor-vs-rest |coef| ratio floor (3.5 measured)
+
+
 def q_ml_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ml_pipelines import fit_tfidf_ridge, top_terms
+    d = (table(spark, sf_dir, "documents")
+         .filter(F.col("text").isNotNull()).select("text"))
+    _, _, pol = lexicon_polarity()
+    cols = [F.round(pol * 1e6).cast("long").alias("y6")]
+    for i, (t, _) in enumerate(TFIDF_FROZEN_VOCAB):
+        cols.append(F.regexp_count(F.col("text"), F.lit(rf"\b{t}\b"))
+                     .cast("long").alias(f"tf{i}"))
+    aggs = []
+    for i in range(len(TFIDF_FROZEN_VOCAB)):
+        tf = F.col(f"tf{i}")
+        aggs.append(F.sum(tf * F.col("y6")).alias(f"xy{i}"))
+        aggs.append(F.sum(tf * tf).alias(f"xx{i}"))
+    srow = d.select(*cols).agg(*aggs).first()
+    sums = {k: int(srow[k] or 0) for k in srow.asDict()}
+    # Spark-side ROUND of the 16 divisions (cross-engine parity)
+    coef_exprs = []
+    for i, (t, idf3) in enumerate(TFIDF_FROZEN_VOCAB):
+        num = idf3 * sums[f"xy{i}"] * 1000
+        den = idf3 * idf3 * sums[f"xx{i}"] + TFIDF_TT_LAMBDA_E12
+        coef_exprs.append(F.round(F.lit(num).cast("double")
+                                  / F.lit(den).cast("double"), 8)
+                           .alias(f"c{i}"))
+    crow = spark.range(1).select(*coef_exprs).first()
+    coef8 = {TFIDF_FROZEN_VOCAB[i][0]: float(crow[f"c{i}"])
+             for i in range(len(TFIDF_FROZEN_VOCAB))}
+    rank = {t: r + 1 for r, (t, _) in enumerate(
+        sorted(coef8.items(), key=lambda kv: (-abs(kv[1]), kv[0])))}
+    fsign = {}
+    for i, (t, _) in enumerate(TFIDF_FROZEN_VOCAB):
+        xy = sums[f"xy{i}"]
+        fsign[t] = "pos" if xy > 0 else ("neg" if xy < 0 else "zero")
+
+    # live full-vocab fit: containment + anchor flags
     model, vocab = fit_tfidf_ridge(_labeled_docs(spark, sf_dir))
-    rows = top_terms(model, vocab, k=10)
-    return spark.createDataFrame(rows, "term string, coef double, sign string")
+    cmap = dict(zip(vocab,
+                    (float(c) for c in
+                     model.stages[-1].coefficients.toArray())))
+    live_topk = {t for t, _, _ in top_terms(model, vocab,
+                                            k=TFIDF_TT_K)}
+    n_in = sum(1 for t, _ in TFIDF_FROZEN_VOCAB if t in live_topk)
+    flag_topk = int(n_in >= TFIDF_TT_MIN_IN_TOPK)
+    ranked_live = sorted(cmap.items(), key=lambda kv: kv[1])
+    top2 = {t for t, _ in ranked_live[-2:]}
+    bot2 = {t for t, _ in ranked_live[:2]}
+    anchors = set(POS_WORDS) | set(NEG_WORDS)
+    rest = [abs(c) for t, c in cmap.items() if t not in anchors]
+    margin_ok = (not rest or
+                 min(abs(cmap.get(a, 0.0)) for a in anchors)
+                 >= TFIDF_TT_ANCHOR_MARGIN * max(rest))
+    flag_anchor = int(top2 == set(POS_WORDS) and bot2 == set(NEG_WORDS)
+                      and margin_ok
+                      and all(fsign[w] == "pos" for w in POS_WORDS)
+                      and all(fsign[w] == "neg" for w in NEG_WORDS))
+
+    structs = []
+    for i, (t, idf3) in enumerate(TFIDF_FROZEN_VOCAB):
+        structs.append(F.struct(
+            F.lit(t).alias("term"),
+            F.lit(idf3).cast("long").alias("idf3"),
+            F.lit(sums[f"xy{i}"]).cast("long").alias("s_xy"),
+            F.lit(sums[f"xx{i}"]).cast("long").alias("s_xx"),
+            F.lit(coef8[t]).alias("coef8"),
+            F.lit(fsign[t]).alias("sign"),
+            F.lit(rank[t]).cast("long").alias("rank"),
+            F.lit(flag_topk).cast("int").alias("live_in_topk_ge_min"),
+            F.lit(flag_anchor).cast("int").alias("live_anchors_extreme")))
+    return (spark.range(1)
+                 .select(F.explode(F.array(*structs)).alias("r"))
+                 .select("r.*"))
+    # 16 rows
 
 
 # --- M6 frozen-artifact graduation (r12 verdict #1): the fitted
@@ -1141,6 +1236,9 @@ TFIDF_FROZEN_VOCAB: tuple[tuple[str, int], ...] = (
     ("vector", 2866), ("column", 1903), ("batch", 1561), ("data", 1098),
 )
 TFIDF_FROZEN_LAMBDA_E6 = 1_000_000  # λ=1.0 at the 1e-3 idf scale
+TFIDF_TT_LAMBDA_E12 = TFIDF_FROZEN_LAMBDA_E6 * 1_000_000  # λ at the
+#   1e6-unit label scale (terms_frozen's λ rescaled for the y6 label
+#   the graduated ml_tfidf_top_terms frozen ranking uses)
 
 
 def q_ml_tfidf_terms_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1444,23 +1542,169 @@ def q_ml_doc_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_topics  # O(input): unsorted
 
 
-# --- M7: Ridge + permutation importance on numeric features (rows-only) ---
-def q_ml_ridge_perm_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+# --- M7: Ridge + permutation importance on numeric features —
+#     GRADUATED r16 (VERDICT r15 #1, the frozen-twin + deterministic-
+#     permutation recipe). Matches reference Milestone4 cells 14,21
+#     (eda/Data_Minions_EDA_Milestone4.ipynb): ridge on (volume,
+#     lagged volume) -> price with permutation importance.
+#
+#     The hashed side is an EXACT closed-form twin of the live fit:
+#     the 2-feature centered ridge solves by Cramer's rule over
+#     integer cross-moments (n·Sxy − Sx·Sy etc. — arbitrary-precision
+#     on the driver, HUGEINT in DuckDB; the one division is
+#     Spark-ROUND(8)ed in a 1-row job, the ml_tfidf_terms_frozen
+#     discipline), the permutation is the engine-portable md5
+#     hash-bucket reindex (the sample_and_split primitive: rank-by-id
+#     meets rank-by-rehash inside 64 hash buckets — every window
+#     partitionBy'd, nothing funnels through one task), and the
+#     per-feature permutation MSE sums are exact BIGINTs in 1e-3-unit
+#     label space. The live MLlib fit rides as agreement flags: its
+#     base MSE and each md5-permuted variant's MSE must land within
+#     RIDGE_PERM_TOL of the frozen twin's (measured deviation at the
+#     three SFs: ≤ 1.3e-3; bound 5e-3). A rank-agreement flag would
+#     be dishonest here — the fixture's volume→price signal is
+#     near-zero, so the importance ORDER is permutation-realization
+#     noise (measured: it flips between equally-valid deterministic
+#     permutations); the MSE-surface agreement is the strong, stable
+#     contract. Planted arm: tests/test_r16_contract_planted.py
+#     (signal feature fires, flags flip when the tolerance is made
+#     unsatisfiable). ---
+RIDGE_PERM_LAM = 1_000      # ridge term in the integer normal equations
+#   — small enough that the frozen solve is ≈OLS at every fixture scale
+#   (a11 ≥ ~1e6 everywhere), matching the live fit's own near-OLS
+#   shrinkage (regParam 0.5 moves its coefficients ~1%), so the MSE
+#   agreement flags measure solver parity, not penalty mismatch
+RIDGE_PERM_NB = 64           # portable-permutation hash buckets
+RIDGE_PERM_TOL = 5e-3        # live-vs-frozen MSE agreement bound
+
+
+def _ridge_perm_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(rid, x1=n_events, x2=prev_n_events, y3=round(avg·1e3), y) over
+    the hourly bucket-metrics grid, rows with a defined lag + label."""
     from pyspark.sql import Window
-    from ..ml_pipelines import ridge_permutation_importance
     from .timeseries import _bucket_metrics
-    ev = table(spark, sf_dir, "events")
-    m = _bucket_metrics(ev)
+    m = _bucket_metrics(table(spark, sf_dir, "events"))
     w = Window.partitionBy("event_type").orderBy("bucket")
-    feats = (m.withColumn("prev_n_events",
-                          F.lag("n_events").over(w).cast("double"))
-              .withColumn("n_events", F.col("n_events").cast("double"))
-              .withColumn("rid", F.concat("event_type",
-                                          F.col("bucket").cast("string"))))
-    res = ridge_permutation_importance(
-        feats, ["n_events", "prev_n_events"], "avg_value", "rid")
-    return spark.createDataFrame(
-        res, "feature string, base_mse double, permuted_mse double, importance double")
+    feats = (m.withColumn("prev_n_events", F.lag("n_events").over(w))
+              .withColumn("rid", F.concat(
+                  "event_type", F.lit(":"),
+                  F.col("bucket").cast("long").cast("string"))))
+    return (feats.filter(F.col("prev_n_events").isNotNull()
+                         & F.col("avg_value").isNotNull())
+            .select("rid",
+                    F.col("n_events").cast("long").alias("x1"),
+                    F.col("prev_n_events").cast("long").alias("x2"),
+                    F.round(F.col("avg_value") * 1e3).cast("long")
+                     .alias("y3"),
+                    F.col("avg_value").alias("y")))
+
+
+def q_ml_ridge_perm_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    from ..ml_pipelines import ridge_permutation_importance
+    from .sampling import _hash_bucket
+    base = _ridge_perm_base(spark, sf_dir)
+
+    # portable shared permutation: rank-by-rid meets rank-by-rehash
+    # inside md5 hash buckets (valid whole-column permutation for
+    # importance purposes; every window partitionBy'd)
+    hb = _hash_bucket(F.col("rid"), RIDGE_PERM_NB).alias("_b")
+    hord = _hash_bucket(F.concat(F.lit("p6:"), F.col("rid")),
+                        1_000_000_000)
+    w_id = Window.partitionBy("_b").orderBy("rid")
+    w_h = Window.partitionBy("_b").orderBy(hord, F.col("rid"))
+    by_id = (base.select("*", hb)
+                 .withColumn("_r", F.row_number().over(w_id)))
+    by_h = (base.select("rid", "x1", "x2", hb)
+                .withColumn("_r", F.row_number().over(w_h))
+                .select("_b", "_r", F.col("x1").alias("p1"),
+                        F.col("x2").alias("p2")))
+    j = (by_id.join(by_h, ["_b", "_r"])
+              .persist(StorageLevel.MEMORY_AND_DISK))
+
+    # exact integer cross-moments -> closed-form centered ridge
+    s = j.agg(F.count("*").alias("n"),
+              F.sum("x1").alias("sx1"), F.sum("x2").alias("sx2"),
+              F.sum("y3").alias("sy"),
+              F.sum(F.col("x1") * F.col("y3")).alias("xy1"),
+              F.sum(F.col("x1") * F.col("x1")).alias("xx1"),
+              F.sum(F.col("x2") * F.col("y3")).alias("xy2"),
+              F.sum(F.col("x2") * F.col("x2")).alias("xx2"),
+              F.sum(F.col("x1") * F.col("x2")).alias("x12")).first()
+    n = int(s["n"])
+    a11 = n * s["xx1"] - s["sx1"] ** 2 + RIDGE_PERM_LAM
+    a22 = n * s["xx2"] - s["sx2"] ** 2 + RIDGE_PERM_LAM
+    a12 = n * s["x12"] - s["sx1"] * s["sx2"]
+    c1 = n * s["xy1"] - s["sx1"] * s["sy"]
+    c2 = n * s["xy2"] - s["sx2"] * s["sy"]
+    det = a11 * a22 - a12 * a12
+    # Spark-side ROUND of the two divisions (cross-engine parity: the
+    # big-int numerators convert to double identically on both sides)
+    bro = spark.range(1).select(
+        F.round(F.lit(float(c1 * a22 - c2 * a12))
+                / F.lit(float(det)), 8).alias("b1"),
+        F.round(F.lit(float(a11 * c2 - a12 * c1))
+                / F.lit(float(det)), 8).alias("b2")).first()
+    b1, b2 = float(bro["b1"]), float(bro["b2"])
+
+    def npred(cx1, cx2):
+        return ((F.lit(s["sy"]).cast("double")
+                 + F.lit(b1) * (F.lit(n) * F.col(cx1) - F.lit(s["sx1"]))
+                 + F.lit(b2) * (F.lit(n) * F.col(cx2) - F.lit(s["sx2"])))
+                / F.lit(n).cast("double"))
+
+    def esq(cx1, cx2):
+        e = F.round(F.abs(F.col("y3") - npred(cx1, cx2))).cast("long")
+        return F.sum(e * e)
+
+    er = j.agg(esq("x1", "x2").alias("s0"),
+               esq("p1", "x2").alias("s1"),
+               esq("x1", "p2").alias("s2")).first()
+    s0, s1, s2 = int(er["s0"]), int(er["s1"]), int(er["s2"])
+
+    # live MLlib fit on the same rows, evaluated on the SAME md5
+    # permutation (one shared permutation, passed pre-joined)
+    lf = j.select("rid",
+                  F.col("x1").cast("double").alias("n_events"),
+                  F.col("x2").cast("double").alias("prev_n_events"),
+                  F.col("y").alias("label"),
+                  F.col("p1").cast("double").alias("_perm_n_events"),
+                  F.col("p2").cast("double").alias("_perm_prev_n_events"))
+    live = ridge_permutation_importance(
+        lf, ["n_events", "prev_n_events"], "label", "rid", permuted=lf)
+    j.unpersist()
+    lmse = {c: (bm, pm) for c, bm, pm, _ in live}
+
+    def agree(live_v: float, frozen_sum: int) -> int:
+        fv = frozen_sum / (n * 1e6)
+        return int(fv > 0 and abs(live_v / fv - 1.0) <= RIDGE_PERM_TOL)
+
+    den = F.lit(n).cast("double") * F.lit(1000000.0)
+
+    def mse6(sum_sq: int):
+        return F.round(F.lit(sum_sq).cast("double") / den, 6)
+
+    structs = []
+    for feat, sj, beta in (("n_events", s1, b1),
+                           ("prev_n_events", s2, b2)):
+        structs.append(F.struct(
+            F.lit(feat).alias("feature"),
+            F.lit(n).cast("long").alias("n_rows"),
+            F.lit(beta).alias("beta8"),
+            mse6(s0).alias("mse_base"),
+            mse6(sj).alias("mse_perm"),
+            F.round(F.lit(sj - s0).cast("double") / den, 6)
+             .alias("delta_mse"),
+            F.lit(agree(lmse[feat][0], s0)).cast("int")
+             .alias("live_base_agree"),
+            F.lit(agree(lmse[feat][1], sj)).cast("int")
+             .alias("live_perm_agree")))
+    return (spark.range(1)
+                 .select(F.explode(F.array(*structs)).alias("r"))
+                 .select("r.*"))
+    # 2 rows
 
 
 # --- T7 model-inference graduation (VERDICT r13 #5): the
@@ -1598,6 +1842,121 @@ FROM h
 """
 
 
+def _sql_ridge_perm() -> str:
+    """DuckDB twin of q_ml_ridge_perm_importance's frozen side: same
+    hourly grid + lag, same md5 permutation, same Cramer closed form
+    over HUGEINT cross-moments, same rounded error sums; the two live
+    flags are the oracle's literal 1."""
+    from .sampling import _sql_hash_bucket
+    lam = RIDGE_PERM_LAM
+    hb = _sql_hash_bucket("rid", RIDGE_PERM_NB)
+    hord = _sql_hash_bucket("'p6:' || rid", 1_000_000_000)
+    det = (f"((n*xx1 - sx1*sx1 + {lam}) * (n*xx2 - sx2*sx2 + {lam}) "
+           f"- (n*x12 - sx1*sx2) * (n*x12 - sx1*sx2))")
+    num1 = (f"((n*xy1 - sx1*sy) * (n*xx2 - sx2*sx2 + {lam}) "
+            f"- (n*xy2 - sx2*sy) * (n*x12 - sx1*sx2))")
+    num2 = (f"((n*xx1 - sx1*sx1 + {lam}) * (n*xy2 - sx2*sy) "
+            f"- (n*x12 - sx1*sx2) * (n*xy1 - sx1*sy))")
+
+    def npred(cx1, cx2):
+        return (f"((CAST(sy AS DOUBLE) "
+                f"+ b1 * CAST(n * {cx1} - sx1 AS DOUBLE)) "
+                f"+ b2 * CAST(n * {cx2} - sx2 AS DOUBLE)) "
+                f"/ CAST(n AS DOUBLE)")
+
+    def e(cx1, cx2):
+        return f"CAST(ROUND(ABS(y3 - {npred(cx1, cx2)})) AS BIGINT)"
+
+    den = "(CAST(n AS DOUBLE) * 1000000.0)"
+
+    def mse(expr):
+        return f"ROUND(CAST({expr} AS DOUBLE) / {den}, 6)"
+
+    return f"""
+WITH binned AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket, event_type,
+         COUNT(*) AS n_events,
+         (CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE)
+          / COUNT(value)) AS avg_value
+  FROM events GROUP BY 1, 2
+), spine AS (
+  SELECT event_type,
+         unnest(generate_series(mn, mx, INTERVAL '1 hour')) AS bucket
+  FROM (SELECT event_type, MIN(bucket) AS mn, MAX(bucket) AS mx
+        FROM binned GROUP BY event_type)
+), grid AS (
+  SELECT s.event_type, s.bucket,
+         COALESCE(b.n_events, 0) AS n_events, b.avg_value
+  FROM spine s LEFT JOIN binned b
+    ON s.event_type = b.event_type AND s.bucket = b.bucket
+), feat AS (
+  SELECT event_type || ':'
+           || CAST(CAST(epoch(bucket) AS BIGINT) AS VARCHAR) AS rid,
+         CAST(n_events AS BIGINT) AS x1,
+         CAST(LAG(n_events) OVER (PARTITION BY event_type
+                                  ORDER BY bucket) AS BIGINT) AS x2,
+         avg_value
+  FROM grid
+), b0 AS (
+  SELECT rid, x1, x2,
+         CAST(ROUND(avg_value * 1000.0) AS BIGINT) AS y3
+  FROM feat WHERE x2 IS NOT NULL AND avg_value IS NOT NULL
+), mom AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(x1) AS HUGEINT) AS sx1,
+         CAST(SUM(x2) AS HUGEINT) AS sx2,
+         CAST(SUM(y3) AS HUGEINT) AS sy,
+         CAST(SUM(x1*y3) AS HUGEINT) AS xy1,
+         CAST(SUM(x1*x1) AS HUGEINT) AS xx1,
+         CAST(SUM(x2*y3) AS HUGEINT) AS xy2,
+         CAST(SUM(x2*x2) AS HUGEINT) AS xx2,
+         CAST(SUM(x1*x2) AS HUGEINT) AS x12
+  FROM b0
+), co AS (
+  SELECT n, sx1, sx2, sy,
+         ROUND(CAST({num1} AS DOUBLE) / CAST({det} AS DOUBLE), 8) AS b1,
+         ROUND(CAST({num2} AS DOUBLE) / CAST({det} AS DOUBLE), 8) AS b2
+  FROM mom
+), pb AS (
+  SELECT rid, x1, x2, y3, {hb} AS _b FROM b0
+), bi AS (
+  SELECT rid, x1, x2, y3, _b,
+         ROW_NUMBER() OVER (PARTITION BY _b ORDER BY rid) AS _r
+  FROM pb
+), bh AS (
+  SELECT _b,
+         ROW_NUMBER() OVER (PARTITION BY _b
+                            ORDER BY {hord}, rid) AS _r,
+         x1 AS p1, x2 AS p2
+  FROM pb
+), pj AS (
+  SELECT bi.x1, bi.x2, bi.y3, bh.p1, bh.p2
+  FROM bi JOIN bh ON bi._b = bh._b AND bi._r = bh._r
+), es AS (
+  SELECT CAST(SUM(e0*e0) AS BIGINT) AS s0,
+         CAST(SUM(e1*e1) AS BIGINT) AS s1,
+         CAST(SUM(e2*e2) AS BIGINT) AS s2
+  FROM (SELECT {e('x1', 'x2')} AS e0,
+               {e('p1', 'x2')} AS e1,
+               {e('x1', 'p2')} AS e2
+        FROM pj CROSS JOIN co)
+)
+SELECT 'n_events' AS feature, CAST(n AS BIGINT) AS n_rows,
+       b1 AS beta8,
+       {mse('s0')} AS mse_base, {mse('s1')} AS mse_perm,
+       {mse('s1 - s0')} AS delta_mse,
+       1 AS live_base_agree, 1 AS live_perm_agree
+FROM es CROSS JOIN co
+UNION ALL
+SELECT 'prev_n_events' AS feature, CAST(n AS BIGINT) AS n_rows,
+       b2 AS beta8,
+       {mse('s0')} AS mse_base, {mse('s2')} AS mse_perm,
+       {mse('s2 - s0')} AS delta_mse,
+       1 AS live_base_agree, 1 AS live_perm_agree
+FROM es CROSS JOIN co
+"""
+
+
 QUERIES = {
     "ml_mlp_score_frozen": q_ml_mlp_score_frozen,  # graduated-born r14:
     #   integer-frozen MLP forward pass + predict_batch_udf agreement
@@ -1615,13 +1974,17 @@ QUERIES = {
     #   lookup oracle (n_train recomputed from the grid SQL)
     "ml_sentiment_model": q_ml_sentiment_model,        # graduated r15:
     #   exact teacher-class counts + live distillation-agreement flag
-    "ml_tfidf_top_terms": q_ml_tfidf_top_terms,        # rows-only: MLlib fit
+    "ml_tfidf_top_terms": q_ml_tfidf_top_terms,        # graduated r16:
+    #   frozen 16-term signed ranking over the live label, live fit as
+    #   containment + anchor-extreme flags
     "ml_tfidf_terms_frozen": q_ml_tfidf_terms_frozen,  # graduated r13:
     #   frozen vocab+idf, diagonal-ridge closed form, engine-exact
     "ml_tfidf_ridge_cv": q_ml_tfidf_ridge_cv,          # graduated r15:
     #   exact rank-block folds + frozen/const MAEs, live fits as flags
     "ml_doc_topics": q_ml_doc_topics,                  # rows-only: LDA inference
-    "ml_ridge_perm_importance": q_ml_ridge_perm_importance,  # rows-only: MLlib fit
+    "ml_ridge_perm_importance": q_ml_ridge_perm_importance,  # graduated
+    #   r16: closed-form centered-ridge twin + portable md5 permutation,
+    #   live fit as MSE-agreement flags
 }
 
 _SQL_GRID = """
@@ -1682,6 +2045,55 @@ SELECT term, idf3, s_xy, s_xx,
 FROM terms
 ORDER BY abs(coef) DESC, term
 LIMIT 10
+"""
+
+
+def _sql_tfidf_top_terms() -> str:
+    """DuckDB twin of q_ml_tfidf_top_terms's frozen side: same y6
+    label, same 16-term association sums, same rounded divisions, rank
+    by |coef8| with the term tiebreak; the two live flags are the
+    oracle's literal 1."""
+    pos = " + ".join(
+        f"len(regexp_extract_all(text, '\\b{w}\\b'))" for w in POS_WORDS)
+    neg = " + ".join(
+        f"len(regexp_extract_all(text, '\\b{w}\\b'))" for w in NEG_WORDS)
+    tfs = ",\n         ".join(
+        f"len(regexp_extract_all(text, '\\b{t}\\b')) AS tf{i}"
+        for i, (t, _) in enumerate(TFIDF_FROZEN_VOCAB))
+    sums = ",\n         ".join(
+        f"CAST(SUM(tf{i} * y6) AS BIGINT) AS xy{i},\n"
+        f"         CAST(SUM(tf{i} * tf{i}) AS BIGINT) AS xx{i}"
+        for i in range(len(TFIDF_FROZEN_VOCAB)))
+    terms = "\n  UNION ALL ".join(
+        f"SELECT '{t}' AS term, CAST({idf3} AS BIGINT) AS idf3, "
+        f"xy{i} AS s_xy, xx{i} AS s_xx FROM s"
+        for i, (t, idf3) in enumerate(TFIDF_FROZEN_VOCAB))
+    return f"""
+WITH base AS (
+  SELECT CAST(ROUND(((({pos}) - ({neg}))
+                     / GREATEST(({pos}) + ({neg}), 1)) * 1000000.0)
+              AS BIGINT) AS y6,
+         {tfs}
+  FROM documents WHERE text IS NOT NULL
+), s AS (
+  SELECT {sums}
+  FROM base
+), terms AS (
+  {terms}
+), scored AS (
+  SELECT term, idf3, s_xy, s_xx,
+         ROUND(CAST(idf3 * s_xy * 1000 AS DOUBLE)
+               / CAST(idf3 * idf3 * s_xx
+                      + {TFIDF_TT_LAMBDA_E12} AS DOUBLE), 8) AS coef8,
+         CASE WHEN s_xy > 0 THEN 'pos'
+              WHEN s_xy < 0 THEN 'neg' ELSE 'zero' END AS sign
+  FROM terms
+)
+SELECT term, idf3, s_xy, s_xx, coef8, sign,
+       CAST(ROW_NUMBER() OVER (ORDER BY abs(coef8) DESC, term)
+            AS BIGINT) AS rank,
+       1 AS live_in_topk_ge_min, 1 AS live_anchors_extreme
+FROM scored
 """
 
 
@@ -1785,6 +2197,8 @@ WITH lab AS (
 ORACLE = {
     "ml_mlp_score_frozen": _sql_mlp_frozen(),
     "ml_tfidf_ridge_cv": _sql_tfidf_cv(),
+    "ml_ridge_perm_importance": _sql_ridge_perm(),
+    "ml_tfidf_top_terms": _sql_tfidf_top_terms(),
     "ml_tfidf_terms_frozen": _sql_tfidf_frozen(),
     "ml_sentiment": """
 WITH raw AS (
