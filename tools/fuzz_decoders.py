@@ -79,6 +79,14 @@ def build_seeds() -> list[bytes]:
     img4 = (np.arange(36).reshape(6, 6) % 16).astype(np.uint8)
     seeds.append(tg._tiff(6, 6, [tg._packbits_encode(pack_img(img4, 4))],
                           bits=4, compression=32773))
+    # r16 tiers: FillOrder-2 LZW and mixed-depth packed samples
+    f2 = b"".join(tg._rev_bytes(tg._pack_row(r, 4)) for r in img4)
+    seeds.append(tg._tiff(6, 6, [tg._tiff_lzw_encode(f2)], bits=4,
+                          compression=5, extra_tags=[(266, 3, [2])]))
+    imgm = np.stack([np.arange(30).reshape(5, 6) % (1 << b)
+                     for b in (4, 8, 2)], axis=2).astype(np.uint8)
+    seeds.append(tg._tiff(6, 5, [tg._pack_img_mixed(imgm, (4, 8, 2))],
+                          bits=[4, 8, 2], spp=3, photo=2))
     img = (np.arange(147) % 256).astype(np.uint8).reshape(7, 7, 3)
     seeds.append(encode_png(img))
     seeds += [MF.flac_bytes(13), MF.gif_animated_bytes(7),
