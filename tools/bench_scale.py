@@ -36,8 +36,10 @@ pays its own index build):
                           pre-admission verdict probe on)
 
 Usage: python tools/bench_scale.py [--x100]   # writes BENCH_SCALE.json
-(--x100 adds the minhash_lsh + curate_funnel subset leg at 100x rows
-— VERDICT r14 #7; the full suite stays x1/x10/x30)
+(--x100 adds a subset leg at 100x rows — minhash_lsh, the curate
+funnel, connected_components and ivf_stored_index, with host probes
+bracketing the leg — VERDICT r14 #7 + r15 #7; the full suite stays
+x1/x10/x30)
 Fixture parquet lands under .scale_fixture/ (gitignored, regenerated on
 demand; delete the dir to force a rebuild).
 """
@@ -382,14 +384,23 @@ def run(spark, sf_dir: str, work: str) -> dict[str, float]:
 
 
 def run_subset(spark, sf_dir: str, work: str) -> dict[str, float]:
-    """The x100 leg (VERDICT r14 #7): ONLY the two families whose x30
-    ratios sit closest to linear — minhash_lsh (3.45x wall at 30x
-    rows, plus its shingle_scan leaf) and the composed curate funnel
-    (18.63x at 30x) — so one decade more of rows pins their slopes
-    without paying the full suite at 500k docs."""
+    """The x100 leg (VERDICT r14 #7, widened r16 per VERDICT r15 #7):
+    the families whose 100-TB claims lean hardest on extrapolation —
+    minhash_lsh (plus its shingle_scan leaf), the composed curate
+    funnel, and now connected_components (the funnel's
+    shuffle-heaviest dependency, x30-only until r16) and
+    ivf_stored_index (build + stored top-k) — so each gets a fourth
+    decade of rows without paying the full suite at 500k docs."""
+    from big_data_crypto_sentiment_spark.jobs.ann_index import (
+        build_index,
+        query_index,
+    )
     from big_data_crypto_sentiment_spark.jobs.curate import run_curation
     from big_data_crypto_sentiment_spark.queries import (
         clear_session_caches,
+    )
+    from big_data_crypto_sentiment_spark.queries.components import (
+        q_dedup_components,
     )
     from big_data_crypto_sentiment_spark.queries.dedup import (
         _shingled_documents,
@@ -410,6 +421,22 @@ def run_subset(spark, sf_dir: str, work: str) -> dict[str, float]:
     t["rows_minhash_lsh_pairs"] = timed(
         "minhash_lsh",
         lambda: q_dedup_minhash_lsh(spark, sf_dir).count())
+    t["rows_cc"] = timed(
+        "connected_components",
+        lambda: q_dedup_components(spark, sf_dir).count())
+    emb = spark.read.parquet(os.path.join(sf_dir,
+                                          "embeddings.parquet")) \
+        .select("vec_id", "embedding")
+    queries = (emb.filter(F.col("vec_id") < 16)
+                  .select(F.col("vec_id").alias("query_id"),
+                          F.col("embedding").alias("qe")))
+    idx = os.path.join(work, "ann")
+    shutil.rmtree(idx, ignore_errors=True)
+
+    def ivf():
+        build_index(spark, emb, idx, k=16, seed=SEED)
+        _noop(query_index(spark, idx, queries, 8))
+    timed("ivf_stored_index", ivf)
     cur_dir = os.path.join(sf_dir, "curate")
     cur_out = os.path.join(work, "curated")
     shutil.rmtree(cur_out, ignore_errors=True)
@@ -454,8 +481,15 @@ def main() -> int:
     res = {tag: run(spark, d, os.path.join(work, tag))
            for tag, d in dirs.items() if tag != "x100"}
     if with_x100:
+        # probes bracketing the x100 leg itself (VERDICT r15 #7): the
+        # long leg is where a host burst would do the most damage, so
+        # it carries its own before/after host-speed reading
+        calib.update({f"calibration:{k}_x100_pre": v
+                      for k, v in _calibration_probes(spark).items()})
         res["x100"] = run_subset(spark, dirs["x100"],
                                  os.path.join(work, "x100"))
+        calib.update({f"calibration:{k}_x100_post": v
+                      for k, v in _calibration_probes(spark).items()})
     calib.update({f"calibration:{k}_end": v
                   for k, v in _calibration_probes(spark).items()})
     families = sorted(k for k in res["x1"] if not k.startswith("rows_"))
