@@ -127,7 +127,6 @@ def curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..queries.cleaning import (
         decontaminate,
         unigram_model,
-        unigram_score,
     )
     from ..queries.sampling import split_train_val_test
 
@@ -193,16 +192,22 @@ def curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # CCNet-style perplexity cut: score every doc under the corpus
     # unigram LM, drop the worst LM_DROP_FRAC by avg NLL. The threshold
     # is a bounded driver scalar (approxQuantile over one score column);
-    # the flag itself stays a column like every other stage. The cut
-    # pass uses the LEAN scoring projection (no repetition arrays) —
-    # its values are expression-identical to _per_doc_flags' avg_nll,
-    # so the threshold is unchanged from the pre-fold funnel.
-    lp, oov, _ = unigram_model(d)
-    scores = unigram_score(d, lp, oov).select("doc_id", "avg_nll")
-    cut = scores.approxQuantile("avg_nll", [1.0 - LM_DROP_FRAC], 1e-3)[0]
-
-    # quality + repetition + LM flags in one projection over ONE scan
-    flags = _per_doc_flags(d, lp, oov).withColumn(
+    # the flag itself stays a column like every other stage.
+    # r16 (guide §2.4, remove passes outright): the unigram model is
+    # the SAME ("unigram_docs", sf) artifact q_unigram_logprob /
+    # q_bigram_logprob build — share the session cache instead of
+    # re-running the count agg + collects; and the cut's quantile pass
+    # now reads avg_nll off the CHECKPOINTED flags frame itself (the
+    # values are expression-identical to unigram_score's, so the
+    # threshold is bit-unchanged) — one heavy per-doc-flag scan total
+    # where the pre-r16 funnel paid the lean scoring scan for the
+    # quantile AND re-ran the full flag projection in the final agg.
+    lp, oov, _ = unigram_model(d, cache_key=("unigram_docs", sf_dir))
+    flags_nll = (_per_doc_flags(d, lp, oov)
+                 .localCheckpoint(eager=False))
+    cut = flags_nll.approxQuantile("avg_nll",
+                                   [1.0 - LM_DROP_FRAC], 1e-3)[0]
+    flags = flags_nll.withColumn(
         "lm_ok", (F.col("avg_nll") <= cut).cast("int")).drop("avg_nll")
 
     out = (split_train_val_test(flags, "doc_id")

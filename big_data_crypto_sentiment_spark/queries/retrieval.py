@@ -198,7 +198,13 @@ def q_sim_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sampling import _hash_bucket
     d = rebalance_scan(table(spark, sf_dir, "documents")) \
         .select("doc_id", "text")
-    idf = _cached_idf(d, "sim_tfidf_topk", sf_dir, TFIDF_MAX_DF_FRAC)
+    # r16: idf + weights both derive from ONE shared tokenize+tf pass
+    # (was: the idf's array_distinct df pass AND the weights' tf pass
+    # each re-tokenized the corpus) — values bit-identical
+    tf = _tf_with_dl(d, "sim_tfidf_topk_tf", sf_dir)
+    idf = _idf_from_tf(d.count, tf, "sim_tfidf_topk", sf_dir,
+                       TFIDF_MAX_DF_FRAC)
+    _weights_from_tf(tf, idf, "sim_tfidf_topk", sf_dir)
     return tfidf_topk(
         d, idf, lambda c: _hash_bucket(c, 100) < TFIDF_QUERY_PCT,
         cache_key=("sim_tfidf_topk", sf_dir))
@@ -228,8 +234,8 @@ def zipf_planted_docs(docs: DataFrame) -> DataFrame:
 def q_sim_tfidf_zipf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sampling import _hash_bucket
     d = _zipf_corpus(spark, sf_dir)
-    idf = _cached_idf(d, "sim_tfidf_zipf_topk", sf_dir,
-                      ZIPF_MAX_DF_FRAC)
+    idf = _zipf_idf(spark, sf_dir)
+    _zipf_weights(spark, sf_dir)   # seeds the _WTS_CACHE key below
     return tfidf_topk(
         d, idf, lambda c: _hash_bucket(c, 100) < TFIDF_QUERY_PCT,
         cache_key=("sim_tfidf_zipf_topk", sf_dir))
@@ -292,29 +298,132 @@ def _zipf_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ZIPF_CACHE[key]
 
 
+# r16 (guide §1.2: remove redundant passes): the zipf index build paid
+# FOUR tokenize+aggregate corpus passes — the idf's distinct-term df
+# agg, the tf-idf weights' tf agg, the avgdl scan, and the BM25
+# postings' tf agg. All four derive from ONE (doc_id, dl, term, tf)
+# table: df(term) = row count per term (each (doc, term) appears once),
+# Σdl over docs = Σtf, and both weight tables are projections of it.
+# Persisted per (appId, sf_dir); every derived value is bit-identical
+# (exact integer counts feeding the same expressions).
+_ZTF_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _tf_with_dl(docs: DataFrame, entry: str, sf_dir: str) -> DataFrame:
+    """Get-or-build the persisted (doc_id, dl, term, tf) table for a
+    corpus. Grouping by (doc_id, dl, term) equals grouping by
+    (doc_id, term) — dl is functionally dependent on doc_id — so every
+    consumer sees exactly the counts its own tokenize pass produced."""
+    key = (docs.sparkSession.sparkContext.applicationId, entry, sf_dir)
+    if key not in _ZTF_CACHE:
+        words = F.split(F.col("text"), " ")
+        _ZTF_CACHE[key] = (
+            docs.select("doc_id", F.size(words).alias("dl"),
+                        F.explode(words).alias("term"))
+                .groupBy("doc_id", "dl", "term")
+                .agg(F.count("*").alias("tf"))
+                .persist())
+    return _ZTF_CACHE[key]
+
+
+def _idf_from_tf(n_docs_fn, tf: DataFrame, entry: str, sf_dir: str,
+                 max_df_frac: float) -> dict[str, int]:
+    """idf dict off the shared tf table — df(term) is the per-term row
+    count (each (doc, term) appears once), exactly what the standalone
+    tfidf_idf_table's array_distinct pass counted. Same cache key (and
+    identical values) as the _cached_idf path it replaces. n_docs_fn
+    is a thunk so a cache hit pays no count() job."""
+    key = (tf.sparkSession.sparkContext.applicationId, entry, sf_dir,
+           max_df_frac)
+    if key not in _IDF_CACHE:
+        n_docs = n_docs_fn()
+        rows = (tf.groupBy("term").agg(F.count("*").alias("df"))
+                  .filter(F.col("df") <= int(max_df_frac * n_docs))
+                  .orderBy(F.desc("df"), "term")
+                  .limit(TFIDF_VOCAB_K + 1)
+                  .collect())
+        _IDF_CACHE[key] = {
+            r.term: round((math.log((n_docs + 1) / (r.df + 1)) + 1)
+                          * _IDF_SCALE)
+            for r in rows[:TFIDF_VOCAB_K]}
+    return _IDF_CACHE[key]
+
+
+def _weights_from_tf(tf: DataFrame, idf: dict[str, int], entry: str,
+                     sf_dir: str) -> DataFrame:
+    """The persisted tf-idf weights table derived from the shared tf
+    table (was: its own tokenize+tf corpus pass). Seeds the SAME
+    _WTS_CACHE key tfidf_topk consults."""
+    key = (tf.sparkSession.sparkContext.applicationId, entry, sf_dir)
+    if key not in _WTS_CACHE:
+        idfmap = F.create_map(*[F.lit(x) for kv in idf.items()
+                                for x in kv])
+        w = (tf.withColumn("_idf", F.element_at(idfmap, F.col("term")))
+               .filter(F.col("_idf").isNotNull())
+               .select("doc_id", "term",
+                       (F.col("tf").cast("bigint") * F.col("_idf"))
+                       .alias("w")))
+        _WTS_CACHE[key] = w.withColumn(
+            "norm2", F.sum(F.col("w") * F.col("w"))
+                      .over(Window.partitionBy("doc_id"))).persist()
+    return _WTS_CACHE[key]
+
+
+def _zipf_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _tf_with_dl(_zipf_corpus(spark, sf_dir), "zipf_tf", sf_dir)
+
+
+def _zipf_idf(spark: SparkSession, sf_dir: str) -> dict[str, int]:
+    return _idf_from_tf(lambda: _zipf_corpus(spark, sf_dir).count(),
+                        _zipf_tf(spark, sf_dir),
+                        "sim_tfidf_zipf_topk", sf_dir, ZIPF_MAX_DF_FRAC)
+
+
+def _zipf_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _weights_from_tf(_zipf_tf(spark, sf_dir),
+                            _zipf_idf(spark, sf_dir),
+                            "sim_tfidf_zipf_topk", sf_dir)
+
+
 def zipf_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Get-or-build the persisted BM25 postings for the zipf corpus
     (the shared index `sim_bm25_topk` and `sim_rrf_hybrid` rank from)."""
-    d = _zipf_corpus(spark, sf_dir)
     key = (spark.sparkContext.applicationId, "sim_bm25_topk", sf_dir)
     if key in _WTS_CACHE:
         postings = _WTS_CACHE[key]
     else:
         # idf + avgdl only feed the cached postings — computing them on
-        # a cache hit (e.g. the rrf_hybrid re-entry) would re-run three
-        # full corpus actions whose results are discarded. Same key as
-        # the zipf tfidf entry: identical corpus + max_df → one build
-        # serves both rankers.
-        idf = _cached_idf(d, "sim_tfidf_zipf_topk", sf_dir,
-                          ZIPF_MAX_DF_FRAC)
+        # a cache hit (e.g. the rrf_hybrid re-entry) would re-run
+        # corpus actions whose results are discarded. Same idf as the
+        # zipf tfidf entry: identical corpus + max_df → one build
+        # serves both rankers. All inputs derive from the shared
+        # _zipf_tf table (r16): Σtf IS the exact token total the old
+        # per-doc size(split) scan summed, and the doc count comes off
+        # the persisted corpus — no tokenize pass left in this build.
+        d = _zipf_corpus(spark, sf_dir)
+        tfdl = _zipf_tf(spark, sf_dir)
+        idf = _zipf_idf(spark, sf_dir)
         # avgdl: exact integer token total / doc count. float() FIRST
         # to mirror DuckDB's CAST(SUM AS DOUBLE)/n (round the sum to
         # double, then divide) — Python's int/int is correctly rounded
         # from the exact rational and diverges past 2^53 tokens
-        tot = d.select(F.sum(F.size(F.split("text", " "))).alias("s"),
-                       F.count("*").alias("n")).first()
-        avgdl = float(tot.s) / tot.n
-        postings = bm25_postings(d, idf, avgdl).persist()
+        s = tfdl.agg(F.sum("tf").alias("s")).first()["s"]
+        avgdl = float(s) / d.count()
+        idfmap = F.create_map(*[F.lit(x) for kv in idf.items()
+                                for x in kv])
+        num = (F.col("_idf").cast("double") * F.col("tf")
+               * F.lit(BM25_K1 + 1.0))
+        den = (F.col("tf") + F.lit(BM25_K1)
+               * (F.lit(1.0 - BM25_B)
+                  + F.lit(BM25_B) * F.col("dl") / F.lit(avgdl)))
+        postings = (tfdl
+                    .withColumn("_idf",
+                                F.element_at(idfmap, F.col("term")))
+                    .filter(F.col("_idf").isNotNull())
+                    .select("doc_id", "term",
+                            F.round(num / den).cast("bigint")
+                             .alias("s4"))
+                    .persist())
         _WTS_CACHE[key] = postings
     return postings
 
@@ -365,11 +474,7 @@ def warm_zipf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-time index build isn't misattributed to whichever ranker
     happens to run first in registry order (the r8 judge finding for
     the MinHash shingle cache, same fix shape)."""
-    d = _zipf_corpus(spark, sf_dir)
-    idf = _cached_idf(d, "sim_tfidf_zipf_topk", sf_dir,
-                      ZIPF_MAX_DF_FRAC)
-    wts = _cached_weights(d, idf, "doc_id", "text",
-                          ("sim_tfidf_zipf_topk", sf_dir))
+    wts = _zipf_weights(spark, sf_dir)
     postings = zipf_bm25_index(spark, sf_dir)
     return wts.select("doc_id").unionAll(postings.select("doc_id"))
 

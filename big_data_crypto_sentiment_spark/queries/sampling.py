@@ -272,16 +272,31 @@ def _feature_buckets(words_col):
     return F.concat(uni, bi)
 
 
-def dsir_model(docs: DataFrame, is_target, text_col: str = "text"):
+def _dsir_base(docs: DataFrame, is_target, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """(id, _is_t, _b): the tokenized + md5-hashed feature-bucket
+    projection BOTH the model fit and the scoring pass consume. The
+    per-token md5s (one per unigram + one per bigram) are the dominant
+    per-row cost of each pass, so the registered entry computes this
+    once and persists it (guide §1.2/§2.3 — don't pay the expensive
+    per-row work twice); the values are unchanged, only shared."""
+    return (docs.filter(F.col(text_col).isNotNull())
+                .select(F.col(id_col), is_target.alias("_is_t"),
+                        F.split(F.col(text_col), " ").alias("_w"))
+                .select(id_col, "_is_t",
+                        _feature_buckets(F.col("_w")).alias("_b")))
+
+
+def dsir_model(docs: DataFrame, is_target, text_col: str = "text",
+               base: DataFrame | None = None):
     """bucket -> Δlp8 dict covering ALL B buckets: integer 1e-8-nat
     ln p_target − ln p_raw under add-one smoothing, fit from one
     explode + hash agg (key cardinality = B)."""
     import math
-    cnt = (docs.filter(F.col(text_col).isNotNull())
-               .select(is_target.alias("is_t"),
-                       F.split(F.col(text_col), " ").alias("_w"))
-               .select("is_t", F.explode(_feature_buckets(F.col("_w")))
-                                .alias("b"))
+    if base is None:
+        base = _dsir_base(docs, is_target, text_col)
+    cnt = (base.select(F.col("_is_t").alias("is_t"),
+                       F.explode(F.col("_b")).alias("b"))
                .groupBy("b")
                .agg(F.sum(F.when(F.col("is_t"), 1).otherwise(0))
                      .alias("ct"),
@@ -300,7 +315,8 @@ def dsir_model(docs: DataFrame, is_target, text_col: str = "text"):
 def dsir_select(docs: DataFrame, diff8: dict[int, int],
                 is_target, k: int = DSIR_SELECT_K,
                 id_col: str = "doc_id",
-                text_col: str = "text") -> DataFrame:
+                text_col: str = "text",
+                base: DataFrame | None = None) -> DataFrame:
     """Top-k raw docs by Gumbel-perturbed importance weight:
     (doc_id, logw8, score). Zero-shuffle scoring; bounded top-k."""
     dmap = F.create_map(*[F.lit(x) for kv in diff8.items() for x in kv])
@@ -312,24 +328,31 @@ def dsir_select(docs: DataFrame, diff8: dict[int, int],
     gumbel = -F.log(-F.log(u))
     score = F.col("logw8").cast("double") / F.lit(float(_NAT_SCALE)) \
         + gumbel
-    return (docs.filter(F.col(text_col).isNotNull())
-                .filter(~is_target)
-                .select(F.col(id_col),
-                        F.split(F.col(text_col), " ").alias("_w"))
-                .select(id_col, _feature_buckets(F.col("_w"))
-                         .alias("_b"))
-                .select(id_col, lw8.alias("logw8"))
+    if base is None:
+        base = _dsir_base(docs, is_target, text_col, id_col)
+    return (base.filter(~F.col("_is_t"))
+                .select(F.col(id_col), lw8.alias("logw8"))
                 .select(id_col, "logw8", score.alias("_score"))
                 .orderBy(F.desc("_score"), id_col).limit(k)
                 .select(id_col, "logw8",
                         F.round("_score", 6).alias("score")))
 
 
+# The persisted feature-bucket projection shared by the model fit and
+# the scoring pass of the registered entry — keyed (appId, sf_dir),
+# evicted by queries.clear_session_caches() like every _*_CACHE.
+_DSIR_CACHE: dict[tuple, DataFrame] = {}
+
+
 def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
     is_t = _hash_bucket(F.col("doc_id"), 100) < DSIR_TGT_PCT
-    diff8 = dsir_model(d, is_t)
-    return dsir_select(d, diff8, is_t)  # bounded: top-k
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _DSIR_CACHE:
+        _DSIR_CACHE[key] = _dsir_base(d, is_t).persist()
+    base = _DSIR_CACHE[key]
+    diff8 = dsir_model(d, is_t, base=base)
+    return dsir_select(d, diff8, is_t, base=base)  # bounded: top-k
 
 
 # --- deterministic global training-data shuffle (the write-side step
