@@ -45,6 +45,45 @@ EMBED_DIM = 64  # driver embeddings fixture dimension
 NEAR_DUP_BITS = 8
 NEAR_DUP_THRESHOLD = 0.9
 
+# r16 (guide §1.2: don't compute things you throw away — here, don't
+# compute the same bounded artifact N times): the family's shared
+# intermediates, keyed (kind, applicationId, sf_dir) and evicted by
+# queries.clear_session_caches() like every _*_CACHE. Before this,
+# one bench pass ran the default-k KMeans fit twice (sim_ivf_topk +
+# sim_ivf_recall_contract), the label-prototype centroid agg four
+# times (both semdedup entries, the frozen IVF twin, and sim_ivf_topk
+# through it), and the entire frozen label-prototype SemDeDup twice
+# (sim_semdedup + sim_semdedup_kmeans' frozen side). Values are the
+# identical objects/frames the first caller computed, so results are
+# unchanged by construction.
+_SIM_CACHE: dict[tuple, object] = {}
+
+
+def _sim_cached(spark: SparkSession, sf_dir: str, kind: str, build):
+    key = (kind, spark.sparkContext.applicationId, sf_dir)
+    if key not in _SIM_CACHE:
+        _SIM_CACHE[key] = build()
+    return _SIM_CACHE[key]
+
+
+def _cached_ivf_centroids(spark: SparkSession, sf_dir: str,
+                          corpus: DataFrame):
+    """Default-config fit_ivf_centroids over the embeddings corpus —
+    the [(cid, vec)] driver artifact both live-IVF entries consume."""
+    return _sim_cached(spark, sf_dir, "ivf_cents",
+                       lambda: fit_ivf_centroids(corpus))
+
+
+def _cached_label_protos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted label_prototype_centroids over the embeddings table
+    (O(labels·dim) rows) — consumed by both semdedup entries and the
+    frozen IVF twin."""
+    def build():
+        e = table(spark, sf_dir, "embeddings") \
+            .select("vec_id", "label", "embedding")
+        return label_prototype_centroids(e).persist()
+    return _sim_cached(spark, sf_dir, "label_protos", build)
+
 
 def _as_double(col):
     return F.transform(col, lambda x: x.cast("double"))
@@ -363,7 +402,7 @@ def q_sim_ivf_recall_contract(spark: SparkSession,
                 .select(F.col("vec_id").alias("query_id"),
                         F.col("embedding").alias("qe")))
     exact = brute_force_topk(queries, corpus, TOP_K)
-    centroids = fit_ivf_centroids(corpus)
+    centroids = _cached_ivf_centroids(spark, sf_dir, corpus)
     approx = (ivf_topk(queries, corpus, centroids, TOP_K)
               .select("query_id", "vec_id", F.lit(1).alias("hit")))
     ids = F.array_join(
@@ -409,7 +448,7 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = (e.filter(F.col("vec_id") < N_QUERY)
                 .select(F.col("vec_id").alias("query_id"),
                         F.col("embedding").alias("qe")))
-    centroids = fit_ivf_centroids(corpus)
+    centroids = _cached_ivf_centroids(spark, sf_dir, corpus)
     live = (ivf_topk(queries, corpus, centroids, TOP_K)
             .select("query_id", "vec_id", F.lit(1).alias("hit")))
     ids = F.array_join(
@@ -1020,11 +1059,21 @@ def _semdedup_pairs(frozen: DataFrame, assigned: DataFrame,
                       F.col("_d").isNull().alias("is_kept")))
 
 
+def _cached_frozen_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The frozen label-prototype SemDeDup frame (O(N) rows),
+    persisted once per (appId, sf_dir): it is BOTH the sim_semdedup
+    result and sim_semdedup_kmeans' hashed frozen side — before r16
+    each entry recomputed the whole explode→assign→pair pipeline."""
+    def build() -> DataFrame:
+        e = table(spark, sf_dir, "embeddings") \
+            .select("vec_id", "label", "embedding")
+        return semdedup(_freeze_vectors(e),
+                        _cached_label_protos(spark, sf_dir)).persist()
+    return _sim_cached(spark, sf_dir, "frozen_semdedup", build)
+
+
 def q_sim_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = table(spark, sf_dir, "embeddings") \
-        .select("vec_id", "label", "embedding")
-    return semdedup(_freeze_vectors(e),
-                    label_prototype_centroids(e))  # O(input): unsorted
+    return _cached_frozen_semdedup(spark, sf_dir)  # O(input): unsorted
 
 
 def q_sim_ivf_topk_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1047,23 +1096,28 @@ def q_sim_ivf_topk_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Same plan shape as the rows-only q_sim_ivf_topk: map-side
     assignment (centroids ride the UDF closure), one broadcast
-    equality join on cid, one top-k window."""
-    e = table(spark, sf_dir, "embeddings") \
-        .select("vec_id", "label", "embedding")
-    x8d = F.transform(F.col("embedding"),
-                      lambda x: F.round(x.cast("double") * PROTO_SCALE))
-    fe = (e.filter(F.size("embedding") >= 1)
-           .select("vec_id", x8d.alias("fe")))
-    by_cid: dict[int, dict[int, float]] = {}
-    for r in label_prototype_centroids(e).collect():
-        by_cid.setdefault(int(r.cid), {})[int(r.dim)] = float(r.c)
-    centroids = [(cid, [dims[d] for d in range(len(dims))])
-                 for cid, dims in sorted(by_cid.items())]
-    corpus = fe.select("vec_id", F.col("fe").alias("embedding"))
-    queries = (fe.filter(F.col("vec_id") < N_QUERY)
-                 .select(F.col("vec_id").alias("query_id"),
-                         F.col("fe").alias("qe")))
-    return ivf_topk(queries, corpus, centroids, TOP_K)
+    equality join on cid, one top-k window. The bounded result frame
+    (N_QUERY·k rows) is session-cached: sim_ivf_topk consumes it as
+    its hashed frozen side, so without the cache one bench pass ran
+    this whole frozen path twice (r16, guide §1.2)."""
+    def build() -> DataFrame:
+        e = table(spark, sf_dir, "embeddings") \
+            .select("vec_id", "label", "embedding")
+        x8d = F.transform(F.col("embedding"),
+                          lambda x: F.round(x.cast("double") * PROTO_SCALE))
+        fe = (e.filter(F.size("embedding") >= 1)
+               .select("vec_id", x8d.alias("fe")))
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in _cached_label_protos(spark, sf_dir).collect():
+            by_cid.setdefault(int(r.cid), {})[int(r.dim)] = float(r.c)
+        centroids = [(cid, [dims[d] for d in range(len(dims))])
+                     for cid, dims in sorted(by_cid.items())]
+        corpus = fe.select("vec_id", F.col("fe").alias("embedding"))
+        queries = (fe.filter(F.col("vec_id") < N_QUERY)
+                     .select(F.col("vec_id").alias("query_id"),
+                             F.col("fe").alias("qe")))
+        return ivf_topk(queries, corpus, centroids, TOP_K).persist()
+    return _sim_cached(spark, sf_dir, "ivf_frozen_topk", build)
 
 
 # Live-vs-frozen SemDeDup kept-set agreement floor (r15 graduation):
@@ -1092,10 +1146,7 @@ def q_sim_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     live = (semdedup_kmeans(spark, e)
             .select("vec_id", F.col("is_kept").alias("_lk")))
-    el = (table(spark, sf_dir, "embeddings")
-          .select("vec_id", "label", "embedding"))
-    frozen = (semdedup(_freeze_vectors(el),
-                       label_prototype_centroids(el))
+    frozen = (_cached_frozen_semdedup(spark, sf_dir)
               .select("vec_id", F.col("is_kept").alias("_fk")))
     g = (frozen.join(live, "vec_id")
                .agg(F.count("*").alias("n_vecs"),
