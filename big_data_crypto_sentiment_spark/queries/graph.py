@@ -91,10 +91,16 @@ def _edges(ev: DataFrame) -> DataFrame:
 
 
 def _event_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = (table(spark, sf_dir, "events")
-          .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
-          .select("event_id", "user_id", "event_type", "ts"))
-    return _edges(ev)
+    # r16 (guide §1.2): the edge build is one full events scan + a
+    # per-type window pass; all three graph entries (and the aug /
+    # oriented builds) consumed it independently — persist it once
+    def build() -> DataFrame:
+        ev = (table(spark, sf_dir, "events")
+              .filter(F.col("user_id").isNotNull()
+                      & F.col("ts").isNotNull())
+              .select("event_id", "user_id", "event_type", "ts"))
+        return _edges(ev)
+    return _cached("edges", spark, sf_dir, build)
 
 
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -105,6 +111,12 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .union(edges.select(F.col("dst").alias("node")))
                   .distinct())
     # zero-weight self-loops: every node receives >= 1 row per round
+    # r16 (guide §2.4, remove shuffles outright): the edge table is
+    # persisted PRE-PARTITIONED AND SORTED by src — the join key every
+    # round probes — so the iteration joins reuse the cached layout
+    # instead of re-exchanging + re-sorting the (at scale, huge) edge
+    # side six times. Exactly the bucketed-table discipline for
+    # iterative algorithms; row values are untouched.
     def _build_aug() -> DataFrame:
         a = edges.unionByName(
             nodes.select(F.col("node").alias("src"),
@@ -112,7 +124,9 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.lit(0).cast("long").alias("w")))
         outw = a.groupBy("src").agg(
             F.greatest(F.sum("w"), F.lit(1)).alias("outw"))
-        return a.join(outw, "src")
+        return (a.join(outw, "src")
+                 .repartition("src")
+                 .sortWithinPartitions("src"))
 
     aug = _cached("pr_aug", spark, sf_dir, _build_aug)
     # one bounded action for BOTH driver scalars: n, and the max edge
@@ -132,6 +146,17 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "the bound")
     teleport = (15 * PR_SCALE) // (100 * n)
     ranks = nodes.select("node", F.lit(PR_SCALE // n).alias("r"))
+    # r16: the per-round lazy localCheckpoint is GONE — its RDD scan
+    # erased the partitioning/ordering every round, forcing a fresh
+    # exchange+sort of BOTH join sides. As one 6-round plan, the
+    # groupBy(dst) output is already hash-partitioned on dst, which
+    # the alias `dst AS node` carries into the next round's join
+    # requirement (alias-aware output partitioning), so each round
+    # pays exactly its one inherent contribution shuffle, and the six
+    # probes of the persisted src-partitioned edge table collapse to
+    # ReusedExchange/InMemory scans. K is fixed at 6, so the single
+    # plan stays bounded; on a real cluster prefer reliable
+    # checkpoint() every few rounds for fault tolerance at high K.
     for _ in range(PR_ITERS):
         contrib = (ranks.join(aug, ranks["node"] == aug["src"])
                         .groupBy("dst")
@@ -141,21 +166,32 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(teleport)
              + F.expr(f"({PR_DAMP_NUM} * s) div {PR_DAMP_DEN}"))
             .alias("r"))
-        ranks = ranks.localCheckpoint(eager=False)
     return ranks.select(F.col("node").alias("user_id"),
                         F.col("r").alias("pr_e12"))  # O(nodes): unsorted
+
+
+def _und_deg(spark: SparkSession, sf_dir: str) \
+        -> tuple[DataFrame, DataFrame]:
+    """Persisted undirected edge set + degree table — shared by
+    graph_triangles (which reads deg twice: orientation build and the
+    final join) and graph_degree_profile (r16, guide §1.2)."""
+    edges = _event_graph(spark, sf_dir)
+    und = _cached("und", spark, sf_dir,
+                  lambda: edges.select(F.least("src", "dst").alias("a"),
+                                       F.greatest("src", "dst").alias("b"))
+                              .distinct())
+    deg = _cached(
+        "deg", spark, sf_dir,
+        lambda: und.select(F.col("a").alias("node"))
+                   .unionByName(und.select(F.col("b").alias("node")))
+                   .groupBy("node").agg(F.count(F.lit(1)).alias("degree")))
+    return und, deg
 
 
 def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(user_id, degree, triangles, local_cc): per-node triangle count
     and local clustering coefficient on the undirected simple graph."""
-    edges = _event_graph(spark, sf_dir)
-    und = (edges.select(F.least("src", "dst").alias("a"),
-                        F.greatest("src", "dst").alias("b"))
-                .distinct())
-    deg = (und.select(F.col("a").alias("node"))
-              .unionByName(und.select(F.col("b").alias("node")))
-              .groupBy("node").agg(F.count(F.lit(1)).alias("degree")))
+    und, deg = _und_deg(spark, sf_dir)
     # orient a--b from its (degree, id)-smaller endpoint
     def _build_oriented() -> DataFrame:
         smaller_first = ((F.col("da") < F.col("db"))
@@ -198,13 +234,7 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_graph_degree_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(degree, n_nodes): undirected-degree histogram, bounded output."""
-    edges = _event_graph(spark, sf_dir)
-    und = (edges.select(F.least("src", "dst").alias("a"),
-                        F.greatest("src", "dst").alias("b"))
-                .distinct())
-    deg = (und.select(F.col("a").alias("node"))
-              .unionByName(und.select(F.col("b").alias("node")))
-              .groupBy("node").agg(F.count(F.lit(1)).alias("degree")))
+    _, deg = _und_deg(spark, sf_dir)
     return (deg.groupBy("degree")
                .agg(F.count(F.lit(1)).alias("n_nodes"))
                .orderBy("degree"))  # bounded: distinct degrees
