@@ -155,9 +155,19 @@ def curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # its grams with its copies, so the stage-2 keep-representative
     # would flag itself span_dup and duplicated content would vanish
     # entirely instead of keeping one copy.
+    # r16 (guide §1.2): the gram explode is the stage's dominant
+    # per-row cost and q_dedup_span_stats caches the corpus-wide
+    # exploded grams (_GRAMS_CACHE, keyed on the input plan). Pass the
+    # IDENTICAL corpus plan (rebalance_scan + the two columns, so the
+    # semanticHash key matches) and restrict to the exact-dedup
+    # survivors via keep_ids — a semi-join on the exploded grams,
+    # row-identical to exploding the pre-filtered docs (keep_ids ids
+    # are unique, so the old inner join was a semi-join too).
+    from ..queries._util import rebalance_scan
     from ..queries.dedup import duplicate_span_stats
     span_dup = (duplicate_span_stats(
-                    d.join(keep_ids.select("doc_id"), "doc_id"))
+                    rebalance_scan(d).select("doc_id", "text"),
+                    keep_ids=keep_ids.select("doc_id"))
                 .filter(F.col("dup_frac") > SPAN_DUP_MAX_FRAC)
                 .select("doc_id", F.lit(1).alias("span_dup")))
 

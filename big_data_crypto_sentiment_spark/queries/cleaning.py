@@ -312,9 +312,25 @@ def unigram_model(docs: DataFrame, text_col: str = "text",
                     *cache_key, text_col, vocab_k)
         if full_key in _UNIGRAM_CACHE:
             return _UNIGRAM_CACHE[full_key]
-    cnt = (docs.select(F.explode(F.split(F.col(text_col), " "))
-                        .alias("term"))
-               .groupBy("term").agg(F.count("*").alias("c")))
+    if (cache_key is not None and cache_key[0] == "unigram_docs"
+            and text_col == "text"):
+        # r16 (guide §1.2): the ("unigram_docs", sf_dir) key marks the
+        # standard documents corpus, for which the ctfidf/JS family
+        # already builds a persisted (source, term, c) aggregate
+        # (text._source_term_counts, |sources|·|vocab| grain). The
+        # global term counts are its exact per-term rollup — identical
+        # integers (split-on-space tokenization on both paths, NULL
+        # text contributes nothing to either, groupBy keeps a NULL
+        # source) — so derive cnt from it instead of paying a second
+        # tokenize+explode corpus pass; whichever family runs first
+        # builds the shared table once per (appId, sf_dir).
+        from .text import _source_term_counts
+        cnt = (_source_term_counts(docs.sparkSession, cache_key[1])
+               .groupBy("term").agg(F.sum("c").alias("c")))
+    else:
+        cnt = (docs.select(F.explode(F.split(F.col(text_col), " "))
+                            .alias("term"))
+                   .groupBy("term").agg(F.count("*").alias("c")))
     tot = cnt.agg(F.sum("c").alias("t"), F.count("*").alias("v")).collect()[0]
     top = cnt.orderBy(F.desc("c"), "term").limit(vocab_k + 1).collect()
     denom = tot.t + tot.v + 1

@@ -695,11 +695,22 @@ _GRAMS_CACHE: dict[tuple, DataFrame] = {}
 
 def duplicate_span_stats(docs: DataFrame, id_col: str = "doc_id",
                          text_col: str = "text",
-                         n: int = SPAN_GRAM) -> DataFrame:
+                         n: int = SPAN_GRAM,
+                         keep_ids: DataFrame | None = None) -> DataFrame:
     """(doc_id, n_grams, n_dup_grams, dup_frac, max_dup_span) per doc
     with >= n words; max_dup_span is the longest run of cross-doc
     duplicated tokens (0 when the doc shares no n-gram with any other
-    doc)."""
+    doc).
+
+    `keep_ids` (unique-id frame, r16 — guide §1.2): compute the stats
+    over the SUBSET of `docs` whose id appears in it, while the cached
+    gram explode stays keyed on the full `docs` plan. Per-doc grams
+    don't depend on other docs, so semi-joining the exploded grams
+    equals exploding the pre-filtered docs — identical rows — and the
+    dup set is still derived strictly from the surviving subset. This
+    lets the curate funnel reuse the corpus-wide _GRAMS_CACHE entry
+    q_dedup_span_stats builds instead of re-running the tokenize +
+    gram-construction pass on the survivor subset."""
     from pyspark.sql import Window
 
     w = F.split(F.col(text_col), " ")
@@ -723,6 +734,9 @@ def duplicate_span_stats(docs: DataFrame, id_col: str = "doc_id",
                                   .alias("pos", "gram"))
                  .persist())
         _GRAMS_CACHE[key] = grams
+    if keep_ids is not None:
+        grams = grams.join(keep_ids, id_col, "semi")
+        base = base.join(keep_ids, id_col, "semi")
     dup = (grams.groupBy("gram")
                 .agg(F.count_distinct(id_col).alias("nd"))
                 .filter(F.col("nd") >= 2)

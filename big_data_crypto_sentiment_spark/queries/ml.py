@@ -1140,22 +1140,49 @@ TFIDF_TT_MIN_IN_TOPK = 14      # frozen-term containment floor (16 measured)
 TFIDF_TT_ANCHOR_MARGIN = 2.0   # anchor-vs-rest |coef| ratio floor (3.5 measured)
 
 
+# r16 (guide §1.2 — remove redundant passes): ml_tfidf_top_terms'
+# frozen-sums scan and ml_tfidf_terms_frozen ran the IDENTICAL
+# 16-term regexp_count projection over the corpus twice — one scan
+# per entry — differing only in the label column (y6 =
+# round(polarity·1e6) vs y = n_pos − n_neg; the xx sums are shared
+# verbatim). One scan now computes all three sum families; the
+# collected 1-row result is a bounded driver artifact keyed by the
+# established (appId, sf_dir) session-cache convention (auto-
+# discovered by queries.session_caches()). Exact BIGINT sums, so
+# every derived value is unchanged on both engines.
+_TFIDF_SUMS_CACHE: dict[tuple, dict] = {}
+
+
+def _tfidf_frozen_sums(spark: SparkSession, sf_dir: str) -> dict[str, int]:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _TFIDF_SUMS_CACHE:
+        d = (table(spark, sf_dir, "documents")
+             .filter(F.col("text").isNotNull()).select("text"))
+        n_pos, n_neg, pol = lexicon_polarity()
+        cols = [(n_pos - n_neg).cast("long").alias("y"),
+                F.round(pol * 1e6).cast("long").alias("y6")]
+        for i, (t, _) in enumerate(TFIDF_FROZEN_VOCAB):
+            cols.append(F.regexp_count(F.col("text"), F.lit(rf"\b{t}\b"))
+                         .cast("long").alias(f"tf{i}"))
+        aggs = []
+        for i in range(len(TFIDF_FROZEN_VOCAB)):
+            tf = F.col(f"tf{i}")
+            aggs.append(F.sum(tf * F.col("y")).alias(f"xy{i}"))
+            aggs.append(F.sum(tf * F.col("y6")).alias(f"xy6_{i}"))
+            aggs.append(F.sum(tf * tf).alias(f"xx{i}"))
+        srow = d.select(*cols).agg(*aggs).first()
+        _TFIDF_SUMS_CACHE[key] = {k: int(srow[k] or 0)
+                                  for k in srow.asDict()}
+    return _TFIDF_SUMS_CACHE[key]
+
+
 def q_ml_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ml_pipelines import fit_tfidf_ridge, top_terms
-    d = (table(spark, sf_dir, "documents")
-         .filter(F.col("text").isNotNull()).select("text"))
-    _, _, pol = lexicon_polarity()
-    cols = [F.round(pol * 1e6).cast("long").alias("y6")]
-    for i, (t, _) in enumerate(TFIDF_FROZEN_VOCAB):
-        cols.append(F.regexp_count(F.col("text"), F.lit(rf"\b{t}\b"))
-                     .cast("long").alias(f"tf{i}"))
-    aggs = []
+    shared = _tfidf_frozen_sums(spark, sf_dir)
+    sums = {}
     for i in range(len(TFIDF_FROZEN_VOCAB)):
-        tf = F.col(f"tf{i}")
-        aggs.append(F.sum(tf * F.col("y6")).alias(f"xy{i}"))
-        aggs.append(F.sum(tf * tf).alias(f"xx{i}"))
-    srow = d.select(*cols).agg(*aggs).first()
-    sums = {k: int(srow[k] or 0) for k in srow.asDict()}
+        sums[f"xy{i}"] = shared[f"xy6_{i}"]
+        sums[f"xx{i}"] = shared[f"xx{i}"]
     # Spark-side ROUND of the 16 divisions (cross-engine parity)
     coef_exprs = []
     for i, (t, idf3) in enumerate(TFIDF_FROZEN_VOCAB):
@@ -1242,28 +1269,21 @@ TFIDF_TT_LAMBDA_E12 = TFIDF_FROZEN_LAMBDA_E6 * 1_000_000  # λ at the
 
 
 def q_ml_tfidf_terms_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = (table(spark, sf_dir, "documents")
-         .filter(F.col("text").isNotNull()).select("text"))
-    n_pos, n_neg, _ = lexicon_polarity()
-    cols = [(n_pos - n_neg).cast("long").alias("y")]
-    for i, (t, _) in enumerate(TFIDF_FROZEN_VOCAB):
-        cols.append(F.regexp_count(F.col("text"), F.lit(rf"\b{t}\b"))
-                     .cast("long").alias(f"tf{i}"))
-    base = d.select(*cols)
-    aggs = []
-    for i in range(len(TFIDF_FROZEN_VOCAB)):
-        tf = F.col(f"tf{i}")
-        aggs.append(F.sum(tf * F.col("y")).alias(f"xy{i}"))
-        aggs.append(F.sum(tf * tf).alias(f"xx{i}"))
-    one = base.agg(*aggs)
+    # r16: the xy/xx sums come from the shared one-scan aggregate
+    # (_tfidf_frozen_sums — see the cache note above); the coef/sign
+    # expressions below are unchanged and still evaluate Spark-side
+    # over the same exact integers, so every output value is
+    # bit-identical to the per-entry-scan form.
+    shared = _tfidf_frozen_sums(spark, sf_dir)
     structs = [
         F.struct(F.lit(t).alias("term"),
                  F.lit(idf3).cast("long").alias("idf3"),
-                 F.col(f"xy{i}").alias("s_xy"),
-                 F.col(f"xx{i}").alias("s_xx"))
+                 F.lit(shared[f"xy{i}"]).cast("long").alias("s_xy"),
+                 F.lit(shared[f"xx{i}"]).cast("long").alias("s_xx"))
         for i, (t, idf3) in enumerate(TFIDF_FROZEN_VOCAB)]
-    rows = (one.select(F.explode(F.array(*structs)).alias("r"))
-               .select("r.*"))
+    rows = (spark.range(1)
+                .select(F.explode(F.array(*structs)).alias("r"))
+                .select("r.*"))
     num = (F.col("idf3") * F.col("s_xy") * 1000).cast("double")
     den = (F.col("idf3") * F.col("idf3") * F.col("s_xx")
            + F.lit(TFIDF_FROZEN_LAMBDA_E6)).cast("double")
