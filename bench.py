@@ -240,6 +240,36 @@ def main() -> int:
 
     _timed("artifact:bpe_training", _warm_bpe_training)
 
+    def _warm_span_grams() -> None:
+        # the persisted span-gram explode shared by dedup_span_stats
+        # AND the curate funnel's span stage (r16: the funnel runs
+        # FIRST in registry order and was absorbing the whole one-time
+        # corpus-wide build — same misattribution the shingle artifact
+        # entry fixed in r8)
+        from big_data_crypto_sentiment_spark.queries._util import (
+            rebalance_scan,
+            table,
+        )
+        from big_data_crypto_sentiment_spark.queries.dedup import (
+            _span_grams,
+        )
+        d = rebalance_scan(table(spark, SF_DIR, "documents")) \
+            .select("doc_id", "text")
+        materialize(_span_grams(d))
+
+    _timed("artifact:dedup_span_grams", _warm_span_grams)
+
+    def _warm_source_term_counts() -> None:
+        # the (source, term, c) aggregate shared by ctfidf_source_terms,
+        # js_divergence_sources AND (r16) the unigram/bigram LM builds —
+        # timed visibly so lm_models below times the LM fold, not this
+        from big_data_crypto_sentiment_spark.queries.text import (
+            _source_term_counts,
+        )
+        materialize(_source_term_counts(spark, SF_DIR))
+
+    _timed("artifact:text_source_term_counts", _warm_source_term_counts)
+
     def _warm_lm_models() -> None:
         # driver artifacts (the actions run inside the build); the
         # unigram inner model is the same ("unigram_docs", sf) key

@@ -693,6 +693,36 @@ SPAN_GRAM = 8
 _GRAMS_CACHE: dict[tuple, DataFrame] = {}
 
 
+def _span_grams(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text", n: int = SPAN_GRAM) -> DataFrame:
+    """The persisted (id, pos, gram) explode duplicate_span_stats'
+    two consumers (the dup-set agg and the hits join) share — split out
+    (r16) so the bench can warm it as a visible `artifact:` entry: in
+    registry order curate_funnel_stats runs BEFORE dedup_span_stats, so
+    the one-time corpus-wide build otherwise lands inside whichever
+    entry runs first (the r8 shingle-table misattribution all over
+    again)."""
+    key = (docs.sparkSession.sparkContext.applicationId,
+           docs.semanticHash(), id_col, text_col, n)
+    if key not in _GRAMS_CACHE:
+        w = F.split(F.col(text_col), " ")
+        base = (docs.filter(F.col(text_col).isNotNull())
+                    .filter(F.size(w) >= n)
+                    .select(F.col(id_col), w.alias("_w")))
+        _GRAMS_CACHE[key] = (
+            base.select(id_col,
+                        F.transform(
+                            F.sequence(F.lit(1),
+                                       F.size("_w") - (n - 1)),
+                            lambda i: F.concat_ws(
+                                " ", F.slice("_w", i, n)))
+                         .alias("grams"))
+                .select(id_col, F.posexplode_outer("grams")
+                                 .alias("pos", "gram"))
+                .persist())
+    return _GRAMS_CACHE[key]
+
+
 def duplicate_span_stats(docs: DataFrame, id_col: str = "doc_id",
                          text_col: str = "text",
                          n: int = SPAN_GRAM,
@@ -717,23 +747,7 @@ def duplicate_span_stats(docs: DataFrame, id_col: str = "doc_id",
     base = (docs.filter(F.col(text_col).isNotNull())
                 .filter(F.size(w) >= n)
                 .select(F.col(id_col), w.alias("_w")))
-    key = (docs.sparkSession.sparkContext.applicationId,
-           docs.semanticHash(), id_col, text_col, n)
-    if key in _GRAMS_CACHE:
-        grams = _GRAMS_CACHE[key]
-    else:
-        grams = (base
-                 .select(id_col,
-                         F.transform(
-                             F.sequence(F.lit(1),
-                                        F.size("_w") - (n - 1)),
-                             lambda i: F.concat_ws(
-                                 " ", F.slice("_w", i, n)))
-                          .alias("grams"))
-                 .select(id_col, F.posexplode_outer("grams")
-                                  .alias("pos", "gram"))
-                 .persist())
-        _GRAMS_CACHE[key] = grams
+    grams = _span_grams(docs, id_col, text_col, n)
     if keep_ids is not None:
         grams = grams.join(keep_ids, id_col, "semi")
         base = base.join(keep_ids, id_col, "semi")
