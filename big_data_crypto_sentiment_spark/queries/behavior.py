@@ -63,15 +63,25 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )  # O(users with a click): unsorted
 
 
-def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(cohort_day, day_offset, n_users): distinct users from each
-    first-seen-day cohort active again `day_offset` days later. The
-    classic retention triangle."""
-    ev = (table(spark, sf_dir, "events")
-          .filter(F.col("user_id").isNotNull())
-          .select("user_id", F.to_date("ts").alias("day")))
-    first_seen = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
-    return (ev.join(first_seen, "user_id")
+# Session cache for the cohort retention triangle: cohort_retention
+# returns it and cohort_retention_pct consumed it TWICE (the triangle
+# plus its day-0 slice — Catalyst does not share the subtree), i.e.
+# three events scans + first-seen joins + count_distinct aggs for one
+# bounded days² grid (r16, guide §1.2). Persisted at its bounded grain,
+# keyed (appId, sf_dir); auto-discovered by queries.session_caches().
+_COHORT_TRI_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _cohort_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _COHORT_TRI_CACHE:
+        ev = (table(spark, sf_dir, "events")
+              .filter(F.col("user_id").isNotNull())
+              .select("user_id", F.to_date("ts").alias("day")))
+        first_seen = ev.groupBy("user_id").agg(
+            F.min("day").alias("cohort_day"))
+        _COHORT_TRI_CACHE[key] = (
+            ev.join(first_seen, "user_id")
               .select("user_id", "cohort_day",
                       F.datediff("day", "cohort_day").alias("day_offset"))
               .groupBy("cohort_day", "day_offset")
@@ -80,7 +90,16 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
               # engine's pandas and date objects in the other's
               .select(F.col("cohort_day").cast("string")
                        .alias("cohort_day"), "day_offset", "n_users")
-              .orderBy("cohort_day", "day_offset"))  # bounded: days²
+              .persist())
+    return _COHORT_TRI_CACHE[key]
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cohort_day, day_offset, n_users): distinct users from each
+    first-seen-day cohort active again `day_offset` days later. The
+    classic retention triangle."""
+    return (_cohort_triangle(spark, sf_dir)
+            .orderBy("cohort_day", "day_offset"))  # bounded: days²
 
 
 def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -188,7 +207,7 @@ def q_type_share_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     sizes are one tiny slice of the triangle itself, broadcast back —
 #     never a second scan of events. ---
 def q_cohort_retention_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tri = q_cohort_retention(spark, sf_dir)
+    tri = _cohort_triangle(spark, sf_dir)
     base = (tri.filter(F.col("day_offset") == 0)
                .select("cohort_day", F.col("n_users").alias("size0")))
     return (tri.join(F.broadcast(base), "cohort_day")
@@ -209,8 +228,13 @@ def q_cohort_retention_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = (table(spark, sf_dir, "events")
           .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull()))
+    # r16 (guide §1.2): the distinct basket frame feeds FOUR consumers
+    # (the basket count, the per-type totals, and both self-join sides)
+    # and was recomputed — events scan + distinct shuffle — for each. A
+    # non-eager localCheckpoint (materialized by the n_baskets count,
+    # the curate keep_ids discipline) computes it once.
     b = (ev.select("user_id", F.to_date("ts").alias("day"), "event_type")
-           .distinct())
+           .distinct().localCheckpoint(eager=False))
     n_baskets = b.select("user_id", "day").distinct().count()
     na = b.groupBy("event_type").agg(F.count("*").alias("n"))
     left = b.select("user_id", "day", F.col("event_type").alias("type_a"))

@@ -54,13 +54,32 @@ def scd2_intervals(df: DataFrame, key: str, state: str,
         valid_to.isNull().cast("int").alias("is_current"))
 
 
+# Session cache for the full-history dimension: THREE entries build
+# the IDENTICAL scd2_intervals(all events) — scd2_user_state returns
+# it, scd2_snapshot_at filters it, scd2_state_durations aggregates it —
+# each paying the events scan + (user_id) window pass (r16, guide
+# §1.2). Persisting the compressed interval table is exactly the
+# materialized-dimension discipline SCD2 exists for: O(state changes),
+# a compression of the input. Keyed (appId, sf_dir); auto-discovered
+# by queries.session_caches().
+_SCD2_DIM_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _full_history_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _SCD2_DIM_CACHE:
+        ev = (table(spark, sf_dir, "events")
+              .filter(F.col("user_id").isNotNull()
+                      & F.col("ts").isNotNull()
+                      & F.col("event_type").isNotNull())
+              .select("user_id", "ts", "event_id", "event_type"))
+        _SCD2_DIM_CACHE[key] = scd2_intervals(
+            ev, "user_id", "event_type", "ts", "event_id").persist()
+    return _SCD2_DIM_CACHE[key]
+
+
 def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = (table(spark, sf_dir, "events")
-          .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull()
-                  & F.col("event_type").isNotNull())
-          .select("user_id", "ts", "event_id", "event_type"))
-    return scd2_intervals(ev, "user_id", "event_type",
-                          "ts", "event_id")  # O(state changes): unsorted
+    return _full_history_dim(spark, sf_dir)  # O(state changes): unsorted
 
 
 # --- point-in-time dimension lookup (the query SCD2 exists to answer):
@@ -154,8 +173,14 @@ def q_scd2_merge_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                   & F.col("event_type").isNotNull())
           .select("user_id", "ts", "event_id", "event_type"))
     cut = F.lit(SCD2_SPLIT).cast("timestamp")
+    # r16 (guide §1.2): scd2_merge references `base` twice (the
+    # untouched anti-join AND the affected users' interval replay) —
+    # without lineage truncation each reference re-ran the old-half
+    # events scan + window pass. Non-eager localCheckpoint computes
+    # the old dimension once (the curate keep_ids discipline).
     base = scd2_intervals(ev.filter(F.col("ts") < cut),
-                          "user_id", "event_type", "ts", "event_id")
+                          "user_id", "event_type", "ts", "event_id") \
+        .localCheckpoint(eager=False)
     return scd2_merge(base, ev.filter(F.col("ts") >= cut),
                       "user_id", "event_type",
                       "ts", "event_id")  # O(state changes): unsorted
@@ -182,11 +207,7 @@ def scd2_snapshot_at(dim: DataFrame, at) -> DataFrame:
 
 
 def q_scd2_snapshot_at(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = (table(spark, sf_dir, "events")
-          .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull()
-                  & F.col("event_type").isNotNull())
-          .select("user_id", "ts", "event_id", "event_type"))
-    dim = scd2_intervals(ev, "user_id", "event_type", "ts", "event_id")
+    dim = _full_history_dim(spark, sf_dir)
     return scd2_snapshot_at(dim, F.lit(SNAPSHOT_AT).cast("timestamp"))
     # O(users): unsorted
 
@@ -194,11 +215,7 @@ def q_scd2_snapshot_at(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_scd2_state_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(state, n_closed, total_us, n_open): exact integer time-in-state
     over closed intervals; open intervals counted, not timed."""
-    ev = (table(spark, sf_dir, "events")
-          .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull()
-                  & F.col("event_type").isNotNull())
-          .select("user_id", "ts", "event_id", "event_type"))
-    dim = scd2_intervals(ev, "user_id", "event_type", "ts", "event_id")
+    dim = _full_history_dim(spark, sf_dir)
     dur = F.unix_micros("valid_to") - F.unix_micros("valid_from")
     return (dim.groupBy("state")
                .agg(F.count("valid_to").alias("n_closed"),
