@@ -239,7 +239,11 @@ SKEW_TOP_N = 10
 
 def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
-    counts = ev.groupBy("user_id").agg(F.count("*").alias("n_events"))
+    # r16 (guide §1.2): the per-key counts feed both the totals agg and
+    # the top-N pick — checkpoint the reduced frame so the events scan
+    # + hash agg run once, not per consumer
+    counts = (ev.groupBy("user_id").agg(F.count("*").alias("n_events"))
+                .localCheckpoint(eager=False))
     stats = counts.agg(F.sum("n_events").alias("total"),
                        F.count("*").alias("n_keys"))
     return (counts.crossJoin(F.broadcast(stats))

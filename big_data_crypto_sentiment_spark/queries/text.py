@@ -144,11 +144,17 @@ def q_text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode_outer(F.transform(
             F.sequence(F.lit(1), F.length("s") - 2),
             lambda i: F.col("s").substr(i, F.lit(3)))).alias("tri"))
+    # r16 (guide §1.2): doc_cnt (the corpus trigram explode + agg — the
+    # operator's dominant pass) feeds BOTH the per-doc profile and the
+    # language-profile fold, and doc_prof feeds both doc_m and the
+    # match join; non-eager localCheckpoints compute each once
     doc_cnt = tri.groupBy("doc_id", "lang", "tri") \
-                 .agg(F.count("*").alias("cnt"))
+                 .agg(F.count("*").alias("cnt")) \
+                 .localCheckpoint(eager=False)
     wd = Window.partitionBy("doc_id").orderBy(F.desc("cnt"), "tri")
     doc_prof = (doc_cnt.withColumn("doc_rank", F.row_number().over(wd))
-                       .filter(F.col("doc_rank") <= LANGID_DOC_M))
+                       .filter(F.col("doc_rank") <= LANGID_DOC_M)
+                       .localCheckpoint(eager=False))
     doc_m = doc_prof.groupBy("doc_id", "lang").agg(F.count("*").alias("m"))
     # language profiles fold the per-doc counts (no second corpus pass)
     lang_cnt = doc_cnt.groupBy("lang", "tri").agg(F.sum("cnt").alias("cnt"))
@@ -393,9 +399,16 @@ def q_vocab_novelty_by_source(spark: SparkSession,
                         "first_doc")
                   .groupBy("intro_source")
                   .agg(F.count(F.lit(1)).alias("n_introduced")))
-    vol = tok.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_term_occurrences"),
-        F.count_distinct("term").alias("n_distinct_terms"))
+    # r16 (guide §1.2): the per-source volume/distinct counts are an
+    # exact rollup of the shared (source, term, c) aggregate — the ''
+    # filter commutes with the per-(source, term) grouping, so sum(c) /
+    # count(*) over the filtered aggregate equal the token-level counts
+    # — sparing this entry its second tokenize+explode corpus pass
+    stc = (_source_term_counts(spark, sf_dir)
+           .filter(F.col("term") != ""))
+    vol = stc.groupBy("source").agg(
+        F.sum("c").alias("n_term_occurrences"),
+        F.count(F.lit(1)).alias("n_distinct_terms"))
     return (vol.join(intro, vol.source == intro.intro_source, "left")
                .select("source", "n_term_occurrences",
                        "n_distinct_terms",

@@ -287,7 +287,10 @@ def q_ts_trailing_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
           .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
           .select("event_type", F.date_trunc("hour", "ts").alias("hr"),
                   "user_id"))
-    tri = ev.distinct()
+    # r16 (guide §1.2): tri feeds both the window-end explode and the
+    # observed-hour spine — a non-eager localCheckpoint computes the
+    # distinct (type, hour, user) reduction once instead of per branch
+    tri = ev.distinct().localCheckpoint(eager=False)
     hours = tri.select("event_type", "hr").distinct()
     ends = tri.select(
         "event_type", "user_id",
