@@ -197,92 +197,8 @@ def main() -> int:
             traceback.print_exc(file=sys.stderr)
             timings[name] = -1.0
 
-    from big_data_crypto_sentiment_spark.queries.dedup import (
-        _base_band_index,
-        _shingled_documents,
-    )
-    from big_data_crypto_sentiment_spark.queries.components import (
-        _slice_components,
-    )
-    from big_data_crypto_sentiment_spark.queries.layout import (
-        events_warehouse,
-    )
-    from big_data_crypto_sentiment_spark.queries.cleaning import (
-        bigram_model,
-    )
-    from big_data_crypto_sentiment_spark.queries.retrieval import (
-        warm_zipf_index,
-    )
-    _timed("artifact:dedup_shingles",
-           lambda: materialize(_shingled_documents(spark, SF_DIR)))
-    _timed("artifact:dedup_base_band_index",
-           lambda: materialize(_base_band_index(spark, SF_DIR)))
-    _timed("artifact:events_warehouse",
-           lambda: events_warehouse(spark, SF_DIR))
-    _timed("artifact:cc_slice_components",
-           lambda: materialize(_slice_components(spark, SF_DIR)))
-    _timed("artifact:retrieval_zipf_index",
-           lambda: materialize(warm_zipf_index(spark, SF_DIR)))
-
-    def _warm_bpe_training() -> None:
-        # distributed word count + driver-side merge training, shared
-        # by both BPE entries through bpe._WC_CACHE
-        from big_data_crypto_sentiment_spark.queries._util import (
-            rebalance_scan,
-            table,
-        )
-        from big_data_crypto_sentiment_spark.queries.bpe import (
-            _cached_training,
-        )
-        d = rebalance_scan(table(spark, SF_DIR, "documents")) \
-            .select("doc_id", "text")
-        _cached_training(spark, d, SF_DIR)
-
-    _timed("artifact:bpe_training", _warm_bpe_training)
-
-    def _warm_span_grams() -> None:
-        # the persisted span-gram explode shared by dedup_span_stats
-        # AND the curate funnel's span stage (r16: the funnel runs
-        # FIRST in registry order and was absorbing the whole one-time
-        # corpus-wide build — same misattribution the shingle artifact
-        # entry fixed in r8)
-        from big_data_crypto_sentiment_spark.queries._util import (
-            rebalance_scan,
-            table,
-        )
-        from big_data_crypto_sentiment_spark.queries.dedup import (
-            _span_grams,
-        )
-        d = rebalance_scan(table(spark, SF_DIR, "documents")) \
-            .select("doc_id", "text")
-        materialize(_span_grams(d))
-
-    _timed("artifact:dedup_span_grams", _warm_span_grams)
-
-    def _warm_source_term_counts() -> None:
-        # the (source, term, c) aggregate shared by ctfidf_source_terms,
-        # js_divergence_sources AND (r16) the unigram/bigram LM builds —
-        # timed visibly so lm_models below times the LM fold, not this
-        from big_data_crypto_sentiment_spark.queries.text import (
-            _source_term_counts,
-        )
-        materialize(_source_term_counts(spark, SF_DIR))
-
-    _timed("artifact:text_source_term_counts", _warm_source_term_counts)
-
-    def _warm_lm_models() -> None:
-        # driver artifacts (the actions run inside the build); the
-        # unigram inner model is the same ("unigram_docs", sf) key
-        # unigram_logprob reads, so both LM entries then time scoring
-        from big_data_crypto_sentiment_spark.queries._util import (
-            rebalance_scan,
-            table,
-        )
-        d = rebalance_scan(table(spark, SF_DIR, "documents")) \
-            .select("doc_id", "text")
-        bigram_model(d, cache_key=("unigram_docs", SF_DIR))
-
-    _timed("artifact:lm_models", _warm_lm_models)
+    for name, thunk in artifact_thunks(spark, SF_DIR):
+        _timed(name, thunk)
 
     for name, fn in qs.items():
         t0 = time.perf_counter()
@@ -332,6 +248,87 @@ def main() -> int:
     return 0
 
 
+def artifact_thunks(spark, sf_dir: str) -> list[tuple[str, object]]:
+    """The shared artifact builds, in bench order, as (name, thunk)
+    pairs — the single source of truth for main() and for
+    tools/retime_entries.py's bench-context-cold artifact retimes.
+    Entry names are append-only (driver contract: entries may be
+    ADDED, never removed or renamed)."""
+    from big_data_crypto_sentiment_spark.queries._util import (
+        rebalance_scan,
+        table,
+    )
+    from big_data_crypto_sentiment_spark.queries.cleaning import (
+        bigram_model,
+    )
+    from big_data_crypto_sentiment_spark.queries.components import (
+        _slice_components,
+    )
+    from big_data_crypto_sentiment_spark.queries.dedup import (
+        _base_band_index,
+        _shingled_documents,
+        _span_grams,
+    )
+    from big_data_crypto_sentiment_spark.queries.layout import (
+        events_warehouse,
+    )
+    from big_data_crypto_sentiment_spark.queries.retrieval import (
+        warm_zipf_index,
+    )
+
+    def _docs():
+        return rebalance_scan(table(spark, sf_dir, "documents")) \
+            .select("doc_id", "text")
+
+    def _warm_bpe_training() -> None:
+        # distributed word count + driver-side merge training, shared
+        # by both BPE entries through bpe._WC_CACHE
+        from big_data_crypto_sentiment_spark.queries.bpe import (
+            _cached_training,
+        )
+        _cached_training(spark, _docs(), sf_dir)
+
+    def _warm_span_grams() -> None:
+        # the persisted span-gram explode shared by dedup_span_stats
+        # AND the curate funnel's span stage (r16: the funnel runs
+        # FIRST in registry order and was absorbing the whole one-time
+        # corpus-wide build — same misattribution the shingle artifact
+        # entry fixed in r8)
+        materialize(_span_grams(_docs()))
+
+    def _warm_source_term_counts() -> None:
+        # the (source, term, c) aggregate shared by ctfidf_source_terms,
+        # js_divergence_sources AND (r16) the unigram/bigram LM builds —
+        # timed visibly so lm_models below times the LM fold, not this
+        from big_data_crypto_sentiment_spark.queries.text import (
+            _source_term_counts,
+        )
+        materialize(_source_term_counts(spark, sf_dir))
+
+    def _warm_lm_models() -> None:
+        # driver artifacts (the actions run inside the build); the
+        # unigram inner model is the same ("unigram_docs", sf) key
+        # unigram_logprob reads, so both LM entries then time scoring
+        bigram_model(_docs(), cache_key=("unigram_docs", sf_dir))
+
+    return [
+        ("artifact:dedup_shingles",
+         lambda: materialize(_shingled_documents(spark, sf_dir))),
+        ("artifact:dedup_base_band_index",
+         lambda: materialize(_base_band_index(spark, sf_dir))),
+        ("artifact:events_warehouse",
+         lambda: events_warehouse(spark, sf_dir)),
+        ("artifact:cc_slice_components",
+         lambda: materialize(_slice_components(spark, sf_dir))),
+        ("artifact:retrieval_zipf_index",
+         lambda: materialize(warm_zipf_index(spark, sf_dir))),
+        ("artifact:bpe_training", _warm_bpe_training),
+        ("artifact:dedup_span_grams", _warm_span_grams),
+        ("artifact:text_source_term_counts", _warm_source_term_counts),
+        ("artifact:lm_models", _warm_lm_models),
+    ]
+
+
 def compute_total(timings: dict[str, float]) -> float:
     """Sum of successful query+artifact walls. calibration:* probes
     are EXCLUDED — they measure the host, not the repo, and including
@@ -348,14 +345,39 @@ def _loadavg():
         return None
 
 
+_PINS_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "bench_line_pins.json")
+
+
+def line_pins() -> list[str]:
+    """Entry names force-included in the printed line (r17, VERDICT
+    r16 #4): the slowest-first selection changes run to run, so an
+    entry that got FASTER fell off the line and the round-over-round
+    comparison mislabeled it "dropped_from_bench" (19 mislabels in
+    r16). The pin list — the names the previous driver round printed —
+    keeps the cross-round common set stable so improved entries stay
+    visible as improvements. Additions-only: pins only ever force
+    entries INTO the line; values and the side-file map are untouched."""
+    try:
+        with open(_PINS_FILE) as f:
+            return [str(n) for n in json.load(f)]
+    except Exception:
+        return []
+
+
 def summary_line(timings: dict[str, float], total: float,
-                 sf, limit: int = 1900,
+                 sf, limit: int = 1980,
                  full_name: str = "BENCH_FULL.json",
                  loadavg_start=None) -> str:
     """The one printed JSON line, guaranteed under `limit` bytes:
-    slowest entries first until the byte budget runs out (the full map
-    is in the side file); calibration:* probes always ride along (they
-    are the cross-round yardstick and must survive the tail capture)."""
+    pinned entries (line_pins — the previous round's printed set)
+    first, then slowest-first until the byte budget runs out (the full
+    map is in the side file); calibration:* probes always ride along
+    (they are the cross-round yardstick and must survive the tail
+    capture). The budget was 1900; the driver keeps the LAST 2000
+    chars of stdout (measured: BENCH_r16's tail is exactly 2000 chars
+    with the 1880-byte line intact at its end), so 1980 + the trailing
+    newline still survives whole."""
     head = {"metric": "total_query_wall_sec", "value": total,
             "unit": "sec", "sf": sf,
             "n_queries": len(timings), "full": full_name,
@@ -363,12 +385,18 @@ def summary_line(timings: dict[str, float], total: float,
             "queries": {k: v for k, v in timings.items()
                         if k.startswith("calibration:")}}
     budget = limit - len(json.dumps(head, separators=(",", ":")))
+    pinned = [n for n in line_pins() if n in timings]
     by_cost = sorted(timings.items(), key=lambda kv: (-kv[1], kv[0]))
-    for name, sec in by_cost:
+    ordered = ([(n, timings[n]) for n in
+                sorted(pinned, key=lambda n: (-timings[n], n))]
+               + [kv for kv in by_cost if kv[0] not in set(pinned)])
+    for name, sec in ordered:
         if name.startswith("calibration:"):
             continue                   # already seated above
         entry_len = len(name) + len(json.dumps(sec)) + 4  # "n":v,
         if budget - entry_len < 0:
+            if name in set(pinned):
+                continue   # a later, shorter pin may still fit
             break
         head["queries"][name] = sec
         budget -= entry_len

@@ -19,7 +19,7 @@ def test_line_under_budget_with_current_registry_names():
     # worst realistic widths: 4-digit seconds with 2 decimals
     timings = {n: 9999.99 for n in all_queries()}
     line = summary_line(timings, 12345.67, 0.1)
-    assert len(line) <= 1900
+    assert len(line) <= 1980
     d = json.loads(line)
     assert d["n_queries"] == len(timings)
     assert d["full"] == "BENCH_FULL.json"
@@ -35,6 +35,45 @@ def test_slowest_entries_survive_trimming():
     assert kept and dropped
     assert min(timings[k] for k in kept) >= max(
         timings[k] for k in dropped)
+
+
+def test_pinned_entries_survive_even_when_fast(monkeypatch):
+    """r17 (VERDICT r16 #4): entries printed by the previous driver
+    round are force-included even when they got fast enough to fall
+    out of the slowest-first selection — so the round-over-round
+    comparison never mislabels an improvement as dropped_from_bench."""
+    sys.path.insert(0, "/root/repo")
+    import bench
+    monkeypatch.setattr(bench, "line_pins",
+                        lambda: ["q000", "q001", "not_in_registry"])
+    timings = {f"q{i:03d}": float(i) for i in range(300)}
+    d = json.loads(bench.summary_line(timings, 1.0, 0.01))
+    # q000/q001 are the CHEAPEST entries yet must be in the line
+    assert d["queries"]["q000"] == 0.0
+    assert d["queries"]["q001"] == 1.0
+    assert "not_in_registry" not in d["queries"]
+    # slowest-first fill still present alongside the pins
+    assert "q299" in d["queries"]
+
+
+def test_pins_file_names_are_registry_or_artifact_entries():
+    """The committed pin list must stay consistent with the bench's
+    own entry universe (registry names + artifact: entries), or a
+    stale pin would silently waste line budget."""
+    sys.path.insert(0, "/root/repo")
+    import bench
+    from big_data_crypto_sentiment_spark.queries import all_queries
+    pins = bench.line_pins()
+    assert pins, "pins file missing or empty"
+    universe = set(all_queries())
+    art = {"artifact:dedup_shingles", "artifact:dedup_base_band_index",
+           "artifact:events_warehouse", "artifact:cc_slice_components",
+           "artifact:retrieval_zipf_index", "artifact:bpe_training",
+           "artifact:dedup_span_grams",
+           "artifact:text_source_term_counts", "artifact:lm_models",
+           "artifact:sim_family"}
+    for n in pins:
+        assert n in universe or n in art, n
 
 
 def test_tiny_limit_still_valid_json():
