@@ -275,6 +275,9 @@ def artifact_thunks(spark, sf_dir: str) -> list[tuple[str, object]]:
     from big_data_crypto_sentiment_spark.queries.retrieval import (
         warm_zipf_index,
     )
+    from big_data_crypto_sentiment_spark.queries.similarity import (
+        warm_sim_family,
+    )
 
     def _docs():
         return rebalance_scan(table(spark, sf_dir, "documents")) \
@@ -326,6 +329,12 @@ def artifact_thunks(spark, sf_dir: str) -> list[tuple[str, object]]:
         ("artifact:dedup_span_grams", _warm_span_grams),
         ("artifact:text_source_term_counts", _warm_source_term_counts),
         ("artifact:lm_models", _warm_lm_models),
+        # r17 (VERDICT r16 #3): the sim family's shared builds (live
+        # centroids, label prototypes, frozen SemDeDup frame, frozen
+        # IVF top-k), previously absorbed by whichever sim entry ran
+        # first in registry order
+        ("artifact:sim_family",
+         lambda: warm_sim_family(spark, sf_dir)),
     ]
 
 

@@ -36,29 +36,39 @@ from ._util import sql_dsum, table
 
 PRUNE_DAY = "2024-01-15"
 
-# path cache only (no persisted DataFrames): sf fingerprint → on-disk
-# warehouse dir. The artifact itself lives on disk and is reused
-# across sessions; the dict just skips the stat/listdir re-check.
+# path cache only (no persisted DataFrames): (appId, sf fingerprint)
+# → on-disk warehouse dir; the dict just skips the stat/listdir
+# re-check within one session.
 _WH_CACHE: dict[tuple, str] = {}
 
 
 def events_warehouse(spark: SparkSession, sf_dir: str) -> str:
     """Date-partitioned copy of events (date=YYYY-MM-DD/ dirs), built
-    once per events fixture — keyed by (name, size, mtime) so a
-    regenerated fixture rebuilds — and committed by atomic rename, so
+    once per SESSION per events fixture, committed by atomic rename so
     a crashed build leaves only an invisible tmp dir and a concurrent
-    builder loses the rename race harmlessly."""
+    builder loses the rename race harmlessly.
+
+    r17 (VERDICT r16 #4 "what's wrong"): reuse is scoped to ONE Spark
+    session — the dir name carries applicationId, so every bench /
+    oracle run rebuilds from the parquet input and the
+    `artifact:events_warehouse` entry times the real build instead of
+    ~0 after the first-ever run. The previous cross-RUN reuse (keyed
+    only on the fixture's name/size/mtime) was precomputation keyed on
+    the test data — outside the bench rules. The fixture fingerprint
+    stays in the key so a regenerated fixture can never alias a stale
+    dir even within a session."""
     src = os.path.join(sf_dir, "events.parquet")
     st = os.stat(src)
     # full-resolution mtime: with int(st_mtime) a fixture regenerated
     # at the same byte size within the same second would silently reuse
-    # the stale warehouse across sessions
-    key = (os.path.basename(os.path.normpath(sf_dir)),
+    # the stale warehouse within a session
+    key = (spark.sparkContext.applicationId,
+           os.path.basename(os.path.normpath(sf_dir)),
            st.st_size, st.st_mtime_ns)
     root = os.environ.get(
         "SPARK_GRAFT_WAREHOUSE_DIR",
         os.path.join(tempfile.gettempdir(), "spark_graft_warehouse"))
-    dest = os.path.join(root, f"events_{key[0]}_{key[1]}_{key[2]}")
+    dest = os.path.join(root, "events_{}_{}_{}_{}".format(*key))
     if _WH_CACHE.get(key) == dest and os.path.isdir(dest):
         return dest
     if not os.path.isdir(dest):

@@ -1167,6 +1167,28 @@ def q_sim_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 1 row
 
 
+def warm_sim_family(spark: SparkSession, sf_dir: str) -> None:
+    """Materialize the family's session-shared builds (r17, VERDICT
+    r16 #3): the live-KMeans IVF centroids (consumed by sim_ivf_topk +
+    sim_ivf_recall_contract), the persisted label-prototype table, the
+    persisted frozen SemDeDup frame (sim_semdedup + sim_semdedup_kmeans'
+    hashed side) and the bounded frozen IVF top-k (sim_ivf_topk's
+    hashed side). bench.py times this as its own `artifact:sim_family`
+    entry — without it, whichever sim entry ran first in registry order
+    absorbed the whole family's one-time build cost (r16 PERF:
+    sim_ivf_topk 3.40 in-map vs 1.59 solo warm), so per-entry
+    cross-round deltas for the first consumer were noise by
+    construction (the r8 shingle-artifact precedent)."""
+    def _noop(df: DataFrame) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    e = table(spark, sf_dir, "embeddings")
+    _cached_ivf_centroids(spark, sf_dir, e.select("vec_id", "embedding"))
+    _noop(_cached_label_protos(spark, sf_dir))
+    _noop(_cached_frozen_semdedup(spark, sf_dir))
+    _noop(q_sim_ivf_topk_frozen(spark, sf_dir))
+
+
 QUERIES = {
     "embed_mean_pool": q_embed_mean_pool,
     "sim_topk_cosine": q_sim_topk_cosine,

@@ -76,6 +76,14 @@ def test_partitioned_rollup_matches_unpartitioned_source(spark, wh_dir):
         assert (got[k].n, got[k].users) == (want[k].n, want[k].users)
 
 
+def test_warehouse_dir_is_session_scoped(spark, wh_dir):
+    # r17 (VERDICT r16 #5): the dir name carries applicationId, so a
+    # fresh session (a new bench or oracle run) always rebuilds from
+    # the parquet input — cross-RUN reuse keyed only on the fixture
+    # was precomputation keyed on the test data, outside bench rules
+    assert spark.sparkContext.applicationId in os.path.basename(wh_dir)
+
+
 def test_build_is_cached_and_crash_tmp_is_invisible(spark, wh_dir,
                                                     tmp_path):
     # second call returns the same committed dir without rebuilding
