@@ -275,6 +275,9 @@ def artifact_thunks(spark, sf_dir: str) -> list[tuple[str, object]]:
     from big_data_crypto_sentiment_spark.queries.retrieval import (
         warm_zipf_index,
     )
+    from big_data_crypto_sentiment_spark.queries.graph import (
+        warm_graph_family,
+    )
     from big_data_crypto_sentiment_spark.queries.similarity import (
         warm_sim_family,
     )
@@ -335,6 +338,11 @@ def artifact_thunks(spark, sf_dir: str) -> list[tuple[str, object]]:
         # first in registry order
         ("artifact:sim_family",
          lambda: warm_sim_family(spark, sf_dir)),
+        # r17: the graph family's shared builds (edge table, undirected
+        # + degree tables, src-partitioned PageRank side, oriented
+        # triangle edges), previously absorbed by graph_pagerank
+        ("artifact:graph_family",
+         lambda: warm_graph_family(spark, sf_dir)),
     ]
 
 

@@ -103,20 +103,25 @@ def _event_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cached("edges", spark, sf_dir, build)
 
 
-def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(user_id, pr_e12): fixed-6-round integer PageRank over the
-    interaction graph; pr_e12 is the rank in exact 1e-12 units."""
+def _pr_nodes(edges: DataFrame) -> DataFrame:
+    return (edges.select(F.col("src").alias("node"))
+                 .union(edges.select(F.col("dst").alias("node")))
+                 .distinct())
+
+
+def _pr_augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted PageRank join side: edges + zero-weight self-loops
+    (every node receives >= 1 row per round), with per-src out-weight
+    attached, PRE-PARTITIONED AND SORTED by src (r16, guide §2.4) — the
+    join key every round probes — so the iteration joins reuse the
+    cached layout instead of re-exchanging + re-sorting the (at scale,
+    huge) edge side six times. Exactly the bucketed-table discipline
+    for iterative algorithms; row values are untouched. Split out of
+    q_graph_pagerank (r17) so warm_graph_family can materialize it as
+    part of the visible artifact entry."""
     edges = _event_graph(spark, sf_dir)
-    nodes = (edges.select(F.col("src").alias("node"))
-                  .union(edges.select(F.col("dst").alias("node")))
-                  .distinct())
-    # zero-weight self-loops: every node receives >= 1 row per round
-    # r16 (guide §2.4, remove shuffles outright): the edge table is
-    # persisted PRE-PARTITIONED AND SORTED by src — the join key every
-    # round probes — so the iteration joins reuse the cached layout
-    # instead of re-exchanging + re-sorting the (at scale, huge) edge
-    # side six times. Exactly the bucketed-table discipline for
-    # iterative algorithms; row values are untouched.
+    nodes = _pr_nodes(edges)
+
     def _build_aug() -> DataFrame:
         a = edges.unionByName(
             nodes.select(F.col("node").alias("src"),
@@ -128,7 +133,15 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .repartition("src")
                  .sortWithinPartitions("src"))
 
-    aug = _cached("pr_aug", spark, sf_dir, _build_aug)
+    return _cached("pr_aug", spark, sf_dir, _build_aug)
+
+
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, pr_e12): fixed-6-round integer PageRank over the
+    interaction graph; pr_e12 is the rank in exact 1e-12 units."""
+    edges = _event_graph(spark, sf_dir)
+    nodes = _pr_nodes(edges)
+    aug = _pr_augmented(spark, sf_dir)
     # one bounded action for BOTH driver scalars: n, and the max edge
     # weight that enforces the documented BIGINT bound (r ≤ SCALE, so
     # r·w stays inside int64 only while w ≤ (2⁶³-1)/SCALE ≈ 9.2e6 —
@@ -188,11 +201,13 @@ def _und_deg(spark: SparkSession, sf_dir: str) \
     return und, deg
 
 
-def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(user_id, degree, triangles, local_cc): per-node triangle count
-    and local clustering coefficient on the undirected simple graph."""
+def _tri_oriented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted degree-oriented edge set (each a--b directed from its
+    (degree, id)-smaller endpoint) — the triangle join's probe side.
+    Split out of q_graph_triangles (r17) so warm_graph_family can
+    materialize it as part of the visible artifact entry."""
     und, deg = _und_deg(spark, sf_dir)
-    # orient a--b from its (degree, id)-smaller endpoint
+
     def _build_oriented() -> DataFrame:
         smaller_first = ((F.col("da") < F.col("db"))
                          | ((F.col("da") == F.col("db"))
@@ -207,7 +222,14 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.when(smaller_first, F.col("b"))
                         .otherwise(F.col("a")).alias("v")))
 
-    o = _cached("tri_oriented", spark, sf_dir, _build_oriented)
+    return _cached("tri_oriented", spark, sf_dir, _build_oriented)
+
+
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, degree, triangles, local_cc): per-node triangle count
+    and local clustering coefficient on the undirected simple graph."""
+    _, deg = _und_deg(spark, sf_dir)
+    o = _tri_oriented(spark, sf_dir)
     e1, e2, e3 = o.alias("e1"), o.alias("e2"), o.alias("e3")
     tri = (e1.join(e2, F.col("e1.v") == F.col("e2.u"))
              .join(e3, (F.col("e3.u") == F.col("e1.u"))
@@ -264,6 +286,25 @@ deg AS (
   FROM (SELECT a AS node FROM und UNION ALL SELECT b FROM und)
   GROUP BY node
 )"""
+
+def warm_graph_family(spark: SparkSession, sf_dir: str) -> None:
+    """Materialize the graph family's session-shared builds (r17, the
+    artifact:sim_family pattern): the persisted edge table, the
+    undirected edge set + degree table, the src-partitioned PageRank
+    join side and the degree-oriented triangle edges. bench.py times
+    this as `artifact:graph_family` — without it graph_pagerank (first
+    graph entry in registry order) absorbed the whole family's
+    one-time build (4.15 in-map vs 2.45 solo warm in r16)."""
+    def _noop(df: DataFrame) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    _noop(_event_graph(spark, sf_dir))
+    und, deg = _und_deg(spark, sf_dir)
+    _noop(und)
+    _noop(deg)
+    _noop(_pr_augmented(spark, sf_dir))
+    _noop(_tri_oriented(spark, sf_dir))
+
 
 ORACLE = {
     "graph_pagerank": f"""

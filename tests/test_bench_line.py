@@ -66,12 +66,9 @@ def test_pins_file_names_are_registry_or_artifact_entries():
     pins = bench.line_pins()
     assert pins, "pins file missing or empty"
     universe = set(all_queries())
-    art = {"artifact:dedup_shingles", "artifact:dedup_base_band_index",
-           "artifact:events_warehouse", "artifact:cc_slice_components",
-           "artifact:retrieval_zipf_index", "artifact:bpe_training",
-           "artifact:dedup_span_grams",
-           "artifact:text_source_term_counts", "artifact:lm_models",
-           "artifact:sim_family"}
+    # artifact names straight from the single source of truth (the
+    # thunks are lazy, so no SparkSession is needed to list them)
+    art = {n for n, _ in bench.artifact_thunks(None, "")}
     for n in pins:
         assert n in universe or n in art, n
 
