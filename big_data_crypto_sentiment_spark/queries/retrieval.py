@@ -373,8 +373,22 @@ def _zipf_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tf_with_dl(_zipf_corpus(spark, sf_dir), "zipf_tf", sf_dir)
 
 
+# r17 (guide §1.2): the zipf doc count is one bounded driver scalar
+# consumed by BOTH the idf build and the BM25 avgdl — it was counted
+# twice (two jobs over the corpus). Memoized per (appId, sf_dir) like
+# every other session cache; same integer either way.
+_NDOCS_CACHE: dict[tuple, int] = {}
+
+
+def _zipf_ndocs(spark: SparkSession, sf_dir: str) -> int:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _NDOCS_CACHE:
+        _NDOCS_CACHE[key] = _zipf_corpus(spark, sf_dir).count()
+    return _NDOCS_CACHE[key]
+
+
 def _zipf_idf(spark: SparkSession, sf_dir: str) -> dict[str, int]:
-    return _idf_from_tf(lambda: _zipf_corpus(spark, sf_dir).count(),
+    return _idf_from_tf(lambda: _zipf_ndocs(spark, sf_dir),
                         _zipf_tf(spark, sf_dir),
                         "sim_tfidf_zipf_topk", sf_dir, ZIPF_MAX_DF_FRAC)
 
@@ -400,7 +414,6 @@ def zipf_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         # _zipf_tf table (r16): Σtf IS the exact token total the old
         # per-doc size(split) scan summed, and the doc count comes off
         # the persisted corpus — no tokenize pass left in this build.
-        d = _zipf_corpus(spark, sf_dir)
         tfdl = _zipf_tf(spark, sf_dir)
         idf = _zipf_idf(spark, sf_dir)
         # avgdl: exact integer token total / doc count. float() FIRST
@@ -408,7 +421,7 @@ def zipf_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         # double, then divide) — Python's int/int is correctly rounded
         # from the exact rational and diverges past 2^53 tokens
         s = tfdl.agg(F.sum("tf").alias("s")).first()["s"]
-        avgdl = float(s) / d.count()
+        avgdl = float(s) / _zipf_ndocs(spark, sf_dir)
         idfmap = F.create_map(*[F.lit(x) for kv in idf.items()
                                 for x in kv])
         num = (F.col("_idf").cast("double") * F.col("tf")

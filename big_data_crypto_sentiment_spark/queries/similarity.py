@@ -978,41 +978,95 @@ def label_prototype_centroids(vecs: DataFrame, label_col: str = "label",
                     .cast("bigint").alias("c")))
 
 
+def _assign_np(frozen: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, cid, vn2, cos_c): exact nearest-centroid assignment as
+    ONE Arrow-batched numpy pass (r17, guide §4.2 — hand whole batches
+    to vectorized native code). Replaces the posexplode → broadcast
+    dim-join → (vec_id, cid) hash agg → top-1 window chain (four
+    stages materializing N·k·d joined rows) with a map-side
+    projection; the centroid table is a bounded O(k·dim) model
+    artifact collected once (the load_centroids discipline) and rides
+    the closure.
+
+    BIT-IDENTICAL to the expression path it replaces: every quantity
+    is an integer below 2^53 (|x8|, |c| < 2^20 ⇒ dot, vn2, cn2,
+    dist2 < 2^47), so float64 matmuls and sums are exact; argmin over
+    columns ordered by ascending cid reproduces the (dist2, cid)
+    window tie-break; the closing cos_c = dot/(√vn2·√cn2) runs the
+    same IEEE-754 double ops the JVM ran. Vectors shorter/longer than
+    the centroid dim count contribute exactly the dims the dim
+    equality join kept (zero-pad/truncate), and an empty/NULL x8 drops
+    out like the inner join dropped it. Pinned against the expression
+    twin by the routed-vs-exhaustive parity pytest."""
+    import numpy as np
+
+    rows = cents.collect()            # bounded O(k·dim) model artifact
+    by_cid: dict[int, dict[int, int]] = {}
+    for r in rows:
+        by_cid.setdefault(int(r.cid), {})[int(r.dim)] = int(r.c)
+    cids = sorted(by_cid)
+    d = 1 + max((dim for v in by_cid.values() for dim in v), default=0)
+    C = np.zeros((len(cids), d), dtype=np.float64)
+    for i, cid in enumerate(cids):
+        for dim, c in by_cid[cid].items():
+            C[i, dim] = c
+    cn2 = (C * C).sum(axis=1)         # exact: integer-valued float64
+    cid_arr = np.array(cids, dtype=np.int64)
+    id_t = frozen.schema["vec_id"].dataType.simpleString()
+    cid_t = cents.schema["cid"].dataType.simpleString()
+    cid_np = np.int32 if cid_t == "int" else np.int64
+    schema = f"vec_id {id_t}, cid {cid_t}, vn2 bigint, cos_c double"
+
+    def assign(batches):
+        import pandas as pd
+        for pdf in batches:
+            vals = pdf["x8"].tolist()
+            n = len(vals)
+            if n == 0:
+                continue
+            keep = np.ones(n, dtype=bool)
+            try:                       # fast path: uniform d, no NULLs
+                X = np.asarray(vals, dtype=np.float64)
+                if X.ndim != 2 or X.shape[1] != d:
+                    raise ValueError
+            except (ValueError, TypeError):
+                X = np.zeros((n, d), dtype=np.float64)
+                for i, v in enumerate(vals):
+                    if v is None or len(v) == 0:
+                        keep[i] = False   # the inner dim join drops it
+                        continue
+                    a = np.asarray(
+                        [0 if x is None else x for x in v],
+                        dtype=np.float64)
+                    m = min(len(a), d)
+                    X[i, :m] = a[:m]
+            dots = X @ C.T
+            vn2 = (X * X).sum(axis=1)
+            dist2 = vn2[:, None] - 2.0 * dots + cn2[None, :]
+            j = np.argmin(dist2, axis=1)     # ties → lowest cid
+            ar = np.arange(n)
+            cos = dots[ar, j] / (np.sqrt(vn2) * np.sqrt(cn2[j]))
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"].to_numpy()[keep],
+                "cid": cid_arr[j][keep].astype(cid_np),
+                "vn2": vn2[keep].astype(np.int64),
+                "cos_c": cos[keep]})
+
+    return frozen.select("vec_id", "x8").mapInPandas(assign, schema)
+
+
 def semdedup(frozen: DataFrame, cents: DataFrame,
              threshold: float = SEMDEDUP_THRESHOLD) -> DataFrame:
     """(vec_id, cid, cos_to_centroid, is_kept): SemDeDup over frozen
     integer vectors and an integer centroid table.
 
-    Plan shape: one posexplode; assignment joins the BROADCAST centroid
-    table (a bounded O(k·dim) model artifact, not a data-dependent key
-    set — the hint is safe here) on dim, map-side, then one combinable
-    (vec_id, cid) agg + a k-row window per vector; the intra-cluster
-    pair join is an equality join on cid over id+array rows, with the
-    pair cosine as one zip_with/aggregate per candidate pair."""
-    from pyspark.sql import Window
-    ex = frozen.select("vec_id", F.posexplode_outer("x8").alias("dim", "v"))
-    cn2 = cents.groupBy("cid").agg(F.sum(F.col("c") * F.col("c"))
-                                    .alias("cn2"))
-    # vn2 folds into the SAME (vec_id, cid) agg as the dot (each
-    # (vec_id, dim) row joins exactly one centroid row per cid, so
-    # sum(v·v) per (vec_id, cid) IS the vector norm²) — k× redundant
-    # integer adds in exchange for dropping a whole shuffle + join
-    dots = (ex.join(F.broadcast(cents), "dim")
-              .groupBy("vec_id", "cid")
-              .agg(F.sum(F.col("v") * F.col("c")).alias("dot"),
-                   F.sum(F.col("v") * F.col("v")).alias("vn2")))
-    w = Window.partitionBy("vec_id").orderBy("dist2", "cid")
-    assigned = (dots.join(F.broadcast(cn2), "cid")
-                    .withColumn("dist2", F.col("vn2") - 2 * F.col("dot")
-                                + F.col("cn2"))
-                    .withColumn("_rn", F.row_number().over(w))
-                    .filter(F.col("_rn") == 1)
-                    .select("vec_id", "cid", "vn2",
-                            (F.col("dot").cast("double")
-                             / (F.sqrt(F.col("vn2").cast("double"))
-                                * F.sqrt(F.col("cn2").cast("double"))))
-                            .alias("cos_c")))
-    return _semdedup_pairs(frozen, assigned, threshold)
+    Plan shape (r17): assignment is one Arrow-batched numpy projection
+    (_assign_np — bit-identical to the posexplode → broadcast-join →
+    agg → window expression chain it replaced; guide §4.2), then the
+    intra-cluster pair join is an equality join on cid over id+array
+    rows, with the pair cosine as one zip_with/aggregate per candidate
+    pair."""
+    return _semdedup_pairs(frozen, _assign_np(frozen, cents), threshold)
 
 
 def _semdedup_pairs(frozen: DataFrame, assigned: DataFrame,
