@@ -106,9 +106,11 @@ HEADLINE = [
      "(12,6)->(25,12)->(38,18) inside one hash agg — no second scan, "
      "no float accumulation"),
     ("sim_semdedup",
-     "SemDeDup: broadcast centroid join (bounded model artifact), "
-     "integer argmin assignment, intra-cluster-only pair join on cid; "
-     "en subtree computed once (lazy localCheckpoint)"),
+     "SemDeDup: one Arrow-batched numpy assignment projection (r17 — "
+     "bit-identical to the old explode/broadcast-join/agg/window "
+     "chain; centroids ride the closure as a bounded model artifact), "
+     "intra-cluster-only pair join on cid; en subtree computed once "
+     "(lazy localCheckpoint)"),
     ("scd2_merge_incremental",
      "r7: NO hard broadcast hint on the affected-key set — AQE picks "
      "broadcast when small, degrades to shuffled semi/anti when huge"),
