@@ -76,7 +76,7 @@ def events_warehouse(spark: SparkSession, sf_dir: str) -> str:
         os.makedirs(root, exist_ok=True)
         tmp = os.path.join(root, f"_tmp_{uuid.uuid4().hex[:8]}")
         write_warehouse(table(spark, sf_dir, "events"), tmp,
-                        date_col="ts")
+                        date_col="ts", rebalance=True)
         try:
             os.rename(tmp, dest)
         except OSError:

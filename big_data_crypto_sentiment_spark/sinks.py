@@ -27,13 +27,26 @@ CHUNK = 1000  # batch_to_mongo.py:268 insert_many batch size
 def write_warehouse(df: DataFrame, path: str,
                     partition_cols: tuple[str, ...] = (),
                     date_col: str | None = None,
-                    mode: str = "overwrite") -> None:
+                    mode: str = "overwrite",
+                    rebalance: bool = False) -> None:
     """Partitioned parquet write; pass date_col to derive a `date`
-    partition column from a timestamp (BQ day-partitioning analog)."""
+    partition column from a timestamp (BQ day-partitioning analog).
+
+    rebalance=True (r17, guide §6): cluster rows by the partition
+    columns with an AQE REBALANCE hint before the write. Without it a
+    narrow input (one scan task) writes every partition dir serially
+    from a single task and each writing task opens one file PER
+    partition value (the many-small-files trap); rebalanced, each
+    partition value is written by its own task(s) — parallel, one
+    right-sized file per dir — and AQE splits a skewed partition value
+    instead of pinning it to one task (safe at any scale, unlike a
+    plain repartition(cols))."""
     cols = list(partition_cols)
     if date_col is not None:
         df = df.withColumn("date", F.to_date(F.col(date_col)))
         cols = ["date"] + cols
+    if rebalance and cols:
+        df = df.hint("rebalance", *[F.col(c) for c in cols])
     w = df.write.mode(mode)
     if cols:
         w = w.partitionBy(*cols)
